@@ -205,8 +205,129 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Batch 2 — window / sort / set / semi-anti / rollup / event-time ops.
+  // Absent from the reference (SURVEY.md §2.7, §2.10) but part of a
+  // complete engine; each still oracle-checked.
+  // ---------------------------------------------------------------------
+
+  /** Top-k per group via ranking window. */
+  private def qWindowTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Running aggregate + lag over an ordered per-key window. The two
+    * window functions share partitioning+ordering so Catalyst plans one
+    * sort and one exchange. */
+  private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("days_since_prev",
+        datediff(to_date(col("o_orderdate")), lag(to_date(col("o_orderdate")), 1).over(w))
+          .cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("days_since_prev"))
+  }
+
+  /** Global sort + limit with full tiebreak (deterministic top-k). */
+  private def qSortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+
+  /** Set operators: intersect / except with set (dedup) semantics. */
+  private def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("long").as("key"))
+    val p = Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("key"))
+    c.intersect(p).select(col("key"), lit("both").as("tag"))
+      .unionAll(c.except(p).select(col("key"), lit("cust_only").as("tag")))
+      .unionAll(p.except(c).select(col("key"), lit("supp_only").as("tag")))
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS). */
+  private def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_f").as("tag"))
+      .unionAll(
+        cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_f").as("tag")))
+  }
+
+  /** Rollup grouping sets with subtotal rows. */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Exact distinct-count aggregate (per group + multiple columns). */
+  private def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+
+  /** Event-time tumbling window aggregate (batch form). `ts` is epoch
+    * nanos (see Tables.load); bucketing is integral division — no
+    * double-precision loss on int64. */
+  private def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+
+  /** As-of join: each purchase matched to the user's latest click at or
+    * before it (AsOfJoin operator; DuckDB native ASOF JOIN as oracle). */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "event_id",
+        rightPayload = Seq("ts", "event_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("purchase_us"),
+        expr("asof_ts div 1000").as("click_us"),
+        col("asof_event_id").as("click_event_id"))
+  }
+
+  /** Gap-based sessionization (30-min gap) + per-session rollup. */
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize.byGap(Tables.events(s, d), "user_id", "ts", "event_id",
+        maxGap = 1800000000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts div 1000")).as("first_us"),
+        max(expr("ts div 1000")).as("last_us"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_topk"    -> (qWindowTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sort_limit"     -> (qSortLimit _),
+    "q_set_ops"        -> (qSetOps _),
+    "q_semi_anti"      -> (qSemiAnti _),
+    "q_rollup"         -> (qRollup _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_events_hourly"  -> (qEventsHourly _),
+    "q_asof_join"      -> (qAsofJoin _),
+    "q_sessionize"     -> (qSessionize _),
     "q_date_dim"       -> (qDateDim _),
     "q_sas_date"       -> (qSasDate _),
     "q_sas_zero_null"  -> (qSasZeroNull _),
@@ -229,6 +350,76 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_window_topk" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3""",
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        datediff('day',
+          lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          CAST(o_orderdate AS DATE)) AS days_since_prev
+      FROM orders""",
+    "q_sort_limit" -> """
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+      FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q_set_ops" -> """
+      SELECT key, 'both' AS tag FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT key, 'cust_only' AS tag FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT key, 'supp_only' AS tag FROM (
+        SELECT CAST(s_nationkey AS BIGINT) AS key FROM supplier
+        EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer)""",
+    "q_semi_anti" -> """
+      SELECT c_custkey, 'has_f' AS tag FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      UNION ALL
+      SELECT c_custkey, 'no_f' AS tag FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_count_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+      FROM lineitem GROUP BY 1""",
+    "q_events_hourly" -> """
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""",
+    "q_asof_join" -> """
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+        epoch_ns(p.ts) // 1000 AS purchase_us,
+        epoch_ns(c.ts) // 1000 AS click_us, c.event_id AS click_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+          CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                 OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, event_id, value, tns,
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(tns) // 1000 AS first_us, max(tns) // 1000 AS last_us,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY 1, 2""",
     "q_date_dim" -> """
       SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS arrival_iso_date,
         year(o_orderdate) AS arrival_year, month(o_orderdate) AS arrival_month,
