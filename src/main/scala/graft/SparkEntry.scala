@@ -316,8 +316,95 @@ object SparkEntry {
         sum(dec(col("value"))).cast("double").as("total_value"))
 
   // ---------------------------------------------------------------------
+  // Batch 3 — training-data pipeline operators: text analysis, dedup
+  // family, similarity search, multimodal plumbing.
+  // ---------------------------------------------------------------------
+
+  /** Text quality stats: char/token counts, BPE-ish token count, average
+    * token length, stopword stats, quality score, rolling fingerprint. */
+  private def qTextStats(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFns
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFns.bpeIshTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+      TextFns.avgTokenLen(col("text")).as("avg_token_len"),
+      TextFns.stopwordCount(col("text")).cast("long").as("stop_cnt"),
+      TextFns.qualityScore(col("text")).as("quality"),
+      PolyHash.polyHash(col("text")).as("fingerprint"))
+  }
+
+  /** Language ID over the documents table (marker-vocabulary heuristic,
+    * argmax with fixed tiebreak). */
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFns
+    Tables.documents(s, d).select(
+      col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+  }
+
+  /** Exact dedup by content hash. */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.exactByContent(Tables.documents(s, d), "text", "doc_id")
+
+  /** MinHash + LSH candidate pairs (no SQL oracle — xxhash64 is
+    * Spark-specific; correctness pinned by DedupSpec instead). */
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.minhashCandidates(Tables.documents(s, d), "text", "doc_id")
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  /** SimHash near-dup pairs, hamming <= 3 (no SQL oracle; DedupSpec). */
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
+
+  /** Exact n-gram Jaccard pairs within (lang, source) buckets. */
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+      Seq("lang", "source"), n = 3, threshold = 0.5)
+
+  /** Embedding cosine near-dup pairs within label buckets. */
+  private def qEmbedPairs(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity.cosinePairs(
+      Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", emb.filter(col("vec_id") === 0), "embedding", 10)
+  }
+
+  /** LSH-bucketed ANN top-10 (no SQL oracle; SimilaritySpec checks recall
+    * against brute force). */
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.Similarity.lshTopK(
+      emb, "embedding", "vec_id", emb.filter(col("vec_id") === 0), "embedding", 10)
+  }
+
+  /** Multimodal plumbing: text bytes as stand-in binary payloads, decoded
+    * through the typed mapPartitions boundary (stubbed codec). */
+  private def qMultimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(length(col("source")) === 4, "image").otherwise("video").as("media_type"),
+      col("text").cast("binary").as("payload"))
+    graft.multimodal.Multimodal.decode(media)(s).toDF()
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"     -> (qTextStats _),
+    "q_lang_id"        -> (qLangId _),
+    "q_dedup_exact"    -> (qDedupExact _),
+    "q_dedup_minhash"  -> (qDedupMinhash _),
+    "q_dedup_simhash"  -> (qDedupSimhash _),
+    "q_dedup_ngram"    -> (qDedupNgram _),
+    "q_embed_pairs"    -> (qEmbedPairs _),
+    "q_ann_brute"      -> (qAnnBrute _),
+    "q_ann_lsh"        -> (qAnnLsh _),
+    "q_multimodal"     -> (qMultimodal _),
     "q_window_topk"    -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
     "q_sort_limit"     -> (qSortLimit _),
@@ -350,6 +437,82 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> {
+      import graft.text.TextFns
+      val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(",")
+      s"""
+      SELECT doc_id, length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(regexp_extract_all(text, '${TextFns.BpeIshPattern}')) AS n_bpe_tokens,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS stop_cnt,
+        round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+          + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) / 5.0, 1.0)
+          ) / 3.0, 6) AS quality,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      FROM documents"""
+    },
+    "q_lang_id" -> s"""
+      SELECT doc_id, ${graft.text.TextFns.langIdOracleSql("text")} AS lang_pred
+      FROM documents""",
+    "q_dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1""",
+    "q_dedup_ngram" -> """
+      WITH t AS (SELECT lang, source, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT lang, source, doc_id,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      ex AS (SELECT lang, source, doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                 FROM ex a JOIN ex b
+                   ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
+    "q_embed_pairs" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+          6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+          6) >= 0.35""",
+    "q_ann_brute" -> """
+      SELECT e.vec_id,
+        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+          6) AS cos_sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_multimodal" -> """
+      SELECT doc_id AS media_id,
+        CASE WHEN length(source) = 4 THEN 'image' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        64 + octet_length(encode(text)) % 1024 AS width,
+        64 + (octet_length(encode(text)) * 7) % 768 AS height,
+        CASE WHEN length(source) = 4 THEN 1
+             ELSE octet_length(encode(text)) % 30 + 1 END AS n_frames,
+        sha256(text) AS content_sha
+      FROM documents""",
     "q_window_topk" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline. Four
+  * families, increasing in fuzziness:
+  *
+  *   1. exact        — content-hash groupBy (one shuffle on a 128-bit key)
+  *   2. minhash+LSH  — shingle -> K minhashes -> banded buckets -> pair
+  *                     join (shuffles on band buckets, never all-pairs)
+  *   3. simhash      — 64-bit signature, chunk-banded hamming pairs
+  *   4. n-gram Jaccard — exact set overlap via shingle self-join inside
+  *                     coarse buckets (the verification stage after LSH)
+  *
+  * Scale invariant for all of them: candidate generation is bucket-local.
+  * Nothing ever materializes the O(n^2) pair space; skewed buckets are
+  * bounded by band width and can be salted or capped upstream.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content by md5, keep the smallest id as
+    * canonical. The md5 shuffle key keeps exchange rows narrow even when
+    * documents are megabytes.
+    */
+  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles (distinct) of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** MinHash signature: for each of `k` hash families, the min xxhash64
+    * over the shingle set (seeded by prepending the family index).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
+    * of `k/bands` rows; docs sharing any band bucket become a candidate
+    * pair; estimated Jaccard = fraction of matching signature positions.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    * across bands.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      minhashSignature(shingles(lower(col(textCol)), 3), k).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote over
+    * token xxhash64 values. Implemented as 64 conditional sums inside one
+    * hash aggregate — a single shuffle keyed by doc id carrying 64 longs.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found by
+    * chunk banding (pigeonhole: distance <= 3 guarantees one of 4 16-bit
+    * chunks is equal), verified with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width  = 64 / chunks
+    val sh = simhash(df, textCol, idCol)
+    val banded = sh.select(col("id"), col("simhash"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
+        }: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val a = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
+    * (e.g. same lang+source). Shingle-explode + self-join on shingle
+    * counts the intersection; union size from per-doc distinct counts.
+    * Returns pairs with jaccard >= threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        bucketCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(
+      (bucketCols.map(col) :+ col(idCol).cast("long").as("id")
+        :+ shingles(lower(col(textCol)), n).as("sh")): _*)
+    val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
+    val exploded = withSh.select(
+      (bucketCols.map(col) :+ col("id") :+ explode(col("sh")).as("s")): _*)
+
+    val a = exploded.select((bucketCols.map(col) :+ col("s") :+ col("id").as("id_a")): _*)
+    val b = exploded.select((bucketCols.map(col) :+ col("s") :+ col("id").as("id_b")): _*)
+    val common = a.join(b, bucketCols :+ "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sh_a") + col("sh_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a single narrow scan + per-row
+  * arithmetic + a k-row TakeOrdered; at 100 TB this is the map-side-only
+  * plan (no shuffle except the final top-k collect).
+  *
+  * Scale path: sign-random-projection LSH — hyperplanes derived from a
+  * deterministic hash (no RNG state to ship), bucket id = packed sign
+  * bits; candidates restricted to the query's bucket (optionally
+  * multi-probe neighbors). Bucketing is one narrow column; search becomes
+  * a partition-pruned scan when the table is written bucketed by it.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns, computed with
+    * left-to-right folds (matches the oracle's evaluation order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot   = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (normA * normB)
+  }
+
+  def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  /** Brute-force cosine top-k against one query vector (cross-joined as a
+    * single broadcast row — no shuffle of the big side).
+    */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: DataFrame, queryEmbCol: String, k: Int): DataFrame =
+    df.crossJoin(broadcast(query.select(toDouble(col(queryEmbCol)).as("__q"))))
+      .select(col(idCol), round(cosine(toDouble(col(embCol)), col("__q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded to [-1, 1). Avoids shipping RNG state; every
+    * executor derives identical planes.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim) % 1000000L).cast("double") / 1000000.0
+
+  /** Sign-random-projection bucket id: `planes` sign bits packed into a
+    * long. Vectors in the same bucket are likely cosine-close.
+    */
+  def lshBucket(emb: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(emb, sequence(lit(0), lit(63)), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN top-k: compute the query's bucket, scan only rows
+    * whose bucket matches in >= (planes - probeSlack) sign bits
+    * (multi-probe via hamming tolerance), then exact cosine on the
+    * candidates.
+    */
+  def lshTopK(df: DataFrame, embCol: String, idCol: String,
+              query: DataFrame, queryEmbCol: String, k: Int,
+              planes: Int = 16, probeSlack: Int = 3): DataFrame = {
+    val data = df.select(col(idCol), toDouble(col(embCol)).as("__e"))
+      .withColumn("__bucket", lshBucket(col("__e"), planes))
+    val q = broadcast(query.select(toDouble(col(queryEmbCol)).as("__q"))
+      .withColumn("__qbucket", lshBucket(col("__q"), planes)))
+    data.crossJoin(q)
+      .filter(bit_count(col("__bucket").bitwiseXOR(col("__qbucket"))) <= probeSlack)
+      .select(col(idCol), round(cosine(col("__e"), col("__q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine inside coarse buckets
+    * (provided column, e.g. a cluster/label id) — the verify stage that
+    * LSH candidates feed at scale.
+    */
+  def cosinePairs(df: DataFrame, embCol: String, idCol: String,
+                  bucketCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
+      toDouble(col(embCol)).as("__e"))
+    val a = base.select(col("__bk"), col("id").as("id_a"), col("__e").as("__ea"))
+    val b = base.select(col("__bk"), col("id").as("id_b"), col("__e").as("__eb"))
+    a.join(b, Seq("__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("__ea"), col("__eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

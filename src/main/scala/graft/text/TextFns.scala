@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, quality stats, stopword ratios, language ID,
+  * fingerprinting. All pure `Column` compositions (codegen'd, no UDFs) —
+  * at 100 TB these run embarrassingly parallel inside the scan stage with
+  * zero shuffles.
+  */
+object TextFns {
+
+  /** Whitespace tokens. Single-space split keeps parity with simple
+    * tokenizers; use `bpeIshTokens` for a subword-ish count.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the usual pre-tokenizer regex shape.
+    */
+  val BpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0)))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Count of stopword tokens (higher-order filter, stays in codegen). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Average token length for a single-space-separated text, computed
+    * closed-form (chars minus separators over token count) so the oracle
+    * can reproduce it exactly without aggregation.
+    */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - 1)).cast("double") / n
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, moderate
+    * average token length, and presence of stopwords — the standard cheap
+    * heuristics (C4-style) expressed as arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val tokScore  = when(avgTokenLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordCount(text).cast("double") / 5.0, lit(1.0))
+    round((lenScore + tokScore + stopScore) / 3.0, 6)
+  }
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * Order encodes the deterministic tiebreak priority (earlier wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language ID: score = count of marker-token hits per language; argmax
+    * with fixed priority tiebreak, via array_max over (score, priority,
+    * lang) structs. For zh the markers are single characters, so we count
+    * substring occurrences instead of token hits.
+    */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val toks = tokens(lowered)
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val score =
+        if (lang == "zh")
+          markers.map(m => (length(lowered) - length(regexp_replace(lowered, m, ""))).cast("int"))
+            .reduce(_ + _)
+        else
+          size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      struct(score.as("score"), lit(LangMarkers.size - i).as("prio"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** DuckDB SQL fragment computing the same langId over column `c` —
+    * generated from the same marker constants (single source of truth for
+    * the oracle).
+    */
+  def langIdOracleSql(c: String): String = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val s =
+        if (lang == "zh")
+          markers.map(m => s"(length(lower($c)) - length(replace(lower($c), '$m', '')))").mkString(" + ")
+        else
+          s"len(list_filter(string_split(lower($c), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+      lang -> s
+    }
+    val structs = scores.zipWithIndex.map { case ((lang, s), i) =>
+      s"{'score': CAST($s AS INT), 'prio': ${LangMarkers.size - i}, 'lang': '$lang'}"
+    }
+    s"list_max([${structs.mkString(", ")}])['lang']"
+  }
+}
