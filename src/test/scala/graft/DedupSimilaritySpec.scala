@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight")           // 1-word edit
+  private val unrelated = "completely different content about spark query engines and shuffles"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base)          // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactByContent groups identical texts under one canonical id") {
+    val out = Dedup.exactByContent(docs, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min(0, 3)
+  }
+
+  test("shingles builds distinct word n-grams; short docs collapse to one") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(sh.contains("the quick brown") && sh.contains("quick brown fox"))
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(short == Seq("one two"))
+  }
+
+  test("minhashCandidates finds near-dups and exact dups, skips unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0)  // exact dup
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.5)   // near dup
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never pairs
+  }
+
+  test("simhashPairs finds near-dups within hamming<=3, skips unrelated") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)))   // exact dup -> hamming 0
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 3L))).get._3 == 0L)
+    assert(!keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on known sets") {
+    val bucketed = docs.withColumn("bk", lit("b"))
+    val out = Dedup.ngramJaccardPairs(bucketed, "text", "doc_id", Seq("bk"), 3, 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 3L)) == 1.0)
+    // base has 11 distinct 3-shingles; the last-word edit changes exactly 1
+    // -> |A∩B| = 10, |A∪B| = 12, jaccard = 10/12
+    assert(math.abs(out((0L, 1L)) - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("cosine: known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(
+      Similarity.toDouble(col("a")), Similarity.toDouble(col("b")))).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12 && math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: self-match first on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      emb.filter(col("vec_id") === 0), "embedding", 5).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.length == 5)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, "embedding", "vec_id", q, "embedding", 10,
+      planes = 16, probeSlack = 6).collect().map(_.getLong(0)).toSet
+    // ANN is approximate; with generous multi-probe we expect >= 40% recall
+    assert((brute & lsh).size >= 4, s"recall too low: ${(brute & lsh).size}/10")
+  }
+
+  test("cosinePairs respects the bucket boundary") {
+    val df = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.01f)),
+      (2L, 1, Array(1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.cosinePairs(df, "embedding", "vec_id", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))  // 2 is cosine-identical to 0 but in another bucket
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DateFns, PolyHash, TitleCase}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def evalStr(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.cast("string")).head.getString(0)
+
+  test("sasDate: SAS epoch day offsets, 0 maps to 1960-01-01 (ref etl.py:61-74)") {
+    assert(evalStr(DateFns.sasDateStr(lit(0))) == "1960-01-01")
+    assert(evalStr(DateFns.sasDateStr(lit(20566))) == "2016-04-22")
+    assert(evalStr(DateFns.sasDateStr(lit(null).cast("int"))) == null)
+  }
+
+  test("sasDateZeroNull: Python-falsy guard, 0 maps to null (ref etl.py:119-125)") {
+    assert(evalStr(DateFns.sasDateZeroNull(lit(0))) == null)
+    assert(evalStr(DateFns.sasDateZeroNull(lit(20566))) == "2016-04-22")
+    assert(evalStr(DateFns.sasDateZeroNull(lit(null).cast("int"))) == null)
+  }
+
+  test("sasDate round-trip: datediff(sasDate(n), 1960-01-01) == n (seeded sample)") {
+    val rnd = new scala.util.Random(42)
+    val ns = Seq.fill(200)(rnd.nextInt(100000))
+    val got = ns.toDF("n")
+      .select(col("n"), datediff(DateFns.sasDate(col("n")), to_date(lit("1960-01-01"))))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("stayDays matches depdate - arrdate in days (ref etl.py:76-90)") {
+    val got = Seq(("2016-04-01", "2016-04-15")).toDF("a", "d")
+      .select(DateFns.stayDays(to_date(col("a")), to_date(col("d"))))
+      .head.getInt(0)
+    assert(got == 14)
+  }
+
+  test("seasonOf buckets months like the reference CASE (ref etl.py:325-328)") {
+    val got = (1 to 12).toDF("m").select(col("m"), DateFns.seasonOf(col("m")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(12) == "winter" && got(1) == "winter" && got(2) == "winter")
+    assert(got(3) == "spring" && got(5) == "spring")
+    assert(got(6) == "summer" && got(8) == "summer")
+    assert(got(9) == "autumn" && got(11) == "autumn")
+  }
+
+  test("TitleCase matches Python str.title() on its tricky cases (ref etl.py:105-117)") {
+    val cases = Map(
+      "o'neill" -> "O'Neill",          // apostrophe is a word boundary
+      "a1b c"   -> "A1B C",            // digit is a boundary too
+      "MEXICO"  -> "Mexico",
+      "united states" -> "United States",
+      "nation_0" -> "Nation_0",
+      ""        -> "",
+      "  x  "   -> "  X  ")
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("s").select(TitleCase.titlecase(col("s"))).head.getString(0)
+      assert(got == want, s"title($in)")
+    }
+    // null-safe
+    assert(Seq[String](null).toDF("s").select(TitleCase.titlecase(col("s"))).head.isNullAt(0))
+  }
+
+  test("TitleCase is idempotent (seeded sample)") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(100)(rnd.alphanumeric.take(12).mkString + " o'x _9a")
+    val rows = samples.toDF("s")
+      .select(TitleCase.titlecase(col("s")).as("once"),
+        TitleCase.titlecase(TitleCase.titlecase(col("s"))).as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("TitleCase interpreted eval equals codegen eval") {
+    // project over a non-literal column exercises codegen; literal folding
+    // exercises interpreted eval — both must agree
+    val df = Seq("o'neill 42x", "ä-öü").toDF("s")
+    val viaCol = df.select(TitleCase.titlecase(col("s"))).collect().map(_.getString(0)).toSeq
+    assert(viaCol == Seq("O'Neill 42X", "Ä-Öü"))
+  }
+
+  test("PolyHash: known values, empty, null") {
+    def ph(s: String): Long =
+      Seq(s).toDF("s").select(PolyHash.polyHash(col("s"))).head.getLong(0)
+    assert(ph("") == 0L)
+    assert(ph("a") == 'a'.toLong)
+    assert(ph("ab") == ('a' * 31 + 'b') % 1000000007L)
+    assert(Seq[String](null).toDF("s").select(PolyHash.polyHash(col("s"))).head.isNullAt(0))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("castColumns casts listed columns and skips absent ones (ref etl.py:33-46)") {
+    val df = Seq(("1", "2.5")).toDF("a", "b")
+    val out = ColumnOps.castColumns(df, Seq("a" -> "int", "b" -> "double", "zzz" -> "int"))
+    assert(out.schema("a").dataType.typeName == "integer")
+    assert(out.schema("b").dataType.typeName == "double")
+    assert(out.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("renameAll renames via a single projection (ref etl.py:186-197)") {
+    val out = ColumnOps.renameAll(Seq((1, 2)).toDF("x", "y"), Map("x" -> "a"))
+    assert(out.columns.toSeq == Seq("a", "y"))
+  }
+
+  test("conditionalReplace rewrites matching values only (ref etl.py:92-103)") {
+    val out = ColumnOps.conditionalReplace(
+      Seq("CHINA, PRC", "JAPAN").toDF("c"), "c", Seq("CHINA, PRC" -> "CHINA"))
+      .as[String].collect().toSet
+    assert(out == Set("CHINA", "JAPAN"))
+  }
+
+  test("fillZeros fills only the listed numeric columns (ref etl.py:199-215)") {
+    val df = Seq((Some(1), None: Option[Int]), (None, Some(2)))
+      .toDF("a", "b")
+    val out = ColumnOps.fillZeros(df, Seq("a"))
+    val rows = out.collect().map(r => (r.isNullAt(0), r.isNullAt(1))).toSet
+    assert(rows == Set((false, true), (false, false)))
+  }
+
+  test("coalescePatch fills nulls from fallback (ref etl.py:389-391)") {
+    val df = Seq((Some("x"), "f1"), (None, "f2")).toDF("t", "fb")
+    val out = ColumnOps.coalescePatch(df, "t", col("fb")).select("t").as[String].collect().toSet
+    assert(out == Set("x", "f2"))
+  }
+
+  test("firstAgg picks deterministic first by order column (ref etl.py:169-180)") {
+    val df = Seq(("g1", "b", 2), ("g1", "a", 1), ("g2", "c", 3)).toDF("k", "v", "ord")
+    val out = Aggregates.firstAgg(df, Seq("k"), col("ord"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("g1" -> "a", "g2" -> "c"))
+  }
+
+  test("pivotAgg with explicit values is single-pass and schema-stable (ref etl.py:183)") {
+    val df = Seq(("c1", "White", 10), ("c1", "Asian", 5)).toDF("city", "race", "cnt")
+    val out = Aggregates.pivotAgg(df, Seq("city"), "race",
+      Seq("White", "Asian", "Other"), sum(col("cnt")))
+    assert(out.columns.toSeq == Seq("city", "White", "Asian", "Other"))
+    val r = out.head
+    assert(r.getLong(1) == 10 && r.getLong(2) == 5 && r.isNullAt(3))
+  }
+
+  test("qualityCheck returns count when non-empty, throws on empty (ref etl.py:127-143)") {
+    assert(Aggregates.qualityCheck(Seq(1).toDF("x"), "t") == 1)
+    intercept[IllegalArgumentException] {
+      Aggregates.qualityCheck(Seq(1).toDF("x").filter(col("x") > 9), "t")
+    }
+  }
+
+  test("AsOfJoin matches latest right row at-or-before each left row (inclusive)") {
+    // left: id, key, ts, tie ; right: key, ts, tie, payload
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 50L, 103L))
+      .toDF("user_id", "ts", "event_id")
+    val rightP = Seq((1L, 10L, 900L, "r10"), (1L, 15L, 901L, "r15"), (3L, 1L, 902L, "r1"))
+      .toDF("user_id", "ts", "event_id", "payload")
+    val out = AsOfJoin.leftAsOf(left, rightP, Seq("user_id"), "ts", "event_id", Seq("payload"))
+      .select(col("event_id"), col("asof_payload")).as[(Long, String)].collect().toMap
+    assert(out(100L) == "r10")  // left ts=10 matches right ts=10 inclusively
+    assert(out(101L) == "r15")  // left ts=20 -> latest right ts=15
+    assert(out(102L) == null)   // left ts=5 -> nothing at or before
+    assert(out(103L) == null)   // no right rows for key 2
+  }
+
+  test("Sessionize splits on gaps greater than maxGap") {
+    val df = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 100L, 3L), (1L, 105L, 4L), (2L, 0L, 5L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.byGap(df, "user_id", "ts", "event_id", maxGap = 50L)
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("DateDimension derives calendar parts + season (ref etl.py:276-336)") {
+    val df = Seq("2016-01-15", "2016-07-04", "2016-07-04").toDF("d")
+    val out = DateDimension.build(df, to_date(col("d")))
+    assert(out.count() == 2)
+    val summer = out.filter(col("arrival_month") === 7).head
+    assert(summer.getAs[String]("date_season") == "summer")
+    assert(summer.getAs[Int]("arrival_day") == 4)
+  }
+}

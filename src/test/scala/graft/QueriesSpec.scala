@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every SparkEntry query runs at sf0.001 and returns rows; every
+  * oracle key refers to an existing query. The value-level check is the
+  * driver's DuckDB differential gate (tools/compare.py locally).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with rows > 0") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
