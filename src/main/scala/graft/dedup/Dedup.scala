@@ -36,13 +36,24 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** MinHash signature: for each of `k` hash families, the min xxhash64
-    * over the shingle set (seeded by prepending the family index).
+  /** MinHash signature as an aggregation: explode shingles once, then one
+    * hash aggregate computing min(xxhash64(seed_i, shingle)) for all `k`
+    * families simultaneously.
+    *
+    * This shape matters: the expression form (k nested array-transforms
+    * per row) gets duplicated by projection collapse and recomputes the
+    * shingle array per family — measured 50x slower. The explode+agg form
+    * hashes each shingle exactly k times, partial-aggregates map-side
+    * (shuffle carries one 64-long row per doc per partition), and scales
+    * linearly.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).cast("long").as("id"),
+      explode(shingles(lower(col(textCol)), 3)).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
     * of `k/bands` rows; docs sharing any band bucket become a candidate
@@ -55,8 +66,7 @@ object Dedup {
                         k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      minhashSignature(shingles(lower(col(textCol)), 3), k).as("sig"))
+    val sig = minhashSignatures(df, textCol, idCol, k)
 
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

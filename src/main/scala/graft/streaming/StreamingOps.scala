@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (north-star — the reference is batch-
+  * only, SURVEY.md §2.10). The same event-time semantics as the batch
+  * queries (`q_events_hourly`, `q_sessionize`), expressed over an
+  * unbounded source:
+  *
+  *   - tumbling event-time window aggregate with a watermark bounding
+  *     state and dropping late data;
+  *   - stateful gap sessionization via flatMapGroupsWithState with
+  *     event-time timeout — state is one small Session per active key,
+  *     emitted when the watermark passes (start of the gap), so state
+  *     size is O(active users), not O(events).
+  */
+object StreamingOps {
+
+  case class Event(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                        n_events: Long, total_value: Double)
+
+  /** Tumbling window counts/sums with watermark. `append` mode emits a
+    * window only after the watermark passes its end — exactly-once,
+    * late-data-tolerant.
+    */
+  def hourlyAggregate(events: DataFrame, tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based streaming sessionization: a session closes when no event
+    * arrives for `gapMs` (by event time, enforced by watermark timeout).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.lastTs, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.lastTs, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = new Timestamp(86400000L + minute * 60000L)
+
+  test("hourlyAggregate: tumbling windows close as the watermark advances") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamingOps.hourlyAggregate(
+      mem.toDF().withColumn("event_type", lit("click")), "ts", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(5), 1, 1.0), Event(1, ts(20), 2, 2.0))   // hour 0
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(130), 3, 5.0))                           // hour 2 -> closes hour 0
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total_value FROM hourly").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(1) == 2 && rows.head.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, watermark timeout emits them") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at minute 0 and 5 (one session), then 30 (new session)
+      mem.addData(Event(1, ts(0), 1, 1.0), Event(1, ts(5), 2, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(30), 3, 4.0))   // gap 25 min > 10 -> splits
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(120), 4, 8.0))  // advance watermark far -> times out session 2
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sessions ORDER BY session_start_ms").collect()
+      assert(rows.length >= 2)
+      val first = rows.head
+      assert(first.getLong(0) == 1 && first.getLong(1) == 2 && first.getDouble(2) == 3.0)
+      val second = rows(1)
+      assert(second.getLong(0) == 1 && second.getLong(1) == 1 && second.getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+}
