@@ -29,15 +29,27 @@ object Similarity {
 
   def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
+  /** Euclidean norm of an array<double> column. */
+  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
   /** Brute-force cosine top-k against one query vector (cross-joined as a
-    * single broadcast row — no shuffle of the big side).
+    * single broadcast row — no shuffle of the big side). Norms are
+    * precomputed once per side — same IEEE values, a third of the fold
+    * work per pair.
     */
   def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
-                     query: DataFrame, queryEmbCol: String, k: Int): DataFrame =
-    df.crossJoin(broadcast(query.select(toDouble(col(queryEmbCol)).as("__q"))))
-      .select(col(idCol), round(cosine(toDouble(col(embCol)), col("__q")), 6).as("cos_sim"))
+                     query: DataFrame, queryEmbCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(toDouble(col(queryEmbCol)).as("__q"))
+      .withColumn("__qn", norm(col("__q"))))
+    df.select(col(idCol), toDouble(col(embCol)).as("__e"))
+      .withColumn("__en", norm(col("__e")))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(aggregate(zip_with(col("__e"), col("__q"), _ * _), lit(0.0), _ + _)
+          / (col("__en") * col("__qn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 folded to [-1, 1). Avoids shipping RNG state; every
@@ -83,12 +95,15 @@ object Similarity {
   def cosinePairs(df: DataFrame, embCol: String, idCol: String,
                   bucketCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
-      toDouble(col(embCol)).as("__e"))
-    val a = base.select(col("__bk"), col("id").as("id_a"), col("__e").as("__ea"))
-    val b = base.select(col("__bk"), col("id").as("id_b"), col("__e").as("__eb"))
+        toDouble(col(embCol)).as("__e"))
+      .withColumn("__n", norm(col("__e")))
+    val a = base.select(col("__bk"), col("id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na"))
+    val b = base.select(col("__bk"), col("id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb"))
     a.join(b, Seq("__bk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("__ea"), col("__eb")), 6).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("__ea"), col("__eb"), _ * _), lit(0.0), _ + _)
+          / (col("__na") * col("__nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -92,4 +92,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ph("ab") == ('a' * 31 + 'b') % 1000000007L)
     assert(Seq[String](null).toDF("s").select(PolyHash.polyHash(col("s"))).head.isNullAt(0))
   }
+
+  test("GraftExtensions registers titlecase/poly_hash as SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT titlecase('o\\'neill') AS t, poly_hash('ab') AS h").head
+    assert(r.getString(0) == "O'Neill")
+    assert(r.getLong(1) == ('a' * 31 + 'b') % 1000000007L)
+  }
 }
