@@ -131,23 +131,37 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(
+    // Build each doc's shingle array exactly once; every exploded row
+    // carries (id, n_sh) so neither a second pass nor a sizes join is
+    // needed. (The self-join formulation computed the arrays three times
+    // — two join legs + sizes — at 3x the cost.)
+    val exploded = df.select(
       (bucketCols.map(col) :+ col(idCol).cast("long").as("id")
         :+ shingles(lower(col(textCol)), n).as("sh")): _*)
-    val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
-    val exploded = withSh.select(
-      (bucketCols.map(col) :+ col("id") :+ explode(col("sh")).as("s")): _*)
+      .select((bucketCols.map(col) :+ col("id") :+ size(col("sh")).as("n_sh")
+        :+ explode(col("sh")).as("s")): _*)
 
-    val a = exploded.select((bucketCols.map(col) :+ col("s") :+ col("id").as("id_a")): _*)
-    val b = exploded.select((bucketCols.map(col) :+ col("s") :+ col("id").as("id_b")): _*)
-    val common = a.join(b, bucketCols :+ "s")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // Group docs per (bucket, shingle); emit all member pairs. Pairs per
+    // shingle are m(m-1)/2 — bucket-local, same candidate set as the
+    // self-join, one shuffle instead of a join.
+    val members = exploded
+      .groupBy((bucketCols.map(col) :+ col("s")): _*)
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("m"))
+      .filter(size(col("m")) > 1)
+
+    val pairs = members.select(explode(
+      flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+        transform(slice(col("m"), i + 2, size(col("m"))),
+          other => struct(
+            element_at(col("m"), (i + 1).cast("int")).getField("id").as("id_a"),
+            element_at(col("m"), (i + 1).cast("int")).getField("n_sh").as("sh_a"),
+            other.getField("id").as("id_b"),
+            other.getField("n_sh").as("sh_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.sh_a"), col("p.id_b"), col("p.sh_b"))
+
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .agg(count(lit(1)).as("n_common"))
-
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("sh_a") + col("sh_b") - col("n_common"))).as("jaccard"))
