@@ -393,8 +393,54 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Batch 4 — JSON functions, skew-salted join, approx distinct, IVF ANN.
+  // ---------------------------------------------------------------------
+
+  /** JSON field extraction from the events props column. */
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+      col("event_type"))
+
+  /** Salted skew join: lineitem's 10 supplier keys are genuinely hot;
+    * salting spreads each over 8 sub-partitions. Result row-identical to
+    * the plain join (the oracle IS the plain join). */
+  private def qSaltedJoin(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedInner(
+        Tables.lineitem(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey",
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** HLL approximate distinct beside the exact count (no oracle — sketch
+    * values are implementation-specific; QueriesSpec bounds the error). */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** IVF ANN top-10: coarse k-means cells (deterministic init, 2 Lloyd
+    * iterations), probe the 3 nearest cells (no oracle — approximate;
+    * spec checks recall vs brute force). */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.similarity.Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 8, iters = 2)
+    graft.similarity.Ivf.searchTopK(emb, cents, "embedding", "vec_id",
+      emb.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 3)
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract"   -> (qJsonExtract _),
+    "q_salted_join"    -> (qSaltedJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_ann_ivf"        -> (qAnnIvf _),
     "q_text_stats"     -> (qTextStats _),
     "q_lang_id"        -> (qLangId _),
     "q_dedup_exact"    -> (qDedupExact _),
@@ -437,6 +483,15 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_json_extract" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, event_type
+      FROM events""",
+    "q_salted_join" -> """
+      SELECT s_suppkey, s_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2""",
     "q_text_stats" -> {
       import graft.text.TextFns
       val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(",")

@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN: coarse k-means cells + cell-pruned search —
+  * the scale path beside LSH (Similarity.lshTopK).
+  *
+  * The centroid table is coarse by construction (k ~ sqrt(n), a few
+  * thousand rows at 100 TB scale), so it lives driver-side and cell
+  * assignment compiles to a single scan-side expression — argmin over a
+  * literal centroid array. Training (Lloyd's) scans the big table once
+  * per iteration with a centroid-sized aggregate; the big table itself is
+  * never shuffled wider than (cell_id, dim) partial means.
+  *
+  * Search probes the nProbe nearest cells (computed driver-side) and
+  * exact-cosines only rows in those cells — written out partitioned or
+  * bucketed by cell_id, that filter becomes partition pruning at the
+  * scan.
+  */
+object Ivf {
+
+  final case class Centroid(cellId: Int, values: Seq[Double])
+
+  private def sqDistTo(emb: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(emb, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Scan-side argmin cell assignment over literal centroids. */
+  def assignCell(emb: Column, cents: Seq[Centroid]): Column =
+    // Spark 4's Column API drops aliases when building structs inside
+    // array(), so fields land as col1/col2 — extract positionally by the
+    // auto-generated name.
+    array_min(array(cents.map(c =>
+      struct(sqDistTo(emb, c.values), lit(c.cellId))): _*))
+      .getField("col2")
+
+  /** Lloyd's iterations; deterministic init = the nCells lowest-id
+    * vectors. Empty cells keep their previous centroid.
+    */
+  def trainCentroids(df: DataFrame, embCol: String, idCol: String,
+                     nCells: Int, iters: Int): Seq[Centroid] = {
+    val data = df.select(col(idCol).as("__id"), Similarity.toDouble(col(embCol)).as("__e"))
+    var cents: Seq[Centroid] = data.orderBy(col("__id")).limit(nCells)
+      .select(col("__e")).collect()
+      .zipWithIndex.map { case (r, i) => Centroid(i, r.getSeq[Double](0)) }.toSeq
+
+    (0 until iters).foreach { _ =>
+      val means = data
+        .select(assignCell(col("__e"), cents).as("cell_id"), posexplode(col("__e")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cell_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+        .collect()
+        .map(r => Centroid(r.getInt(0), r.getSeq[Double](1))).toSeq
+      val byId = means.map(c => c.cellId -> c).toMap
+      cents = cents.map(c => byId.getOrElse(c.cellId, c))
+    }
+    cents
+  }
+
+  /** Top-k cosine within the nProbe cells nearest to the query vector. */
+  def searchTopK(df: DataFrame, cents: Seq[Centroid], embCol: String, idCol: String,
+                 query: DataFrame, queryEmbCol: String, k: Int, nProbe: Int): DataFrame = {
+    val qVec = query.select(Similarity.toDouble(col(queryEmbCol)).as("__q"))
+      .head.getSeq[Double](0)
+    val probes = cents
+      .map(c => c.cellId -> c.values.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      .sortBy { case (id, d) => (d, id) }
+      .take(nProbe).map(_._1)
+
+    val q = broadcast(query.select(Similarity.toDouble(col(queryEmbCol)).as("__q"))
+      .withColumn("__qn", Similarity.norm(col("__q"))))
+    df.select(col(idCol), Similarity.toDouble(col(embCol)).as("__e"))
+      .withColumn("cell_id", assignCell(col("__e"), cents))
+      .filter(col("cell_id").isin(probes: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(aggregate(zip_with(col("__e"), col("__q"), _ * _), lit(0.0), _ + _)
+          / (Similarity.norm(col("__e")) * col("__qn")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -97,4 +97,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))  // 2 is cosine-identical to 0 but in another bucket
   }
+
+  test("IVF: train is deterministic, search recall vs brute force on sf0.001") {
+    import graft.similarity.Ivf
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 8, iters = 2)
+    assert(cents.length == 8 && cents.head.values.length == 64)
+    val cents2 = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 8, iters = 2)
+    assert(cents == cents2)                               // fully deterministic
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Ivf.searchTopK(emb, cents, "embedding", "vec_id", q, "embedding", 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L))                              // query vector found
+    assert((brute & ivf).size >= 4, s"recall ${(brute & ivf).size}/10")
+  }
 }

@@ -96,4 +96,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(summer.getAs[String]("date_season") == "summer")
     assert(summer.getAs[Int]("arrival_day") == 4)
   }
+
+  test("SkewJoin.saltedInner returns row-identical results to the plain join") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val su = Tables.supplier(spark, d)
+    val salted = SkewJoin.saltedInner(li, su, "l_suppkey", "s_suppkey",
+        struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"), col("s_name"))
+    val plain = li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"), col("s_name"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
