@@ -84,10 +84,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
-    * token xxhash64 values. Implemented as 64 conditional sums inside one
-    * hash aggregate — a single shuffle keyed by doc id carrying 64 longs.
+    * token xxhash64 values, via the custom SimHashAgg
+    * TypedImperativeAggregate — one 256-byte vote buffer per group on the
+    * shuffle instead of 64 long columns, with normal map-side partial
+    * aggregation.
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+
+  /** The same signature composed from built-ins (64 conditional sums) —
+    * kept as the differential reference for SimHashAgg.
+    */
+  private[graft] def simhashViaColumns(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -22,17 +22,37 @@ object Ivf {
 
   final case class Centroid(cellId: Int, values: Seq[Double])
 
-  private def sqDistTo(emb: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-
-  /** Scan-side argmin cell assignment over literal centroids. */
-  def assignCell(emb: Column, cents: Seq[Centroid]): Column =
-    // Spark 4's Column API drops aliases when building structs inside
-    // array(), so fields land as col1/col2 — extract positionally by the
-    // auto-generated name.
-    array_min(array(cents.map(c =>
-      struct(sqDistTo(emb, c.values), lit(c.cellId))): _*))
-      .getField("col2")
+  /** Scan-side argmin cell assignment over literal centroids. All
+    * centroids ship as ONE 2-D array literal traversed with an indexed
+    * transform — one compact expression instead of nCells copies of the
+    * distance fold, which bloated codegen ~10x. Requires cellId == index
+    * (trainCentroids maintains that invariant).
+    *
+    * (Spark 4's Column API drops aliases on structs built inside arrays,
+    * so the struct fields are extracted by their auto-names col1/col2.)
+    */
+  def assignCell(emb: Column, cents: Seq[Centroid]): Column = {
+    require(cents.zipWithIndex.forall { case (c, i) => c.cellId == i },
+      "centroid cellIds must be 0..n-1 in order")
+    // One Catalyst Literal holding the whole centroid matrix: it lands in
+    // the codegen `references` array instead of being inlined as source
+    // (array(lit(...), ...) inlines every double and janino recompiles
+    // the giant initializer for every new centroid set), and it dodges
+    // typedLit's runtime reflection (which degrades to an untyped
+    // Object-array literal under REPL-style classloaders).
+    val arr = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      org.apache.spark.sql.graft.bridge.toColumn(
+        CatLit.create(cents.map(_.values.toArray).toArray,
+          ArrayType(ArrayType(DoubleType, false), false)))
+    }
+    val dists = transform(arr, c =>
+      aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // argmin = 1-based position of the min distance; first occurrence wins
+    // ties, so assignment is deterministic
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
 
   /** Lloyd's iterations; deterministic init = the nCells lowest-id
     * vectors. Empty cells keep their previous centroid.
@@ -44,14 +64,16 @@ object Ivf {
       .select(col("__e")).collect()
       .zipWithIndex.map { case (r, i) => Centroid(i, r.getSeq[Double](0)) }.toSeq
 
+    val dim = cents.head.values.length
     (0 until iters).foreach { _ =>
+      // Lloyd update as ONE hash aggregate: 64 element-wise avgs. No
+      // posexplode — the generator form made the optimizer re-evaluate
+      // the (interpreted-HOF) assignment expression once per exploded
+      // row, 64x the work.
       val means = data
-        .select(assignCell(col("__e"), cents).as("cell_id"), posexplode(col("__e")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("v"))
+        .select(assignCell(col("__e"), cents).as("cell_id"), col("__e"))
         .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cell_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+        .agg(array((0 until dim).map(i => avg(col("__e").getItem(i))): _*).as("centroid"))
         .collect()
         .map(r => Centroid(r.getInt(0), r.getSeq[Double](1))).toSeq
       val byId = means.map(c => c.cellId -> c).toMap

@@ -35,6 +35,14 @@ object StreamingOps {
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup on an id column: state is bounded by the
+    * watermark (duplicates are only expected within the watermark delay,
+    * the usual at-least-once-source contract).
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** Gap-based streaming sessionization: a session closes when no event
     * arrives for `gapMs` (by event time, enforced by watermark timeout).
     */

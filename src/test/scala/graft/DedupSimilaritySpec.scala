@@ -113,4 +113,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.contains(0L))                              // query vector found
     assert((brute & ivf).size >= 4, s"recall ${(brute & ivf).size}/10")
   }
+
+  test("SimHashAgg (TypedImperativeAggregate) equals the column-composed simhash") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = Dedup.simhash(real, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCols = Dedup.simhashViaColumns(real, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg.size == 500 && viaAgg == viaCols)
+  }
 }

@@ -58,4 +58,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(second.getLong(0) == 1 && second.getLong(1) == 1 && second.getDouble(2) == 4.0)
     } finally q.stop()
   }
+
+  test("dedupStream drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamingOps.dedupStream(mem.toDF(), "event_id", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 100, 1.0), Event(1, ts(1), 100, 1.0), Event(2, ts(2), 101, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 100, 1.0))   // duplicate id again, within watermark
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").head
+      assert(n.getLong(0) == 2 && n.getLong(1) == 2)
+    } finally q.stop()
+  }
 }

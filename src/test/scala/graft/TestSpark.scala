@@ -8,6 +8,8 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
