@@ -27,8 +27,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles (distinct) of a text column. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct) of a text column — the native
+    * single-pass WordShingles expression.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
+
+  /** The built-in composition WordShingles replaces — kept as the
+    * differential reference for its spec.
+    */
+  private[graft] def shinglesViaBuiltins(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))

@@ -122,4 +122,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaAgg.size == 500 && viaAgg == viaCols)
   }
+
+  test("WordShingles expression equals the built-in composition on real docs") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val native = real.select(col("doc_id"), Dedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val builtin = real.select(col("doc_id"), Dedup.shinglesViaBuiltins(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.size == 500 && native == builtin)
+    // edge cases: short text, double spaces, empty string
+    val edges = Seq("one two", "a  b c d", "").toDF("t")
+    val n2 = edges.select(Dedup.shingles(col("t"), 3).as("x")).collect().map(_.getSeq[String](0))
+    val b2 = edges.select(Dedup.shinglesViaBuiltins(col("t"), 3).as("x")).collect().map(_.getSeq[String](0))
+    assert(n2.toSeq == b2.toSeq)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards on the physical plans of key queries — the scale
+  * properties (pushdown, pruning, broadcast, codegen) that local-mode
+  * row counts can't see.
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_lookup_left: broadcast join with filter pushed into the parquet scan") {
+    val p = planOf("q_lookup_left")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,15)]"), p)
+  }
+
+  test("q_cast_project: scan reads only the projected columns") {
+    val scan = SparkEntry.queries("q_cast_project")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    // 5 output columns from a 10-column lineitem — pruning must reach the
+    // scan (ReadSchema is truncated at 100 chars in toString)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double"), scan)
+  }
+
+  test("q_date_dim: narrow scan (only o_orderdate) under the dedup aggregate") {
+    val p = planOf("q_date_dim")
+    assert(p.contains("ReadSchema: struct<o_orderdate:timestamp_ntz>"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_avg_first: partial + final hash aggregation (map-side combine)") {
+    val p = planOf("q_avg_first")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q_title_case / custom expressions stay inside WholeStageCodegen") {
+    val p = planOf("q_title_case")
+    // whole-stage codegen renders as a "*(n)" stage prefix in toString
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("titlecase"), p)
+  }
+
+  test("q_ann_brute: the vector table is not shuffled, query side broadcast") {
+    val p = planOf("q_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // only the final top-k sort is allowed to move data
+    assert(!p.contains("ShuffleExchange") || p.contains("TakeOrderedAndProject"), p)
+  }
+}
