@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    e.injectOptimizerRule(_ => graft.plans.CollapseTitleCase)
   }
 }
 
@@ -30,5 +31,9 @@ object GraftExtensions {
       "titlecase", exprs => TitleCase(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseTitleCase)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CollapseTitleCase
+    }
   }
 }

@@ -435,8 +435,76 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Batch 5 — breadth: percentiles, string/date/array functions, cube.
+  // ---------------------------------------------------------------------
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  private def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+
+  /** String function battery over customer names. */
+  private def qStringFns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), 10, 5).as("name_mid"),
+      length(col("c_name")).cast("long").as("name_len"),
+      regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+      trim(lit("  x  ")).as("trimmed"))
+
+  /** Date arithmetic battery over order dates. */
+  private def qDateFns(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      iso(add_months(to_date(col("o_orderdate")), 3)).as("plus3m"),
+      iso(last_day(to_date(col("o_orderdate")))).as("month_end"),
+      iso(trunc(to_date(col("o_orderdate")), "mm")).as("month_start"),
+      iso(date_sub(to_date(col("o_orderdate")), 45)).as("minus45d"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"))
+
+  /** Array aggregation: per-order sorted distinct line numbers and part
+    * keys, emitted as joined strings (list-vs-ndarray representation
+    * differences between engines make raw arrays unhashable). */
+  private def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linenumber"))), ",").as("line_numbers"),
+        size(collect_set(col("l_partkey"))).cast("long").as("n_parts"))
+
+  /** Cube grouping sets with grouping() indicator columns. */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+
+  /** Near-dup clustering: minhash candidates (est_jaccard >= 0.9) unioned
+    * into connected components; cluster = canonical min doc_id. */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.9)
+    graft.dedup.Dedup.clusters(docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_percentile"     -> (qPercentile _),
+    "q_string_fns"     -> (qStringFns _),
+    "q_date_fns"       -> (qDateFns _),
+    "q_array_agg"      -> (qArrayAgg _),
+    "q_cube"           -> (qCube _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_salted_join"    -> (qSaltedJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -483,6 +551,39 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_percentile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+      FROM lineitem GROUP BY 1""",
+    "q_string_fns" -> """
+      SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+        substr(c_name, 10, 5) AS name_mid,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+        c_mktsegment || '|' || c_name AS joined,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        trim('  x  ') AS trimmed
+      FROM customer""",
+    "q_date_fns" -> """
+      SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+        strftime(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY, '%Y-%m-%d') AS minus45d,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+      FROM orders""",
+    "q_array_agg" -> """
+      SELECT l_orderkey,
+        array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS line_numbers,
+        CAST(len(list_distinct(list(l_partkey))) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY 1""",
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_json_extract" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, event_type
       FROM events""",

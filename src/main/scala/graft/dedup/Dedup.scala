@@ -144,6 +144,45 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation. Each iteration is two hash joins + a min aggregate;
+    * iterations needed = O(log(cluster diameter)) in practice (labels jump
+    * to the component minimum through shared neighbors). Near-dup
+    * clusters are small and shallow, so `maxIters` bounds work without a
+    * per-iteration convergence action at scale; pass `converge = true`
+    * to stop early via a count check (costs one extra action per
+    * iteration — fine locally, skip on a 100 TB run).
+    *
+    * Returns (id, cluster) where cluster = min id of the component —
+    * `id == cluster` marks the canonical document to keep.
+    */
+  def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+               aCol: String, bCol: String, maxIters: Int = 5,
+               converge: Boolean = true): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = ids.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("cluster"))
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      if (converge) {
+        val changed = updated.alias("u")
+          .join(labels.alias("l"), col("u.id") === col("l.id"))
+          .filter(col("u.cluster") =!= col("l.cluster")).count()
+        done = changed == 0
+      }
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
     * (e.g. same lang+source). Shingle-explode + self-join on shingle
     * counts the intersection; union size from per-doc distinct counts.

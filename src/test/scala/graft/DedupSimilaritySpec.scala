@@ -137,4 +137,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val b2 = edges.select(Dedup.shinglesViaBuiltins(col("t"), 3).as("x")).collect().map(_.getSeq[String](0))
     assert(n2.toSeq == b2.toSeq)
   }
+
+  test("clusters: min-label propagation finds connected components") {
+    val ids = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->6L, 7L->7L, 8L->7L, 9L->9L))
+  }
 }

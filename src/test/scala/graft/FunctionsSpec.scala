@@ -99,4 +99,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "O'Neill")
     assert(r.getLong(1) == ('a' * 31 + 'b') % 1000000007L)
   }
+
+  test("CollapseTitleCase rule removes nested titlecase and inner lower") {
+    GraftExtensions.register(spark)
+    // non-literal input so constant folding can't collapse the whole tree
+    val df = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(TitleCase.titlecase(TitleCase.titlecase(lower(col("c_name")))).as("t"))
+    val optimized = df.queryExecution.optimizedPlan
+    val nTitle = optimized.expressions.map(_.collect {
+      case t: graft.functions.TitleCase => t }.size).sum
+    val nLower = optimized.expressions.map(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Lower => l }.size).sum
+    assert(nTitle == 1, s"expected 1 titlecase, plan: $optimized")
+    assert(nLower == 0, s"expected no lower, plan: $optimized")
+    assert(df.head.getString(0).startsWith("Customer#"))
+  }
 }
