@@ -487,6 +487,16 @@ object SparkEntry {
         grouping(col("o_orderstatus")).cast("long").as("g_status"),
         grouping(col("o_orderpriority")).cast("long").as("g_prio"))
 
+  /** Two-phase salted aggregation over the hot supplier keys (oracle is
+    * the direct groupBy — identical results by construction). */
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedAgg(
+      Tables.lineitem(s, d), "l_suppkey",
+      saltSource = struct(col("l_orderkey"), col("l_linenumber")), salts = 8,
+      partialAggs = Seq(sum(dec(col("l_quantity"))).as("__sq"), count(lit(1)).as("__n")),
+      finalAggs = Seq(sum(col("__sq")).cast("double").as("total_qty"),
+        sum(col("__n")).as("n")))
+
   /** Near-dup clustering: minhash candidates (est_jaccard >= 0.9) unioned
     * into connected components; cluster = canonical min doc_id. */
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -500,6 +510,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_salted_agg"     -> (qSaltedAgg _),
     "q_percentile"     -> (qPercentile _),
     "q_string_fns"     -> (qStringFns _),
     "q_date_fns"       -> (qDateFns _),
@@ -551,6 +562,11 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_salted_agg" -> """
+      SELECT l_suppkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY 1""",
     "q_percentile" -> """
       SELECT l_returnflag,
         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

@@ -26,4 +26,18 @@ object SkewJoin {
           && saltedProbe("__salt") === saltedBuild("__salt"))
       .drop("__salt")
   }
+
+  /** Two-phase salted aggregation for hot grouping keys: partial
+    * aggregate on (key, salt) — spreading each hot key over `salts`
+    * partitions — then final aggregate on key. `aggs` must be
+    * re-aggregatable (sum/count/min/max); results identical to the
+    * direct groupBy.
+    */
+  def saltedAgg(df: DataFrame, key: String, saltSource: Column, salts: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAggs.head, finalAggs.tail: _*)
 }

@@ -75,4 +75,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(n.getLong(0) == 2 && n.getLong(1) == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: purchases joined to recent clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    // each purchase joined to clicks within the prior 30 minutes
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 10, 0), Event(1, ts(50), 11, 0), Event(2, ts(5), 12, 0))
+      purchases.addData(Event(1, ts(20), 20, 9.99))   // joins click 10 (20 min before)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id FROM ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 10L)))                 // click 11 is later; click 12 other user
+    } finally q.stop()
+  }
 }
