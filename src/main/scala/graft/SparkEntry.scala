@@ -497,6 +497,28 @@ object SparkEntry {
       finalAggs = Seq(sum(col("__sq")).cast("double").as("total_qty"),
         sum(col("__n")).as("n")))
 
+  /** Video frame sampling through the multimodal pipeline: decode ->
+    * every 10th frame index per video. */
+  private def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .filter(length(col("source")) > 4)
+      .select(col("doc_id").as("media_id"), lit("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val feats = graft.multimodal.Multimodal.decode(media)(s)
+    graft.multimodal.Multimodal.frameSampleStub(feats, stride = 10)(s)
+      .select(col("media_id"), col("n_frames"), col("frame_idx"))
+  }
+
+  /** Top-3 tokens per language: explode -> count -> ranking window. */
+  private def qTopTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
   /** Near-dup clustering: minhash candidates (est_jaccard >= 0.9) unioned
     * into connected components; cluster = canonical min doc_id. */
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -511,6 +533,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_agg"     -> (qSaltedAgg _),
+    "q_frame_sample"   -> (qFrameSample _),
+    "q_top_tokens"     -> (qTopTokens _),
     "q_percentile"     -> (qPercentile _),
     "q_string_fns"     -> (qStringFns _),
     "q_date_fns"       -> (qDateFns _),
@@ -562,6 +586,18 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_frame_sample" -> """
+      SELECT doc_id AS media_id,
+        CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
+        CAST(unnest(generate_series(0, octet_length(encode(text)) % 30, 10)) AS BIGINT) AS frame_idx
+      FROM documents WHERE length(source) > 4""",
+    "q_top_tokens" -> """
+      WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, tok, n,
+              row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+            FROM c)
+      SELECT lang, tok, n, rn FROM r WHERE rn <= 3""",
     "q_salted_agg" -> """
       SELECT l_suppkey,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -55,7 +55,18 @@ object Dedup {
     * (shuffle carries one 64-long row per doc per partition), and scales
     * linearly.
     */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(shingles(lower(col(textCol)), 3)).as("s"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("s"), k).as("sig"))
+
+  /** The k-column composed form MinHashAgg replaces — differential
+    * reference for structure (family values differ; both are valid
+    * MinHash estimators).
+    */
+  private[graft] def minhashSignaturesViaColumns(df: DataFrame, textCol: String,
+                                                idCol: String, k: Int): DataFrame = {
     val ex = df.select(col(idCol).cast("long").as("id"),
       explode(shingles(lower(col(textCol)), 3)).as("s"))
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
