@@ -170,10 +170,16 @@ object Dedup {
   def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                aCol: String, bCol: String, maxIters: Int = 5,
                converge: Boolean = true): DataFrame = {
+    // Persist the edge list and each iteration's labels: the loop is
+    // iterative over DataFrames, and without materialization every action
+    // re-derives the full lineage of all prior iterations (quadratic
+    // recompute). At cluster scale this is checkpoint()-per-iteration.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
     var labels = ids.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("cluster"))
+    var prev: Option[DataFrame] = None
     var it = 0
     var done = false
     while (it < maxIters && !done) {
@@ -182,15 +188,19 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist()
       if (converge) {
         val changed = updated.alias("u")
           .join(labels.alias("l"), col("u.id") === col("l.id"))
           .filter(col("u.cluster") =!= col("l.cluster")).count()
         done = changed == 0
       }
+      prev.foreach(_.unpersist())
+      prev = Some(updated)
       labels = updated
       it += 1
     }
+    edges.unpersist()
     labels
   }
 

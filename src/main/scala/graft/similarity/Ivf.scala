@@ -99,7 +99,7 @@ object Ivf {
       .filter(col("cell_id").isin(probes: _*))
       .crossJoin(q)
       .select(col(idCol),
-        round(aggregate(zip_with(col("__e"), col("__q"), _ * _), lit(0.0), _ + _)
+        round(graft.functions.DotProduct.dotProduct(col("__e"), col("__q"))
           / (Similarity.norm(col("__e")) * col("__qn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

@@ -21,16 +21,15 @@ object Similarity {
     * left-to-right folds (matches the oracle's evaluation order).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot   = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
-    val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
-    dot / (normA * normB)
+    import graft.functions.DotProduct.dotProduct
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
   }
 
   def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
-  /** Euclidean norm of an array<double> column. */
-  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+  /** Euclidean norm of an array<double> column (native dot product). */
+  def norm(a: Column): Column =
+    sqrt(graft.functions.DotProduct.dotProduct(a, a))
 
   /** Brute-force cosine top-k against one query vector (cross-joined as a
     * single broadcast row — no shuffle of the big side). Norms are
@@ -45,7 +44,7 @@ object Similarity {
       .withColumn("__en", norm(col("__e")))
       .crossJoin(q)
       .select(col(idCol),
-        round(aggregate(zip_with(col("__e"), col("__q"), _ * _), lit(0.0), _ + _)
+        round(graft.functions.DotProduct.dotProduct(col("__e"), col("__q"))
           / (col("__en") * col("__qn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -102,7 +101,7 @@ object Similarity {
     a.join(b, Seq("__bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("__ea"), col("__eb"), _ * _), lit(0.0), _ + _)
+        round(graft.functions.DotProduct.dotProduct(col("__ea"), col("__eb"))
           / (col("__na") * col("__nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
