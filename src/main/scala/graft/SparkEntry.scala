@@ -519,6 +519,22 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** Bucketed range join: clicks within +/-1 hour of each purchase, per
+    * user (oracle: DuckDB inequality join — identical results, different
+    * plan: ours stays a hash join with bounded 3x replication). */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val hourNs = 3600000000000L
+    val counts = RangeJoin.innerRange(purchases, clicks, "user_id", "p_ts", "c_ts", hourNs, hourNs)
+      .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_clicks"))
+    purchases.join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
   /** Near-dup clustering: minhash candidates (est_jaccard >= 0.9) unioned
     * into connected components; cluster = canonical min doc_id. */
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -535,6 +551,7 @@ object SparkEntry {
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
+    "q_range_join"     -> (qRangeJoin _),
     "q_percentile"     -> (qPercentile _),
     "q_string_fns"     -> (qStringFns _),
     "q_date_fns"       -> (qDateFns _),
@@ -586,6 +603,16 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_range_join" -> """
+      WITH p AS (SELECT user_id, epoch_ns(ts) AS pts, event_id AS purchase_id
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, epoch_ns(ts) AS cts
+                 FROM events WHERE event_type = 'click')
+      SELECT purchase_id, count(cts) AS n_clicks
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND cts BETWEEN pts - 3600000000000 AND pts + 3600000000000
+      GROUP BY 1""",
     "q_frame_sample" -> """
       SELECT doc_id AS media_id,
         CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,

@@ -50,23 +50,35 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-1, 1). Avoids shipping RNG state; every
-    * executor derives identical planes.
+  /** Deterministic hyperplane matrix (planes x dim), derived from a fixed
+    * seed driver-side — no RNG state ships to executors; every plan
+    * derives identical planes.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim) % 1000000L).cast("double") / 1000000.0
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
 
   /** Sign-random-projection bucket id: `planes` sign bits packed into a
-    * long. Vectors in the same bucket are likely cosine-close.
+    * long, via native dot products against a single literal plane matrix
+    * (one Catalyst Literal -> codegen references, not inlined source).
     */
-  def lshBucket(emb: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+  def lshBucket(emb: Column, planes: Int, dim: Int = 64): Column = {
+    val mat = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      org.apache.spark.sql.graft.bridge.toColumn(
+        CatLit.create(hyperplanes(planes, dim).toArray,
+          ArrayType(ArrayType(DoubleType, false), false)))
+    }
+    val signBits = transform(mat, p =>
+      when(graft.functions.DotProduct.dotProduct(emb, p) >= 0, 1.0).otherwise(0.0))
+    // pack bits: sum(bit_p * 2^p); exact in doubles for planes <= 52
+    aggregate(zip_with(signBits,
+        sequence(lit(0), lit(planes - 1)),
+        (bit, i) => bit * pow(lit(2.0), i.cast("double"))),
+      lit(0.0), _ + _).cast("long")
+  }
 
   /** LSH-bucketed ANN top-k: compute the query's bucket, scan only rows
     * whose bucket matches in >= (planes - probeSlack) sign bits

@@ -109,4 +109,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("RangeJoin.innerRange equals the naive theta join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("pid"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("cid"))
+    val hour = 3600000000000L
+    val bucketed = RangeJoin.innerRange(l, r, "user_id", "p_ts", "c_ts", hour, hour)
+      .select(col("pid"), col("cid"))
+    val naive = l.join(r, l("user_id") === r("user_id")
+        && r("c_ts") >= l("p_ts") - hour && r("c_ts") <= l("p_ts") + hour)
+      .select(col("pid"), col("cid"))
+    assert(bucketed.count() == naive.count() && bucketed.count() > 0)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
 }
