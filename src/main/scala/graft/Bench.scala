@@ -24,14 +24,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Untimed warm-up: JIT the parquet reader, codegen, and shuffle paths
-    // on the smallest SF so per-query numbers reflect steady state rather
-    // than whichever query sorts first alphabetically.
-    try {
-      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-      SparkEntry.queries("q_text_stats")(spark, "/root/testdata/sf0.001")
+    // Untimed warm-up: run EVERY query once at the smallest SF. Each
+    // query's plans janino-compile on first execution (hundreds of ms to
+    // seconds for the dedup pipelines); warming on sf0.001 moves that
+    // one-time cost out of the timed sf0.1 runs so numbers reflect
+    // steady-state throughput.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => () }
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
