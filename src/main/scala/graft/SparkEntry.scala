@@ -519,6 +519,32 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** Regexp capture groups: split Customer#NNN names into parts. */
+  private def qRegexpExtract(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 1).as("name_word"),
+      regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 2).cast("long").as("name_num"),
+      (length(col("c_name")) - length(regexp_replace(col("c_name"), "0", "")))
+        .cast("long").as("n_zeros"))
+
+  /** Histogram via width_bucket: order totals into 10 equal-width bins. */
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(10))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Union by name across differently-ordered projections (schema
+    * alignment by column name, not position). */
+  private def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), lit("customer").as("kind"), col("c_acctbal").as("bal"))
+    val b = Tables.supplier(s, d).select(
+      lit("supplier").as("kind"), col("s_acctbal").as("bal"), col("s_suppkey").as("id"))
+    a.unionByName(b)
+  }
+
   /** Bucketed range join: clicks within +/-1 hour of each purchase, per
     * user (oracle: DuckDB inequality join — identical results, different
     * plan: ours stays a hash join with bounded 3x replication). */
@@ -552,6 +578,9 @@ object SparkEntry {
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
     "q_range_join"     -> (qRangeJoin _),
+    "q_regexp_extract" -> (qRegexpExtract _),
+    "q_histogram"      -> (qHistogram _),
+    "q_union_by_name"  -> (qUnionByName _),
     "q_percentile"     -> (qPercentile _),
     "q_string_fns"     -> (qStringFns _),
     "q_date_fns"       -> (qDateFns _),
@@ -603,6 +632,22 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_regexp_extract" -> """
+      SELECT c_custkey,
+        regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 1) AS name_word,
+        CAST(regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 2) AS BIGINT) AS name_num,
+        CAST(length(c_name) - length(regexp_replace(c_name, '0', '', 'g')) AS BIGINT) AS n_zeros
+      FROM customer""",
+    "q_histogram" -> """
+      SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 600000.0 THEN 11
+                       ELSE floor(o_totalprice / 60000.0) + 1 END AS BIGINT) AS bucket,
+        count(*) AS n
+      FROM orders GROUP BY 1""",
+    "q_union_by_name" -> """
+      SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS bal FROM supplier""",
     "q_range_join" -> """
       WITH p AS (SELECT user_id, epoch_ns(ts) AS pts, event_id AS purchase_id
                  FROM events WHERE event_type = 'purchase'),
