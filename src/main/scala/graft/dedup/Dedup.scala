@@ -92,14 +92,28 @@ object Dedup {
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // Group docs per band bucket and emit member pairs directly — a
+    // self-join here is a diamond over the (expensive) signature
+    // aggregate, which Spark plans twice (no static exchange reuse).
+    // Buckets are near-dup-sized, so collect_list stays tiny.
+    val members = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
+      .filter(size(col("m")) > 1)
+
+    members.select(explode(
+        flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+          transform(slice(col("m"), i + 2, size(col("m"))),
+            other => struct(
+              element_at(col("m"), (i + 1).cast("int")).getField("id").as("id_a"),
+              element_at(col("m"), (i + 1).cast("int")).getField("sig").as("sig_a"),
+              other.getField("id").as("id_b"),
+              other.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.sig_a"), col("p.id_b"), col("p.sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
