@@ -218,6 +218,31 @@ object Dedup {
     labels
   }
 
+  /** End-to-end corpus dedup: exact dups + MinHash candidates filtered by
+    * estimated Jaccard, unioned into components; returns (id, cluster,
+    * keep) where keep marks the canonical (minimum-id) doc per cluster.
+    * This is the operator a pipeline user actually calls; the pieces stay
+    * public for tuning.
+    */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                  minEstJaccard: Double = 0.9): DataFrame = {
+    val fuzzy = minhashCandidates(df, textCol, idCol)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    val exact = exactByContent(df, textCol, idCol)
+      .filter(col("n_copies") > 1)
+    // exact dups may hash-group docs whose shingle sets LSH would also
+    // catch, but md5 grouping is cheaper and exhaustive for identity
+    val exactPairs = df.select(md5(col(textCol)).as("text_hash"),
+        col(idCol).cast("long").as("other_id"))
+      .join(exact, "text_hash")
+      .filter(col("other_id") > col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("other_id").as("id_b"))
+    val comp = clusters(df.select(col(idCol)), fuzzy.unionAll(exactPairs),
+      idCol, "id_a", "id_b")
+    comp.withColumn("keep", col("id") === col("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
     * (e.g. same lang+source). Shingle-explode + self-join on shingle
     * counts the intersection; union size from per-doc distinct counts.

@@ -145,4 +145,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->6L, 7L->7L, 8L->7L, 9L->9L))
   }
+
+  test("dedupCorpus: exact + fuzzy dups clustered, canonical kept") {
+    val out = Dedup.dedupCorpus(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // docs: 0=base, 1=near-dup of 0, 2=unrelated, 3=exact dup of 0
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(2L) == ((2L, true)))
+  }
 }

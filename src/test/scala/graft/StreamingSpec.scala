@@ -101,4 +101,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((20L, 10L)))                 // click 11 is later; click 12 other user
     } finally q.stop()
   }
+
+  test("stream/batch parity: streaming hourly aggregate reproduces the batch answer") {
+    import spark.implicits._
+    // batch truth on real sf0.001 events (decimal-exact sums like the query)
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // stream the SAME parquet through the windowed streaming aggregate
+    // (file sources need a directory -> stage a copy)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val schema = Tables.events(spark, "/root/testdata/sf0.001").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val agg = StreamingOps.hourlyAggregate(stream, "ts_ts", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT CAST(unix_micros(window.start) AS BIGINT) div 3600000000 AS hb,
+                  event_type, n, CAST(total_value AS DOUBLE) AS tv FROM parity""")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.size == batch.size)
+      batch.foreach { case (k, v) =>
+        assert(streamed.get(k).contains(v), s"mismatch at $k: ${streamed.get(k)} vs $v")
+      }
+    } finally q.stop()
+  }
 }
