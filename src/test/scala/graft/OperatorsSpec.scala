@@ -125,4 +125,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bucketed.count() == naive.count() && bucketed.count() > 0)
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
   }
+
+  test("AsOfJoin differential vs naive max_by under heavy ts collisions (seeded)") {
+    val rnd = new scala.util.Random(7)
+    // ts range [0,30) over 6 keys -> many exact collisions on both sides
+    val left = Seq.tabulate(400)(i => (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, 1000L + i))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq.tabulate(300)(i => (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, 2000L + i))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("payload", concat(lit("p"), col("event_id")))
+
+    val got = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "event_id", Seq("payload"))
+      .select(col("event_id"), col("asof_payload"))
+
+    // naive: for each left row, the right row with max (ts, event_id)
+    // among rts <= lts — same inclusive semantics and tiebreak
+    val naive = left.alias("l")
+      .join(right.alias("r"),
+        col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(max_by(col("r.payload"), struct(col("r.ts"), col("r.event_id"))).as("asof_payload"))
+
+    assert(got.count() == 400 && naive.count() == 400)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
 }
