@@ -519,6 +519,28 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** The reference demographics pipeline (etl.py:146-221) end-to-end on
+    * testdata: stats-dedup agg + pivot on the same input, recombined by
+    * key, renamed, nulls filled — the full composite under one oracle. */
+  private def qPipelineDemographics(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val stats = cust.groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(Aggregates.firstBy(col("c_name"), col("c_custkey")).as("FirstCustomer"),
+        min(col("c_acctbal")).as("MinBalance"),
+        count(lit(1)).as("NumCustomers"))
+    val pivoted = Aggregates.pivotAgg(
+      cust.withColumn("c_nationkey", col("c_nationkey").cast("long")),
+      Seq("c_nationkey"), "c_mktsegment", Segments, sum(dec(col("c_acctbal"))))
+      .select(col("c_nationkey") +: Segments.map(v => col(v).cast("double").as(v)): _*)
+    val joined = Joins.recombineInner(stats, pivoted, Seq("c_nationkey"))
+    val renamed = ColumnOps.renameAll(joined, Map(
+      "AUTOMOBILE" -> "SegAutomobile", "BUILDING" -> "SegBuilding",
+      "FURNITURE" -> "SegFurniture", "HOUSEHOLD" -> "SegHousehold",
+      "MACHINERY" -> "SegMachinery"))
+    ColumnOps.fillZeros(renamed,
+      Seq("SegAutomobile", "SegBuilding", "SegFurniture", "SegHousehold", "SegMachinery"))
+  }
+
   /** Regexp capture groups: split Customer#NNN names into parts. */
   private def qRegexpExtract(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -579,6 +601,7 @@ object SparkEntry {
     "q_top_tokens"     -> (qTopTokens _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
+    "q_pipeline_demographics" -> (qPipelineDemographics _),
     "q_histogram"      -> (qHistogram _),
     "q_union_by_name"  -> (qUnionByName _),
     "q_percentile"     -> (qPercentile _),
@@ -632,6 +655,21 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_pipeline_demographics" -> s"""
+      WITH stats AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          arg_min(c_name, c_custkey) AS FirstCustomer,
+          min(c_acctbal) AS MinBalance, count(*) AS NumCustomers
+        FROM customer GROUP BY 1),
+      piv AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          ${Segments.zip(Seq("SegAutomobile", "SegBuilding", "SegFurniture", "SegHousehold", "SegMachinery"))
+            .map { case (v, n) => s"COALESCE(CAST(sum(CASE WHEN c_mktsegment = '$v' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $n" }
+            .mkString(", ")}
+        FROM customer GROUP BY 1)
+      SELECT s.c_nationkey AS c_nationkey, s.FirstCustomer, s.MinBalance, s.NumCustomers,
+        p.SegAutomobile, p.SegBuilding, p.SegFurniture, p.SegHousehold, p.SegMachinery
+      FROM stats s JOIN piv p ON s.c_nationkey = p.c_nationkey""",
     "q_regexp_extract" -> """
       SELECT c_custkey,
         regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 1) AS name_word,
