@@ -438,14 +438,22 @@ object SparkEntry {
   // Batch 5 — breadth: percentiles, string/date/array functions, cube.
   // ---------------------------------------------------------------------
 
-  /** Exact interpolated percentiles per group (median + p90). */
+  /** Exact interpolated percentiles per group (median + p90). The two
+    * price percentiles share ONE aggregation buffer via the array form —
+    * exact percentile buffers all group values, so fusing halves the
+    * buffered data. (At 100 TB the right tool is approx_percentile /
+    * t-digest; exact is kept here because the oracle demands exactness.)
+    */
   private def qPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__pp"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__pp"), 1), 4).as("p50_price"),
+        round(element_at(col("__pp"), 2), 4).as("p90_price"),
+        col("p50_qty"))
 
   /** String function battery over customer names. */
   private def qStringFns(s: SparkSession, d: String): DataFrame =
