@@ -527,6 +527,32 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** As-of join with max 2-hour lookback: stale matches nulled. Note the
+    * right payload must include ts itself so staleness is observable. */
+  private def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val twoHoursNs = 7200000000000L
+    AsOfJoin.leftAsOfTolerance(purchases, clicks, Seq("user_id"), "ts", "event_id",
+        rightPayload = Seq("ts", "event_id"), tolerance = twoHoursNs)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("purchase_us"),
+        expr("asof_ts div 1000").as("click_us"),
+        col("asof_event_id").as("click_event_id"))
+  }
+
+  /** Null-handling battery: nullif / coalesce chains / null-safe
+    * equality. */
+  private def qNullFns(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("n_nationkey"),
+      nullif(col("n_regionkey"), lit(0)).cast("long").as("region_or_null"),
+      coalesce(nullif(col("n_regionkey"), lit(0)).cast("long"), lit(-1L)).as("region_patched"),
+      col("n_regionkey").eqNullSafe(lit(2)).as("is_region_2"))
+
   /** The reference demographics pipeline (etl.py:146-221) end-to-end on
     * testdata: stats-dedup agg + pivot on the same input, recombined by
     * key, renamed, nulls filled — the full composite under one oracle. */
@@ -610,6 +636,8 @@ object SparkEntry {
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_null_fns"       -> (qNullFns _),
     "q_histogram"      -> (qHistogram _),
     "q_union_by_name"  -> (qUnionByName _),
     "q_percentile"     -> (qPercentile _),
@@ -663,6 +691,22 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "q_asof_tolerance" -> """
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+        epoch_ns(p.ts) // 1000 AS purchase_us,
+        CASE WHEN epoch_ns(c.ts) < epoch_ns(p.ts) - 7200000000000 THEN NULL
+             ELSE epoch_ns(c.ts) // 1000 END AS click_us,
+        CASE WHEN epoch_ns(c.ts) < epoch_ns(p.ts) - 7200000000000 THEN NULL
+             ELSE c.event_id END AS click_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_null_fns" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CAST(nullif(n_regionkey, 0) AS BIGINT) AS region_or_null,
+        COALESCE(CAST(nullif(n_regionkey, 0) AS BIGINT), -1) AS region_patched,
+        n_regionkey IS NOT DISTINCT FROM 2 AS is_region_2
+      FROM nation""",
     "q_pipeline_demographics" -> s"""
       WITH stats AS (
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

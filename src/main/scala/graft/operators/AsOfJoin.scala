@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** leftAsOf with a maximum lookback: matches older than `tolerance`
+    * (same units as `ts`) are nulled out — composition keeps the join
+    * single-pass, the tolerance is a post-projection.
+    */
+  def leftAsOfTolerance(left: DataFrame, right: DataFrame, by: Seq[String],
+                        ts: String, tie: String, rightPayload: Seq[String],
+                        tolerance: Long): DataFrame = {
+    // capture staleness BEFORE nulling any payload column — asof_<ts> may
+    // itself be in the payload, and nulling it first would make the
+    // predicate NULL for the remaining columns
+    val joined = leftAsOf(left, right, by, ts, tie, rightPayload)
+      .withColumn("__stale", col(s"asof_$ts") < (col(ts) - tolerance))
+    rightPayload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        when(col("__stale"), lit(null).cast(df.schema(s"asof_$p").dataType))
+          .otherwise(col(s"asof_$p")))
+    }.drop("__stale")
+  }
+
   def leftAsOf(left: DataFrame, right: DataFrame, by: Seq[String],
                ts: String, tie: String, rightPayload: Seq[String]): DataFrame = {
     val rightTypes = right.select(rightPayload.map(col): _*).schema.fields
