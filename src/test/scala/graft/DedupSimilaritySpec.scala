@@ -155,4 +155,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
     assert(out(2L) == ((2L, true)))
   }
+
+  test("minhash est_jaccard approximates exact jaccard on the known near-dup") {
+    val est = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact jaccard of (0,1) is 10/12 = 0.8333; k=64 minhash stderr ~ 0.05
+    assert(math.abs(est((0L, 1L)) - 10.0 / 12.0) < 0.15,
+      s"estimator off: ${est((0L, 1L))}")
+  }
+
+  test("IVF layout: writing partitioned by cell_id makes probe filters prune partitions") {
+    import graft.similarity.Ivf
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    emb.withColumn("cell_id",
+        Ivf.assignCell(Similarity.toDouble(col("embedding")), cents))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("cell_id") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell_id"), scan)
+    assert(pruned.count() > 0)
+    val cells = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell_id="))
+    assert(cells > 1, s"expected multiple cell partitions, got $cells")
+  }
 }

@@ -149,4 +149,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count() == 400 && naive.count() == 400)
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
+
+  test("Sessionize differential vs driver-side reference on random data (seeded)") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(600)(i => (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val got = Sessionize.byGap(df, "user_id", "ts", "event_id", maxGap = 40L)
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect().toMap
+
+    // reference implementation in plain Scala
+    val expected = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var idx = 0L
+      var lastTs = Long.MinValue
+      sorted.map { case (_, ts, id) =>
+        if (lastTs == Long.MinValue || ts - lastTs > 40L) idx += 1
+        lastTs = ts
+        id -> idx
+      }
+    }
+    assert(got == expected)
+  }
 }
