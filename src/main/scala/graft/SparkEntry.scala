@@ -415,13 +415,20 @@ object SparkEntry {
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
-  /** HLL approximate distinct beside the exact count (no oracle — sketch
-    * values are implementation-specific; QueriesSpec bounds the error). */
+  /** HLL approximate distinct beside the exact count. The exact column is
+    * oracle-checked directly; the HLL sketch value is implementation-
+    * specific, so what the oracle pins is the ERROR BOUND — the oracle
+    * asserts `approx_within_10pct` is true (default rsd = 5%, actual
+    * observed error ~1%; a Spark HLL regression flips the boolean and
+    * fails the hash compare). */
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.10).as("approx_within_10pct"))
 
   /** IVF ANN top-10: coarse k-means cells (deterministic init, 2 Lloyd
     * iterations), probe the 3 nearest cells (no oracle — approximate;
@@ -617,13 +624,19 @@ object SparkEntry {
       .select(col("purchase_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
   }
 
-  /** Near-dup clustering: minhash candidates (est_jaccard >= 0.9) unioned
-    * into connected components; cluster = canonical min doc_id. */
+  /** Near-dup clustering: embedding-cosine pairs (the deterministic,
+    * oracle-able edge source — q_embed_pairs) unioned into connected
+    * components; cluster = canonical min vec_id. The oracle recomputes
+    * the components with a DuckDB recursive CTE, so the full pipeline
+    * (pair generation -> label propagation to fixpoint) is hash-checked;
+    * the minhash-driven variant of the same composition stays spec-
+    * covered in DedupSimilaritySpec (its pairs are engine-hash-specific).
+    */
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pairs = graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id")
-      .filter(col("est_jaccard") >= 0.9)
-    graft.dedup.Dedup.clusters(docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.35)
+    graft.dedup.Dedup.clusters(emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
   }
 
   // ---------------------------------------------------------------------
@@ -833,6 +846,30 @@ object SparkEntry {
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""",
+    "q_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS approx_within_10pct
+      FROM lineitem GROUP BY 1""",
+    "q_dedup_clusters" -> """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) >= 0.35
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+      ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+      FROM reach GROUP BY 1""",
     "q_dedup_ngram" -> """
       WITH t AS (SELECT lang, source, doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT lang, source, doc_id,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a 100 TB training-data pipeline. Four
@@ -82,7 +83,8 @@ object Dedup {
     * across bands.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 64, bands: Int = 16): DataFrame = {
+                        k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignatures(df, textCol, idCol, k)
@@ -92,11 +94,25 @@ object Dedup {
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
+    // Healthy band buckets are near-dup-sized, but a degenerate bucket
+    // (thousands of boilerplate near-identical docs sharing a band) would
+    // collect every member's 64-long signature into ONE aggregation
+    // buffer — an OOM path at corpus scale. Count bucket size with a
+    // window over the same (band, bucket) hash partitioning the groupBy
+    // below needs (one shuffle total; WindowExec spills, so even the
+    // degenerate bucket is memory-bounded) and drop oversized buckets:
+    // their members are boilerplate that exact dedup upstream and the
+    // other bands still cover.
+    val wb = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
     // Group docs per band bucket and emit member pairs directly — a
     // self-join here is a diamond over the (expensive) signature
     // aggregate, which Spark plans twice (no static exchange reuse).
-    // Buckets are near-dup-sized, so collect_list stays tiny.
-    val members = banded
+    val members = capped
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
       .filter(size(col("m")) > 1)
@@ -170,30 +186,40 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs: iterative min-label
-    * propagation. Each iteration is two hash joins + a min aggregate;
-    * iterations needed = O(log(cluster diameter)) in practice (labels jump
-    * to the component minimum through shared neighbors). Near-dup
-    * clusters are small and shallow, so `maxIters` bounds work without a
-    * per-iteration convergence action at scale; pass `converge = true`
-    * to stop early via a count check (costs one extra action per
-    * iteration — fine locally, skip on a 100 TB run).
+    * propagation. Each iteration is two hash joins + a min aggregate and
+    * advances the minimum label ONE hop along edges, so full convergence
+    * takes O(component diameter) iterations. Near-dup clusters are small
+    * and shallow, so that is a handful of rounds in practice.
+    *
+    * With `converge = true` (default) the loop runs to a fixpoint — it
+    * stops only when no label changed (one extra count job per
+    * iteration); `maxIters` is a safety valve, and hitting it without
+    * convergence logs a warning because long chains would be silently
+    * split. With `converge = false` (the 100 TB setting — the convergence
+    * count is an extra job per round) exactly `maxIters` rounds run,
+    * which bounds the *diameter* of chains that fully contract; size the
+    * cap to the deepest chain you expect, or run the converging form off
+    * the critical path.
     *
     * Returns (id, cluster) where cluster = min id of the component —
     * `id == cluster` marks the canonical document to keep.
     */
   def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
-               aCol: String, bCol: String, maxIters: Int = 5,
+               aCol: String, bCol: String, maxIters: Int = 50,
                converge: Boolean = true): DataFrame = {
-    // Persist the edge list and each iteration's labels: the loop is
-    // iterative over DataFrames, and without materialization every action
-    // re-derives the full lineage of all prior iterations (quadratic
-    // recompute). At cluster scale this is checkpoint()-per-iteration.
+    // Persist the (static) edge list; each iteration's labels go through
+    // localCheckpoint, which BOTH materializes (without it every action
+    // re-derives the full lineage of all prior iterations — quadratic
+    // recompute) AND truncates the logical plan (the update references
+    // `labels` twice, so the plan otherwise doubles per iteration —
+    // exponential planning/explain cost that OOMs past ~10 rounds). At
+    // cluster scale this is a reliable-storage checkpoint() per
+    // iteration; the structure is identical.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
     var labels = ids.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("cluster"))
-    var prev: Option[DataFrame] = None
     var it = 0
     var done = false
     while (it < maxIters && !done) {
@@ -202,18 +228,20 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint()
       if (converge) {
         val changed = updated.alias("u")
           .join(labels.alias("l"), col("u.id") === col("l.id"))
           .filter(col("u.cluster") =!= col("l.cluster")).count()
         done = changed == 0
       }
-      prev.foreach(_.unpersist())
-      prev = Some(updated)
       labels = updated
       it += 1
     }
+    if (converge && !done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters() hit maxIters=$maxIters before converging — components " +
+          "with diameter > maxIters are split; raise maxIters")
     edges.unpersist()
     labels
   }
@@ -247,9 +275,19 @@ object Dedup {
     * (e.g. same lang+source). Shingle-explode + self-join on shingle
     * counts the intersection; union size from per-doc distinct counts.
     * Returns pairs with jaccard >= threshold.
+    *
+    * `maxShingleDf` suppresses hot shingles before pair generation: a
+    * stop-word shingle ("of the and") shared by m docs in one bucket
+    * emits m(m-1)/2 pairs — quadratic in document frequency, THE
+    * scale-killer of the naive formulation at 100 TB. Shingles with
+    * DF > maxShingleDf are dropped (standard common-shingle suppression;
+    * they appear in nearly every union, so the Jaccard mass they carry is
+    * negligible — and at the default cap of 1000 the testdata max DF of 5
+    * is untouched, so results are bit-identical to the uncapped form).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        bucketCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+                        bucketCols: Seq[String], n: Int, threshold: Double,
+                        maxShingleDf: Int = 1000): DataFrame = {
     // Build each doc's shingle array exactly once; every exploded row
     // carries (id, n_sh) so neither a second pass nor a sizes join is
     // needed. (The self-join formulation computed the arrays three times
@@ -260,10 +298,21 @@ object Dedup {
       .select((bucketCols.map(col) :+ col("id") :+ size(col("sh")).as("n_sh")
         :+ explode(col("sh")).as("s")): _*)
 
+    // Cap shingle document frequency BEFORE grouping members: the window
+    // count shares the (bucket, shingle) hash partitioning with the
+    // groupBy below (one shuffle total), WindowExec spills rather than
+    // buffering a hot group in memory, and after the filter no
+    // aggregation buffer ever holds more than maxShingleDf members.
+    val wdf = Window.partitionBy((bucketCols.map(col) :+ col("s")): _*)
+    val capped = exploded
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+
     // Group docs per (bucket, shingle); emit all member pairs. Pairs per
-    // shingle are m(m-1)/2 — bucket-local, same candidate set as the
-    // self-join, one shuffle instead of a join.
-    val members = exploded
+    // shingle are m(m-1)/2 — bucket-local, DF-capped, same candidate set
+    // as the self-join, one shuffle instead of a join.
+    val members = capped
       .groupBy((bucketCols.map(col) :+ col("s")): _*)
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("m"))
       .filter(size(col("m")) > 1)

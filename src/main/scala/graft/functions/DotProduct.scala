@@ -39,11 +39,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
 
-  /** Static so generated code can call it directly. Length mismatch uses
-    * the shorter array (mirrors zip_with truncation semantics).
+  /** Static so generated code can call it directly. Length mismatch
+    * throws — the composed `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * form yields NULL there (zip_with pads the shorter side with nulls);
+    * a silent truncated partial sum would hide malformed input, and a
+    * nullable result would cost the codegen null-check on every row, so
+    * fail-fast is the deliberate choice for a fixed-dim embedding column.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product requires equal-length arrays, got $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -22,9 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Hash family: xxhash64-compatible seeding is not required — any k
   * independent 64-bit families work for MinHash. We use the shingle's
-  * xxhash64 (seed 42, Spark's default) mixed per family with a
-  * SplitMix64 finalizer, which keeps the families pairwise independent
-  * and the per-row cost at one string hash + k integer mixes.
+  * 64-bit xxhash64 (seed 42, Spark's default — `XxHash64Function`, the
+  * same function behind the `xxhash64` SQL builtin) mixed per family
+  * with a SplitMix64 finalizer, which keeps the families pairwise
+  * independent and the per-row cost at one string hash + k integer
+  * mixes. The base hash being 64-bit matters at corpus-scale shingle
+  * cardinality: with a 32-bit base, two distinct shingles colliding in
+  * 32 bits (birthday-likely beyond ~2^16 shingles) would become
+  * identical in EVERY family simultaneously, correlating the estimator.
   */
 case class MinHashAgg(
     child: Expression,
@@ -43,14 +48,12 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val base = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        v.asInstanceOf[UTF8String].getBaseObject,
-        v.asInstanceOf[UTF8String].getBaseOffset,
-        v.asInstanceOf[UTF8String].numBytes(), 42)
+      val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        v, org.apache.spark.sql.types.StringType, 42L)
       var i = 0
       while (i < k) {
         // SplitMix64 finalizer over (base, family) — cheap independent families
-        var z = base.toLong + 0x9E3779B97F4A7C15L * (i + 1)
+        var z = base + 0x9E3779B97F4A7C15L * (i + 1)
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z = z ^ (z >>> 31)

@@ -34,6 +34,9 @@ object AsOfJoin {
   def leftAsOfTolerance(left: DataFrame, right: DataFrame, by: Seq[String],
                         ts: String, tie: String, rightPayload: Seq[String],
                         tolerance: Long): DataFrame = {
+    require(rightPayload.contains(ts),
+      s"leftAsOfTolerance needs the matched right-side timestamp to judge staleness: " +
+        s"include '$ts' in rightPayload (got ${rightPayload.mkString("[", ", ", "]")})")
     // capture staleness BEFORE nulling any payload column — asof_<ts> may
     // itself be in the payload, and nulling it first would make the
     // predicate NULL for the remaining columns

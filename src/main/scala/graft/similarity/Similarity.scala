@@ -80,12 +80,77 @@ object Similarity {
       lit(0.0), _ + _).cast("long")
   }
 
-  /** LSH-bucketed ANN top-k: compute the query's bucket, scan only rows
-    * whose bucket matches in >= (planes - probeSlack) sign bits
-    * (multi-probe via hamming tolerance), then exact cosine on the
-    * candidates.
+  /** The query vector's bucket computed driver-side with the same
+    * arithmetic as the `lshBucket` column (same plane order, ascending-
+    * index multiply-add) — identical IEEE operations, so identical sign
+    * decisions and an identical bucket value.
+    */
+  def bucketOf(emb: Array[Double], planes: Int, seed: Long = 42L): Long = {
+    val mat = hyperplanes(planes, emb.length, seed)
+    var b = 0L
+    var p = 0
+    while (p < planes) {
+      val plane = mat(p)
+      var acc = 0.0
+      var i = 0
+      while (i < emb.length) { acc += emb(i) * plane(i); i += 1 }
+      if (acc >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  /** All bucket ids within hamming distance <= slack of `qBucket` over
+    * `planes` bits — sum_{i<=slack} C(planes, i) values (697 for 16/3),
+    * enumerated driver-side. Filtering with `isin` over this list is
+    * equivalent to the hamming predicate `bit_count(b ^ qBucket) <=
+    * slack` but PRUNABLE: on a table written partitioned/bucketed by the
+    * bucket column it becomes PartitionFilters (a hamming expression
+    * never can), so a query touches 697 buckets instead of scanning the
+    * full corpus.
+    */
+  def probeBuckets(qBucket: Long, planes: Int, slack: Int): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    def flip(start: Int, left: Int, mask: Long): Unit = {
+      out += (qBucket ^ mask)
+      if (left > 0) {
+        var i = start
+        while (i < planes) { flip(i + 1, left - 1, mask | (1L << i)); i += 1 }
+      }
+    }
+    flip(0, slack, 0L)
+    out.result()
+  }
+
+  /** LSH-bucketed ANN top-k: the query's bucket and its multi-probe
+    * neighborhood (hamming <= probeSlack) are enumerated driver-side
+    * (one single-row collect of the query vector, like the IVF centroid
+    * path), candidates filtered with `isin` over the probe list, then
+    * exact cosine on the candidates. Candidate set is identical to the
+    * full-scan hamming filter; the `isin` form is what makes a
+    * bucket-partitioned layout prune (see `probeBuckets`).
     */
   def lshTopK(df: DataFrame, embCol: String, idCol: String,
+              query: DataFrame, queryEmbCol: String, k: Int,
+              planes: Int = 16, probeSlack: Int = 3): DataFrame = {
+    val qEmb = query.select(toDouble(col(queryEmbCol)).as("__q"))
+      .head().getSeq[Double](0).toArray
+    val probes = probeBuckets(bucketOf(qEmb, planes), planes, probeSlack)
+    val data = df.select(col(idCol), toDouble(col(embCol)).as("__e"))
+      .withColumn("__bucket", lshBucket(col("__e"), planes, qEmb.length))
+      .filter(col("__bucket").isin(probes: _*))
+    val q = broadcast(query.select(toDouble(col(queryEmbCol)).as("__q")))
+    data.crossJoin(q)
+      .select(col(idCol), round(cosine(col("__e"), col("__q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The pre-fix full-scan formulation (hamming predicate over every
+    * row) — kept as the differential reference for the spec proving the
+    * probe-enumeration rewrite returns identical rows.
+    */
+  private[graft] def lshTopKViaScanFilter(df: DataFrame, embCol: String, idCol: String,
               query: DataFrame, queryEmbCol: String, k: Int,
               planes: Int = 16, probeSlack: Int = 3): DataFrame = {
     val data = df.select(col(idCol), toDouble(col(embCol)).as("__e"))

@@ -50,7 +50,11 @@ object StreamingOps {
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // milliseconds, not a truncating /1000: a sub-second or non-whole-
+      // second gap must not yield a watermark delay SHORTER than the gap,
+      // or late events that batch Sessionize.byGap would still fold into
+      // a session get dropped, breaking stream/batch parity
+      .withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

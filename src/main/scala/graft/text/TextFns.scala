@@ -64,7 +64,10 @@ object TextFns {
   /** Language ID: score = count of marker-token hits per language; argmax
     * with fixed priority tiebreak, via array_max over (score, priority,
     * lang) structs. For zh the markers are single characters, so we count
-    * substring occurrences instead of token hits.
+    * character occurrences — all five markers in ONE translate pass
+    * (chars removed = total marker occurrences, since the markers are
+    * distinct single chars), instead of one regexp_replace pass per
+    * marker.
     */
   def langId(text: Column): Column = {
     val lowered = lower(text)
@@ -72,8 +75,7 @@ object TextFns {
     val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       val score =
         if (lang == "zh")
-          markers.map(m => (length(lowered) - length(regexp_replace(lowered, m, ""))).cast("int"))
-            .reduce(_ + _)
+          (length(lowered) - length(translate(lowered, markers.mkString, ""))).cast("int")
         else
           size(filter(toks, t => t.isin(markers.map(lit): _*)))
       struct(score.as("score"), lit(LangMarkers.size - i).as("prio"), lit(lang).as("lang"))
@@ -89,7 +91,7 @@ object TextFns {
     val scores = LangMarkers.map { case (lang, markers) =>
       val s =
         if (lang == "zh")
-          markers.map(m => s"(length(lower($c)) - length(replace(lower($c), '$m', '')))").mkString(" + ")
+          s"(length(lower($c)) - length(translate(lower($c), '${markers.mkString}', '')))"
         else
           s"len(list_filter(string_split(lower($c), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
       lang -> s

@@ -164,6 +164,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"estimator off: ${est((0L, 1L))}")
   }
 
+  test("ngramJaccardPairs: hot-shingle DF cap bounds pair generation") {
+    // 50 docs all sharing ONE hot shingle ("common shingle here"), each
+    // with otherwise-unique filler: uncapped, that single shingle emits
+    // 50*49/2 = 1225 pairs; with the DF cap below 50 it is suppressed and
+    // no pair survives — the quadratic blowup is structurally bounded.
+    val hot = Seq.tabulate(50)(i =>
+      (i.toLong, s"common shingle here unique$i filler$i words$i end$i")).toDF("doc_id", "text")
+      .withColumn("bk", lit("b"))
+    val uncapped = Dedup.ngramJaccardPairs(hot, "text", "doc_id", Seq("bk"), 3, 0.01,
+      maxShingleDf = Int.MaxValue)
+    assert(uncapped.count() == 1225)
+    val capped = Dedup.ngramJaccardPairs(hot, "text", "doc_id", Seq("bk"), 3, 0.01,
+      maxShingleDf = 10)
+    assert(capped.count() == 0)
+    // the DF filter is really in the plan, pre-aggregation
+    assert(capped.queryExecution.executedPlan.toString.contains("__df"))
+    // and the default cap (1000) is far above the real-corpus max DF, so
+    // results are bit-identical to the uncapped form on real documents
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.ngramJaccardPairs(real, "text", "doc_id", Seq("lang", "source"), 3, 0.5)
+    val b = Dedup.ngramJaccardPairs(real, "text", "doc_id", Seq("lang", "source"), 3, 0.5,
+      maxShingleDf = Int.MaxValue)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("minhashCandidates: degenerate boilerplate bucket is capped, not collected") {
+    // 300 byte-identical docs collide in every band bucket — the exact
+    // shape that would otherwise collect 300 signatures into one
+    // aggregation buffer and emit 300*299/2 pairs per band.
+    val boiler = Seq.tabulate(300)(i =>
+      (i.toLong, "exact same boilerplate text repeated in every document")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(boiler, "text", "doc_id", maxBucket = 100).count() == 0)
+    // under the cap the same corpus yields the full pair set
+    assert(Dedup.minhashCandidates(boiler, "text", "doc_id").count() == 300L * 299 / 2)
+    // real-corpus results are unchanged by the default cap
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.minhashCandidates(real, "text", "doc_id")
+    val b = Dedup.minhashCandidates(real, "text", "doc_id", maxBucket = Int.MaxValue)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("clusters converges on a chain longer than the old iteration cap") {
+    // path graph 1-2-3-...-12: diameter 11, one-hop-per-iteration label
+    // propagation must keep iterating to the fixpoint (ADVICE fix)
+    val ids = (1L to 12L).toDF("doc_id")
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, chain, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"chain split: $got")
+  }
+
+  test("lshTopK probe-enumeration equals the full-scan hamming filter") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0)
+    val viaProbes = Similarity.lshTopK(emb, "embedding", "vec_id", q, "embedding", 10,
+      planes = 16, probeSlack = 3).collect().toSeq
+    val viaScan = Similarity.lshTopKViaScanFilter(emb, "embedding", "vec_id", q, "embedding", 10,
+      planes = 16, probeSlack = 3).collect().toSeq
+    assert(viaProbes == viaScan)
+    assert(Similarity.probeBuckets(0L, 16, 3).size == 697) // sum C(16, 0..3)
+  }
+
+  test("DotProduct throws on length mismatch (matching-dim contract)") {
+    val bad = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.DotProduct.dotProduct(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("equal-length")), chain(e).toString)
+  }
+
   test("IVF layout: writing partitioned by cell_id makes probe filters prune partitions") {
     import graft.similarity.Ivf
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -80,6 +80,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("leftAsOfTolerance rejects a payload missing the timestamp with a clear message") {
+    val left = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 5L, 900L, "r")).toDF("user_id", "ts", "event_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfTolerance(left, right, Seq("user_id"), "ts", "event_id",
+        rightPayload = Seq("payload"), tolerance = 100L)
+    }
+    assert(e.getMessage.contains("include 'ts' in rightPayload"), e.getMessage)
+  }
+
   test("Sessionize splits on gaps greater than maxGap") {
     val df = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 100L, 3L), (1L, 105L, 4L), (2L, 0L, 5L))
       .toDF("user_id", "ts", "event_id")

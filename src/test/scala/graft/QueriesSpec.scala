@@ -19,6 +19,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("approx_count_distinct error is comfortably inside the oracled 10% bound") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      val err = math.abs(a - e).toDouble / e
+      assert(err <= 0.05, s"flag ${r.getString(0)}: approx $a vs exact $e (err $err)")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with rows > 0") {
       val df = fn(spark, sf)
