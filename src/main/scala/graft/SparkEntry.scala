@@ -640,8 +640,101 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Batch 6 — training-pipeline depth: repetition signals, PII redaction,
+  // deterministic splits, pair-verify Jaccard, SCD-2 runs, approx
+  // percentile under a bound oracle.
+  // ---------------------------------------------------------------------
+
+  /** Gopher/C4-style repetition signals per document (duplicate-bigram
+    * fraction, top-bigram mass) — one narrow shuffle (see
+    * TextFns.repetitionStats). */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFns.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+
+  /** PII redaction battery over a deterministic contact string built from
+    * customer rows (the corpus has no natural PII): email + phone masks
+    * and per-row match counts, patterns engine-portable (Java regex and
+    * RE2 agree). */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFns
+    val contact = concat(lower(col("c_name")), lit("@example.com call 555"),
+      lpad(col("c_custkey").cast("string"), 7, "0"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      TextFns.redactPii(contact).as("redacted"),
+      TextFns.emailCount(contact).cast("long").as("n_emails"),
+      TextFns.phoneCount(contact).cast("long").as("n_phones"))
+  }
+
+  /** Deterministic content-hash split/sample assignment: PolyHash mod 10
+    * (the fingerprint is already proven bit-identical to the DuckDB
+    * list_reduce oracle in q_text_stats), so train/val/test membership is
+    * reproducible across engines and runs — the property a training
+    * pipeline needs from a splitter. */
+  private def qHashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(PolyHash.polyHash(col("text")), lit(10L))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test").as("split"),
+      (bucket < 2).as("in_sample_20pct"))
+  }
+
+  /** Verify-on-pairs Jaccard: token-length-band blocking proposes
+    * candidates (deterministic, oracle-able), jaccardOnPairs verifies
+    * exactly those — the generate-nothing-from-shingles shape that scales
+    * past ngramJaccardPairs. */
+  private def qNgramVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val banded = docs.select(col("doc_id").cast("long").as("id"),
+      col("lang"), col("source"),
+      floor(size(split(col("text"), " ")) / 10).cast("long").as("band"))
+    val cand = banded.select(col("lang"), col("source"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("lang"), col("source"), col("band"), col("id").as("id_b")),
+        Seq("lang", "source", "band"))
+      .filter(col("id_a") < col("id_b"))
+    graft.dedup.Dedup.jaccardOnPairs(docs, "text", "doc_id", cand, "id_a", "id_b", 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SCD-2 run collapse: consecutive equal order statuses per customer
+    * (ordered by date, keyed deterministically) become validity
+    * intervals. */
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    Scd.collapseRuns(
+        Tables.orders(s, d).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"), col("o_orderkey"), col("o_orderstatus")),
+        "o_custkey", "od", "o_orderkey", "o_orderstatus")
+      .select(col("o_custkey"), col("run_id"), col("o_orderstatus"),
+        iso(col("valid_from")).as("valid_from"), iso(col("valid_to")).as("valid_to"),
+        col("n_rows"))
+
+  /** Approx percentile (t-digest-family sketch) beside the exact value,
+    * under the bound-oracle pattern: the oracle pins the exact
+    * percentiles AND asserts the sketch lands within 1% — rank error at
+    * accuracy 10000 over 60k rows is ~6 ranks, far inside that. */
+  private def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("__ap"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__ep"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__ep"), 1), 4).as("p50_exact"),
+        round(element_at(col("__ep"), 2), 4).as("p90_exact"),
+        (abs(element_at(col("__ap"), 1) - element_at(col("__ep"), 1))
+          / element_at(col("__ep"), 1) <= 0.01).as("p50_within_1pct"),
+        (abs(element_at(col("__ap"), 2) - element_at(col("__ep"), 2))
+          / element_at(col("__ep"), 2) <= 0.01).as("p90_within_1pct"))
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition"     -> (qRepetition _),
+    "q_pii_redact"     -> (qPiiRedact _),
+    "q_hash_split"     -> (qHashSplit _),
+    "q_ngram_verify"   -> (qNgramVerify _),
+    "q_scd2"           -> (qScd2 _),
+    "q_approx_percentile" -> (qApproxPercentile _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
@@ -849,6 +942,78 @@ object SparkEntry {
     "q_approx_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
+      FROM lineitem GROUP BY 1""",
+    "q_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+              END AS grams FROM t),
+      ex AS (SELECT doc_id, unnest(grams) AS bg FROM g),
+      c AS (SELECT doc_id, bg, count(*) AS n FROM ex GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        count(*) AS n_distinct_bigrams,
+        round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS dup_bigram_frac,
+        round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS top_bigram_frac
+      FROM c GROUP BY 1""",
+    "q_pii_redact" -> {
+      // DuckDB string literals keep backslashes verbatim, so the patterns
+      // (single source of truth in TextFns) drop in unchanged
+      import graft.text.TextFns.{EmailPattern => EM, PhonePattern => PH}
+      s"""
+      WITH c AS (SELECT c_custkey,
+        lower(c_name) || '@example.com call 555' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS contact
+        FROM customer)
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(contact, '$EM', '<EMAIL>', 'g'),
+          '$PH', '<PHONE>', 'g') AS redacted,
+        len(regexp_extract_all(contact, '$EM')) AS n_emails,
+        len(regexp_extract_all(contact, '$PH')) AS n_phones
+      FROM c"""
+    },
+    "q_hash_split" -> """
+      WITH f AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) % 10 AS bucket
+        FROM documents)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        bucket < 2 AS in_sample_20pct
+      FROM f""",
+    "q_ngram_verify" -> """
+      WITH t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, lang, source, len(w) // 10 AS band,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+         AND a.doc_id < b.doc_id""",
+    "q_scd2" -> """
+      WITH flagged AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey, o_orderstatus,
+          CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                 OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ), runs AS (
+        SELECT o_custkey, od, o_orderstatus,
+          CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        FROM flagged)
+      SELECT o_custkey, run_id, o_orderstatus,
+        strftime(min(od), '%Y-%m-%d') AS valid_from,
+        strftime(max(od), '%Y-%m-%d') AS valid_to,
+        count(*) AS n_rows
+      FROM runs GROUP BY 1, 2, 3""",
+    "q_approx_percentile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
       FROM lineitem GROUP BY 1""",
     "q_dedup_clusters" -> """
       WITH RECURSIVE pairs AS (

@@ -271,6 +271,27 @@ object Dedup {
     comp.withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** Exact n-gram Jaccard computed ONLY for explicit candidate pairs —
+    * the verify stage that LSH / blocking candidates feed at scale. Two
+    * hash joins attach each side's (distinct) shingle array, then a
+    * per-row `array_intersect`: cost is O(|pairs| * doc_len) and NO pair
+    * is ever generated from a shared shingle, so there is no hot-shingle
+    * blowup by construction — this is the shape to prefer over
+    * `ngramJaccardPairs` whenever a candidate set already exists.
+    */
+  def jaccardOnPairs(df: DataFrame, textCol: String, idCol: String,
+                     pairs: DataFrame, aCol: String, bCol: String, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("__id"),
+      shingles(lower(col(textCol)), n).as("__sh"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - inter)).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
     * (e.g. same lang+source). Shingle-explode + self-join on shingle
     * counts the intersection; union size from per-doc distinct counts.

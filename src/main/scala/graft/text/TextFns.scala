@@ -51,6 +51,56 @@ object TextFns {
     round((lenScore + tokScore + stopScore) / 3.0, 6)
   }
 
+  /** All word n-grams WITH duplicates — repetition analysis needs the
+    * multiset (`graft.dedup.Dedup.shingles` is the distinct variant for
+    * dedup). Short docs collapse to one whole-text gram, mirroring
+    * shingles' behavior.
+    */
+  def allNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher/C4-style repetition signals per document: total / distinct
+    * bigram counts, duplicate-bigram fraction, and the mass of the single
+    * most frequent bigram. Shape: explode bigrams, then BOTH aggregation
+    * levels run after ONE explicit repartition on the doc id —
+    * hash(doc_id) satisfies the (doc_id, gram) clustering too, so Spark
+    * plans no further exchange (one narrow shuffle total at any scale).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), explode(allNgrams(lower(col(textCol)), 2)).as("__g"))
+      .repartition(col("__id"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("__n")).as("__top"))
+      .select(col("__id").as(idCol),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"),
+        round(col("__top").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
+
+  /** PII redaction patterns — restricted to syntax that Java regex and
+    * RE2-family engines (the oracle) interpret identically, so redaction
+    * is bit-reproducible across engines.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b555[0-9]{4,}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
     * Order encodes the deterministic tiebreak priority (earlier wins).
     */

@@ -205,6 +205,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    // generate-from-shingles form, low threshold so several pairs survive
+    val gen = Dedup.ngramJaccardPairs(real, "text", "doc_id", Seq("lang", "source"), 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gen.nonEmpty)
+    // verify-on-pairs form fed exactly those candidate pairs
+    val cand = gen.keys.toSeq.toDF("id_a", "id_b")
+    val ver = Dedup.jaccardOnPairs(real, "text", "doc_id", cand, "id_a", "id_b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ver == gen)
+    // and on a pair with NO shared shingles it reports 0 (generate form
+    // would never emit it — verify form must still answer)
+    val zero = Dedup.jaccardOnPairs(docs, "text", "doc_id",
+      Seq((0L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", 3)
+      .collect().map(_.getDouble(2))
+    assert(zero.toSeq == Seq(0.0))
+  }
+
   test("clusters converges on a chain longer than the old iteration cap") {
     // path graph 1-2-3-...-12: diameter 11, one-hop-per-iteration label
     // propagation must keep iterating to the fixpoint (ADVICE fix)

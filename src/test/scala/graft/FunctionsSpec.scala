@@ -84,6 +84,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaCol == Seq("O'Neill 42X", "Ä-Öü"))
   }
 
+  test("repetitionStats: known bigram multiset, one shuffle in the plan") {
+    import graft.text.TextFns
+    // "a b a b a" -> bigrams [a b, b a, a b, b a]: total 4, distinct 2,
+    // dup_frac 0.5, top_frac 0.5; "x y z" -> 2 distinct of 2, dup 0, top 0.5
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w")).toDF("doc_id", "text")
+    val got = TextFns.repetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((2L, 2L, 0.0, 0.5)))
+    assert(got(3L) == ((1L, 1L, 0.0, 1.0)))   // short doc: one whole-text gram
+    // both aggregation levels ride the single explicit repartition —
+    // exactly one exchange in the whole plan
+    val plan = TextFns.repetitionStats(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("redactPii masks emails and 555-phones; counts match") {
+    import graft.text.TextFns
+    val df = Seq(
+      ("write to bob.smith+x@mail.example.org or call 5551234567 now", 1, 1),
+      ("no pii here at all", 0, 0),
+      ("two mails a@b.co c.d@e.io one phone 55500001", 2, 1)).toDF("t", "em", "ph")
+    val got = df.select(TextFns.redactPii(col("t")).as("r"),
+      TextFns.emailCount(col("t")).as("ne"), TextFns.phoneCount(col("t")).as("np"),
+      col("em"), col("ph")).collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3) && r.getInt(2) == r.getInt(4), r.toString)
+    }
+    assert(got(0).getString(0) == "write to <EMAIL> or call <PHONE> now")
+    assert(got(2).getString(0) == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+  }
+
   test("PolyHash: known values, empty, null") {
     def ph(s: String): Long =
       Seq(s).toDF("s").select(PolyHash.polyHash(col("s"))).head.getLong(0)

@@ -80,6 +80,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("Scd.collapseRuns folds consecutive equal attributes into validity intervals") {
+    // key 1: A(d1,d2) B(d3) A(d4) -> three runs (A twice, non-adjacent);
+    // key 2: single run
+    val df = Seq(
+      (1L, "2024-01-01", 10L, "A"), (1L, "2024-01-02", 11L, "A"),
+      (1L, "2024-01-03", 12L, "B"), (1L, "2024-01-04", 13L, "A"),
+      (2L, "2024-01-01", 20L, "X")).toDF("k", "d", "tie", "attr")
+    val got = Scd.collapseRuns(df, "k", "d", "tie", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got.size == 4)
+    assert(got((1L, 1L)) == (("A", "2024-01-01", "2024-01-02", 2L)))
+    assert(got((1L, 2L)) == (("B", "2024-01-03", "2024-01-03", 1L)))
+    assert(got((1L, 3L)) == (("A", "2024-01-04", "2024-01-04", 1L)))
+    assert(got((2L, 1L)) == (("X", "2024-01-01", "2024-01-01", 1L)))
+  }
+
   test("leftAsOfTolerance rejects a payload missing the timestamp with a clear message") {
     val left = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
     val right = Seq((1L, 5L, 900L, "r")).toDF("user_id", "ts", "event_id", "payload")
