@@ -727,8 +727,123 @@ object SparkEntry {
           / element_at(col("__ep"), 2) <= 0.01).as("p90_within_1pct"))
 
   // ---------------------------------------------------------------------
+  // Batch 7 — bloom-prefiltered join, gap fill, window/grouping breadth,
+  // unpivot, conditional aggregates, full outer, ordinality explode.
+  // ---------------------------------------------------------------------
+
+  /** Bloom-prefiltered join: revenue per high-balance supplier. The bloom
+    * predicate prunes lineitem BEFORE its join shuffle; result is
+    * row-identical to the plain join (the oracle IS the plain join). */
+  private def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val highBal = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+    BloomJoin.bloomFilteredInner(Tables.lineitem(s, d), highBal, "l_suppkey", "s_suppkey")
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Monthly gap fill per customer: full month spine, zero-filled order
+    * counts, forward-filled last status. */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .select(col("o_custkey"), trunc(to_date(col("o_orderdate")), "mm").as("m"),
+        col("o_orderstatus"))
+      .groupBy(col("o_custkey"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderstatus")).as("st"))
+    GapFill.fillForward(monthly, "o_custkey", "m", expr("interval 1 month"),
+        fillCols = Seq("st"), zeroCols = Seq("n_orders"))
+      .select(col("o_custkey"), iso(col("m")).as("month"),
+        col("n_orders"), col("st").as("status_ff"))
+  }
+
+  /** Window-function battery: first/last/nth value over the full frame,
+    * ntile quartiles, percent_rank, cume_dist — one shared sort. */
+  private def qWindowFns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_totalprice")).over(full).as("first_price"),
+      last(col("o_totalprice")).over(full).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** Event-time range frame: rolling 30-day spend per customer (RANGE
+    * over a day-number key — ties share the frame, so no tiebreak is
+    * even needed for determinism). */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNum = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNum).rangeBetween(-29, 0)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+  }
+
+  /** Unpivot (stack): the pivoted per-nation segment sums back to long
+    * form — the inverse pair of A2. */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    qPivot(s, d).selectExpr("c_nationkey",
+      s"stack(${Segments.size}, ${Segments.map(v => s"'$v', $v").mkString(", ")}) AS (segment, bal)")
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-status, per-
+    * priority, and grand-total rows in one pass. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  /** Conditional aggregation battery: count_if, filtered decimal sum,
+    * bool_or / bool_and. */
+  private def qCondAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("count_if(l_quantity > 25)").as("n_bigqty"),
+        sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("disc_revenue"),
+        expr("bool_or(l_quantity > 49)").as("any_max_qty"),
+        expr("bool_and(l_extendedprice > 0)").as("all_positive"))
+
+  /** Full outer join with key/value coalescing: per-nation customer and
+    * supplier counts, neither side required. */
+  private def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").cast("long").as("snk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Generator with ordinality: tokens with positions (posexplode). */
+  private def qPosexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join"     -> (qBloomJoin _),
+    "q_gap_fill"       -> (qGapFill _),
+    "q_window_fns"     -> (qWindowFns _),
+    "q_window_range"   -> (qWindowRange _),
+    "q_unpivot"        -> (qUnpivot _),
+    "q_grouping_sets"  -> (qGroupingSets _),
+    "q_cond_agg"       -> (qCondAgg _),
+    "q_full_outer"     -> (qFullOuter _),
+    "q_posexplode"     -> (qPosexplode _),
     "q_repetition"     -> (qRepetition _),
     "q_pii_redact"     -> (qPiiRedact _),
     "q_hash_split"     -> (qHashSplit _),
@@ -943,6 +1058,80 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_bloom_join" -> """
+      SELECT s_suppkey, s_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_acctbal > 5000
+      GROUP BY 1, 2""",
+    "q_gap_fill" -> """
+      WITH monthly AS (
+        SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+          count(*) AS n_orders, max(o_orderstatus) AS st
+        FROM orders GROUP BY 1, 2),
+      bounds AS (SELECT o_custkey, min(m) AS d0, max(m) AS d1 FROM monthly GROUP BY 1),
+      spine AS (SELECT o_custkey,
+        CAST(unnest(generate_series(d0, d1, INTERVAL 1 MONTH)) AS DATE) AS m FROM bounds),
+      j AS (SELECT s.o_custkey, s.m, COALESCE(mo.n_orders, 0) AS n_orders, mo.st
+            FROM spine s LEFT JOIN monthly mo ON s.o_custkey = mo.o_custkey AND s.m = mo.m)
+      SELECT o_custkey, strftime(m, '%Y-%m-%d') AS month, n_orders,
+        last_value(st IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS status_ff
+      FROM j""",
+    "q_window_fns" -> """
+      SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER wf AS first_price,
+        last_value(o_totalprice) OVER wf AS last_price,
+        nth_value(o_totalprice, 2) OVER wf AS second_price,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_window_range" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      FROM orders""",
+    "q_unpivot" -> s"""
+      WITH piv AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          ${Segments.map(v => s"CAST(sum(CASE WHEN c_mktsegment = '$v' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS \"$v\"").mkString(", ")}
+        FROM customer GROUP BY 1)
+      ${Segments.map(v => s"SELECT c_nationkey, '$v' AS segment, \"$v\" AS bal FROM piv")
+        .mkString(" UNION ALL ")}""",
+    "q_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_cond_agg" -> """
+      SELECT l_returnflag,
+        CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bigqty,
+        CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_revenue,
+        bool_or(l_quantity > 49) AS any_max_qty,
+        bool_and(l_extendedprice > 0) AS all_positive
+      FROM lineitem GROUP BY 1""",
+    "q_full_outer" -> """
+      SELECT COALESCE(nk, snk) AS nationkey,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n_cust
+            FROM customer GROUP BY 1) c
+      FULL JOIN (SELECT CAST(s_nationkey AS BIGINT) AS snk, count(*) AS n_supp
+            FROM supplier GROUP BY 1) s
+      ON nk = snk""",
+    "q_posexplode" -> """
+      SELECT doc_id, CAST(s.i AS BIGINT) - 1 AS pos, s.tok AS tok FROM (
+        SELECT doc_id,
+          unnest(list_transform(string_split(text, ' '), (x, i) -> {'i': i, 'tok': x})) AS s
+        FROM documents)""",
     "q_repetition" -> """
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]

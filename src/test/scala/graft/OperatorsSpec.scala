@@ -80,6 +80,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("BloomJoin equals the plain join, actually prunes, survives empty build side") {
+    val large = Seq.tabulate(1000)(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val small = Seq(1L, 2L, 3L).toDF("sk").withColumn("name", concat(lit("s"), col("sk")))
+    val bloomed = BloomJoin.bloomFilteredInner(large, small, "k", "sk")
+    val plain = large.join(small, col("k") === col("sk"))
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    assert(bloomed.count() == 30)
+    // plan assertion needs a parquet source (over a LocalRelation the
+    // optimizer eagerly evaluates the predicate into the scan itself) —
+    // on a file scan the might_contain filter must sit before the join
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val supp = Tables.supplier(spark, "/root/testdata/sf0.001").filter(col("s_acctbal") > 5000)
+    val fileBloomed = BloomJoin.bloomFilteredInner(li, supp, "l_suppkey", "s_suppkey")
+    assert(fileBloomed.queryExecution.executedPlan.toString.contains("might_contain"))
+    val filePlain = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+    assert(fileBloomed.count() == filePlain.count())
+    // empty build side -> empty inner join, no NPE on the null sketch
+    val empty = BloomJoin.bloomFilteredInner(large, small.filter(col("sk") > 99), "k", "sk")
+    assert(empty.count() == 0)
+  }
+
+  test("GapFill: spine covers min..max, zero-fills counts, forward-fills values") {
+    val obs = Seq(
+      (1L, "2024-01-01", 2L, "A"), (1L, "2024-04-01", 1L, "B"),
+      (2L, "2024-02-01", 5L, "X")).toDF("k", "d", "n", "st")
+      .withColumn("d", to_date(col("d")))
+    val got = GapFill.fillForward(obs, "k", "d", expr("interval 1 month"),
+        fillCols = Seq("st"), zeroCols = Seq("n"))
+      .select(col("k"), date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"), col("st"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == 5) // key 1: 4 months; key 2: 1 month
+    assert(got((1L, "2024-01-01")) == ((2L, "A")))
+    assert(got((1L, "2024-02-01")) == ((0L, "A")))   // gap: zero count, carried status
+    assert(got((1L, "2024-03-01")) == ((0L, "A")))
+    assert(got((1L, "2024-04-01")) == ((1L, "B")))
+    assert(got((2L, "2024-02-01")) == ((5L, "X")))
+  }
+
   test("Scd.collapseRuns folds consecutive equal attributes into validity intervals") {
     // key 1: A(d1,d2) B(d3) A(d4) -> three runs (A twice, non-adjacent);
     // key 2: single run
