@@ -43,6 +43,31 @@ object StreamingOps {
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Sliding event-time windows: each event lands in width/slide
+    * overlapping windows; append mode emits each window once the
+    * watermark passes its end. State is one row per open (window, type)
+    * — bounded by watermark delay / slide.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+                    width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** foreachBatch idempotent file sink: each micro-batch of an update-
+    * mode aggregate rewrites exactly the hive partitions it touches
+    * (dynamic partition overwrite), so replaying a batch after a failure
+    * converges to the same files instead of appending duplicates — the
+    * standard exactly-once recipe when a plain append sink isn't enough.
+    */
+  def partitionOverwriteSink(out: DataFrame, dir: String, partitionCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    out.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    }
+
   /** Gap-based streaming sessionization: a session closes when no event
     * arrives for `gapMs` (by event time, enforced by watermark timeout).
     */

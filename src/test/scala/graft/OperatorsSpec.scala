@@ -80,6 +80,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("Observation metrics ride the job — no second scan for data-quality counters") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val obs = org.apache.spark.sql.Observation()
+    li.observe(obs, count(lit(1)).as("rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        count_if(col("l_extendedprice").isNull).as("null_prices"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == li.count())
+    assert(m("null_prices") == 0L)
+    assert(m("qty").asInstanceOf[Double] > 0)
+  }
+
   test("BloomJoin equals the plain join, actually prunes, survives empty build side") {
     val large = Seq.tabulate(1000)(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
     val small = Seq(1L, 2L, 3L).toDF("sk").withColumn("name", concat(lit("s"), col("sk")))

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Compaction
+
+/** Format breadth beyond the reference's parquet/CSV: JSON-lines and ORC
+  * round-trips with explicit schemas (never inferSchema at scale — one
+  * extra full read), plus small-files compaction.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.schema == b.schema, s"${a.schema} vs ${b.schema}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("JSON lines round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/out"
+    docs.write.json(dir)
+    assertSame(spark.read.schema(docs.schema).json(dir), docs)
+  }
+
+  test("ORC round-trip") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    docs.write.orc(dir)
+    assertSame(spark.read.orc(dir), docs)
+  }
+
+  test("CSV round-trip with explicit schema, header, quoting") {
+    // embed a delimiter + quote into one value to exercise csv escaping
+    val tricky = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(lit("a,\"b\" "), col("text"))).otherwise(col("text")))
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    tricky.write.option("header", "true").csv(dir)
+    assertSame(spark.read.schema(tricky.schema).option("header", "true").csv(dir), tricky)
+  }
+
+  test("compactParquet: many small files become the target count, content identical") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.repartition(64).write.parquet(src)
+    def files(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(src) == 64)
+    val rows = ev.count()
+    val written = Compaction.compactParquet(spark, src, dst, targetRowsPerFile = rows / 4)
+    assert(files(dst) == written && written <= 5)
+    assertSame(spark.read.parquet(dst), ev)
+  }
+}

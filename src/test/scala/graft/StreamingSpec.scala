@@ -102,6 +102,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts: events land in overlapping windows, closed by the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamingOps.slidingCounts(
+      mem.toDF().withColumn("event_type", lit("click")), "ts", "10 minutes",
+      width = "60 minutes", slide = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(40), 1, 1.0))   // windows [0,60) and [30,90)
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(200), 2, 1.0))  // advances watermark, closes both
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT CAST(unix_millis(window.start) AS BIGINT) / 60000 - 1440 AS m, n FROM sliding")
+        .collect().map(r => r.getDouble(0).toLong -> r.getLong(1)).toMap
+      assert(rows == Map(0L -> 1L, 30L -> 1L))  // one event, two overlapping windows
+    } finally q.stop()
+  }
+
+  test("batch Column code runs unchanged on a stream: text quality scoring") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.text.TextFns
+    val mem = MemoryStream[(Long, String)]
+    val scored = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.qualityScore(col("text")).as("q"),
+        TextFns.langId(col("text")).as("lang"))
+    val q = scored.writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    try {
+      val texts = Seq((1L, "the cat and the dog of the house is in town"),
+        (2L, "el la de que los"))
+      mem.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, q, lang FROM scored")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+      // identical Column expressions evaluated in batch
+      val batch = texts.toDF("doc_id", "text")
+        .select(col("doc_id"), TextFns.qualityScore(col("text")).as("q"),
+          TextFns.langId(col("text")).as("lang"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+      assert(streamed == batch && batch(2L)._2 == "es")
+    } finally q.stop()
+  }
+
+  test("partitionOverwriteSink: replayed partitions converge instead of duplicating") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF()
+      .withColumn("event_type", when(col("event_id") % 2 === 0, "click").otherwise("view"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = StreamingOps.partitionOverwriteSink(agg, dir, "event_type").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, 1.0), Event(1, ts(1), 2, 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(2), 4, 1.0))   // more clicks -> click partition rewritten
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L), out.toString)
+    } finally q.stop()
+  }
+
   test("stream/batch parity: streaming hourly aggregate reproduces the batch answer") {
     import spark.implicits._
     // batch truth on real sf0.001 events (decimal-exact sums like the query)
