@@ -832,9 +832,46 @@ object SparkEntry {
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
 
+  /** Unicode NFC normalization (custom codegen expression — Spark has no
+    * builtin): decomposed "e"+combining-acute collapses to composed "é",
+    * shrinking the code-point length — the canonicalization step before
+    * content hashing of multilingual text. */
+  private def qNormalize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val decomposed = concat(col("c_mktsegment"), lit("é"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      nfcNormalize(decomposed).as("normalized"),
+      length(decomposed).cast("long").as("len_raw"),
+      length(nfcNormalize(decomposed)).cast("long").as("len_nfc"))
+  }
+
+  /** Error-safe function battery: try_cast / try_divide / try_element_at
+    * return null instead of failing the job — what a 100 TB ingest needs
+    * when one malformed row must not kill the batch. */
+  private def qTryFns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr("try_cast(c_name AS INT)").cast("long").as("name_int"),
+      expr("try_cast(substring(c_name, 10, 5) AS INT)").cast("long").as("mid_int"),
+      round(expr("try_divide(c_acctbal, c_nationkey)"), 6).as("safe_div"),
+      expr("try_element_at(array(1, 2), 5)").cast("long").as("oob_elem"))
+
+  /** Weighted average via the public typed Aggregator API (decimal-exact
+    * buffer, one double division at the end — hash-reproducible). */
+  private def qWeightedAvg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.WeightedAvg.weightedAvg(
+          col("l_extendedprice"), col("l_quantity")).as("w_avg_price"),
+        count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize"      -> (qNormalize _),
+    "q_try_fns"        -> (qTryFns _),
+    "q_weighted_avg"   -> (qWeightedAvg _),
     "q_bloom_join"     -> (qBloomJoin _),
     "q_gap_fill"       -> (qGapFill _),
     "q_window_fns"     -> (qWindowFns _),
@@ -1057,6 +1094,25 @@ object SparkEntry {
     "q_approx_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
+      FROM lineitem GROUP BY 1""",
+    "q_normalize" -> """
+      SELECT c_custkey,
+        nfc_normalize(c_mktsegment || 'e' || chr(769)) AS normalized,
+        CAST(length(c_mktsegment || 'e' || chr(769)) AS BIGINT) AS len_raw,
+        CAST(length(nfc_normalize(c_mktsegment || 'e' || chr(769))) AS BIGINT) AS len_nfc
+      FROM customer""",
+    "q_try_fns" -> """
+      SELECT c_custkey,
+        CAST(TRY_CAST(c_name AS INTEGER) AS BIGINT) AS name_int,
+        CAST(TRY_CAST(substr(c_name, 10, 5) AS INTEGER) AS BIGINT) AS mid_int,
+        round(c_acctbal / NULLIF(c_nationkey, 0), 6) AS safe_div,
+        CAST(([1, 2])[5] AS BIGINT) AS oob_elem
+      FROM customer""",
+    "q_weighted_avg" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_price,
+        count(*) AS n
       FROM lineitem GROUP BY 1""",
     "q_bloom_join" -> """
       SELECT s_suppkey, s_name,

@@ -26,4 +26,23 @@ object Compaction {
     df.repartition(parts).write.mode("overwrite").parquet(dstDir)
     parts
   }
+
+  /** Z-order layout: range-partition AND sort by the Morton code of two
+    * long dimensions, then write `files` parquet files. Rows close in
+    * both dimensions land in the same file, so a 2-D box predicate reads
+    * a handful of files (their min/max footer stats exclude the rest) —
+    * one-dimensional sort only ever clusters its own column. The Morton
+    * key is a codegen'd expression in the write path and is dropped from
+    * the stored schema.
+    */
+  def zorderWrite(df: org.apache.spark.sql.DataFrame, dimA: String, dimB: String,
+                  dstDir: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.InterleaveBits.interleaveBits
+    df.withColumn("__z", interleaveBits(col(dimA).cast("long"), col(dimB).cast("long")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dstDir)
+  }
 }

@@ -118,6 +118,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2).getString(0) == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
   }
 
+  test("NfcNormalize composes decomposed sequences; interpreted == codegen; idempotent") {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val df = Seq("e\u0301", "cafe\u0301", "plain", "").toDF("s")
+    val got = df.select(nfcNormalize(col("s")).as("n"), length(col("s")).as("lr"),
+      length(nfcNormalize(col("s"))).as("ln")).collect()
+    assert(got(0).getString(0) == "\u00e9" && got(0).getInt(1) == 2 && got(0).getInt(2) == 1)
+    assert(got(1).getString(0) == "caf\u00e9")
+    assert(got(2).getString(0) == "plain")
+    assert(got(3).getString(0) == "")
+    // idempotence + null
+    val again = df.select(nfcNormalize(nfcNormalize(col("s"))).as("n")).collect().map(_.getString(0))
+    assert(again.toSeq == got.map(_.getString(0)).toSeq)
+    assert(Seq(Tuple1(null: String)).toDF("s").select(nfcNormalize(col("s"))).head.isNullAt(0))
+  }
+
+  test("InterleaveBits: known morton codes, locality ordering") {
+    import graft.functions.InterleaveBits.interleaveBits
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (0xFFFFFFFFL, 0xFFFFFFFFL))
+      .toDF("a", "b")
+    val got = df.select(interleaveBits(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 2L, 3L, 12L, -1L)) // full 32+32 bits -> all 64 bits set
+  }
+
+  test("WeightedAvg Aggregator equals the decimal-sum composition, handles zero weight") {
+    import graft.functions.WeightedAvg
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val viaAgg = li.groupBy(col("l_returnflag"))
+      .agg(WeightedAvg.weightedAvg(col("l_extendedprice"), col("l_quantity")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaSums = li.groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)"))
+        .cast("double") / sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaAgg == viaSums) // bit-identical: exact decimal sums, one double division
+    val nan = Seq((1.0, 0.0)).toDF("v", "w")
+      .agg(WeightedAvg.weightedAvg(col("v"), col("w"))).head.getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("PolyHash: known values, empty, null") {
     def ph(s: String): Long =
       Seq(s).toDF("s").select(PolyHash.polyHash(col("s"))).head.getLong(0)

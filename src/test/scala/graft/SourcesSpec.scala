@@ -43,6 +43,29 @@ class SourcesSpec extends AnyFunSuite {
     assertSame(spark.read.schema(tricky.schema).option("header", "true").csv(dir), tricky)
   }
 
+  test("zorderWrite clusters a 2-D box into few files; hash layout scatters it") {
+    import spark.implicits._
+    // 64x64 grid of points, 16 files each layout
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val base = Files.createTempDirectory("graft-z").toString
+    Compaction.zorderWrite(grid, "x", "y", s"$base/zorder", files = 16)
+    grid.repartition(16).write.parquet(s"$base/hash")
+
+    def filesTouched(dir: String): Long = {
+      val hit = spark.read.parquet(dir)
+        .filter(col("x").between(8, 15) && col("y").between(8, 15))
+      assert(hit.count() == 64) // correctness first: the full 8x8 box
+      hit.select(input_file_name()).distinct().count()
+    }
+    val z = filesTouched(s"$base/zorder")
+    val h = filesTouched(s"$base/hash")
+    // the box is 1/64 of the data: z-order confines it to a couple of
+    // files; a hash layout spreads it over essentially all of them
+    assert(z <= 2, s"z-order touched $z files")
+    assert(h >= 12, s"hash layout touched only $h files")
+  }
+
   test("compactParquet: many small files become the target count, content identical") {
     val base = Files.createTempDirectory("graft-compact").toString
     val src = s"$base/src"
