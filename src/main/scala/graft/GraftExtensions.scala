@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PolyHash, TitleCase}
+import graft.functions.{DotProduct, InterleaveBits, NfcNormalize, PolyHash, TitleCase, WordShingles}
 
 /** Session extension wiring: registers the library's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT titlecase(c) ...")`
@@ -15,22 +15,33 @@ import graft.functions.{PolyHash, TitleCase}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("titlecase"),
-      new ExpressionInfo(classOf[TitleCase].getName, "titlecase"),
-      (children: Seq[Expression]) => TitleCase(children.head)))
-    e.injectFunction((FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+    GraftExtensions.All.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TitleCase].getName, name), builder))
+    }
     e.injectOptimizerRule(_ => graft.plans.CollapseTitleCase)
   }
 }
 
 object GraftExtensions {
+
+  /** Every custom expression under its SQL name — one list drives both
+    * the extension injection and the existing-session registration.
+    */
+  private[graft] val All: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "titlecase"       -> (exprs => TitleCase(exprs.head)),
+    "poly_hash"       -> (exprs => PolyHash(exprs.head)),
+    "nfc_normalize"   -> (exprs => NfcNormalize(exprs.head)),
+    "dot_product"     -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "interleave_bits" -> (exprs => InterleaveBits(exprs(0), exprs(1))),
+    "word_shingles"   -> (exprs => WordShingles(exprs(0),
+      exprs(1).eval().asInstanceOf[Int]))) // n must be a literal
+
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "titlecase", exprs => TitleCase(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    All.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseTitleCase)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollapseTitleCase

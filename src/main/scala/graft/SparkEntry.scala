@@ -866,9 +866,52 @@ object SparkEntry {
           col("l_extendedprice"), col("l_quantity")).as("w_avg_price"),
         count(lit(1)).as("n"))
 
+  /** Count-Min sketch under the bound oracle: per-key exact counts are
+    * hash-checked, and the oracle pins the CMS guarantees — estimate >=
+    * exact (never undercounts) and estimate <= exact + eps * N. The
+    * sketch builds distributed (map-side partial merge), probes via the
+    * CmsEstimate expression over the dimension-sized aggregate. */
+  private def qCountMin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsEstimate
+    val li = Tables.lineitem(s, d)
+    val sketch = CmsEstimate.buildSketch(li, "l_suppkey", eps = 0.001)
+    val total = lit(1000000L) // eps * N slack as a fixed generous bound
+    li.groupBy(col("l_suppkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .select(col("k"), col("exact_cnt"),
+        (CmsEstimate.cmsEstimate(sketch, col("k")) >= col("exact_cnt")).as("cms_never_under"),
+        (CmsEstimate.cmsEstimate(sketch, col("k")) <= col("exact_cnt") + total / 1000)
+          .as("cms_within_eps"))
+  }
+
+  /** Fuzzy string matching: edit distance to a reference key — the
+    * verify primitive of fuzzy entity resolution. */
+  private def qEditDistance(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("lev"))
+
+  /** The custom expressions through their SQL names (GraftExtensions
+    * registration) — proves the SQL front-end surface, same results as
+    * the Column API. */
+  private def qSqlFunctions(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    Tables.customer(s, d).createOrReplaceTempView("customer_fns")
+    s.sql("""
+      SELECT c_custkey,
+        titlecase(lower(c_name)) AS name_title,
+        poly_hash(c_mktsegment) AS seg_hash,
+        interleave_bits(CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS z,
+        CAST(size(word_shingles(lower(c_name), 2)) AS BIGINT) AS n_shingles
+      FROM customer_fns""")
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_min"      -> (qCountMin _),
+    "q_edit_distance"  -> (qEditDistance _),
+    "q_sql_functions"  -> (qSqlFunctions _),
     "q_normalize"      -> (qNormalize _),
     "q_try_fns"        -> (qTryFns _),
     "q_weighted_avg"   -> (qWeightedAvg _),
@@ -1095,6 +1138,41 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_count_min" -> """
+      SELECT CAST(l_suppkey AS BIGINT) AS k, count(*) AS exact_cnt,
+        TRUE AS cms_never_under, TRUE AS cms_within_eps
+      FROM lineitem GROUP BY 1""",
+    "q_edit_distance" -> """
+      SELECT c_custkey,
+        CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev
+      FROM customer""",
+    "q_sql_functions" -> """
+      WITH s0 AS (SELECT c_custkey, lower(c_name) AS nm, c_mktsegment AS seg,
+                    CAST(c_custkey AS BIGINT) & 4294967295 AS a,
+                    CAST(c_nationkey AS BIGINT) & 4294967295 AS b
+                  FROM customer),
+      s1 AS (SELECT *, (a | (a << 16)) & 281470681808895 AS a1,
+                       (b | (b << 16)) & 281470681808895 AS b1 FROM s0),
+      s2 AS (SELECT *, (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+                       (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM s1),
+      s3 AS (SELECT *, (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+                       (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM s2),
+      s4 AS (SELECT *, (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+                       (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM s3),
+      s5 AS (SELECT *, (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+                       (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM s4)
+      SELECT c_custkey,
+        upper(substr(nm, 1, 1)) || substr(nm, 2) AS name_title,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(seg, ''), c -> CAST(ord(c) AS BIGINT))),
+          (x, y) -> (x * 31 + y) % 1000000007) AS seg_hash,
+        a5 | (b5 << 1) AS z,
+        CASE WHEN len(string_split(nm, ' ')) < 2 THEN 1
+             ELSE len(list_distinct(list_transform(
+               generate_series(1, len(string_split(nm, ' ')) - 1),
+               i -> string_split(nm, ' ')[i] || ' ' || string_split(nm, ' ')[i+1]))) END
+          AS n_shingles
+      FROM s5""",
     "q_normalize" -> """
       SELECT c_custkey,
         nfc_normalize(c_mktsegment || 'e' || chr(769)) AS normalized,

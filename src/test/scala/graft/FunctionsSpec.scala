@@ -166,6 +166,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Seq[String](null).toDF("s").select(PolyHash.polyHash(col("s"))).head.isNullAt(0))
   }
 
+  test("CmsEstimate: sketch never undercounts, tight for low-collision keys") {
+    import graft.functions.CmsEstimate
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val sketch = CmsEstimate.buildSketch(li, "l_suppkey", eps = 0.001)
+    val rows = li.groupBy(col("l_suppkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("n"), CmsEstimate.cmsEstimate(sketch, col("k")).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= n, s"CMS undercounted key ${r.getLong(0)}: $est < $n")
+      assert(est <= n + 600, s"CMS overcounted far past eps*N: $est vs $n")
+    }
+    // deterministic across builds (fixed seed)
+    val sketch2 = CmsEstimate.buildSketch(li, "l_suppkey", eps = 0.001)
+    assert(java.util.Arrays.equals(sketch, sketch2))
+  }
+
+  test("multimodal features feed ANN: decode -> deterministic embed -> top-k") {
+    import graft.multimodal.Multimodal
+    implicit val s = spark
+    val media = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val feats = Multimodal.decode(media).toDF()
+    // stand-in embedding from decoded metadata — deterministic, codegen'd
+    val embedded = feats.select(col("media_id"),
+      array(col("n_bytes").cast("float"), col("width").cast("float"),
+        col("height").cast("float"), col("n_frames").cast("float")).as("emb"))
+    val q = embedded.filter(col("media_id") === embedded.select(min("media_id")).head.getLong(0))
+    val top = graft.similarity.Similarity.bruteForceTopK(
+      embedded, "emb", "media_id", q, "emb", 5).collect()
+    assert(top.length == 5 && top.head.getDouble(1) == 1.0) // self-match first
+    val again = graft.similarity.Similarity.bruteForceTopK(
+      embedded, "emb", "media_id", q, "emb", 5).collect()
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("GraftExtensions registers titlecase/poly_hash as SQL functions") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT titlecase('o\\'neill') AS t, poly_hash('ab') AS h").head

@@ -1,4 +1,5 @@
 package graft
+// (join-hint strategy selection appended below)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -51,5 +52,16 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     // only the final top-k sort is allowed to move data
     assert(!p.contains("ShuffleExchange") || p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join strategy hints select the hinted physical operator") {
+    val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    def strat(hint: String): String =
+      c.join(n.hint(hint), col("c_nationkey") === col("n_nationkey"))
+        .queryExecution.sparkPlan.toString
+    assert(strat("broadcast").contains("BroadcastHashJoin"))
+    assert(strat("merge").contains("SortMergeJoin"))
+    assert(strat("shuffle_hash").contains("ShuffledHashJoin"))
   }
 }

@@ -66,6 +66,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(h >= 12, s"hash layout touched only $h files")
   }
 
+  test("catalog tables: saveAsTable / spark.table / insertInto / listing") {
+    val dir = Files.createTempDirectory("graft-table").toString + "/t"
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    nation.write.option("path", dir).saveAsTable("nation_tbl")
+    try {
+      assert(spark.catalog.tableExists("nation_tbl"))
+      assert(spark.table("nation_tbl").count() == nation.count())
+      // SQL over the catalog entry
+      assert(spark.sql("SELECT count(*) FROM nation_tbl").head.getLong(0) == nation.count())
+      // append through the catalog, not the path
+      nation.limit(5).write.mode("append").insertInto("nation_tbl")
+      assert(spark.table("nation_tbl").count() == nation.count() + 5)
+      assert(spark.catalog.listColumns("nation_tbl").count() == nation.columns.length)
+    } finally spark.sql("DROP TABLE IF EXISTS nation_tbl")
+  }
+
   test("compactParquet: many small files become the target count, content identical") {
     val base = Files.createTempDirectory("graft-compact").toString
     val src = s"$base/src"
