@@ -907,8 +907,106 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Batch 9 — classic TPC-H shapes (adapted to the testdata's TPC-H-lite
+  // schemas) + hot-key-only salted join.
+  //
+  // Decimal parity notes: two-factor money products stay inside exact
+  // decimal bounds on both engines ((12,2) x (13,2) -> (26,4), precision
+  // <= 38). The THREE-factor Q1 charge would need precision 40, where
+  // Spark silently rounds and DuckDB errors — so charge is computed in
+  // exact integer cents (price_c * (100-disc_c) * (100+tax_c), summed as
+  // decimal(38,0), one division at the end). Bit-identical both sides.
+  // ---------------------------------------------------------------------
+
+  private def dec12(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit("1.00").cast("decimal(3,2)")
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** TPC-H Q1: pricing summary report. */
+  private def qTpchQ1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))).cast("decimal(38,0)"))
+          .cast("double") / 1e6).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 (adapted: no shippriority column): unshipped orders
+    * revenue, top 10. */
+  private def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+    val li = Tables.lineitem(s, d).filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), iso(col("o_orderdate")).as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5: local supplier volume per nation within a region-year. */
+  private def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q6: forecast revenue change — scan-only aggregate, the purest
+    * pushdown+codegen benchmark shape. */
+  private def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01")
+        && to_date(col("l_shipdate")) < lit("1997-01-01")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(dec12(col("l_extendedprice")) * dec12(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** Hot-key-only salted join: detected heavy supplier keys take the
+    * salted path, cold keys join plain — identical result to the plain
+    * join (the oracle), without replicating the whole build side. */
+  private def qSaltedHot(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedInnerHotOnly(
+        Tables.lineitem(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey",
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")), salts = 8,
+        hotThreshold = 1000L)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1"        -> (qTpchQ1 _),
+    "q_tpch_q3"        -> (qTpchQ3 _),
+    "q_tpch_q5"        -> (qTpchQ5 _),
+    "q_tpch_q6"        -> (qTpchQ6 _),
+    "q_salted_hot"     -> (qSaltedHot _),
     "q_count_min"      -> (qCountMin _),
     "q_edit_distance"  -> (qEditDistance _),
     "q_sql_functions"  -> (qSqlFunctions _),
@@ -1138,6 +1236,65 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_tpch_q1" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS sum_disc_price,
+        CAST(sum(CAST(
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+          * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 1e6
+          AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY 1, 2""",
+    "q_tpch_q3" -> """
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+      GROUP BY 1""",
+    "q_tpch_q6" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+    "q_salted_hot" -> """
+      SELECT s_suppkey, s_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2""",
     "q_count_min" -> """
       SELECT CAST(l_suppkey AS BIGINT) AS k, count(*) AS exact_cnt,
         TRUE AS cms_never_under, TRUE AS cms_within_eps

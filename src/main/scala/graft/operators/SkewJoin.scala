@@ -27,6 +27,41 @@ object SkewJoin {
       .drop("__salt")
   }
 
+  /** Detect heavy keys: one count aggregate, keep keys above `threshold`
+    * occurrences, collect ONLY those (the hot-key list is tiny by
+    * definition — a key set that isn't tiny isn't skew, it's volume).
+    */
+  def heavyKeys(df: DataFrame, key: String, threshold: Long): Seq[Long] =
+    df.groupBy(col(key).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= threshold)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Hot-key-only salted join: blanket salting replicates the ENTIRE
+    * build side `salts` times — wasted shuffle volume when only a few
+    * keys are actually hot. Here the probe side splits on the detected
+    * hot-key list (an isin over a driver-collected handful): cold keys
+    * take the plain join, hot keys the salted path with a build side
+    * replicated ONLY for the hot keys' rows. Union of the two legs is
+    * row-identical to the plain join — the textbook partial-salting
+    * shape for 100 TB facts with a handful of pathological keys.
+    */
+  def saltedInnerHotOnly(probe: DataFrame, build: DataFrame, probeKey: String,
+                         buildKey: String, saltSource: Column, salts: Int,
+                         hotThreshold: Long): DataFrame = {
+    val hot = heavyKeys(probe, probeKey, hotThreshold)
+    if (hot.isEmpty) probe.join(build, probe(probeKey) === build(buildKey))
+    else {
+      val cold = probe.filter(!col(probeKey).isin(hot: _*))
+        .join(build, probe(probeKey) === build(buildKey))
+      val hotJoin = saltedInner(
+        probe.filter(col(probeKey).isin(hot: _*)),
+        build.filter(col(buildKey).isin(hot: _*)),
+        probeKey, buildKey, saltSource, salts)
+      cold.unionByName(hotJoin)
+    }
+  }
+
   /** Two-phase salted aggregation for hot grouping keys: partial
     * aggregate on (key, salt) — spreading each hot key over `salts`
     * partitions — then final aggregate on key. `aggs` must be

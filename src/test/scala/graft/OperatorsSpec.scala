@@ -80,6 +80,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("saltedInnerHotOnly equals the plain join; heavyKeys finds exactly the hot keys") {
+    // key 7 is hot (500 rows), keys 0-9 cold (10 each)
+    val probe = (Seq.tabulate(500)(i => (7L, 10000L + i)) ++
+      (for { k <- 0L until 10L; i <- 0 until 10 } yield (k, k * 100 + i)))
+      .toDF("k", "tie")
+    val build = (0L until 10L).toDF("bk").withColumn("name", concat(lit("s"), col("bk")))
+    assert(SkewJoin.heavyKeys(probe, "k", 100L) == Seq(7L))
+    val hot = SkewJoin.saltedInnerHotOnly(probe, build, "k", "bk",
+      saltSource = col("tie"), salts = 4, hotThreshold = 100L)
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(hot.count() == plain.count())
+    assert(hot.select("k", "tie", "bk", "name").exceptAll(plain.select("k", "tie", "bk", "name")).isEmpty)
+    // no hot keys -> falls back to the plain join shape, still identical
+    val none = SkewJoin.saltedInnerHotOnly(probe, build, "k", "bk",
+      saltSource = col("tie"), salts = 4, hotThreshold = 100000L)
+    assert(none.count() == plain.count())
+  }
+
   test("Observation metrics ride the job — no second scan for data-quality counters") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val obs = org.apache.spark.sql.Observation()
