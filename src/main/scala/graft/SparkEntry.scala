@@ -999,9 +999,22 @@ object SparkEntry {
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** The custom TopKPerGroup operator (LogicalPlan + Strategy + two-phase
+    * exec): same semantics and oracle as q_window_topk, but the exchange
+    * carries at most k rows per (group, partition) instead of the whole
+    * fact table — heap-prune map-side, merge reduce-side. */
+  private def qTopkCustom(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    graft.plans.TopKPerGroup.perGroup(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_custom"    -> (qTopkCustom _),
     "q_tpch_q1"        -> (qTpchQ1 _),
     "q_tpch_q3"        -> (qTpchQ3 _),
     "q_tpch_q5"        -> (qTpchQ5 _),
@@ -1236,6 +1249,11 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_topk_custom" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3""",
     "q_tpch_q1" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

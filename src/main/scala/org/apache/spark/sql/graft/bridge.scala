@@ -1,15 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Spark 4 made the Column <-> Catalyst Expression bridge `private[sql]`
   * (Column is now backed by ColumnNode for Connect compatibility). This
-  * shim re-exports the two conversions a Catalyst-extending library needs,
+  * shim re-exports the conversions a Catalyst-extending library needs,
   * from inside the `org.apache.spark.sql` namespace.
   */
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (Dataset.ofRows is private[sql])
+    * — the entry point for library-defined logical operators.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

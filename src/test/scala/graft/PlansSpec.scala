@@ -54,6 +54,41 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("ShuffleExchange") || p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("TopKPerGroup custom operator: equals the window form, prunes before the exchange") {
+    GraftExtensions.register(spark)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val custom = graft.plans.TopKPerGroup.perGroup(
+      orders, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+    // row-identical to the window formulation (incl. the rank column)
+    val windowed = SparkEntry.queries("q_window_topk")(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    assert(custom.exceptAll(windowed).isEmpty && windowed.exceptAll(custom).isEmpty)
+    // physical shape + shuffle volume, AQE off so the exchange node (and
+    // its metrics) sit directly in the plan tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val c2 = graft.plans.TopKPerGroup.perGroup(
+        orders, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      c2.collect()
+      val p = c2.queryExecution.executedPlan.toString
+      assert(p.contains("PartialTopK") && p.contains("FinalTopK"), p)
+      assert(p.indexOf("FinalTopK") < p.indexOf("Exchange"), p)
+      assert(p.indexOf("Exchange") < p.indexOf("PartialTopK"), p)
+      // the scale property: the exchange moves at most k rows per
+      // (group, input partition), not the input
+      val nInput = orders.count()
+      val shuffled = c2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.collectFirst {
+            case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+          }.getOrElse(0L)
+      }.sum
+      assert(shuffled > 0 && shuffled < nInput / 2,
+        s"exchange carried $shuffled of $nInput input rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("join strategy hints select the hinted physical operator") {
     val c = Tables.customer(spark, sf)
     val n = Tables.nation(spark, sf)
