@@ -1011,9 +1011,24 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** TPC-H Q14: promo revenue share for one ship month — broadcast dim
+    * join + conditional decimal aggregate + one final double ratio. */
+  private def qTpchQ14(s: SparkSession, d: String): DataFrame = {
+    val dp = dec12(col("l_extendedprice")) * (one - dec12(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-09-01")
+        && to_date(col("l_shipdate")) < lit("1997-10-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0)
+        * sum(when(col("p_type") === "PROMO", dp).otherwise(lit(0).cast("decimal(26,4)")))
+          .cast("double")
+        / sum(dp).cast("double"), 6).as("promo_revenue"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q14"       -> (qTpchQ14 _),
     "q_topk_custom"    -> (qTopkCustom _),
     "q_tpch_q1"        -> (qTpchQ1 _),
     "q_tpch_q3"        -> (qTpchQ3 _),
@@ -1249,6 +1264,18 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_tpch_q14" -> """
+      SELECT round(100.0
+        * CAST(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+            ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+        6) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'""",
     "q_topk_custom" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,

@@ -80,6 +80,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("stratified sampleBy: seeded, deterministic, per-stratum fractions honored") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val fractions = Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.0)
+    val s1 = li.stat.sampleBy("l_returnflag", fractions, seed = 42L)
+    val s2 = li.stat.sampleBy("l_returnflag", fractions, seed = 42L)
+    assert(s1.count() == s2.count()) // deterministic for a fixed seed
+    val counts = s1.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("R"))
+    assert(math.abs(counts("A").toDouble / totals("A") - 0.5) < 0.1)
+    assert(math.abs(counts("N").toDouble / totals("N") - 0.1) < 0.05)
+  }
+
   test("saltedInnerHotOnly equals the plain join; heavyKeys finds exactly the hot keys") {
     // key 7 is hot (500 rows), keys 0-9 cold (10 each)
     val probe = (Seq.tabulate(500)(i => (7L, 10000L + i)) ++

@@ -89,6 +89,34 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 1 is pathologically hot; payload pads partition bytes
+      val left = (Seq.fill(60000)(1L) ++ (2L to 200L)).zipWithIndex
+        .map { case (k, i) => (k, s"payload_$i" * 8) }.toDF("k", "pay")
+      val right = (1L to 200L).map(k => (k, s"r$k")).toDF("rk", "name")
+      // keep the payload through the join: column pruning would otherwise
+      // shrink the hot partition below the skew threshold (60k identical
+      // longs compress to ~1 KB)
+      val joined = left.join(right, col("k") === col("rk"))
+      assert(joined.collect().length == 60000 + 199) // executes THIS plan -> AQE finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join strategy hints select the hinted physical operator") {
     val c = Tables.customer(spark, sf)
     val n = Tables.nation(spark, sf)
