@@ -169,6 +169,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store backs stateful streaming (production state backend)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val agg = StreamingOps.hourlyAggregate(
+        mem.toDF().withColumn("event_type", lit("click")), "ts", "10 minutes")
+      val q = agg.writeStream.format("memory").queryName("rocksdb_hourly")
+        .outputMode("append").start()
+      try {
+        mem.addData(Event(1, ts(5), 1, 1.0), Event(1, ts(20), 2, 2.0))
+        q.processAllAvailable()
+        mem.addData(Event(1, ts(130), 3, 5.0))
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT n, total_value FROM rocksdb_hourly").collect()
+        assert(rows.length == 1 && rows.head.getLong(0) == 2 && rows.head.getDouble(1) == 3.0)
+        // the state store in use really is RocksDB (its custom metrics
+        // appear in the progress report)
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        assert(q.lastProgress.json.toLowerCase.contains("rocksdb"), q.lastProgress.json)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream/batch parity: streaming hourly aggregate reproduces the batch answer") {
     import spark.implicits._
     // batch truth on real sf0.001 events (decimal-exact sums like the query)
