@@ -646,10 +646,12 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   /** Gopher/C4-style repetition signals per document (duplicate-bigram
-    * fraction, top-bigram mass) — one narrow shuffle (see
-    * TextFns.repetitionStats). */
+    * fraction, top-bigram mass) — ZERO shuffle: per-doc stats fold over
+    * the doc's own sorted bigram array in the scan stage
+    * (TextFns.repetitionStatsScanOnly; the exploded single-shuffle form
+    * is the spec differential). */
   private def qRepetition(s: SparkSession, d: String): DataFrame =
-    graft.text.TextFns.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+    graft.text.TextFns.repetitionStatsScanOnly(Tables.documents(s, d), "text", "doc_id")
 
   /** PII redaction battery over a deterministic contact string built from
     * customer rows (the corpus has no natural PII): email + phone masks
@@ -1025,9 +1027,24 @@ object SparkEntry {
         / sum(dp).cast("double"), 6).as("promo_revenue"))
   }
 
+  /** Native session_window (batch form of the session operator Spark
+    * ships): same gap semantics as Sessionize.byGap, window bounds
+    * emitted as epoch micros. */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("start_us"),
+        expr("unix_micros(w.end)").as("end_us"),
+        col("n_events"), col("total_value"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (qSessionWindow _),
     "q_tpch_q14"       -> (qTpchQ14 _),
     "q_topk_custom"    -> (qTopkCustom _),
     "q_tpch_q1"        -> (qTpchQ1 _),
@@ -1264,6 +1281,22 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_session_window" -> """
+      WITH flagged AS (
+        SELECT user_id, value, epoch_ns(ts) // 1000 AS tus,
+          CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                 OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts)) OVER w // 1000 >= 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), sess AS (
+        SELECT user_id, value, tus,
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM flagged)
+      SELECT user_id, min(tus) AS start_us, max(tus) + 1800000000 AS end_us,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, sid""",
     "q_tpch_q14" -> """
       SELECT round(100.0
         * CAST(sum(CASE WHEN p_type = 'PROMO'

@@ -85,6 +85,32 @@ object TextFns {
           .as("dup_bigram_frac"),
         round(col("__top").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
 
+  /** The same repetition signals with ZERO shuffle: per-document stats
+    * need no cross-row data, so the top-bigram run is found by a fold
+    * over the doc's own sorted bigram array — embarrassingly parallel in
+    * the scan stage at any scale. The fold is an interpreted
+    * higher-order function, but it runs over one doc's grams, not the
+    * corpus; `repetitionStats` (the exploded single-shuffle form) remains
+    * as the differential reference. SQL-string lambda because
+    * named_struct keeps field names where the Column-API struct() inside
+    * a lambda loses them.
+    */
+  def repetitionStatsScanOnly(df: org.apache.spark.sql.DataFrame, textCol: String,
+                              idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), allNgrams(lower(col(textCol)), 2).as("__g"))
+      .withColumn("__top", expr("""
+        aggregate(sort_array(__g),
+          named_struct('prev', '', 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct('prev', x,
+            'run', IF(x = acc.prev, acc.run + 1, 1L),
+            'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L)))).best"""))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_distinct_bigrams"),
+        round(lit(1.0) - size(array_distinct(col("__g"))).cast("double") / size(col("__g")), 6)
+          .as("dup_bigram_frac"),
+        round(col("__top").cast("double") / size(col("__g")), 6).as("top_bigram_frac"))
+
   /** PII redaction patterns — restricted to syntax that Java regex and
     * RE2-family engines (the oracle) interpret identically, so redaction
     * is bit-reproducible across engines.

@@ -100,6 +100,17 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = TextFns.repetitionStats(df, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    // the scan-only fold form: identical values, ZERO exchanges
+    val scanOnly = TextFns.repetitionStatsScanOnly(df, "text", "doc_id")
+    assert(!scanOnly.queryExecution.executedPlan.toString.contains("Exchange"))
+    val so = scanOnly.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(so == got)
+    // and on real documents, both forms agree everywhere
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextFns.repetitionStats(real, "text", "doc_id")
+    val b = TextFns.repetitionStatsScanOnly(real, "text", "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
   test("redactPii masks emails and 555-phones; counts match") {
