@@ -1041,9 +1041,61 @@ object SparkEntry {
         expr("unix_micros(w.end)").as("end_us"),
         col("n_events"), col("total_value"))
 
+  /** TPC-H Q4 (adapted — no commit/receipt dates in the lite schema):
+    * orders counted per priority where ANY line shipped more than 30
+    * days after the order date (EXISTS -> left-semi join). */
+  private def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("1997-01-01")
+        && to_date(col("o_orderdate")) < lit("1997-07-01"))
+    val lateLines = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(lateLines,
+        col("o_orderkey") === col("l_orderkey")
+          && datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 30,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q10: returned-item revenue per customer, top 20 (deterministic
+    * tiebreak on the key). */
+  private def qTpchQ10(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18: large-volume customers — HAVING on a grouped sum feeding
+    * a semi-join back onto the fact. */
+  private def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("__q"))
+      .filter(col("__q") > 120)
+      .select(col("l_orderkey").as("__big"))
+    Tables.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("__big"), "left_semi")
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4"        -> (qTpchQ4 _),
+    "q_tpch_q10"       -> (qTpchQ10 _),
+    "q_tpch_q18"       -> (qTpchQ18 _),
     "q_session_window" -> (qSessionWindow _),
     "q_tpch_q14"       -> (qTpchQ14 _),
     "q_topk_custom"    -> (qTopkCustom _),
@@ -1281,6 +1333,38 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_tpch_q4" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30)
+      GROUP BY 1""",
+    "q_tpch_q10" -> """
+      SELECT c_custkey, c_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q18" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+      GROUP BY 1, 2, 3, 4""",
     "q_session_window" -> """
       WITH flagged AS (
         SELECT user_id, value, epoch_ns(ts) // 1000 AS tus,
