@@ -1090,9 +1090,36 @@ object SparkEntry {
         col("o_totalprice"), col("sum_qty"))
   }
 
+  /** Statistical moments from exact re-aggregatable sums — the 100 TB
+    * shape for stddev/variance/correlation: one pass collecting decimal-
+    * exact (n, Σx, Σx², Σy, Σy², Σxy) with map-side partials, then pure
+    * double arithmetic at the end. Unlike the builtin stddev/corr
+    * (Welford-style, merge-order-dependent in the low bits), this is
+    * bit-reproducible and hash-checkable across engines. */
+  private def qStatsMoments(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_extendedprice"))
+    val y = dec(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"), sum(x * x).cast("double").as("__sxx"),
+        sum(y).cast("double").as("__sy"), sum(y * y).cast("double").as("__syy"),
+        sum(x * y).cast("double").as("__sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("__sxx") * col("n") - col("__sx") * col("__sx"))
+          / (col("n") * (col("n") - 1)), 6).as("var_price"),
+        round(sqrt((col("__sxx") * col("n") - col("__sx") * col("__sx"))
+          / (col("n") * (col("n") - 1))), 6).as("stddev_price"),
+        round((col("__sxy") * col("n") - col("__sx") * col("__sy"))
+          / (sqrt(col("__sxx") * col("n") - col("__sx") * col("__sx"))
+            * sqrt(col("__syy") * col("n") - col("__sy") * col("__sy"))), 6)
+          .as("corr_price_qty"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_moments"  -> (qStatsMoments _),
     "q_tpch_q4"        -> (qTpchQ4 _),
     "q_tpch_q10"       -> (qTpchQ10 _),
     "q_tpch_q18"       -> (qTpchQ18 _),
@@ -1333,6 +1360,21 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_stats_moments" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        round((sxx * n - sx * sx) / (n * (n - 1)), 6) AS var_price,
+        round(sqrt((sxx * n - sx * sx) / (n * (n - 1))), 6) AS stddev_price,
+        round((sxy * n - sx * sy)
+          / (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) AS corr_price_qty
+      FROM s""",
     "q_tpch_q4" -> """
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders

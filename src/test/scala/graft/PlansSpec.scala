@@ -89,6 +89,17 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("identical aggregate subplans reuse one exchange (self-join diamond)") {
+    val agg = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    // byte-identical subplan on both legs -> Spark computes the shuffle once
+    val diamond = agg.alias("a").join(agg.alias("b"), Seq("c_nationkey"))
+    diamond.collect()
+    val plan = diamond.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.toLowerCase.contains("reused"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     val confs = Seq(

@@ -66,6 +66,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(h >= 12, s"hash layout touched only $h files")
   }
 
+  test("_metadata columns expose file provenance on parquet scans") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val withMeta = docs.select(col("doc_id"),
+      col("_metadata.file_name").as("src_file"),
+      col("_metadata.file_size").as("src_size"))
+    val rows = withMeta.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
   test("catalog tables: saveAsTable / spark.table / insertInto / listing") {
     val dir = Files.createTempDirectory("graft-table").toString + "/t"
     val nation = Tables.nation(spark, "/root/testdata/sf0.001")
