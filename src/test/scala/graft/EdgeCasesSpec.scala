@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators._
+
+/** Degenerate inputs through the composed operators: empty sides, single
+  * rows, k larger than the group — the shapes that show up at 3 a.m. on
+  * partition boundaries of a real lake.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts", "event_id")
+
+  test("AsOfJoin: empty right side -> every left row, null payloads") {
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 101L)).toDF("user_id", "ts", "event_id")
+    val right = Seq.empty[(Long, Long, Long, String)].toDF("user_id", "ts", "event_id", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "event_id", Seq("payload"))
+      .select(col("event_id"), col("asof_payload")).collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(1)))
+  }
+
+  test("AsOfJoin: empty left side -> empty output with the full schema") {
+    val right = Seq((1L, 5L, 900L, "r")).toDF("user_id", "ts", "event_id", "payload")
+    val out = AsOfJoin.leftAsOf(noEvents, right, Seq("user_id"), "ts", "event_id", Seq("payload"))
+    assert(out.columns.contains("asof_payload") && out.count() == 0)
+  }
+
+  test("Sessionize: empty input and single-event input") {
+    assert(Sessionize.byGap(noEvents, "user_id", "ts", "event_id", 100L).count() == 0)
+    val one = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
+    val s = Sessionize.byGap(one, "user_id", "ts", "event_id", 100L).collect()
+    assert(s.length == 1 && s.head.getAs[Long]("session_idx") == 1L)
+  }
+
+  test("ngramJaccardPairs: empty corpus and single doc emit no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text").withColumn("bk", lit("b"))
+    assert(Dedup.ngramJaccardPairs(empty, "text", "doc_id", Seq("bk"), 3, 0.1).count() == 0)
+    val one = Seq((1L, "just one document here")).toDF("doc_id", "text").withColumn("bk", lit("b"))
+    assert(Dedup.ngramJaccardPairs(one, "text", "doc_id", Seq("bk"), 3, 0.1).count() == 0)
+  }
+
+  test("clusters: no edges -> every node its own cluster; empty ids -> empty") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, noPairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+    val none = Dedup.clusters(ids.filter(col("doc_id") > 99), noPairs, "doc_id", "id_a", "id_b")
+    assert(none.count() == 0)
+  }
+
+  test("TopKPerGroup: k larger than any group returns whole groups, ranked") {
+    GraftExtensions.register(spark)
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 20L, 1.0)).toDF("g", "id", "v")
+    // LocalRelation would be collapsed before our strategy sees sane stats;
+    // route through a parquet round-trip like production data
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString + "/t"
+    df.write.parquet(dir)
+    val got = graft.plans.TopKPerGroup.perGroup(
+        spark.read.parquet(dir), Seq("g"), "v", "id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((1L, 11L, 1L), (1L, 10L, 2L), (2L, 20L, 1L)))
+  }
+
+  test("GapFill: single observation per key -> one spine row, no nulls") {
+    val obs = Seq((1L, "2024-03-01", 4L, "A")).toDF("k", "d", "n", "st")
+      .withColumn("d", to_date(col("d")))
+    val out = GapFill.fillForward(obs, "k", "d", expr("interval 1 month"),
+      fillCols = Seq("st"), zeroCols = Seq("n")).collect()
+    assert(out.length == 1 && out.head.getAs[String]("st") == "A")
+  }
+
+  test("Scd.collapseRuns on empty input keeps the schema, zero rows") {
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("k", "d", "tie", "attr")
+    val out = Scd.collapseRuns(empty, "k", "d", "tie", "attr")
+    assert(out.columns.toSet ==
+      Set("k", "run_id", "attr", "valid_from", "valid_to", "n_rows"))
+    assert(out.count() == 0)
+  }
+
+  test("heavyKeys on uniform data finds nothing; saltedAgg on empty input is empty") {
+    val uniform = (1L to 100L).toDF("k")
+    assert(SkewJoin.heavyKeys(uniform, "k", threshold = 2L).isEmpty)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    val out = SkewJoin.saltedAgg(empty, "k", saltSource = col("v"), salts = 4,
+      partialAggs = Seq(count(lit(1)).as("__n")),
+      finalAggs = Seq(sum(col("__n")).as("n")))
+    assert(out.count() == 0)
+  }
+}

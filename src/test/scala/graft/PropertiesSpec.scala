@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Property-based checks: the distributed operators against tiny
+  * driver-side reference implementations over RANDOM structures — the
+  * shapes example-based tests never think to write. Generators are
+  * ScalaCheck's, driven with fixed seeds so CI failures reproduce.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(params, Seed(42L + i)))
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 14)
+    m <- Gen.choose(0, 20)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(1L, n.toLong)
+      b <- Gen.choose(1L, n.toLong)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (n, edges.filter { case (a, b) => a != b })
+
+  test("clusters == driver-side union-find on random graphs (seeded, 8 cases)") {
+    cases(graphGen, 8).foreach { case (n, edges) =>
+      val ids = 1L to n.toLong
+      // reference union-find with min-label canonicalization
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = Dedup.clusters(ids.toDF("id"), edges.toDF("id_a", "id_b"),
+          "id", "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
+  private val docPairGen: Gen[(String, String)] = {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val doc = Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    Gen.zip(doc, doc)
+  }
+
+  test("jaccardOnPairs == set-arithmetic jaccard on random word docs (seeded, 8 cases)") {
+    cases(docPairGen, 8).foreach { case (t1, t2) =>
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set(w.mkString(" "))
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val (s1, s2) = (sh(t1), sh(t2))
+      val want = (s1 & s2).size.toDouble / (s1 | s2).size
+      val got = Dedup.jaccardOnPairs(
+          Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
+          "text", "doc_id", Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", 3)
+        .head().getDouble(2)
+      assert(math.abs(got - want) < 1e-12, s"t1='$t1' t2='$t2'")
+    }
+  }
+
+  test("TitleCase matches a Python str.title() reference on random strings (seeded, 40 cases)") {
+    def pyTitle(s: String): String = {
+      val sb = new StringBuilder
+      var prevCased = false
+      s.foreach { c =>
+        val cased = c.isLetter
+        sb.append(
+          if (cased && !prevCased) c.toUpper
+          else if (cased) c.toLower else c)
+        prevCased = cased
+      }
+      sb.toString
+    }
+    val strGen = Gen.listOfN(12,
+      Gen.frequency(6 -> Gen.alphaChar, 2 -> Gen.numChar,
+        2 -> Gen.oneOf(' ', '\'', '_', '-'))).map(_.mkString)
+    val inputs = cases(strGen, 40)
+    val got = inputs.toDF("s")
+      .select(col("s"), graft.functions.TitleCase.titlecase(col("s")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    inputs.foreach(s => assert(got(s) == pyTitle(s), s"input='$s'"))
+  }
+}
