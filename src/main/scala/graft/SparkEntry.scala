@@ -1116,9 +1116,47 @@ object SparkEntry {
           .as("corr_price_qty"))
   }
 
+  /** TPC-H Q7: volume shipping between two nations, both directions, per
+    * ship year — the classic double-dimension join with an OR'd nation
+    * pair filter. */
+  private def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+        || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q19: disjunctive brand/size/quantity predicate batteries over
+    * the part join — the OR-of-ANDs pushdown shape. */
+  private def qTpchQ19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#22" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#33" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30)))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7"        -> (qTpchQ7 _),
+    "q_tpch_q19"       -> (qTpchQ19 _),
     "q_stats_moments"  -> (qStatsMoments _),
     "q_tpch_q4"        -> (qTpchQ4 _),
     "q_tpch_q10"       -> (qTpchQ10 _),
@@ -1360,6 +1398,31 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_tpch_q7" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      GROUP BY 1, 2, 3""",
+    "q_tpch_q19" -> """
+      SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
     "q_stats_moments" -> """
       WITH s AS (
         SELECT l_returnflag, count(*) AS n,

@@ -169,6 +169,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event older than the watermark never lands") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamingOps.hourlyAggregate(
+      mem.toDF().withColumn("event_type", lit("click")), "ts", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(30), 1, 1.0))    // hour 0
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(300), 2, 1.0))   // hour 5 -> watermark ~4:50, closes hour 0
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(35), 3, 99.0))   // LATE: hour 0 is closed -> dropped
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(600), 4, 1.0))   // advance further; closes hour 5
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT CAST(unix_millis(window.start) AS BIGINT)/3600000 - 24 AS h, n, total_value FROM late_drop")
+        .collect().map(r => (r.getDouble(0).toLong, r.getLong(1), r.getDouble(2))).toSet
+      // hour 0 emitted with ONLY the on-time event; the late 99.0 never appears
+      assert(rows.contains((0L, 1L, 1.0)), rows.toString)
+      assert(!rows.exists(r => r._3 == 99.0 || r._3 == 100.0), rows.toString)
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs stateful streaming (production state backend)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
