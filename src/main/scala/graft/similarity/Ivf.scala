@@ -86,7 +86,7 @@ object Ivf {
   def searchTopK(df: DataFrame, cents: Seq[Centroid], embCol: String, idCol: String,
                  query: DataFrame, queryEmbCol: String, k: Int, nProbe: Int): DataFrame = {
     val qVec = query.select(Similarity.toDouble(col(queryEmbCol)).as("__q"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     val probes = cents
       .map(c => c.cellId -> c.values.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
       .sortBy { case (id, d) => (d, id) }

@@ -225,6 +225,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains a file source incrementally and terminates") {
+    // the periodic-incremental-job pattern: process everything available,
+    // checkpoint, exit — rerunnable on a schedule with exactly-once state
+    val src = java.nio.file.Files.createTempDirectory("graft-avail").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-avail-chk").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-avail-out").toString + "/t"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.limit(100).write.mode("overwrite").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive) // AvailableNow terminates on its own
+    }
+    drain()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 100)
+    // new files land; a SECOND scheduled run picks up ONLY the delta
+    ev.orderBy(col("event_id").desc).limit(40).write.mode("append").parquet(src)
+    drain()
+    assert(spark.read.parquet(out).count() == afterFirst + 40)
+  }
+
   test("stream/batch parity: streaming hourly aggregate reproduces the batch answer") {
     import spark.implicits._
     // batch truth on real sf0.001 events (decimal-exact sums like the query)
