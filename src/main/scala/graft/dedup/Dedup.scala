@@ -225,17 +225,17 @@ object Dedup {
     while (it < maxIters && !done) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      // carry the previous label through the update: the convergence
+      // check is then a filter over the (already materialized)
+      // checkpoint instead of a join back against the old generation
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          labels("cluster").as("__prev"))
         .localCheckpoint()
-      if (converge) {
-        val changed = updated.alias("u")
-          .join(labels.alias("l"), col("u.id") === col("l.id"))
-          .filter(col("u.cluster") =!= col("l.cluster")).count()
-        done = changed == 0
-      }
-      labels = updated
+      if (converge)
+        done = updated.filter(col("cluster") =!= col("__prev")).count() == 0
+      labels = updated.drop("__prev")
       it += 1
     }
     if (converge && !done)
@@ -267,6 +267,33 @@ object Dedup {
       .filter(col("other_id") > col("keep_id"))
       .select(col("keep_id").as("id_a"), col("other_id").as("id_b"))
     val comp = clusters(df.select(col(idCol)), fuzzy.unionAll(exactPairs),
+      idCol, "id_a", "id_b")
+    comp.withColumn("keep", col("id") === col("cluster"))
+  }
+
+  /** The full production dedup pipeline with an EXACT verify stage:
+    * MinHash+LSH proposes candidates (bucket-local, capped),
+    * `jaccardOnPairs` verifies exactly those with true n-gram Jaccard
+    * (never generating pairs from shingles), verified pairs union exact
+    * duplicates into components. Versus `dedupCorpus` (which trusts the
+    * minhash ESTIMATE), the verify stage removes LSH false positives at
+    * O(|candidates| * doc_len) — the standard recall-from-LSH /
+    * precision-from-exact-verify split.
+    */
+  def dedupCorpusVerified(df: DataFrame, textCol: String, idCol: String,
+                          minJaccard: Double = 0.8, n: Int = 3): DataFrame = {
+    val candidates = minhashCandidates(df, textCol, idCol)
+      .select(col("id_a"), col("id_b"))
+    val verified = jaccardOnPairs(df, textCol, idCol, candidates, "id_a", "id_b", n)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val exact = exactByContent(df, textCol, idCol).filter(col("n_copies") > 1)
+    val exactPairs = df.select(md5(col(textCol)).as("text_hash"),
+        col(idCol).cast("long").as("other_id"))
+      .join(exact, "text_hash")
+      .filter(col("other_id") > col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("other_id").as("id_b"))
+    val comp = clusters(df.select(col(idCol)), verified.unionAll(exactPairs),
       idCol, "id_a", "id_b")
     comp.withColumn("keep", col("id") === col("cluster"))
   }

@@ -156,6 +156,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2L) == ((2L, true)))
   }
 
+  test("dedupCorpusVerified: exact verify keeps true dups, kills estimate-only pairs") {
+    val out = Dedup.dedupCorpusVerified(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // same truth as dedupCorpus on this corpus: {0,1,3} cluster, 2 alone
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(2L) == ((2L, true)))
+    // a raised exact threshold ABOVE the true jaccard (10/12) splits the
+    // near-dup but keeps the byte-identical pair — the verify stage is
+    // really judging exact jaccard, not the minhash estimate
+    val strict = Dedup.dedupCorpusVerified(docs, "text", "doc_id", minJaccard = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict(3L) == 0L && strict(1L) == 1L)
+  }
+
   test("minhash est_jaccard approximates exact jaccard on the known near-dup") {
     val est = Dedup.minhashCandidates(docs, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
