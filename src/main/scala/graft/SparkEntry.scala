@@ -1152,9 +1152,15 @@ object SparkEntry {
         .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** Corpus TF-IDF: top-3 salient tokens per language (tf within the
+    * language, idf over the whole corpus). */
+  private def qTfidf(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFns.tfidfTopTokens(Tables.documents(s, d), "text", "doc_id", "lang", 3)
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"          -> (qTfidf _),
     "q_tpch_q7"        -> (qTpchQ7 _),
     "q_tpch_q19"       -> (qTpchQ19 _),
     "q_stats_moments"  -> (qStatsMoments _),
@@ -1398,6 +1404,20 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_tfidf" -> """
+      WITH t AS (SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+      n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+      dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      tf AS (SELECT lang, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      scored AS (
+        SELECT lang, tf.tok AS tok, tf.tf AS tf,
+          round(tf.tf * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+      r AS (SELECT lang, tok, tf, tfidf,
+              row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, tok) AS rn
+            FROM scored)
+      SELECT lang, tok, tf, tfidf, rn FROM r WHERE rn <= 3""",
     "q_tpch_q7" -> """
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -111,6 +111,30 @@ object TextFns {
           .as("dup_bigram_frac"),
         round(col("__top").cast("double") / size(col("__g")), 6).as("top_bigram_frac"))
 
+  /** Corpus TF-IDF: token term frequency per group weighted by inverse
+    * document frequency over the WHOLE corpus — the standard salient-term
+    * extractor. Shape: one explode, a distinct-doc aggregate for df
+    * (map-side partial), a tf aggregate per (group, token), one broadcast
+    * join of the (small) token-df table, a ranking window per group.
+    * N is computed distributed; nothing collects.
+    */
+  def tfidfTopTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, groupCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol), col(idCol).as("__doc"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("__doc")).as("__df"))
+    val tf = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col(groupCol), col("tok"), col("tf"),
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
   /** PII redaction patterns — restricted to syntax that Java regex and
     * RE2-family engines (the oracle) interpret identically, so redaction
     * is bit-reproducible across engines.
