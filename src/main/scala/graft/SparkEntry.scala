@@ -1157,9 +1157,38 @@ object SparkEntry {
   private def qTfidf(s: SparkSession, d: String): DataFrame =
     graft.text.TextFns.tfidfTopTokens(Tables.documents(s, d), "text", "doc_id", "lang", 3)
 
+  /** Multiset set operators: INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate counts (the set-semantics pair is q_set_ops). */
+  private def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("long").as("key"))
+    val p = Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("key"))
+    c.intersectAll(p).select(col("key"), lit("inter_all").as("tag"))
+      .unionAll(c.exceptAll(p).select(col("key"), lit("except_all").as("tag")))
+  }
+
+  /** Array-function battery over shingle arrays: union/intersect/except/
+    * sort/slice/flatten/exists, emitted as joined strings for engine-
+    * portable hashing. `b` is the shingle set of the first 50 chars, so
+    * intersect/except are non-trivially populated (b ⊂≈ a plus one
+    * truncation-boundary shingle). */
+  private def qArrayFns(s: SparkSession, d: String): DataFrame = {
+    val a = graft.dedup.Dedup.shingles(lower(col("text")), 2)
+    val b = graft.dedup.Dedup.shingles(lower(substring(col("text"), 1, 50)), 2)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(array_sort(array_union(a, b)), "|").as("u"),
+      array_join(array_sort(array_intersect(a, b)), "|").as("i"),
+      array_join(array_sort(array_except(a, b)), "|").as("x"),
+      array_join(slice(array_sort(a), 1, 3), "|").as("first3"),
+      size(flatten(array(a, b))).cast("long").as("n_flat"),
+      exists(a, _.startsWith("the")).as("has_the"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops_all"    -> (qSetOpsAll _),
+    "q_array_fns"      -> (qArrayFns _),
     "q_tfidf"          -> (qTfidf _),
     "q_tpch_q7"        -> (qTpchQ7 _),
     "q_tpch_q19"       -> (qTpchQ19 _),
@@ -1404,6 +1433,32 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_set_ops_all" -> """
+      SELECT key, 'inter_all' AS tag FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+        INTERSECT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT key, 'except_all' AS tag FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+        EXCEPT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""",
+    "q_array_fns" -> """
+      WITH t AS (SELECT doc_id,
+        string_split(lower(text), ' ') AS w,
+        string_split(lower(substr(text, 1, 50)), ' ') AS wr FROM documents),
+      sh AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+          ELSE list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) END) AS a,
+        list_distinct(CASE WHEN len(wr) < 2 THEN [array_to_string(wr, ' ')]
+          ELSE list_transform(generate_series(1, len(wr) - 1), i -> wr[i] || ' ' || wr[i+1]) END) AS b
+        FROM t)
+      SELECT doc_id,
+        coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS u,
+        coalesce(array_to_string(list_sort(list_intersect(a, b)), '|'), '') AS i,
+        coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), '|'), '') AS x,
+        coalesce(array_to_string(list_sort(a)[1:3], '|'), '') AS first3,
+        CAST(len(a) + len(b) AS BIGINT) AS n_flat,
+        len(list_filter(a, x -> starts_with(x, 'the'))) > 0 AS has_the
+      FROM sh""",
     "q_tfidf" -> """
       WITH t AS (SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS tok
                  FROM documents),
