@@ -1184,9 +1184,103 @@ object SparkEntry {
       exists(a, _.startsWith("the")).as("has_the"))
   }
 
+  /** LATERAL correlated subquery in FROM: top-2 customers by balance per
+    * nation, the subquery re-evaluated per outer row. Catalyst decorrelates
+    * this into a ranked join rather than a nested loop. */
+  private def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    s.sql("""
+      SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      FROM nation_lat n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer_lat c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t""")
+  }
+
+  /** Correlated scalar subqueries in SELECT (count + max per outer row);
+    * decorrelated by Catalyst into left outer aggregate joins. NULL max
+    * (customer with no orders) coalesced to -1 for engine-portable hashing. */
+  private def qScalarSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_ss")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ss")
+    s.sql("""
+      SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+        CAST((SELECT count(*) FROM orders_ss o
+              WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+        CAST(coalesce((SELECT max(o_totalprice) FROM orders_ss o
+              WHERE o.o_custkey = c.c_custkey), -1.0) AS DOUBLE) AS max_price
+      FROM customer_ss c""")
+  }
+
+  /** IN / NOT IN subquery predicates (semi + anti join after rewrite),
+    * both on the same scan. */
+  private def qInSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part_in")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_in")
+    s.sql("""
+      SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name
+      FROM part_in
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem_in WHERE l_quantity >= 49)
+        AND p_partkey NOT IN (SELECT l_partkey FROM lineitem_in WHERE l_discount > 0.09)""")
+  }
+
+  /** Benchmark decontamination: every 50th doc plays the held-out eval
+    * set; corpus docs sharing >= 2 distinct trigrams with a bench doc are
+    * flagged with their worst-overlapping bench doc. Bench shingles are
+    * broadcast — the corpus is never shuffled before the per-pair count. */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    graft.dedup.Decontaminate.flag(docs, bench, "text", "doc_id", "text", "doc_id")
+      .select(col("doc_id"), col("contaminated"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+        coalesce(col("worst_bench_id"), lit(-1L)).as("worst_bench_id"))
+  }
+
+  /** Deterministic 3-per-nation customer sample: bottom-k by md5(custkey)
+    * on the TopKPerGroup operator — same rows under any partitioning,
+    * exchange bounded at k rows per (group, partition). */
+  private def qSampleHash(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    graft.operators.Sampling.bottomKByHash(
+      Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_custkey").cast("long").as("custkey"), col("c_name")),
+      Seq("nationkey"), "custkey", 3)
+  }
+
+  /** The full curation pass a training pipeline runs per corpus drop:
+    * score (lang id + quality), gate on quality, exact-dedup survivors
+    * (min doc_id per content hash), report per-language corpus stats.
+    * One narrow window shuffle on the 128-bit content hash, then a tiny
+    * aggregate; avg quality summed as exact decimal for engine parity. */
+  private def qCorpusFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextFns
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      col("source"),
+      TextFns.langId(col("text")).as("lang_pred"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val gated = scored.filter(col("quality") >= 0.5)
+    val survivors = gated
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    survivors.groupBy(col("lang_pred"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_quality"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_filter"  -> (qCorpusFilter _),
+    "q_sample_hash"    -> (qSampleHash _),
+    "q_decontaminate"  -> (qDecontaminate _),
+    "q_lateral"        -> (qLateral _),
+    "q_scalar_subq"    -> (qScalarSubq _),
+    "q_in_subq"        -> (qInSubq _),
     "q_set_ops_all"    -> (qSetOpsAll _),
     "q_array_fns"      -> (qArrayFns _),
     "q_tfidf"          -> (qTfidf _),
@@ -1433,6 +1527,75 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_corpus_filter" -> {
+      import graft.text.TextFns
+      val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(",")
+      val quality = s"""round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+          + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) / 5.0, 1.0)
+          ) / 3.0, 6)"""
+      s"""
+      WITH scored AS (
+        SELECT doc_id, text, source, ${TextFns.langIdOracleSql("text")} AS lang_pred,
+          $quality AS quality
+        FROM documents),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+      survivors AS (
+        SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                       FROM gated)
+        WHERE doc_id = keep_id)
+      SELECT lang_pred, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM survivors GROUP BY 1, 2"""
+    },
+    "q_sample_hash" -> """
+      SELECT nationkey, custkey, c_name, rn FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          CAST(c_custkey AS BIGINT) AS custkey, c_name,
+          CAST(row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS BIGINT) AS rn
+        FROM customer)
+      WHERE rn <= 3""",
+    "q_decontaminate" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      pairs AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+        FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id % 50 = 0
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      worst AS (
+        SELECT doc_id, n_overlap AS max_overlap, bench_id AS worst_bench_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY n_overlap DESC, bench_id) AS rn FROM pairs)
+        WHERE rn = 1)
+      SELECT d.doc_id, w.doc_id IS NOT NULL AS contaminated,
+        coalesce(w.max_overlap, 0) AS max_overlap,
+        coalesce(w.worst_bench_id, -1) AS worst_bench_id
+      FROM documents d LEFT JOIN worst w ON d.doc_id = w.doc_id""",
+    "q_lateral" -> """
+      SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t""",
+    "q_scalar_subq" -> """
+      SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+        CAST((SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+        CAST(coalesce((SELECT max(o_totalprice) FROM orders o
+              WHERE o.o_custkey = c.c_custkey), -1.0) AS DOUBLE) AS max_price
+      FROM customer c""",
+    "q_in_subq" -> """
+      SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)""",
     "q_set_ops_all" -> """
       SELECT key, 'inter_all' AS tag FROM (
         SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for a training corpus: flag corpus documents
+  * that share word n-grams with a held-out benchmark/eval set, so they can
+  * be dropped before training (the overlap would leak eval answers into
+  * the model).
+  *
+  * Standard practice (the reference has nothing like it; this is
+  * north-star pipeline surface) is n-gram collision against the benchmark:
+  * a corpus doc is contaminated when it contains >= `minOverlap` distinct
+  * n-grams that also occur in some benchmark doc. Production settings use
+  * long n-grams (8-13 words) precisely because they are near-unique; the
+  * testdata oracle uses n=3 over short synthetic docs.
+  *
+  * 100 TB shape: the benchmark side is small (10^3..10^6 docs) — its
+  * distinct (bench_id, shingle) table is BROADCAST, so the corpus is
+  * touched in a single scan-side hash join with no corpus shuffle before
+  * the per-pair count. Hot shingles are capped on the BENCH side: a
+  * boilerplate n-gram present in > `maxBenchDf` benchmark docs is
+  * non-identifying (and would fan every matching corpus row out
+  * `benchDf`-fold), so it is dropped before the join — the same
+  * common-shingle suppression as [[Dedup.ngramJaccardPairs]].
+  */
+object Decontaminate {
+
+  /** All (corpus doc, benchmark doc) pairs sharing >= `minOverlap`
+    * distinct word n-grams. Columns: doc_id, bench_id, n_overlap.
+    *
+    * [[Dedup.shingles]] emits DISTINCT shingles per doc, so after explode
+    * both sides are unique on (id, shingle) and a plain count equals the
+    * distinct-intersection size.
+    */
+  def overlapPairs(corpus: DataFrame, bench: DataFrame,
+                   textCol: String, idCol: String,
+                   benchTextCol: String, benchIdCol: String,
+                   n: Int = 3, minOverlap: Int = 2,
+                   maxBenchDf: Int = 1000): DataFrame = {
+    val bsh = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      explode(Dedup.shingles(lower(col(benchTextCol)), n)).as("s"))
+    // Bench-side DF cap: window shares the hash partitioning of the
+    // subsequent broadcast build; the bench table is small so this is a
+    // cheap pre-pass, and it bounds join fan-out for every corpus row.
+    val capped = bsh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("__df") <= maxBenchDf)
+      .drop("__df")
+    val csh = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(Dedup.shingles(lower(col(textCol)), n)).as("s"))
+    csh.join(broadcast(capped), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).cast("long").as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Per-corpus-doc verdict: worst overlapping benchmark doc and whether
+    * the doc should be dropped. Columns: doc_id, contaminated,
+    * max_overlap, worst_bench_id (nulls for clean docs if `keepClean`).
+    */
+  def flag(corpus: DataFrame, bench: DataFrame,
+           textCol: String, idCol: String,
+           benchTextCol: String, benchIdCol: String,
+           n: Int = 3, minOverlap: Int = 2,
+           maxBenchDf: Int = 1000, keepClean: Boolean = true): DataFrame = {
+    val pairs = overlapPairs(corpus, bench, textCol, idCol,
+      benchTextCol, benchIdCol, n, minOverlap, maxBenchDf)
+    val worst = pairs.groupBy(col("doc_id"))
+      .agg(max(col("n_overlap")).as("max_overlap"),
+        // deterministic tie-break: highest overlap, then lowest bench id
+        min_by(col("bench_id"),
+          struct((-col("n_overlap")).as("neg"), col("bench_id"))).as("worst_bench_id"))
+      .withColumn("contaminated", lit(true))
+    if (!keepClean) worst
+    else corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(worst, Seq("doc_id"), "left")
+      .na.fill(Map("contaminated" -> false))
+  }
+}

@@ -286,4 +286,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cells = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell_id="))
     assert(cells > 1, s"expected multiple cell partitions, got $cells")
   }
+
+  test("Decontaminate flags the doc embedding a benchmark answer, not clean docs") {
+    import graft.dedup.Decontaminate
+    val bench = Seq((100L, "what is the capital of france paris obviously"))
+      .toDF("bench_id", "btext")
+    val corpus = Seq(
+      (0L, "some training prose then what is the capital of france paris obviously end"),
+      (1L, "totally unrelated words about spark shuffles and hash joins"),
+      (2L, "the capital exists somewhere")  // 1 shared shingle < minOverlap
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.flag(corpus, bench, "text", "doc_id", "btext", "bench_id",
+      n = 3, minOverlap = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(out(0L) && !out(1L) && !out(2L))
+    val pairs = Decontaminate.overlapPairs(corpus, bench, "text", "doc_id",
+      "btext", "bench_id", n = 3, minOverlap = 2).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 0L
+      && pairs.head.getLong(1) == 100L && pairs.head.getLong(2) >= 5)
+  }
+
+  test("Decontaminate bench-side DF cap drops boilerplate shingles") {
+    import graft.dedup.Decontaminate
+    // every bench doc starts with the same boilerplate trigram window;
+    // with the cap at 1, only each doc's unique tail shingles survive
+    val bench = (0L until 5L).map(i =>
+      (i, s"standard header boilerplate unique answer number $i")).toDF("bench_id", "btext")
+    val corpus = Seq((7L, "standard header boilerplate but otherwise clean text here")
+    ).toDF("doc_id", "text")
+    val uncapped = Decontaminate.overlapPairs(corpus, bench, "text", "doc_id",
+      "btext", "bench_id", n = 3, minOverlap = 1, maxBenchDf = 1000)
+    assert(uncapped.count() == 5)  // boilerplate matches every bench doc
+    val capped = Decontaminate.overlapPairs(corpus, bench, "text", "doc_id",
+      "btext", "bench_id", n = 3, minOverlap = 1, maxBenchDf = 1)
+    assert(capped.count() == 0)    // capped: boilerplate suppressed, no fan-out
+  }
 }

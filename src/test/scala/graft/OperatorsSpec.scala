@@ -281,4 +281,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("bottomKByHash sample is invariant under repartitioning (unlike sample())") {
+    import graft.operators.Sampling
+    GraftExtensions.register(spark)
+    val df = Seq.tabulate(500)(i => (i.toLong % 7, i.toLong, s"row$i"))
+      .toDF("grp", "key", "payload")
+    def draw(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      Sampling.bottomKByHash(d, Seq("grp"), "key", 4)
+        .select(col("grp"), col("key"), col("rn"))
+        .as[(Long, Long, Long)].collect().toSet
+    val base = draw(df)
+    assert(base.size == 28) // 7 groups x 4
+    assert(draw(df.repartition(17, col("payload"))) == base)
+    assert(draw(df.repartition(1)) == base)
+    // merge-ability: bottom-k of unioned per-shard bottom-k == global
+    val shards = Seq(df.filter(col("key") < 200), df.filter(col("key") >= 200))
+    val merged = draw(Sampling.bottomKByHash(shards(0), Seq("grp"), "key", 4)
+      .drop("rn").unionAll(Sampling.bottomKByHash(shards(1), Seq("grp"), "key", 4).drop("rn")))
+    assert(merged == base)
+  }
 }
