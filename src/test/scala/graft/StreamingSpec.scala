@@ -102,6 +102,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched click null-pads after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    // every click emits; purchase within the NEXT 30 minutes if one exists
+    val joined = c.join(p,
+      col("p_user") === col("c_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_left")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 10, 0), Event(2, ts(0), 11, 0))
+      purchases.addData(Event(1, ts(20), 20, 9.99))   // converts click 10
+      q.processAllAvailable()
+      // click 11 cannot null-pad yet: its join window is open until the
+      // watermark passes ts(0) + 30min on BOTH streams
+      val early = spark.sql("SELECT click_id FROM ss_left WHERE purchase_id IS NULL").count()
+      assert(early == 0)
+      clicks.addData(Event(9, ts(120), 90, 0))        // advance both watermarks
+      purchases.addData(Event(9, ts(120), 91, 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, purchase_id FROM ss_left").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((10L, 20L)), rows)          // matched pair
+      assert(rows.contains((11L, -1L)), rows)          // null-padded after close
+    } finally q.stop()
+  }
+
   test("slidingCounts: events land in overlapping windows, closed by the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
