@@ -1272,9 +1272,48 @@ object SparkEntry {
         sum(length(col("text"))).cast("long").as("total_chars"))
   }
 
+  /** Map-function battery: build a returnflag→qty map per order
+    * (map_from_entries), then transform_values / map_filter /
+    * map_keys / map_contains_key. Maps are unordered, so every map
+    * column is emitted as sorted "k:v" entry strings for
+    * engine-portable hashing. */
+  private def qMapFns(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val m = g.groupBy(col("l_orderkey").cast("long").as("orderkey"))
+      .agg(map_from_entries(collect_list(struct(col("l_returnflag"), col("qty")))).as("m"))
+    def entStr(mc: Column): Column =
+      array_join(array_sort(transform(map_entries(mc),
+        e => concat(e.getField("key"), lit(":"), e.getField("value")))), "|")
+    m.select(col("orderkey"),
+      entStr(col("m")).as("entries_str"),
+      entStr(transform_values(col("m"), (_, v) => v * 2)).as("doubled_str"),
+      entStr(map_filter(col("m"), (_, v) => v > 10)).as("filtered_str"),
+      size(map_keys(col("m"))).cast("long").as("n_keys"),
+      map_contains_key(col("m"), "R").as("has_r"))
+  }
+
+  /** Null-safe equality join (<=>): NULL keys planted on both sides
+    * match each other (unlike plain =, which drops them). Still a hash
+    * join — <=> is an equi-key for the planner. */
+  private def qNullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    def plant(c: Column): Column =
+      when(c % 5 === 4, lit(null)).otherwise((c % 5).cast("long"))
+    val a = Tables.customer(s, d).select(col("c_custkey").cast("long").as("custkey"),
+      plant(col("c_nationkey")).as("ka"))
+    val b = Tables.supplier(s, d)
+      .groupBy(plant(col("s_nationkey")).as("kb"))
+      .agg(count(lit(1)).as("n_supp"))
+    a.join(b, col("ka") <=> col("kb"))
+      .select(col("custkey"), coalesce(col("ka"), lit(-1L)).as("k"), col("n_supp"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nullsafe_join"  -> (qNullsafeJoin _),
+    "q_map_fns"        -> (qMapFns _),
     "q_corpus_filter"  -> (qCorpusFilter _),
     "q_sample_hash"    -> (qSampleHash _),
     "q_decontaminate"  -> (qDecontaminate _),
@@ -1527,6 +1566,29 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS approx_within_10pct
       FROM lineitem GROUP BY 1""",
+    "q_nullsafe_join" -> """
+      WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+            CASE WHEN c_nationkey % 5 = 4 THEN NULL
+                 ELSE CAST(c_nationkey % 5 AS BIGINT) END AS ka
+          FROM customer),
+        b AS (SELECT CASE WHEN s_nationkey % 5 = 4 THEN NULL
+                 ELSE CAST(s_nationkey % 5 AS BIGINT) END AS kb,
+            CAST(count(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY 1)
+      SELECT custkey, coalesce(ka, -1) AS k, n_supp
+      FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb""",
+    "q_map_fns" -> """
+      WITH g AS (SELECT l_orderkey, l_returnflag AS k,
+                   CAST(sum(l_quantity) AS BIGINT) AS v
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+        array_to_string(list_sort(list(k || ':' || v)), '|') AS entries_str,
+        array_to_string(list_sort(list(k || ':' || (v * 2))), '|') AS doubled_str,
+        coalesce(array_to_string(list_sort(
+          list(k || ':' || v) FILTER (WHERE v > 10)), '|'), '') AS filtered_str,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        bool_or(k = 'R') AS has_r
+      FROM g GROUP BY 1""",
     "q_corpus_filter" -> {
       import graft.text.TextFns
       val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(",")

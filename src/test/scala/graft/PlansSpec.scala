@@ -138,4 +138,11 @@ class PlansSpec extends AnyFunSuite {
     assert(strat("merge").contains("SortMergeJoin"))
     assert(strat("shuffle_hash").contains("ShuffledHashJoin"))
   }
+
+  test("null-safe equality (<=>) is still an equi-key: hash join, no nested loop") {
+    val plan = SparkEntry.queries("q_nullsafe_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("HashJoin"), plan)           // broadcast or shuffled
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }
