@@ -1309,9 +1309,31 @@ object SparkEntry {
       .select(col("custkey"), coalesce(col("ka"), lit(-1L)).as("k"), col("n_supp"))
   }
 
+  /** Same components as q_dedup_clusters, computed by large-star/small-
+    * star contraction instead of one-hop label propagation — O(log n)
+    * rounds for any component shape; the shared oracle proves both
+    * algorithms land on identical clusters. */
+  private def qClusterStar(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.35)
+    graft.dedup.Dedup.clustersStar(emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
+  }
+
+  /** Concat-then-chunk sequence packing over the documents table:
+    * per-language token streams in doc_id order, 128-token training
+    * chunks — each doc's stream offset and first/last chunk. */
+  private def qPack(s: SparkSession, d: String): DataFrame =
+    graft.text.Pack.chunkAssignments(
+      Tables.documents(s, d).withColumn("n_tok",
+        graft.text.TextFns.tokenCount(col("text")).cast("long")),
+      "lang", "doc_id", "n_tok", seqLen = 128L)
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack"           -> (qPack _),
+    "q_cluster_star"   -> (qClusterStar _),
     "q_nullsafe_join"  -> (qNullsafeJoin _),
     "q_map_fns"        -> (qMapFns _),
     "q_corpus_filter"  -> (qCorpusFilter _),
@@ -1419,7 +1441,42 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
     * the driver sorts columns by name before hashing). */
+  /** Shared by q_dedup_clusters and q_cluster_star: both algorithms must
+    * land on the components of this recursive-CTE reachability. */
+  private val ClusterOracle = """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) >= 0.35
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+      ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+      FROM reach GROUP BY 1"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_pack" -> """
+      WITH t AS (SELECT lang, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT lang, doc_id, n_tokens,
+        CAST(cum - n_tokens AS BIGINT) AS tok_start,
+        CAST((cum - n_tokens) // 128 AS BIGINT) AS chunk_first,
+        CAST((cum - 1) // 128 AS BIGINT) AS chunk_last
+      FROM c""",
+    "q_cluster_star" -> ClusterOracle,
     "q_asof_tolerance" -> """
       SELECT p.event_id AS event_id, p.user_id AS user_id,
         epoch_ns(p.ts) // 1000 AS purchase_us,
@@ -2062,26 +2119,7 @@ object SparkEntry {
         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
         TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
       FROM lineitem GROUP BY 1""",
-    "q_dedup_clusters" -> """
-      WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-            6) >= 0.35
-      ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b, id_a FROM pairs
-      ), reach(id, r) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-      )
-      SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
-      FROM reach GROUP BY 1""",
+    "q_dedup_clusters" -> ClusterOracle,
     "q_dedup_ngram" -> """
       WITH t AS (SELECT lang, source, doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT lang, source, doc_id,

@@ -246,6 +246,93 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): large-star connects every neighbor larger than
+    * u to u's neighborhood minimum; small-star repoints u's smaller
+    * neighbors at it. Each round CONTRACTS paths — versus the one-hop
+    * label advance of [[clusters]] — so the fixpoint arrives in
+    * O(log n) rounds even for chain-shaped components. This is the
+    * 100 TB choice when component diameter is unknown; [[clusters]]
+    * stays the cheaper call for shallow near-dup clusters.
+    *
+    * Convergence is detected by an order-independent edge-set signature
+    * (count + bit_xor of xxhash64 over the distinct normalized edges): a
+    * round that leaves the signature unchanged ends the loop. Two
+    * different edge sets colliding on the signature is ~2^-64; the
+    * exact alternative (two except() anti-joins per round) roughly
+    * doubles the per-round cost. Each generation goes through
+    * localCheckpoint for the same lineage reasons as [[clusters]].
+    */
+  def clustersStar(ids: DataFrame, pairs: DataFrame, idCol: String,
+                   aCol: String, bCol: String, maxIters: Int = 30): DataFrame =
+    clustersStarWithRounds(ids, pairs, idCol, aCol, bCol, maxIters)._1
+
+  private[graft] def clustersStarWithRounds(
+      ids: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String, maxIters: Int = 30): (DataFrame, Int) = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var edges = pairs
+      .select(greatest(a, b).as("src"), least(a, b).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+
+    // bit_xor, not sum: order-independent like sum but cannot overflow
+    // under ANSI mode; edges are distinct so xor self-cancellation needs
+    // two *different* sets agreeing on count AND xor (~2^-64)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // large-star: for each u, m = min(N(u) ∪ {u}); connect each v ∈ N(u),
+    // v > u, to m. Emitted edges keep the larger→smaller normalization.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = adj.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      adj.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: edges point larger→smaller; for each u, m = min of its
+    // smaller neighbors; repoint the rest of them (and u) at m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("src").agg(min(col("dst")).as("m"))
+      e.join(m, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var rounds = 0
+    var done = sig._1 == 0L
+    while (rounds < maxIters && !done) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nsig = signature(next)
+      done = nsig == sig
+      sig = nsig
+      edges = next
+      rounds += 1
+    }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clustersStar() hit maxIters=$maxIters before the edge set " +
+          "stabilized; raise maxIters")
+    // fixpoint is a star graph: every non-root src points at its
+    // component min; roots and isolated ids label themselves
+    val comp = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("cluster"))
+    val labels = ids.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, rounds)
+  }
+
   /** End-to-end corpus dedup: exact dups + MinHash candidates filtered by
     * estimated Jaccard, unioned into components; returns (id, cluster,
     * keep) where keep marks the canonical (minimum-id) doc per cluster.

@@ -287,6 +287,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cells > 1, s"expected multiple cell partitions, got $cells")
   }
 
+  test("clustersStar matches clusters() on random graphs incl. singletons") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val ids = (0L until n).toDF("id")
+    val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (x, y) => x != y }.toDF("id_a", "id_b")
+    val viaHop = Dedup.clusters(ids, pairs, "id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.clustersStar(ids, pairs, "id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaHop)
+    // no edges at all -> every id is its own cluster
+    val empty = Dedup.clustersStar(ids, pairs.limit(0), "id", "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(empty.forall { case (i, c) => i == c } && empty.length == n)
+  }
+
+  test("clustersStar contracts a 128-node chain in O(log n) rounds") {
+    val n = 128
+    val ids = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.clustersStarWithRounds(ids, chain, "id", "id_a", "id_b")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+    // one-hop propagation needs ~n rounds on a chain; star contraction is
+    // logarithmic (plus the fixpoint-detection round)
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("Decontaminate flags the doc embedding a benchmark answer, not clean docs") {
     import graft.dedup.Decontaminate
     val bench = Seq((100L, "what is the capital of france paris obviously"))

@@ -282,6 +282,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("Pack.chunkAssignments: offsets are contiguous, chunk spans hand-checked") {
+    import graft.text.Pack
+    val docs = Seq(("en", 1L, 100L), ("en", 2L, 50L), ("en", 3L, 200L),
+      ("fr", 1L, 130L)).toDF("lang", "doc_id", "n_tok")
+    val got = Pack.chunkAssignments(docs, "lang", "doc_id", "n_tok", seqLen = 128L)
+      .select(col("lang"), col("doc_id"), col("tok_start"), col("chunk_first"), col("chunk_last"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", 1L, 0L, 0L, 0L),     // tokens [0,100)   -> chunk 0
+      ("en", 2L, 100L, 0L, 1L),   // tokens [100,150) -> straddles 0/1
+      ("en", 3L, 150L, 1L, 2L),   // tokens [150,350) -> chunks 1..2
+      ("fr", 1L, 0L, 0L, 1L)))    // independent stream per group
+  }
+
   test("bottomKByHash sample is invariant under repartitioning (unlike sample())") {
     import graft.operators.Sampling
     GraftExtensions.register(spark)
