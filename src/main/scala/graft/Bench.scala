@@ -43,10 +43,36 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full per-query detail: printed early (full stdout) and persisted to
+    // BENCH_FULL.json so it survives even though the harness only captures
+    // the last ~2000 chars of output.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    println(s"BENCH_FULL $fullLine")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // Final line must fit (with sbt's trailing "[success] ..." line) inside
+    // a 2000-char tail capture, or downstream parsing fails. Emit the
+    // slowest queries first and stop before the line grows past the budget.
+    val budget  = 1600
+    val slowest = results.sortBy(-_._2)
+    val sb      = new StringBuilder
+    var n       = 0
+    slowest.foreach { case (k, v) =>
+      val piece = (if (n == 0) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + piece.length < budget) { sb.append(piece); n += 1 }
+    }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},""" +
+      f""""n_queries":${results.size},"queries_shown":$n,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
