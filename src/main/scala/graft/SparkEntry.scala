@@ -1182,6 +1182,250 @@ object SparkEntry {
         .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  // ---------------------------------------------------------------------
+  // Batch 12 — the remaining TPC-H shapes (Q2,8,9,11,12,13,15,16,17,20,
+  // 21,22), adapted to the testdata's TPC-H-lite schemas. There is no
+  // partsupp table, so supply cost/stock derive from lineitem (unit price
+  // = l_extendedprice / l_quantity — each query notes its adaptation);
+  // text-ish filter columns the schema lacks (p_container, c_phone,
+  // o_comment, l_shipmode, l_receiptdate) map to available proxies while
+  // preserving each query's characteristic SHAPE: correlated subqueries,
+  // EXISTS/NOT EXISTS batteries, CASE aggregation, HAVING-vs-global-
+  // scalar, distinct counting.
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q2 (adapted: supply cost = cheapest observed unit price per
+    * part+supplier from lineitem): min-cost EUROPE supplier per PROMO
+    * size-15 part — the correlated-min scalar subquery shape. */
+  private def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+      .filter(col("p_size") === 15 && col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_name"))
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val euro = cost
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val best = euro.groupBy(col("l_partkey").as("bk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    euro
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(best, col("l_partkey") === col("bk") && col("unit_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), round(col("unit_cost"), 6).as("supply_cost"))
+  }
+
+  /** TPC-H Q8: national market share — NATION_7's share of ECONOMY-part
+    * volume sold to AMERICA customers, per order year. */
+  private def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    val vol = dec12(col("l_extendedprice")) * (one - dec12(col("l_discount")))
+    val cNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val sNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")).between(1996, 1997)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cNat), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sNat), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", vol)
+          .otherwise(lit(0).cast("decimal(26,4)"))).cast("double")
+          / sum(vol).cast("double"), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 (adapted: supply cost = 10% of retail price x quantity):
+    * profit on red parts by supplier nation and order year. */
+  private def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    val amount = dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))) -
+      dec12(col("p_retailprice")) * dec12(col("l_quantity")) * lit("0.10").cast("decimal(3,2)")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q11 (adapted: part value = extended price shipped by NATION_3
+    * suppliers): parts whose value exceeds 0.1% of the national total —
+    * HAVING against a global scalar subquery, exact decimal compare. */
+  private def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    val nat3 = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(nat3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val value = li.groupBy(col("l_partkey"))
+      .agg(sum(dec12(col("l_extendedprice"))).as("value"))
+    val threshold = li.agg((sum(dec12(col("l_extendedprice")))
+      * lit("0.001").cast("decimal(6,4)")).as("thr"))
+    value.crossJoin(broadcast(threshold))
+      .filter(col("value") > col("thr"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+  }
+
+  /** TPC-H Q12 (adapted: l_shipmode/l_receiptdate absent — ship speed
+    * bucket = order-to-ship lag): priority mix per bucket, the CASE-sum
+    * aggregation shape. */
+  private def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(year(col("l_shipdate")) === 1997),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(when(lag > 60, "SLOW").otherwise("FAST").as("ship_bucket"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 (adapted filter: o_comment absent — excluded class =
+    * urgent orders): customer order-count distribution via left join +
+    * two-level aggregate; customers whose only orders are urgent land in
+    * the 0 bucket. */
+  private def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15: top supplier(s) by 1997Q1 revenue — the revenue-view +
+    * max-scalar-subquery shape, with an exact decimal equality join. */
+  private def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01")
+        && to_date(col("l_shipdate")) < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one - dec12(col("l_discount"))))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16 (adapted: supplier-part pairs from lineitem; complaint
+    * filter = negative account balance): distinct supplier count per
+    * surviving part class. */
+  private def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    val complained = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 (adapted: p_container absent — class = Brand#23): revenue
+    * lost to small-quantity orders; threshold = 0.2 x per-part average
+    * quantity (exact: quantities are integral, so the double sum/avg is
+    * order-independent on both engines). */
+  private def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQ = li.groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(dec12(col("l_extendedprice"))).cast("double") / 7.0, 6)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q20 (adapted: excess stock = >300 units of red parts shipped
+    * in 1997): EUROPE suppliers behind that volume — the nested-IN
+    * (semi-join chain) shape. */
+  private def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    val redParts = Tables.part(s, d).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val heavy = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  /** TPC-H Q21 (adapted: lateness = shipped >60 days after order date):
+    * ASIA suppliers who were the SOLE late supplier on a multi-supplier
+    * 'F' order — the EXISTS + NOT EXISTS double-correlation shape
+    * (semi-join then anti-join against the same derived line set). */
+  private def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+    val l1 = lines.filter(col("late"))
+    val others = lines.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val otherLate = l1.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1
+      .join(others, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(otherLate, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 (adapted: country code = custkey mod 10, dormant = no
+    * orders since 2000): above-average-balance customers with no recent
+    * orders, by code — the anti-join + global-average-scalar shape. The
+    * average is a decimal sum divided by the count, identically on both
+    * engines, so the balance comparison is exact. */
+  private def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .withColumn("cntrycode", pmod(col("c_custkey"), lit(10)).cast("long"))
+      .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
   /** Corpus TF-IDF: top-3 salient tokens per language (tf within the
     * language, idf over the whole corpus). */
   private def qTfidf(s: SparkSession, d: String): DataFrame =
@@ -1376,6 +1620,18 @@ object SparkEntry {
     "q_array_fns"      -> (qArrayFns _),
     "q_tfidf"          -> (qTfidf _),
     "q_tpch_q7"        -> (qTpchQ7 _),
+    "q_tpch_q2"        -> (qTpchQ2 _),
+    "q_tpch_q8"        -> (qTpchQ8 _),
+    "q_tpch_q9"        -> (qTpchQ9 _),
+    "q_tpch_q11"       -> (qTpchQ11 _),
+    "q_tpch_q12"       -> (qTpchQ12 _),
+    "q_tpch_q13"       -> (qTpchQ13 _),
+    "q_tpch_q15"       -> (qTpchQ15 _),
+    "q_tpch_q16"       -> (qTpchQ16 _),
+    "q_tpch_q17"       -> (qTpchQ17 _),
+    "q_tpch_q20"       -> (qTpchQ20 _),
+    "q_tpch_q21"       -> (qTpchQ21 _),
+    "q_tpch_q22"       -> (qTpchQ22 _),
     "q_tpch_q19"       -> (qTpchQ19 _),
     "q_stats_moments"  -> (qStatsMoments _),
     "q_tpch_q4"        -> (qTpchQ4 _),
@@ -1556,6 +1812,154 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_tpch_q2" -> """
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2),
+      euro AS (
+        SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+        FROM cost c
+        JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE')
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+        round(e.unit_cost, 6) AS supply_cost
+      FROM euro e JOIN part p ON e.l_partkey = p.p_partkey
+      WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+        AND e.unit_cost = (SELECT min(e2.unit_cost) FROM euro e2
+                           WHERE e2.l_partkey = e.l_partkey)""",
+    "q_tpch_q8" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        round(
+          CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+            ELSE CAST('0' AS DECIMAL(26,4)) END) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+          6) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        AND year(o_orderdate) BETWEEN 1996 AND 1997
+      GROUP BY 1""",
+    "q_tpch_q9" -> """
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+          - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+            * CAST('0.10' AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY 1, 2""",
+    "q_tpch_q11" -> """
+      WITH li AS (
+        SELECT l_partkey, l_extendedprice FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'))
+      SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      FROM li GROUP BY 1
+      HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        > (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) * CAST('0.001' AS DECIMAL(6,4))
+           FROM li)""",
+    "q_tpch_q12" -> """
+      SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+               THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+          AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+          AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 1""",
+    "q_tpch_q13" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+      GROUP BY 1""",
+    "q_tpch_q15" -> """
+      WITH rev AS (
+        SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3""",
+    "q_tpch_q17" -> """
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+        AS avg_yearly
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = lineitem.l_partkey)""",
+    "q_tpch_q20" -> """
+      SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE year(l_shipdate) = 1997
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          GROUP BY 1 HAVING sum(l_quantity) > 300)""",
+    "q_tpch_q21" -> """
+      WITH lines AS (
+        SELECT l_orderkey, l_suppkey,
+          datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60 AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_name, count(*) AS numwait
+      FROM lines l1
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND l1.late
+        AND EXISTS (SELECT 1 FROM lines l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lines l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY 1""",
+    "q_tpch_q22" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal, c_custkey % 10 AS cntrycode
+        FROM customer WHERE c_custkey % 10 IN (1, 3, 5, 7, 9))
+      SELECT cntrycode, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM cust
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM cust WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+      GROUP BY 1""",
     "q_dedup_minhash" -> PairJaccardOracle,
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
