@@ -1603,9 +1603,82 @@ object SparkEntry {
         graft.text.TextFns.tokenCount(col("text")).cast("long")),
       "lang", "doc_id", "n_tok", seqLen = 128L)
 
+  /** Sliding-window chunking (window 32, stride 24 -> 8-token overlap)
+    * over the documents table — zero-shuffle scan-stage map (see
+    * Chunker). */
+  private def qChunkOverlap(s: SparkSession, d: String): DataFrame =
+    graft.text.Chunker.chunks(Tables.documents(s, d), "text", "doc_id",
+      window = 32, stride = 24)
+
+  /** One-pass column profiler over orders: per-column row/null/distinct
+    * counts and min/max strings from a single Expand-planned aggregate
+    * (see Profile). Double and timestamp columns get explicit renderers
+    * so both engines print identical strings. */
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      render = Map(
+        "o_totalprice" -> ((c: Column) => dec(c).cast("string")),
+        "o_orderdate" -> ((c: Column) =>
+          date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+
+  /** Vocabulary coverage: top-100 corpus vocab (count desc, token asc —
+    * total order, engine-portable) broadcast against the exploded
+    * corpus for per-doc OOV rates (see Vocab). */
+  private def qVocabOov(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.text.Vocab.oovRate(docs, "text", "doc_id",
+      graft.text.Vocab.topK(docs, "text", 100))
+  }
+
+  /** Exact distinct users per event type via fixed-size bitmaps:
+    * (type, bucket) partials from bitmap_construct_agg combine with
+    * map-side partial aggregation, then bitmap_count sums per type —
+    * exact COUNT(DISTINCT) semantics with bounded 4 KB buffers instead
+    * of a distinct-expand shuffle of every key occurrence. */
+  private def qBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("__bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("__bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(__bm)")).cast("long").as("n_users"))
+
+  /** Per-label embedding centroid + each vector's squared distance to
+    * its centroid, computed ENTIRELY in fixed-point (1e-6 resolution):
+    * long sums are order-independent, integer floor-division centroids
+    * are exact, and the distance fold stays in longs — so the result is
+    * bit-identical across engines with no float-summation-order caveat.
+    * Shape: one posexplode + (label, pos) aggregate for the centroids
+    * (map-side partials), centroid arrays re-assembled per label (k
+    * rows), broadcast back onto the vectors. The zip_with/aggregate
+    * fold is interpreted (CodegenFallback) — acceptable off the hot
+    * path; the native-expression alternative is DotProduct's pattern. */
+  private def qEmbedCentroid(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 1e6).cast("long")).as("vfp"))
+    val dims = fp.select(col("label"), posexplode(col("vfp")).as(Seq("pos", "v")))
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("carr"))
+    fp.join(broadcast(carr), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("vfp"), col("carr"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2_fp"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap"  -> (qChunkOverlap _),
+    "q_profile"        -> (qProfile _),
+    "q_vocab_oov"      -> (qVocabOov _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_embed_centroid" -> (qEmbedCentroid _),
     "q_pack"           -> (qPack _),
     "q_cluster_star"   -> (qClusterStar _),
     "q_nullsafe_join"  -> (qNullsafeJoin _),
@@ -1812,6 +1885,84 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_chunk_overlap" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, toks,
+          unnest(generate_series(0, CAST((len(toks) - 1) // 24 AS BIGINT))) AS ci
+        FROM d)
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        CAST(ci * 24 AS BIGINT) AS token_start,
+        CAST(len(list_slice(toks, ci * 24 + 1, ci * 24 + 32)) AS BIGINT) AS n_tokens,
+        coalesce(array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' '), '')
+          AS chunk_text
+      FROM s""",
+    "q_profile" -> """
+      SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_null,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+        CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+        CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        min(o_orderpriority), max(o_orderpriority) FROM orders""",
+    "q_vocab_oov" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 100)
+      SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(*) FILTER (WHERE v.t IS NULL) AS BIGINT) AS oov_tokens,
+        round(CAST(count(*) FILTER (WHERE v.t IS NULL) AS DOUBLE) / count(*), 6)
+          AS oov_rate
+      FROM tok k LEFT JOIN vocab v ON k.t = v.t
+      GROUP BY k.doc_id""",
+    "q_bitmap_distinct" -> """
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type""",
+    "q_embed_centroid" -> """
+      WITH f AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vfp
+        FROM embeddings),
+      d AS (
+        SELECT label, unnest(list_transform(vfp, (v, i) -> {'pos': i, 'v': v})) AS u
+        FROM f),
+      cent AS (
+        SELECT label, u.pos AS pos,
+          CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        FROM d GROUP BY label, u.pos),
+      carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label)
+      SELECT f.vec_id, f.label,
+        CAST(list_sum(list_transform(f.vfp,
+          (v, i) -> (v - carr.carr[i]) * (v - carr.carr[i]))) AS BIGINT) AS dist2_fp
+      FROM f JOIN carr ON f.label = carr.label""",
     "q_tpch_q2" -> """
       WITH cost AS (
         SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
