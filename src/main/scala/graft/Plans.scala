@@ -43,7 +43,17 @@ object Plans {
     "q_decontaminate" ->
       "Decontamination: the bench shingle table broadcasts (BroadcastExchange under the join), so the corpus reaches the overlap count with no pre-join shuffle; the wide exchanges are the (doc, bench) pair aggregate and the keepClean left join, which carries only 8-byte doc ids (AQE broadcasts the flagged side at runtime when it is small).",
     "q_sample_hash" ->
-      "Deterministic hash sample: PartialTopK below the exchange bounds it to k rows per (stratum, partition); the md5 rank is computed in the scan stage.")
+      "Deterministic hash sample: PartialTopK below the exchange bounds it to k rows per (stratum, partition); the md5 rank is computed in the scan stage.",
+    "q_tpch_q2" ->
+      "TPC-H Q2: the only SortMergeJoin is the min-cost self-match of the lineitem aggregate (large x large); every dimension side broadcasts.",
+    "q_tpch_q21" ->
+      "TPC-H Q21: the lineitem self semi/anti joins are SortMergeJoins on l_orderkey (large x large, the correct shape at scale); supplier/nation/region broadcast.",
+    "q_chunk_overlap" ->
+      "Sliding-window chunking: zero Exchange — tokenize once per doc in the Generate child, starts enumerated by sequence, slices projected per chunk.",
+    "q_upsert" ->
+      "CDC apply: the change set is hash-partitioned once for the latest-wins window; the anti-join reuses that partitioning on the change side.",
+    "q_bitmap_distinct" ->
+      "Bitmap distinct: fixed-size bitmap partials combine map-side, so the exchange carries one 4 KB buffer per (type, bucket) — not every key occurrence.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1671,9 +1671,65 @@ object SparkEntry {
           lit(0L), (acc, x) => acc + x).as("dist2_fp"))
   }
 
+  /** CDC apply (MERGE-INTO equivalent for parquet pipelines): a
+    * deterministic change stream derived from orders — two change
+    * generations so latest-wins is actually exercised (seq 1 updates
+    * every %7 key; seq 2 deletes the %14 subset, overriding half of
+    * those updates) plus fresh inserts on shifted keys — merged into
+    * the base snapshot by Cdc.applyChanges. */
+  private def qUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      dec(col("o_totalprice")).cast("double").as("price"))
+    val src = Tables.orders(s, d)
+    val updates = src.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      dec(col("o_totalprice") + 1000).cast("double").as("price"),
+      lit(1L).as("seq"), lit("update").as("op"))
+    val deletes = src.filter(col("o_orderkey") % 14 === 0).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      lit(null).cast("double").as("price"),
+      lit(2L).as("seq"), lit("delete").as("op"))
+    val inserts = src.filter(col("o_orderkey") % 21 === 0).select(
+      (col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_orderstatus"),
+      dec(col("o_totalprice")).cast("double").as("price"),
+      lit(1L).as("seq"), lit("insert").as("op"))
+    Cdc.applyChanges(base, updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey", "seq", "op")
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    * sketch per day, re-aggregated with hll_union_agg for the overall
+    * count — the incremental-rollup pattern that lets a 100 TB pipeline
+    * compute daily partials ONCE and answer any date-range distinct
+    * query by merging k tiny sketches instead of rescanning. Bound
+    * oracle: exact per-day/overall distincts pinned by hash, the sketch
+    * asserted within 5% (lgK=12 error is ~1.6%). */
+  private def qHllMerge(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("__sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val perDay = daily.select(col("day"), col("exact_users"),
+      (abs(expr("hll_sketch_estimate(__sk)") - col("exact_users"))
+        <= col("exact_users") * 0.05).as("sketch_within_5pct"))
+    val overallExact = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val merged = daily.agg(
+      expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+    perDay.unionByName(
+      overallExact.crossJoin(merged).select(
+        lit(-1L).as("day"), col("exact_users"),
+        (abs(col("__est") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("sketch_within_5pct")))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert"         -> (qUpsert _),
+    "q_hll_merge"      -> (qHllMerge _),
     "q_chunk_overlap"  -> (qChunkOverlap _),
     "q_profile"        -> (qProfile _),
     "q_vocab_oov"      -> (qVocabOov _),
@@ -1885,6 +1941,36 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders),
+      ch AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice + 1000 AS DECIMAL(18,2)) AS DOUBLE) AS price,
+          1 AS seq, 'update' AS op FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, NULL, 2, 'delete'
+        FROM orders WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1, 'insert'
+        FROM orders WHERE o_orderkey % 21 = 0),
+      latest AS (
+        SELECT o_orderkey, o_orderstatus, price, op FROM ch
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+      SELECT b.o_orderkey, b.o_orderstatus, b.price FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price FROM latest WHERE op <> 'delete'""",
+    "q_hll_merge" -> """
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        TRUE AS sketch_within_5pct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT -1, CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events""",
     "q_chunk_overlap" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -315,4 +315,43 @@ class OperatorsSpec extends AnyFunSuite {
       .drop("rn").unionAll(Sampling.bottomKByHash(shards(1), Seq("grp"), "key", 4).drop("rn")))
     assert(merged == base)
   }
+
+  test("applyChanges: latest-wins upsert/delete/insert semantics") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 1L, "update"), // plain update
+      (2L, "b2", 1L, "update"), // update overridden by later delete
+      (2L, "b2", 2L, "delete"),
+      (3L, "x", 1L, "delete"),  // delete overridden by later re-insert
+      (3L, "c2", 2L, "insert"),
+      (9L, "new", 1L, "insert") // fresh key
+    ).toDF("k", "v", "seq", "op")
+    val out = Cdc.applyChanges(base, changes, "k", "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (3L, "c2"), (9L, "new")))
+  }
+
+  test("applyChanges rejects a changes df missing base columns") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, 1L, "update")).toDF("k", "seq", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base, bad, "k", "seq", "op")
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
+  test("applyChanges shuffles the change set once (window feeds the joins, no re-exchange)") {
+    val base = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val changes = Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lit(1L).as("seq"), lit("update").as("op"))
+    val plan = Cdc.applyChanges(base, changes, "o_orderkey", "seq", "op")
+      .queryExecution.executedPlan.toString
+    // one exchange for the window over changes; the anti-join reuses that
+    // partitioning on the change side (plus at most one for the base side)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+  }
 }
