@@ -1725,9 +1725,38 @@ object SparkEntry {
           <= col("exact_users") * 0.05).as("sketch_within_5pct")))
   }
 
+  /** Pretraining domain-mixture sampling: per-source fractions (src0
+    * upweighted, src1 half, src2 quarter, long tail at 10%) drawn by
+    * md5 rank — deterministic, partitioning-invariant, audit-
+    * replayable (see Sampling.mixtureSample). */
+  private def qMixture(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "source", "doc_id",
+        weights = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+        defaultWeight = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+
+  /** Quality-percentile gate: keep documents at or above the 20th
+    * quality percentile WITHIN their language — percentile gating
+    * adapts the threshold per stratum, unlike a global cutoff that
+    * would empty out a low-scoring language. percent_rank ties share a
+    * value, so the gate is deterministic without a tiebreak. */
+  private def qQualityFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("q"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextFns.qualityScore(col("text")).as("q"))
+      .withColumn("q_pct", round(percent_rank().over(w), 6))
+      .filter(col("q_pct") >= 0.2)
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture"        -> (qMixture _),
+    "q_quality_filter" -> (qQualityFilter _),
     "q_upsert"         -> (qUpsert _),
     "q_hll_merge"      -> (qHllMerge _),
     "q_chunk_overlap"  -> (qChunkOverlap _),
@@ -1941,6 +1970,26 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_mixture" -> """
+      WITH r AS (
+        SELECT doc_id, lang, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+          count(*) OVER (PARTITION BY source) AS n,
+          CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+            WHEN 'src2' THEN 0.25 ELSE 0.1 END AS w
+        FROM documents)
+      SELECT doc_id, lang, source, rk FROM r
+      WHERE rk <= CAST(floor(w * n) AS BIGINT)""",
+    "q_quality_filter" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          ${graft.text.TextFns.qualityScoreOracleSql("text")} AS q
+        FROM documents)
+      SELECT doc_id, lang, q,
+        round(percent_rank() OVER (PARTITION BY lang ORDER BY q), 6) AS q_pct
+      FROM scored
+      QUALIFY q_pct >= 0.2""",
     "q_upsert" -> """
       WITH base AS (
         SELECT o_orderkey, o_orderstatus,
@@ -2339,11 +2388,7 @@ object SparkEntry {
         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
           / len(string_split(text, ' ')) AS avg_token_len,
         len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS stop_cnt,
-        round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-          + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                      / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
-          + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) / 5.0, 1.0)
-          ) / 3.0, 6) AS quality,
+        ${TextFns.qualityScoreOracleSql("text")} AS quality,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint

@@ -31,4 +31,30 @@ object Sampling {
       .perGroup(hashed, groupCols, "__h", keyCol, k, desc = false)
       .drop("__h")
   }
+
+  /** Domain-mixture sampling: keep a per-stratum FRACTION (the
+    * pretraining mixture weight) instead of a fixed k — stratum quota =
+    * floor(weight * stratum size), membership by md5-of-key rank, so
+    * the draw is deterministic, partitioning-invariant, and audit-
+    * replayable like bottomKByHash. One window sort per stratum: rank
+    * and stratum count share the same partitioning (single exchange);
+    * rows outside the quota are filtered before anything downstream.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0 && w <= 1),
+      "mixture weights must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(stratumCol) === s, lit(wt)).otherwise(acc)
+    }
+    val part = Window.partitionBy(col(stratumCol))
+    val byHash = part.orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(byHash).cast("long"))
+      .withColumn("__quota", floor(w * count(lit(1)).over(part)).cast("long"))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__quota")
+      .withColumnRenamed("__rk", "rk")
+  }
 }

@@ -51,6 +51,20 @@ object TextFns {
     round((lenScore + tokScore + stopScore) / 3.0, 6)
   }
 
+  /** DuckDB SQL reproducing [[qualityScore]] exactly — generated from
+    * the same constants so the definitions cannot drift (the
+    * langIdOracleSql pattern). `c` is the text column name.
+    */
+  def qualityScoreOracleSql(c: String): String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(",")
+    val avgTok = s"CAST(length($c) - (len(string_split($c, ' ')) - 1) AS DOUBLE)" +
+      s" / len(string_split($c, ' '))"
+    s"""round((least(CAST(length($c) AS DOUBLE) / 500.0, 1.0)
+        + CASE WHEN $avgTok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        + least(CAST(len(list_filter(string_split($c, ' '), x -> x IN ($stop))) AS DOUBLE) / 5.0, 1.0)
+        ) / 3.0, 6)"""
+  }
+
   /** All word n-grams WITH duplicates — repetition analysis needs the
     * multiset (`graft.dedup.Dedup.shingles` is the distinct variant for
     * dedup). Short docs collapse to one whole-text gram, mirroring

@@ -57,12 +57,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows("str").getLong(2) == 1L && rows("str").getLong(3) == 1L)
   }
 
-  test("profile plans ONE scan of the input (Expand, not per-column subplans)") {
+  test("profile branches are column-pruned scans feeding HashAggregates (no row expansion)") {
     val df = Tables.orders(spark, "/root/testdata/sf0.001")
     val plan = Profile.profile(df, Seq("o_orderkey", "o_custkey", "o_orderstatus"))
       .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(plan).length == 1)
-    assert(plan.contains("Expand"))
+    // one scan per column, each reading ONLY its column (union of pruned
+    // scans = each byte read once in total)
+    assert("Scan parquet".r.findAllIn(plan).length == 3)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"))
+    assert(plan.contains("ReadSchema: struct<o_orderstatus:string>"))
+    // the distinct-value level stays HashAggregate; no Expand, and no
+    // SortAggregate over the full row stream (string min/max only ever
+    // sorts the distinct-value rollup)
+    assert(!plan.contains("Expand"))
+    assert(plan.contains("HashAggregate"))
   }
 
   // -- Vocab ------------------------------------------------------------
