@@ -68,6 +68,49 @@ object StreamingOps {
       batch.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
     }
 
+  /** CDC snapshot maintenance: a change stream (payload + seq + op
+    * columns, as in [[graft.operators.Cdc.applyChanges]]) continuously
+    * folded into a versioned parquet snapshot — the streaming MERGE
+    * INTO for plain-parquet pipelines. Each micro-batch reads the
+    * previous version, applies latest-wins upsert/delete semantics, and
+    * writes `dir/v<batchId>`; versioned writes make replay IDEMPOTENT
+    * (a re-delivered batch overwrites its own version, so the chain
+    * converges instead of double-applying) and leave prior versions
+    * readable, time-travel style. Read the current state with
+    * [[latestSnapshot]].
+    */
+  def cdcSnapshotSink(changes: DataFrame, dir: String, keyCol: String,
+                      seqCol: String, opCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val payloadCols = changes.columns.filterNot(c => c == seqCol || c == opCol)
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val snap = latestVersion(dir, before = Some(batchId)) match {
+          case Some(v) => s.read.parquet(s"$dir/v$v")
+          case None =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                payloadCols.map(batch.schema(_)).toIndexedSeq))
+        }
+        graft.operators.Cdc.applyChanges(snap, batch, keyCol, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+  }
+
+  /** The current CDC snapshot (highest version under `dir`). */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/v${latestVersion(dir, None).get}")
+
+  private def latestVersion(dir: String, before: Option[Long]): Option[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).toSeq.flatten
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong).toOption
+        .filter(_ => f.getName.startsWith("v")))
+      .filter(v => before.forall(v < _))
+      .sorted.lastOption
+  }
+
   /** Gap-based streaming sessionization: a session closes when no event
     * arrives for `gapMs` (by event time, enforced by watermark timeout).
     */

@@ -204,6 +204,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcSnapshotSink: change stream folds into a versioned snapshot, latest-wins per batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/snap"
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val q = StreamingOps.cdcSnapshotSink(
+      mem.toDF().toDF("k", "v", "seq", "op"), dir, "k", "seq", "op").start()
+    try {
+      // batch 0: inserts
+      mem.addData((1L, "a", 1L, "insert"), (2L, "b", 1L, "insert"))
+      q.processAllAvailable()
+      assert(StreamingOps.latestSnapshot(spark, dir)
+        .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+      // batch 1: update 1, delete 2, insert 3 — with an intra-batch
+      // override chain on key 3 (insert then delete then re-insert)
+      mem.addData((1L, "a2", 1L, "update"), (2L, "b", 2L, "delete"),
+        (3L, "x", 1L, "insert"), (3L, "x", 2L, "delete"), (3L, "c", 3L, "insert"))
+      q.processAllAvailable()
+      assert(StreamingOps.latestSnapshot(spark, dir)
+        .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+      // prior version still readable (time-travel style)
+      assert(spark.read.parquet(s"$dir/v0").count() == 2)
+    } finally q.stop()
+  }
+
   test("watermark drops late data: an event older than the watermark never lands") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
