@@ -1752,9 +1752,28 @@ object SparkEntry {
       .filter(col("q_pct") >= 0.2)
   }
 
+  /** DataSourceV2 connector under the oracle gate: read the synthetic
+    * corpus through the full v2 path (split planning, doc_id range
+    * pushdown narrows the planned splits, column pruning skips text
+    * generation for unused columns), then aggregate per language. Rows
+    * are a pure function of doc_id, so DuckDB replays the content
+    * arithmetically over generate_series — the oracle checks the
+    * connector's row generation AND Spark's aggregation over it. */
+  private def qDsv2Source(s: SparkSession, d: String): DataFrame =
+    s.read.format("synthetic-docs")
+      .option("numRows", 5000L).option("numPartitions", 8)
+      .load()
+      .filter(col("doc_id") >= 1000L && col("doc_id") < 4000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(graft.text.TextFns.tokenCount(col("text")).cast("long")).as("tok_sum"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_source"    -> (qDsv2Source _),
     "q_mixture"        -> (qMixture _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_upsert"         -> (qUpsert _),
@@ -1970,6 +1989,15 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dsv2_source" -> """
+      WITH ids AS (SELECT unnest(generate_series(1000, 3999)) AS id)
+      SELECT CASE id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+               WHEN 3 THEN 'es' ELSE 'zh' END AS lang,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(min(id) AS BIGINT) AS min_id,
+        CAST(max(id) AS BIGINT) AS max_id,
+        CAST(sum(10 + id % 30) AS BIGINT) AS tok_sum
+      FROM ids GROUP BY 1""",
     "q_mixture" -> """
       WITH r AS (
         SELECT doc_id, lang, source,
