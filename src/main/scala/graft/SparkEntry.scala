@@ -1604,10 +1604,11 @@ object SparkEntry {
       "lang", "doc_id", "n_tok", seqLen = 128L)
 
   /** Sliding-window chunking (window 32, stride 24 -> 8-token overlap)
-    * over the documents table — zero-shuffle scan-stage map (see
-    * Chunker). */
+    * over the documents table, via the native ChunkGenerator (one string
+    * pass, streamed rows) — row-identical to the composed Chunker.chunks
+    * form (differential-spec-pinned), so the oracle covers both. */
   private def qChunkOverlap(s: SparkSession, d: String): DataFrame =
-    graft.text.Chunker.chunks(Tables.documents(s, d), "text", "doc_id",
+    graft.functions.ChunkGenerator.chunks(Tables.documents(s, d), "text", "doc_id",
       window = 32, stride = 24)
 
   /** One-pass column profiler over orders: per-column row/null/distinct

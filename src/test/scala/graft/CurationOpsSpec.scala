@@ -43,6 +43,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" === 1L).head().getLong(3) == 3L)
   }
 
+  test("ChunkGenerator (native Generator) is row-identical to the composed Chunker") {
+    import graft.functions.ChunkGenerator
+    // real corpus + adversarial shapes: empty string, multi-space (empty
+    // tokens), trailing/leading separators, single token, doc shorter
+    // than a window
+    val weird = Seq((9001L, ""), (9002L, "a  b   c "), (9003L, " x"),
+      (9004L, "solo"), (9005L, "a b")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(weird)
+    for ((w, s) <- Seq((32, 24), (16, 16), (5, 2))) {
+      val composed = graft.text.Chunker.chunks(docs, "text", "doc_id", w, s)
+      val native = ChunkGenerator.chunks(docs, "text", "doc_id", w, s)
+      assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+        s"window=$w stride=$s diverged")
+    }
+  }
+
+  test("ChunkGenerator streams chunks lazily (iterator, not a materialized array)") {
+    import graft.functions.ChunkGenerator
+    // a 200k-token doc yields 100k chunks of ~window tokens; generating
+    // them through the iterator must not blow a small driver take()
+    val big = Seq((1L, (1 to 200000).map(i => "t" + (i % 89)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val firstRows = ChunkGenerator.chunks(big, "text", "doc_id", 64, 2).take(3)
+    assert(firstRows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(firstRows.forall(_.getLong(3) == 64L))
+  }
+
   // -- Profile ----------------------------------------------------------
 
   test("profile counts nulls/distincts per column from one pass") {
