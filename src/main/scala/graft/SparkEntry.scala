@@ -1594,6 +1594,33 @@ object SparkEntry {
     graft.dedup.Dedup.clustersStar(emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
   }
 
+  /** SemDeDup keep-list: vectors surviving semantic dedup within label
+    * buckets at cosine >= 0.35 — the lowest id of each above-threshold
+    * neighborhood is the surviving canonical. */
+  private def qSemdedup(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity.semDedup(
+        Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+
+  /** Int8 scalar-quantization report over the embeddings table:
+    * per-vector codebook, code checksum, max reconstruction error. */
+  private def qQuantize(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Quantize.report(Tables.embeddings(s, d), "embedding", "vec_id")
+
+  /** Distribution drift of the event-type mix between two deterministic
+    * halves of the events table (even vs odd event_id — stands in for
+    * "last week's snapshot vs this week's"). */
+  private def qDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.operators.Drift.categoricalDrift(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1), "event_type")
+  }
+
+  /** Per-document token entropy + type-token ratio over documents. */
+  private def qEntropy(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFns.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
+
   /** Concat-then-chunk sequence packing over the documents table:
     * per-language token streams in doc_id order, 128-token training
     * chunks — each doc's stream offset and first/last chunk. */
@@ -1901,6 +1928,10 @@ object SparkEntry {
     "q_fillna"         -> (qFillna _),
     "q_sql_season"     -> (qSqlSeason _),
     "q_rename_drop"    -> (qRenameDrop _),
+    "q_semdedup"       -> (qSemdedup _),
+    "q_quantize"       -> (qQuantize _),
+    "q_drift"          -> (qDrift _),
+    "q_entropy"        -> (qEntropy _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -3144,5 +3175,70 @@ object SparkEntry {
         l_quantity AS qty, l_extendedprice AS price,
         l_returnflag AS flag, l_linestatus AS status
       FROM lineitem""",
+    "q_semdedup" -> """
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+      FROM embeddings e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings o
+        WHERE o.label = e.label AND o.vec_id < e.vec_id
+          AND round(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(o.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+            6) >= 0.35)""",
+    "q_quantize" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      mm AS (SELECT vec_id, v, list_min(v) AS lo,
+               (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      c AS (SELECT vec_id, v, lo, scale,
+              list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(least(greatest(floor((x - lo) / scale), 0.0), 255.0) AS BIGINT) END) AS codes
+            FROM mm)
+      SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        round(lo, 6) AS lo, round(scale, 6) AS scale,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, b) -> a + b) AS code_sum,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(v, x -> abs(x - (lo +
+            (CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(least(greatest(floor((x - lo) / scale), 0.0), 255.0) AS BIGINT) END)
+            * scale)))),
+          (a, b) -> greatest(a, b)), 6) AS max_err
+      FROM c""",
+    "q_drift" -> """
+      WITH a AS (SELECT event_type AS category, count(*) AS n_a FROM events
+                 WHERE event_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT event_type AS category, count(*) AS n_b FROM events
+            WHERE event_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT category, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM a FULL OUTER JOIN b USING (category)),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
+      SELECT category, n_a, n_b,
+        round(CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE), 6) AS p_a,
+        round(CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE), 6) AS p_b,
+        round(CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+          * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))), 6) AS kl_term,
+        round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+            * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+               / ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+                 + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) / 2.0))
+          + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)
+            * ln((CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+               / ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+                 + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) / 2.0))) / 2.0, 6) AS js_term,
+        round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+             - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+          * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))), 6) AS psi_term
+      FROM j, t""",
+    "q_entropy" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      cnt AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+                sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nlogn
+              FROM cnt GROUP BY 1)
+      SELECT doc_id, n_tokens, n_types,
+        round(ln(CAST(n_tokens AS DOUBLE)) - nlogn / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+        round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
+      FROM agg""",
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift report between two snapshots of a categorical
+  * column — the check a training pipeline runs when a new corpus drop
+  * arrives ("did the source mix shift since the last crawl?").
+  *
+  * Per category: smoothed probabilities under both snapshots and the
+  * standard drift terms — KL(p||q), Jensen-Shannon (base e), and PSI
+  * (population stability index). Terms are per-category so the report
+  * doubles as a "which category moved" ranking; summing a term column
+  * gives the scalar divergence.
+  *
+  * Laplace (+1) smoothing keeps every term finite when a category is
+  * absent from one side — the usual PSI practice — and makes the output
+  * deterministic with no epsilon tuning.
+  *
+  * Scale design: each side is one map-side-combined groupBy(category)
+  * count (shuffle carries one row per category per partition), the two
+  * category tables full-outer-join on the category key (category-sized,
+  * tiny), and totals attach via a broadcast single-row cross join — no
+  * second scan of the data, no window over the raw rows.
+  */
+object Drift {
+
+  /** Drift report for `catCol` between `a` and `b`.
+    * Output: category, n_a, n_b, p_a, p_b, kl_term, js_term, psi_term
+    * (probabilities and terms rounded to 6 decimals).
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // Totals + category count in one tiny aggregate, broadcast back.
+    val totals = broadcast(joined.agg(
+      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__k")))
+    val p = (col("n_a") + 1).cast("double") / (col("__ta") + col("__k")).cast("double")
+    val q = (col("n_b") + 1).cast("double") / (col("__tb") + col("__k")).cast("double")
+    val m = (p + q) / 2.0
+    joined.crossJoin(totals)
+      .select(col("category"), col("n_a"), col("n_b"),
+        round(p, 6).as("p_a"), round(q, 6).as("p_b"),
+        round(p * log(p / q), 6).as("kl_term"),
+        round((p * log(p / m) + q * log(q / m)) / 2.0, 6).as("js_term"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
+}

@@ -164,6 +164,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup keep-list: within each coarse bucket
+    * (a cluster/label id), drop every vector that has a LOWER-id
+    * neighbor at cosine >= `threshold`; the lowest id of each similarity
+    * neighborhood survives as canonical. This is the per-cluster filter
+    * of SemDeDup (Abbas et al. 2023) — not transitive clustering: a
+    * vector is judged only against its own above-threshold neighbors.
+    *
+    * Scale design: candidate pairs come from [[cosinePairs]] (bucket-
+    * local, never all-pairs), reduced to a distinct drop-set of ids
+    * (narrow shuffle on the id key), then removed with a broadcast-able
+    * LEFT ANTI join — the corpus is scanned once and never carries
+    * vector payloads through the anti join.
+    */
+  def semDedup(df: DataFrame, embCol: String, idCol: String,
+               bucketCol: String, threshold: Double): DataFrame = {
+    val drop = cosinePairs(df, embCol, idCol, bucketCol, threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(drop, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: exact cosine inside coarse buckets
     * (provided column, e.g. a cluster/label id) — the verify stage that
     * LSH candidates feed at scale.

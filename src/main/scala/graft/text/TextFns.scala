@@ -125,6 +125,30 @@ object TextFns {
           .as("dup_bigram_frac"),
         round(col("__top").cast("double") / size(col("__g")), 6).as("top_bigram_frac"))
 
+  /** Per-document unigram token entropy (nats) and type-token ratio —
+    * the cheap lexical-diversity signals a corpus-quality gate keys on
+    * (boilerplate and keyword-stuffed docs sit at the low-entropy tail).
+    * Entropy via the ln(N) − Σ n·ln(n)/N identity so only per-token
+    * COUNTS aggregate, never probabilities. Same one-narrow-shuffle
+    * shape as [[repetitionStats]]: explode tokens, repartition once on
+    * the doc id, both aggregate levels reuse that clustering.
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), explode(tokens(lower(col(textCol)))).as("__t"))
+      .repartition(col("__id"))
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__n").cast("double") * log(col("__n").cast("double"))).as("__nlogn"))
+      .select(col("__id").as(idCol),
+        col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double"))
+          - col("__nlogn") / col("n_tokens").cast("double"), 6).as("entropy"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+
   /** Corpus TF-IDF: token term frequency per group weighted by inverse
     * document frequency over the WHOLE corpus — the standard salient-term
     * extractor. Shape: one explode, a distinct-doc aggregate for df

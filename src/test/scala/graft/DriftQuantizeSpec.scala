@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+import graft.similarity.{Quantize, Similarity}
+import graft.text.TextFns
+
+/** Round-3 additions: drift report, int8 quantization, semantic dedup
+  * keep-list, token entropy.
+  */
+class DriftQuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -- Drift ------------------------------------------------------------
+
+  test("drift: identical snapshots give zero divergence terms everywhere") {
+    val df = Seq("a", "a", "b", "c").toDF("k")
+    val out = Drift.categoricalDrift(df, df, "k").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+    }
+  }
+
+  test("drift: category absent from one side stays finite and contributes positive KL") {
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("y", "y", "y", "y").toDF("k")
+    val rows = Drift.categoricalDrift(a, b, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("x", "y"))
+    val x = rows("x")
+    assert(x.getLong(2) == 0L)                  // n_b = 0
+    assert(!x.getDouble(5).isNaN && !x.getDouble(5).isInfinite)
+    assert(x.getDouble(5) > 0)                  // p >> q => positive KL term
+    // summed KL and JS are non-negative; JS (base e) bounded by ln 2
+    val kl = rows.values.map(_.getDouble(5)).sum
+    val js = rows.values.map(_.getDouble(6)).sum
+    assert(kl > 0 && js > 0 && js <= math.log(2.0) + 1e-9)
+  }
+
+  test("drift: result is category-sized and totals-join is a broadcast, not a shuffle of rows") {
+    val ev = Tables.events(spark, DriftQuantizeSpec.sf)
+    val plan = Drift.categoricalDrift(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1), "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  // -- Quantize ---------------------------------------------------------
+
+  test("quantize: reconstruction error bounded by one quantization step") {
+    val emb = Tables.embeddings(spark, DriftQuantizeSpec.sf)
+    val out = Quantize.report(emb, "embedding", "vec_id")
+    // |x - recon| <= scale for every element (floor quantization)
+    assert(out.filter(col("max_err") > col("scale") + 1e-9).count() == 0)
+    assert(out.count() == emb.count())
+  }
+
+  test("quantize: constant vector quantizes to zero codes with zero error") {
+    val df = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val r = Quantize.report(df, "embedding", "vec_id").head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(3) == 0.0) // scale
+    assert(r.getLong(4) == 0L)    // code_sum
+    assert(r.getDouble(5) == 0.0) // max_err
+  }
+
+  test("quantize: plan is scan-only — no exchange, stays in one codegen stage") {
+    val emb = Tables.embeddings(spark, DriftQuantizeSpec.sf)
+    val plan = Quantize.report(emb, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // -- SemDeDup ---------------------------------------------------------
+
+  test("semDedup: kept set = corpus minus drop-set; every dropped vec has a lower-id neighbor") {
+    val emb = Tables.embeddings(spark, DriftQuantizeSpec.sf)
+    val kept = Similarity.semDedup(emb, "embedding", "vec_id", "label", 0.35)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    val dropped = allIds -- keptIds
+    assert(keptIds.subsetOf(allIds) && kept.count() == keptIds.size)
+    // dropped vecs are exactly the id_b side of above-threshold pairs
+    val pairDropped = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.35)
+      .select("id_b").as[Long].collect().toSet
+    assert(dropped == pairDropped)
+    // the minimum id of every label bucket always survives
+    val minPerLabel = emb.groupBy("label").agg(min("vec_id").as("m"))
+      .select("m").as[Long].collect().toSet
+    assert(minPerLabel.subsetOf(keptIds))
+  }
+
+  // -- Token entropy ----------------------------------------------------
+
+  test("tokenEntropy: bounds and exact values on known docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // zero entropy, one type
+      (2L, "a b c d"),          // max entropy ln(4), all distinct
+      (3L, "a a b b")           // ln(2)
+    ).toDF("doc_id", "text")
+    val rows = TextFns.tokenEntropy(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getDouble(3) == 0.0 && rows(1L).getDouble(4) == 0.25)
+    assert(math.abs(rows(2L).getDouble(3) - math.log(4.0)) < 1e-6)
+    assert(rows(2L).getDouble(4) == 1.0)
+    assert(math.abs(rows(3L).getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
+  test("tokenEntropy: single exchange — both aggregate levels reuse the doc-id repartition") {
+    val docs = Tables.documents(spark, DriftQuantizeSpec.sf)
+    val plan = TextFns.tokenEntropy(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // AQE wraps the plan, so count shuffle exchanges in the rendered tree
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+}
+
+object DriftQuantizeSpec {
+  val sf = "/root/testdata/sf0.001"
+}
