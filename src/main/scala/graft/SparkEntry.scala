@@ -1621,6 +1621,21 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, d: String): DataFrame =
     graft.text.TextFns.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
 
+  /** Top-20 corpus tokens via the SpaceSaving sketch. Capacity 64
+    * exceeds the corpus vocabulary, so no counter ever evicts and the
+    * sketch is provably exact (every err = 0) in any processing order —
+    * the oracle-able regime; the eviction regime is bounds-checked in
+    * DriftQuantizeSpec. Bounded-memory shape of HLL: partials carry at
+    * most `capacity` counters per partition at any input size. */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.n").as("n"), col("e.err").as("err"))
+      .orderBy(col("n").desc, col("item"))
+      .limit(20)
+
   /** Concat-then-chunk sequence packing over the documents table:
     * per-language token streams in doc_id order, 128-token training
     * chunks — each doc's stream offset and first/last chunk. */
@@ -1932,6 +1947,7 @@ object SparkEntry {
     "q_quantize"       -> (qQuantize _),
     "q_drift"          -> (qDrift _),
     "q_entropy"        -> (qEntropy _),
+    "q_heavy_hitters"  -> (qHeavyHitters _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -3240,5 +3256,11 @@ object SparkEntry {
         round(ln(CAST(n_tokens AS DOUBLE)) - nlogn / CAST(n_tokens AS DOUBLE), 6) AS entropy,
         round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
       FROM agg""",
+    "q_heavy_hitters" -> """
+      SELECT t AS item, count(*) AS n, CAST(0 AS BIGINT) AS err
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      GROUP BY 1
+      ORDER BY n DESC, item
+      LIMIT 20""",
   )
 }

@@ -95,6 +95,42 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(minPerLabel.subsetOf(keptIds))
   }
 
+  // -- SpaceSaving heavy hitters ----------------------------------------
+
+  test("spaceSaving: exact in the no-eviction regime under any partitioning") {
+    import graft.functions.SpaceSavingAgg.spaceSaving
+    val items = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ Seq.fill(3)("c")
+    for (parts <- Seq(1, 7)) {
+      val out = scala.util.Random.shuffle(items).toDF("x").repartition(parts)
+        .agg(spaceSaving(col("x"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.n"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSet == Set(("a", 100L, 0L), ("b", 60L, 0L), ("c", 3L, 0L)))
+    }
+  }
+
+  test("spaceSaving: eviction regime keeps planted heavy hitters within the n/capacity bound") {
+    import graft.functions.SpaceSavingAgg.spaceSaving
+    // 2 heavy items + a 200-item singleton tail, capacity 10
+    val heavy = Seq.fill(1000)("hh1") ++ Seq.fill(500)("hh2")
+    val tail = (1 to 200).map(i => s"t$i")
+    val n = heavy.size + tail.size
+    val cap = 10
+    val est = (heavy ++ tail).toDF("x").repartition(4)
+      .agg(spaceSaving(col("x"), cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // anything with true frequency > n/cap must be resident, within bounds
+    val bound = n.toLong / cap
+    assert(est.contains("hh1") && est.contains("hh2"))
+    assert(math.abs(est("hh1") - 1000L) <= bound)
+    assert(math.abs(est("hh2") - 500L) <= bound)
+    // sketch never holds more than `capacity` counters
+    assert(est.size <= cap)
+  }
+
   // -- Token entropy ----------------------------------------------------
 
   test("tokenEntropy: bounds and exact values on known docs") {
