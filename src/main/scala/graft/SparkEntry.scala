@@ -1621,6 +1621,16 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, d: String): DataFrame =
     graft.text.TextFns.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
 
+  /** Importance-weighted sample: 10 docs per language, selection
+    * probability proportional to n_chars (A-ES priorities from
+    * md5-derived uniforms — deterministic, partitioning-invariant). */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("wt")),
+        "lang", "doc_id", "wt", k = 10)
+      .select(col("lang"), col("doc_id"), col("rk"))
+
   /** Top-20 corpus tokens via the SpaceSaving sketch. Capacity 64
     * exceeds the corpus vocabulary, so no counter ever evicts and the
     * sketch is provably exact (every err = 0) in any processing order —
@@ -1948,6 +1958,7 @@ object SparkEntry {
     "q_drift"          -> (qDrift _),
     "q_entropy"        -> (qEntropy _),
     "q_heavy_hitters"  -> (qHeavyHitters _),
+    "q_weighted_sample" -> (qWeightedSample _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -3262,5 +3273,18 @@ object SparkEntry {
       GROUP BY 1
       ORDER BY n DESC, item
       LIMIT 20""",
+    "q_weighted_sample" -> """
+      WITH pri AS (
+        SELECT lang, doc_id,
+          pow(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) AS DOUBLE) / power(16, 13),
+            1.0 / CAST(n_chars AS DOUBLE)) AS p
+        FROM documents WHERE n_chars > 0)
+      SELECT lang, doc_id,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS BIGINT) AS rk
+      FROM pri
+      QUALIFY rk <= 10""",
   )
 }

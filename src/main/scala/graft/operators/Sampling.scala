@@ -32,6 +32,37 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Importance-weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): per row, priority = u^(1/w) with u a hash-derived
+    * uniform in (0,1); the k highest-priority rows per stratum are a
+    * weighted sample without replacement. With u from md5 (not an RNG),
+    * the draw is deterministic, partitioning-invariant, and replayable —
+    * the property every other sampler here guarantees — while rows with
+    * twice the weight are twice as likely to land in the sample (the
+    * DoReMi-style importance reweighting draw).
+    *
+    * u = first 13 hex digits of md5(key) / 16^13 — 52 uniform bits, all
+    * exactly representable in a double, identically computable by any
+    * engine with md5. One window sort per stratum, like
+    * [[mixtureSample]]; at scale this is a single range-partitioned
+    * sort, and k-per-stratum keeps output bounded.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    // priority = u^(1/w); rows with w <= 0 never qualify (priority -1)
+    val pri = when(col(weightCol) > 0.0,
+      pow(u, lit(1.0) / col(weightCol))).otherwise(lit(-1.0))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__pri").desc, col(keyCol))
+    df.withColumn("__pri", pri)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k && col("__pri") >= 0.0)
+      .drop("__pri")
+  }
+
   /** Domain-mixture sampling: keep a per-stratum FRACTION (the
     * pretraining mixture weight) instead of a fixed k — stratum quota =
     * floor(weight * stratum size), membership by md5-of-key rank, so

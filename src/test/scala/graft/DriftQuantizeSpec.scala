@@ -131,6 +131,33 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(est.size <= cap)
   }
 
+  // -- Weighted sampling ------------------------------------------------
+
+  test("weightedSample: partitioning-invariant, excludes non-positive weights, k-bounded") {
+    import graft.operators.Sampling
+    val df = (1 to 500).map(i => (i.toLong, "s", if (i <= 490) 1.0 else 0.0))
+      .toDF("id", "stratum", "w")
+    val a = Sampling.weightedSample(df.repartition(1), "stratum", "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "stratum", "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 20)
+    assert(a.forall(_ <= 490L)) // zero-weight rows never sampled
+  }
+
+  test("weightedSample: selection probability tracks weight (heavy rows dominate)") {
+    import graft.operators.Sampling
+    // 100 heavy rows (w=50) vs 900 light rows (w=1): a 100-row sample
+    // should be mostly heavy (E[heavy] ~ 85+; binomial tail makes < 60
+    // vanishingly unlikely under correct A-ES, ~10 expected if unweighted)
+    val df = (1 to 1000).map(i => (i.toLong, "s", if (i <= 100) 50.0 else 1.0))
+      .toDF("id", "stratum", "w")
+    val picked = Sampling.weightedSample(df, "stratum", "id", "w", 100)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ <= 100L)
+    assert(heavy > 60, s"only $heavy of 100 sampled rows were heavy-weight")
+  }
+
   // -- Token entropy ----------------------------------------------------
 
   test("tokenEntropy: bounds and exact values on known docs") {
