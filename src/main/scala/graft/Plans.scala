@@ -53,7 +53,17 @@ object Plans {
     "q_upsert" ->
       "CDC apply: the change set is hash-partitioned once for the latest-wins window; the anti-join reuses that partitioning on the change side.",
     "q_bitmap_distinct" ->
-      "Bitmap distinct: fixed-size bitmap partials combine map-side, so the exchange carries one 4 KB buffer per (type, bucket) — not every key occurrence.")
+      "Bitmap distinct: fixed-size bitmap partials combine map-side, so the exchange carries one 4 KB buffer per (type, bucket) — not every key occurrence.",
+    "q_quantize" ->
+      "Int8 quantization: codebook, codes, and reconstruction error are one codegen'd projection over the scan — zero Exchange at any corpus size.",
+    "q_entropy" ->
+      "Token entropy: ONE repartition on the doc id serves both aggregate levels (per-token counts, then per-doc moments) — a single narrow shuffle carrying counts, not tokens.",
+    "q_drift" ->
+      "Drift report: each snapshot is scanned ONCE into a map-side-combined category count; totals attach via a global window over the category-sized joined table (an aggregate + cross-join formulation would recompute the join and scan each snapshot twice).",
+    "q_heavy_hitters" ->
+      "SpaceSaving: partial_space_saving buffers are capacity-bounded blobs per partition (the HLL exchange shape) merging into one global frequency table.",
+    "q_semdedup" ->
+      "SemDeDup: bucket-local cosine pairs reduce to a checkpointed drop-set; a bloom over it splits the corpus in the scan stage, so cleared rows never shuffle and only the suspected sliver reaches the exact anti join.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

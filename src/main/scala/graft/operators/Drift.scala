@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * Scale design: each side is one map-side-combined groupBy(category)
   * count (shuffle carries one row per category per partition), the two
   * category tables full-outer-join on the category key (category-sized,
-  * tiny), and totals attach via a broadcast single-row cross join — no
-  * second scan of the data, no window over the raw rows.
+  * tiny), and totals attach via a global window OVER THE JOINED TABLE —
+  * the joined subtree is computed once (an aggregate-then-cross-join
+  * formulation recomputes it, scanning each snapshot twice), and the
+  * single-partition window only ever sees category-count rows.
   */
 object Drift {
 
@@ -30,20 +32,22 @@ object Drift {
     * (probabilities and terms rounded to 6 decimals).
     */
   def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
     val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
     val joined = ca.join(cb, Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    // Totals + category count in one tiny aggregate, broadcast back.
-    val totals = broadcast(joined.agg(
-      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
-      count(lit(1)).as("__k")))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val p = (col("n_a") + 1).cast("double") / (col("__ta") + col("__k")).cast("double")
     val q = (col("n_b") + 1).cast("double") / (col("__tb") + col("__k")).cast("double")
     val m = (p + q) / 2.0
-    joined.crossJoin(totals)
+    joined
+      .withColumn("__ta", sum(col("n_a")).over(w))
+      .withColumn("__tb", sum(col("n_b")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
       .select(col("category"), col("n_a"), col("n_b"),
         round(p, 6).as("p_a"), round(q, 6).as("p_b"),
         round(p * log(p / q), 6).as("kl_term"),

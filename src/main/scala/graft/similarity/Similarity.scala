@@ -173,15 +173,40 @@ object Similarity {
     *
     * Scale design: candidate pairs come from [[cosinePairs]] (bucket-
     * local, never all-pairs), reduced to a distinct drop-set of ids
-    * (narrow shuffle on the id key), then removed with a broadcast-able
-    * LEFT ANTI join — the corpus is scanned once and never carries
-    * vector payloads through the anti join.
+    * (narrow shuffle on the id key, materialized once via
+    * localCheckpoint — it feeds two consumers). A plain anti join would
+    * shuffle the whole corpus WITH vector payloads; instead a bloom
+    * filter over the drop-set (one sketch row to the driver, the
+    * [[graft.operators.BloomJoin]] shape) splits the corpus in the scan
+    * stage: rows the bloom clears are definitely-kept and never shuffle;
+    * only the bloom-suspected sliver (true drops + ~3% false positives)
+    * reaches the exact anti join, which re-checks ids, so the result is
+    * row-identical to the plain anti join at any false-positive rate.
     */
   def semDedup(df: DataFrame, embCol: String, idCol: String,
                bucketCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+
     val drop = cosinePairs(df, embCol, idCol, bucketCol, threshold)
-      .select(col("id_b").as("__drop")).distinct()
-    df.join(drop, col(idCol).cast("long") === col("__drop"), "left_anti")
+      .select(col("id_b").as("__drop")).distinct().localCheckpoint()
+    val hashedDrop = new XxHash64(Seq(bridge.toExpression(col("__drop").cast("long"))))
+    val bytes = drop.groupBy()
+      .agg(bridge.toColumn(new BloomFilterAggregate(hashedDrop, 1000000L)
+        .toAggregateExpression()).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) df // no near-duplicates anywhere
+    else {
+      val suspected = bridge.toColumn(BloomFilterMightContain(
+        Literal.create(bytes, BinaryType),
+        new XxHash64(Seq(bridge.toExpression(col(idCol).cast("long"))))))
+      val cleared = df.filter(!suspected)
+      val checked = df.filter(suspected)
+        .join(drop, col(idCol).cast("long") === col("__drop"), "left_anti")
+      cleared.unionByName(checked)
+    }
   }
 
   /** Embedding near-duplicate pairs: exact cosine inside coarse buckets

@@ -41,13 +41,14 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(kl > 0 && js > 0 && js <= math.log(2.0) + 1e-9)
   }
 
-  test("drift: result is category-sized and totals-join is a broadcast, not a shuffle of rows") {
+  test("drift: each snapshot is scanned exactly once — totals come from a window, not a join recompute") {
     val ev = Tables.events(spark, DriftQuantizeSpec.sf)
     val plan = Drift.categoricalDrift(
       ev.filter(col("event_id") % 2 === 0),
       ev.filter(col("event_id") % 2 === 1), "event_type")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   // -- Quantize ---------------------------------------------------------
