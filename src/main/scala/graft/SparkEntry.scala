@@ -1631,6 +1631,24 @@ object SparkEntry {
         "lang", "doc_id", "wt", k = 10)
       .select(col("lang"), col("doc_id"), col("rk"))
 
+  /** Winsorized prices: clip to in-flag [p05, p95] — group-sized bounds
+    * broadcast back, corpus never shuffles. */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Robust.winsorize(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice").as("price")),
+        "l_returnflag", "price", lo = 0.05, hi = 0.95)
+      .withColumn("price_w", round(col("price_w"), 4))
+
+  /** Median/MAD outlier flags on event values per event type. */
+  private def qOutliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Robust.robustOutliers(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", k = 3.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("robust_z"), 4).as("robust_z"), col("is_outlier"))
+
   /** Top-20 corpus tokens via the SpaceSaving sketch. Capacity 64
     * exceeds the corpus vocabulary, so no counter ever evicts and the
     * sketch is provably exact (every err = 0) in any processing order —
@@ -1959,6 +1977,8 @@ object SparkEntry {
     "q_entropy"        -> (qEntropy _),
     "q_heavy_hitters"  -> (qHeavyHitters _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_winsorize"      -> (qWinsorize _),
+    "q_outliers"       -> (qOutliers _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -3286,5 +3306,25 @@ object SparkEntry {
         CAST(row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS BIGINT) AS rk
       FROM pri
       QUALIFY rk <= 10""",
+    "q_winsorize" -> """
+      WITH b AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.05) AS lo,
+          quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        l.l_returnflag, l.l_extendedprice AS price,
+        round(least(greatest(l.l_extendedprice, b.lo), b.hi), 4) AS price_w
+      FROM lineitem l JOIN b USING (l_returnflag)""",
+    "q_outliers" -> """
+      WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      d AS (SELECT e.event_id, e.event_type, e.value, m.med
+            FROM events e JOIN m USING (event_type)),
+      md AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1)
+      SELECT d.event_id, d.event_type,
+        CASE WHEN md.mad > 0
+          THEN round(0.6745 * (d.value - d.med) / md.mad, 4) END AS robust_z,
+        coalesce(abs(CASE WHEN md.mad > 0
+          THEN 0.6745 * (d.value - d.med) / md.mad END) > 3.5, false) AS is_outlier
+      FROM d JOIN md USING (event_type)""",
   )
 }

@@ -159,6 +159,44 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(heavy > 60, s"only $heavy of 100 sampled rows were heavy-weight")
   }
 
+  // -- Robust stats -----------------------------------------------------
+
+  test("winsorize: clipped values sit inside the group percentile bounds; inliers unchanged") {
+    import graft.operators.Robust
+    val df = ((1 to 98).map(i => ("g", i.toDouble)) ++ Seq(("g", 1e9), ("g", -1e9)))
+      .toDF("grp", "v")
+    val out = Robust.winsorize(df, "grp", "v", 0.05, 0.95).collect()
+    val ws = out.map(_.getDouble(2))
+    assert(ws.max < 1e9 && ws.min > -1e9)      // extremes clipped
+    val mid = out.filter(r => r.getDouble(1) == 50.0)
+    assert(mid.forall(r => r.getDouble(2) == 50.0)) // median row untouched
+  }
+
+  test("robustOutliers: planted outlier flagged, constant group yields null z and no flags") {
+    import graft.operators.Robust
+    val df = ((1 to 50).map(i => (i.toLong, "a", (i % 7).toDouble)) ++
+        Seq((99L, "a", 1e6)) ++                  // planted outlier
+        (1 to 10).map(i => (100L + i, "c", 5.0))) // constant group: MAD = 0
+      .toDF("id", "grp", "v")
+    val res = Robust.robustOutliers(df, "grp", "v", 3.5)
+    val zi = res.columns.indexOf("robust_z")
+    val oi = res.columns.indexOf("is_outlier")
+    val out = res.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(99L).getBoolean(oi))              // outlier flagged
+    assert((1 to 50).forall(i => !out(i.toLong).getBoolean(oi)))
+    assert((101 to 110).forall(i => out(i.toLong).isNullAt(zi) && !out(i.toLong).getBoolean(oi)))
+  }
+
+  test("robust gates: bounds tables broadcast — the corpus side never shuffles") {
+    import graft.operators.Robust
+    val li = Tables.lineitem(spark, DriftQuantizeSpec.sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice").as("v"))
+    val plan = Robust.winsorize(li, "l_returnflag", "v", 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!"Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).hasNext, plan)
+  }
+
   // -- Token entropy ----------------------------------------------------
 
   test("tokenEntropy: bounds and exact values on known docs") {
