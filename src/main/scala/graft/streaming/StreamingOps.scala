@@ -55,6 +55,42 @@ object StreamingOps {
       .groupBy(window(col(tsCol), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running totals via `transformWithState` (Spark 4's
+    * arbitrary-state API, the successor of mapGroupsWithState): state is
+    * one explicit `ValueState[RunningTotal]` per key — schema'd, TTL-able,
+    * and evolvable, where the GroupState ops above carry one opaque blob.
+    * Each micro-batch folds its rows into the state and emits the key's
+    * updated totals (update semantics). State size is O(distinct keys);
+    * at scale the state store shards by the same key hash as the
+    * exchange, so no executor ever holds more than its key range.
+    * Requires the RocksDB state store provider (the transformWithState
+    * backend contract).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    implicit val outEnc: Encoder[RunningTotal] = Encoders.product[RunningTotal]
+    val processor = new StatefulProcessor[Long, Event, RunningTotal] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningTotal] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[RunningTotal](
+          "totals", Encoders.product[RunningTotal], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Event],
+                                   timers: TimerValues): Iterator[RunningTotal] = {
+        val prev = Option(state.get()).getOrElse(RunningTotal(key, 0L, 0.0))
+        val next = rows.foldLeft(prev) { (acc, e) =>
+          RunningTotal(key, acc.n_events + 1, acc.total_value + e.value)
+        }
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** foreachBatch idempotent file sink: each micro-batch of an update-
     * mode aggregate rewrites exactly the hive partitions it touches
     * (dynamic partition overwrite), so replaying a batch after a failure

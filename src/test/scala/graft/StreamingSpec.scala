@@ -285,6 +285,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals accumulate across micro-batches (Spark 4 arbitrary state)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState's backend contract is the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.runningTotals(mem.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        mem.addData(Event(1, ts(1), 1, 2.0), Event(1, ts(2), 2, 3.0), Event(2, ts(3), 3, 7.0))
+        q.processAllAvailable()
+        val b1 = spark.sql("SELECT * FROM tws_totals").as[StreamingOps.RunningTotal]
+          .collect().map(r => r.user_id -> r).toMap
+        assert(b1(1L) == StreamingOps.RunningTotal(1L, 2L, 5.0))
+        assert(b1(2L) == StreamingOps.RunningTotal(2L, 1L, 7.0))
+        // second micro-batch folds into surviving state, not from zero
+        mem.addData(Event(1, ts(9), 4, 10.0))
+        q.processAllAvailable()
+        val b2 = spark.sql("SELECT * FROM tws_totals").as[StreamingOps.RunningTotal]
+          .collect().filter(_.user_id == 1L)
+        assert(b2.contains(StreamingOps.RunningTotal(1L, 3L, 15.0)), b2.mkString(","))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains a file source incrementally and terminates") {
     // the periodic-incremental-job pattern: process everything available,
     // checkpoint, exit — rerunnable on a schedule with exactly-once state
