@@ -1649,6 +1649,29 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"),
         round(col("robust_z"), 4).as("robust_z"), col("is_outlier"))
 
+  /** Merge overlapping per-user activity spans (event start + value-
+    * scaled duration) into their union — the interval-algebra op. */
+  private def qIntervals(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d).select(
+      col("user_id"),
+      expr("ts div 1000000").as("start_ms"),
+      (expr("ts div 1000000") + floor(col("value") * 60000).cast("long")).as("end_ms"))
+    graft.operators.Intervals.mergeOverlaps(spans, "user_id", "start_ms", "end_ms")
+  }
+
+  /** Keyed snapshot diff: simulated next version of the customer table
+    * (10%-keys added, 13%-keys removed, 7%-keys segment-changed) diffed
+    * against the previous — churn-only output. */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("custkey"), col("c_name"), col("c_mktsegment"))
+    val prev = c.filter(col("custkey") % 10 =!= 0)
+    val next = c.filter(col("custkey") % 13 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("custkey") % 7 === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+    graft.operators.SnapshotDiff.diff(prev, next, "custkey", Seq("c_name", "c_mktsegment"))
+  }
+
   /** Top-20 corpus tokens via the SpaceSaving sketch. Capacity 64
     * exceeds the corpus vocabulary, so no counter ever evicts and the
     * sketch is provably exact (every err = 0) in any processing order —
@@ -1979,6 +2002,8 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
+    "q_intervals"      -> (qIntervals _),
+    "q_snapshot_diff"  -> (qSnapshotDiff _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -3326,5 +3351,40 @@ object SparkEntry {
         coalesce(abs(CASE WHEN md.mad > 0
           THEN 0.6745 * (d.value - d.med) / md.mad END) > 3.5, false) AS is_outlier
       FROM d JOIN md USING (event_type)""",
+    "q_intervals" -> """
+      WITH spans AS (SELECT user_id, epoch_ns(ts) // 1000000 AS start_ms,
+          epoch_ns(ts) // 1000000 + CAST(floor(value * 60000) AS BIGINT) AS end_ms
+        FROM events),
+      flagged AS (SELECT user_id, start_ms, end_ms,
+          CASE WHEN max(end_ms) OVER prev IS NULL OR start_ms > max(end_ms) OVER prev
+               THEN 1 ELSE 0 END AS new_g
+        FROM spans
+        WINDOW prev AS (PARTITION BY user_id ORDER BY start_ms, end_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      g AS (SELECT user_id, start_ms, end_ms,
+          CAST(sum(new_g) OVER (PARTITION BY user_id ORDER BY start_ms, end_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS merge_id
+        FROM flagged)
+      SELECT user_id, merge_id, min(start_ms) AS span_start, max(end_ms) AS span_end,
+        count(*) AS n_merged
+      FROM g GROUP BY 1, 2""",
+    "q_snapshot_diff" -> """
+      WITH c AS (SELECT c_custkey AS custkey, c_name, c_mktsegment FROM customer),
+      p AS (SELECT * FROM c WHERE custkey % 10 <> 0),
+      n AS (SELECT custkey, c_name,
+              CASE WHEN custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+            FROM c WHERE custkey % 13 <> 0)
+      SELECT coalesce(p.custkey, n.custkey) AS custkey,
+        CASE WHEN p.custkey IS NULL THEN 'added'
+             WHEN n.custkey IS NULL THEN 'removed'
+             WHEN (p.c_name IS DISTINCT FROM n.c_name)
+               OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
+        END AS status
+      FROM p FULL OUTER JOIN n ON p.custkey = n.custkey
+      WHERE (CASE WHEN p.custkey IS NULL THEN 'added'
+             WHEN n.custkey IS NULL THEN 'removed'
+             WHEN (p.c_name IS DISTINCT FROM n.c_name)
+               OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
+        END) IS NOT NULL""",
   )
 }

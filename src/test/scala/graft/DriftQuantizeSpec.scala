@@ -197,6 +197,42 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).hasNext, plan)
   }
 
+  // -- Intervals --------------------------------------------------------
+
+  test("mergeOverlaps: overlap, touch, containment merge; gaps split; one exchange") {
+    import graft.operators.Intervals
+    val df = Seq(
+      ("u", 0L, 10L), ("u", 5L, 20L),   // overlap -> one span 0-20
+      ("u", 20L, 30L),                  // touching (start == max end) -> merges
+      ("u", 22L, 25L),                  // contained
+      ("u", 40L, 50L),                  // gap -> new span
+      ("v", 0L, 1L)                     // other key untouched
+    ).toDF("k", "s", "e")
+    val out = Intervals.mergeOverlaps(df, "k", "s", "e")
+    val u = out.filter($"k" === "u").orderBy("merge_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(u.toSeq == Seq((0L, 30L, 4L), (40L, 50L, 1L)))
+    assert(out.filter($"k" === "v").count() == 1)
+    val plan = Intervals.mergeOverlaps(df, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  // -- Snapshot diff ----------------------------------------------------
+
+  test("snapshot diff: planted add/remove/change detected; null position discriminates") {
+    import graft.operators.SnapshotDiff
+    val prev = Seq((1L, Option("a"), Option("x")), (2L, Option("b"), Option("y")),
+      (3L, None: Option[String], Option("z"))).toDF("id", "p1", "p2")
+    val next = Seq((1L, Option("a"), Option("x")),           // unchanged -> absent
+      (3L, Option("z"), None: Option[String]),               // null moved -> changed
+      (4L, Option("d"), Option("w"))                         // added
+    ).toDF("id", "p1", "p2")
+    val out = SnapshotDiff.diff(prev, next, "id", Seq("p1", "p2")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   // -- Token entropy ----------------------------------------------------
 
   test("tokenEntropy: bounds and exact values on known docs") {
