@@ -164,9 +164,16 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxDist, found by
     * chunk banding (pigeonhole: distance <= 3 guarantees one of 4 16-bit
     * chunks is equal), verified with bit_count(xor).
+    *
+    * `maxBucket` bounds the (chunk, piece) bucket size the same way
+    * [[minhashCandidates]] bounds band buckets: boilerplate corpora
+    * produce near-identical simhashes, so one degenerate piece bucket
+    * otherwise emits m^2/2 join pairs at corpus scale. The window count
+    * shares the join's (chunk, piece) clustering; dropped buckets are
+    * boilerplate that exact dedup upstream already collapses.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDist + 1
     val width  = 64 / chunks
     val sh = simhash(df, textCol, idCol)
@@ -175,14 +182,35 @@ object Dedup {
           shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
         }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
-    val a = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "piece"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxDist)
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("chunk"), col("piece"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    // Emit member pairs per bucket directly (the minhashCandidates
+    // shape): a self-join here is a diamond over the (expensive) simhash
+    // aggregate, which Spark plans twice; the collect_list buffer is
+    // bounded by the maxBucket filter above. sort_array orders members
+    // by id, so pairs come out id_a < id_b.
+    banded
+      .groupBy(col("chunk"), col("piece"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(
+        flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+          transform(slice(col("m"), i + 2, size(col("m"))), other => struct(
+            element_at(col("m"), (i + 1).cast("int")).getField("id").as("id_a"),
+            element_at(col("m"), (i + 1).cast("int")).getField("simhash").as("sh_a"),
+            other.getField("id").as("id_b"),
+            other.getField("simhash").as("sh_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("__sha"), col("p.sh_b").as("__shb"))
+      .filter(bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("long") <= maxDist)
+      // project hamming AFTER the dedup: a named column aliased before
+      // dropDuplicates trips an attribute-binding bug when a downstream
+      // count() prunes it (Spark 4.1 ReplaceDeduplicateWithAggregate)
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("long").as("hamming"))
   }
 
   /** Connected components over near-dup pairs: iterative min-label

@@ -221,6 +221,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("simhashPairs: degenerate boilerplate piece bucket is capped, not joined quadratically") {
+    // identical docs collide in every (chunk, piece) bucket — the shape
+    // that would otherwise emit m^2/2 join pairs per chunk at scale
+    val boiler = Seq.tabulate(300)(i =>
+      (i.toLong, "exact same boilerplate text repeated in every document")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(boiler, "text", "doc_id", maxDist = 7, maxBucket = 100).count() == 0)
+    assert(Dedup.simhashPairs(boiler, "text", "doc_id", maxDist = 7).count() == 300L * 299 / 2)
+    // real-corpus results unchanged by the default cap
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.simhashPairs(real, "text", "doc_id", maxDist = 7)
+    val b = Dedup.simhashPairs(real, "text", "doc_id", maxDist = 7, maxBucket = Int.MaxValue)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     // generate-from-shingles form, low threshold so several pairs survive
