@@ -186,31 +186,25 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("chunk"), col("piece"))))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
-    // Emit member pairs per bucket directly (the minhashCandidates
-    // shape): a self-join here is a diamond over the (expensive) simhash
-    // aggregate, which Spark plans twice; the collect_list buffer is
-    // bounded by the maxBucket filter above. sort_array orders members
-    // by id, so pairs come out id_a < id_b.
-    banded
-      .groupBy(col("chunk"), col("piece"))
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("m"))
-      .filter(size(col("m")) > 1)
-      .select(explode(
-        flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
-          transform(slice(col("m"), i + 2, size(col("m"))), other => struct(
-            element_at(col("m"), (i + 1).cast("int")).getField("id").as("id_a"),
-            element_at(col("m"), (i + 1).cast("int")).getField("simhash").as("sh_a"),
-            other.getField("id").as("id_b"),
-            other.getField("simhash").as("sh_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("__sha"), col("p.sh_b").as("__shb"))
-      .filter(bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("long") <= maxDist)
+    // Pair emission by codegen'd self-join. This IS a diamond — the
+    // simhash aggregate plans twice — but that aggregate is cheap (one
+    // 64-bit value per doc off a column-pruned scan) and the join beats
+    // the collect_list + nested-transform alternative 2x here: pair
+    // emission through interpreted HOFs costs more than the second
+    // aggregate (measured at sf0.1; the opposite tradeoff from
+    // minhashCandidates, whose 64-long signatures make the aggregate
+    // the expensive side).
+    val a = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long") <= maxDist)
       // project hamming AFTER the dedup: a named column aliased before
       // dropDuplicates trips an attribute-binding bug when a downstream
       // count() prunes it (Spark 4.1 ReplaceDeduplicateWithAggregate)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("long").as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
   }
 
   /** Connected components over near-dup pairs: iterative min-label

@@ -24,9 +24,11 @@ object Robust {
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    // one percentile buffer per group (array form), not one per bound
     val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, ${lo}D)").as("__lo"),
-        expr(s"percentile($valCol, ${hi}D)").as("__hi"))
+      .agg(expr(s"percentile($valCol, array(${lo}D, ${hi}D))").as("__b"))
+      .select(col(groupCol), element_at(col("__b"), 1).as("__lo"),
+        element_at(col("__b"), 2).as("__hi"))
     df.join(broadcast(bounds), groupCol)
       .withColumn(s"${valCol}_w",
         least(greatest(col(valCol), col("__lo")), col("__hi")))
