@@ -475,22 +475,26 @@ object SparkEntry {
   // Batch 5 — breadth: percentiles, string/date/array functions, cube.
   // ---------------------------------------------------------------------
 
-  /** Exact interpolated percentiles per group (median + p90). The two
-    * price percentiles share ONE aggregation buffer via the array form —
-    * exact percentile buffers all group values, so fusing halves the
-    * buffered data. (At 100 TB the right tool is approx_percentile /
-    * t-digest; exact is kept here because the oracle demands exactness.)
+  /** Exact interpolated percentiles per group (median + p90), via the
+    * distinct-value-histogram percentile (Percentiles.exact) — same
+    * values as the `percentile` aggregate, but no buffer-all final stage
+    * whose parallelism is the group count (3 here). Price and quantity
+    * build separate histograms (each a pruned one-column scan); the
+    * 3-row results broadcast-join back together.
     */
-  private def qPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__pp"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+  private def qPercentile(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Percentiles
+    val li = Tables.lineitem(s, d)
+    val price = Percentiles.exact(li, Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5, 0.9), "__pp")
+    val qty = Percentiles.exact(li, Seq("l_returnflag"), "l_quantity",
+      Seq(0.5), "__pq")
+    price.join(qty, "l_returnflag")
       .select(col("l_returnflag"),
         round(element_at(col("__pp"), 1), 4).as("p50_price"),
         round(element_at(col("__pp"), 2), 4).as("p90_price"),
-        col("p50_qty"))
+        round(element_at(col("__pq"), 1), 4).as("p50_qty"))
+  }
 
   /** String function battery over customer names. */
   private def qStringFns(s: SparkSession, d: String): DataFrame =

@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * numeric feature feeds training.
   *
   * Scale design: both operators reduce the corpus to a GROUP-SIZED
-  * bounds table (one aggregate), broadcast it back, and apply pure
-  * row-local arithmetic — the corpus itself never shuffles. The exact
-  * `percentile` aggregate buffers per-group value counts, which is fine
-  * for the bounded group cardinality these gates run at (per-language /
-  * per-source); above that swap in `approx_percentile` — same plan
-  * shape, bound-oracle pattern (the swap changes no code here but the
-  * aggregate name).
+  * bounds table, broadcast it back, and apply pure row-local
+  * arithmetic — the corpus itself never shuffles. The bounds come from
+  * [[Percentiles]] (distinct-value-histogram exact percentile), so no
+  * stage buffers a whole group in one task and parallelism is not
+  * bounded by the group count — the two weaknesses of the buffer-all
+  * `percentile` aggregate this replaced. For MAD the deviation
+  * histogram is derived FROM the value histogram (distinct values, not
+  * rows), so the corpus is aggregated once for both passes.
   */
 object Robust {
 
@@ -24,11 +25,9 @@ object Robust {
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
-    // one percentile buffer per group (array form), not one per bound
-    val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, array(${lo}D, ${hi}D))").as("__b"))
-      .select(col(groupCol), element_at(col("__b"), 1).as("__lo"),
-        element_at(col("__b"), 2).as("__hi"))
+    val bounds = Percentiles.exact(df, Seq(groupCol), valCol, Seq(lo, hi), "__b")
+      .select(col(groupCol),
+        element_at(col("__b"), 1).as("__lo"), element_at(col("__b"), 2).as("__hi"))
     df.join(broadcast(bounds), groupCol)
       .withColumn(s"${valCol}_w",
         least(greatest(col(valCol), col("__lo")), col("__hi")))
@@ -41,15 +40,22 @@ object Robust {
     */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
                      k: Double = 3.5): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, 0.5D)").as("__med"))
-    val withMed = df.join(broadcast(med), groupCol)
-    val mad = withMed
-      .groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs($valCol - __med), 0.5D)").as("__mad"))
+    val hist = Percentiles.histogram(df, Seq(groupCol), valCol)
+    val med = Percentiles.fromHistogram(hist, Seq(groupCol), "__v", "__cnt",
+        Seq(0.5), "__m")
+      .select(col(groupCol), element_at(col("__m"), 1).as("__med"))
+    // |value − median| multiset re-aggregated from the DISTINCT-VALUE
+    // histogram: ties in deviation just add their counts.
+    val devHist = hist.join(broadcast(med), groupCol)
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__v"), col("__cnt"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val mad = Percentiles.fromHistogram(devHist, Seq(groupCol), "__v", "__cnt",
+        Seq(0.5), "__m")
+      .select(col(groupCol), element_at(col("__m"), 1).as("__mad"))
     val z = when(col("__mad") > 0,
       lit(0.6745) * (col(valCol) - col("__med")) / col("__mad"))
-    withMed.join(broadcast(mad), groupCol)
+    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
       .withColumn("robust_z", z)
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > k, lit(false)))
       .drop("__med", "__mad")
