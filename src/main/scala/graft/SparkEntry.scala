@@ -1709,8 +1709,10 @@ object SparkEntry {
       window = 32, stride = 24)
 
   /** One-pass column profiler over orders: per-column row/null/distinct
-    * counts and min/max strings from a single Expand-planned aggregate
-    * (see Profile). Double and timestamp columns get explicit renderers
+    * counts and min/max strings via per-column branch aggregates unioned
+    * at the end — each branch scans only its own column (pruned scan, no
+    * Expand row multiplication; CurationOpsSpec pins the Expand-free
+    * plan). Double and timestamp columns get explicit renderers
     * so both engines print identical strings. */
   private def qProfile(s: SparkSession, d: String): DataFrame =
     Profile.profile(Tables.orders(s, d),
@@ -2015,9 +2017,12 @@ object SparkEntry {
   /** Shared by q_dedup_clusters and q_cluster_star: both algorithms must
     * land on the components of this recursive-CTE reachability. */
   private val ClusterOracle = """
-      WITH RECURSIVE pairs AS (
+      WITH RECURSIVE capped AS (
+        SELECT * FROM embeddings
+        QUALIFY count(*) OVER (PARTITION BY label) <= 1000
+      ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
+        FROM capped a JOIN capped b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -3058,12 +3063,15 @@ object SparkEntry {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
     "q_embed_pairs" -> """
+      WITH capped AS (
+        SELECT * FROM embeddings
+        QUALIFY count(*) OVER (PARTITION BY label) <= 1000)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
           6) AS cos_sim
-      FROM embeddings a JOIN embeddings b
+      FROM capped a JOIN capped b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -3257,6 +3265,7 @@ object SparkEntry {
       WHERE NOT EXISTS (
         SELECT 1 FROM embeddings o
         WHERE o.label = e.label AND o.vec_id < e.vec_id
+          AND (SELECT count(*) FROM embeddings x WHERE x.label = e.label) <= 1000
           AND round(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(o.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),

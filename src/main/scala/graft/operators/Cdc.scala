@@ -29,11 +29,24 @@ object Cdc {
                    keyCol: String, seqCol: String, opCol: String): DataFrame = {
     val missing = base.columns.toSet -- changes.columns.toSet
     require(missing.isEmpty, s"changes is missing base columns: $missing")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    // Deterministic latest-wins: ties on seqCol are broken by a stable
+    // hash of the full change row, so reruns and repartitions pick the
+    // same winner (row_number over a tied sort is otherwise
+    // partitioning-dependent).
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc,
+        xxhash64(changes.columns.map(col).toIndexedSeq: _*).desc)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-    val upserts = latest.filter(col(opCol) =!= "delete")
+    // A null/unknown op must fail loudly, not act as a silent delete:
+    // the winning row's op is validated inline, so an unrecognized value
+    // raises during evaluation instead of vanishing from the upsert set
+    // while its key still anti-joins the base row away.
+    val opChecked = when(col(opCol).isin("insert", "update", "delete"), col(opCol))
+      .otherwise(raise_error(concat(lit("Cdc.applyChanges: unknown op '"),
+        coalesce(col(opCol).cast("string"), lit("NULL")), lit("'"))))
+    val upserts = latest.filter(opChecked =!= "delete")
       .select(base.columns.map(col).toIndexedSeq: _*)
     base.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(upserts)

@@ -21,11 +21,19 @@ object SnapshotDiff {
   def diff(prev: DataFrame, next: DataFrame, keyCol: String,
            payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "diff needs at least one payload column")
+    // Each field is encoded as "N" (null) or "<charlen>:<value>" before
+    // concatenation. The length prefix makes the encoding a prefix code:
+    // the concatenation parses back unambiguously left-to-right, so no
+    // data content (including separator characters) can shift a column
+    // boundary into a collision, and null can never collide with any
+    // literal value. Stays inside codegen (to_json is CodegenFallback).
     def hashed(df: DataFrame, h: String) = df.select(col(keyCol),
-      md5(concat_ws("",
-        // concat_ws SKIPS null elements (so (null,"a") and ("a",null)
-        // would collide) - encode null explicitly
-        payloadCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)).as(h))
+      md5(concat_ws("",
+        payloadCols.map { c =>
+          val s = col(c).cast("string")
+          when(s.isNull, lit("N"))
+            .otherwise(concat(length(s).cast("string"), lit(":"), s))
+        }: _*)).as(h))
     hashed(prev, "__hp").join(hashed(next, "__hn"), Seq(keyCol), "full_outer")
       .withColumn("status",
         when(col("__hp").isNull, "added")

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -190,6 +191,7 @@ object Similarity {
     import org.apache.spark.sql.graft.bridge
     import org.apache.spark.sql.types.BinaryType
 
+    requireIntegralId(df, idCol)
     val drop = cosinePairs(df, embCol, idCol, bucketCol, threshold)
       .select(col("id_b").as("__drop")).distinct().localCheckpoint()
     val hashedDrop = new XxHash64(Seq(bridge.toExpression(col("__drop").cast("long"))))
@@ -212,11 +214,25 @@ object Similarity {
   /** Embedding near-duplicate pairs: exact cosine inside coarse buckets
     * (provided column, e.g. a cluster/label id) — the verify stage that
     * LSH candidates feed at scale.
+    *
+    * `maxBucket` bounds bucket size the same way
+    * [[graft.dedup.Dedup.minhashCandidates]] bounds band buckets: one
+    * degenerate bucket (a giant catch-all cluster label) would otherwise
+    * emit m^2/2 join pairs at corpus scale. The window count shares the
+    * join's bucket clustering (one shuffle; WindowExec spills, so even
+    * the degenerate bucket is memory-bounded); oversized buckets are
+    * dropped — a cluster that coarse carries no near-dup signal and
+    * should be re-clustered, not pair-joined.
     */
   def cosinePairs(df: DataFrame, embCol: String, idCol: String,
-                  bucketCol: String, threshold: Double): DataFrame = {
+                  bucketCol: String, threshold: Double,
+                  maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol)
     val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
         toDouble(col(embCol)).as("__e"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
       .withColumn("__n", norm(col("__e")))
     val a = base.select(col("__bk"), col("id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na"))
     val b = base.select(col("__bk"), col("id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb"))
@@ -226,5 +242,17 @@ object Similarity {
         round(graft.functions.DotProduct.dotProduct(col("__ea"), col("__eb"))
           / (col("__na") * col("__nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** The id key is carried as long through pair generation and the
+    * semDedup bloom/anti-join — a non-integral id would cast to null and
+    * silently match nothing. Fail loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$idCol must be an integral column (got $dt): the long id key would " +
+        "cast non-numeric ids to null and drop nothing")
   }
 }

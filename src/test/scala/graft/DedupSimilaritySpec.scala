@@ -98,6 +98,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))  // 2 is cosine-identical to 0 but in another bucket
   }
 
+  test("cosinePairs: degenerate buckets are capped; default cap is identity here") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // cap below every bucket size -> no pairs at all (output bounded by
+    // the cap, never m^2/2 of a degenerate bucket)
+    assert(Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.0,
+      maxBucket = 1).count() == 0)
+    // the default cap (1000) binds nowhere on the testdata: identical to
+    // an effectively-unbounded cap
+    val def_ = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unb = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.35,
+      maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(def_ == unb && def_.nonEmpty)
+  }
+
+  test("cosinePairs/semDedup reject a non-integral id column") {
+    val df = Seq(("a", 0, Array(1.0f, 0.0f)), ("b", 0, Array(1.0f, 0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(df, "embedding", "vec_id", "label", 0.9)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semDedup(df, "embedding", "vec_id", "label", 0.9)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("IVF: train is deterministic, search recall vs brute force on sf0.001") {
     import graft.similarity.Ivf
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

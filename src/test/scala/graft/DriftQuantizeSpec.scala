@@ -233,6 +233,21 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(out == Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshot diff: payload hash is boundary- and sentinel-collision-free") {
+    import graft.operators.SnapshotDiff
+    // ("ab","c") vs ("a","bc"): same concatenation without length
+    // prefixes — must be reported changed
+    val prev = Seq((1L, "ab", "c"), (2L, "null", "x"), (3L, "a", "b"))
+      .toDF("id", "p1", "p2")
+    val next = Seq((1L, "a", "bc"),
+      (2L, null.asInstanceOf[String], "x"),   // null vs literal "null"
+      (3L, "a", "b"))                   // separator char inside data
+      .toDF("id", "p1", "p2")
+    val out = SnapshotDiff.diff(prev, next, "id", Seq("p1", "p2")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed", 3L -> "changed"))
+  }
+
   // -- Token entropy ----------------------------------------------------
 
   test("tokenEntropy: bounds and exact values on known docs") {

@@ -296,6 +296,65 @@ class OperatorsSpec extends AnyFunSuite {
       ("fr", 1L, 0L, 0L, 1L)))    // independent stream per group
   }
 
+  test("Pack two-level cumsum: differential vs single window, shard-parallel plan") {
+    import graft.text.Pack
+    val docs = Seq.tabulate(300)(i =>
+      (if (i % 3 == 0) "en" else "fr", i.toLong, (i % 7 + 1).toLong))
+      .toDF("lang", "doc_id", "n_tok")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("lang"), col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val ref = norm(Pack.chunkAssignmentsSingleWindow(docs, "lang", "doc_id", "n_tok", 128L))
+    // several shards per group (width 32 over ids 0..299) — identical rows
+    val got = Pack.chunkAssignments(docs, "lang", "doc_id", "n_tok", 128L, shardWidth = 32L)
+    assert(norm(got) == ref)
+    // the corpus window partitions by (group, shard), not group alone:
+    // parallelism is no longer bounded by group count
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"), plan)
+    assert("hashpartitioning\\(lang[^)]*__shard".r.findFirstIn(plan).nonEmpty,
+      s"expected a (lang, __shard) exchange:\n$plan")
+    // degenerate width (one shard) still matches
+    assert(norm(Pack.chunkAssignments(docs, "lang", "doc_id", "n_tok", 128L,
+      shardWidth = 1000000L)) == ref)
+  }
+
+  test("Pack.chunkAssignments rejects a non-numeric order column") {
+    import graft.text.Pack
+    val docs = Seq(("en", "d1", 10L)).toDF("lang", "doc_id", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Pack.chunkAssignments(docs, "lang", "doc_id", "n_tok", 128L)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("applyChanges: unknown or null op fails loudly instead of silently deleting") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "a2", 1L, "upsert")).toDF("k", "v", "seq", "op")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(base, bad, "k", "seq", "op").collect()
+    }
+    assert(e.getMessage != null)
+    val nullOp = Seq((1L, "a2", 1L, null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "op")
+    intercept[Exception] {
+      Cdc.applyChanges(base, nullOp, "k", "seq", "op").collect()
+    }
+  }
+
+  test("applyChanges: seq ties break deterministically across partitionings") {
+    val base = Seq((1L, "orig")).toDF("k", "v")
+    val tied = Seq((1L, "x", 1L, "update"), (1L, "y", 1L, "update"),
+      (1L, "z", 1L, "update")).toDF("k", "v", "seq", "op")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Cdc.applyChanges(base, c, "k", "seq", "op").as[(Long, String)].collect().toSet
+    val first = run(tied)
+    assert(run(tied.repartition(7)) == first)
+    assert(run(tied.repartition(1)) == first)
+    assert(run(tied.orderBy(col("v").desc)) == first)
+  }
+
   test("bottomKByHash sample is invariant under repartitioning (unlike sample())") {
     import graft.operators.Sampling
     GraftExtensions.register(spark)
