@@ -369,13 +369,33 @@ object SparkEntry {
     * different sketch path. maxDist=7 is what makes simhash recall
     * complete on the testdata truth pairs (their observed signature
     * hamming reaches 5 at sf0.01; the default maxDist=3 variant stays
-    * spec-covered as the tighter production setting). */
+    * spec-covered as the tighter production setting).
+    *
+    * Precondition certificate: recall completeness is a DATA property
+    * (truth-pair hamming staying under the cut), not a code property, so
+    * a scale-up could silently miss pairs while every green query stays
+    * green. The query therefore asserts a >=2-bit margin: every VERIFIED
+    * pair's signature hamming must be <= maxDist - 2. Similar pairs
+    * drifting toward the cut trips the assert loudly (a missed pair's
+    * hamming is unobservable by construction — the margin on the pairs
+    * we do see is the strongest in-plan signal that the radius still has
+    * headroom). */
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val cand = graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 7)
-    graft.dedup.Dedup.jaccardOnPairs(docs, "text", "doc_id", cand, "id_a", "id_b", 3)
+    val verified = graft.dedup.Dedup.jaccardOnPairs(docs, "text", "doc_id", cand,
+        "id_a", "id_b", 3, carry = Seq("hamming"))
       .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // 1-row margin aggregate; the verified subtree's exchanges are reused
+    // (AQE ReusedExchange), so the certificate does not re-run the verify.
+    val margin = verified.agg(coalesce(max(col("hamming")), lit(0L)).as("__maxham"))
+    verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .crossJoin(margin)
+      .filter(assert_true(col("__maxham") <= 5,
+        lit("q_dedup_simhash precondition violated: a verified near-dup pair sits " +
+          "within 2 bits of the maxDist=7 banding cut — recall headroom exhausted, " +
+          "raise maxDist")).isNull)
+      .drop("__maxham")
   }
 
   /** Exact n-gram Jaccard pairs within (lang, source) buckets. */
@@ -462,13 +482,33 @@ object SparkEntry {
     * brute-force top-k SQL — a cell-assignment or probe-selection
     * regression changes the row set and fails the hash compare. The
     * tighter nProbe=3 setting stays spec-covered (recall bound vs brute
-    * force). */
+    * force).
+    *
+    * Precondition certificate: "probed cells contain the true top-10" is
+    * a DATA property — a re-clustered scale-up could break it with no
+    * code regression, and the hash compare could not tell that apart
+    * from a real bug. The query asserts it in-plan: the brute-force
+    * top-10 ids anti-joined against the IVF ids must be empty. (The
+    * check deliberately re-derives ground truth, so THIS oracle query
+    * costs brute + probe; production callers use Ivf.searchTopK directly
+    * and skip the certificate.) */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = graft.similarity.Ivf.trainCentroids(emb, "embedding", "vec_id",
       nCells = 8, iters = 2)
-    graft.similarity.Ivf.searchTopK(emb, cents, "embedding", "vec_id",
-      emb.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 5)
+    val q = emb.filter(col("vec_id") === 0)
+    val ivf = graft.similarity.Ivf.searchTopK(emb, cents, "embedding", "vec_id",
+      q, "embedding", k = 10, nProbe = 5)
+    val truth = graft.similarity.Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", q, "embedding", 10)
+    val missed = truth.select(col("vec_id"))
+      .join(ivf.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("__miss"))
+    ivf.crossJoin(missed)
+      .filter(assert_true(col("__miss") === 0,
+        lit("q_ann_ivf precondition violated: nProbe=5 probed cells no longer " +
+          "contain the true top-10 — raise nProbe for this data distribution")).isNull)
+      .drop("__miss")
   }
 
   // ---------------------------------------------------------------------
@@ -1681,12 +1721,24 @@ object SparkEntry {
     * sketch is provably exact (every err = 0) in any processing order —
     * the oracle-able regime; the eviction regime is bounds-checked in
     * DriftQuantizeSpec. Bounded-memory shape of HLL: partials carry at
-    * most `capacity` counters per partition at any input size. */
+    * most `capacity` counters per partition at any input size.
+    *
+    * Precondition certificate: exactness needs vocabulary <= capacity,
+    * which is a DATA property — a vocabulary-growing scale-up would
+    * silently leave the exact regime. The query computes
+    * count_distinct(tok) in the SAME aggregate pass (no second scan) and
+    * asserts it. Checking `err == 0` instead would NOT be sound: the
+    * mergeable-summaries merge drops absent-side items without marking
+    * err, so an all-zero-err output can still be inexact. */
   private def qHeavyHitters(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 64).as("hh"))
-      .select(explode(col("hh")).as("e"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 64).as("hh"),
+        countDistinct(col("tok")).as("__vocab"))
+      .select(explode(col("hh")).as("e"), col("__vocab"))
+      .filter(assert_true(col("__vocab") <= 64,
+        lit("q_heavy_hitters precondition violated: corpus vocabulary exceeds " +
+          "SpaceSaving capacity 64 — sketch left the provably-exact regime")).isNull)
       .select(col("e.item").as("item"), col("e.n").as("n"), col("e.err").as("err"))
       .orderBy(col("n").desc, col("item"))
       .limit(20)

@@ -416,16 +416,19 @@ object Dedup {
     * `ngramJaccardPairs` whenever a candidate set already exists.
     */
   def jaccardOnPairs(df: DataFrame, textCol: String, idCol: String,
-                     pairs: DataFrame, aCol: String, bCol: String, n: Int): DataFrame = {
+                     pairs: DataFrame, aCol: String, bCol: String, n: Int,
+                     carry: Seq[String] = Nil): DataFrame = {
     val sh = df.select(col(idCol).cast("long").as("__id"),
       shingles(lower(col(textCol)), n).as("__sh"))
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
-    pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+    pairs.select(col(aCol).cast("long").as("id_a") +: col(bCol).cast("long").as("id_b")
+          +: carry.map(col): _*)
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a") +: col("id_b") +:
         (inter.cast("double") /
-          (size(col("__sh_a")) + size(col("__sh_b")) - inter)).as("jaccard"))
+          (size(col("__sh_a")) + size(col("__sh_b")) - inter)).as("jaccard") +:
+        carry.map(col): _*)
   }
 
   /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
