@@ -305,6 +305,25 @@ object SparkEntry {
         col("asof_event_id").as("click_event_id"))
   }
 
+  /** Time-bucketed fact×fact as-of join (1-hour buckets): identical
+    * result to q_asof_join — same DuckDB ASOF oracle — but the heavy
+    * window partitions by (user, hour) instead of user, so parallelism
+    * scales with time rather than key cardinality (AsOfJoin
+    * .leftAsOfBucketed; the per-key carry runs on bucket summaries). */
+  private def qAsofBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.leftAsOfBucketed(purchases, clicks, Seq("user_id"), "ts", "event_id",
+        rightPayload = Seq("ts", "event_id"), bucket = 3600000000000L)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("purchase_us"),
+        expr("asof_ts div 1000").as("click_us"),
+        col("asof_event_id").as("click_event_id"))
+  }
+
   /** Gap-based sessionization (30-min gap) + per-session rollup. */
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Sessionize.byGap(Tables.events(s, d), "user_id", "ts", "event_id",
@@ -1743,6 +1762,49 @@ object SparkEntry {
       .orderBy(col("n").desc, col("item"))
       .limit(20)
 
+  /** SpaceSaving in its EVICTION regime under a bound oracle (the
+    * q_count_min pattern): capacity 8 < vocabulary, so counters evict
+    * and the resident set is partitioning-dependent — the items
+    * themselves cannot be hash-compared. What IS deterministic are the
+    * sketch's theorems, and the query emits exactly those:
+    *   - n_resident = capacity (certificate-asserted vocab > capacity);
+    *   - total_n, the exact token count;
+    *   - all_within_bound: every resident's |est − true| ≤ n/capacity
+    *     (the two-sided mergeable-summaries bound — min(bool) = AND);
+    *   - heavy_found: every token with true count > 2n/capacity is
+    *     resident (est ≥ true − n/cap > n/cap ≥ the smallest kept
+    *     counter, so it survives every merge truncation).
+    * The oracle states the ground truth: capacity, exact count, TRUE,
+    * TRUE — any bound violation at any scale factor or partitioning
+    * hash-fails the row. */
+  private def qHeavyHittersApprox(s: SparkSession, d: String): DataFrame = {
+    val cap = 8
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val resident = toks
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), cap).as("hh"),
+        count(lit(1)).as("__n"), countDistinct(col("tok")).as("__vocab"))
+      .select(explode(col("hh")).as("e"), col("__n"), col("__vocab"))
+      .filter(assert_true(col("__vocab") > cap,
+        lit("q_heavy_hitters_approx precondition violated: vocabulary <= " +
+          "capacity 8 — sketch never left the eviction regime")).isNull)
+      .select(col("e.item").as("item"), col("e.n").as("est"), col("__n"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+    val bounds = resident
+      .join(exact, col("item") === col("tok"))
+      .agg(count(lit(1)).as("n_resident"), min(col("__n")).as("total_n"),
+        min(abs(col("est") - col("true_n")).cast("double")
+          <= col("__n").cast("double") / cap).as("all_within_bound"))
+    val missed = exact
+      .join(broadcast(resident.select(col("item"))), col("tok") === col("item"), "left_anti")
+      .join(toks.agg(count(lit(1)).as("__n2")))
+      .filter(col("true_n").cast("double") > lit(2.0) * col("__n2") / cap)
+      .agg(count(lit(1)).as("__n_missed"))
+    bounds.join(missed)
+      .select(col("n_resident"), col("total_n"), col("all_within_bound"),
+        (col("__n_missed") === 0).as("heavy_found"))
+  }
+
   /** Concat-then-chunk sequence packing over the documents table:
     * per-language token streams in doc_id order, 128-token training
     * chunks — each doc's stream offset and first/last chunk. */
@@ -2034,6 +2096,7 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "q_events_hourly"  -> (qEventsHourly _),
     "q_asof_join"      -> (qAsofJoin _),
+    "q_asof_bucketed"  -> (qAsofBucketed _),
     "q_sessionize"     -> (qSessionize _),
     "q_date_dim"       -> (qDateDim _),
     "q_sas_date"       -> (qSasDate _),
@@ -2057,6 +2120,7 @@ object SparkEntry {
     "q_drift"          -> (qDrift _),
     "q_entropy"        -> (qEntropy _),
     "q_heavy_hitters"  -> (qHeavyHitters _),
+    "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
@@ -3194,6 +3258,14 @@ object SparkEntry {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // the bucketed variant must land on byte-identical as-of matches
+    "q_asof_bucketed" -> """
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+        epoch_ns(p.ts) // 1000 AS purchase_us,
+        epoch_ns(c.ts) // 1000 AS click_us, c.event_id AS click_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
@@ -3383,6 +3455,12 @@ object SparkEntry {
       GROUP BY 1
       ORDER BY n DESC, item
       LIMIT 20""",
+    // eviction regime: the oracle states the sketch's theorems as ground
+    // truth — resident count = capacity, exact total, bounds hold
+    "q_heavy_hitters_approx" -> """
+      SELECT CAST(8 AS BIGINT) AS n_resident, count(*) AS total_n,
+        TRUE AS all_within_bound, TRUE AS heavy_found
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)""",
     "q_weighted_sample" -> """
       WITH pri AS (
         SELECT lang, doc_id,

@@ -132,6 +132,17 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(est.size <= cap)
   }
 
+  test("q_heavy_hitters_approx emits the sketch theorems as a deterministic row") {
+    val row = SparkEntry.queries("q_heavy_hitters_approx")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Long]("n_resident") == 8L)      // capacity, vocab-certified
+    assert(r.getAs[Long]("total_n") > 0L)
+    assert(r.getAs[Boolean]("all_within_bound"))   // |est - true| <= n/cap
+    assert(r.getAs[Boolean]("heavy_found"))        // freq > 2n/cap => resident
+  }
+
   // -- Weighted sampling ------------------------------------------------
 
   test("weightedSample: partitioning-invariant, excludes non-positive weights, k-bounded") {

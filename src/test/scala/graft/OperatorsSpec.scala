@@ -80,6 +80,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("leftAsOfBucketed: within-bucket match, cross-bucket carry, same-bucket-later miss") {
+    val left = Seq((1L, 25L, 100L), (1L, 47L, 101L), (2L, 25L, 102L), (3L, 15L, 103L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 21L, 900L, "r21"), (1L, 28L, 901L, "r28"),
+        (2L, 8L, 902L, "r8"), (2L, 29L, 903L, "r29"))
+      .toDF("user_id", "ts", "event_id", "payload")
+    val out = AsOfJoin.leftAsOfBucketed(left, right, Seq("user_id"), "ts", "event_id",
+        Seq("ts", "payload"), bucket = 10L)
+      .select(col("event_id"), col("asof_payload")).as[(Long, String)].collect().toMap
+    assert(out(100L) == "r21") // in-bucket match (21 <= 25, bucket 2)
+    assert(out(101L) == "r28") // bucket 4 empty -> carried from bucket 2
+    assert(out(102L) == "r8")  // bucket-2 right row is LATER (29 > 25) -> carry from bucket 0
+    assert(out(103L) == null)  // no right rows for key 3
+  }
+
+  test("leftAsOfBucketed is row-identical to leftAsOf at any bucket width (events fixture)") {
+    val plain = SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001")
+    for (width <- Seq(3600000000000L, 86400000000000L, 1L)) {
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val bucketed = AsOfJoin.leftAsOfBucketed(purchases, clicks, Seq("user_id"), "ts",
+          "event_id", rightPayload = Seq("ts", "event_id"), bucket = width)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("purchase_us"),
+          expr("asof_ts div 1000").as("click_us"),
+          col("asof_event_id").as("click_event_id"))
+      assert(plain.exceptAll(bucketed).count() == 0 &&
+        bucketed.exceptAll(plain).count() == 0, s"bucket width $width diverged")
+    }
+  }
+
   test("stratified sampleBy: seeded, deterministic, per-stratum fractions honored") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val fractions = Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.0)
