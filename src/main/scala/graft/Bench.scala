@@ -24,6 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Time production plans: precondition certificates (recall margin,
+    // probe coverage) belong to correctness runs, where the oracle makes
+    // a violated data assumption look like a regression. At bench-only
+    // scale factors they can fire on documented regime limits (e.g. the
+    // sf0.1 simhash hamming tail) and turn a timing into a
+    // time-to-exception. See graft.Certificates.
+    Certificates.enforce = false
+
     // Untimed warm-up: run EVERY query once at the smallest SF. Each
     // query's plans janino-compile on first execution (hundreds of ms to
     // seconds for the dedup pipelines); warming on sf0.001 moves that
@@ -35,13 +43,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_BENCH_REPS > 1 (default 1, the driver contract) runs
+    // each query N times and records the per-query MEDIAN — one noisy
+    // run (page-cache state, CPU frequency) can swing a single-shot
+    // number 10x+ round-over-round and mask a real plan regression, so
+    // local iteration should compare medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val total = results.map(_._2).sum
 

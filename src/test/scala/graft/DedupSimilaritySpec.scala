@@ -360,6 +360,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("recall-margin certificate: fires at sf0.001 when enforced, gated off for bench") {
+    // sf0.001's verified near-dup pairs reach signature hamming 7 — the
+    // maxDist=7 margin (<= 5) is exhausted there, so the enforced query
+    // must fail LOUDLY with its named message...
+    assert(Certificates.enforce, "certificates must default to enforced")
+    val thrown = try {
+      SparkEntry.queries("q_dedup_simhash")(spark, "/root/testdata/sf0.001").count()
+      None
+    } catch { case t: Throwable =>
+      Some(Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(c => Option(c.getMessage).exists(_.contains("precondition violated"))))
+    }
+    assert(thrown.contains(true), "expected the named precondition failure")
+    // ...and the bench gate must run the same pipeline to completion
+    Certificates.enforce = false
+    try assert(SparkEntry.queries("q_dedup_simhash")(spark, "/root/testdata/sf0.001").count() > 0)
+    finally Certificates.enforce = true
+  }
+
   test("Decontaminate flags the doc embedding a benchmark answer, not clean docs") {
     import graft.dedup.Decontaminate
     val bench = Seq((100L, "what is the capital of france paris obviously"))
