@@ -409,13 +409,33 @@ object SparkEntry {
     * complete, which it is on the testdata (checked at sf0.001/sf0.01:
     * every truth pair down to jaccard 0.3 shares a band bucket) — so the
     * oracle is the full brute-force pair set, and any recall regression
-    * in signatures/banding fails the hash compare. */
+    * in signatures/banding fails the hash compare.
+    *
+    * Precondition certificate (the q_dedup_simhash margin pattern,
+    * [[Certificates.enforce]]-gated): every verified pair must share at
+    * least 2 of the 16 band buckets — a pair at 1 is one hash
+    * perturbation from being missed silently. Measured margins are wide
+    * on this corpus (min shared bands: 8 at sf0.001, 10 at sf0.01, 5 at
+    * sf0.1), so unlike the simhash radius this certificate holds at
+    * every SF; it exists to catch a DATA drift toward the recall cliff
+    * before the oracle silently starts missing rows. */
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val cand = graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id")
-    graft.dedup.Dedup.jaccardOnPairs(docs, "text", "doc_id", cand, "id_a", "id_b", 3)
+    val verified = graft.dedup.Dedup.jaccardOnPairs(docs, "text", "doc_id", cand,
+        "id_a", "id_b", 3, carry = Seq("n_shared_bands"))
       .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val out = verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!Certificates.enforce) out
+    else {
+      val margin = verified.agg(coalesce(min(col("n_shared_bands")), lit(16L)).as("__minb"))
+      out.crossJoin(margin)
+        .filter(assert_true(col("__minb") >= 2,
+          lit("q_dedup_minhash precondition violated: a verified near-dup pair shares " +
+            "only one band bucket — LSH recall is one hash perturbation from " +
+            "incomplete, add bands or lower rows-per-band")).isNull)
+        .drop("__minb")
+    }
   }
 
   /** SimHash chunk-banded candidates (hamming <= 7 over the 64-bit
@@ -1635,24 +1655,30 @@ object SparkEntry {
   /** The full curation pass a training pipeline runs per corpus drop:
     * score (lang id + quality), gate on quality, exact-dedup survivors
     * (min doc_id per content hash), report per-language corpus stats.
-    * One narrow window shuffle on the 128-bit content hash, then a tiny
-    * aggregate; avg quality summed as exact decimal for engine parity. */
+    * Everything the downstream stages need (hash, char count, lang,
+    * quality) is computed IN the scan stage and the text column dropped
+    * before the exchange — the content-hash window then shuffles a few
+    * narrow columns instead of the documents themselves, which is the
+    * difference between shuffling ~50 bytes/doc and the whole corpus at
+    * 100 TB. Avg quality summed as exact decimal for engine parity. */
   private def qCorpusFilter(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.text.TextFns
-    val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
-      col("source"),
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      md5(col("text")).as("__h"),
+      length(col("text")).cast("long").as("__chars"),
       TextFns.langId(col("text")).as("lang_pred"),
       TextFns.qualityScore(col("text")).as("quality"))
     val gated = scored.filter(col("quality") >= 0.5)
     val survivors = gated
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
       .filter(col("doc_id") === col("keep_id"))
     survivors.groupBy(col("lang_pred"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
           .as("avg_quality"),
-        sum(length(col("text"))).cast("long").as("total_chars"))
+        sum(col("__chars")).cast("long").as("total_chars"))
   }
 
   /** Map-function battery: build a returnflag→qty map per order

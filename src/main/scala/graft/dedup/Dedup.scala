@@ -129,7 +129,15 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
+          .cast("double") / k).as("est_jaccard"),
+        // how many of the `bands` band buckets this pair shares — the
+        // banding-recall margin observable: a pair at 1 is one hash
+        // perturbation away from being missed entirely
+        size(filter(sequence(lit(0), lit(bands - 1)), b =>
+          forall(zip_with(
+            slice(col("sig_a"), b * rows + 1, lit(rows)),
+            slice(col("sig_b"), b * rows + 1, lit(rows)),
+            (x, y) => x === y), p => p))).cast("long").as("n_shared_bands"))
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
