@@ -621,6 +621,19 @@ object SparkEntry {
         round(element_at(col("__pq"), 1), 4).as("p50_qty"))
   }
 
+  /** Weighted exact percentile (price weighted by quantity) through the
+    * same histogram dataflow — semantics of the builtin
+    * `percentile(price, ps, qty)` frequency form (differential-spec-
+    * pinned), oracled by replaying the weighted cumsum + Spark's
+    * interpolation formula in SQL. */
+  private def qWeightedPercentile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Percentiles.weightedExact(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        Seq(0.5, 0.9), "__p")
+      .select(col("l_returnflag"),
+        round(element_at(col("__p"), 1), 4).as("wp50_price"),
+        round(element_at(col("__p"), 2), 4).as("wp90_price"))
+
   /** String function battery over customer names. */
   private def qStringFns(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -2195,6 +2208,7 @@ object SparkEntry {
     "q_entropy"        -> (qEntropy _),
     "q_heavy_hitters"  -> (qHeavyHitters _),
     "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
+    "q_weighted_percentile" -> (qWeightedPercentile _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
@@ -2673,6 +2687,36 @@ object SparkEntry {
         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY 1""",
+    // weighted percentile: weighted cumsum + Spark's interpolation formula
+    // replayed literally ((hi-pos)*vl + (pos-lo)*vu, lower key on integral
+    // position or equal keys) — both engines do the same IEEE arithmetic
+    "q_weighted_percentile" -> """
+      WITH h AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+      c AS (SELECT g, v, w,
+              CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM h),
+      sel AS (SELECT g, CAST(n AS DOUBLE) AS n,
+               max(CASE WHEN cum - w <= floor(0.5*(CAST(n AS DOUBLE)-1))
+                         AND floor(0.5*(CAST(n AS DOUBLE)-1)) < cum THEN v END) AS vl50,
+               max(CASE WHEN cum - w <= ceil(0.5*(CAST(n AS DOUBLE)-1))
+                         AND ceil(0.5*(CAST(n AS DOUBLE)-1)) < cum THEN v END) AS vu50,
+               max(CASE WHEN cum - w <= floor(0.9*(CAST(n AS DOUBLE)-1))
+                         AND floor(0.9*(CAST(n AS DOUBLE)-1)) < cum THEN v END) AS vl90,
+               max(CASE WHEN cum - w <= ceil(0.9*(CAST(n AS DOUBLE)-1))
+                         AND ceil(0.9*(CAST(n AS DOUBLE)-1)) < cum THEN v END) AS vu90
+             FROM c GROUP BY 1, 2)
+      SELECT g AS l_returnflag,
+        round(CASE WHEN floor(0.5*(n-1)) = ceil(0.5*(n-1)) OR vl50 = vu50 THEN vl50
+          ELSE (ceil(0.5*(n-1)) - 0.5*(n-1)) * vl50
+             + (0.5*(n-1) - floor(0.5*(n-1))) * vu50 END, 4) AS wp50_price,
+        round(CASE WHEN floor(0.9*(n-1)) = ceil(0.9*(n-1)) OR vl90 = vu90 THEN vl90
+          ELSE (ceil(0.9*(n-1)) - 0.9*(n-1)) * vl90
+             + (0.9*(n-1) - floor(0.9*(n-1))) * vu90 END, 4) AS wp90_price
+      FROM sel""",
     "q_string_fns" -> """
       SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
         substr(c_name, 10, 5) AS name_mid,

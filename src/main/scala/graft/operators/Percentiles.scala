@@ -55,6 +55,26 @@ object Percentiles {
     fromHistogram(histogram(df, groupCols, valCol), groupCols, "__v", "__cnt",
       ps, out, shards)
 
+  /** Weighted exact percentiles: each row's value counts `weightCol`
+    * times — identical semantics (interpolation included) to the builtin
+    * `percentile(valCol, ps, weightCol)` frequency form, but through the
+    * histogram dataflow, so neither memory nor parallelism degrades with
+    * group size. Rows with null value or non-positive weight are dropped
+    * (the builtin errors on negative frequency; a streaming-friendly
+    * gate beats a data-dependent throw at scale).
+    */
+  def weightedExact(df: DataFrame, groupCols: Seq[String], valCol: String,
+                    weightCol: String, ps: Seq[Double],
+                    out: String = "percentiles", shards: Int = 0): DataFrame = {
+    val hist = df.select(groupCols.map(col)
+        :+ col(valCol).cast("double").as("__v")
+        :+ col(weightCol).cast("long").as("__w"): _*)
+      .filter(col("__v").isNotNull && col("__w") > 0)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__cnt"))
+    fromHistogram(hist, groupCols, "__v", "__cnt", ps, out, shards)
+  }
+
   /** Percentiles from a pre-aggregated (value, weight) histogram — the
     * multiset {valCol repeated cntCol times} per group. Exposed so
     * derived histograms (e.g. |value - median| deviations for MAD) can be

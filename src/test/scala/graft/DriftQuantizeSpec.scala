@@ -145,6 +145,19 @@ class DriftQuantizeSpec extends AnyFunSuite {
 
   // -- Weighted sampling ------------------------------------------------
 
+  test("weightedExact percentile is bit-identical to the builtin frequency form") {
+    import graft.operators.Percentiles
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"),
+        col("l_quantity").cast("long").as("qty"))
+    val hist = Percentiles.weightedExact(li, Seq("l_returnflag"), "price", "qty",
+        Seq(0.0, 0.25, 0.5, 0.9, 1.0), "__p")
+      .select(col("l_returnflag"), col("__p"))
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(price, array(0.0D, 0.25D, 0.5D, 0.9D, 1.0D), qty)").as("__p"))
+    assert(hist.exceptAll(builtin).count() == 0 && builtin.exceptAll(hist).count() == 0)
+  }
+
   test("weightedSample: partitioning-invariant, excludes non-positive weights, k-bounded") {
     import graft.operators.Sampling
     val df = (1 to 500).map(i => (i.toLong, "s", if (i <= 490) 1.0 else 0.0))
