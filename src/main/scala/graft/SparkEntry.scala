@@ -490,6 +490,13 @@ object SparkEntry {
     graft.similarity.Similarity.cosinePairs(
       Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
 
+  /** Bucket-local k-NN graph: top-3 cosine neighbors for every vector
+    * within its label bucket (Similarity.knnGraph) — the batch ANN shape
+    * that feeds semdedup/clustering, vs the single-query q_ann_*. */
+  private def qKnnGraph(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity.knnGraph(
+      Tables.embeddings(s, d), "embedding", "vec_id", "label", k = 3)
+
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2209,6 +2216,7 @@ object SparkEntry {
     "q_heavy_hitters"  -> (qHeavyHitters _),
     "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
     "q_weighted_percentile" -> (qWeightedPercentile _),
+    "q_knn_graph"      -> (qKnnGraph _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
@@ -2263,6 +2271,19 @@ object SparkEntry {
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3"""
+
+  private val KnnGraphOracle = """
+      WITH p AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+          round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id)
+      SELECT id, nbr, cos_sim,
+        CAST(row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
+      FROM p QUALIFY rk <= 3"""
 
   /** Brute-force cosine top-10 — shared by q_ann_brute and (because its
     * probed cells provably contain the true top-10 on this data, see
@@ -3296,6 +3317,7 @@ object SparkEntry {
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
+    "q_knn_graph" -> KnnGraphOracle,
     "q_embed_pairs" -> """
       WITH capped AS (
         SELECT * FROM embeddings

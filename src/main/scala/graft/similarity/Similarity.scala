@@ -51,6 +51,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Bucket-local k-NN graph: for EVERY vector, its top-k cosine
+    * neighbors within the same coarse bucket — the batch shape semdedup /
+    * agglomerative-clustering pipelines consume (bruteForceTopK serves
+    * ONE query; a per-doc loop over it would be a driver-side join).
+    *
+    * Same scale skeleton as [[cosinePairs]]: one (bucket)-clustered
+    * self-join, `maxBucket` window cap against the degenerate-bucket m²
+    * blowup, then a per-vector top-k window (partitioned by vector id —
+    * parallelism = corpus size). Ties broken by neighbor id for
+    * determinism.
+    */
+  def knnGraph(df: DataFrame, embCol: String, idCol: String,
+               bucketCol: String, k: Int, maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol)
+    val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
+        toDouble(col(embCol)).as("__e"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+      .withColumn("__n", norm(col("__e")))
+    val a = base.select(col("__bk"), col("id"), col("__e").as("__ea"), col("__n").as("__na"))
+    val b = base.select(col("__bk"), col("id").as("nbr"), col("__e").as("__eb"), col("__n").as("__nb"))
+    a.join(b, Seq("__bk"))
+      .filter(col("id") =!= col("nbr"))
+      .select(col("id"), col("nbr"),
+        round(graft.functions.DotProduct.dotProduct(col("__ea"), col("__eb"))
+          / (col("__na") * col("__nb")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nbr"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Deterministic hyperplane matrix (planes x dim), derived from a fixed
     * seed driver-side — no RNG state ships to executors; every plan
     * derives identical planes.

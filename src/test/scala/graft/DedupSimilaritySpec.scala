@@ -360,6 +360,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("knnGraph: planted neighbors rank first; cross-bucket pairs never appear") {
+    import graft.similarity.Similarity
+    val vecs = Seq(
+      (0L, "a", Array(1.0f, 0.0f)), (1L, "a", Array(0.9f, 0.1f)),   // near pair
+      (2L, "a", Array(0.0f, 1.0f)),                                  // far, same bucket
+      (3L, "b", Array(1.0f, 0.0f))                                   // identical to 0 but other bucket
+    ).toDF("vec_id", "label", "embedding")
+    val g = Similarity.knnGraph(vecs, "embedding", "vec_id", "label", k = 1)
+      .select(col("id"), col("nbr")).as[(Long, Long)].collect().toMap
+    assert(g(0L) == 1L && g(1L) == 0L)   // mutual nearest within bucket a
+    assert(g(2L) == 0L || g(2L) == 1L)   // far vec still gets a same-bucket neighbor
+    assert(!g.contains(3L))               // singleton bucket emits nothing
+    // cap identity at default; oversized bucket dropped entirely when capped
+    val capped = Similarity.knnGraph(vecs, "embedding", "vec_id", "label", k = 1, maxBucket = 2)
+    assert(capped.filter(col("id").isin(0L, 1L, 2L)).count() == 0)
+  }
+
   test("recall-margin certificate: fires at sf0.001 when enforced, gated off for bench") {
     // sf0.001's verified near-dup pairs reach signature hamming 7 — the
     // maxDist=7 margin (<= 5) is exhausted there, so the enforced query
