@@ -628,6 +628,24 @@ object SparkEntry {
         round(element_at(col("__pq"), 1), 4).as("p50_qty"))
   }
 
+  /** Algebraic incremental view maintenance: a materialized
+    * (returnflag, linestatus) rollup updated from a signed change set
+    * (deletes: every l_orderkey % 97 == 0 row; inserts: every % 89 == 0
+    * row re-added) WITHOUT rescanning the base — cost scales with the
+    * delta. The oracle recomputes the updated multiset directly, so any
+    * drift between maintain-and-merge and recompute fails the hash. */
+  private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val base = IncrementalAgg.materialize(li, keys, "n", Seq("sum_price" -> "l_extendedprice"))
+    val changes = li.filter(col("l_orderkey") % 97 === 0).withColumn("__sign", lit(-1))
+      .unionByName(li.filter(col("l_orderkey") % 89 === 0).withColumn("__sign", lit(1)))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"), col("__sign"))
+    IncrementalAgg.applySigned(base, changes, keys, "n",
+      Seq("sum_price" -> "l_extendedprice"), "__sign")
+  }
+
   /** Weighted exact percentile (price weighted by quantity) through the
     * same histogram dataflow — semantics of the builtin
     * `percentile(price, ps, qty)` frequency form (differential-spec-
@@ -2217,6 +2235,7 @@ object SparkEntry {
     "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
     "q_weighted_percentile" -> (qWeightedPercentile _),
     "q_knn_graph"      -> (qKnnGraph _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
@@ -2708,6 +2727,16 @@ object SparkEntry {
         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY 1""",
+    // incremental maintenance vs direct recompute of the updated multiset
+    "q_incremental_agg" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (SELECT l_returnflag, l_linestatus, l_extendedprice
+              FROM lineitem WHERE l_orderkey % 97 <> 0
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_extendedprice
+              FROM lineitem WHERE l_orderkey % 89 = 0) u
+      GROUP BY 1, 2""",
     // weighted percentile: weighted cumsum + Spark's interpolation formula
     // replayed literally ((hi-pos)*vl + (pos-lo)*vu, lower key on integral
     // position or equal keys) — both engines do the same IEEE arithmetic

@@ -80,6 +80,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(103L) == null)   // no right rows for key 2
   }
 
+  test("IncrementalAgg: maintain-and-merge equals direct recompute; zero-count groups vanish") {
+    import graft.operators.IncrementalAgg
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "x")
+    val mat = IncrementalAgg.materialize(base, Seq("g"), "n", Seq("sx" -> "x"))
+    // delete both 'a' rows, insert one 'c' row
+    val changes = Seq(("a", 1.0, -1), ("a", 2.0, -1), ("c", 7.0, 1)).toDF("g", "x", "sgn")
+    val out = IncrementalAgg.applySigned(mat, changes, Seq("g"), "n",
+        Seq("sx" -> "x"), "sgn")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("b", 1L, 5.0), ("c", 1L, 7.0))) // 'a' reached n=0 and vanished
+  }
+
+  test("IncrementalAgg: deleting rows never inserted fails loudly, not clamped") {
+    import graft.operators.IncrementalAgg
+    val mat = IncrementalAgg.materialize(Seq(("a", 1.0)).toDF("g", "x"),
+      Seq("g"), "n", Seq("sx" -> "x"))
+    val bogus = Seq(("a", 1.0, -1), ("a", 1.0, -1)).toDF("g", "x", "sgn")
+    val failed = try {
+      IncrementalAgg.applySigned(mat, bogus, Seq("g"), "n", Seq("sx" -> "x"), "sgn").count()
+      false
+    } catch { case t: Throwable =>
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(c => Option(c.getMessage).exists(_.contains("went negative")))
+    }
+    assert(failed)
+  }
+
   test("leftAsOfBucketed: within-bucket match, cross-bucket carry, same-bucket-later miss") {
     val left = Seq((1L, 25L, 100L), (1L, 47L, 101L), (2L, 25L, 102L), (3L, 15L, 103L))
       .toDF("user_id", "ts", "event_id")

@@ -89,6 +89,15 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_asof_bucketed: the heavy window partitions by (key, bucket), not key alone") {
+    val p = planOf("q_asof_bucketed")
+    // the full-data running-last window must carry both partition keys —
+    // that is the whole point of the bucketed variant (parallelism scales
+    // with time buckets); the per-key carry window exists too but runs on
+    // one-row-per-bucket summaries
+    assert(p.contains("windowspecdefinition(user_id#") && p.contains(", __bkt#"), p)
+  }
+
   test("identical aggregate subplans reuse one exchange (self-join diamond)") {
     val agg = Tables.customer(spark, sf)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
