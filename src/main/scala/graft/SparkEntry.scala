@@ -731,6 +731,36 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** Intra-document first-occurrence span dedup (Curation). The corpus
+    * is single-line, so the harness runs it at token granularity; on a
+    * newline corpus the same dataflow with sep="\n" is exact
+    * duplicate-line removal. */
+  private def qIntradocDedup(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.firstOccurrenceDedup(
+      Tables.documents(s, d), "text", "doc_id")
+
+  /** Linear quality-classifier inference: fixed model weights compiled
+    * into the plan, sigmoid score per document, zero shuffles. */
+  private def qClassifierScore(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.scoreLinear(
+      Tables.documents(s, d), "text", "doc_id",
+      weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
+        "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
+      bias = -1.5,
+      stopwords = Seq("the", "a"))
+
+  /** Temperature-scaled source mixture (alpha = 0.5): per-source mix
+    * weight and the down-sampling rate that realizes it. */
+  private def qMixtureTemp(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.temperatureWeights(
+      Tables.documents(s, d), "source", alpha = 0.5)
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram LM — the cheap perplexity-proxy quality signal. */
+  private def qUnigramLogprob(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.unigramLogProb(
+      Tables.documents(s, d), "text", "doc_id")
+
   /** As-of join with max 2-hour lookback: stale matches nulled. Note the
     * right payload must include ts itself so staleness is observable. */
   private def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
@@ -2171,6 +2201,10 @@ object SparkEntry {
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
+    "q_intradoc_dedup" -> (qIntradocDedup _),
+    "q_classifier_score" -> (qClassifierScore _),
+    "q_mixture_temp"   -> (qMixtureTemp _),
+    "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -2716,6 +2750,52 @@ object SparkEntry {
               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
             FROM c)
       SELECT lang, tok, n, rn FROM r WHERE rn <= 3""",
+    "q_intradoc_dedup" -> """
+      WITH e AS (
+        SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+          (x, i) -> struct_pack(span := x, pos := i))) AS sp
+        FROM documents),
+      t AS (SELECT doc_id, sp.span AS span, sp.pos AS pos FROM e),
+      f AS (SELECT doc_id, span, min(pos) AS fp, count(*) AS n FROM t GROUP BY 1, 2)
+      SELECT doc_id, string_agg(span, ' ' ORDER BY fp) AS text_dedup,
+        CAST(sum(n) AS BIGINT) AS n_spans, count(*) AS n_kept
+      FROM f GROUP BY doc_id""",
+    // z-term order mirrors Curation.scoreLinear's sorted-key fold:
+    // avg_token_len, distinct_ratio, n_tokens, stopword_ratio
+    "q_classifier_score" -> """
+      WITH feat AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents)
+      SELECT doc_id,
+        round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
+          + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS quality_score
+      FROM feat""",
+    "q_mixture_temp" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot,
+                   sum(pow(n_docs, 0.5)) AS totA,
+                   max(pow(n_docs, 0.5) / n_docs) AS maxR FROM c)
+      SELECT source, n_docs,
+        round(n_docs / tot, 6) AS natural_share,
+        round(pow(n_docs, 0.5) / totA, 6) AS mix_weight,
+        round((pow(n_docs, 0.5) / n_docs) / maxR, 6) AS sample_rate
+      FROM c CROSS JOIN t""",
+    "q_unigram_logprob" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tc AS (SELECT doc_id, token, count(*) AS tc FROM t GROUP BY 1, 2),
+      u AS (SELECT token, count(*) AS cf FROM t GROUP BY 1),
+      n AS (SELECT CAST(sum(cf) AS BIGINT) AS N FROM u)
+      SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+        round(sum(tc * ln(CAST(cf AS DOUBLE) / N)) / sum(tc), 6) AS mean_logp
+      FROM tc JOIN u USING (token) CROSS JOIN n
+      GROUP BY doc_id""",
     "q_salted_agg" -> """
       SELECT l_suppkey,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: span-level dedup inside a document, linear
+  * quality-classifier inference, temperature-scaled source mixing, and
+  * unigram-LM log-probability scoring (the cheap perplexity proxy).
+  *
+  * All four are pure dataflow — no driver-side loops, no UDFs; every
+  * expression is a codegen'd built-in, and each operator's shuffle
+  * count is fixed (1–2) regardless of corpus size.
+  */
+object Curation {
+
+  /** Remove repeated spans inside each document, keeping the FIRST
+    * occurrence and preserving original order — the intra-document half
+    * of Common-Crawl-style dedup (on a newline corpus `sep="\n"` makes
+    * this exact duplicate-line removal; the testdata corpus is
+    * single-line, so the harness query runs it at token granularity,
+    * same dataflow).
+    *
+    * Shape: posexplode → min(pos) per (doc, span) → ordered reassembly.
+    * Both aggregations key on the doc id, so this is one hash exchange
+    * reused by two aggregates; per-group state is bounded by document
+    * size (a document that doesn't fit in an aggregation buffer has no
+    * business in a training corpus — enforce with a length gate
+    * upstream). Output: idCol, `text_dedup`, `n_spans`, `n_kept`.
+    */
+  def firstOccurrenceDedup(df: DataFrame, textCol: String, idCol: String,
+                           sep: String = " "): DataFrame = {
+    val first = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .groupBy(col(idCol), col("col").as("span"))
+      .agg(min(col("pos")).as("__fp"), count(lit(1)).as("__n"))
+    first
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__fp"), col("span")))),
+            x => x.getField("span")),
+          sep).as("text_dedup"),
+        sum(col("__n")).as("n_spans"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Linear quality-classifier inference: score = sigmoid(w · x + b)
+    * over in-plan text features. The model (weights + bias) is a plain
+    * Scala map compiled INTO the expression tree — the 100 TB shape for
+    * "run a small quality model over every document": no shuffle at
+    * all, the whole thing is scan-stage column arithmetic inside one
+    * WholeStageCodegen span, exactly what a broadcast of a small model
+    * degenerates to when the model fits in the plan.
+    *
+    * Features (all derived from `textCol`, names are the map keys):
+    * `n_tokens`, `avg_token_len`, `distinct_ratio` (type–token ratio),
+    * `stopword_ratio` (share of tokens in `stopwords`).
+    */
+  def scoreLinear(df: DataFrame, textCol: String, idCol: String,
+                  weights: Map[String, Double], bias: Double,
+                  stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks).cast("double")
+    val features: Map[String, Column] = Map(
+      "n_tokens" -> nTok,
+      "avg_token_len" ->
+        (length(col(textCol)) - (nTok - 1)).cast("double") / nTok,
+      "distinct_ratio" -> size(array_distinct(toks)).cast("double") / nTok,
+      "stopword_ratio" ->
+        size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") / nTok)
+    val unknown = weights.keySet -- features.keySet
+    require(unknown.isEmpty, s"unknown feature(s): ${unknown.mkString(", ")}")
+    // fold in sorted-key order: double addition is order-sensitive, and a
+    // fixed order keeps the score bit-reproducible across runs/engines
+    val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) { case (acc, (name, w)) =>
+      acc + features(name) * lit(w)
+    }
+    df.select(col(idCol), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+  }
+
+  /** Temperature-scaled mixture weights (the multinomial-sampling
+    * formula from multilingual/multi-source LM training: p_i ∝ n_i^α,
+    * α ∈ (0, 1] flattens the source distribution). Output per group:
+    * `n_docs`, `natural_share`, `mix_weight` (= n^α / Σ n^α), and
+    * `sample_rate` — the per-document keep probability that realizes
+    * the mixture from the natural distribution, normalized so the most
+    * oversampled group keeps 100 % (no replication, only down-sampling).
+    *
+    * One count-aggregate (group cardinality rows, tiny), then a 1-row
+    * cross join for the normalizers — broadcast at any corpus size.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__tot"),
+      sum(pow(col("n_docs"), lit(alpha))).as("__totA"),
+      // max over groups of (n^α / n) — the most-oversampled group's
+      // unnormalized rate; dividing by it caps sample_rate at 1.0
+      max(pow(col("n_docs"), lit(alpha)) / col("n_docs")).as("__maxR"))
+    counts.crossJoin(totals)
+      .select(col(groupCol), col("n_docs"),
+        round(col("n_docs") / col("__tot"), 6).as("natural_share"),
+        round(pow(col("n_docs"), lit(alpha)) / col("__totA"), 6).as("mix_weight"),
+        round((pow(col("n_docs"), lit(alpha)) / col("n_docs")) / col("__maxR"), 6)
+          .as("sample_rate"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram LM — the classic cheap perplexity proxy for quality
+    * filtering (documents of rare/garbage tokens score low; boilerplate
+    * scores high).
+    *
+    * Scale shape: (1) token counts — explode collapses to per-partition
+    * partials before one shuffle on token; (2) per-doc term counts join
+    * the token distribution ON TOKEN (shuffle join: at 100 TB the
+    * unigram table is too big to broadcast; hot-token skew is bounded
+    * because the probe side is pre-aggregated to (doc, token) — a token
+    * appears once per containing doc, not once per occurrence); (3)
+    * re-group on doc id for the weighted mean. Output: idCol,
+    * `n_tokens`, `mean_logp` (natural log, rounded).
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val termCounts = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tc"))
+    val unigram = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val total = unigram.agg(sum(col("cf")).as("__N"))
+    termCounts.join(unigram, "token").crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tc")).as("n_tokens"),
+        round(sum(col("tc") * log(col("cf").cast("double") / col("__N")))
+          / sum(col("tc")), 6).as("mean_logp"))
+  }
+}

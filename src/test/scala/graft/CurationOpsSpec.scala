@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Profile
-import graft.text.{Chunker, Vocab}
+import graft.text.{Chunker, Curation, Vocab}
 
 /** Chunker / Profile / Vocab — the round-3 curation utilities. */
 class CurationOpsSpec extends AnyFunSuite {
@@ -125,5 +125,76 @@ class CurationOpsSpec extends AnyFunSuite {
         Vocab.topK(docs, "text", 50))
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // -- Curation ---------------------------------------------------------
+
+  test("firstOccurrenceDedup: keeps first occurrence, preserves order, counts spans") {
+    val docs = Seq((1L, "b a b c a"), (2L, "x x x"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Curation.firstOccurrenceDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("b a c", 5L, 3L)))
+    assert(out(2L) == (("x", 3L, 1L)))
+    assert(out(3L) == (("solo", 1L, 1L)))
+  }
+
+  test("firstOccurrenceDedup: sep=\"\\n\" is exact duplicate-line removal") {
+    val docs = Seq((1L, "keep me\ndrop dup\ndrop dup\nlast line")).toDF("doc_id", "text")
+    val out = Curation.firstOccurrenceDedup(docs, "text", "doc_id", sep = "\n").head()
+    assert(out.getString(1) == "keep me\ndrop dup\nlast line")
+    assert((out.getLong(2), out.getLong(3)) == ((4L, 3L)))
+  }
+
+  test("scoreLinear: sigmoid of the declared linear form, zero-weight model gives sigmoid(bias)") {
+    val docs = Seq((1L, "the a xx")).toDF("doc_id", "text")
+    val flat = Curation.scoreLinear(docs, "text", "doc_id",
+      weights = Map.empty, bias = 0.0, stopwords = Seq("the")).head().getDouble(1)
+    assert(flat == 0.5)
+    // n_tokens=3, avg_token_len=(8-2)/3=2, distinct_ratio=1, stopword_ratio=2/3
+    val z = 1.0 * 3 + 0.5 * 2 // weights below: n_tokens=1, avg_token_len=0.5
+    val s = Curation.scoreLinear(docs, "text", "doc_id",
+      weights = Map("n_tokens" -> 1.0, "avg_token_len" -> 0.5),
+      bias = 0.0, stopwords = Seq("the", "a")).head().getDouble(1)
+    assert(math.abs(s - 1.0 / (1.0 + math.exp(-z))) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Curation.scoreLinear(docs, "text", "doc_id",
+        Map("nope" -> 1.0), 0.0, Seq("the"))
+    }
+  }
+
+  test("scoreLinear is scan-stage only: no Exchange in the plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Curation.scoreLinear(docs, "text", "doc_id",
+        weights = Map("n_tokens" -> 0.02, "stopword_ratio" -> -3.0),
+        bias = -1.5, stopwords = Seq("the", "a"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("temperatureWeights: alpha=1 reproduces the natural distribution, rates capped at 1") {
+    val docs = (1 to 30).map(i => (i.toLong, if (i <= 20) "big" else "small"))
+      .toDF("doc_id", "source")
+    val w1 = Curation.temperatureWeights(docs, "source", alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(w1("big") == ((0.666667, 0.666667, 1.0)))
+    assert(w1("small") == ((0.333333, 0.333333, 1.0)))
+    // alpha<1 flattens: the small source's mix share rises above natural,
+    // the big source gets down-sampled relative to the small one
+    val wh = Curation.temperatureWeights(docs, "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(wh("small")._1 > 0.333333 && wh("big")._1 < 0.666667)
+    assert(wh("small")._2 == 1.0 && wh("big")._2 < 1.0)
+  }
+
+  test("unigramLogProb: exact on a hand-computed corpus; boilerplate outscores rare text") {
+    // corpus: tokens a,a,a,b → p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Curation.unigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - math.log(0.75)) < 1e-6)
+    assert(math.abs(out(2L)._2 - math.log(0.25)) < 1e-6)
+    assert(out(1L)._2 > out(2L)._2) // common text scores higher
   }
 }
