@@ -731,6 +731,35 @@ object SparkEntry {
     toks.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** PageRank (3 iterations, d=0.85) over the bucket-local k-NN graph —
+    * similarity-graph centrality for canonical-pick / authority scoring.
+    * Vertex set is ALL vectors (isolated ones settle at (1-d)/N). */
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = graft.similarity.Similarity.knnGraph(
+      emb, "embedding", "vec_id", "label", k = 3)
+    graft.graph.PageRank.pageRank(edges, "id", "nbr",
+      emb.select(col("vec_id")), "vec_id", iterations = 3, damping = 0.85)
+  }
+
+  /** Single-pass Gram matrix + dimension means over the embedding table
+    * (the distributed half of PCA/whitening). */
+  private def qGramMatrix(s: SparkSession, d: String): DataFrame =
+    graft.similarity.EmbedStats.gramMatrix(
+      Tables.embeddings(s, d), "embedding", dim = 64)
+
+  /** Grouped least-squares trend per event type: value regressed on
+    * event time in days (built-in regr_* aggregates). */
+  private def qRegression(s: SparkSession, d: String): DataFrame = {
+    val x = col("ts") / lit(86400000000000.0) // epoch-nanos -> days
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(regr_slope(col("value"), x), 6).as("slope"),
+        round(regr_intercept(col("value"), x), 6).as("intercept"),
+        round(regr_r2(col("value"), x), 6).as("r2"),
+        regr_count(col("value"), x).as("n"))
+  }
+
   /** Intra-document first-occurrence span dedup (Curation). The corpus
     * is single-line, so the harness runs it at token granularity; on a
     * newline corpus the same dataflow with sep="\n" is exact
@@ -2202,6 +2231,9 @@ object SparkEntry {
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
+    "q_pagerank"       -> (qPagerank _),
+    "q_gram_matrix"    -> (qGramMatrix _),
+    "q_regression"     -> (qRegression _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_mixture_temp"   -> (qMixtureTemp _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
@@ -2750,6 +2782,42 @@ object SparkEntry {
               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
             FROM c)
       SELECT lang, tok, n, rn FROM r WHERE rn <= 3""",
+    // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
+    // spelled as a subtraction so both engines produce the identical double
+    "q_pagerank" -> s"""
+      WITH edges AS ($KnnGraphOracle),
+      deg AS (SELECT id, count(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      r0 AS (SELECT vec_id AS node, 1.0 / n AS r FROM embeddings CROSS JOIN nn),
+      c1 AS (SELECT e.nbr AS node, sum(r0.r / deg.deg) AS s
+             FROM r0 JOIN edges e ON r0.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r1 AS (SELECT r0.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c1.s, 0.0) AS r
+             FROM r0 LEFT JOIN c1 ON r0.node = c1.node CROSS JOIN nn),
+      c2 AS (SELECT e.nbr AS node, sum(r1.r / deg.deg) AS s
+             FROM r1 JOIN edges e ON r1.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r2 AS (SELECT r1.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c2.s, 0.0) AS r
+             FROM r1 LEFT JOIN c2 ON r1.node = c2.node CROSS JOIN nn),
+      c3 AS (SELECT e.nbr AS node, sum(r2.r / deg.deg) AS s
+             FROM r2 JOIN edges e ON r2.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r3 AS (SELECT r2.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c3.s, 0.0) AS r
+             FROM r2 LEFT JOIN c3 ON r2.node = c3.node CROSS JOIN nn)
+      SELECT node, round(r + 1e-12, 6) AS pagerank FROM r3""",
+    "q_gram_matrix" -> """
+      WITH f AS (
+        SELECT unnest(flatten(list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->
+          list_transform(CAST(embedding AS DOUBLE[]), (y, j) ->
+            struct_pack(i := i - 1, j := j - 1, xy := x * y, vi := x))))) AS e
+        FROM embeddings)
+      SELECT e.i AS i, e.j AS j, round(sum(e.xy), 6) AS gram,
+        round(avg(e.vi), 6) AS mean_i, count(*) AS n
+      FROM f WHERE e.i <= e.j GROUP BY 1, 2""",
+    "q_regression" -> """
+      SELECT event_type,
+        round(regr_slope(value, epoch_ns(ts) / 86400000000000.0), 6) AS slope,
+        round(regr_intercept(value, epoch_ns(ts) / 86400000000000.0), 6) AS intercept,
+        round(regr_r2(value, epoch_ns(ts) / 86400000000000.0), 6) AS r2,
+        CAST(regr_count(value, epoch_ns(ts) / 86400000000000.0) AS BIGINT) AS n
+      FROM events GROUP BY 1""",
     "q_intradoc_dedup" -> """
       WITH e AS (
         SELECT doc_id, unnest(list_transform(string_split(text, ' '),

@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the similarity-graph
+  * centrality pass a curation pipeline runs on its near-dup/k-NN graph
+  * (e.g. to pick the most-central document of a duplicate neighborhood
+  * as canonical, or to score domain authority).
+  *
+  * Scale design: one rank-vector dataframe per iteration, each step a
+  * (ranks ⋈ edges on src) shuffle + a groupBy(dst) re-aggregate — the
+  * standard massively-parallel power iteration; nothing is ever
+  * collected. Edges are pre-joined with out-degrees ONCE and
+  * localCheckpoint'd (they feed every iteration; re-deriving them each
+  * step would re-run the upstream candidate generation), and each
+  * iteration's ranks are localCheckpoint'd to keep the lineage flat —
+  * the [[graft.dedup.Dedup]] star-contraction discipline. At cluster
+  * scale, hash-bucketing both ranks and edges on the node id makes every
+  * per-iteration join co-located (no shuffle of the edge table, which
+  * dwarfs the rank vector).
+  *
+  * Semantics: r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u). Nodes
+  * without out-edges hold their mass (no dangling redistribution), nodes
+  * without in-edges settle at (1-d)/N — the plain Brin-Page form, kept
+  * exactly reproducible by any engine (the harness oracle unrolls the
+  * same three iterations in SQL).
+  */
+object PageRank {
+
+  /** `nodes` fixes the vertex set (isolated vertices included); ranks
+    * initialize uniform at 1/N with N computed in-plan (a 1-row
+    * broadcast, no driver action). Output: nodeCol, `pagerank` (rounded
+    * to 6 at the end only — intermediates keep full precision).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, nodeCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val n1 = nodes.select(col(nodeCol).as("node")).agg(count(lit(1)).as("__N"))
+    val deg = edges.groupBy(col(srcCol).as("__src"))
+      .agg(count(lit(1)).as("__deg"))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg, "__src")
+      .localCheckpoint()
+    var ranks = nodes.select(col(nodeCol).as("node")).crossJoin(n1)
+      .select(col("node"), (lit(1.0) / col("__N")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("r") / col("__deg")).as("__s"))
+      ranks = ranks.select(col("node")).join(contrib, Seq("node"), "left")
+        .crossJoin(n1)
+        .select(col("node"),
+          ((lit(1.0 - damping) / col("__N"))
+            + lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    // The graph's rational arithmetic ((1-d)/N terms over small integer
+    // degrees) lands some exact ranks ON a decimal rounding boundary
+    // (…5 at the 7th digit); 1-ulp float noise then flips the rounded
+    // digit per engine. +1e-12 (>> accumulated noise ~1e-15, << rank
+    // resolution) pushes every true tie consistently upward.
+    ranks.select(col("node"), round(col("r") + lit(1e-12), 6).as("pagerank"))
+  }
+}

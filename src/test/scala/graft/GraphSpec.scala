@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PageRank
+import graft.similarity.EmbedStats
+
+/** PageRank and embedding second-moment statistics. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: 2-cycle holds the uniform fixed point, isolated node settles at (1-d)/N") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r = PageRank.pageRank(edges, "src", "dst", nodes, "id")
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    // the 2-cycle passes its full rank back and forth: 1/3 is stationary
+    assert(r(1L) == 0.333333 && r(2L) == 0.333333)
+    // isolated node: no in-edges, every iteration resets it to (1-d)/N
+    assert(r(3L) == 0.05)
+  }
+
+  test("pageRank: a sink-pointing star concentrates rank on the hub") {
+    // 4 spokes all point at node 0; node 0 points back at node 1
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val r = PageRank.pageRank(edges, "src", "dst", nodes, "id")
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L)) // hub > its target > plain spokes
+    assert(r(2L) == r(3L) && r(3L) == r(4L)) // symmetric spokes tie exactly
+  }
+
+  test("pageRank rejects bad iteration/damping parameters") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val n = Seq(1L, 2L).toDF("id")
+    intercept[IllegalArgumentException](PageRank.pageRank(e, "src", "dst", n, "id", iterations = 0))
+    intercept[IllegalArgumentException](PageRank.pageRank(e, "src", "dst", n, "id", damping = 1.0))
+  }
+
+  test("gramMatrix: exact upper-triangle second moments and dimension means") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val g = EmbedStats.gramMatrix(df, "embedding", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(g((0, 0)) == ((10.0, 2.0, 2L)))
+    assert(g((0, 1)) == ((14.0, 2.0, 2L)))
+    assert(g((1, 1)) == ((20.0, 3.0, 2L)))
+    assert(g.size == 3) // strictly upper triangle + diagonal, no (1,0)
+  }
+
+  test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
+      .queryExecution.executedPlan.toString
+    // partial aggregate below the exchange: map-side combine caps each
+    // partition's shuffle contribution at k^2 rows
+    assert(plan.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+    assert(plan.contains("Generate")) // the posexplode stays codegen-adjacent
+  }
+}
