@@ -63,7 +63,11 @@ object Plans {
     "q_heavy_hitters" ->
       "SpaceSaving: partial_space_saving buffers are capacity-bounded blobs per partition (the HLL exchange shape) merging into one global frequency table.",
     "q_semdedup" ->
-      "SemDeDup: bucket-local cosine pairs reduce to a checkpointed drop-set; a bloom over it splits the corpus in the scan stage, so cleared rows never shuffle and only the suspected sliver reaches the exact anti join.")
+      "SemDeDup: bucket-local cosine pairs reduce to a checkpointed drop-set; a bloom over it splits the corpus in the scan stage, so cleared rows never shuffle and only the suspected sliver reaches the exact anti join.",
+    "q_classifier_score" ->
+      "In-plan model inference: features and sigmoid are one WholeStageCodegen span over the scan — scoring a corpus with a compiled-in model is zero-Exchange at any size.",
+    "q_gram_matrix" ->
+      "Gram matrix: the k^2 outer-product entries collapse in the partial HashAggregate BELOW the exchange — the shuffle carries at most k^2 rows per partition regardless of row count.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -55,6 +55,29 @@ object StreamingOps {
       .groupBy(window(col(tsCol), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Watermarked stream-stream inner join: each purchase matches the
+    * clicks of the same user in the hour BEFORE it. Both sides carry a
+    * watermark and the join has a time-range predicate, so Spark can
+    * bound both state stores (a side's row is dropped once the
+    * watermark says no future match can need it) — the requirement for
+    * an unbounded×unbounded join to run at all. Without the range
+    * condition the state would grow forever; this is the
+    * attribution-join shape (conversion ⋈ preceding impressions).
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+                          watermark: String): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Per-key running totals via `transformWithState` (Spark 4's

@@ -378,4 +378,28 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("purchaseAttribution: stream-stream join matches clicks in the hour before each purchase") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingOps.purchaseAttribution(
+      purchases.toDF(), clicks.toDF(), watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 10, 0.0), Event(1, ts(30), 11, 0.0),
+        Event(2, ts(35), 13, 0.0))
+      purchases.addData(Event(1, ts(40), 1, 9.99), Event(1, ts(80), 2, 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT purchase_id, click_id FROM attrib ORDER BY purchase_id, click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // p1@40 matches clicks at 0 and 30 (both within the preceding hour);
+      // p2@80 matches only the click at 30 (the one at 0 is 80 min stale);
+      // user 2's click never crosses users
+      assert(rows == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
+    } finally q.stop()
+  }
 }
