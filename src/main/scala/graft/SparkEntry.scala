@@ -646,6 +646,30 @@ object SparkEntry {
       Seq("sum_price" -> "l_extendedprice"), "__sign")
   }
 
+  /** Incremental maintenance of a JOIN-aggregate view (revenue per order
+    * priority from lineitem ⋈ orders) under a signed lineitem change
+    * stream — the delta-join rule Δ(A⋈B)=ΔA⋈B composed with
+    * [[graft.operators.IncrementalAgg.applySigned]]: only the CHANGE SET
+    * joins the dimension side (small delta → AQE broadcasts it, orders
+    * never shuffles), and the merge cost is |affected groups|. The base
+    * fact table is read once to materialize and never rescanned for
+    * maintenance. */
+  private def qIncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val keys = Seq("o_orderpriority")
+    val base = IncrementalAgg.materialize(
+      li.join(ord, col("l_orderkey") === col("o_orderkey")),
+      keys, "n", Seq("sum_price" -> "l_extendedprice"))
+    val changes = li.filter(col("l_orderkey") % 97 === 0).withColumn("__sign", lit(-1))
+      .unionByName(li.filter(col("l_orderkey") % 89 === 0).withColumn("__sign", lit(1)))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_extendedprice"), col("__sign"))
+    IncrementalAgg.applySigned(base, changes, keys, "n",
+      Seq("sum_price" -> "l_extendedprice"), "__sign")
+  }
+
   /** Weighted exact percentile (price weighted by quantity) through the
     * same histogram dataflow — semantics of the builtin
     * `percentile(price, ps, qty)` frequency form (differential-spec-
@@ -2302,6 +2326,7 @@ object SparkEntry {
     "q_weighted_percentile" -> (qWeightedPercentile _),
     "q_knn_graph"      -> (qKnnGraph _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_incremental_join" -> (qIncrementalJoin _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_winsorize"      -> (qWinsorize _),
     "q_outliers"       -> (qOutliers _),
@@ -2885,6 +2910,16 @@ object SparkEntry {
             SELECT l_returnflag, l_linestatus, l_extendedprice
               FROM lineitem WHERE l_orderkey % 89 = 0) u
       GROUP BY 1, 2""",
+    "q_incremental_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (SELECT l_orderkey, l_extendedprice
+              FROM lineitem WHERE l_orderkey % 97 <> 0
+            UNION ALL
+            SELECT l_orderkey, l_extendedprice
+              FROM lineitem WHERE l_orderkey % 89 = 0) u
+      JOIN orders ON u.l_orderkey = o_orderkey
+      GROUP BY 1""",
     // weighted percentile: weighted cumsum + Spark's interpolation formula
     // replayed literally ((hi-pos)*vl + (pos-lo)*vu, lower key on integral
     // position or equal keys) — both engines do the same IEEE arithmetic

@@ -72,6 +72,60 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  private val wordDocGen: Gen[String] = {
+    val vocab = Vector("a", "bb", "ccc", "d", "ee")
+    Gen.choose(1, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  }
+
+  test("firstOccurrenceDedup == driver-side distinct-preserving-order (seeded, 10 cases)") {
+    import graft.text.Curation
+    cases(wordDocGen, 10).foreach { doc =>
+      val want = doc.split(" ").distinct.mkString(" ") // Scala distinct keeps first occurrence
+      val row = Curation.firstOccurrenceDedup(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id").head()
+      assert(row.getString(1) == want, s"doc='$doc'")
+      assert(row.getLong(2) == doc.split(" ").length)
+      assert(row.getLong(3) == doc.split(" ").distinct.length)
+    }
+  }
+
+  test("firstOccurrenceDedup is idempotent on random docs (seeded, 6 cases)") {
+    import graft.text.Curation
+    cases(wordDocGen, 6).foreach { doc =>
+      val once = Curation.firstOccurrenceDedup(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id")
+        .head().getString(1)
+      val twice = Curation.firstOccurrenceDedup(
+        Seq((1L, once)).toDF("doc_id", "text"), "text", "doc_id")
+        .head().getString(1)
+      assert(twice == once, s"doc='$doc'")
+    }
+  }
+
+  test("temperatureWeights: mix weights sum to 1 and order-match n^alpha on random splits (seeded, 6 cases)") {
+    import graft.text.Curation
+    val splitGen = Gen.choose(2, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(1, 40)))
+    cases(splitGen, 6).foreach { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (1 to n).map(i => (s"s$si", i.toLong))
+      }.toDF("source", "doc_id")
+      val rows = Curation.temperatureWeights(docs, "source", alpha = 0.7)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+      val totalW = rows.values.map(_._2).sum
+      assert(math.abs(totalW - 1.0) < 1e-3, s"sizes=$sizes sum=$totalW") // rounded to 6dp each
+      // monotone: larger source never gets a smaller mix weight
+      val bySize = rows.values.toSeq.sortBy(_._1)
+      bySize.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 <= b._2 + 1e-9, s"sizes=$sizes")
+        case _ =>
+      }
+      assert(rows.values.forall(v => v._3 > 0 && v._3 <= 1.0)) // rates in (0,1]
+      assert(rows.values.exists(_._3 == 1.0)) // someone keeps 100%
+    }
+  }
+
   test("TitleCase matches a Python str.title() reference on random strings (seeded, 40 cases)") {
     def pyTitle(s: String): String = {
       val sb = new StringBuilder
