@@ -109,6 +109,16 @@ class PlansSpec extends AnyFunSuite {
       || plan.toLowerCase.contains("reused"), plan)
   }
 
+  test("unigramLogProb reuses the corpus token-count exchange for the total (no second pass)") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.text.Curation.unigramLogProb(docs, "text", "doc_id")
+    df.queryExecution.toRdd.foreach(_ => ()) // AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the unigram total SUM(cf) must reuse the token-count shuffle, not
+    // re-aggregate the corpus: exactly one non-reused token exchange
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     val confs = Seq(
