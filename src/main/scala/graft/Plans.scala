@@ -67,7 +67,7 @@ object Plans {
     "q_classifier_score" ->
       "In-plan model inference: features and sigmoid are one WholeStageCodegen span over the scan — scoring a corpus with a compiled-in model is zero-Exchange at any size.",
     "q_gram_matrix" ->
-      "Gram matrix: the k^2 outer-product entries collapse in the partial HashAggregate BELOW the exchange — the shuffle carries at most k^2 rows per partition regardless of row count.")
+      "Gram matrix: one flat-buffer gram_agg per partition (partial ObjectHashAggregate below the exchange) — the shuffle carries a single ~17 KB moment blob per partition regardless of row count; the k^2 entry rows only exist AFTER the final merge, in the explode of the one result row.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

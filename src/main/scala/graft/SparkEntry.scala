@@ -767,9 +767,10 @@ object SparkEntry {
   }
 
   /** Single-pass Gram matrix + dimension means over the embedding table
-    * (the distributed half of PCA/whitening). */
+    * (the distributed half of PCA/whitening) — the GramAgg flat-buffer
+    * aggregate path; the explode form is the GraphSpec-pinned reference. */
   private def qGramMatrix(s: SparkSession, d: String): DataFrame =
-    graft.similarity.EmbedStats.gramMatrix(
+    graft.similarity.EmbedStats.gramMatrixAgg(
       Tables.embeddings(s, d), "embedding", dim = 64)
 
   /** Grouped least-squares trend per event type: value regressed on

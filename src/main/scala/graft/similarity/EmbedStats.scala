@@ -28,6 +28,23 @@ object EmbedStats {
     * Output: `i`, `j` (0-based ints, i <= j), `gram` = Σ v_i·v_j,
     * `mean_i` = mean of dimension i, `n` rows — all rounded to 6.
     */
+  /** [[gramMatrix]] through the [[graft.functions.GramAgg]] flat-buffer
+    * aggregate — identical output schema/values (GraphSpec differential-
+    * pins it), but each partition ships one ≈17 KB blob instead of k²
+    * aggregation rows, and no k²-entry row stream ever materializes.
+    * This is the production path; the explode form remains as the
+    * all-built-ins reference implementation.
+    */
+  def gramMatrixAgg(df: DataFrame, embCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.agg(graft.functions.GramAgg.gramAgg(col(embCol), dim).as("__g"))
+      .select(explode(col("__g")).as("g"))
+      .select(col("g.i").as("i"), col("g.j").as("j"),
+        round(col("g.gram"), 6).as("gram"),
+        round(col("g.mean_i"), 6).as("mean_i"),
+        col("g.n").as("n"))
+  }
+
   def gramMatrix(df: DataFrame, embCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val v = transform(col(embCol), x => x.cast("double"))

@@ -22,15 +22,23 @@ object Curation {
     * same dataflow).
     *
     * Shape: posexplode → min(pos) per (doc, span) → ordered reassembly.
-    * Both aggregations key on the doc id, so this is one hash exchange
-    * reused by two aggregates; per-group state is bounded by document
-    * size (a document that doesn't fit in an aggregation buffer has no
-    * business in a training corpus — enforce with a length gate
-    * upstream). Output: idCol, `text_dedup`, `n_spans`, `n_kept`.
+    * One explicit repartition on the doc id serves BOTH aggregate
+    * levels (hash clustering on a key-prefix satisfies the (doc, span)
+    * distribution too — the [[TextFns.tokenEntropy]] single-exchange
+    * pattern): one shuffle round instead of two, and it runs BEFORE the
+    * explode, so the exchange carries each document's text once (one
+    * row per doc) instead of its span rows — strictly less data and per
+    * -row overhead than either exploded-side alternative. Per-group state is bounded by
+    * document size (a document that doesn't fit in an aggregation
+    * buffer has no business in a training corpus — enforce with a
+    * length gate upstream). Output: idCol, `text_dedup`, `n_spans`,
+    * `n_kept`.
     */
   def firstOccurrenceDedup(df: DataFrame, textCol: String, idCol: String,
                            sep: String = " "): DataFrame = {
     val first = df
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // shuffle whole docs (one row each), explode after
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .groupBy(col(idCol), col("col").as("span"))
       .agg(min(col("pos")).as("__fp"), count(lit(1)).as("__n"))

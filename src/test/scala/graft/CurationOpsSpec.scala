@@ -145,6 +145,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert((out.getLong(2), out.getLong(3)) == ((4L, 3L)))
   }
 
+  test("firstOccurrenceDedup: one exchange, carrying docs not spans (explode above it)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Curation.firstOccurrenceDedup(docs, "text", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    // the Generate (posexplode) must sit ABOVE the exchange: the shuffle
+    // moves one row per document, span rows never cross the wire
+    val exIdx = plan.indexOf("Exchange")
+    val genIdx = plan.indexOf("Generate")
+    assert(genIdx >= 0 && genIdx < exIdx, plan)
+  }
+
   test("scoreLinear: sigmoid of the declared linear form, zero-weight model gives sigmoid(bias)") {
     val docs = Seq((1L, "the a xx")).toDF("doc_id", "text")
     val flat = Curation.scoreLinear(docs, "text", "doc_id",

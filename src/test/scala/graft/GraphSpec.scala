@@ -52,6 +52,47 @@ class GraphSpec extends AnyFunSuite {
     assert(g.size == 3) // strictly upper triangle + diagonal, no (1,0)
   }
 
+  test("gramMatrixAgg is row-identical to the explode-form gramMatrix on the real corpus") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = EmbedStats.gramMatrixAgg(df, "embedding", dim = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val b = EmbedStats.gramMatrix(df, "embedding", dim = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(a.keySet == b.keySet && a.size == 64 * 65 / 2)
+    a.foreach { case (k, (g, m, n)) =>
+      val (g2, m2, n2) = b(k)
+      // both round to 6dp; summation order may differ by ulps underneath
+      assert(math.abs(g - g2) <= 1e-6 && math.abs(m - m2) <= 1e-6 && n == n2, s"$k")
+    }
+  }
+
+  test("gramMatrixAgg skips null and ragged arrays instead of mis-indexing") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(9.0f)), (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val g = EmbedStats.gramMatrixAgg(df, "embedding", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(g((0, 0)) == ((10.0, 2.0, 2L))) // rows 3 and 4 contribute nothing
+    assert(g((0, 1)) == ((14.0, 2.0, 2L)))
+    assert(g((1, 1)) == ((20.0, 3.0, 2L)))
+  }
+
+  test("gramMatrixAgg exchange carries one moment blob per partition, not entry rows") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = EmbedStats.gramMatrixAgg(df, "embedding", dim = 64)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_gram_agg"), plan)
+    // the Generate (explode to entry rows) sits ABOVE the single-partition
+    // exchange: entries exist only after the final merge
+    val exIdx = plan.indexOf("Exchange SinglePartition")
+    val genIdx = plan.indexOf("Generate")
+    assert(exIdx >= 0 && genIdx >= 0 && genIdx < exIdx, plan)
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
