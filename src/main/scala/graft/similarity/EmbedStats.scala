@@ -45,6 +45,62 @@ object EmbedStats {
         col("g.n").as("n"))
   }
 
+  /** PCA from the Gram pass: covariance = G/n − mean·meanᵀ is assembled
+    * from [[gramMatrixAgg]]'s UNROUNDED aggregate (k×k, collected to the
+    * driver — 2080 doubles at k=64, the one legitimate driver-side step),
+    * eigendecomposed with breeze, and the top-`m` components returned
+    * with a deterministic sign convention (largest-|coefficient| entry
+    * positive). Eigenvalues come back descending.
+    */
+  def pca(df: DataFrame, embCol: String, dim: Int, m: Int):
+      (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(m > 0 && m <= dim, s"need 0 < m <= dim, got m=$m dim=$dim")
+    val flat = df.agg(graft.functions.GramAgg.gramAgg(col(embCol), dim).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.gram"), col("e.mean_i"), col("e.n"))
+      .collect()
+    require(flat.nonEmpty, "pca: no valid embedding rows")
+    val n = flat.head.getLong(4).toDouble
+    val means = new Array[Double](dim)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    flat.foreach { r =>
+      val (i, j, g, mi) = (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      means(i) = mi
+      cov(i, j) = g / n
+      cov(j, i) = g / n
+    }
+    for (i <- 0 until dim; j <- 0 until dim)
+      cov(i, j) -= means(i) * means(j)
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top m, largest first
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(m)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(i => es.eigenvectors(i, c))
+      val pivot = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }.toArray
+    (means, comps, order.map(es.eigenvalues(_)).toArray)
+  }
+
+  /** Project each embedding onto the top-`m` principal components:
+    * means and components ride into the plan as literals (the broadcast-
+    * a-small-model degenerate case, like Curation.scoreLinear), so the
+    * projection is a zero-shuffle scan — `pc1..pcm` per row.
+    */
+  def pcaProject(df: DataFrame, embCol: String, idCol: String,
+                 dim: Int, m: Int): DataFrame = {
+    val (means, comps, _) = pca(df, embCol, dim, m)
+    val meanLit = typedLit(means.toSeq)
+    val centered = transform(col(embCol),
+      (x, i) => x.cast("double") - element_at(meanLit, i + 1))
+    val scores = comps.zipWithIndex.map { case (w, c) =>
+      round(aggregate(
+        zip_with(centered, typedLit(w.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 6).as(s"pc${c + 1}")
+    }
+    df.select(col(idCol) +: scores: _*)
+  }
+
   def gramMatrix(df: DataFrame, embCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val v = transform(col(embCol), x => x.cast("double"))

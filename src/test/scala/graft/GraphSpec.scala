@@ -93,6 +93,40 @@ class GraphSpec extends AnyFunSuite {
     assert(exIdx >= 0 && genIdx >= 0 && genIdx < exIdx, plan)
   }
 
+  test("pca: recovers the dominant axis of a stretched 2-D cloud, components orthonormal") {
+    // points spread along (1,1): top component must be ~(0.707, 0.707)
+    val pts = (-20 to 20).map(t => (t.toLong, Seq(t.toFloat, t.toFloat + (t % 3) * 0.1f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val (means, comps, eigs) = EmbedStats.pca(df, "embedding", dim = 2, m = 2)
+    assert(math.abs(comps(0)(0) - math.sqrt(0.5)) < 0.02
+      && math.abs(comps(0)(1) - math.sqrt(0.5)) < 0.02, comps(0).toSeq)
+    assert(eigs(0) > eigs(1) && eigs(1) >= -1e-9) // descending, PSD
+    val dot = comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-9) // orthogonal
+    comps.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9) // unit norm
+    }
+    assert(math.abs(means(0) - 0.0) < 1e-6)
+  }
+
+  test("pcaProject: per-component score variance matches the eigenvalue, descending") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (_, _, eigs) = EmbedStats.pca(df, "embedding", dim = 64, m = 3)
+    val proj = EmbedStats.pcaProject(df, "embedding", "vec_id", dim = 64, m = 3)
+    val rows = proj.collect()
+    def popVar(xs: Array[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    for (c <- 0 until 3) {
+      val v = popVar(rows.map(_.getDouble(c + 1)))
+      assert(math.abs(v - eigs(c)) / eigs(c) < 0.01, s"pc${c + 1}: var=$v eig=${eigs(c)}")
+    }
+    // the projection itself is a zero-shuffle scan (model rides as literals)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
