@@ -766,6 +766,17 @@ object SparkEntry {
       emb.select(col("vec_id")), "vec_id", iterations = 3, damping = 0.85)
   }
 
+  /** Embedding-space decontamination: every held-out "benchmark" vector
+    * (vec_id % 50 == 0) broadcast against the remaining corpus; per
+    * corpus vector its nearest bench neighbor and a 0.5-cosine flag. */
+  private def qEmbedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.Similarity.crossSetNearDups(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0),
+      "embedding", "vec_id", threshold = 0.5)
+  }
+
   /** Single-pass Gram matrix + dimension means over the embedding table
     * (the distributed half of PCA/whitening) — the GramAgg flat-buffer
     * aggregate path; the explode form is the GraphSpec-pinned reference. */
@@ -2258,6 +2269,7 @@ object SparkEntry {
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_gram_matrix"    -> (qGramMatrix _),
+    "q_embed_decontaminate" -> (qEmbedDecontaminate _),
     "q_regression"     -> (qRegression _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_mixture_temp"   -> (qMixtureTemp _),
@@ -2828,6 +2840,17 @@ object SparkEntry {
       r3 AS (SELECT r2.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c3.s, 0.0) AS r
              FROM r2 LEFT JOIN c3 ON r2.node = c3.node CROSS JOIN nn)
       SELECT node, round(r + 1e-12, 6) AS pagerank FROM r3""",
+    "q_embed_decontaminate" -> """
+      WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 50 <> 0),
+      b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id % 50 = 0),
+      p AS (SELECT corpus_id, bench_id,
+              round(list_dot_product(c.e, b.e)
+                / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+            FROM c JOIN b ON corpus_id <> bench_id)
+      SELECT corpus_id, bench_id, cos_sim, cos_sim >= 0.5 AS contaminated
+      FROM p QUALIFY row_number() OVER (PARTITION BY corpus_id ORDER BY cos_sim DESC, bench_id) = 1""",
     "q_gram_matrix" -> """
       WITH f AS (
         SELECT unnest(flatten(list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->

@@ -276,6 +276,42 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding-space decontamination: for every corpus vector, its
+    * nearest benchmark vector by cosine and a flag at `threshold` — the
+    * semantic complement of [[graft.dedup.Decontaminate]]'s n-gram
+    * overlap (paraphrased test questions share no shingles but sit
+    * close in embedding space).
+    *
+    * Scale shape: benchmark suites are small (thousands of rows), so
+    * the bench side BROADCASTS and the corpus is scored in its scan
+    * stage — per row one pass over the bench vectors, nothing
+    * corpus-sized ever shuffles. The best-match reduce is
+    * `max(struct(cos, −bench_id))` (ties break toward the lower bench
+    * id, deterministically): because the broadcast join leaves every
+    * corpus row in place, the partial aggregate fully collapses each
+    * corpus id map-side and the exchange carries ONE narrow row per
+    * corpus row — a window top-1 would instead sort |corpus|·|bench|
+    * rows after a full shuffle.
+    */
+  def crossSetNearDups(corpus: DataFrame, bench: DataFrame, embCol: String,
+                       idCol: String, threshold: Double): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val b = broadcast(bench.select(col(idCol).cast("long").as("bench_id"),
+      toDouble(col(embCol)).as("__be"), norm(toDouble(col(embCol))).as("__bn")))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      toDouble(col(embCol)).as("__ce"), norm(toDouble(col(embCol))).as("__cn"))
+    val cos = round(graft.functions.DotProduct.dotProduct(col("__ce"), col("__be"))
+      / (col("__cn") * col("__bn")), 6)
+    c.join(b, col("corpus_id") =!= col("bench_id"))
+      .select(col("corpus_id"), col("bench_id"), cos.as("__cos"))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("__cos"), (-col("bench_id")).as("__nb"))).as("__best"))
+      .select(col("corpus_id"),
+        (-col("__best.__nb")).as("bench_id"),
+        col("__best.__cos").as("cos_sim"))
+      .withColumn("contaminated", col("cos_sim") >= threshold)
+  }
+
   /** The id key is carried as long through pair generation and the
     * semDedup bloom/anti-join — a non-integral id would cast to null and
     * silently match nothing. Fail loudly instead.

@@ -430,4 +430,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "btext", "bench_id", n = 3, minOverlap = 1, maxBenchDf = 1)
     assert(capped.count() == 0)    // capped: boilerplate suppressed, no fan-out
   }
+
+  test("crossSetNearDups flags a planted duplicate of a bench vector, exact cosines") {
+    import graft.similarity.Similarity
+    val bench = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f)),   // colinear with bench 100 -> cos 1.0
+      (2L, Seq(1.0f, 1.0f)),   // 45 degrees from both -> cos 0.707107, tie -> bench 100
+      (3L, Seq(-1.0f, 0.0f)))  // opposite -> best is 0.0 vs bench 101
+      .toDF("vec_id", "embedding")
+    val out = Similarity.crossSetNearDups(corpus, bench, "embedding", "vec_id", 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((100L, 1.0, true)))
+    assert(out(2L) == ((100L, 0.707107, false))) // tie broken toward lower bench id
+    assert(out(3L) == ((101L, 0.0, false)))
+  }
+
+  test("crossSetNearDups: bench broadcasts and the best-match reduce collapses map-side") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = Similarity.crossSetNearDups(
+      emb.filter(col("vec_id") % 50 =!= 0), emb.filter(col("vec_id") % 50 === 0),
+      "embedding", "vec_id", 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // corpus never shuffles for the join
+    assert(plan.contains("partial_max"), plan) // per-corpus-row reduce before the exchange
+  }
 }
