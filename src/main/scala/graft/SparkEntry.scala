@@ -766,6 +766,13 @@ object SparkEntry {
       emb.select(col("vec_id")), "vec_id", iterations = 3, damping = 0.85)
   }
 
+  /** Deterministic global shuffle order over the corpus (two-level rank,
+    * no single-task sort); output keeps doc_id + position only. */
+  private def qGlobalShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.globalShuffleOrder(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("global_pos"))
+
   /** Embedding-space decontamination: every held-out "benchmark" vector
     * (vec_id % 50 == 0) broadcast against the remaining corpus; per
     * corpus vector its nearest bench neighbor and a 0.5-cosine flag. */
@@ -2270,6 +2277,7 @@ object SparkEntry {
     "q_pagerank"       -> (qPagerank _),
     "q_gram_matrix"    -> (qGramMatrix _),
     "q_embed_decontaminate" -> (qEmbedDecontaminate _),
+    "q_global_shuffle" -> (qGlobalShuffle _),
     "q_regression"     -> (qRegression _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_mixture_temp"   -> (qMixtureTemp _),
@@ -2840,6 +2848,12 @@ object SparkEntry {
       r3 AS (SELECT r2.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c3.s, 0.0) AS r
              FROM r2 LEFT JOIN c3 ON r2.node = c3.node CROSS JOIN nn)
       SELECT node, round(r + 1e-12, 6) AS pagerank FROM r3""",
+    "q_global_shuffle" -> """
+      SELECT doc_id,
+        CAST(row_number() OVER (
+          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS BIGINT) - 1
+          AS global_pos
+      FROM documents""",
     "q_embed_decontaminate" -> """
       WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings WHERE vec_id % 50 <> 0),

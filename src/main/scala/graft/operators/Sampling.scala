@@ -71,6 +71,46 @@ object Sampling {
     * and stratum count share the same partitioning (single exchange);
     * rows outside the quota are filtered before anything downstream.
     */
+  /** Deterministic global shuffle order — the corpus-shuffling step
+    * before a training run: every row gets `global_pos`, its 0-based
+    * rank in md5-of-key order. Same determinism contract as every
+    * sampler here (partitioning-invariant, replayable), and the total
+    * order is computed WITHOUT the classic scale-killer (a
+    * no-partition window = one task sorting the corpus):
+    *
+    *   1. shard by the top 60 hash bits (`div` on a contiguous range —
+    *      shard order IS hash order, so shard boundaries respect the
+    *      global order);
+    *   2. rank locally inside each shard (parallel window);
+    *   3. shard row-counts (shard-count-sized) prefix-sum into exclusive
+    *      offsets, broadcast back: global_pos = offset + local rank.
+    *
+    * The two-level rank is the [[graft.text.Pack.chunkAssignments]]
+    * cumulative-sum shape with count in place of token length. Ties in
+    * the 60-bit prefix break on the key itself, keeping the order total
+    * — the oracle replays exactly (prefix, key) ordering.
+    */
+  def globalShuffleOrder(df: DataFrame, keyCol: String, shards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nSh =
+      if (shards > 0) shards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val width = (1L << 60) / nSh + 1
+    val sharded = df.withColumn("__h", h)
+      .withColumn("__shard", expr(s"__h div $width"))
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(keyCol))
+    val local = sharded.withColumn("__lrk", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__shard")).agg(count(lit(1)).as("__tot"))
+      .select(col("__shard"),
+        coalesce(sum(col("__tot")).over(wOff), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("global_pos", col("__off") + col("__lrk") - 1)
+      .drop("__h", "__shard", "__lrk", "__off")
+  }
+
   def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
                     weights: Map[String, Double],
                     defaultWeight: Double): DataFrame = {

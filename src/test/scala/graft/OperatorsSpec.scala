@@ -436,6 +436,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged == base)
   }
 
+  test("globalShuffleOrder: a permutation of 0..n-1, partitioning-invariant, no global sort") {
+    import graft.operators.Sampling
+    val df = Seq.tabulate(700)(i => (i.toLong, s"p$i")).toDF("key", "payload")
+    def order(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sampling.globalShuffleOrder(d, "key", shards = 8)
+        .select(col("key"), col("global_pos"))
+        .as[(Long, Long)].collect().toMap
+    val base = order(df)
+    assert(base.values.toSeq.sorted == (0L until 700L)) // exact permutation
+    assert(order(df.repartition(13, col("payload"))) == base)
+    assert(order(df.repartition(1)) == base)
+    // matches the single-window reference order (md5-prefix, key)
+    val ref = df.select(col("key"))
+      .withColumn("__h", conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("__h"), col("key")).collect().map(_.getLong(0))
+    ref.zipWithIndex.foreach { case (k, pos) => assert(base(k) == pos.toLong) }
+    // scale shape: the data-sized window is sharded; only the 8-row
+    // offsets table sees a no-partition window
+    val plan = Sampling.globalShuffleOrder(df, "key", shards = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__shard"), plan)
+  }
+
   test("applyChanges: latest-wins upsert/delete/insert semantics") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
