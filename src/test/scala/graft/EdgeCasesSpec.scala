@@ -92,4 +92,35 @@ class EdgeCasesSpec extends AnyFunSuite {
       finalAggs = Seq(sum(col("__n")).as("n")))
     assert(out.count() == 0)
   }
+
+  test("pageRank: empty edge set -> every node settles at (1-d)/N") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val r = graft.graph.PageRank.pageRank(edges, "src", "dst", nodes, "id")
+      .collect().map(row => row.getDouble(1))
+    assert(r.length == 4 && r.forall(_ == 0.0375)) // 0.15 / 4
+  }
+
+  test("crossSetNearDups: empty bench -> empty report; single-token and empty docs dedup cleanly") {
+    val emptyBench = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(graft.similarity.Similarity
+      .crossSetNearDups(corpus, emptyBench, "embedding", "vec_id", 0.5).count() == 0)
+    val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.text.Curation.firstOccurrenceDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "" && out(2L) == "x") // empty text -> one empty span, round-trips
+  }
+
+  test("globalShuffleOrder and temperatureWeights on empty/singleton inputs") {
+    val empty = Seq.empty[Long].toDF("key")
+    assert(graft.operators.Sampling.globalShuffleOrder(empty, "key").count() == 0)
+    val one = Seq(7L).toDF("key")
+    val pos = graft.operators.Sampling.globalShuffleOrder(one, "key")
+      .select(col("global_pos")).head().getLong(0)
+    assert(pos == 0L)
+    val oneSrc = Seq((1L, "only")).toDF("doc_id", "source")
+    val w = graft.text.Curation.temperatureWeights(oneSrc, "source", alpha = 0.5).head()
+    assert(w.getDouble(3) == 1.0 && w.getDouble(4) == 1.0) // sole source: full weight, keep all
+  }
 }
