@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** `nodes` fixes the vertex set (isolated vertices included); ranks
+  /** `nodes` fixes the vertex set (isolated vertices included, and each
+    * id expected ONCE — a duplicated node id contributes rank twice and
+    * duplicates its output row; feed `.distinct()` if unsure); ranks
     * initialize uniform at 1/N with N computed in-plan (a 1-row
     * broadcast, no driver action). Output: nodeCol, `pagerank` (rounded
     * to 6 at the end only — intermediates keep full precision).

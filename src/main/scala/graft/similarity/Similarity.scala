@@ -292,9 +292,17 @@ object Similarity {
     * corpus id map-side and the exchange carries ONE narrow row per
     * corpus row — a window top-1 would instead sort |corpus|·|bench|
     * rows after a full shuffle.
+    *
+    * `sharedIdSpace = true` (default) excludes equal-id pairs — correct
+    * when corpus and bench are splits of ONE table (a row must not
+    * match itself). Set it false when the two sets have independent id
+    * universes, where a numeric collision is a coincidence, not
+    * identity — silently skipping that bench row would under-report
+    * contamination.
     */
   def crossSetNearDups(corpus: DataFrame, bench: DataFrame, embCol: String,
-                       idCol: String, threshold: Double): DataFrame = {
+                       idCol: String, threshold: Double,
+                       sharedIdSpace: Boolean = true): DataFrame = {
     requireIntegralId(corpus, idCol)
     val b = broadcast(bench.select(col(idCol).cast("long").as("bench_id"),
       toDouble(col(embCol)).as("__be"), norm(toDouble(col(embCol))).as("__bn")))
@@ -302,7 +310,7 @@ object Similarity {
       toDouble(col(embCol)).as("__ce"), norm(toDouble(col(embCol))).as("__cn"))
     val cos = round(graft.functions.DotProduct.dotProduct(col("__ce"), col("__be"))
       / (col("__cn") * col("__bn")), 6)
-    c.join(b, col("corpus_id") =!= col("bench_id"))
+    c.join(b, if (sharedIdSpace) col("corpus_id") =!= col("bench_id") else lit(true))
       .select(col("corpus_id"), col("bench_id"), cos.as("__cos"))
       .groupBy(col("corpus_id"))
       .agg(max(struct(col("__cos"), (-col("bench_id")).as("__nb"))).as("__best"))
