@@ -114,6 +114,66 @@ object StreamingOps {
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 
+  case class BandHit(bucket: Long, doc_id: Long)
+  case class CandidatePair(id_a: Long, id_b: Long, bucket: Long)
+
+  /** Streaming near-duplicate candidate detection: the LSH band-bucket
+    * join as a STATEFUL stream — every arriving document is checked
+    * against all documents EVER seen (across micro-batches), not just
+    * its own batch, which is what dropDuplicates-family ops cannot do
+    * for near-duplicates.
+    *
+    * Dataflow: per doc, 3-gram word shingles → `bands` per-band minima
+    * (xxhash64 seeded by band index — all codegen'd array functions, no
+    * aggregation, so the signature is computed in the scan stage) →
+    * explode to (bucket, doc) hits → `transformWithState` keyed by
+    * bucket holding ONE long (the bucket's first-seen doc id), emitting
+    * a candidate pair for every later arrival. State is O(distinct
+    * buckets) × 8 bytes, sharded by the bucket hash like any keyed
+    * state; candidates are pairs, so the downstream exact-verify
+    * (`Dedup.jaccardOnPairs` in batch, or a lookup service) bounds the
+    * false-positive cost exactly like the batch pipeline. A pair that
+    * shares several bands is emitted once per band (carrying the
+    * bucket) — dedup-after-verify, the cheap order.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
+                                 bands: Int = 16): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, TimerValues}
+    require(bands > 0 && bands <= 64, s"bands must be in [1,64], got $bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingles = graft.functions.WordShingles.wordShingles(lower(col(textCol)), 3)
+    val bandKeys = array((0 until bands).map { b =>
+      // bucket id = (band index, min over the band's hash family); the
+      // band index is folded into the bucket so families never collide
+      array_min(transform(shingles, s => xxhash64(lit(b), s))) + lit(b.toLong)
+    }: _*)
+    val hits = docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(bandKeys).as("bucket"))
+      .as[BandHit](Encoders.product[BandHit])
+    implicit val outEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
+    val processor = new StatefulProcessor[Long, BandHit, CandidatePair] {
+      @transient private var first: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        first = getHandle.getValueState[Long]("first", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[BandHit],
+                                   timers: TimerValues): Iterator[CandidatePair] = {
+        val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+        rows.foreach { h =>
+          if (!first.exists()) first.update(h.doc_id)
+          else {
+            val f = first.get()
+            if (f != h.doc_id) out += CandidatePair(f, h.doc_id, key)
+          }
+        }
+        out.iterator
+      }
+    }
+    hits.groupByKey(_.bucket)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** foreachBatch idempotent file sink: each micro-batch of an update-
     * mode aggregate rewrites exactly the hive partitions it touches
     * (dynamic partition overwrite), so replaying a batch after a failure

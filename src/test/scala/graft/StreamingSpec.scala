@@ -379,6 +379,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDupCandidates pairs near-dups ACROSS micro-batches, unrelated docs never pair") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val cand = StreamingOps.streamingNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      val q = cand.writeStream.format("memory").queryName("near_dup_cand")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        q.processAllAvailable()
+        // batch 2: a near-dup of doc 1 (one word changed) + an unrelated doc
+        mem.addData(
+          (2L, "the quick brown fox jumps over the lazy cat tonight"),
+          (3L, "completely different content with no shared trigrams at all here"))
+        q.processAllAvailable()
+        val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM near_dup_cand")
+          .as[(Long, Long)].collect().toSet
+        assert(pairs.contains((1L, 2L)), pairs) // cross-batch near-dup found
+        assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("purchaseAttribution: stream-stream join matches clicks in the hour before each purchase") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
