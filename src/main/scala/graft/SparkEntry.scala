@@ -2403,14 +2403,21 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3"""
 
+  /** Mirrors knnGraph's maxBucket=1000 drop (the `capped` CTE, like the
+    * q_embed_pairs oracle) so a label bucket outgrowing the cap at a new
+    * scale factor changes BOTH engines identically instead of silently
+    * hash-mismatching. */
   private val KnnGraphOracle = """
-      WITH p AS (
+      WITH capped AS (
+        SELECT * FROM embeddings
+        QUALIFY count(*) OVER (PARTITION BY label) <= 1000),
+      p AS (
         SELECT a.vec_id AS id, b.vec_id AS nbr,
           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
             6) AS cos_sim
-        FROM embeddings a JOIN embeddings b
+        FROM capped a JOIN capped b
           ON a.label = b.label AND a.vec_id <> b.vec_id)
       SELECT id, nbr, cos_sim,
         CAST(row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
