@@ -490,6 +490,18 @@ object SparkEntry {
     graft.similarity.Similarity.cosinePairs(
       Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
 
+  /** Planted degenerate bucket: a 2-value coarse bucket (label % 2) with
+    * maxBucket = 64 makes EVERY bucket oversized, so this query runs
+    * entirely on the SubBuckets split path (capped rank-chunks + the
+    * half-offset stitching pass) — under the drop-the-bucket formulation
+    * it returned ZERO rows. The oracle replays the identical membership
+    * arithmetic (row_number − 1, integer chunk division, bsz gate), so
+    * it pins both the recall floor and the exactly-once pair emission. */
+  private def qEmbedPairsSkew(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity.cosinePairs(
+      Tables.embeddings(s, d).withColumn("coarse", pmod(col("label"), lit(2))),
+      "embedding", "vec_id", "coarse", threshold = 0.3, maxBucket = 64)
+
   /** Bucket-local k-NN graph: top-3 cosine neighbors for every vector
     * within its label bucket (Similarity.knnGraph) — the batch ANN shape
     * that feeds semdedup/clustering, vs the single-query q_ann_*. */
@@ -2305,6 +2317,7 @@ object SparkEntry {
     "q_dedup_simhash"  -> (qDedupSimhash _),
     "q_dedup_ngram"    -> (qDedupNgram _),
     "q_embed_pairs"    -> (qEmbedPairs _),
+    "q_embed_pairs_skew" -> (qEmbedPairsSkew _),
     "q_ann_brute"      -> (qAnnBrute _),
     "q_ann_lsh"        -> (qAnnLsh _),
     "q_multimodal"     -> (qMultimodal _),
@@ -2403,22 +2416,44 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3"""
 
-  /** Mirrors knnGraph's maxBucket=1000 drop (the `capped` CTE, like the
-    * q_embed_pairs oracle) so a label bucket outgrowing the cap at a new
-    * scale factor changes BOTH engines identically instead of silently
+  /** Renders the SubBuckets membership as DuckDB CTEs over the
+    * embeddings table: `w` ranks rows within their bucket (row_number −
+    * 1, ordered by vec_id — SubBuckets' exact arithmetic), `m` emits the
+    * pass-0 chunk membership for every row plus the half-offset
+    * stitching membership for rows in oversized buckets. A pair join
+    * over `m` on (bk, pass, sub) with the exactly-once condition
+    * `(a.pass = 0 OR a.sub0 <> b.sub0)` reproduces the Scala side's
+    * candidate set bit-for-bit at ANY scale factor — a bucket outgrowing
+    * the cap changes both engines identically instead of silently
     * hash-mismatching. */
-  private val KnnGraphOracle = """
-      WITH capped AS (
-        SELECT * FROM embeddings
-        QUALIFY count(*) OVER (PARTITION BY label) <= 1000),
+  private def subBucketCte(bucketExpr: String, cap: Int): String = {
+    val half = cap / 2
+    s"""
+      w AS (SELECT vec_id, $bucketExpr AS bk, CAST(embedding AS DOUBLE[]) AS e,
+              row_number() OVER (PARTITION BY $bucketExpr ORDER BY vec_id) - 1 AS rn,
+              count(*) OVER (PARTITION BY $bucketExpr) AS bsz
+            FROM embeddings),
+      m AS (SELECT bk, vec_id, e, 0 AS pass, rn // $cap AS sub, rn // $cap AS sub0 FROM w
+            UNION ALL
+            SELECT bk, vec_id, e, 1, (rn + $half) // $cap, rn // $cap FROM w
+            WHERE bsz > $cap)"""
+  }
+
+  /** The exact cosine over the membership CTE's `e` arrays. */
+  private val SubBucketCos =
+    """round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"""
+
+  /** Mirrors knnGraph's SubBuckets split (membership CTE above) so a
+    * label bucket outgrowing the cap at a new scale factor changes BOTH
+    * engines identically instead of silently hash-mismatching. */
+  private val KnnGraphOracle = s"""
+      WITH ${subBucketCte("label", 1000)},
       p AS (
-        SELECT a.vec_id AS id, b.vec_id AS nbr,
-          round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-            6) AS cos_sim
-        FROM capped a JOIN capped b
-          ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT a.vec_id AS id, b.vec_id AS nbr, $SubBucketCos AS cos_sim
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id <> b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0))
       SELECT id, nbr, cos_sim,
         CAST(row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
       FROM p QUALIFY rk <= 3"""
@@ -3575,21 +3610,20 @@ object SparkEntry {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
     "q_knn_graph" -> KnnGraphOracle,
-    "q_embed_pairs" -> """
-      WITH capped AS (
-        SELECT * FROM embeddings
-        QUALIFY count(*) OVER (PARTITION BY label) <= 1000)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-          6) AS cos_sim
-      FROM capped a JOIN capped b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-          6) >= 0.35""",
+    "q_embed_pairs" -> s"""
+      WITH ${subBucketCte("label", 1000)}
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim
+      FROM m a JOIN m b
+        ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+       AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+      WHERE $SubBucketCos >= 0.35""",
+    "q_embed_pairs_skew" -> s"""
+      WITH ${subBucketCte("label % 2", 64)}
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim
+      FROM m a JOIN m b
+        ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+       AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+      WHERE $SubBucketCos >= 0.3""",
     "q_ann_brute" -> BruteTopKOracle,
     "q_multimodal" -> """
       SELECT doc_id AS media_id,
@@ -3797,17 +3831,17 @@ object SparkEntry {
         l_quantity AS qty, l_extendedprice AS price,
         l_returnflag AS flag, l_linestatus AS status
       FROM lineitem""",
-    "q_semdedup" -> """
+    "q_semdedup" -> s"""
+      WITH ${subBucketCte("label", 1000)},
+      drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+        WHERE $SubBucketCos >= 0.35)
       SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
       FROM embeddings e
-      WHERE NOT EXISTS (
-        SELECT 1 FROM embeddings o
-        WHERE o.label = e.label AND o.vec_id < e.vec_id
-          AND (SELECT count(*) FROM embeddings x WHERE x.label = e.label) <= 1000
-          AND round(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(o.embedding AS DOUBLE[]), CAST(o.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
-            6) >= 0.35)""",
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""",
     "q_quantize" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       mm AS (SELECT vec_id, v, list_min(v) AS lo,

@@ -97,34 +97,42 @@ object Dedup {
     // Healthy band buckets are near-dup-sized, but a degenerate bucket
     // (thousands of boilerplate near-identical docs sharing a band) would
     // collect every member's 64-long signature into ONE aggregation
-    // buffer — an OOM path at corpus scale. Count bucket size with a
-    // window over the same (band, bucket) hash partitioning the groupBy
-    // below needs (one shuffle total; WindowExec spills, so even the
-    // degenerate bucket is memory-bounded) and drop oversized buckets:
-    // their members are boilerplate that exact dedup upstream and the
-    // other bands still cover.
-    val wb = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(wb))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // buffer — an OOM path at corpus scale. Split oversized buckets into
+    // capped rank-chunk sub-buckets plus a half-offset stitching pass
+    // (graft.operators.SubBuckets): every aggregation buffer stays ≤
+    // maxBucket members, pair work per bucket is linear (≤ m·maxBucket),
+    // and skewed buckets keep their ≤-maxBucket/2-rank-distance recall
+    // instead of being dropped. The membership window shares the
+    // (band, bucket) hash partitioning the groupBy below needs — its
+    // (band, bucket, pass, sub) keys extend the window's partitioning,
+    // so one shuffle total; WindowExec spills, so even the degenerate
+    // bucket is memory-bounded.
+    val capped = graft.operators.SubBuckets.withMembership(
+      banded, Seq(col("band"), col("bucket")), col("id"), maxBucket)
 
-    // Group docs per band bucket and emit member pairs directly — a
-    // self-join here is a diamond over the (expensive) signature
-    // aggregate, which Spark plans twice (no static exchange reuse).
+    // Group docs per (band bucket, sub-bucket) and emit member pairs
+    // directly — a self-join here is a diamond over the (expensive)
+    // signature aggregate, which Spark plans twice (no static exchange
+    // reuse). Each member carries its pass-0 chunk (s0) so stitching
+    // pairs that already share a pass-0 chunk are skipped at emission.
     val members = capped
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
+      .groupBy(col("band"), col("bucket"), col("__pass"), col("__sub"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("sig"), col("__sub0").as("s0")))).as("m"))
       .filter(size(col("m")) > 1)
 
-    members.select(explode(
+    members.select(col("__pass"), explode(
         flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
           transform(slice(col("m"), i + 2, size(col("m"))),
             other => struct(
               element_at(col("m"), (i + 1).cast("int")).getField("id").as("id_a"),
               element_at(col("m"), (i + 1).cast("int")).getField("sig").as("sig_a"),
+              element_at(col("m"), (i + 1).cast("int")).getField("s0").as("s0_a"),
               other.getField("id").as("id_b"),
-              other.getField("sig").as("sig_b")))))).as("p"))
+              other.getField("sig").as("sig_b"),
+              other.getField("s0").as("s0_b")))))).as("p"))
+      .filter(graft.operators.SubBuckets.exactlyOnce(
+        col("__pass"), col("p.s0_a"), col("p.s0_b")))
       .select(col("p.id_a"), col("p.sig_a"), col("p.id_b"), col("p.sig_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
@@ -173,27 +181,27 @@ object Dedup {
     * chunk banding (pigeonhole: distance <= 3 guarantees one of 4 16-bit
     * chunks is equal), verified with bit_count(xor).
     *
-    * `maxBucket` bounds the (chunk, piece) bucket size the same way
+    * `maxBucket` bounds the (chunk, piece) pair fan-out the same way
     * [[minhashCandidates]] bounds band buckets: boilerplate corpora
     * produce near-identical simhashes, so one degenerate piece bucket
-    * otherwise emits m^2/2 join pairs at corpus scale. The window count
-    * shares the join's (chunk, piece) clustering; dropped buckets are
-    * boilerplate that exact dedup upstream already collapses.
+    * otherwise emits m^2/2 join pairs at corpus scale. Oversized buckets
+    * are split into capped rank-chunk sub-buckets plus a half-offset
+    * stitching pass ([[graft.operators.SubBuckets]]) — linear pair work,
+    * bounded recall floor, healthy buckets untouched. The membership
+    * window shares the join's (chunk, piece) clustering.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDist + 1
     val width  = 64 / chunks
     val sh = simhash(df, textCol, idCol)
-    val banded = sh.select(col("id"), col("simhash"),
-        posexplode(array((0 until chunks).map { c =>
-          shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
-        }: _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("chunk"), col("piece"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val banded = graft.operators.SubBuckets.withMembership(
+      sh.select(col("id"), col("simhash"),
+          posexplode(array((0 until chunks).map { c =>
+            shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
+          }: _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece"),
+      Seq(col("chunk"), col("piece")), col("id"), maxBucket)
     // Pair emission by codegen'd self-join. This IS a diamond — the
     // simhash aggregate plans twice — but that aggregate is cheap (one
     // 64-bit value per doc off a column-pruned scan) and the join beats
@@ -202,10 +210,14 @@ object Dedup {
     // aggregate (measured at sf0.1; the opposite tradeoff from
     // minhashCandidates, whose 64-long signatures make the aggregate
     // the expensive side).
-    val a = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "piece"))
+    val a = banded.select(col("chunk"), col("piece"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0a"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("piece"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0b"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "piece", "__pass", "__sub"))
       .filter(col("id_a") < col("id_b"))
+      .filter(graft.operators.SubBuckets.exactlyOnce(
+        col("__pass"), col("__s0a"), col("__s0b")))
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long") <= maxDist)
       // project hamming AFTER the dedup: a named column aliased before
       // dropDuplicates trips an attribute-binding bug when a downstream
@@ -452,6 +464,16 @@ object Dedup {
     * they appear in nearly every union, so the Jaccard mass they carry is
     * negligible — and at the default cap of 1000 the testdata max DF of 5
     * is untouched, so results are bit-identical to the uncapped form).
+    *
+    * Deliberately NOT the [[graft.operators.SubBuckets]] idiom used by
+    * the sketch candidate generators: here the shingle groups COUNT the
+    * pair's intersection, so chunking a hot shingle's member list would
+    * drop that shingle from n_common for cross-chunk pairs only — an
+    * inconsistent Jaccard. DF suppression excludes the shingle for every
+    * pair uniformly, which is the consistent cap for a count-based
+    * metric; candidate-only generators (minhash/simhash/cosine buckets),
+    * whose pair metric is recomputed from per-row payloads, sub-bucket
+    * instead.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCols: Seq[String], n: Int, threshold: Double,

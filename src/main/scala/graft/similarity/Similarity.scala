@@ -57,24 +57,29 @@ object Similarity {
     * ONE query; a per-doc loop over it would be a driver-side join).
     *
     * Same scale skeleton as [[cosinePairs]]: one (bucket)-clustered
-    * self-join, `maxBucket` window cap against the degenerate-bucket m²
-    * blowup, then a per-vector top-k window (partitioned by vector id —
-    * parallelism = corpus size). Ties broken by neighbor id for
-    * determinism.
+    * self-join, oversized buckets split into capped rank-chunk
+    * sub-buckets with a half-offset stitching pass (see
+    * [[graft.operators.SubBuckets]] — bounded extra work instead of
+    * dropped recall), then a per-vector top-k window (partitioned by
+    * vector id — parallelism = corpus size). Ties broken by neighbor id
+    * for determinism.
     */
   def knnGraph(df: DataFrame, embCol: String, idCol: String,
                bucketCol: String, k: Int, maxBucket: Int = 1000): DataFrame = {
+    import graft.operators.SubBuckets
     requireIntegralId(df, idCol)
-    val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
-        toDouble(col(embCol)).as("__e"))
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val base = SubBuckets.withMembership(
+        df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
+          toDouble(col(embCol)).as("__e")),
+        Seq(col("__bk")), col("id"), maxBucket)
       .withColumn("__n", norm(col("__e")))
-    val a = base.select(col("__bk"), col("id"), col("__e").as("__ea"), col("__n").as("__na"))
-    val b = base.select(col("__bk"), col("id").as("nbr"), col("__e").as("__eb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bk"))
+    val a = base.select(col("__bk"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0a"), col("id"), col("__e").as("__ea"), col("__n").as("__na"))
+    val b = base.select(col("__bk"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0b"), col("id").as("nbr"), col("__e").as("__eb"), col("__n").as("__nb"))
+    a.join(b, Seq("__bk", "__pass", "__sub"))
       .filter(col("id") =!= col("nbr"))
+      .filter(SubBuckets.exactlyOnce(col("__pass"), col("__s0a"), col("__s0b")))
       .select(col("id"), col("nbr"),
         round(graft.functions.DotProduct.dotProduct(col("__ea"), col("__eb"))
           / (col("__na") * col("__nb")), 6).as("cos_sim"))
@@ -218,6 +223,31 @@ object Similarity {
     */
   def semDedup(df: DataFrame, embCol: String, idCol: String,
                bucketCol: String, threshold: Double): DataFrame = {
+    val (drop, suspectedOpt) = dropBloom(df, embCol, idCol, bucketCol, threshold)
+    suspectedOpt match {
+      case None => df // no near-duplicates anywhere
+      case Some(suspected) =>
+        val cleared = df.filter(!suspected)
+        val checked = df.filter(suspected)
+          .join(drop, col(idCol).cast("long") === col("__drop"), "left_anti")
+        cleared.unionByName(checked)
+    }
+  }
+
+  /** Builds the drop-set and its membership-test column. The bloom is
+    * sized from the TRUE drop-set cardinality (the drop set is already
+    * materialized via localCheckpoint, so the count is a cheap second
+    * action): a fixed capacity turns into a data-dependent perf cliff —
+    * at drop-sets far above it the FPP climbs and the "suspected"
+    * sliver that reaches the exact anti join grows toward the whole
+    * corpus. Sizing from the count keeps the FPP (and so the verify-side
+    * row count, |drops| + FPP·|kept|) at its design point at ANY corpus
+    * scale; 25% headroom absorbs estimate slack, and the floor keeps
+    * tiny drop sets from degenerating to a handful of hash bits.
+    * Exposed private[graft] so the sizing spec can measure the sliver.
+    */
+  private[graft] def dropBloom(df: DataFrame, embCol: String, idCol: String,
+                               bucketCol: String, threshold: Double): (DataFrame, Option[Column]) = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.bridge
@@ -226,20 +256,18 @@ object Similarity {
     requireIntegralId(df, idCol)
     val drop = cosinePairs(df, embCol, idCol, bucketCol, threshold)
       .select(col("id_b").as("__drop")).distinct().localCheckpoint()
-    val hashedDrop = new XxHash64(Seq(bridge.toExpression(col("__drop").cast("long"))))
-    val bytes = drop.groupBy()
-      .agg(bridge.toColumn(new BloomFilterAggregate(hashedDrop, 1000000L)
-        .toAggregateExpression()).as("__bf"))
-      .head().getAs[Array[Byte]](0)
-    if (bytes == null) df // no near-duplicates anywhere
+    val nDrop = drop.count()
+    if (nDrop == 0L) (drop, None)
     else {
-      val suspected = bridge.toColumn(BloomFilterMightContain(
+      val capacity = math.max(1024L, nDrop + (nDrop >> 2))
+      val hashedDrop = new XxHash64(Seq(bridge.toExpression(col("__drop").cast("long"))))
+      val bytes = drop.groupBy()
+        .agg(bridge.toColumn(new BloomFilterAggregate(hashedDrop, capacity)
+          .toAggregateExpression()).as("__bf"))
+        .head().getAs[Array[Byte]](0)
+      (drop, Some(bridge.toColumn(BloomFilterMightContain(
         Literal.create(bytes, BinaryType),
-        new XxHash64(Seq(bridge.toExpression(col(idCol).cast("long"))))))
-      val cleared = df.filter(!suspected)
-      val checked = df.filter(suspected)
-        .join(drop, col(idCol).cast("long") === col("__drop"), "left_anti")
-      cleared.unionByName(checked)
+        new XxHash64(Seq(bridge.toExpression(col(idCol).cast("long"))))))))
     }
   }
 
@@ -247,29 +275,35 @@ object Similarity {
     * (provided column, e.g. a cluster/label id) — the verify stage that
     * LSH candidates feed at scale.
     *
-    * `maxBucket` bounds bucket size the same way
+    * `maxBucket` bounds pair fan-out the same way
     * [[graft.dedup.Dedup.minhashCandidates]] bounds band buckets: one
     * degenerate bucket (a giant catch-all cluster label) would otherwise
-    * emit m^2/2 join pairs at corpus scale. The window count shares the
-    * join's bucket clustering (one shuffle; WindowExec spills, so even
-    * the degenerate bucket is memory-bounded); oversized buckets are
-    * dropped — a cluster that coarse carries no near-dup signal and
-    * should be re-clustered, not pair-joined.
+    * emit m^2/2 join pairs at corpus scale. Oversized buckets are split
+    * into capped rank-chunk sub-buckets plus a half-offset stitching
+    * pass ([[graft.operators.SubBuckets]]): per-bucket pair work becomes
+    * LINEAR (≤ m·maxBucket), every pair within rank distance <
+    * maxBucket/2 is still found, and healthy buckets (≤ maxBucket) are
+    * bit-identical to the uncapped join. The membership window shares
+    * the join's bucket clustering (one shuffle; WindowExec spills, so
+    * even the degenerate bucket is memory-bounded).
     */
   def cosinePairs(df: DataFrame, embCol: String, idCol: String,
                   bucketCol: String, threshold: Double,
                   maxBucket: Int = 1000): DataFrame = {
+    import graft.operators.SubBuckets
     requireIntegralId(df, idCol)
-    val base = df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
-        toDouble(col(embCol)).as("__e"))
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val base = SubBuckets.withMembership(
+        df.select(col(bucketCol).as("__bk"), col(idCol).cast("long").as("id"),
+          toDouble(col(embCol)).as("__e")),
+        Seq(col("__bk")), col("id"), maxBucket)
       .withColumn("__n", norm(col("__e")))
-    val a = base.select(col("__bk"), col("id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na"))
-    val b = base.select(col("__bk"), col("id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bk"))
+    val a = base.select(col("__bk"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0a"), col("id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na"))
+    val b = base.select(col("__bk"), col("__pass"), col("__sub"),
+      col("__sub0").as("__s0b"), col("id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb"))
+    a.join(b, Seq("__bk", "__pass", "__sub"))
       .filter(col("id_a") < col("id_b"))
+      .filter(SubBuckets.exactlyOnce(col("__pass"), col("__s0a"), col("__s0b")))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.DotProduct.dotProduct(col("__ea"), col("__eb"))
           / (col("__na") * col("__nb")), 6).as("cos_sim"))
@@ -304,6 +338,10 @@ object Similarity {
                        idCol: String, threshold: Double,
                        sharedIdSpace: Boolean = true): DataFrame = {
     requireIntegralId(corpus, idCol)
+    // the bench side casts to long too: a non-integral bench id would
+    // become null, null the join predicate, and silently drop that
+    // bench row — exactly the under-reporting sharedIdSpace warns about
+    requireIntegralId(bench, idCol)
     val b = broadcast(bench.select(col(idCol).cast("long").as("bench_id"),
       toDouble(col(embCol)).as("__be"), norm(toDouble(col(embCol))).as("__bn")))
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),

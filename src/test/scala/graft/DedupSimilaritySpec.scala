@@ -98,12 +98,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))  // 2 is cosine-identical to 0 but in another bucket
   }
 
-  test("cosinePairs: degenerate buckets are capped; default cap is identity here") {
+  test("cosinePairs: degenerate buckets are sub-bucketed (bounded, not dropped); default cap is identity here") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    // cap below every bucket size -> no pairs at all (output bounded by
-    // the cap, never m^2/2 of a degenerate bucket)
-    assert(Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.0,
-      maxBucket = 1).count() == 0)
+    // cap below every bucket size -> pairs still flow through the
+    // SubBuckets split path, bounded LINEARLY (<= n*cap over the two
+    // passes), never the m^2/2 of an uncapped degenerate bucket
+    val n = emb.count()
+    val subCount = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", -2.0,
+      maxBucket = 8).count()
+    assert(subCount > 0 && subCount <= n * 8)
     // the default cap (1000) binds nowhere on the testdata: identical to
     // an effectively-unbounded cap
     val def_ = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.35)
@@ -234,13 +237,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("minhashCandidates: degenerate boilerplate bucket is capped, not collected") {
+  test("minhashCandidates: degenerate boilerplate bucket is sub-bucketed, not collected whole") {
     // 300 byte-identical docs collide in every band bucket — the exact
     // shape that would otherwise collect 300 signatures into one
-    // aggregation buffer and emit 300*299/2 pairs per band.
+    // aggregation buffer and emit 300*299/2 pairs per band. Under the
+    // SubBuckets split every collect_list buffer holds <= maxBucket
+    // members and pair work is linear: pairs still flow (recall floor)
+    // but stay within n*cap.
     val boiler = Seq.tabulate(300)(i =>
       (i.toLong, "exact same boilerplate text repeated in every document")).toDF("doc_id", "text")
-    assert(Dedup.minhashCandidates(boiler, "text", "doc_id", maxBucket = 100).count() == 0)
+    val capped = Dedup.minhashCandidates(boiler, "text", "doc_id", maxBucket = 100).count()
+    assert(capped > 0 && capped < 300L * 299 / 2 && capped <= 300L * 100)
     // under the cap the same corpus yields the full pair set
     assert(Dedup.minhashCandidates(boiler, "text", "doc_id").count() == 300L * 299 / 2)
     // real-corpus results are unchanged by the default cap
@@ -250,12 +257,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("simhashPairs: degenerate boilerplate piece bucket is capped, not joined quadratically") {
+  test("simhashPairs: degenerate boilerplate piece bucket is sub-bucketed, not joined quadratically") {
     // identical docs collide in every (chunk, piece) bucket — the shape
-    // that would otherwise emit m^2/2 join pairs per chunk at scale
+    // that would otherwise emit m^2/2 join pairs per chunk at scale;
+    // sub-bucketing keeps pairs flowing within the linear n*cap bound
     val boiler = Seq.tabulate(300)(i =>
       (i.toLong, "exact same boilerplate text repeated in every document")).toDF("doc_id", "text")
-    assert(Dedup.simhashPairs(boiler, "text", "doc_id", maxDist = 7, maxBucket = 100).count() == 0)
+    val capped = Dedup.simhashPairs(boiler, "text", "doc_id", maxDist = 7, maxBucket = 100).count()
+    assert(capped > 0 && capped < 300L * 299 / 2 && capped <= 300L * 100)
     assert(Dedup.simhashPairs(boiler, "text", "doc_id", maxDist = 7).count() == 300L * 299 / 2)
     // real-corpus results unchanged by the default cap
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -372,9 +381,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g(0L) == 1L && g(1L) == 0L)   // mutual nearest within bucket a
     assert(g(2L) == 0L || g(2L) == 1L)   // far vec still gets a same-bucket neighbor
     assert(!g.contains(3L))               // singleton bucket emits nothing
-    // cap identity at default; oversized bucket dropped entirely when capped
+    // an oversized bucket is sub-bucketed, not dropped: cap=2 over the
+    // 3-member bucket gives pass-0 chunks {0,1},{2} and the stitching
+    // chunk {1,2}, so every member still gets a neighbor (the old
+    // formulation returned ZERO rows here)
     val capped = Similarity.knnGraph(vecs, "embedding", "vec_id", "label", k = 1, maxBucket = 2)
-    assert(capped.filter(col("id").isin(0L, 1L, 2L)).count() == 0)
+      .select(col("id"), col("nbr")).as[(Long, Long)].collect().toMap
+    assert(capped.keySet == Set(0L, 1L, 2L))
+    assert(capped(0L) == 1L && capped(2L) == 1L) // only same-chunk candidates
   }
 
   test("recall-margin certificate: fires at sf0.001 when enforced, gated off for bench") {
