@@ -778,6 +778,21 @@ object SparkEntry {
       emb.select(col("vec_id")), "vec_id", iterations = 3, damping = 0.85)
   }
 
+  /** PageRank with dangling-mass redistribution (4 iterations): edges
+    * are the k-NN graph restricted to ascending pairs (id < nbr), which
+    * leaves every bucket's highest id with no out-edges — real dangling
+    * mass each iteration, redistributed uniformly so total rank stays 1
+    * (the default variant would shrink it). */
+  private def qPagerankDangling(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = graft.similarity.Similarity.knnGraph(
+        emb, "embedding", "vec_id", "label", k = 3)
+      .filter(col("id") < col("nbr"))
+    graft.graph.PageRank.pageRank(edges, "id", "nbr",
+      emb.select(col("vec_id")), "vec_id", iterations = 4, damping = 0.85,
+      redistributeDangling = true)
+  }
+
   /** Deterministic global shuffle order over the corpus (two-level rank,
     * no single-task sort); output keeps doc_id + position only. */
   private def qGlobalShuffle(s: SparkSession, d: String): DataFrame =
@@ -2287,6 +2302,7 @@ object SparkEntry {
     "q_top_tokens"     -> (qTopTokens _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
+    "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_gram_matrix"    -> (qGramMatrix _),
     "q_embed_decontaminate" -> (qEmbedDecontaminate _),
     "q_global_shuffle" -> (qGlobalShuffle _),
@@ -2890,6 +2906,33 @@ object SparkEntry {
       r3 AS (SELECT r2.node AS node, ((1.0 - 0.85) / n) + 0.85 * coalesce(c3.s, 0.0) AS r
              FROM r2 LEFT JOIN c3 ON r2.node = c3.node CROSS JOIN nn)
       SELECT node, round(r + 1e-12, 6) AS pagerank FROM r3""",
+    "q_pagerank_dangling" -> s"""
+      WITH knn AS ($KnnGraphOracle),
+      edges AS (SELECT id, nbr FROM knn WHERE id < nbr),
+      deg AS (SELECT id, count(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      r0 AS (SELECT vec_id AS node, 1.0 / n AS r FROM embeddings CROSS JOIN nn),
+      d1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0 WHERE node NOT IN (SELECT id FROM deg)),
+      c1 AS (SELECT e.nbr AS node, sum(r0.r / deg.deg) AS s
+             FROM r0 JOIN edges e ON r0.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r1 AS (SELECT r0.node AS node, ((1.0 - 0.85) / n) + 0.85 * (coalesce(c1.s, 0.0) + dm / n) AS r
+             FROM r0 LEFT JOIN c1 ON r0.node = c1.node CROSS JOIN nn CROSS JOIN d1),
+      d2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1 WHERE node NOT IN (SELECT id FROM deg)),
+      c2 AS (SELECT e.nbr AS node, sum(r1.r / deg.deg) AS s
+             FROM r1 JOIN edges e ON r1.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r2 AS (SELECT r1.node AS node, ((1.0 - 0.85) / n) + 0.85 * (coalesce(c2.s, 0.0) + dm / n) AS r
+             FROM r1 LEFT JOIN c2 ON r1.node = c2.node CROSS JOIN nn CROSS JOIN d2),
+      d3 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2 WHERE node NOT IN (SELECT id FROM deg)),
+      c3 AS (SELECT e.nbr AS node, sum(r2.r / deg.deg) AS s
+             FROM r2 JOIN edges e ON r2.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r3 AS (SELECT r2.node AS node, ((1.0 - 0.85) / n) + 0.85 * (coalesce(c3.s, 0.0) + dm / n) AS r
+             FROM r2 LEFT JOIN c3 ON r2.node = c3.node CROSS JOIN nn CROSS JOIN d3),
+      d4 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r3 WHERE node NOT IN (SELECT id FROM deg)),
+      c4 AS (SELECT e.nbr AS node, sum(r3.r / deg.deg) AS s
+             FROM r3 JOIN edges e ON r3.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r4 AS (SELECT r3.node AS node, ((1.0 - 0.85) / n) + 0.85 * (coalesce(c4.s, 0.0) + dm / n) AS r
+             FROM r3 LEFT JOIN c4 ON r3.node = c4.node CROSS JOIN nn CROSS JOIN d4)
+      SELECT node, round(r + 1e-12, 6) AS pagerank FROM r4""",
     "q_global_shuffle" -> """
       SELECT doc_id,
         CAST(row_number() OVER (

@@ -60,7 +60,17 @@ case class GramAgg(
     val raw = child.eval(input)
     if (raw != null) {
       val arr = raw.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
+      // a null ELEMENT would read as 0.0 through getFloat/getDouble and
+      // silently skew the moments — skip the whole row instead, like
+      // ragged rows. (The explode reference form instead null-propagates
+      // just that element's terms; rows with null elements are malformed
+      // either way, and skipping keeps n consistent across all moments.)
+      var clean = arr.numElements() == dim
+      if (clean) {
+        var c = 0
+        while (c < dim && clean) { clean = !arr.isNullAt(c); c += 1 }
+      }
+      if (clean) {
         val v = new Array[Double](dim)
         var i = 0
         while (i < dim) {

@@ -11,20 +11,24 @@ import org.apache.spark.sql.functions._
   * Scale design: one rank-vector dataframe per iteration, each step a
   * (ranks ⋈ edges on src) shuffle + a groupBy(dst) re-aggregate — the
   * standard massively-parallel power iteration; nothing is ever
-  * collected. Edges are pre-joined with out-degrees ONCE and
-  * localCheckpoint'd (they feed every iteration; re-deriving them each
-  * step would re-run the upstream candidate generation), and each
-  * iteration's ranks are localCheckpoint'd to keep the lineage flat —
-  * the [[graft.dedup.Dedup]] star-contraction discipline. At cluster
-  * scale, hash-bucketing both ranks and edges on the node id makes every
-  * per-iteration join co-located (no shuffle of the edge table, which
-  * dwarfs the rank vector).
+  * collected (the dangling-mass and convergence terms are 1-row
+  * aggregates cross-joined back in-plan). Edges are pre-joined with
+  * out-degrees ONCE and localCheckpoint'd (they feed every iteration;
+  * re-deriving them each step would re-run the upstream candidate
+  * generation), and each iteration's ranks are localCheckpoint'd to keep
+  * the lineage flat — the [[graft.dedup.Dedup]] star-contraction
+  * discipline. At cluster scale, hash-bucketing both ranks and edges on
+  * the node id makes every per-iteration join co-located (no shuffle of
+  * the edge table, which dwarfs the rank vector).
   *
-  * Semantics: r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u). Nodes
-  * without out-edges hold their mass (no dangling redistribution), nodes
-  * without in-edges settle at (1-d)/N — the plain Brin-Page form, kept
-  * exactly reproducible by any engine (the harness oracle unrolls the
-  * same three iterations in SQL).
+  * Semantics: r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u). With the
+  * default `redistributeDangling = false`, mass at nodes without
+  * out-edges is DROPPED each iteration (total rank shrinks; the plain
+  * form many engines ship, and what the unrolled SQL oracle replays).
+  * With `redistributeDangling = true` the standard correction applies:
+  * the summed rank D of dangling nodes is spread uniformly, r'(v) =
+  * (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N), which conserves total
+  * rank at 1. Nodes without in-edges settle at (1-d)/N either way.
   */
 object PageRank {
 
@@ -34,12 +38,30 @@ object PageRank {
     * initialize uniform at 1/N with N computed in-plan (a 1-row
     * broadcast, no driver action). Output: nodeCol, `pagerank` (rounded
     * to 6 at the end only — intermediates keep full precision).
+    *
+    * `tolerance` > 0 adds an L1-delta early stop: iteration ends when
+    * Σ|r − r_prev| < tolerance (one extra 1-row aggregate per round,
+    * read off the already-materialized checkpoint — the
+    * [[graft.dedup.Dedup.clusters]] convergence idiom). `iterations`
+    * stays the hard bound either way.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                nodes: DataFrame, nodeCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85,
+               redistributeDangling: Boolean = false,
+               tolerance: Double = 0.0): DataFrame =
+    pageRankWithIters(edges, srcCol, dstCol, nodes, nodeCol,
+      iterations, damping, redistributeDangling, tolerance)._1
+
+  private[graft] def pageRankWithIters(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String,
+      iterations: Int, damping: Double,
+      redistributeDangling: Boolean,
+      tolerance: Double): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    require(tolerance >= 0.0, s"tolerance must be >= 0, got $tolerance")
     val n1 = nodes.select(col(nodeCol).as("node")).agg(count(lit(1)).as("__N"))
     val deg = edges.groupBy(col(srcCol).as("__src"))
       .agg(count(lit(1)).as("__deg"))
@@ -49,22 +71,43 @@ object PageRank {
     var ranks = nodes.select(col(nodeCol).as("node")).crossJoin(n1)
       .select(col("node"), (lit(1.0) / col("__N")).as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val contrib = ranks.join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("r") / col("__deg")).as("__s"))
-      ranks = ranks.select(col("node")).join(contrib, Seq("node"), "left")
+      // dangling mass: summed rank of nodes with no out-edge — a 1-row
+      // aggregate (anti join against the degree table) cross-joined into
+      // the update, never collected
+      val extra = if (redistributeDangling)
+        ranks.join(deg, col("node") === col("__src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("__D"))
+      else null
+      val base = ranks.select(col("node"), col("r").as("__prev"))
+        .join(contrib, Seq("node"), "left")
         .crossJoin(n1)
-        .select(col("node"),
-          ((lit(1.0 - damping) / col("__N"))
-            + lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+      val withD = if (redistributeDangling) base.crossJoin(extra) else base
+      val inflow = if (redistributeDangling)
+        coalesce(col("__s"), lit(0.0)) + col("__D") / col("__N")
+      else coalesce(col("__s"), lit(0.0))
+      // carry the previous rank through the checkpoint so the L1-delta
+      // check is a cheap aggregate over the materialized generation
+      val updated = withD.select(col("node"),
+          ((lit(1.0 - damping) / col("__N")) + lit(damping) * inflow).as("r"),
+          col("__prev"))
         .localCheckpoint()
+      if (tolerance > 0.0)
+        converged = updated.agg(sum(abs(col("r") - col("__prev"))))
+          .head.getDouble(0) < tolerance
+      ranks = updated.drop("__prev")
+      it += 1
     }
     // The graph's rational arithmetic ((1-d)/N terms over small integer
     // degrees) lands some exact ranks ON a decimal rounding boundary
     // (…5 at the 7th digit); 1-ulp float noise then flips the rounded
     // digit per engine. +1e-12 (>> accumulated noise ~1e-15, << rank
     // resolution) pushes every true tie consistently upward.
-    ranks.select(col("node"), round(col("r") + lit(1e-12), 6).as("pagerank"))
+    (ranks.select(col("node"), round(col("r") + lit(1e-12), 6).as("pagerank")), it)
   }
 }

@@ -89,6 +89,12 @@ object Sampling {
     * cumulative-sum shape with count in place of token length. Ties in
     * the 60-bit prefix break on the key itself, keeping the order total
     * — the oracle replays exactly (prefix, key) ordering.
+    *
+    * PRECONDITION: `keyCol` values must be UNIQUE (like the integral-id
+    * contracts elsewhere). Duplicate keys share (hash, key) entirely, so
+    * row_number among them is partitioning-dependent and the
+    * determinism/replayability contract breaks for exactly those rows —
+    * dedup or add a tiebreaker column to the key first.
     */
   def globalShuffleOrder(df: DataFrame, keyCol: String, shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -145,8 +145,12 @@ object StreamingOps {
     import spark.implicits._
     val shingles = graft.functions.WordShingles.wordShingles(lower(col(textCol)), 3)
     val bandKeys = array((0 until bands).map { b =>
-      // bucket id = (band index, min over the band's hash family); the
-      // band index is folded into the bucket so families never collide
+      // bucket id = band-b's hash-family minimum, offset by the band
+      // index. The offset does NOT partition the 64-bit space by band —
+      // cross-band bucket collisions remain possible (rare: two
+      // full-range minima landing exactly b' − b apart), and a collision
+      // only adds a false-positive candidate for the verify stage to
+      // clear, never a miss
       array_min(transform(shingles, s => xxhash64(lit(b), s))) + lit(b.toLong)
     }: _*)
     val hits = docs

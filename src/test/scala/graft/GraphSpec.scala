@@ -38,6 +38,37 @@ class GraphSpec extends AnyFunSuite {
     val n = Seq(1L, 2L).toDF("id")
     intercept[IllegalArgumentException](PageRank.pageRank(e, "src", "dst", n, "id", iterations = 0))
     intercept[IllegalArgumentException](PageRank.pageRank(e, "src", "dst", n, "id", damping = 1.0))
+    intercept[IllegalArgumentException](PageRank.pageRank(e, "src", "dst", n, "id", tolerance = -1.0))
+  }
+
+  test("pageRank: dangling redistribution conserves total rank; default drops it") {
+    // 0 -> 1 -> 2, and 2 is dangling (no out-edges)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = (0L to 2L).toDF("id")
+    def total(redistribute: Boolean): Double =
+      PageRank.pageRank(edges, "src", "dst", nodes, "id", iterations = 5,
+          redistributeDangling = redistribute)
+        .agg(sum(col("pagerank"))).head.getDouble(0)
+    // redistributed: total rank is conserved at 1 (up to rounding)
+    assert(math.abs(total(true) - 1.0) < 1e-4)
+    // plain Brin-Page form: node 2's mass is dropped each round
+    assert(total(false) < 0.9)
+  }
+
+  test("pageRank: L1-delta early stop ends before the iteration bound, same ranks") {
+    // edgeless graph: every rank is exactly (1-d)/N from iteration 1 on,
+    // so the delta hits 0 at iteration 2 — far before the bound of 50
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = (0L to 9L).toDF("id")
+    val (stopped, iters) = PageRank.pageRankWithIters(edges, "src", "dst",
+      nodes, "id", iterations = 50, damping = 0.85,
+      redistributeDangling = false, tolerance = 1e-12)
+    assert(iters < 5, s"expected early stop, ran $iters rounds")
+    val full = PageRank.pageRank(edges, "src", "dst", nodes, "id",
+      iterations = 6, damping = 0.85)
+    val a = stopped.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = full.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
   }
 
   test("gramMatrix: exact upper-triangle second moments and dimension means") {
@@ -68,15 +99,16 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("gramMatrixAgg skips null and ragged arrays instead of mis-indexing") {
+  test("gramMatrixAgg skips null, ragged, and null-element arrays instead of mis-indexing") {
     val df = Seq(
-      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
-      (3L, Seq(9.0f)), (4L, null.asInstanceOf[Seq[Float]]))
+      (1L, Seq[java.lang.Float](1.0f, 2.0f)), (2L, Seq[java.lang.Float](3.0f, 4.0f)),
+      (3L, Seq[java.lang.Float](9.0f)), (4L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (5L, Seq[java.lang.Float](7.0f, null))) // null ELEMENT: would read as 0.0, must skip
       .toDF("vec_id", "embedding")
     val g = EmbedStats.gramMatrixAgg(df, "embedding", dim = 2)
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
-    assert(g((0, 0)) == ((10.0, 2.0, 2L))) // rows 3 and 4 contribute nothing
+    assert(g((0, 0)) == ((10.0, 2.0, 2L))) // rows 3, 4 and 5 contribute nothing
     assert(g((0, 1)) == ((14.0, 2.0, 2L)))
     assert(g((1, 1)) == ((20.0, 3.0, 2L)))
   }
