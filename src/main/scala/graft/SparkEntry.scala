@@ -528,14 +528,18 @@ object SparkEntry {
       emb, "embedding", "vec_id", emb.filter(col("vec_id") === 0), "embedding", 10)
   }
 
-  /** Multimodal plumbing: text bytes as stand-in binary payloads, decoded
-    * through the typed mapPartitions boundary (stubbed codec). */
+  /** Multimodal decode with a REAL codec: deterministic two-tone PNGs
+    * (dimensions/colors planted from doc_id) are encoded AND decoded
+    * through `javax.imageio` inside the scan stage; the oracle computes
+    * the planted values arithmetically, so it verifies the actual
+    * encode→decode round trip — a fake decode cannot match. */
   private def qMultimodal(s: SparkSession, d: String): DataFrame = {
-    val media = Tables.documents(s, d).select(
-      col("doc_id").as("media_id"),
-      when(length(col("source")) === 4, "image").otherwise("video").as("media_type"),
-      col("text").cast("binary").as("payload"))
-    graft.multimodal.Multimodal.decode(media)(s).toDF()
+    implicit val sp: SparkSession = s
+    val media = graft.multimodal.Multimodal.synthesizeImages(
+      Tables.documents(s, d), "doc_id")
+    graft.multimodal.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
   }
 
   // ---------------------------------------------------------------------
@@ -745,16 +749,16 @@ object SparkEntry {
       finalAggs = Seq(sum(col("__sq")).cast("double").as("total_qty"),
         sum(col("__n")).as("n")))
 
-  /** Video frame sampling through the multimodal pipeline: decode ->
-    * every 10th frame index per video. */
+  /** Video frame sampling with real per-frame decode: length-prefixed
+    * containers of doc_id%30+1 solid-tone PNG frames; the framing walk
+    * counts frames without decoding, and ONLY every 10th frame is
+    * decoded (red-channel mean = the planted tone). */
   private def qFrameSample(s: SparkSession, d: String): DataFrame = {
-    val media = Tables.documents(s, d)
-      .filter(length(col("source")) > 4)
-      .select(col("doc_id").as("media_id"), lit("video").as("media_type"),
-        col("text").cast("binary").as("payload"))
-    val feats = graft.multimodal.Multimodal.decode(media)(s)
-    graft.multimodal.Multimodal.frameSampleStub(feats, stride = 10)(s)
-      .select(col("media_id"), col("n_frames"), col("frame_idx"))
+    implicit val sp: SparkSession = s
+    val media = graft.multimodal.Multimodal.synthesizeVideos(
+      Tables.documents(s, d).filter(length(col("source")) > 4), "doc_id")
+    graft.multimodal.Multimodal.sampleFrames(media, stride = 10).toDF()
+      .select(col("media_id"), col("n_frames"), col("frame_idx"), col("mean_r"))
   }
 
   /** Top-3 tokens per language: explode -> count -> ranking window. */
@@ -2875,10 +2879,14 @@ object SparkEntry {
        AND cts BETWEEN pts - 3600000000000 AND pts + 3600000000000
       GROUP BY 1""",
     "q_frame_sample" -> """
-      SELECT doc_id AS media_id,
-        CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
-        CAST(unnest(generate_series(0, octet_length(encode(text)) % 30, 10)) AS BIGINT) AS frame_idx
-      FROM documents WHERE length(source) > 4""",
+      WITH f AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(0, doc_id % 30, 10),
+            i -> struct_pack(fi := i, mr := CAST((doc_id + i) % 256 AS DOUBLE)))) AS u
+        FROM documents WHERE length(source) > 4)
+      SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS BIGINT) AS n_frames,
+        CAST(u.fi AS BIGINT) AS frame_idx, u.mr AS mean_r
+      FROM f""",
     "q_top_tokens" -> """
       WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
       c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2),
@@ -3670,13 +3678,11 @@ object SparkEntry {
     "q_ann_brute" -> BruteTopKOracle,
     "q_multimodal" -> """
       SELECT doc_id AS media_id,
-        CASE WHEN length(source) = 4 THEN 'image' ELSE 'video' END AS media_type,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        64 + octet_length(encode(text)) % 1024 AS width,
-        64 + (octet_length(encode(text)) * 7) % 768 AS height,
-        CASE WHEN length(source) = 4 THEN 1
-             ELSE octet_length(encode(text)) % 30 + 1 END AS n_frames,
-        sha256(text) AS content_sha
+        CAST(8 + (doc_id % 12) * 2 AS BIGINT) AS width,
+        CAST(8 + doc_id % 24 AS BIGINT) AS height,
+        (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 3 % 256 AS DOUBLE)) / 2 AS mean_r,
+        (CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 11 % 256 AS DOUBLE)) / 2 AS mean_g,
+        (CAST(doc_id * 13 % 256 AS DOUBLE) + CAST(doc_id * 17 % 256 AS DOUBLE)) / 2 AS mean_b
       FROM documents""",
     "q_window_topk" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -199,14 +199,13 @@ class FunctionsSpec extends AnyFunSuite {
   test("multimodal features feed ANN: decode -> deterministic embed -> top-k") {
     import graft.multimodal.Multimodal
     implicit val s = spark
-    val media = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
-      .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
-        col("text").cast("binary").as("payload"))
-    val feats = Multimodal.decode(media).toDF()
-    // stand-in embedding from decoded metadata — deterministic, codegen'd
+    val media = Multimodal.synthesizeImages(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(100), "doc_id")
+    val feats = Multimodal.decodeImages(media).toDF()
+    // embedding from REAL decoded features — deterministic
     val embedded = feats.select(col("media_id"),
-      array(col("n_bytes").cast("float"), col("width").cast("float"),
-        col("height").cast("float"), col("n_frames").cast("float")).as("emb"))
+      array(col("width").cast("float"), col("height").cast("float"),
+        col("mean_r").cast("float"), col("mean_g").cast("float")).as("emb"))
     val q = embedded.filter(col("media_id") === embedded.select(min("media_id")).head.getLong(0))
     val top = graft.similarity.Similarity.bruteForceTopK(
       embedded, "emb", "media_id", q, "emb", 5).collect()
