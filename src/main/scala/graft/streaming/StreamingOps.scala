@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -136,6 +136,22 @@ object StreamingOps {
     * shares several bands is emitted once per band (carrying the
     * bucket) — dedup-after-verify, the cheap order.
     */
+  /** Per-doc LSH band bucket ids as an array column: band-b's hash-
+    * family minimum over the doc's 3-gram shingles, offset by the band
+    * index. All codegen'd array functions — the signature is computed in
+    * the scan stage, no aggregation. The offset does NOT partition the
+    * 64-bit space by band — cross-band bucket collisions remain possible
+    * (rare: two full-range minima landing exactly b' − b apart), and a
+    * collision only adds a false-positive candidate for the verify stage
+    * to clear, never a miss.
+    */
+  private[streaming] def bandBucketKeys(text: Column, bands: Int): Column = {
+    val shingles = graft.functions.WordShingles.wordShingles(lower(text), 3)
+    array((0 until bands).map { b =>
+      array_min(transform(shingles, s => xxhash64(lit(b), s))) + lit(b.toLong)
+    }: _*)
+  }
+
   def streamingNearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
                                  bands: Int = 16): Dataset[CandidatePair] = {
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -143,18 +159,9 @@ object StreamingOps {
     require(bands > 0 && bands <= 64, s"bands must be in [1,64], got $bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    val shingles = graft.functions.WordShingles.wordShingles(lower(col(textCol)), 3)
-    val bandKeys = array((0 until bands).map { b =>
-      // bucket id = band-b's hash-family minimum, offset by the band
-      // index. The offset does NOT partition the 64-bit space by band —
-      // cross-band bucket collisions remain possible (rare: two
-      // full-range minima landing exactly b' − b apart), and a collision
-      // only adds a false-positive candidate for the verify stage to
-      // clear, never a miss
-      array_min(transform(shingles, s => xxhash64(lit(b), s))) + lit(b.toLong)
-    }: _*)
     val hits = docs
-      .select(col(idCol).cast("long").as("doc_id"), explode(bandKeys).as("bucket"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(bandBucketKeys(col(textCol), bands)).as("bucket"))
       .as[BandHit](Encoders.product[BandHit])
     implicit val outEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
     val processor = new StatefulProcessor[Long, BandHit, CandidatePair] {
@@ -176,6 +183,107 @@ object StreamingOps {
     }
     hits.groupByKey(_.bucket)(Encoders.scalaLong)
       .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** End-to-end streaming near-dup DEDUP — the streaming mirror of
+    * [[graft.dedup.Dedup.dedupCorpusVerified]]: LSH band buckets propose
+    * candidate pairs against everything ever seen, exact n-gram Jaccard
+    * ([[graft.dedup.Dedup.jaccardOnPairs]]) verifies each candidate
+    * inside foreachBatch, and verified duplicates land in a maintained
+    * drop-list — so LSH supplies recall, the verify stage supplies
+    * precision, and a false candidate (band-minimum collision) costs one
+    * Jaccard evaluation instead of a lost document.
+    *
+    * Per micro-batch, under `stateDir`:
+    *   - `buckets/v<batchId>`: (bucket, first_id) — first-seen doc per
+    *     band bucket (first = min doc_id on the bucket's debut batch, a
+    *     deterministic refinement of the processor's arrival order).
+    *     Versioned like [[cdcSnapshotSink]]: each batch reads the latest
+    *     version BEFORE its id and writes its own, so replays converge.
+    *   - `docs/`, `pairs/`, `drops/`: hive-partitioned by `__batch` with
+    *     dynamic partition overwrite (the [[partitionOverwriteSink]]
+    *     recipe) — a replayed batch rewrites exactly its own partition.
+    *     `pairs` records every candidate WITH its verified jaccard and
+    *     dropped flag (the audit trail); `drops` the dropped ids.
+    *
+    * Read the surviving corpus with [[currentKeepList]]. Scale notes: the
+    * bucket table is O(distinct buckets) and rewrites once per batch — at
+    * cluster scale move it into `transformWithState` state (the
+    * [[streamingNearDupCandidates]] shape) and keep ONLY verify+sinks in
+    * foreachBatch; the doc-store join side is the same
+    * O(|candidates| · doc_len) as the batch pipeline.
+    */
+  def streamingDedupVerified(docs: DataFrame, textCol: String, idCol: String,
+                             stateDir: String, minJaccard: Double = 0.8,
+                             bands: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(bands > 0 && bands <= 64, s"bands must be in [1,64], got $bands")
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val b = batch
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+          .dropDuplicates("doc_id")
+          .localCheckpoint() // feeds hits, the corpus union, and the doc sink
+        val hits = b.select(col("doc_id"),
+          explode(bandBucketKeys(col("text"), bands)).as("bucket"))
+        val prevBuckets = latestVersion(s"$stateDir/buckets", before = Some(batchId)) match {
+          case Some(v) => s.read.parquet(s"$stateDir/buckets/v$v")
+          case None => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("first_id",
+                org.apache.spark.sql.types.LongType))))
+        }
+        // candidates vs history: the bucket's first-seen doc pairs with
+        // every later arrival (the transformWithState emission, replayed
+        // relationally)
+        val cross = hits.join(prevBuckets, "bucket")
+          .filter(col("doc_id") =!= col("first_id"))
+          .select(col("first_id").as("id_a"), col("doc_id").as("id_b"))
+        // candidates within this batch, for buckets debuting now
+        val newHits = hits.join(prevBuckets, Seq("bucket"), "left_anti")
+        val firsts = newHits.groupBy(col("bucket")).agg(min(col("doc_id")).as("first_id"))
+          .localCheckpoint() // feeds the pair join and the state write below
+        val inBatch = newHits.join(firsts, "bucket")
+          .filter(col("doc_id") =!= col("first_id"))
+          .select(col("first_id").as("id_a"), col("doc_id").as("id_b"))
+        val candidates = cross.unionByName(inBatch).distinct()
+        val docStore = scala.util.Try(s.read.parquet(s"$stateDir/docs"))
+          .map(_.select(col("doc_id"), col("text"))).getOrElse(b.limit(0))
+        val corpus = docStore.unionByName(b).dropDuplicates("doc_id")
+        val verified = graft.dedup.Dedup
+          .jaccardOnPairs(corpus, "text", "doc_id", candidates, "id_a", "id_b", n = 3)
+          .withColumn("dropped", col("jaccard") >= minJaccard)
+          .withColumn("__batch", lit(batchId))
+          .localCheckpoint() // audit sink + drop sink share the verify work
+        verified.write.mode("overwrite").partitionBy("__batch")
+          .parquet(s"$stateDir/pairs")
+        verified.filter(col("dropped"))
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("__batch")
+          .parquet(s"$stateDir/drops")
+        b.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("__batch")
+          .parquet(s"$stateDir/docs")
+        prevBuckets.unionByName(firsts)
+          .write.mode("overwrite").parquet(s"$stateDir/buckets/v$batchId")
+    }
+  }
+
+  /** The surviving corpus under a [[streamingDedupVerified]] state dir:
+    * every doc ever ingested, minus the verified drop-list.
+    */
+  def currentKeepList(spark: SparkSession, stateDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$stateDir/docs")
+    val drops = scala.util.Try(spark.read.parquet(s"$stateDir/drops"))
+      .getOrElse(docs.limit(0))
+    docs.join(drops.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
   }
 
   /** foreachBatch idempotent file sink: each micro-batch of an update-

@@ -410,6 +410,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingDedupVerified: cross-batch dup candidates+verifies+drops; false candidate is cleared") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDedupVerified(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", dir, minJaccard = 0.8)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog tonight in the park"
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      mem.addData(
+        // near-dup of doc 1 (one word changed): must candidate, verify
+        // above 0.8, and DROP
+        (2L, base.replace("park", "rain")),
+        // shares a long shingle run with doc 1 (~1/3 of the union — all
+        // but certain some band minimum collides -> candidate) but true
+        // jaccard ~0.35: the verify stage must CLEAR it
+        (3L, "the quick brown fox jumps over the lazy elephant in a faraway circus tent"),
+        // unrelated: never even a candidate
+        (4L, "completely different content with no shared trigrams at all here"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$dir/pairs")
+        .select("id_a", "id_b", "dropped")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+      // the true near-dup candidates across batches and drops
+      assert(pairs.get((1L, 2L)).contains(true), pairs)
+      // the false candidate was proposed by LSH but cleared by verify
+      assert(pairs.get((1L, 3L)).contains(false), pairs)
+      // unrelated doc never candidates
+      assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), pairs)
+      // maintained keep-list: everything but the verified duplicate
+      val kept = StreamingOps.currentKeepList(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 4L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("purchaseAttribution: stream-stream join matches clicks in the hour before each purchase") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
