@@ -480,6 +480,22 @@ object SparkEntry {
     }
   }
 
+  /** The ADAPTIVE-radius variant of q_dedup_simhash
+    * ([[graft.dedup.Dedup.simhashDedupAdaptive]]): the fixed maxDist=7
+    * certificate regime made self-correcting — the radius escalates
+    * through the chunk-aligned cuts (7 → 15 → 31) until every verified
+    * pair keeps a 2-bit hamming margin, so the regime scales with the
+    * data instead of being a constant. At sf0.01 the probe holds at 7
+    * (max observed hamming 5) and the result is identical to
+    * q_dedup_simhash; at sf0.1 — where the fixed radius' certificate
+    * correctly FIRES (truth-pair hamming reaches 12) — this query
+    * escalates to 15 and keeps recall complete, no certificate needed. */
+  private def qDedupSimhashAdaptive(s: SparkSession, d: String): DataFrame = {
+    val (verified, _) = graft.dedup.Dedup.simhashDedupAdaptive(
+      Tables.documents(s, d), "text", "doc_id", minJaccard = 0.3)
+    verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs within (lang, source) buckets. */
   private def qDedupNgram(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
@@ -2335,6 +2351,7 @@ object SparkEntry {
     "q_dedup_exact"    -> (qDedupExact _),
     "q_dedup_minhash"  -> (qDedupMinhash _),
     "q_dedup_simhash"  -> (qDedupSimhash _),
+    "q_dedup_simhash_adaptive" -> (qDedupSimhashAdaptive _),
     "q_dedup_ngram"    -> (qDedupNgram _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_embed_pairs_skew" -> (qEmbedPairsSkew _),
@@ -2807,6 +2824,7 @@ object SparkEntry {
       GROUP BY 1""",
     "q_dedup_minhash" -> PairJaccardOracle,
     "q_dedup_simhash" -> PairJaccardOracle,
+    "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
     "q_ann_lsh" -> AnnLshOracle,
     "q_pack" -> """

@@ -227,6 +227,61 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
   }
 
+  /** SimHash verified dedup with an ADAPTIVE banding radius: run the
+    * candidate+verify pipeline at the smallest radius whose recall
+    * margin holds, escalating through the chunk-aligned radii (maxDist =
+    * 64/chunks − 1 for chunks that divide 64) when it does not. The
+    * margin condition is the q_dedup_simhash certificate made
+    * self-correcting: every VERIFIED pair's signature hamming must stay
+    * `margin` bits under the banding cut; a corpus whose near-dup
+    * hamming tail grows (longer docs, noisier boilerplate — exactly
+    * what larger scale factors produce) fails the probe and the radius
+    * widens, instead of a constant radius silently losing recall.
+    *
+    * Each probe is ONE 1-row max-aggregate action over that radius'
+    * verified pairs (typically zero escalations, so the common case
+    * costs one probe + reuse). Wider radii mean coarser piece buckets;
+    * the [[graft.operators.SubBuckets]] cap keeps the degenerate-bucket
+    * cost linear, which is what makes escalation affordable at all.
+    *
+    * The inherent observability caveat carries over from the
+    * certificate: a truth pair BEYOND the widest probed radius is
+    * unobservable by construction — the margin on the pairs we do see
+    * is the strongest in-plan signal available. Returns (verified pairs
+    * at the chosen radius, chosen radius).
+    */
+  def simhashDedupAdaptive(df: DataFrame, textCol: String, idCol: String,
+                           minJaccard: Double, n: Int = 3, margin: Int = 2,
+                           radii: Seq[Int] = Seq(7, 15, 31),
+                           maxBucket: Int = 1000): (DataFrame, Int) = {
+    require(radii.nonEmpty && radii == radii.sorted, "radii must be ascending")
+    require(radii.forall(r => 64 % (r + 1) == 0),
+      s"each radius+1 must divide the 64-bit signature (got $radii)")
+    // each probed radius' verified pairs are localCheckpoint'd (they are
+    // near-dup-sized, never corpus-sized): the margin probe and the
+    // returned result share ONE pipeline run per radius
+    val probed = collection.mutable.Map.empty[Int, DataFrame]
+    def verifiedAt(r: Int): DataFrame = probed.getOrElseUpdate(r, {
+      val cand = simhashPairs(df, textCol, idCol, maxDist = r, maxBucket = maxBucket)
+      jaccardOnPairs(df, textCol, idCol, cand, "id_a", "id_b", n,
+        carry = Seq("hamming"))
+        .filter(col("jaccard") >= minJaccard)
+        .localCheckpoint()
+    })
+    val chosen = radii.find { r =>
+      val maxham = verifiedAt(r)
+        .agg(coalesce(max(col("hamming")), lit(0L))).head.getLong(0)
+      maxham <= r - margin
+    }.getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashDedupAdaptive: margin $margin still violated at the widest " +
+          s"radius ${radii.last} — recall may be incomplete; prefer the " +
+          "minhash path for this corpus")
+      radii.last
+    }
+    (verifiedAt(chosen), chosen)
+  }
+
   /** Connected components over near-dup pairs: iterative min-label
     * propagation. Each iteration is two hash joins + a min aggregate and
     * advances the minimum label ONE hop along edges, so full convergence

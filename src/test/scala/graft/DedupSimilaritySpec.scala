@@ -273,6 +273,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("simhashDedupAdaptive escalates the radius when the margin breaks, recovering pairs a fixed radius misses") {
+    // 80-word base; variant(k) changes k spread-out words. Measured on
+    // these fixed texts: hamming(base, v1) = 7 — AT the radius-7 cut, so
+    // the 2-bit margin probe fails and the radius escalates to 15 —
+    // and hamming(base, v9) = 10 with jaccard 0.51: invisible to the
+    // fixed radius 7, found at 15.
+    val words = (0 until 40).map(i => s"w$i token$i").mkString(" ").split(" ").toSeq
+    def variant(k: Int): String = words.zipWithIndex.map { case (w, i) =>
+      if (i % 8 == 0 && i / 8 < k) s"CHANGED$i" else w }.mkString(" ")
+    val corpus = Seq((0L, words.mkString(" ")), (1L, variant(1)), (9L, variant(9)))
+      .toDF("doc_id", "text")
+    val (verified, radius) = Dedup.simhashDedupAdaptive(corpus, "text", "doc_id", minJaccard = 0.3)
+    assert(radius == 15, s"expected escalation to 15, got $radius")
+    val pairs = verified.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9L)), pairs)
+    // the fixed radius misses exactly that pair
+    val fixed = Dedup.jaccardOnPairs(corpus, "text", "doc_id",
+        Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 7),
+        "id_a", "id_b", 3).filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!fixed.contains((0L, 9L)) && fixed.contains((0L, 1L)), fixed)
+    // a corpus whose pairs keep the margin stays at the first radius
+    val calm = Seq((0L, words.mkString(" ")), (5L, variant(5))).toDF("doc_id", "text")
+    assert(Dedup.simhashDedupAdaptive(calm, "text", "doc_id", 0.3)._2 == 7)
+    // radii must be chunk-aligned and ascending
+    intercept[IllegalArgumentException](
+      Dedup.simhashDedupAdaptive(calm, "text", "doc_id", 0.3, radii = Seq(6)))
+  }
+
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     // generate-from-shingles form, low threshold so several pairs survive
