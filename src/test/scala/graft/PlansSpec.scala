@@ -158,6 +158,19 @@ class PlansSpec extends AnyFunSuite {
     assert(strat("shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("q_session_window: MergingSessions over a local sort, one exchange on user_id") {
+    val p = planOf("q_session_window")
+    assert(p.contains("MergingSessions"), p)
+    // partial agg BELOW the exchange: session fragments combine map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning\\(user_id#".r.findAllIn(p).size == 1, p)
+    // the sort feeding MergingSessions is per-partition (global=false);
+    // a rangepartitioning exchange would mean a global sort crept in
+    assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, session_window#\\d+ ASC NULLS FIRST\\], false".r
+      .findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("null-safe equality (<=>) is still an equi-key: hash join, no nested loop") {
     val plan = SparkEntry.queries("q_nullsafe_join")(spark, sf)
       .queryExecution.sparkPlan.toString
