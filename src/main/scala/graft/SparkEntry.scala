@@ -928,6 +928,27 @@ object SparkEntry {
       Seq("SegAutomobile", "SegBuilding", "SegFurniture", "SegHousehold", "SegMachinery"))
   }
 
+  /** SAS label vocabularies (the reference bundles country/port/mode/state
+    * code→label tables in I94_SAS_Labels_Descriptions.SAS but its ETL only
+    * ever uses a hand-exported country CSV — [[graft.sources.SasLabels]]
+    * parses all of them). Summarizes each `value` block — entry count plus
+    * the first (key, label) pair in file order — and appends the
+    * comment-documented I94VISA categories. The oracle is a VALUES list
+    * transcribed by hand straight off the file, so it checks the parser
+    * against the file's actual content, not against itself. Reads the
+    * bundled reference copy (fixture-backed like PipelinesSpec, not
+    * sfDir-scaled: a vocabulary is configuration, one fixed file). */
+  private def qSasLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = "/root/reference/I94_SAS_Labels_Descriptions.SAS"
+    val blocks = graft.sources.SasLabels.parseFile(path).toSeq
+    val visa = graft.sources.SasLabels.visaCategories
+    val rows = blocks.map { case (name, entries) =>
+      (name, entries.size.toLong, entries.head._1, entries.head._2)
+    } :+ (("i94visa", visa.size.toLong, visa.head._1.toString, visa.head._2))
+    rows.toDF("format", "n_codes", "first_code", "first_label")
+  }
+
   /** Regexp capture groups: split Customer#NNN names into parts. */
   private def qRegexpExtract(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -2333,6 +2354,7 @@ object SparkEntry {
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
+    "q_sas_labels"     -> (qSasLabels _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_null_fns"       -> (qNullFns _),
     "q_histogram"      -> (qHistogram _),
@@ -2855,6 +2877,14 @@ object SparkEntry {
         COALESCE(CAST(nullif(n_regionkey, 0) AS BIGINT), -1) AS region_patched,
         n_regionkey IS NOT DISTINCT FROM 2 AS is_region_2
       FROM nation""",
+    "q_sas_labels" -> """
+      SELECT * FROM (VALUES
+        ('i94cntyl', CAST(289 AS BIGINT), '582', 'MEXICO Air Sea, and Not Reported (I-94, no land arrivals)'),
+        ('i94prtl',  CAST(660 AS BIGINT), 'ALC', 'ALCAN, AK'),
+        ('i94model', CAST(4   AS BIGINT), '1',   'Air'),
+        ('i94addrl', CAST(55  AS BIGINT), 'AL',  'ALABAMA'),
+        ('i94visa',  CAST(3   AS BIGINT), '1',   'Business')
+      ) AS t(format, n_codes, first_code, first_label)""",
     "q_pipeline_demographics" -> s"""
       WITH stats AS (
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -92,4 +92,29 @@ class PipelinesSpec extends AnyFunSuite {
     assert(argentina.head.isNullAt(argentina.head.fieldIndex("Temperature")))
     out.unpersist()
   }
+
+  test("SAS label vocabularies enrich the immigration fact as broadcast dims (ref I94_SAS_Labels_Descriptions.SAS)") {
+    val labels = s"$refDir/I94_SAS_Labels_Descriptions.SAS"
+    val imm = graft.sources.RefSchemas.readImmigration(spark, s"$refDir/sas_data")
+      .select(col("i94port"), col("i94mode").cast("int").cast("string").as("mode_code"))
+    val ports = graft.sources.SasLabels.vocab(spark, labels, "i94prtl")
+      .withColumnRenamed("label", "port_name")
+    val modes = graft.sources.SasLabels.vocab(spark, labels, "i94model")
+      .withColumnRenamed("label", "mode_name").withColumnRenamed("code", "mcode")
+    val enriched = imm
+      .join(ports, imm("i94port") === ports("code"), "left")
+      .join(modes, col("mode_code") === col("mcode"), "left")
+      .cache()
+    // both vocab sides broadcast: the 3M-row fact never shuffles for a lookup
+    val plan = enriched.queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    val total = enriched.count()
+    // the bundled vocabulary actually covers the bundled data: nearly every
+    // April-2016 arrival's port and mode code resolves to a label
+    val portNamed = enriched.filter(col("port_name").isNotNull).count()
+    val modeNamed = enriched.filter(col("mode_name").isNotNull).count()
+    assert(portNamed > total * 95 / 100, s"$portNamed of $total ports resolved")
+    assert(modeNamed > total * 95 / 100, s"$modeNamed of $total modes resolved")
+    enriched.unpersist()
+  }
 }

@@ -93,6 +93,36 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS nation_tbl")
   }
 
+  test("SasLabels parses every vocabulary block of the reference format file") {
+    val blocks = graft.sources.SasLabels.parseFile(
+      "/root/reference/I94_SAS_Labels_Descriptions.SAS")
+    // the $ character-format marker is stripped from $i94prtl
+    assert(blocks.keySet == Set("i94cntyl", "i94prtl", "i94model", "i94addrl"), blocks.keySet)
+    assert(blocks("i94cntyl").size == 289 && blocks("i94prtl").size == 660
+      && blocks("i94model").size == 4 && blocks("i94addrl").size == 55,
+      blocks.view.mapValues(_.size).toMap)
+    val ports = blocks("i94prtl").toMap
+    assert(ports("ALC") == "ALCAN, AK")        // fixed-width padding trimmed
+    assert(ports("INT") == "INT'L FALLS, MN")  // '' escapes a quote inside a label
+    assert(blocks("i94model") ==
+      Seq("1" -> "Air", "2" -> "Sea", "3" -> "Land", "9" -> "Not reported"))
+    assert(blocks("i94addrl").toMap.apply("99") == "All Other Codes")
+    assert(blocks("i94cntyl").head == ("582" ->
+      "MEXICO Air Sea, and Not Reported (I-94, no land arrivals)"))
+  }
+
+  test("SasLabels grammar edges: comments and semicolons in labels, multi-pair lines, errors") {
+    val text = """/* prose; value fake */ libname x 'ignored'
+      value $codes 'a' = 'A; still A' 1='one' /* mid-block */ 'q' = 'it''s' ;
+      value plain 2 = 'two' ;"""
+    val got = graft.sources.SasLabels.parse(text)
+    assert(got("codes") == Seq("a" -> "A; still A", "1" -> "one", "q" -> "it's"))
+    assert(got("plain") == Seq("2" -> "two"))
+    intercept[IllegalArgumentException](graft.sources.SasLabels.parse("value v 'unterminated"))
+    intercept[IllegalArgumentException](
+      graft.sources.SasLabels.vocab(spark, "/root/reference/I94_SAS_Labels_Descriptions.SAS", "nope"))
+  }
+
   test("compactParquet: many small files become the target count, content identical") {
     val base = Files.createTempDirectory("graft-compact").toString
     val src = s"$base/src"
