@@ -484,12 +484,15 @@ object SparkEntry {
     * ([[graft.dedup.Dedup.simhashDedupAdaptive]]): the fixed maxDist=7
     * certificate regime made self-correcting — the radius escalates
     * through the chunk-aligned cuts (7 → 15 → 31) until every verified
-    * pair keeps a 2-bit hamming margin, so the regime scales with the
-    * data instead of being a constant. At sf0.01 the probe holds at 7
-    * (max observed hamming 5) and the result is identical to
-    * q_dedup_simhash; at sf0.1 — where the fixed radius' certificate
-    * correctly FIRES (truth-pair hamming reaches 12) — this query
-    * escalates to 15 and keeps recall complete, no certificate needed. */
+    * pair keeps a 2-bit hamming margin, UNLESS the wider radius' banding
+    * has lost selectivity (candidate volume over the per-doc budget), in
+    * which case the escalation is refused with a loud switch-to-minhash
+    * warning. At sf0.01 the margin holds at 7 (max observed hamming 5)
+    * and the result is identical to q_dedup_simhash. At sf0.1 the margin
+    * breaks at 7 AND the radius-15 banding admits 24% of all possible
+    * pairs (3.05M candidates for 256 true pairs — measured), so the
+    * volume guard keeps radius 7 and the warning directs to minhash —
+    * the bounded-cost answer, not the quadratic one. */
   private def qDedupSimhashAdaptive(s: SparkSession, d: String): DataFrame = {
     val (verified, _) = graft.dedup.Dedup.simhashDedupAdaptive(
       Tables.documents(s, d), "text", "doc_id", minJaccard = 0.3)

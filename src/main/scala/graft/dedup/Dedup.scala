@@ -191,17 +191,35 @@ object Dedup {
     * window shares the join's (chunk, piece) clustering.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSigs(simhash(df, textCol, idCol), maxDist, maxBucket)
+
+  /** The chunk-banded (chunk, piece) sub-bucket table for a signature set
+    * — the stage [[simhashPairsFromSigs]] pairs from, exposed so probes
+    * (candidate-volume, bucket histograms) can aggregate over it without
+    * materializing any pair.
+    */
+  private[dedup] def simhashBanded(sigs: DataFrame, maxDist: Int,
+                                   maxBucket: Int): DataFrame = {
     val chunks = maxDist + 1
     val width  = 64 / chunks
-    val sh = simhash(df, textCol, idCol)
-    val banded = graft.operators.SubBuckets.withMembership(
-      sh.select(col("id"), col("simhash"),
+    graft.operators.SubBuckets.withMembership(
+      sigs.select(col("id"), col("simhash"),
           posexplode(array((0 until chunks).map { c =>
             shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
           }: _*)))
         .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece"),
       Seq(col("chunk"), col("piece")), col("id"), maxBucket)
+  }
+
+  /** [[simhashPairs]] from a precomputed (id, simhash) signature table —
+    * the shape to use when several radii probe the SAME corpus (the
+    * adaptive path): signatures are the expensive aggregate, banding is
+    * cheap, so compute them once and band per radius.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                           maxBucket: Int = 1000): DataFrame = {
+    val banded = simhashBanded(sigs, maxDist, maxBucket)
     // Pair emission by codegen'd self-join. This IS a diamond — the
     // simhash aggregate plans twice — but that aggregate is cheap (one
     // 64-bit value per doc off a column-pruned scan) and the join beats
@@ -238,11 +256,27 @@ object Dedup {
     * what larger scale factors produce) fails the probe and the radius
     * widens, instead of a constant radius silently losing recall.
     *
-    * Each probe is ONE 1-row max-aggregate action over that radius'
-    * verified pairs (typically zero escalations, so the common case
-    * costs one probe + reuse). Wider radii mean coarser piece buckets;
-    * the [[graft.operators.SubBuckets]] cap keeps the degenerate-bucket
-    * cost linear, which is what makes escalation affordable at all.
+    * Escalation is VOLUME-GUARDED, because a wider radius is only useful
+    * while the banding still discriminates. Before escalating, the next
+    * radius' candidate volume is bounded by ONE aggregate over its banded
+    * sub-buckets (Σ m(m−1)/2 — no pair is materialized), and an
+    * escalation whose bound exceeds `maxCandidatesPerDoc` per document is
+    * refused with a loud warning naming the minhash path instead.
+    * Measured on the sf0.1 corpus (5 000 docs): radius-15 banding admits
+    * 3.05 M of the 12.5 M possible pairs — 24 %, i.e. the signature
+    * family has no selectivity left — of which only 256 verify at
+    * jaccard ≥ 0.3, and paying ~35 s of join+verify for that is strictly
+    * worse than switching families (minhash finds its pairs on the same
+    * corpus in ~2 s with capped buckets). At 100 TB that refusal is the
+    * difference between a bounded probe and a quadratic cluster burn; a
+    * corpus where the wider radius IS still selective (the spec's
+    * synthetic case) escalates and keeps its recall.
+    *
+    * Signatures are computed once (localCheckpoint'd — 16 bytes/doc) and
+    * re-banded per radius; each margin probe is one 1-row max-aggregate
+    * over that radius' verified pairs (near-dup-sized, also
+    * checkpoint'd), so the common no-escalation case costs one verify
+    * pass + one scalar probe.
     *
     * The inherent observability caveat carries over from the
     * certificate: a truth pair BEYOND the widest probed radius is
@@ -253,33 +287,59 @@ object Dedup {
   def simhashDedupAdaptive(df: DataFrame, textCol: String, idCol: String,
                            minJaccard: Double, n: Int = 3, margin: Int = 2,
                            radii: Seq[Int] = Seq(7, 15, 31),
-                           maxBucket: Int = 1000): (DataFrame, Int) = {
+                           maxBucket: Int = 1000,
+                           maxCandidatesPerDoc: Int = 100): (DataFrame, Int) = {
     require(radii.nonEmpty && radii == radii.sorted, "radii must be ascending")
     require(radii.forall(r => 64 % (r + 1) == 0),
       s"each radius+1 must divide the 64-bit signature (got $radii)")
-    // each probed radius' verified pairs are localCheckpoint'd (they are
-    // near-dup-sized, never corpus-sized): the margin probe and the
-    // returned result share ONE pipeline run per radius
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val sigs = simhash(df, textCol, idCol).localCheckpoint()
+    val nDocs = sigs.count()
+    val budget = maxCandidatesPerDoc.toLong * nDocs
     val probed = collection.mutable.Map.empty[Int, DataFrame]
     def verifiedAt(r: Int): DataFrame = probed.getOrElseUpdate(r, {
-      val cand = simhashPairs(df, textCol, idCol, maxDist = r, maxBucket = maxBucket)
+      val cand = simhashPairsFromSigs(sigs, maxDist = r, maxBucket = maxBucket)
       jaccardOnPairs(df, textCol, idCol, cand, "id_a", "id_b", n,
         carry = Seq("hamming"))
         .filter(col("jaccard") >= minJaccard)
         .localCheckpoint()
     })
-    val chosen = radii.find { r =>
-      val maxham = verifiedAt(r)
-        .agg(coalesce(max(col("hamming")), lit(0L))).head.getLong(0)
-      maxham <= r - margin
-    }.getOrElse {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"simhashDedupAdaptive: margin $margin still violated at the widest " +
-          s"radius ${radii.last} — recall may be incomplete; prefer the " +
+    // Upper bound on the pair-join output at radius r: one aggregate over
+    // the banded sub-buckets (stitch-pass members count twice — an
+    // over-estimate, so the guard can only over-refuse, never under).
+    def candidateVolume(r: Int): Long =
+      simhashBanded(sigs, r, maxBucket)
+        .groupBy(col("chunk"), col("piece"), col("__pass"), col("__sub"))
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m") * (col("m") - lit(1L))), lit(0L)))
+        .head.getLong(0) / 2
+
+    var i = 0
+    var out: (DataFrame, Int) = null
+    while (out == null) {
+      val r = radii(i)
+      val v = verifiedAt(r)
+      val maxham = v.agg(coalesce(max(col("hamming")), lit(0L))).head.getLong(0)
+      if (maxham <= r - margin) out = (v, r)
+      else if (i + 1 == radii.length) {
+        log.warn(s"simhashDedupAdaptive: margin $margin still violated at " +
+          s"the widest radius $r — recall may be incomplete; prefer the " +
           "minhash path for this corpus")
-      radii.last
+        out = (v, r)
+      } else {
+        val next = radii(i + 1)
+        val vol = candidateVolume(next)
+        if (vol > budget) {
+          log.warn(s"simhashDedupAdaptive: radius-$next banding admits " +
+            s"~$vol candidate pairs (> $maxCandidatesPerDoc/doc over " +
+            s"$nDocs docs) — the signature family has lost selectivity on " +
+            s"this corpus; keeping radius $r and its recall limit. Switch " +
+            "to the minhash path rather than widening further.")
+          out = (v, r)
+        } else i += 1
+      }
     }
-    (verifiedAt(chosen), chosen)
+    out
   }
 
   /** Connected components over near-dup pairs: iterative min-label

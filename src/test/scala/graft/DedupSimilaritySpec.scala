@@ -301,6 +301,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // radii must be chunk-aligned and ascending
     intercept[IllegalArgumentException](
       Dedup.simhashDedupAdaptive(calm, "text", "doc_id", 0.3, radii = Seq(6)))
+    // the volume guard: when the wider radius' candidate bound exceeds
+    // the per-doc budget, escalation is refused — the margin-breaking
+    // corpus stays at radius 7 and the beyond-radius pair stays missing
+    // (the warned, bounded-cost outcome; minhash is the right tool then)
+    val (guarded, gRadius) = Dedup.simhashDedupAdaptive(
+      corpus, "text", "doc_id", minJaccard = 0.3, maxCandidatesPerDoc = 0)
+    assert(gRadius == 7, s"volume guard should refuse escalation, got $gRadius")
+    val gPairs = guarded.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gPairs.contains((0L, 9L)) && gPairs.contains((0L, 1L)), gPairs)
   }
 
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
