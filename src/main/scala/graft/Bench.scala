@@ -68,11 +68,20 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullLine")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      // Median runs additionally land in BENCH_MEDIANS.json — the
+      // committed round-over-round record. The driver's single-shot
+      // BENCH_r{N}.json swings up to 16x on unchanged plans under
+      // machine load (round 5: 302 s single-shot vs 88.7 s median-of-3
+      // on identical plans); diff THIS file, not the driver artifact,
+      // to tell noise from a plan regression.
+      if (reps > 1) java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_MEDIANS.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
