@@ -952,6 +952,24 @@ object SparkEntry {
     rows.toDF("format", "n_codes", "first_code", "first_label")
   }
 
+  /** Cross-document span-sharing stats over the corpus
+    * ([[graft.text.Curation.crossDocSpanStats]]): per doc, the fraction
+    * of its token 8-gram windows that also occur in other documents —
+    * the exact-substring-dedup signal at sub-document granularity. */
+  private def qCrossdocSpans(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.crossDocSpanStats(
+        Tables.documents(s, d), "text", "doc_id", n = 8)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Cross-document span REMOVAL over the corpus
+    * ([[graft.text.Curation.crossDocSpanDedup]]): each token 8-gram
+    * window shared across documents survives only in its min-id owner —
+    * the apply half of q_crossdoc_spans. */
+  private def qCrossdocDedup(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.crossDocSpanDedup(
+        Tables.documents(s, d), "text", "doc_id", n = 8)
+      .withColumnRenamed("id", "doc_id")
+
   /** Regexp capture groups: split Customer#NNN names into parts. */
   private def qRegexpExtract(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -2358,6 +2376,8 @@ object SparkEntry {
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
     "q_sas_labels"     -> (qSasLabels _),
+    "q_crossdoc_spans" -> (qCrossdocSpans _),
+    "q_crossdoc_dedup" -> (qCrossdocDedup _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_null_fns"       -> (qNullFns _),
     "q_histogram"      -> (qHistogram _),
@@ -2880,6 +2900,50 @@ object SparkEntry {
         COALESCE(CAST(nullif(n_regionkey, 0) AS BIGINT), -1) AS region_patched,
         n_regionkey IS NOT DISTINCT FROM 2 AS is_region_2
       FROM nation""",
+    "q_crossdoc_dedup" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i:u.i+7], chr(31)) AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8),
+      gstats AS (SELECT g, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS owner
+                 FROM grams GROUP BY 1),
+      covered AS (
+        SELECT DISTINCT gr.doc_id, gr.pos + d.k AS tpos
+        FROM grams gr, gstats gs, UNNEST(range(0, 8)) AS d(k)
+        WHERE gr.g = gs.g AND gs.ndocs > 1 AND gs.owner <> gr.doc_id),
+      tok AS (SELECT doc_id, u.s.tok AS tok, u.s.tpos AS tpos
+              FROM toks, UNNEST(list_transform(t, (x, i) ->
+                struct_pack(tok := x, tpos := i - 1))) AS u(s)),
+      kept AS (SELECT doc_id, tpos, tok FROM tok tk
+               WHERE NOT EXISTS (SELECT 1 FROM covered c
+                 WHERE c.doc_id = tk.doc_id AND c.tpos = tk.tpos))
+      SELECT tt.doc_id,
+        coalesce(k.text_dedup, '') AS text_dedup,
+        CAST(len(tt.t) AS BIGINT) AS n_tokens,
+        CAST(len(tt.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM toks tt
+      LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_dedup,
+                   count(*) AS n_kept
+                 FROM kept GROUP BY 1) k ON tt.doc_id = k.doc_id""",
+    "q_crossdoc_spans" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, g
+        FROM toks, UNNEST(list_transform(range(1, len(t) - 6), i ->
+          array_to_string(t[i:i+7], chr(31)))) AS u(g)
+        WHERE len(t) >= 8),
+      pdg AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2),
+      marked AS (SELECT doc_id, cnt,
+          count(*) OVER (PARTITION BY g) AS ndocs,
+          min(doc_id) OVER (PARTITION BY g) AS owner
+        FROM pdg)
+      SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n_grams,
+        CAST(coalesce(sum(CASE WHEN ndocs > 1 THEN cnt END), 0) AS BIGINT) AS n_dup_grams,
+        CAST(coalesce(sum(CASE WHEN ndocs > 1 AND owner = doc_id THEN cnt END), 0) AS BIGINT) AS n_owned_dup,
+        round(coalesce(sum(CASE WHEN ndocs > 1 THEN cnt END), 0) * 1.0 / sum(cnt) + 1e-12, 6) AS dup_frac
+      FROM marked GROUP BY 1""",
     "q_sas_labels" -> """
       SELECT * FROM (VALUES
         ('i94cntyl', CAST(289 AS BIGINT), '582', 'MEXICO Air Sea, and Not Reported (I-94, no land arrivals)'),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs between raw
@@ -142,5 +143,139 @@ object Curation {
         sum(col("tc")).as("n_tokens"),
         round(sum(col("tc") * log(col("cf").cast("double") / col("__N")))
           / sum(col("tc")), 6).as("mean_logp"))
+  }
+
+  /** Cross-document span-sharing stats — the exact-substring-dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how much of it is
+    * token n-gram spans that also occur in OTHER documents, and whether
+    * this document is the canonical (min-id) owner of those shared
+    * spans. [[firstOccurrenceDedup]] is the within-document half;
+    * `dedupCorpus` in [[graft.dedup.Dedup]] is whole-document — this is
+    * the between-documents, sub-document granularity that catches
+    * boilerplate headers, quoted passages, and license blocks that
+    * doc-level Jaccard dilutes below threshold.
+    *
+    * Shape: per-doc rolling n-gram fingerprints (xxhash64 over the
+    * joined token window — one codegen'd projection, no shuffle), ONE
+    * exchange on the fingerprint that serves both the (gram, doc) count
+    * aggregate and the per-gram window (docs-per-gram + min-id owner —
+    * the [[TextFns.tokenEntropy]] shared-exchange idiom), then a
+    * re-group on the doc id. A boilerplate gram occurring in m docs
+    * contributes m (gram, doc) rows — linear, never m²/2 pairs: stats
+    * aggregate where pair generators blow up, so no DF cap is needed
+    * and the counts stay exact; WindowExec spills rather than buffering
+    * a hot gram's group. Documents shorter than n tokens have no
+    * n-gram and are absent from the output (their dup fraction is
+    * undefined, not zero).
+    *
+    * Output per doc: `n_grams` (token windows), `n_dup_grams` (windows
+    * whose gram occurs in ≥ 2 docs), `n_owned_dup` (dup windows this
+    * doc canonically owns — subtract to get what a remove-all-but-one
+    * pass would cut), `dup_frac` (= n_dup_grams/n_grams, the fraction
+    * Lee et al. threshold on; +1e-12 before rounding — 2^k gram counts
+    * land exact decimal ties on the 7th digit, the PageRank tie-break
+    * idiom).
+    */
+  def crossDocSpanStats(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 8, sep: String = " "): DataFrame = {
+    val marked = markedGrams(df, textCol, idCol, n, sep)
+      .groupBy(col("g"), col("id"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("ndocs")).as("ndocs"), first(col("owner")).as("owner"))
+    val dup = when(col("ndocs") > 1, col("cnt"))
+    marked.groupBy(col("id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        coalesce(sum(dup), lit(0L)).as("n_dup_grams"),
+        coalesce(sum(when(col("ndocs") > 1 && col("owner") === col("id"),
+          col("cnt"))), lit(0L)).as("n_owned_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams") + lit(1e-12), 6))
+  }
+
+  /** Shared stage of [[crossDocSpanStats]] / [[crossDocSpanDedup]]:
+    * every rolling n-gram window as (id, pos, g) with its cross-corpus
+    * `ndocs` (distinct docs containing the gram) and `owner` (min doc
+    * id) attached. One exchange on the fingerprint serves the
+    * per-(g, id) first-row marker AND both per-gram windows.
+    */
+  private def markedGrams(df: DataFrame, textCol: String, idCol: String,
+                          n: Int, sep: String): DataFrame = {
+    require(n >= 2, s"span n-grams need n >= 2, got $n")
+    val t = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - n),
+        // unit-separator join: ("ab","c") and ("a","bc") fingerprint apart
+        i => struct(i.as("pos"),
+          xxhash64(array_join(slice(col("t"), i + 1, lit(n)), "")).as("g"))))
+        .as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .repartition(col("g")) // ONE exchange: serves the windows below
+    // ndocs per gram = count of DISTINCT docs, computed as a windowed sum
+    // over a per-(g, id) first-occurrence marker — no aggregate+join
+    // round trip, everything rides the single fingerprint exchange
+    val wg = Window.partitionBy(col("g"))
+    val wgi = Window.partitionBy(col("g"), col("id"))
+    grams
+      .withColumn("__first", when(row_number().over(
+        wgi.orderBy(col("pos"))) === 1, 1L).otherwise(0L))
+      .withColumn("ndocs", sum(col("__first")).over(wg))
+      .withColumn("owner", min(col("id")).over(wg))
+      .drop("__first")
+  }
+
+  /** Cross-document span REMOVAL — the apply half of
+    * [[crossDocSpanStats]] (Lee et al. 2022 exact-substring dedup):
+    * every token window shared with another document is deleted from
+    * every NON-OWNER document (the min-id owner keeps its text intact),
+    * so each shared passage survives exactly once in the corpus.
+    *
+    * Pure dataflow, linear at every step: non-owned duplicated windows
+    * explode to their covered token positions (a constant factor n per
+    * window — no quadratic term, no per-doc interval fold), distinct
+    * them, anti-join against the posexploded tokens, and reassemble in
+    * order with the [[firstOccurrenceDedup]] sort-collect idiom. The
+    * doc-id repartition lands BEFORE the token posexplode so that
+    * exchange carries each document once, and the final right join picks
+    * up short/fully-covered documents.
+    *
+    * Output: idCol (as `id`), `text_dedup` (sep-rejoined survivors; the
+    * empty string when every token was covered), `n_tokens`,
+    * `n_removed`. Documents shorter than n tokens pass through unchanged
+    * (no window, hence nothing shared). Like the stats form, counts are
+    * exact — no sampling, no DF cap — and aggregation state per group is
+    * bounded by document length.
+    */
+  def crossDocSpanDedup(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 8, sep: String = " "): DataFrame = {
+    val covered = markedGrams(df, textCol, idCol, n, sep)
+      .filter(col("ndocs") > 1 && col("owner") =!= col("id"))
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .repartition(col("id")) // before the explode: docs move, not tokens
+      .select(col("id"), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "tpos").withColumnRenamed("col", "tok")
+    toks
+      .join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok")),
+          sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+      .join(toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens")),
+        Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 }

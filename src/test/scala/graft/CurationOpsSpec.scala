@@ -199,6 +199,68 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(wh("small")._2 == 1.0 && wh("big")._2 < 1.0)
   }
 
+  test("crossDocSpanStats: shared windows, ownership, multiplicity, short docs, 2 exchanges") {
+    val docs = Seq(
+      (1L, "p q r s t"),          // owns the shared "p q r"
+      (2L, "x y p q r"),          // shares it, doesn't own it
+      (3L, "m n o a b"),          // nothing shared
+      (4L, "u v w u v w u v"),    // repeats "u v w" twice, shared with doc 5
+      (5L, "u v w z z"),
+      (6L, "a b")                 // shorter than n: no window, absent
+    ).toDF("doc_id", "text")
+    val df = Curation.crossDocSpanStats(docs, "text", "doc_id", n = 3)
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(!out.contains(6L))
+    assert(out(1L) == ((3L, 1L, 1L, 0.333333)))
+    assert(out(2L) == ((3L, 1L, 0L, 0.333333)))
+    assert(out(3L) == ((3L, 0L, 0L, 0.0)))
+    // both of doc 4's "u v w" windows count; its intra-doc-only repeats
+    // ("v w u", "w u v") do not — cross-doc means >= 2 distinct docs
+    assert(out(4L) == ((6L, 2L, 2L, 0.333333)))
+    assert(out(5L) == ((3L, 1L, 0L, 0.333333)))
+    // one exchange serves the gram aggregate + window; one re-groups by doc
+    // (count the AQE final-plan section only — the string repeats the
+    // initial plan below it)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("crossDocSpanDedup removes non-owned shared windows; owner and short docs intact") {
+    val docs = Seq(
+      (1L, "p q r s t"),          // owner of the shared "p q r"
+      (2L, "x y p q r"),          // loses its copy
+      (3L, "m n o a b"),          // untouched
+      (4L, "u v w u v w u v"),    // owner; intra-doc repeats untouched
+      (5L, "u v w z z"),          // loses "u v w"
+      (6L, "a b"),                // shorter than n: passes through
+      (7L, "p q r"),              // fully covered -> empty string, not absent
+      (8L, "a1 a2 a3 a4 a5 a6"),  // owner of three overlapping windows
+      (9L, "z a1 a2 a3 a4 a5")    // overlapping covered spans union to 1..5
+    ).toDF("doc_id", "text")
+    val out = Curation.crossDocSpanDedup(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("p q r s t", 5L, 0L)))
+    assert(out(2L) == (("x y", 5L, 3L)))
+    assert(out(3L) == (("m n o a b", 5L, 0L)))
+    assert(out(4L) == (("u v w u v w u v", 8L, 0L)))
+    assert(out(5L) == (("z z", 5L, 3L)))
+    assert(out(6L) == (("a b", 2L, 0L)))
+    assert(out(7L) == (("", 3L, 3L)))
+    assert(out(8L) == (("a1 a2 a3 a4 a5 a6", 6L, 0L)))
+    assert(out(9L) == (("z", 6L, 5L)))
+    assert(out.size == 9)
+    // corpus-level guarantee: every shared window survives exactly once —
+    // re-running stats on the deduped corpus finds nothing cross-doc
+    val redo = Curation.crossDocSpanStats(
+      Curation.crossDocSpanDedup(docs, "text", "doc_id", n = 3)
+        .select(col("id").as("doc_id"), col("text_dedup").as("text")),
+      "text", "doc_id", n = 3)
+    assert(redo.filter(col("n_dup_grams") > 0).count() == 0)
+  }
+
   test("unigramLogProb: exact on a hand-computed corpus; boilerplate outscores rare text") {
     // corpus: tokens a,a,a,b → p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
