@@ -68,6 +68,8 @@ object Plans {
       "In-plan model inference: features and sigmoid are one WholeStageCodegen span over the scan — scoring a corpus with a compiled-in model is zero-Exchange at any size.",
     "q_gram_matrix" ->
       "Gram matrix: one flat-buffer gram_agg per partition (partial ObjectHashAggregate below the exchange) — the shuffle carries a single ~17 KB moment blob per partition regardless of row count; the k^2 entry rows only exist AFTER the final merge, in the explode of the one result row.",
+    "q_crossdoc_spans" ->
+      "Cross-doc span stats: rolling-gram fingerprints are scan-stage expressions; ONE fingerprint exchange serves the (gram, doc) aggregate and both ownership windows; the doc re-group is the only other shuffle — linear rows at every stage, never pair fan-out.",
     "q_session_window" ->
       "Native session windows: Spark's MergingSessions operator above a PER-PARTITION sort (Sort [...], false — never a rangepartitioning global sort); ONE exchange hash-partitioned on user_id with a partial HashAggregate below it, so session fragments combine map-side and parallelism scales with users. The per-partition sort is the operator's honest cost (MergingSessions needs (user, start)-ordered input); Sessionize.byGap (q_sessionize) pays the same shape — one exchange + one sort — for its lag/cumsum windows, so there is no cheaper formulation to switch to, and the native form also merges the pre-shuffle partial sessions.")
 

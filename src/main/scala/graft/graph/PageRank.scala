@@ -68,8 +68,14 @@ object PageRank {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(deg, "__src")
       .localCheckpoint()
+    // the dangling marker is joined ONCE at init and then rides the rank
+    // vector through every update, so the per-iteration dangling-mass
+    // term is a flat 1-row aggregate over the already-materialized
+    // checkpoint — no anti join against the degree table per round
     var ranks = nodes.select(col(nodeCol).as("node")).crossJoin(n1)
-      .select(col("node"), (lit(1.0) / col("__N")).as("r"))
+      .join(deg.select(col("__src")), col("node") === col("__src"), "left")
+      .select(col("node"), (lit(1.0) / col("__N")).as("r"),
+        col("__src").isNull.as("__dang"))
       .localCheckpoint()
     var it = 0
     var converged = false
@@ -77,14 +83,12 @@ object PageRank {
       val contrib = ranks.join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("r") / col("__deg")).as("__s"))
-      // dangling mass: summed rank of nodes with no out-edge — a 1-row
-      // aggregate (anti join against the degree table) cross-joined into
-      // the update, never collected
+      // dangling mass: summed rank of flagged nodes — a 1-row aggregate
+      // cross-joined into the update, never collected
       val extra = if (redistributeDangling)
-        ranks.join(deg, col("node") === col("__src"), "left_anti")
-          .agg(coalesce(sum(col("r")), lit(0.0)).as("__D"))
+        ranks.agg(coalesce(sum(when(col("__dang"), col("r"))), lit(0.0)).as("__D"))
       else null
-      val base = ranks.select(col("node"), col("r").as("__prev"))
+      val base = ranks.select(col("node"), col("r").as("__prev"), col("__dang"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(n1)
       val withD = if (redistributeDangling) base.crossJoin(extra) else base
@@ -95,7 +99,7 @@ object PageRank {
       // check is a cheap aggregate over the materialized generation
       val updated = withD.select(col("node"),
           ((lit(1.0 - damping) / col("__N")) + lit(damping) * inflow).as("r"),
-          col("__prev"))
+          col("__dang"), col("__prev"))
         .localCheckpoint()
       if (tolerance > 0.0)
         converged = updated.agg(sum(abs(col("r") - col("__prev"))))
