@@ -638,6 +638,34 @@ object SparkEntry {
     }
   }
 
+  /** PQ encoding of the corpus ([[graft.similarity.Pq]]): m=8 subspaces,
+    * k=16 codes each, sampled deterministic codebook (iters=0 — the
+    * k lowest-id vectors' slices, which the DuckDB oracle replays
+    * exactly: with no Lloyd step the centroids are whole-vector slices,
+    * so the oracle's distance terms index the full 64-dim arrays
+    * directly). Output: codes (8 ints = the stored form, an 8-byte
+    * representation of a 256-byte vector) + exact reconstruction error. */
+  private def qPqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb)
+  }
+
+  /** ADC top-10 under the same codebook: the query (vec 0) builds one
+    * 8×16 lookup table; every stored vector's approximate distance is an
+    * 8-lookup fold over its CODES — the scan never touches the float
+    * vectors, which is the whole point of PQ at scale. */
+  private def qPqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(graft.similarity.Similarity.toDouble(col("embedding")))
+      .head.getSeq[Double](0)
+    graft.similarity.Pq.adcTopK(
+      graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb),
+      "vec_id", cb, q, topK = 10)
+  }
+
   // ---------------------------------------------------------------------
   // Batch 5 — breadth: percentiles, string/date/array functions, cube.
   // ---------------------------------------------------------------------
@@ -2391,6 +2419,8 @@ object SparkEntry {
     "q_salted_join"    -> (qSaltedJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_ann_ivf"        -> (qAnnIvf _),
+    "q_pq_encode"      -> (qPqEncode _),
+    "q_pq_adc"         -> (qPqAdc _),
     "q_text_stats"     -> (qTextStats _),
     "q_lang_id"        -> (qLangId _),
     "q_dedup_exact"    -> (qDedupExact _),
@@ -2486,6 +2516,35 @@ object SparkEntry {
     * sketch's recall AND the verifier's arithmetic. Shingle construction
     * mirrors WordShingles (distinct word 3-grams; whole text when < 3
     * words) — same CTE as the q_ngram_verify oracle. */
+  /** The PQ pipeline replayed relationally (for q_pq_encode / q_pq_adc):
+    * iters=0 centroids ARE the k=16 lowest-id vectors, so subspace
+    * distances index the full 64-dim arrays — one generated UNION ALL
+    * block per subspace with the 8 squared-difference terms written out
+    * left-associated, matching the Spark fold's summation order
+    * bit-for-bit. Argmin tiebreak = lowest code (row_number over
+    * (d, code)), mirroring array_position's first-occurrence rule.
+    */
+  private val PqDistBlocks: String = (0 until 8).map { s =>
+    val terms = (1 to 8).map { j =>
+      val i = s * 8 + j
+      s"(v.e[$i] - sd.c[$i]) * (v.e[$i] - sd.c[$i])"
+    }.mkString(" + ")
+    s"SELECT v.vec_id, $s AS s, sd.code, $terms AS d FROM ve v CROSS JOIN seed sd"
+  }.mkString("\n        UNION ALL ")
+
+  private val PqCte: String = s"""
+      WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+      seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e AS c
+               FROM ve ORDER BY vec_id LIMIT 16),
+      dists AS (
+        $PqDistBlocks),
+      chosen AS (
+        SELECT vec_id, s, code, d FROM (
+          SELECT vec_id, s, code, d,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+          FROM dists) WHERE rn = 1)"""
+
   private val PairJaccardOracle = """
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -2871,6 +2930,15 @@ object SparkEntry {
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_pq_encode" -> s"""$PqCte
+      SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes,
+        round(sum(d) + 1e-12, 6) AS recon_err
+      FROM chosen GROUP BY 1""",
+    "q_pq_adc" -> s"""$PqCte,
+      qd AS (SELECT s, code, d FROM dists WHERE vec_id = 0)
+      SELECT c.vec_id, round(sum(q.d) + 1e-12, 6) AS adc_dist
+      FROM chosen c JOIN qd q ON c.s = q.s AND c.code = q.code
+      GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""",
     "q_ann_lsh" -> AnnLshOracle,
     "q_pack" -> """
       WITH t AS (SELECT lang, doc_id,

@@ -1,0 +1,149 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the compressed-vector leg of the ANN
+  * stack beside [[Ivf]] (cell pruning) and `Similarity.lshTopK`
+  * (hash pruning): split each d-dim vector into `m` subvectors, learn a
+  * `k`-entry codebook per subspace, store each vector as m small codes
+  * (m bytes at k=256 — a 256x compression of a 64-dim float vector), and
+  * answer queries with asymmetric distance computation (ADC): one
+  * m×k lookup table per query, one table-lookup fold per stored code.
+  *
+  * Scale shape mirrors Ivf: the codebook is k·d doubles total — it lives
+  * driver-side and ships into plans as ONE Catalyst literal, so encoding
+  * is a zero-shuffle scan-stage expression (argmin per subspace over the
+  * literal), and ADC search reads ONLY the m-byte codes plus one literal
+  * table — the whole point at 100 TB, where the float vectors no longer
+  * fit the scan budget. Training follows [[Ivf.trainCentroids]]:
+  * deterministic init from the k lowest-id vectors' subvector slices
+  * (`iters = 0` keeps exactly that sampled codebook — fully
+  * deterministic, DuckDB-replicable, and standard practice since PQ
+  * codebooks are always trained on a small sample); each optional
+  * Lloyd iteration is one scan + a (subspace, code)-sized aggregate,
+  * collecting only m·k centroid rows.
+  */
+object Pq {
+
+  /** cents(s)(c) is the dsub-dim centroid of code c in subspace s. */
+  final case class Codebook(m: Int, k: Int, dsub: Int,
+                            cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) {
+    require(cents.length == m && cents.forall(_.length == k)
+      && cents.forall(_.forall(_.length == dsub)), "codebook shape mismatch")
+  }
+
+  /** The whole codebook as one 3-D array literal (the [[Ivf.assignCell]]
+    * discipline: a single Literal in the codegen references array, not
+    * m·k·dsub inlined doubles janino must recompile per codebook).
+    */
+  private def lit3d(cb: Codebook): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    org.apache.spark.sql.graft.bridge.toColumn(CatLit.create(
+      cb.cents.map(_.map(_.toArray).toArray).toArray,
+      ArrayType(ArrayType(ArrayType(DoubleType, false), false), false)))
+  }
+
+  /** Per-subspace squared-L2 distances of `emb`'s s-th slice to the k
+    * centroids. foldLeft accumulation starting at +0.0 keeps the term
+    * order fixed, so the sum is bit-reproducible across engines.
+    */
+  private def subDists(emb: Column, L: Column, dsub: Int)(s: Column): Column =
+    transform(element_at(L, s + 1), c =>
+      aggregate(zip_with(slice(emb, s * dsub + 1, lit(dsub)), c,
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  /** Scan-stage encoder: array of m codes (argmin per subspace; first
+    * occurrence wins ties, so encoding is deterministic like
+    * [[Ivf.assignCell]]).
+    */
+  def encodeCol(emb: Column, cb: Codebook): Column = {
+    val d = subDists(emb, lit3d(cb), cb.dsub) _
+    transform(sequence(lit(0), lit(cb.m - 1)), s =>
+      (array_position(d(s), array_min(d(s))) - 1).cast("int"))
+  }
+
+  /** (id, codes, recon_err): the stored representation plus the exact
+    * squared-L2 reconstruction error of the chosen codes — zero-shuffle,
+    * one codegen span over the scan.
+    */
+  def encode(df: DataFrame, embCol: String, idCol: String,
+             cb: Codebook): DataFrame = {
+    val emb = Similarity.toDouble(col(embCol))
+    val d = subDists(emb, lit3d(cb), cb.dsub) _
+    df.select(col(idCol),
+      encodeCol(emb, cb).as("codes"),
+      round(aggregate(transform(sequence(lit(0), lit(cb.m - 1)),
+        s => array_min(d(s))), lit(0.0), _ + _) + lit(1e-12), 6).as("recon_err"))
+  }
+
+  /** Deterministic training. `iters = 0` (the oracle-pinned default) is
+    * the sampled codebook: subvector slices of the k lowest-id vectors,
+    * code order = id order. Each extra iteration is one Lloyd step —
+    * assign every vector in the scan stage, average the assigned slices
+    * per (subspace, code) (a ≤ m·k-row aggregate), empty cells keep
+    * their centroid.
+    */
+  def train(df: DataFrame, embCol: String, idCol: String,
+            m: Int, k: Int, iters: Int = 0): Codebook = {
+    val data = df.select(col(idCol).as("__id"),
+      Similarity.toDouble(col(embCol)).as("__e"))
+    val seed = data.orderBy(col("__id")).limit(k).select(col("__e")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    require(seed.length == k, s"need at least $k vectors to seed, got ${seed.length}")
+    val dim = seed.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    var cb = Codebook(m, k, dsub, (0 until m).map(s =>
+      seed.toIndexedSeq.map(v => v.slice(s * dsub, (s + 1) * dsub))))
+
+    (0 until iters).foreach { _ =>
+      val means = data
+        .select(posexplode(encodeCol(col("__e"), cb)).as(Seq("s", "code")), col("__e"))
+        .select(col("s"), col("code"),
+          slice(col("__e"), col("s") * dsub + 1, lit(dsub)).as("sub"))
+        .groupBy(col("s"), col("code"))
+        .agg(array((0 until dsub).map(j =>
+          avg(element_at(col("sub"), j + 1))): _*).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      cb = Codebook(m, k, dsub, (0 until m).map(s => (0 until k).map(c =>
+        means.getOrElse((s, c), cb.cents(s)(c)))))
+    }
+    cb
+  }
+
+  /** ADC top-k: the query builds one m×k table of partial squared
+    * distances driver-side; each stored vector's approximate distance is
+    * an m-lookup fold over its CODES — the float vectors are never read.
+    * Ties broken by id; `adc_dist` rounded like the encoder.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, cb: Codebook,
+              query: Seq[Double], topK: Int): DataFrame = {
+    require(query.length == cb.m * cb.dsub,
+      s"query dim ${query.length} != ${cb.m * cb.dsub}")
+    val table: IndexedSeq[IndexedSeq[Double]] = (0 until cb.m).map { s =>
+      val sub = query.slice(s * cb.dsub, (s + 1) * cb.dsub)
+      (0 until cb.k).map { c =>
+        cb.cents(s)(c).zip(sub).foldLeft(0.0) { case (acc, (y, x)) =>
+          acc + (x - y) * (x - y) }
+      }
+    }
+    val T = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      org.apache.spark.sql.graft.bridge.toColumn(CatLit.create(
+        table.map(_.toArray).toArray,
+        ArrayType(ArrayType(DoubleType, false), false)))
+    }
+    encoded.select(col(idCol),
+      round(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(T, s + 1),
+          element_at(col("codes"), s + 1) + 1)) + lit(1e-12), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+}

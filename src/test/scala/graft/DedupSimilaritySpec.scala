@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 
 class DedupSimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -311,6 +311,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val gPairs = guarded.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!gPairs.contains((0L, 9L)) && gPairs.contains((0L, 1L)), gPairs)
+  }
+
+  test("Pq: seed self-reconstruction, code ranges, Lloyd monotonicity, ADC self-rank") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb0 = Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    assert(cb0.m == 8 && cb0.k == 16 && cb0.dsub == 8)
+    val enc = Pq.encode(emb, "embedding", "vec_id", cb0).cache()
+    val rows = enc.collect()
+    assert(rows.forall { r =>
+      val c = r.getSeq[Int](1); c.length == 8 && c.forall(x => x >= 0 && x < 16) })
+    // a seed vector is its own codeword: vec 0 encodes to (0,...,0), error 0
+    val v0 = rows.find(_.getLong(0) == 0L).get
+    assert(v0.getSeq[Int](1).forall(_ == 0) && v0.getDouble(2) == 0.0)
+    // one Lloyd step never increases total reconstruction error
+    val cb1 = Pq.train(emb, "embedding", "vec_id", m = 8, k = 16, iters = 1)
+    def totErr(cb: Pq.Codebook): Double =
+      Pq.encode(emb, "embedding", "vec_id", cb)
+        .agg(sum(col("recon_err"))).head.getDouble(0)
+    assert(totErr(cb1) <= totErr(cb0) + 1e-6, s"${totErr(cb1)} vs ${totErr(cb0)}")
+    // ADC: the query vector ranks itself first at distance 0, and the
+    // approximate top-10 overlaps the exact squared-L2 top-10
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0).toIndexedSeq
+    val adc = Pq.adcTopK(enc, "vec_id", cb0, qv, topK = 10).collect()
+    assert(adc.head.getLong(0) == 0L && adc.head.getDouble(1) == 0.0)
+    assert(adc.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+    val qlit = array(qv.map(lit): _*)
+    val exact = emb.select(col("vec_id"),
+        aggregate(zip_with(Similarity.toDouble(col("embedding")), qlit,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adc.map(_.getLong(0)).count(exact) >= 3, adc.mkString(","))
+    enc.unpersist()
   }
 
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
