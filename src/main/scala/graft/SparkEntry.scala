@@ -666,6 +666,23 @@ object SparkEntry {
       "vec_id", cb, q, topK = 10)
   }
 
+  /** IVF-PQ composition: 8 sampled coarse cells (Ivf iters=0 — the 8
+    * lowest-id vectors, relationally replayable like the PQ codebook)
+    * prune to the 4 cells nearest the query; ADC over codes ranks the
+    * survivors. The oracle replays coarse assignment (64 generated
+    * left-associated terms), probe selection, and the ADC join. */
+  private def qAnnIvfpq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val coarse = graft.similarity.Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 8, iters = 0)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(graft.similarity.Similarity.toDouble(col("embedding")))
+      .head.getSeq[Double](0)
+    graft.similarity.Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb, q,
+      topK = 10, nProbe = 4)
+  }
+
   // ---------------------------------------------------------------------
   // Batch 5 — breadth: percentiles, string/date/array functions, cube.
   // ---------------------------------------------------------------------
@@ -2421,6 +2438,7 @@ object SparkEntry {
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
+    "q_ann_ivfpq"      -> (qAnnIvfpq _),
     "q_text_stats"     -> (qTextStats _),
     "q_lang_id"        -> (qLangId _),
     "q_dedup_exact"    -> (qDedupExact _),
@@ -2544,6 +2562,12 @@ object SparkEntry {
           SELECT vec_id, s, code, d,
             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
           FROM dists) WHERE rn = 1)"""
+
+  /** Coarse-cell distance terms for q_ann_ivfpq — the full 64-dim
+    * left-associated sum, matching Ivf.assignCell's zip_with fold. */
+  private val IvfPqCoarseTerms: String =
+    (1 to 64).map(i => s"(v.e[$i] - co.c[$i]) * (v.e[$i] - co.c[$i])")
+      .mkString(" + ")
 
   private val PairJaccardOracle = """
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -2939,6 +2963,25 @@ object SparkEntry {
       SELECT c.vec_id, round(sum(q.d) + 1e-12, 6) AS adc_dist
       FROM chosen c JOIN qd q ON c.s = q.s AND c.code = q.code
       GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""",
+    "q_ann_ivfpq" -> s"""$PqCte,
+      coarse AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+                 FROM ve ORDER BY vec_id LIMIT 8),
+      cdists AS (SELECT v.vec_id, co.cell, $IvfPqCoarseTerms AS d
+                 FROM ve v CROSS JOIN coarse co),
+      assign AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM cdists) WHERE rn = 1),
+      probes AS (SELECT cell FROM (
+          SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
+          FROM cdists WHERE vec_id = 0) WHERE rn <= 4),
+      qd AS (SELECT s, code, d FROM dists WHERE vec_id = 0)
+      SELECT c.vec_id AS vec_id, round(sum(q.d) + 1e-12, 6) AS adc_dist
+      FROM chosen c
+      JOIN qd q ON c.s = q.s AND c.code = q.code
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN probes p ON a.cell = p.cell
+      GROUP BY 1 ORDER BY adc_dist, c.vec_id LIMIT 10""",
     "q_ann_lsh" -> AnnLshOracle,
     "q_pack" -> """
       WITH t AS (SELECT lang, doc_id,

@@ -116,13 +116,13 @@ object Pq {
     cb
   }
 
-  /** ADC top-k: the query builds one m×k table of partial squared
-    * distances driver-side; each stored vector's approximate distance is
-    * an m-lookup fold over its CODES — the float vectors are never read.
-    * Ties broken by id; `adc_dist` rounded like the encoder.
+  /** The rounded ADC distance of a codes column under the query's m×k
+    * lookup table (built driver-side with the same left-associated
+    * summation as [[subDists]], so literals match the in-plan arithmetic
+    * bit-for-bit).
     */
-  def adcTopK(encoded: DataFrame, idCol: String, cb: Codebook,
-              query: Seq[Double], topK: Int): DataFrame = {
+  private def adcDistCol(codes: Column, cb: Codebook,
+                         query: Seq[Double]): Column = {
     require(query.length == cb.m * cb.dsub,
       s"query dim ${query.length} != ${cb.m * cb.dsub}")
     val table: IndexedSeq[IndexedSeq[Double]] = (0 until cb.m).map { s =>
@@ -139,10 +139,48 @@ object Pq {
         table.map(_.toArray).toArray,
         ArrayType(ArrayType(DoubleType, false), false)))
     }
+    round(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(T, s + 1),
+        element_at(codes, s + 1) + 1)) + lit(1e-12), 6)
+  }
+
+  /** ADC top-k: the query builds one m×k table of partial squared
+    * distances driver-side; each stored vector's approximate distance is
+    * an m-lookup fold over its CODES — the float vectors are never read.
+    * Ties broken by id; `adc_dist` rounded like the encoder.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, cb: Codebook,
+              query: Seq[Double], topK: Int): DataFrame =
     encoded.select(col(idCol),
-      round(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
-        acc + element_at(element_at(T, s + 1),
-          element_at(col("codes"), s + 1) + 1)) + lit(1e-12), 6).as("adc_dist"))
+        adcDistCol(col("codes"), cb, query).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+
+  /** IVF-PQ (the production ANN composition — FAISS "IVF,PQ"): coarse
+    * cells prune the candidate set, ADC over codes ranks what remains.
+    * The scan-side work per row is one coarse argmin + (for surviving
+    * rows) the code encode; stored as (cell_id, codes) and written
+    * partitioned by cell_id, the probe filter becomes partition pruning
+    * and search reads nProbe/nCells of the codes — nothing else.
+    * No-residual variant (codes quantize raw vectors, not cell
+    * residuals): one shared codebook, one encode, replayable
+    * relationally; residual encoding buys finer cells at the cost of a
+    * per-cell table build per query.
+    */
+  def ivfPqTopK(df: DataFrame, embCol: String, idCol: String,
+                coarse: Seq[Ivf.Centroid], cb: Codebook,
+                query: Seq[Double], topK: Int, nProbe: Int): DataFrame = {
+    val probes = coarse
+      .map(c => c.cellId -> c.values.zip(query).foldLeft(0.0) {
+        case (acc, (y, x)) => acc + (x - y) * (x - y) })
+      .sortBy { case (id, d) => (d, id) }
+      .take(nProbe).map(_._1)
+    val emb = Similarity.toDouble(col(embCol))
+    df.select(col(idCol), emb.as("__e"))
+      .withColumn("cell_id", Ivf.assignCell(col("__e"), coarse))
+      .filter(col("cell_id").isin(probes: _*))
+      .select(col(idCol), encodeCol(col("__e"), cb).as("codes"))
+      .select(col(idCol), adcDistCol(col("codes"), cb, query).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(topK)
   }

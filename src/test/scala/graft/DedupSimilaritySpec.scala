@@ -344,6 +344,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy(col("d2"), col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     assert(adc.map(_.getLong(0)).count(exact) >= 3, adc.mkString(","))
+    // IVF-PQ: with the query's own cell probed, the composition still
+    // self-ranks vec 0 first at 0, stays sorted, and returns only rows
+    // whose full-ADC distance it reproduces exactly (same codes path)
+    val coarse = graft.similarity.Ivf.trainCentroids(
+      emb, "embedding", "vec_id", nCells = 8, iters = 0)
+    val ivfpq = Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb0, qv,
+      topK = 10, nProbe = 4).collect()
+    assert(ivfpq.head.getLong(0) == 0L && ivfpq.head.getDouble(1) == 0.0)
+    assert(ivfpq.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+    val fullAdc = Pq.adcTopK(enc, "vec_id", cb0, qv, topK = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivfpq.forall(r => fullAdc(r.getLong(0)) == r.getDouble(1)))
     enc.unpersist()
   }
 
