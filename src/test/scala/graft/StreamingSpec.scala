@@ -184,6 +184,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PQ encode on a stream: offline-trained codebook, streaming ingest path") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the serving shape: codebook trained on the batch corpus, applied
+    // as the same scan-stage expression to vectors arriving on a stream
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val sample = emb.limit(5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val encoded = mem.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.similarity.Pq.encodeCol(
+        graft.similarity.Similarity.toDouble(col("embedding")), cb).as("codes"))
+    val q = encoded.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT vec_id, codes FROM pq_stream")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = graft.similarity.Pq.encode(emb.limit(5), "embedding", "vec_id", cb)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batch && streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("partitionOverwriteSink: replayed partitions converge instead of duplicating") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
