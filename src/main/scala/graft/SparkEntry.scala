@@ -1015,6 +1015,13 @@ object SparkEntry {
         Tables.documents(s, d), "text", "doc_id", n = 8)
       .withColumnRenamed("id", "doc_id")
 
+  /** The Gopher rule battery ([[graft.text.Gopher.flags]]) over the
+    * corpus: per-doc word/length/symbol/stopword/dup-line/top-bigram
+    * metrics plus the conjunction pass flag — one codegen span, zero
+    * shuffles. */
+  private def qGopherFlags(s: SparkSession, d: String): DataFrame =
+    graft.text.Gopher.flags(Tables.documents(s, d), "text", "doc_id")
+
   /** Regexp capture groups: split Customer#NNN names into parts. */
   private def qRegexpExtract(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -2423,6 +2430,7 @@ object SparkEntry {
     "q_sas_labels"     -> (qSasLabels _),
     "q_crossdoc_spans" -> (qCrossdocSpans _),
     "q_crossdoc_dedup" -> (qCrossdocDedup _),
+    "q_gopher_flags"   -> (qGopherFlags _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_null_fns"       -> (qNullFns _),
     "q_histogram"      -> (qHistogram _),
@@ -3011,6 +3019,41 @@ object SparkEntry {
         COALESCE(CAST(nullif(n_regionkey, 0) AS BIGINT), -1) AS region_patched,
         n_regionkey IS NOT DISTINCT FROM 2 AS is_region_2
       FROM nation""",
+    "q_gopher_flags" -> """
+      WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t,
+          string_split(lower(text), ' ') AS tl,
+          string_split(text, chr(10)) AS ls
+        FROM documents),
+      big AS (
+        SELECT doc_id, u.g AS g
+        FROM (SELECT doc_id,
+                CASE WHEN len(tl) < 2 THEN [lower(text)]
+                     ELSE list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1]) END AS gs
+              FROM base) b, UNNEST(b.gs) AS u(g)),
+      topb AS (
+        SELECT doc_id, g, count(*) AS c,
+          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+        FROM big GROUP BY doc_id, g),
+      top1 AS (SELECT doc_id, g, c FROM topb WHERE rn = 1),
+      metrics AS (
+        SELECT b.doc_id AS doc_id,
+          CAST(len(t) AS BIGINT) AS n_words,
+          round((len(text) - (len(t) - 1)) * 1.0 / len(t) + 1e-12, 6) AS mean_word_len,
+          round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(t) + 1e-12, 6) AS alpha_word_frac,
+          CAST(len(list_intersect(list_distinct(tl),
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits,
+          round(((len(text) - len(replace(text, '#', '')))
+            + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0 / len(t) + 1e-12, 6) AS symbol_word_ratio,
+          round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
+          round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
+        FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)
+      SELECT *,
+        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND alpha_word_frac >= 0.8 AND stopword_hits >= 2
+          AND symbol_word_ratio <= 0.1 AND dup_line_frac <= 0.3
+          AND top_bigram_char_frac <= 0.2) AS gopher_pass
+      FROM metrics""",
     "q_crossdoc_dedup" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       grams AS (

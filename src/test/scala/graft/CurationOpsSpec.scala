@@ -261,6 +261,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(redo.filter(col("n_dup_grams") > 0).count() == 0)
   }
 
+  test("Gopher flags: each rule fails on its crafted violator, passes the healthy doc") {
+    val healthy = (("the quick brown fox jumps right over that lazy sleeping dog " +
+      "and every person living near with them watched quietly from their porch ") * 5).trim
+    val docs = Seq(
+      (1L, healthy),                                     // all rules pass
+      (2L, "way too short to keep"),                     // n_words < 50
+      (3L, ("spam ham " * 40).trim),                     // top-bigram mass ~0.89
+      (4L, (("## see more... " + healthy.split(" ").take(6).mkString(" ") + " ") * 10).trim),
+      (5L, (1 to 60).map(_ => "zz91 7&7*").mkString(" ")) // no stopwords, low alpha frac
+    ).toDF("doc_id", "text")
+    val out = graft.text.Gopher.flags(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"),
+      out(1L).toString) // 110 words, stopwords the/that/and/with, clean
+    assert(!out(2L).getAs[Boolean]("gopher_pass") && out(2L).getAs[Long]("n_words") == 5L)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("top_bigram_char_frac") > 0.85
+      && !d3.getAs[Boolean]("gopher_pass"), d3.toString)
+    assert(out(4L).getAs[Double]("symbol_word_ratio") > 0.1
+      && !out(4L).getAs[Boolean]("gopher_pass"))
+    val d5 = out(5L)
+    assert(d5.getAs[Long]("stopword_hits") == 0L
+      && d5.getAs[Double]("alpha_word_frac") == 0.5
+      && !d5.getAs[Boolean]("gopher_pass"), d5.toString)
+    // the battery is scan-stage only: no Exchange anywhere in the plan
+    val plan = graft.text.Gopher.flags(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("unigramLogProb: exact on a hand-computed corpus; boilerplate outscores rare text") {
     // corpus: tokens a,a,a,b → p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
