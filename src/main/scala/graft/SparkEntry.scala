@@ -916,6 +916,27 @@ object SparkEntry {
       bias = -1.5,
       stopwords = Seq("the", "a"))
 
+  /** Quality-canonical dedup ([[graft.dedup.Dedup.keepBest]]): the
+    * near-dup components of q_dedup_clusters, but each cluster keeps its
+    * HIGHEST-classifier-score member (ties → lowest id) instead of the
+    * min id — what a production pipeline actually keeps. Scores come
+    * from the q_classifier_score model over the matching documents. */
+  private def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.35)
+    val comp = graft.dedup.Dedup.clusters(
+      emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
+    val scores = graft.text.Curation.scoreLinear(
+        Tables.documents(s, d), "text", "doc_id",
+        weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
+          "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
+        bias = -1.5,
+        stopwords = Seq("the", "a"))
+      .select(col("doc_id").as("id"), col("quality_score").as("score"))
+    graft.dedup.Dedup.keepBest(comp, scores)
+  }
+
   /** Temperature-scaled source mixture (alpha = 0.5): per-source mix
     * weight and the down-sampling rate that realizes it. */
   private def qMixtureTemp(s: SparkSession, d: String): DataFrame =
@@ -2422,6 +2443,7 @@ object SparkEntry {
     "q_global_shuffle" -> (qGlobalShuffle _),
     "q_regression"     -> (qRegression _),
     "q_classifier_score" -> (qClassifierScore _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_mixture_temp"   -> (qMixtureTemp _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_range_join"     -> (qRangeJoin _),
@@ -2510,7 +2532,7 @@ object SparkEntry {
     * the driver sorts columns by name before hashing). */
   /** Shared by q_dedup_clusters and q_cluster_star: both algorithms must
     * land on the components of this recursive-CTE reachability. */
-  private val ClusterOracle = """
+  private val ClusterCte = """
       WITH RECURSIVE capped AS (
         SELECT * FROM embeddings
         QUALIFY count(*) OVER (PARTITION BY label) <= 1000
@@ -2530,7 +2552,9 @@ object SparkEntry {
         SELECT vec_id, vec_id FROM embeddings
         UNION
         SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-      )
+      )"""
+
+  private val ClusterOracle = s"""$ClusterCte
       SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
       FROM reach GROUP BY 1"""
 
@@ -3909,6 +3933,35 @@ object SparkEntry {
         TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
       FROM lineitem GROUP BY 1""",
     "q_dedup_clusters" -> ClusterOracle,
+    "q_dedup_keep_best" -> s"""$ClusterCte,
+      comp AS (
+        SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+        FROM reach GROUP BY 1),
+      feat AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents),
+      score AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
+            + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS score
+        FROM feat),
+      j AS (SELECT c.id AS id, c.cluster AS cluster, s.score AS score
+            FROM comp c JOIN score s ON c.id = s.id),
+      best AS (
+        SELECT cluster, id AS best_id FROM (
+          SELECT cluster, id,
+            row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS rn
+          FROM j) WHERE rn = 1)
+      SELECT j.id AS id, j.cluster AS cluster, j.score AS score,
+        j.id = b.best_id AS keep
+      FROM j JOIN best b ON j.cluster = b.cluster""",
     "q_dedup_ngram" -> """
       WITH t AS (SELECT lang, source, doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT lang, source, doc_id,

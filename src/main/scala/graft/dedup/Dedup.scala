@@ -542,6 +542,28 @@ object Dedup {
     comp.withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** Canonical selection by QUALITY: given near-dup components
+    * (id, cluster) and a per-id score, keep each cluster's best-scoring
+    * member, ties to the lowest id. Production dedup keeps the BEST copy
+    * of a duplicate neighborhood (highest classifier score, cleanest
+    * text), not the lowest-id one — the min-id `keep` of [[dedupCorpus]]
+    * is this operator's score-free degenerate case. Cost: one id join to
+    * attach scores plus one window over the cluster id, both on the
+    * component table (corpus-rowcount rows, two small columns); with
+    * scores rounded upstream, exact-duplicate members tie and the id
+    * break keeps the choice deterministic.
+    */
+  def keepBest(components: DataFrame, scores: DataFrame,
+               idCol: String = "id", clusterCol: String = "cluster",
+               scoreCol: String = "score"): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+    components.join(scores, idCol)
+      .withColumn("__best",
+        max_by(col(idCol), struct(col(scoreCol), negate(col(idCol)))).over(w))
+      .select(col(idCol), col(clusterCol), col(scoreCol),
+        (col(idCol) === col("__best")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for explicit candidate pairs —
     * the verify stage that LSH / blocking candidates feed at scale. Two
     * hash joins attach each side's (distinct) shingle array, then a

@@ -359,6 +359,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     enc.unpersist()
   }
 
+  test("keepBest keeps each cluster's top-scoring member, ties to lowest id") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1))
+      .toDF("id", "score")
+    val out = Dedup.keepBest(comp, scores).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // 2 and 3 tie at 0.9 -> lowest id wins; the min-id member 1 loses
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
+  }
+
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     // generate-from-shingles form, low threshold so several pairs survive
