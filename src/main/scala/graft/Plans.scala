@@ -68,6 +68,8 @@ object Plans {
       "In-plan model inference: features and sigmoid are one WholeStageCodegen span over the scan — scoring a corpus with a compiled-in model is zero-Exchange at any size.",
     "q_gram_matrix" ->
       "Gram matrix: one flat-buffer gram_agg per partition (partial ObjectHashAggregate below the exchange) — the shuffle carries a single ~17 KB moment blob per partition regardless of row count; the k^2 entry rows only exist AFTER the final merge, in the explode of the one result row.",
+    "q_pipeline_curation" ->
+      "End-to-end curation: gate + scoring + draw are scan-stage expressions; the corpus crosses an exchange only for the md5-canonical aggregate and its re-join; mixture rates are a source-cardinality aggregate broadcast back.",
     "q_crossdoc_spans" ->
       "Cross-doc span stats: rolling-gram fingerprints are scan-stage expressions; ONE fingerprint exchange serves the (gram, doc) aggregate and both ownership windows; the doc re-group is the only other shuffle — linear rows at every stage, never pair fan-out.",
     "q_session_window" ->

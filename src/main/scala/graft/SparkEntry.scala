@@ -937,11 +937,62 @@ object SparkEntry {
     graft.dedup.Dedup.keepBest(comp, scores)
   }
 
+  /** The curation pipeline end-to-end under ONE oracle: quality gate
+    * (the corpus-discriminating subset of the Gopher rules — length,
+    * top-bigram mass, dup lines; thresholds are corpus-tuned in practice
+    * and the synthetic corpus lacks Gopher's containment stopwords) →
+    * exact dedup (min-id canonical per md5) → classifier scoring →
+    * temperature-mixture sample rates over the CANONICAL survivors →
+    * deterministic md5-uniform draw. One row per gated doc with every
+    * decision the pipeline made; `kept` is the final verdict. Scale
+    * shape: the gate and scoring are scan-stage, dedup is one narrow
+    * md5 groupBy, rates are source-cardinality, the draw is
+    * per-row — the corpus shuffles exactly twice (md5 canon + its
+    * re-join). */
+  private def qPipelineCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gated = docs.join(
+        graft.text.Gopher.flags(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_words"), col("top_bigram_char_frac"),
+            col("dup_line_frac")),
+        "doc_id")
+      .filter(col("n_words") >= 50 && col("top_bigram_char_frac") <= 0.2
+        && col("dup_line_frac") <= 0.3)
+      .select(col("doc_id"), col("source"), col("text"))
+    val canon = gated.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("__canon"))
+    val ded = gated.join(canon, md5(col("text")) === col("__h"))
+      .withColumn("is_canonical", col("doc_id") === col("__canon"))
+    val rates = graft.text.Curation.temperatureWeights(
+        ded.filter(col("is_canonical")), "source", alpha = 0.5)
+      .select(col("source"), col("sample_rate"))
+    val scores = graft.text.Curation.scoreLinear(
+      docs, "text", "doc_id",
+      weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
+        "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
+      bias = -1.5, stopwords = Seq("the", "a"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    ded.join(scores, "doc_id").join(rates, "source")
+      .select(col("doc_id"), col("source"), col("is_canonical"),
+        col("quality_score"), col("sample_rate"),
+        round(u + lit(1e-12), 6).as("u_draw"),
+        (col("is_canonical") && u < col("sample_rate")).as("kept"))
+  }
+
   /** Temperature-scaled source mixture (alpha = 0.5): per-source mix
     * weight and the down-sampling rate that realizes it. */
   private def qMixtureTemp(s: SparkSession, d: String): DataFrame =
     graft.text.Curation.temperatureWeights(
       Tables.documents(s, d), "source", alpha = 0.5)
+
+  /** Token-budget allocation ([[graft.text.Curation.tokenBudget]]):
+    * distribute a 1M-token training budget over sources at alpha=0.5 —
+    * target tokens, epochs (repetition factor), capped sample rate. */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.tokenBudget(
+      Tables.documents(s, d), "source", "text", alpha = 0.5,
+      budgetTokens = 1000000L)
 
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram LM — the cheap perplexity-proxy quality signal. */
@@ -2445,6 +2496,8 @@ object SparkEntry {
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_mixture_temp"   -> (qMixtureTemp _),
+    "q_token_budget"   -> (qTokenBudget _),
+    "q_pipeline_curation" -> (qPipelineCuration _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
@@ -2594,6 +2647,39 @@ object SparkEntry {
           SELECT vec_id, s, code, d,
             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
           FROM dists) WHERE rn = 1)"""
+
+  /** The Gopher metric CTEs shared by q_gopher_flags and
+    * q_pipeline_curation (the per-rule SQL mirrors of
+    * [[graft.text.Gopher.flags]]'s expressions). */
+  private val GopherCte = """
+      WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t,
+          string_split(lower(text), ' ') AS tl,
+          string_split(text, chr(10)) AS ls
+        FROM documents),
+      big AS (
+        SELECT doc_id, u.g AS g
+        FROM (SELECT doc_id,
+                CASE WHEN len(tl) < 2 THEN [lower(text)]
+                     ELSE list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1]) END AS gs
+              FROM base) b, UNNEST(b.gs) AS u(g)),
+      topb AS (
+        SELECT doc_id, g, count(*) AS c,
+          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+        FROM big GROUP BY doc_id, g),
+      top1 AS (SELECT doc_id, g, c FROM topb WHERE rn = 1),
+      gmetrics AS (
+        SELECT b.doc_id AS doc_id,
+          CAST(len(t) AS BIGINT) AS n_words,
+          round((len(text) - (len(t) - 1)) * 1.0 / len(t) + 1e-12, 6) AS mean_word_len,
+          round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(t) + 1e-12, 6) AS alpha_word_frac,
+          CAST(len(list_intersect(list_distinct(tl),
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits,
+          round(((len(text) - len(replace(text, '#', '')))
+            + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0 / len(t) + 1e-12, 6) AS symbol_word_ratio,
+          round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
+          round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
+        FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)"""
 
   /** Coarse-cell distance terms for q_ann_ivfpq — the full 64-dim
     * left-associated sum, matching Ivf.assignCell's zip_with fold. */
@@ -3043,41 +3129,59 @@ object SparkEntry {
         COALESCE(CAST(nullif(n_regionkey, 0) AS BIGINT), -1) AS region_patched,
         n_regionkey IS NOT DISTINCT FROM 2 AS is_region_2
       FROM nation""",
-    "q_gopher_flags" -> """
-      WITH base AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t,
-          string_split(lower(text), ' ') AS tl,
-          string_split(text, chr(10)) AS ls
-        FROM documents),
-      big AS (
-        SELECT doc_id, u.g AS g
-        FROM (SELECT doc_id,
-                CASE WHEN len(tl) < 2 THEN [lower(text)]
-                     ELSE list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1]) END AS gs
-              FROM base) b, UNNEST(b.gs) AS u(g)),
-      topb AS (
-        SELECT doc_id, g, count(*) AS c,
-          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
-        FROM big GROUP BY doc_id, g),
-      top1 AS (SELECT doc_id, g, c FROM topb WHERE rn = 1),
-      metrics AS (
-        SELECT b.doc_id AS doc_id,
-          CAST(len(t) AS BIGINT) AS n_words,
-          round((len(text) - (len(t) - 1)) * 1.0 / len(t) + 1e-12, 6) AS mean_word_len,
-          round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(t) + 1e-12, 6) AS alpha_word_frac,
-          CAST(len(list_intersect(list_distinct(tl),
-            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits,
-          round(((len(text) - len(replace(text, '#', '')))
-            + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0 / len(t) + 1e-12, 6) AS symbol_word_ratio,
-          round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
-          round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
-        FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)
+    "q_gopher_flags" -> s"""$GopherCte
       SELECT *,
         (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
           AND alpha_word_frac >= 0.8 AND stopword_hits >= 2
           AND symbol_word_ratio <= 0.1 AND dup_line_frac <= 0.3
           AND top_bigram_char_frac <= 0.2) AS gopher_pass
-      FROM metrics""",
+      FROM gmetrics""",
+    "q_pipeline_curation" -> s"""$GopherCte,
+      gated AS (
+        SELECT d.doc_id AS doc_id, d.source AS source, d.text AS text
+        FROM documents d JOIN gmetrics g ON d.doc_id = g.doc_id
+        WHERE g.n_words >= 50 AND g.top_bigram_char_frac <= 0.2
+          AND g.dup_line_frac <= 0.3),
+      canon AS (SELECT md5(text) AS h, min(doc_id) AS canon_id
+                FROM gated GROUP BY 1),
+      ded AS (SELECT g.doc_id AS doc_id, g.source AS source, g.text AS text,
+                (g.doc_id = c.canon_id) AS is_canonical
+              FROM gated g JOIN canon c ON md5(g.text) = c.h),
+      r0 AS (SELECT source, count(*) AS n_docs FROM ded
+             WHERE is_canonical GROUP BY 1),
+      rt AS (SELECT max(pow(n_docs, 0.5) / n_docs) AS maxR FROM r0),
+      rates AS (SELECT source,
+          round((pow(n_docs, 0.5) / n_docs) / maxR, 6) AS sample_rate
+        FROM r0, rt),
+      feat AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents),
+      qscore AS (
+        SELECT doc_id,
+          round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
+            + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS quality_score
+        FROM feat),
+      drawn AS (
+        SELECT d.doc_id AS doc_id, d.source AS source, d.is_canonical AS is_canonical,
+          s.quality_score AS quality_score, r.sample_rate AS sample_rate,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) AS DOUBLE) / power(16, 13) AS u
+        FROM ded d
+        JOIN qscore s ON d.doc_id = s.doc_id
+        JOIN rates r ON d.source = r.source)
+      SELECT doc_id, source, is_canonical, quality_score, sample_rate,
+        round(u + 1e-12, 6) AS u_draw,
+        (is_canonical AND u < sample_rate) AS kept
+      FROM drawn""",
     "q_crossdoc_dedup" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       grams AS (
@@ -3294,6 +3398,19 @@ object SparkEntry {
         round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
           + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS quality_score
       FROM feat""",
+    "q_token_budget" -> """
+      WITH c AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      t AS (SELECT sum(pow(n_tokens, 0.5)) AS totA FROM c),
+      m AS (SELECT source, n_tokens,
+          round(pow(n_tokens, 0.5) / totA, 6) AS mix_weight,
+          CAST(floor(1000000.0 * (pow(n_tokens, 0.5) / totA)) AS BIGINT) AS target_tokens
+        FROM c, t)
+      SELECT source, n_tokens, mix_weight, target_tokens,
+        round(target_tokens * 1.0 / n_tokens + 1e-12, 6) AS epochs,
+        least(1.0, round(target_tokens * 1.0 / n_tokens + 1e-12, 6)) AS sample_rate
+      FROM m""",
     "q_mixture_temp" -> """
       WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
       t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot,

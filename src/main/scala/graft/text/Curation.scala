@@ -117,6 +117,38 @@ object Curation {
           .as("sample_rate"))
   }
 
+  /** Token-budget allocation — the step after [[temperatureWeights]] in
+    * assembling a training mix: given a total token budget and the
+    * temperature-scaled mixture, how many tokens to draw from each
+    * source and what that means operationally (an `epochs` factor > 1 is
+    * repetition, < 1 is subsampling; `sample_rate` caps at 1 — this
+    * operator never fabricates data, it reports the repetition factor
+    * and lets the training loader decide how to realize it).
+    *
+    * Output per group: `n_tokens` (natural supply), `mix_weight`
+    * (∝ n_tokens^α), `target_tokens` (budget share, floored),
+    * `epochs` (target/supply), `sample_rate` (min(1, epochs)). Same
+    * scale shape as temperatureWeights: one count aggregate to group
+    * cardinality, one 1-row cross join — nothing corpus-sized moves.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, textCol: String,
+                  alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " "))).as("n_tokens"))
+    val totals = counts.agg(sum(pow(col("n_tokens"), lit(alpha))).as("__totA"))
+    counts.crossJoin(totals)
+      .select(col(groupCol), col("n_tokens"),
+        round(pow(col("n_tokens"), lit(alpha)) / col("__totA"), 6).as("mix_weight"),
+        floor(lit(budgetTokens.toDouble)
+          * (pow(col("n_tokens"), lit(alpha)) / col("__totA"))).cast("long")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("n_tokens") + lit(1e-12), 6))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram LM — the classic cheap perplexity proxy for quality
     * filtering (documents of rare/garbage tokens score low; boilerplate

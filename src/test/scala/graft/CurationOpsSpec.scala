@@ -291,6 +291,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("tokenBudget: exact allocation, repetition factor, capped sample rate") {
+    // source a: 1 doc x 100 tokens; source b: 1 doc x 400 tokens
+    val docs = Seq(
+      ("a", (1 to 100).map(_ => "t").mkString(" ")),
+      ("b", (1 to 400).map(_ => "t").mkString(" "))).toDF("source", "text")
+    // alpha=0.5: weights 10/30 and 20/30
+    val out = Curation.tokenBudget(docs, "source", "text", alpha = 0.5,
+        budgetTokens = 300L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("a") == ((100L, 0.333333, 100L, 1.0, 1.0)))
+    assert(out("b") == ((400L, 0.666667, 200L, 0.5, 0.5)))
+    // a budget above supply reports epochs > 1 but caps the sample rate
+    val big = Curation.tokenBudget(docs, "source", "text", alpha = 0.5,
+        budgetTokens = 3000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(big("a") == ((10.0, 1.0)) && big("b") == ((5.0, 1.0)), big)
+  }
+
   test("unigramLogProb: exact on a hand-computed corpus; boilerplate outscores rare text") {
     // corpus: tokens a,a,a,b → p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
