@@ -966,16 +966,18 @@ object SparkEntry {
     val rates = graft.text.Curation.temperatureWeights(
         ded.filter(col("is_canonical")), "source", alpha = 0.5)
       .select(col("source"), col("sample_rate"))
-    val scores = graft.text.Curation.scoreLinear(
-      docs, "text", "doc_id",
+    // score and draw are in-plan expressions over rows `ded` already
+    // carries — a scoreLinear output joined back by doc_id would
+    // re-shuffle the corpus for a scan-stage computation
+    val score = graft.text.Curation.scoreCol(col("text"),
       weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
         "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
       bias = -1.5, stopwords = Seq("the", "a"))
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)
-    ded.join(scores, "doc_id").join(rates, "source")
+    ded.join(rates, "source")
       .select(col("doc_id"), col("source"), col("is_canonical"),
-        col("quality_score"), col("sample_rate"),
+        score.as("quality_score"), col("sample_rate"),
         round(u + lit(1e-12), 6).as("u_draw"),
         (col("is_canonical") && u < col("sample_rate")).as("kept"))
   }

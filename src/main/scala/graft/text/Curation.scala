@@ -68,14 +68,24 @@ object Curation {
     */
   def scoreLinear(df: DataFrame, textCol: String, idCol: String,
                   weights: Map[String, Double], bias: Double,
-                  stopwords: Seq[String]): DataFrame = {
+                  stopwords: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      scoreCol(col(textCol), weights, bias, stopwords).as("quality_score"))
+
+  /** The bare scoring COLUMN of [[scoreLinear]] — compose it into a plan
+    * that already carries the text instead of joining the (id, score)
+    * table back by id: an in-plan expression costs nothing extra where a
+    * self-join on the id would re-shuffle the corpus.
+    */
+  def scoreCol(text: Column, weights: Map[String, Double], bias: Double,
+               stopwords: Seq[String]): Column = {
     require(stopwords.nonEmpty, "stopwords must be non-empty")
-    val toks = split(col(textCol), " ")
+    val toks = split(text, " ")
     val nTok = size(toks).cast("double")
     val features: Map[String, Column] = Map(
       "n_tokens" -> nTok,
       "avg_token_len" ->
-        (length(col(textCol)) - (nTok - 1)).cast("double") / nTok,
+        (length(text) - (nTok - 1)).cast("double") / nTok,
       "distinct_ratio" -> size(array_distinct(toks)).cast("double") / nTok,
       "stopword_ratio" ->
         size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") / nTok)
@@ -86,7 +96,7 @@ object Curation {
     val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) { case (acc, (name, w)) =>
       acc + features(name) * lit(w)
     }
-    df.select(col(idCol), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
   /** Temperature-scaled mixture weights (the multinomial-sampling
