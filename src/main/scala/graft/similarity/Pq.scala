@@ -55,28 +55,48 @@ object Pq {
       aggregate(zip_with(slice(emb, s * dsub + 1, lit(dsub)), c,
         (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
 
-  /** Scan-stage encoder: array of m codes (argmin per subspace; first
-    * occurrence wins ties, so encoding is deterministic like
-    * [[Ivf.assignCell]]).
+  /** All m per-subspace distance arrays, computed ONCE: higher-order
+    * functions are interpreted (no codegen, no common-subexpression
+    * elimination), so every syntactic reference to a distance expression
+    * re-runs the full k·dsub arithmetic per row. Downstream consumers
+    * therefore bind this array and read its ELEMENTS (lambda variables
+    * are materialized values, not re-evaluated trees).
     */
-  def encodeCol(emb: Column, cb: Codebook): Column = {
+  private def allSubDists(emb: Column, cb: Codebook): Column = {
     val d = subDists(emb, lit3d(cb), cb.dsub) _
-    transform(sequence(lit(0), lit(cb.m - 1)), s =>
-      (array_position(d(s), array_min(d(s))) - 1).cast("int"))
+    transform(sequence(lit(0), lit(cb.m - 1)), s => d(s))
   }
+
+  /** First-occurrence argmin over a materialized distance array (ties →
+    * lowest code, deterministic like [[Ivf.assignCell]]). */
+  private def argminCode(ds: Column): Column =
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+
+  /** Scan-stage encoder: array of m codes. The nested transform binds
+    * each subspace's distance array once — `array_position(d, min(d))`
+    * over a LAMBDA VARIABLE scans a computed array twice, where the same
+    * shape over the raw distance expression would run the k·dsub
+    * arithmetic twice.
+    */
+  def encodeCol(emb: Column, cb: Codebook): Column =
+    transform(allSubDists(emb, cb), ds => argminCode(ds))
 
   /** (id, codes, recon_err): the stored representation plus the exact
     * squared-L2 reconstruction error of the chosen codes — zero-shuffle,
-    * one codegen span over the scan.
+    * one span over the scan. The distance arrays land in their own
+    * projection (`__d`): referenced by BOTH output columns, the
+    * non-cheap producer is kept un-collapsed by Catalyst
+    * (CollapseProject's duplication guard), so the k·dsub arithmetic
+    * runs once per row, not once per consumer.
     */
   def encode(df: DataFrame, embCol: String, idCol: String,
              cb: Codebook): DataFrame = {
     val emb = Similarity.toDouble(col(embCol))
-    val d = subDists(emb, lit3d(cb), cb.dsub) _
-    df.select(col(idCol),
-      encodeCol(emb, cb).as("codes"),
-      round(aggregate(transform(sequence(lit(0), lit(cb.m - 1)),
-        s => array_min(d(s))), lit(0.0), _ + _) + lit(1e-12), 6).as("recon_err"))
+    df.select(col(idCol), allSubDists(emb, cb).as("__d"))
+      .select(col(idCol),
+        transform(col("__d"), ds => argminCode(ds)).as("codes"),
+        round(aggregate(transform(col("__d"), ds => array_min(ds)),
+          lit(0.0), _ + _) + lit(1e-12), 6).as("recon_err"))
   }
 
   /** Deterministic training. `iters = 0` (the oracle-pinned default) is
@@ -139,9 +159,14 @@ object Pq {
         table.map(_.toArray).toArray,
         ArrayType(ArrayType(DoubleType, false), false)))
     }
-    round(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(T, s + 1),
-        element_at(codes, s + 1) + 1)) + lit(1e-12), 6)
+    // `codes` enters as zip_with's INPUT array (evaluated once), never
+    // inside a fold lambda: a lambda-body reference would re-evaluate
+    // whatever expression tree `codes` collapses to on EVERY fold step —
+    // m× the full encode arithmetic when composed with encodeCol.
+    // Summation stays the same left-associated s-ascending fold from
+    // +0.0, so the value is bit-identical to the driver-side table build.
+    round(aggregate(zip_with(codes, T, (c, trow) => element_at(trow, c + 1)),
+      lit(0.0), _ + _) + lit(1e-12), 6)
   }
 
   /** ADC top-k: the query builds one m×k table of partial squared
