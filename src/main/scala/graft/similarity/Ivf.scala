@@ -50,8 +50,13 @@ object Ivf {
     val dists = transform(arr, c =>
       aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     // argmin = 1-based position of the min distance; first occurrence wins
-    // ties, so assignment is deterministic
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    // ties, so assignment is deterministic. The single-element transform
+    // binds `dists` as a lambda variable so the nCells·dim arithmetic
+    // runs ONCE — higher-order functions are interpreted (no codegen
+    // CSE), and a bare `array_position(dists, array_min(dists))` would
+    // evaluate the whole distance transform twice per row.
+    element_at(transform(array(dists), ds =>
+      (array_position(ds, array_min(ds)) - 1).cast("int")), 1)
   }
 
   /** Lloyd's iterations; deterministic init = the nCells lowest-id
