@@ -1002,6 +1002,23 @@ object SparkEntry {
     graft.text.Curation.unigramLogProb(
       Tables.documents(s, d), "text", "doc_id")
 
+  /** BM25 top-10 over the corpus for a fixed 4-term query
+    * ([[graft.text.Retrieval.bm25TopK]]) — first-stage lexical
+    * retrieval; TakeOrderedAndProject top-k, never a global sort. */
+  private def qBm25(s: SparkSession, d: String): DataFrame =
+    graft.text.Retrieval.bm25TopK(
+      Tables.documents(s, d), "text", "doc_id",
+      Seq("stream", "merge", "window", "filter"), k1 = 1.2, b = 0.75, topK = 10)
+
+  /** DSIR importance weights against an English-subset target
+    * ([[graft.text.Curation.dsirLogWeights]]): hashed-unigram
+    * log-likelihood ratio per document, histograms broadcast. */
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.text.Curation.dsirLogWeights(
+      docs, docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
+  }
+
   /** As-of join with max 2-hour lookback: stale matches nulled. Note the
     * right payload must include ts itself so staleness is observable. */
   private def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
@@ -2501,6 +2518,8 @@ object SparkEntry {
     "q_token_budget"   -> (qTokenBudget _),
     "q_pipeline_curation" -> (qPipelineCuration _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_bm25"           -> (qBm25 _),
+    "q_dsir_weights"   -> (qDsirWeights _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -3432,6 +3451,47 @@ object SparkEntry {
         round(sum(tc * ln(CAST(cf AS DOUBLE) / N)) / sum(tc), 6) AS mean_logp
       FROM tc JOIN u USING (token) CROSS JOIN n
       GROUP BY doc_id""",
+    "q_bm25" -> """
+      WITH docs AS (SELECT doc_id, lower(text) AS t,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+      toks AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS token FROM docs),
+      ft AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl FROM toks
+             WHERE token IN ('stream', 'merge', 'window', 'filter') GROUP BY 1, 2),
+      dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ft GROUP BY 1),
+      contrib AS (
+        SELECT doc_id, ft.dl AS dl,
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(ft.dl AS DOUBLE) / avgdl))) AS c
+        FROM ft JOIN dfreq USING (token) CROSS JOIN stats),
+      perdoc AS (SELECT doc_id, CAST(min(dl) AS BIGINT) AS dl,
+                   CAST(count(*) AS BIGINT) AS n_terms, round(sum(c), 6) AS score
+                 FROM contrib GROUP BY 1)
+      SELECT doc_id, dl, n_terms, score FROM perdoc
+      QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
+    "q_dsir_weights" -> """
+      WITH ph AS (SELECT doc_id, lang,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(token, ''), c -> CAST(ord(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 256 AS bucket
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)),
+      raw_h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM ph GROUP BY 1),
+      tgt_h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM ph WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw_h) AS nr,
+                     (SELECT CAST(sum(ct) AS BIGINT) FROM tgt_h) AS nt),
+      tc AS (SELECT doc_id, bucket, count(*) AS tc FROM ph GROUP BY 1, 2),
+      j AS (SELECT doc_id, tc,
+          ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+            - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE)) AS lr
+        FROM tc JOIN raw_h USING (bucket) LEFT JOIN tgt_h USING (bucket) CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+        round(sum(tc * lr), 6) AS log_w,
+        round(sum(tc * lr) / sum(tc), 6) AS mean_logr
+      FROM j GROUP BY 1""",
     "q_salted_agg" -> """
       SELECT l_suppkey,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -320,4 +320,60 @@ object Curation {
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET distribution than under the RAW distribution —
+    * log w(x) = Σ_tok [ln p̂_tgt(h(tok)) − ln p̂_raw(h(tok))], with
+    * tokens hashed into `buckets` cells ([[graft.functions.PolyHash]],
+    * dialect-portable for the oracle) and add-one smoothing on both
+    * histograms. High log_w ≈ "looks like the target corpus";
+    * resampling by these weights is the selection step.
+    *
+    * Scale shape: both histograms are ≤ `buckets` rows regardless of
+    * corpus size — they and their totals join back by BROADCAST, so the
+    * only corpus-sized movement is ONE exchange on the doc id, placed
+    * BEFORE the token explode (docs move once, not their tokens) and
+    * reused by both the (doc, bucket) count and the final per-doc sum
+    * (hash clustering on an id prefix satisfies both groupings). The
+    * fixed dimensionality is the point of hashed n-grams: model size is
+    * a constant, never vocabulary-sized.
+    *
+    * Output: idCol, `n_tokens`, `log_w` (rounded), `mean_logr`
+    * (per-token mean log ratio — length-invariant variant to threshold
+    * on). Token granularity is unigram; callers wanting hashed bigrams
+    * can pre-join adjacent tokens upstream.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                     idCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toLong)
+    def toBuckets(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select((col(textCol) +: cols.map(col)): _*)
+        .select(cols.map(col) :+ explode(split(col(textCol), " ")).as("token"): _*)
+        .select(cols.map(col) :+
+          (graft.functions.PolyHash.polyHash(col("token")) % b).as("bucket"): _*)
+    val rawToks = toBuckets(raw.repartition(col(idCol)), Seq(idCol))
+    val rawHist = rawToks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtHist = toBuckets(target, Seq.empty)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = rawHist.agg(sum(col("cr")).as("__nr"))
+      .crossJoin(tgtHist.agg(sum(col("ct")).as("__nt")))
+    val perBucket = rawToks.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tc"))
+      .join(broadcast(rawHist), "bucket")
+      .join(broadcast(tgtHist), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      // smoothed log ratio; textual association mirrors the oracle SQL
+      .withColumn("lr",
+        log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("__nt") + b).cast("double"))
+          - log((col("cr") + lit(1L)).cast("double")
+            / (col("__nr") + b).cast("double")))
+    perBucket.groupBy(col(idCol))
+      .agg(sum(col("tc")).as("n_tokens"),
+        round(sum(col("tc") * col("lr")), 6).as("log_w"),
+        round(sum(col("tc") * col("lr")) / sum(col("tc")), 6).as("mean_logr"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the BM25 ranking function
+  * (Robertson & Zaragoza 2009), the standard first-stage retriever a
+  * training-data pipeline uses for decontamination lookups, targeted
+  * corpus search, and hard-negative mining.
+  *
+  * Scale shape: the query-term set is tiny and is compiled into the
+  * plan as an `IN` filter, so everything downstream of the explode is
+  * proportional to MATCHING tokens only, not the corpus — the token
+  * stream is filtered in the scan stage before the one (doc, term)
+  * exchange. Document frequencies derive from the already-tiny
+  * per-(doc, term) table (≤ |terms| rows after the re-group) and join
+  * back by broadcast; corpus length stats are a 1-row broadcast. The
+  * final top-k is `orderBy(...).limit(k)` — Spark plans it as
+  * TakeOrderedAndProject (per-partition heap + driver merge of k·p
+  * rows), never a global sort.
+  */
+object Retrieval {
+
+  /** Score every document containing ≥ 1 query term with BM25 and keep
+    * the global top-k (ties broken by id for engine-portable
+    * determinism). Output: idCol, `dl` (doc token length), `n_terms`
+    * (distinct query terms matched), `score` (rounded, ranked on).
+    *
+    * idf uses the "plus one" form ln(1 + (N - df + ½)/(df + ½)) —
+    * always positive, the Lucene variant.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 > 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
+    val docs = df.select(col(idCol), lower(col(textCol)).as("__t"))
+      .withColumn("dl", size(split(col("__t"), " ")).cast("long"))
+    // corpus scalars: one tiny aggregate, broadcast by the cross join
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val toks = docs
+      .select(col(idCol), col("dl"), explode(split(col("__t"), " ")).as("token"))
+      .filter(col("token").isin(queryTerms: _*)) // scan-stage: non-query tokens never shuffle
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    // df per term from the per-(doc, term) table: one row per containing doc
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      // textual order mirrors the oracle SQL exactly: double addition and
+      // multiplication association must match for 6-digit round parity
+      .withColumn("c",
+        col("idf") * (tfd * lit(k1 + 1.0))
+          / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+    scored.groupBy(col(idCol))
+      .agg(min(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("c")), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+}

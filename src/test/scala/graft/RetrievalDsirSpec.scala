@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Curation, Retrieval}
+
+/** BM25 retrieval and DSIR importance weighting. */
+class RetrievalDsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -- BM25 -------------------------------------------------------------
+
+  test("bm25TopK matches the closed-form score on a hand-built corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("a", "c"),
+        k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // same arithmetic, plain Scala doubles
+    val n = 3.0; val avgdl = (3 + 2 + 4) / 3.0
+    def idf(df: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def c(tf: Long, df: Int, dl: Long) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, 1L, r6(c(2, 1, 3)))))           // d1: only "a"
+    assert(out(2L) == ((2L, 1L, r6(c(1, 2, 2)))))           // d2: only "c"
+    assert(out(3L) == ((4L, 1L, r6(c(4, 2, 4)))))           // d3: "c" ×4
+  }
+
+  test("bm25TopK: docs with no query term are absent; topK truncates by (score, id)") {
+    val docs = Seq((1L, "x y z"), (2L, "q q"), (3L, "q q"), (4L, "q q"))
+      .toDF("doc_id", "text")
+    val all = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("q"), topK = 10)
+    assert(all.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    // 2/3/4 tie exactly (same tf, dl): the id tiebreak keeps the lowest ids
+    val top2 = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("q"), topK = 2)
+    assert(top2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("bm25TopK: b=0 disables length normalization; b=1 penalizes the longer doc") {
+    // same tf for the term, very different lengths
+    val docs = Seq((1L, "t " + ("pad " * 60).trim), (2L, "t x")).toDF("doc_id", "text")
+    val b0 = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("t"), b = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(b0(1L) == b0(2L))
+    val b1 = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("t"), b = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(b1(1L) < b1(2L))
+  }
+
+  test("bm25TopK on the corpus: every returned doc contains >= 1 query term") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("stream", "merge")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id", terms, topK = 5)
+    assert(out.count() == 5)
+    val joined = out.join(docs, "doc_id")
+      .filter(!terms.map(t => array_contains(split(lower(col("text")), " "), t))
+        .reduce(_ || _))
+    assert(joined.isEmpty)
+  }
+
+  // -- DSIR -------------------------------------------------------------
+
+  test("dsirLogWeights: target == raw cancels exactly to log_w = 0") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "a a f")).toDF("doc_id", "text")
+    val out = Curation.dsirLogWeights(docs, docs, "text", "doc_id")
+    assert(out.count() == 3)
+    assert(out.filter(col("log_w") =!= 0.0 || col("mean_logr") =!= 0.0).isEmpty)
+    assert(out.filter(col("doc_id") === 3L).head().getLong(1) == 3L) // n_tokens
+  }
+
+  test("dsirLogWeights: target-like docs outscore off-target docs") {
+    // target speaks {aa..ad}; off-target vocabulary is {zx..za}
+    val raw = Seq((1L, "aa ab ac ad"), (2L, "zx zy zz za"), (3L, "aa ab zz za"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "aa ab ac ad aa ab")).toDF("doc_id", "text")
+    val w = Curation.dsirLogWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    assert(w(1L) > 0.0 && w(2L) < 0.0)
+  }
+
+  test("dsirLogWeights: mean_logr is the per-token mean and histograms stay bucket-bounded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val target = docs.filter(col("lang") === "en")
+    val out = Curation.dsirLogWeights(docs, target, "text", "doc_id", buckets = 64)
+    assert(out.count() == docs.count()) // every raw doc scored
+    val bad = out.filter(
+      abs(col("mean_logr") - round(col("log_w") / col("n_tokens"), 6)) > lit(1e-6))
+    assert(bad.isEmpty)
+    // the model is fixed-size by construction: distinct buckets <= 64
+    val nb = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select((graft.functions.PolyHash.polyHash(col("t")) % 64L).as("b"))
+      .distinct().count()
+    assert(nb <= 64)
+  }
+}
