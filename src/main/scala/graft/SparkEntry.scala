@@ -509,6 +509,21 @@ object SparkEntry {
     graft.similarity.Similarity.cosinePairs(
       Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
 
+  /** Triangle counts + clustering coefficients over the cosine-pairs
+    * graph ([[graft.graph.Triangles.triangleStats]]) — degree-oriented
+    * wedge joins, each triangle found exactly once. */
+  private def qTriangles(s: SparkSession, d: String): DataFrame =
+    graft.graph.Triangles.triangleStats(
+      graft.similarity.Similarity.cosinePairs(
+        Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.2),
+      "id_a", "id_b")
+
+  /** Top-20 PMI collocations over the corpus
+    * ([[graft.text.TextFns.pmiCollocations]]). */
+  private def qPmi(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFns.pmiCollocations(
+      Tables.documents(s, d).select(col("text")), "text", minCount = 5L, topK = 20)
+
   /** Planted degenerate bucket: a 2-value coarse bucket (label % 2) with
     * maxBucket = 64 makes EVERY bucket oversized, so this query runs
     * entirely on the SubBuckets split path (capped rank-chunks + the
@@ -2520,6 +2535,8 @@ object SparkEntry {
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bm25"           -> (qBm25 _),
     "q_dsir_weights"   -> (qDsirWeights _),
+    "q_triangles"      -> (qTriangles _),
+    "q_pmi"            -> (qPmi _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -4169,6 +4186,56 @@ object SparkEntry {
         ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
        AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
       WHERE $SubBucketCos >= 0.35""",
+    "q_triangles" -> s"""
+      WITH ${subBucketCte("label", 1000)},
+      e0 AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+        WHERE $SubBucketCos >= 0.2),
+      e AS (SELECT DISTINCT a, b FROM e0),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+      o AS (SELECT CASE WHEN da <= db THEN a ELSE b END AS s,
+                   CASE WHEN da <= db THEN b ELSE a END AS t,
+                   CASE WHEN da <= db THEN db ELSE da END AS dt
+            FROM (SELECT e.a, e.b, d1.deg AS da, d2.deg AS db
+                  FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b)),
+      wd AS (SELECT x.s AS u, x.t AS wv, y.t AS ww
+             FROM o x JOIN o y ON x.s = y.s
+              AND (x.dt < y.dt OR (x.dt = y.dt AND x.t < y.t))),
+      tri AS (SELECT u, wv, ww FROM wd JOIN o ON o.s = wd.wv AND o.t = wd.ww),
+      tc AS (SELECT v, CAST(count(*) AS BIGINT) AS tri
+             FROM (SELECT u AS v FROM tri UNION ALL SELECT wv AS v FROM tri
+                   UNION ALL SELECT ww AS v FROM tri) GROUP BY 1)
+      SELECT deg.v AS node_id, deg.deg AS degree,
+        coalesce(tc.tri, CAST(0 AS BIGINT)) AS triangles,
+        CASE WHEN deg.deg >= 2
+          THEN round((2.0 * coalesce(tc.tri, CAST(0 AS BIGINT)))
+            / (deg.deg * (deg.deg - 1)) + 1e-12, 6)
+          ELSE 0.0 END AS clustering
+      FROM deg LEFT JOIN tc USING (v)""",
+    "q_pmi" -> """
+      WITH l AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(t) AS token FROM l) GROUP BY 1),
+      bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+             FROM (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i + 1])) AS bigram FROM l)
+             GROUP BY 1),
+      nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM uni),
+      nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bi),
+      s AS (
+        SELECT bigram, c_ab, u1.cnt AS c_a, u2.cnt AS c_b,
+          round(ln((CAST(c_ab AS DOUBLE) / nb)
+            / ((CAST(u1.cnt AS DOUBLE) / nu) * (CAST(u2.cnt AS DOUBLE) / nu))), 6) AS pmi
+        FROM bi JOIN uni u1 ON u1.token = string_split(bigram, ' ')[1]
+                JOIN uni u2 ON u2.token = string_split(bigram, ' ')[2]
+                CROSS JOIN nu CROSS JOIN nb
+        WHERE c_ab >= 5)
+      SELECT bigram, c_ab, c_a, c_b, pmi FROM s
+      QUALIFY row_number() OVER (ORDER BY pmi DESC, bigram) <= 20""",
     "q_embed_pairs_skew" -> s"""
       WITH ${subBucketCte("label % 2", 64)}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim

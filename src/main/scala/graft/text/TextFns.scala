@@ -225,6 +225,48 @@ object TextFns {
     * generated from the same marker constants (single source of truth for
     * the oracle).
     */
+  /** Top-k PMI collocations — adjacent-token bigrams whose pointwise
+    * mutual information ln(p(ab) / (p(a)·p(b))) is highest, the classic
+    * multi-word-expression / named-entity signal (and, in a curation
+    * pipeline, the "boilerplate phrase" detector: templated corpora
+    * have abnormally many high-PMI bigrams).
+    *
+    * Scale shape: bigrams materialize only inside the explode (scan
+    * stage), collapse map-side before ONE exchange on the bigram; the
+    * two unigram lookups are shuffle joins on token whose probe side is
+    * the already-aggregated bigram table (vocabulary-sized, not
+    * corpus-sized — the [[graft.text.Curation.unigramLogProb]] skew
+    * argument). `minCount` prunes the hapax tail BEFORE the joins; the
+    * final top-k is TakeOrderedAndProject. Output: `bigram`, `c_ab`,
+    * `c_a`, `c_b`, `pmi` (rounded, ranked with id tiebreak).
+    */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long = 5L, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad pmi params $minCount/$topK")
+    val t = split(lower(col(textCol)), " ")
+    val uni = df.select(explode(t).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val bi = df
+      .filter(size(t) >= 2) // sequence(0, -1) would DESCEND on a 1-token doc
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nUni = uni.agg(sum(col("cnt")).as("__nu"))
+    val nBi = bi.agg(sum(col("c_ab")).as("__nb"))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("__t1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__t2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("token").as("__t1"), col("cnt").as("c_a")), "__t1")
+      .join(uni.select(col("token").as("__t2"), col("cnt").as("c_b")), "__t2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") / col("__nb"))
+          / ((col("c_a").cast("double") / col("__nu"))
+            * (col("c_b").cast("double") / col("__nu")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(topK)
+  }
+
   def langIdOracleSql(c: String): String = {
     val scores = LangMarkers.map { case (lang, markers) =>
       val s =

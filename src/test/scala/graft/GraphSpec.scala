@@ -159,6 +159,47 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("triangleStats: hand graph — shared-edge triangles, leaf node, exact coefficients") {
+    import graft.graph.Triangles
+    // K4 on {1,2,3,4} minus edge (1,4), plus leaf 5 off node 4:
+    // triangles (1,2,3) and (2,3,4); edge (2,3) is shared
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Triangles.triangleStats(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))          // deg 2, one triangle, cc = 1
+    assert(out(2L) == ((3L, 2L, 0.666667)))     // 2·2/(3·2) = 2/3
+    assert(out(3L) == ((3L, 2L, 0.666667)))
+    assert(out(4L) == ((3L, 1L, 0.333333)))     // 2·1/(3·2) = 1/3
+    assert(out(5L) == ((1L, 0L, 0.0)))          // leaf: no pair of neighbors
+  }
+
+  test("triangleStats: normalizes direction/duplicates/self-loops; triple-counts nothing") {
+    import graft.graph.Triangles
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 3L), (1L, 3L))
+      .toDF("a", "b") // one triangle, every edge duplicated or reversed + a self-loop
+    val out = Triangles.triangleStats(messy, "a", "b").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L && r.getDouble(3) == 1.0))
+  }
+
+  test("triangleStats matches brute-force closure counting on the corpus pair graph") {
+    import graft.graph.Triangles
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "embedding", "vec_id", "label", threshold = 0.15)
+    val out = Triangles.triangleStats(pairs, "id_a", "id_b")
+    // brute force: count closed wedges via a 3-way self-join on a<b<c
+    val e = pairs.select(least($"id_a", $"id_b").as("a"), greatest($"id_a", $"id_b").as("b"))
+      .distinct()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    val total = out.agg(sum($"triangles")).head().getLong(0)
+    assert(total == 3 * brute, s"sum of per-node counts must be 3x the $brute triangles")
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)

@@ -61,6 +61,35 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(joined.isEmpty)
   }
 
+  // -- PMI collocations -------------------------------------------------
+
+  test("pmiCollocations: exact counts and PMI on a hand corpus; 1-token docs ignored") {
+    import graft.text.TextFns
+    val docs = Seq("x y x y", "x y z", "solo").toDF("text")
+    val out = TextFns.pmiCollocations(docs, "text", minCount = 1L, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pmi(cab: Long, ca: Long, cb: Long) = // uni total 8 (incl "solo"), bigram total 5
+      r6(math.log((cab / 5.0) / ((ca / 8.0) * (cb / 8.0))))
+    assert(out("x y") == ((3L, 3L, 3L, pmi(3, 3, 3))))
+    assert(out("y x") == ((1L, 3L, 3L, pmi(1, 3, 3))))
+    assert(out("y z") == ((1L, 3L, 1L, pmi(1, 3, 1))))
+    assert(out.size == 3)
+  }
+
+  test("pmiCollocations: minCount prunes the hapax tail; topK truncates by (pmi, bigram)") {
+    import graft.text.TextFns
+    val docs = Seq("a b a b a b", "c d", "e f").toDF("text")
+    val pruned = TextFns.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .select("bigram").as[String].collect().toSet
+    assert(pruned == Set("a b", "b a")) // "c d"/"e f" are hapax
+    val top = TextFns.pmiCollocations(docs, "text", minCount = 1L, topK = 2)
+      .select("bigram").as[String].collect().toSet
+    // "c d" and "e f" have the (equal) highest PMI; bigram tiebreak keeps "c d"
+    assert(top.contains("c d") && top.contains("e f"))
+  }
+
   // -- DSIR -------------------------------------------------------------
 
   test("dsirLogWeights: target == raw cancels exactly to log_w = 0") {
