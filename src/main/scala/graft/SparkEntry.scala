@@ -509,6 +509,16 @@ object SparkEntry {
     graft.similarity.Similarity.cosinePairs(
       Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.35)
 
+  /** Exact fuzzy self-join (ed ≤ 2) on 12-char document prefixes
+    * ([[graft.operators.FuzzyJoin.editDistanceSelfJoin]]). The oracle
+    * is the BRUTE-FORCE quadratic join — equality certifies the
+    * segment banding is complete, not just plausible. */
+  private def qFuzzyJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistanceSelfJoin(
+      Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 12).as("prefix")),
+      "prefix", "doc_id", maxDist = 2)
+
   /** Triangle counts + clustering coefficients over the cosine-pairs
     * graph ([[graft.graph.Triangles.triangleStats]]) — degree-oriented
     * wedge joins, each triangle found exactly once. */
@@ -2537,6 +2547,7 @@ object SparkEntry {
     "q_dsir_weights"   -> (qDsirWeights _),
     "q_triangles"      -> (qTriangles _),
     "q_pmi"            -> (qPmi _),
+    "q_fuzzy_join"     -> (qFuzzyJoin _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -4236,6 +4247,12 @@ object SparkEntry {
         WHERE c_ab >= 5)
       SELECT bigram, c_ab, c_a, c_b, pmi FROM s
       QUALIFY row_number() OVER (ORDER BY pmi DESC, bigram) <= 20""",
+    "q_fuzzy_join" -> """
+      WITH t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 2""",
     "q_embed_pairs_skew" -> s"""
       WITH ${subBucketCte("label % 2", 64)}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim

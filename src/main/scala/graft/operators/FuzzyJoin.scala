@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance self-join — all id pairs whose strings are
+  * within Levenshtein distance `maxDist` — via segment-banded candidate
+  * generation (the PassJoin partitioning scheme, Li et al. 2011):
+  * an EQUI-join stands in for the quadratic all-pairs comparison.
+  *
+  * Pigeonhole: partition a string into k+1 contiguous segments; k edits
+  * can corrupt at most k of them, so if ed(A, B) ≤ k at least one
+  * segment of B survives verbatim inside A, displaced by at most the k
+  * edits before it. Hence every string emits (index side) its k+1
+  * segments keyed by (own length, segment idx, content), and (probe
+  * side) every substring a matching segment could be — for each
+  * plausible partner length L' ∈ [len−k, len+k], segment idx, and
+  * shift ∈ [−k, +k] — keyed the same way. Matching keys are the ONLY
+  * possible pairs; Levenshtein runs on candidates, never on the cross
+  * product. Both sides are constant-factor expansions of the corpus
+  * ((k+1) and ≤ (2k+1)²(k+1) rows per string), the join is a plain
+  * shuffle hash join on the segment key, and completeness is by the
+  * pigeonhole theorem — which the brute-force oracle re-proves on
+  * every run: a single banding-missed pair would hash-mismatch.
+  *
+  * Skew note: a boilerplate prefix shared by the whole corpus makes
+  * its segment bucket quadratic — that is real work (those pairs may
+  * all verify) and the generic defense is the same re-bucketing used
+  * across the dedup stack ([[SubBuckets]]); here segments stay exact
+  * so the oracle can certify completeness.
+  */
+object FuzzyJoin {
+
+  /** All unordered id pairs with levenshtein ≤ maxDist. Output:
+    * `id_a` < `id_b`, `dist`. */
+  def editDistanceSelfJoin(df: DataFrame, strCol: String, idCol: String,
+                           maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (probe fan-out is (2k+1)^2(k+1)), got $maxDist")
+    val k = maxDist
+    val parts = k + 1
+    val strs = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"), length(col(strCol)).cast("long").as("len"))
+    def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+      floor(i * l / lit(parts.toDouble)).cast("long")
+    // index side: the k+1 segments of each string, keyed by own length
+    val index = strs
+      .select(col("id").as("id_x"), col("s").as("s_x"), col("len").as("lt"),
+        explode(sequence(lit(0L), lit(k.toLong))).as("i"))
+      .select(col("id_x"), col("s_x"), col("lt"), col("i"),
+        col("s_x").substr(
+          (segStart(col("i"), col("lt")) + 1).cast("int"),
+          (segStart(col("i") + 1, col("lt")) - segStart(col("i"), col("lt"))).cast("int"))
+          .as("seg"))
+    // probe side: every substring a surviving segment could be, for each
+    // partner length / segment idx / displacement — one explode over a
+    // constant-size generated array
+    val variants = flatten(transform(
+      sequence(greatest(col("len") - k, lit(0L)), col("len") + k), lt =>
+        flatten(transform(sequence(lit(0L), lit(k.toLong)), i =>
+          transform(sequence(lit(-k.toLong), lit(k.toLong)), sh =>
+            struct(lt.as("lt"), i.as("i"),
+              (segStart(i, lt) + sh).as("st"),
+              (segStart(i + 1, lt) - segStart(i, lt)).as("ln")))))))
+    val probe = strs
+      .select(col("id").as("id_p"), col("s").as("s_p"), col("len"),
+        explode(variants).as("v"))
+      .filter(col("v.st") >= 0 && col("v.st") + col("v.ln") <= col("len"))
+      .select(col("id_p"), col("s_p"), col("v.lt").as("lt"), col("v.i").as("i"),
+        col("s_p").substr((col("v.st") + 1).cast("int"), col("v.ln").cast("int")).as("seg"))
+      .distinct() // shifts often alias: one candidate probe per distinct key
+    probe.join(index, Seq("lt", "i", "seg"))
+      .filter(col("id_p") =!= col("id_x"))
+      .filter(levenshtein(col("s_p"), col("s_x")) <= k)
+      .select(least(col("id_p"), col("id_x")).as("id_a"),
+        greatest(col("id_p"), col("id_x")).as("id_b"),
+        levenshtein(col("s_p"), col("s_x")).cast("long").as("dist"))
+      .distinct()
+  }
+}

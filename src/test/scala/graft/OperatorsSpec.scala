@@ -497,4 +497,35 @@ class OperatorsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("editDistanceSelfJoin: hand pairs — substitutions, indels, length gap, empty") {
+    val strs = Seq(
+      1L -> "kitten", 2L -> "sitten",   // ed 1 (substitution)
+      3L -> "sittin", 4L -> "sitting",  // 3-4 ed 1 (insertion), 2-3 ed 1
+      5L -> "kitchen",                  // 1-5 ed 2 (insert c + sub t->h? -> verify)
+      6L -> "", 7L -> "ab",             // 6-7 ed 2 (two inserts)
+      8L -> "zzzzzz").toDF("id", "s")
+    val out = FuzzyJoin.editDistanceSelfJoin(strs, "s", "id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1L && out((2L, 3L)) == 1L && out((3L, 4L)) == 1L)
+    assert(out((1L, 5L)) == 2L)
+    assert(out((6L, 7L)) == 2L)
+    assert(out((2L, 4L)) == 2L) // sitten -> sitting
+    assert(!out.keySet.exists(p => p._1 == 8L || p._2 == 8L)) // zzzzzz matches nothing
+  }
+
+  test("editDistanceSelfJoin is complete: differential vs brute force on corpus prefixes") {
+    val t = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", substring($"text", 1, 10).as("s"))
+    for (k <- Seq(1, 3)) {
+      val banded = FuzzyJoin.editDistanceSelfJoin(t, "s", "doc_id", k)
+      val a = t.select($"doc_id".as("id_a"), $"s".as("sa"))
+      val brute = a.crossJoin(t.select($"doc_id".as("id_b"), $"s".as("sb")))
+        .filter($"id_a" < $"id_b" && levenshtein($"sa", $"sb") <= k)
+        .select($"id_a", $"id_b", levenshtein($"sa", $"sb").cast("long").as("dist"))
+      assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+        s"banded join diverged from brute force at k=$k")
+      assert(banded.count() > 0, s"degenerate test: no pairs at k=$k")
+    }
+  }
 }
