@@ -519,6 +519,23 @@ object SparkEntry {
         substring(col("text"), 1, 12).as("prefix")),
       "prefix", "doc_id", maxDist = 2)
 
+  /** Entity resolution end-to-end: fuzzy pairs (ed ≤ 2 on the 12-char
+    * prefix) → connected components → cluster size + canonical (min-id)
+    * flag. Both windows share the one cluster-key exchange. */
+  private def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 12).as("prefix"))
+    val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+      t, "prefix", "doc_id", maxDist = 2)
+    val comp = graft.dedup.Dedup.clusters(
+      t.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+    val w = Window.partitionBy(col("cluster"))
+    comp.select(col("id"), col("cluster"),
+      count(lit(1)).over(w).as("cluster_size"),
+      (col("id") === min(col("id")).over(w)).as("is_canonical"))
+  }
+
   /** Triangle counts + clustering coefficients over the cosine-pairs
     * graph ([[graft.graph.Triangles.triangleStats]]) — degree-oriented
     * wedge joins, each triangle found exactly once. */
@@ -2548,6 +2565,7 @@ object SparkEntry {
     "q_triangles"      -> (qTriangles _),
     "q_pmi"            -> (qPmi _),
     "q_fuzzy_join"     -> (qFuzzyJoin _),
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -4253,6 +4271,22 @@ object SparkEntry {
         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
       FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE levenshtein(a.s, b.s) <= 2""",
+    "q_entity_resolution" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b
+            ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      c AS (SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+            FROM reach GROUP BY 1)
+      SELECT id, cluster,
+        CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+        id = min(id) OVER (PARTITION BY cluster) AS is_canonical
+      FROM c""",
     "q_embed_pairs_skew" -> s"""
       WITH ${subBucketCte("label % 2", 64)}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim
