@@ -1459,6 +1459,22 @@ object SparkEntry {
           .as("cms_within_eps"))
   }
 
+  /** Self-join-size (F₂) estimation on l_suppkey via the CM/AMS
+    * inner-product sketch ([[graft.operators.JoinSize.cmInnerProduct]]):
+    * per-hash-row estimate vs the exact Σ cnt², plus the never-under
+    * theorem check. width=1024 still collides at every SF (≥ 100 keys
+    * land ~5 colliding pairs) without drowning the estimate. */
+  private def qJoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val est = graft.operators.JoinSize.cmInnerProduct(li, "l_suppkey", li, "l_suppkey",
+      width = 1024, depth = 3)
+    val tru = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("true_sz"))
+    est.crossJoin(broadcast(tru))
+      .select(col("r"), col("est"), col("true_sz"),
+        (col("est") >= col("true_sz")).as("never_under"))
+  }
+
   /** Fuzzy string matching: edit distance to a reference key — the
     * verify primitive of fuzzy entity resolution. */
   private def qEditDistance(s: SparkSession, d: String): DataFrame =
@@ -2566,6 +2582,7 @@ object SparkEntry {
     "q_pmi"            -> (qPmi _),
     "q_fuzzy_join"     -> (qFuzzyJoin _),
     "q_entity_resolution" -> (qEntityResolution _),
+    "q_join_size_est"  -> (qJoinSizeEst _),
     "q_range_join"     -> (qRangeJoin _),
     "q_regexp_extract" -> (qRegexpExtract _),
     "q_pipeline_demographics" -> (qPipelineDemographics _),
@@ -4287,6 +4304,20 @@ object SparkEntry {
         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
         id = min(id) OVER (PARTITION BY cluster) AS is_canonical
       FROM c""",
+    "q_join_size_est" -> """
+      WITH k AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+      rr AS (SELECT unnest(range(0, 3)) AS r),
+      b AS (SELECT r,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(r || ':' || k, ''), c -> CAST(ord(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS bucket
+        FROM k CROSS JOIN rr),
+      h AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      est AS (SELECT CAST(r AS BIGINT) AS r, CAST(sum(c * c) AS BIGINT) AS est FROM h GROUP BY 1),
+      tru AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_sz
+              FROM (SELECT count(*) AS c FROM k GROUP BY k))
+      SELECT r, est, true_sz, est >= true_sz AS never_under
+      FROM est CROSS JOIN tru""",
     "q_embed_pairs_skew" -> s"""
       WITH ${subBucketCte("label % 2", 64)}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim

@@ -498,6 +498,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  test("cmInnerProduct: collision-free width is exact; width=1 degenerates to |A|x|B|") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // counts 3,1,1
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")       // counts 1,2,1
+    val wide = JoinSize.cmInnerProduct(a, "k", b, "k", width = 65536, depth = 3)
+      .select("est").as[Long].collect()
+    assert(wide.toSet == Set(3L * 1 + 1 * 2))    // sum cntA*cntB = 5, every row
+    val narrow = JoinSize.cmInnerProduct(a, "k", b, "k", width = 1, depth = 2)
+      .select("est").as[Long].collect()
+    assert(narrow.toSet == Set(5L * 4))          // one bucket: |A|*|B|
+  }
+
+  test("cmInnerProduct never under-estimates the true join size on the corpus") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    val truth = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    for (w <- Seq(32, 512)) {
+      val ests = JoinSize.cmInnerProduct(li, "l_orderkey", ord, "o_orderkey", width = w)
+        .select("est").as[Long].collect()
+      assert(ests.forall(_ >= truth), s"width=$w under-estimated: ${ests.toSeq} < $truth")
+    }
+  }
+
   test("editDistanceSelfJoin: hand pairs — substitutions, indels, length gap, empty") {
     val strs = Seq(
       1L -> "kitten", 2L -> "sitten",   // ed 1 (substitution)
