@@ -73,7 +73,15 @@ object Plans {
     "q_crossdoc_spans" ->
       "Cross-doc span stats: rolling-gram fingerprints are scan-stage expressions; ONE fingerprint exchange serves the (gram, doc) aggregate and both ownership windows; the doc re-group is the only other shuffle — linear rows at every stage, never pair fan-out.",
     "q_session_window" ->
-      "Native session windows: Spark's MergingSessions operator above a PER-PARTITION sort (Sort [...], false — never a rangepartitioning global sort); ONE exchange hash-partitioned on user_id with a partial HashAggregate below it, so session fragments combine map-side and parallelism scales with users. The per-partition sort is the operator's honest cost (MergingSessions needs (user, start)-ordered input); Sessionize.byGap (q_sessionize) pays the same shape — one exchange + one sort — for its lag/cumsum windows, so there is no cheaper formulation to switch to, and the native form also merges the pre-shuffle partial sessions.")
+      "Native session windows: Spark's MergingSessions operator above a PER-PARTITION sort (Sort [...], false — never a rangepartitioning global sort); ONE exchange hash-partitioned on user_id with a partial HashAggregate below it, so session fragments combine map-side and parallelism scales with users. The per-partition sort is the operator's honest cost (MergingSessions needs (user, start)-ordered input); Sessionize.byGap (q_sessionize) pays the same shape — one exchange + one sort — for its lag/cumsum windows, so there is no cheaper formulation to switch to, and the native form also merges the pre-shuffle partial sessions.",
+    "q_bm25" ->
+      "BM25 retrieval: the query-term IN filter sits in the scan stage under the explode, so only matching tokens reach the one (doc, term) exchange; df and corpus stats are BroadcastExchanges; the top-k is TakeOrderedAndProject, never a global sort.",
+    "q_dsir_weights" ->
+      "DSIR weights: both hashed-unigram histograms collapse to <= buckets rows (map-side partial aggregate under a tiny exchange) and join back as BroadcastExchanges; the corpus crosses exactly ONE doc-id exchange, placed before the explode so documents move once, not their tokens.",
+    "q_fuzzy_join" ->
+      "PassJoin fuzzy join: segment/probe expansion is scan-stage Generate (constant factor per string), the candidate match is a plain shuffle hash join on the (length, segment, content) key, and levenshtein runs only on candidates — the quadratic comparison never exists in the plan.",
+    "q_join_size_est" ->
+      "Join-size sketch: each side's scan collapses map-side to <= depth x width histogram rows before a sketch-sized exchange; the inner-product join and per-row sum touch sketch rows only — corpus scanned once per side, nothing key-cardinality-sized moves.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
