@@ -1061,6 +1061,13 @@ object SparkEntry {
       docs, docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
   }
 
+  /** Per-document bigram-LM mean log-probability
+    * ([[graft.text.Curation.bigramLogProb]]) — the transition-aware
+    * perplexity proxy one order above q_unigram_logprob. */
+  private def qBigramLogprob(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.bigramLogProb(
+      Tables.documents(s, d), "text", "doc_id", alpha = 0.5)
+
   /** As-of join with max 2-hour lookback: stale matches nulled. Note the
     * right payload must include ts itself so staleness is observable. */
   private def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
@@ -2576,6 +2583,7 @@ object SparkEntry {
     "q_token_budget"   -> (qTokenBudget _),
     "q_pipeline_curation" -> (qPipelineCuration _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_bigram_logprob" -> (qBigramLogprob _),
     "q_bm25"           -> (qBm25 _),
     "q_dsir_weights"   -> (qDsirWeights _),
     "q_triangles"      -> (qTriangles _),
@@ -3513,6 +3521,22 @@ object SparkEntry {
       SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
         round(sum(tc * ln(CAST(cf AS DOUBLE) / N)) / sum(tc), 6) AS mean_logp
       FROM tc JOIN u USING (token) CROSS JOIN n
+      GROUP BY doc_id""",
+    "q_bigram_logprob" -> """
+      WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS bg FROM l WHERE len(t) >= 2),
+      tc AS (SELECT doc_id, bg, count(*) AS tc FROM b GROUP BY 1, 2),
+      cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+      cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS cu
+             FROM b GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS token FROM l))
+      SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_bigrams,
+        round(sum(tc * ln((CAST(cb AS DOUBLE) + 0.5)
+          / (CAST(cu AS DOUBLE) + 0.5 * v))) / sum(tc), 6) AS mean_logp
+      FROM tc JOIN cb USING (bg)
+        JOIN cu ON cu.w1 = string_split(bg, ' ')[1] CROSS JOIN v
       GROUP BY doc_id""",
     "q_bm25" -> """
       WITH docs AS (SELECT doc_id, lower(text) AS t,

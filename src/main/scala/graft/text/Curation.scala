@@ -321,6 +321,46 @@ object Curation {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Per-document mean bigram log-probability under the corpus's own
+    * add-α-smoothed bigram LM — one order up from [[unigramLogProb]]:
+    * p(w₂|w₁) = (c(w₁w₂)+α) / (c(w₁·)+α·V), where c(w₁·) counts w₁ as
+    * a bigram CONTEXT and V is the corpus vocabulary. Word-salad and
+    * shuffled-boilerplate text that unigram frequency scores well falls
+    * down here: its transitions are unseen.
+    *
+    * Scale shape mirrors [[unigramLogProb]] exactly, one n-gram up:
+    * per-doc (doc, bigram) term counts join the corpus bigram table and
+    * the context table ON THE GRAM (shuffle joins — both model tables
+    * are vocabulary²-sized, far past broadcast at 100 TB; skew is
+    * bounded because the probe side is pre-aggregated per doc), V is a
+    * 1-row broadcast, then one re-group on the doc id. Documents with
+    * < 2 tokens have no transition and are absent (undefined, not 0).
+    * Output: idCol, `n_bigrams`, `mean_logp`.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    val t = split(col(textCol), " ")
+    val bi = df.filter(size(t) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("bg"))
+    val tc = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tc"))
+    val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = bi.select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = df.select(explode(t).as("token"))
+      .agg(countDistinct(col("token")).as("__v"))
+    tc.join(cb, "bg")
+      .withColumn("__w1", split(col("bg"), " ").getItem(0))
+      .join(cu, col("__w1") === col("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(sum(col("tc")).as("n_bigrams"),
+        round(sum(col("tc") * log((col("cb").cast("double") + lit(alpha))
+          / (col("cu").cast("double") + lit(alpha) * col("__v"))))
+          / sum(col("tc")), 6).as("mean_logp"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-unigram bag is under

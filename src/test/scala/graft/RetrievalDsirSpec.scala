@@ -90,6 +90,31 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(top.contains("c d") && top.contains("e f"))
   }
 
+  // -- bigram LM --------------------------------------------------------
+
+  test("bigramLogProb: exact smoothed values on a hand corpus; short docs absent") {
+    import graft.text.Curation
+    val docs = Seq((1L, "x y x y"), (2L, "y y"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Curation.bigramLogProb(docs, "text", "doc_id", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // V = 3 (x, y, solo); cb: "x y"->2 "y x"->1 "y y"->1; cu: x->2 y->2
+    def lp(cb: Long, cu: Long) = math.log((cb + 0.5) / (cu + 0.5 * 3))
+    assert(out(1L) == ((3L, r6((2 * lp(2, 2) + 1 * lp(1, 2)) / 3))))
+    assert(out(2L) == ((1L, r6(lp(1, 2)))))
+    assert(!out.contains(3L)) // no transition — absent, not zero
+  }
+
+  test("bigramLogProb: an unseen-transition doc scores below the corpus idiom") {
+    import graft.text.Curation
+    val docs = (1L to 9L).map(i => (i, "the quick fox")).toDF("doc_id", "text")
+      .unionByName(Seq((10L, "fox the"), (11L, "the quick")).toDF("doc_id", "text"))
+    val w = Curation.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(11L) > w(1L))  // pure high-frequency transition beats the 3-token doc
+    assert(w(1L) > w(10L))  // "fox the" transition never occurs elsewhere
+  }
+
   // -- DSIR -------------------------------------------------------------
 
   test("dsirLogWeights: target == raw cancels exactly to log_w = 0") {
