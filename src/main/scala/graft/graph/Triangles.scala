@@ -31,6 +31,8 @@ object Triangles {
     * Output: `node_id`, `degree`, `triangles`, `clustering`.
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    graft.operators.Ids.requireIntegral(edges, aCol, "node")
+    graft.operators.Ids.requireIntegral(edges, bCol, "node")
     val e = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))

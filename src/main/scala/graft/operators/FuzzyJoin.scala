@@ -37,6 +37,7 @@ object FuzzyJoin {
                            maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8,
       s"maxDist must be in [1, 8] (probe fan-out is (2k+1)^2(k+1)), got $maxDist")
+    Ids.requireIntegral(df, idCol)
     val k = maxDist
     val parts = k + 1
     val strs = df.select(col(idCol).cast("long").as("id"),

@@ -31,6 +31,7 @@ object JoinSize {
   def cmInnerProduct(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
                      width: Int = 1024, depth: Int = 3): DataFrame = {
     require(width > 0 && depth >= 1, s"bad sketch dims $width x $depth")
+    Ids.requireIntegral(a, keyA, "join key"); Ids.requireIntegral(b, keyB, "join key")
     def hist(df: DataFrame, key: String, cName: String): DataFrame =
       df.select(col(key).cast("long").as("k"))
         .select(col("k"), explode(sequence(lit(0L), lit(depth - 1L))).as("r"))

@@ -33,6 +33,7 @@ object Retrieval {
                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase) // tokens are matched lowered
     require(k1 > 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
     val docs = df.select(col(idCol), lower(col(textCol)).as("__t"))
       .withColumn("dl", size(split(col("__t"), " ")).cast("long"))
@@ -42,7 +43,7 @@ object Retrieval {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val toks = docs
       .select(col(idCol), col("dl"), explode(split(col("__t"), " ")).as("token"))
-      .filter(col("token").isin(queryTerms: _*)) // scan-stage: non-query tokens never shuffle
+      .filter(col("token").isin(terms: _*)) // scan-stage: non-query tokens never shuffle
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     // df per term from the per-(doc, term) table: one row per containing doc

@@ -498,6 +498,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  test("fuzzy join / join-size / triangles reject non-integral id and key columns") {
+    val sIds = Seq(("x1", "abc")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceSelfJoin(sIds, "s", "id", maxDist = 1)
+    }
+    intercept[IllegalArgumentException] {
+      JoinSize.cmInnerProduct(sIds, "id", sIds, "id")
+    }
+    intercept[IllegalArgumentException] {
+      graft.graph.Triangles.triangleStats(Seq(("a", "b")).toDF("u", "v"), "u", "v")
+    }
+  }
+
   test("cmInnerProduct: collision-free width is exact; width=1 degenerates to |A|x|B|") {
     val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // counts 3,1,1
     val b = Seq(1L, 2L, 2L, 9L).toDF("k")       // counts 1,2,1
