@@ -1061,6 +1061,12 @@ object SparkEntry {
       docs, docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
   }
 
+  /** Zipf-law fit of the corpus token distribution
+    * ([[graft.text.TextFns.zipfFit]]) — exact global frequency ranks
+    * via the two-level rank idiom, one moment-aggregate regression. */
+  private def qZipfFit(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFns.zipfFit(Tables.documents(s, d), "text")
+
   /** Per-document bigram-LM mean log-probability
     * ([[graft.text.Curation.bigramLogProb]]) — the transition-aware
     * perplexity proxy one order above q_unigram_logprob. */
@@ -2584,6 +2590,7 @@ object SparkEntry {
     "q_pipeline_curation" -> (qPipelineCuration _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bigram_logprob" -> (qBigramLogprob _),
+    "q_zipf_fit"       -> (qZipfFit _),
     "q_bm25"           -> (qBm25 _),
     "q_dsir_weights"   -> (qDsirWeights _),
     "q_triangles"      -> (qTriangles _),
@@ -3538,6 +3545,16 @@ object SparkEntry {
       FROM tc JOIN cb USING (bg)
         JOIN cu ON cu.w1 = string_split(bg, ' ')[1] CROSS JOIN v
       GROUP BY doc_id""",
+    "q_zipf_fit" -> """
+      WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+                 GROUP BY 1),
+      r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
+      SELECT CAST(count(*) AS BIGINT) AS vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS slope,
+        round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept,
+        round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2
+      FROM r""",
     "q_bm25" -> """
       WITH docs AS (SELECT doc_id, lower(text) AS t,
                       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl

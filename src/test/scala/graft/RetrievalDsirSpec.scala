@@ -90,6 +90,33 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(top.contains("c d") && top.contains("e f"))
   }
 
+  // -- Zipf fit ---------------------------------------------------------
+
+  test("zipfFit: planted power-law corpus fits slope ~ -1 with high r2") {
+    import graft.text.TextFns
+    // token w_r appears floor(1024/r) times, r = 1..16 — exact Zipf shape
+    val text = (1 to 16).flatMap(r => Seq.fill(1024 / r)(s"w$r")).mkString(" ")
+    val out = TextFns.zipfFit(Seq(text).toDF("text"), "text").head()
+    assert(out.getLong(0) == 16L)
+    assert(out.getLong(1) == (1 to 16).map(1024 / _).sum.toLong)
+    assert(math.abs(out.getDouble(2) + 1.0) < 0.05, s"slope ${out.getDouble(2)}")
+    assert(out.getDouble(4) > 0.999, s"r2 ${out.getDouble(4)}")
+  }
+
+  test("zipfFit two-level ranks equal the single-window ranks (regression identical)") {
+    import graft.text.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select($"text")
+    val two = TextFns.zipfFit(docs, "text").head()
+    val counts = docs.select(explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("cnt"), $"token")).cast("long"))
+    val one = counts.agg(
+      round(regr_slope(log($"cnt".cast("double")), log($"rank".cast("double"))), 6),
+      round(regr_r2(log($"cnt".cast("double")), log($"rank".cast("double"))), 6)).head()
+    assert(two.getDouble(2) == one.getDouble(0) && two.getDouble(4) == one.getDouble(1))
+  }
+
   // -- bigram LM --------------------------------------------------------
 
   test("bigramLogProb: exact smoothed values on a hand corpus; short docs absent") {
