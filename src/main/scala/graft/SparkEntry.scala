@@ -2499,10 +2499,24 @@ object SparkEntry {
         max(col("doc_id")).as("max_id"),
         sum(graft.text.TextFns.tokenCount(col("text")).cast("long")).as("tok_sum"))
 
+  /** Complete aggregate pushdown through the v2 connector: COUNT/MIN/
+    * MAX(doc_id) answered from the pushed id range — ONE arithmetic row
+    * from one partition, zero rows generated (plan = Project over the
+    * PUSHED-AGG BatchScan, no Aggregate node; DataSourceV2Spec pins it). */
+  private def qDsv2Agg(s: SparkSession, d: String): DataFrame =
+    s.read.format("synthetic-docs")
+      .option("numRows", 5000L).option("numPartitions", 8)
+      .load()
+      .filter(col("doc_id") >= 1000L && col("doc_id") < 4000L)
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsv2_source"    -> (qDsv2Source _),
+    "q_dsv2_agg"       -> (qDsv2Agg _),
     "q_mixture"        -> (qMixture _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_upsert"         -> (qUpsert _),
@@ -2882,6 +2896,10 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dsv2_agg" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(i) AS BIGINT) AS min_id,
+        CAST(max(i) AS BIGINT) AS max_id
+      FROM generate_series(1000, 3999) t(i)""",
     "q_dsv2_source" -> """
       WITH ids AS (SELECT unnest(generate_series(1000, 3999)) AS id)
       SELECT CASE id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'

@@ -86,7 +86,8 @@ private[v2] class SyntheticDocsTable(options: CaseInsensitiveStringMap)
 }
 
 private[v2] class SyntheticDocsScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val numRows = options.getLong("numRows", 1000L)
   private val numPartitions = options.getInt("numPartitions", 4)
@@ -96,6 +97,44 @@ private[v2] class SyntheticDocsScanBuilder(options: CaseInsensitiveStringMap)
   private var hi: Long = numRows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticDocs.Schema
+  private var aggOut: Option[Seq[SyntheticDocsAggScan.AggKind]] = None
+
+  // AGGREGATE PUSHDOWN (SupportsPushDownAggregates), COMPLETE form:
+  // after the id-range filters narrowed [lo, hi), ungrouped COUNT(*),
+  // COUNT(doc_id), MIN(doc_id), MAX(doc_id) are pure range arithmetic —
+  // the pushed scan emits ONE row from one partition and generates no
+  // data at all (the v2 analogue of answering from parquet footer
+  // statistics). Spark calls pushFilters before pushAggregation, so the
+  // range is final here; anything unsupported returns false and Spark
+  // aggregates normally.
+  private def supportedAgg(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc):
+      Option[SyntheticDocsAggScan.AggKind] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    def docId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
+      case _ => false
+    }
+    f match {
+      case _: CountStar => Some(SyntheticDocsAggScan.CountK)
+      case c: Count if !c.isDistinct && docId(c.column) => Some(SyntheticDocsAggScan.CountK)
+      case m: Min if docId(m.column) => Some(SyntheticDocsAggScan.MinK)
+      case m: Max if docId(m.column) => Some(SyntheticDocsAggScan.MaxK)
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(supportedAgg(_).isDefined)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggOut = Some(agg.aggregateExpressions.map(supportedAgg(_).get).toSeq)
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -122,8 +161,62 @@ private[v2] class SyntheticDocsScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SyntheticDocsScan(math.min(lo, hi) max 0L, hi max 0L, numPartitions, required)
+  override def build(): Scan = aggOut match {
+    case Some(kinds) =>
+      new SyntheticDocsAggScan(math.min(lo, hi) max 0L, hi max 0L, kinds)
+    case None =>
+      new SyntheticDocsScan(math.min(lo, hi) max 0L, hi max 0L, numPartitions, required)
+  }
+}
+
+/** Completely-pushed aggregate scan: one partition, one arithmetic row.
+  * Empty range → COUNT 0, MIN/MAX null (Spark's empty-input semantics).
+  * Single partition is REQUIRED for complete pushdown: Spark plans no
+  * merge above it, so two partitions would mean two result rows. */
+private[v2] object SyntheticDocsAggScan {
+  sealed trait AggKind
+  case object CountK extends AggKind
+  case object MinK extends AggKind
+  case object MaxK extends AggKind
+}
+
+private[v2] class SyntheticDocsAggScan(lo: Long, hi: Long,
+                                       kinds: Seq[SyntheticDocsAggScan.AggKind])
+    extends Scan with Batch {
+  import SyntheticDocsAggScan._
+  override def readSchema(): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"agg_$i", LongType, nullable = k != CountK)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs PUSHED-AGG range=[$lo,$hi) aggs=[${kinds.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IdRangePartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SyntheticDocsAggReaderFactory(kinds)
+}
+
+/** Standalone (serializable) factory — must not capture the Scan. */
+private[v2] case class SyntheticDocsAggReaderFactory(
+    kinds: Seq[SyntheticDocsAggScan.AggKind]) extends PartitionReaderFactory {
+  import SyntheticDocsAggScan._
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IdRangePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = p.end <= p.start
+        InternalRow.fromSeq(kinds.map {
+          case CountK => math.max(0L, p.end - p.start)
+          case MinK   => if (empty) null else p.start
+          case MaxK   => if (empty) null else p.end - 1
+        }.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] case class IdRangePartition(start: Long, end: Long) extends InputPartition

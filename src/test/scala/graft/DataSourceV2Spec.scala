@@ -49,4 +49,30 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(plan.contains("cols=[doc_id,lang]"), plan)
     assert(df.distinct().count() == 1000)
   }
+
+  test("complete aggregate pushdown: count/min/max answered from the range, no Aggregate node") {
+    val df = read(5000, 8).filter(col("doc_id") >= 1000L && col("doc_id") < 4000L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PUSHED-AGG range=[1000,4000)"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert(df.head() == org.apache.spark.sql.Row(3000L, 1000L, 3999L))
+    // empty pushed range: count 0, min/max null (Spark empty-input semantics)
+    val empty = read(5000, 8).filter(col("doc_id") >= 9999L)
+      .agg(count(col("doc_id")).as("n"), min(col("doc_id")).as("mn"))
+    assert(empty.queryExecution.executedPlan.toString.contains("PUSHED-AGG"), "count(col) must push too")
+    assert(empty.head() == org.apache.spark.sql.Row(0L, null))
+  }
+
+  test("unsupported aggregates fall back to normal scan + Spark aggregation") {
+    val df = read(1000, 4).agg(min(col("lang")).as("m"), count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PUSHED-AGG"), plan)
+    assert(df.head() == org.apache.spark.sql.Row("de", 1000L))
+    // grouped aggregation never pushes (complete form only)
+    val grouped = read(1000, 4).groupBy(col("lang")).agg(max(col("doc_id")).as("m"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PUSHED-AGG"))
+    assert(grouped.count() == 5)
+  }
 }
