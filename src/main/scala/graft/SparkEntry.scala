@@ -1061,6 +1061,13 @@ object SparkEntry {
       docs, docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
   }
 
+  /** Exact set-similarity self-join at Jaccard >= 0.6
+    * ([[graft.dedup.Dedup.jaccardJoinExact]], AllPairs prefix filter) —
+    * like q_fuzzy_join, the brute-force oracle certifies completeness. */
+  private def qJaccardJoin(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.jaccardJoinExact(
+      Tables.documents(s, d), "text", "doc_id", threshold = 0.6)
+
   /** Zipf-law fit of the corpus token distribution
     * ([[graft.text.TextFns.zipfFit]]) — exact global frequency ranks
     * via the two-level rank idiom, one moment-aggregate regression. */
@@ -2605,6 +2612,7 @@ object SparkEntry {
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_zipf_fit"       -> (qZipfFit _),
+    "q_jaccard_join"   -> (qJaccardJoin _),
     "q_bm25"           -> (qBm25 _),
     "q_dsir_weights"   -> (qDsirWeights _),
     "q_triangles"      -> (qTriangles _),
@@ -4211,6 +4219,19 @@ object SparkEntry {
       FROM sh a JOIN sh b
         ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
          AND a.doc_id < b.doc_id""",
+    "q_jaccard_join" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
     "q_scd2" -> """
       WITH flagged AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey, o_orderstatus,

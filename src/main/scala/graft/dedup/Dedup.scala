@@ -662,4 +662,56 @@ object Dedup {
           (col("sh_a") + col("sh_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT set-similarity self-join — ALL pairs with shingle-set
+    * Jaccard ≥ `threshold` — via prefix filtering (the AllPairs / PPJoin
+    * family, Bayardo et al. 2007; Chaudhuri et al. 2006). Where
+    * [[dedupCorpusVerified]]'s minhash path is probabilistic recall and
+    * [[ngramJaccardPairs]] caps hot shingles, this join is complete by
+    * theorem: sort every set by one global rarity order (ascending
+    * document frequency, shingle tiebreak); if J(a, b) ≥ t, the minimal
+    * shared element lies within the first |s| − ⌈t·|s|⌉ + 1 elements of
+    * BOTH sets, so equi-joining on prefix tokens only cannot miss a
+    * pair. The brute-force oracle re-certifies completeness every run.
+    *
+    * Scale shape: the prefix keeps each set's RAREST shingles —
+    * candidate buckets are small by construction (a stop-word shingle
+    * is in nobody's prefix unless the set is tiny), sizes prune
+    * asymmetric pairs before the distinct, and exact verification
+    * touches candidate pairs only, joined back by id (candidate-sized,
+    * not corpus-sized). One window on the doc id ranks prefixes; the
+    * shingle-DF join is the unigramLogProb hot-token shape.
+    * Output: `id_a` < `id_b`, `jaccard` (rounded).
+    */
+  def jaccardJoinExact(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    graft.operators.Ids.requireIntegral(df, idCol)
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        shingles(lower(col(textCol)), n).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    val tok = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val gdf = tok.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    val prefix = tok.join(gdf, "g")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("g"))
+    val cand = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+      .join(prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a")
+        && col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("__u", size(col("sh_a")) + size(col("sh_b")) - col("__i"))
+      .filter(col("__i").cast("double") >= lit(threshold) * col("__u").cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__u"), 6).as("jaccard"))
+  }
 }

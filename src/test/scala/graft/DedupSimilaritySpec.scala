@@ -569,4 +569,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan) // corpus never shuffles for the join
     assert(plan.contains("partial_max"), plan) // per-corpus-row reduce before the exchange
   }
+
+  test("jaccardJoinExact: hand pairs with known Jaccard; threshold boundary inclusive") {
+    import graft.dedup.Dedup
+    // shingle sets (3-grams): d1/d2 differ in last token -> J = 2/4 = 0.5;
+    // d3 is a verbatim copy of d1 -> J = 1.0; d4 unrelated
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"),
+      (3L, "a b c d e"), (4L, "q r s t u")).toDF("doc_id", "text")
+    val at05 = Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(at05((1L, 3L)) == 1.0)
+    assert(at05((1L, 2L)) == 0.5 && at05((2L, 3L)) == 0.5) // boundary kept
+    assert(!at05.contains((1L, 4L)))
+    val at06 = Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at06 == Set((1L, 3L))) // 0.5 pairs pruned
+  }
+
+  test("jaccardJoinExact is complete: differential vs brute force at two thresholds") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = docs.select($"doc_id",
+      Dedup.shingles(lower($"text"), 3).as("sh"))
+    for (t <- Seq(0.4, 0.7)) {
+      val fast = Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = t)
+      val a = sets.select($"doc_id".as("id_a"), $"sh".as("sa"))
+      val brute = a.crossJoin(sets.select($"doc_id".as("id_b"), $"sh".as("sb")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("__i", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("__u", size($"sa") + size($"sb") - $"__i")
+        .filter($"__i".cast("double") >= lit(t) * $"__u".cast("double"))
+        .select($"id_a", $"id_b", round($"__i".cast("double") / $"__u", 6).as("jaccard"))
+      assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+        s"prefix filter diverged from brute force at t=$t")
+      assert(fast.count() > 0, s"degenerate test at t=$t")
+    }
+  }
+
+  test("jaccardJoinExact prefix keeps |s| - ceil(t|s|) + 1 rarest shingles (candidate bound)") {
+    import graft.dedup.Dedup
+    // 10 identical docs + 1 outlier: every shared shingle has df 10 or 11,
+    // prefixes at t=0.8 are 1/5 of each set, candidates stay clique-sized
+    val docs = ((1L to 10L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7")) :+ (11L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = 0.8)
+    assert(out.count() == 45) // the 10-clique, outlier excluded
+    assert(out.filter($"jaccard" =!= 1.0).isEmpty)
+  }
 }
