@@ -603,6 +603,19 @@ object SparkEntry {
         col("mean_r"), col("mean_g"), col("mean_b"))
   }
 
+  /** Real WAV round trip ([[graft.multimodal.Multimodal.synthesizeAudio]]
+    * / decodeAudio): planted square-wave parameters make the decoded RMS
+    * exactly the planted amplitude — a real javax.sound codec under an
+    * arithmetic oracle, like the two-tone PNG means. */
+  private def qAudioDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val media = graft.multimodal.Multimodal.synthesizeAudio(
+      Tables.documents(s, d), "doc_id")
+    graft.multimodal.Multimodal.decodeAudio(media).toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        round(col("duration_s"), 6).as("duration_s"), col("rms"))
+  }
+
   // ---------------------------------------------------------------------
   // Batch 4 — JSON functions, skew-salted join, approx distinct, IVF ANN.
   // ---------------------------------------------------------------------
@@ -2655,6 +2668,7 @@ object SparkEntry {
     "q_ann_brute"      -> (qAnnBrute _),
     "q_ann_lsh"        -> (qAnnLsh _),
     "q_multimodal"     -> (qMultimodal _),
+    "q_audio_decode"   -> (qAudioDecode _),
     "q_window_topk"    -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
     "q_sort_limit"     -> (qSortLimit _),
@@ -4413,6 +4427,13 @@ object SparkEntry {
         (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 3 % 256 AS DOUBLE)) / 2 AS mean_r,
         (CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 11 % 256 AS DOUBLE)) / 2 AS mean_g,
         (CAST(doc_id * 13 % 256 AS DOUBLE) + CAST(doc_id * 17 % 256 AS DOUBLE)) / 2 AS mean_b
+      FROM documents""",
+    "q_audio_decode" -> """
+      SELECT doc_id AS media_id,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_samples,
+        round((800 + (doc_id % 5) * 400) / 8000.0, 6) AS duration_s,
+        CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) AS rms
       FROM documents""",
     "q_window_topk" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

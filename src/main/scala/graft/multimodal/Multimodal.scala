@@ -95,6 +95,56 @@ object Codec {
     }
   }
 
+  case class DecodedAudio(sampleRate: Int, nSamples: Long, rms: Double)
+
+  /** Encode 16-bit PCM mono samples as a WAV payload — a REAL audio
+    * codec through JDK `javax.sound.sampled` (header + stream written
+    * by AudioSystem, not hand-rolled bytes). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(sampleRate > 0 && samples.nonEmpty, "empty audio")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian 16-bit
+      pcm(i * 2) = (samples(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload: sample rate, sample count, RMS amplitude
+    * over the decoded PCM. None when the bytes are not parseable audio. */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val lo = data(i * 2) & 0xff
+          val hi = data(i * 2 + 1).toInt
+          val s = (hi << 8) | lo
+          sumSq += s.toDouble * s; i += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, n.toLong,
+          math.sqrt(sumSq / n)))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   /** Length-prefixed frame container (the "video" stand-in a real
     * demuxer would replace): each frame is a 4-byte big-endian length
     * followed by its PNG bytes. Framing is parseable without decoding
@@ -203,6 +253,49 @@ object Multimodal {
         case None if onUndecodable == "drop" => None
         case None => throw new IllegalArgumentException(
           s"media_id ${r.media_id}: payload is not a decodable image " +
+            "(pass onUndecodable=drop to skip such rows)")
+      }
+    })
+  }
+
+  case class AudioFeatures(media_id: Long, sample_rate: Long, n_samples: Long,
+                           duration_s: Double, rms: Double)
+
+  /** Planted audio parameters: 8 kHz mono square wave with amplitude
+    * A = 1000 + (id % 7)·500 and n = 800 + (id % 5)·400 samples. Every
+    * sample is ±A, so the decoded RMS is EXACTLY A (√(Σ A²/n) = A in
+    * IEEE: exact square, exact division, exact root) — the audio
+    * analogue of the two-tone image's exact channel means. */
+  private[multimodal] def audioParams(id: Long): (Int, Int, Int) =
+    ((1000 + (id % 7) * 500).toInt, (800 + (id % 5) * 400).toInt, (2 + id % 6).toInt)
+
+  /** Deterministic WAV payload per id (real encode, scan-stage). */
+  def synthesizeAudio(df: DataFrame, idCol: String)
+                     (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (amp, n, period) = audioParams(id)
+        val samples = Array.tabulate(n)(i =>
+          (if ((i / period) % 2 == 0) amp else -amp).toShort)
+        MediaRow(id, Codec.encodeWav(8000, samples))
+      })
+  }
+
+  /** Real WAV decode: payload -> rate, sample count, duration, RMS. */
+  def decodeAudio(media: Dataset[MediaRow], onUndecodable: String = "error")
+                 (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    require(Seq("error", "drop").contains(onUndecodable),
+      s"onUndecodable must be error|drop, got $onUndecodable")
+    media.mapPartitions(_.flatMap { r =>
+      Codec.decodeWav(r.payload) match {
+        case Some(d) =>
+          Some(AudioFeatures(r.media_id, d.sampleRate.toLong, d.nSamples,
+            d.nSamples.toDouble / d.sampleRate, d.rms))
+        case None if onUndecodable == "drop" => None
+        case None => throw new IllegalArgumentException(
+          s"media_id ${r.media_id}: payload is not decodable audio " +
             "(pass onUndecodable=drop to skip such rows)")
       }
     })

@@ -72,6 +72,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.width == 15 && out.height == 6)
   }
 
+  test("Codec WAV round trip: rate, count, and exact square-wave RMS survive encode/decode") {
+    val samples = Array.tabulate(1200)(i => (if ((i / 3) % 2 == 0) 2500 else -2500).toShort)
+    val bytes = Codec.encodeWav(8000, samples)
+    val d = Codec.decodeWav(bytes).get
+    assert(d.sampleRate == 8000 && d.nSamples == 1200L)
+    assert(d.rms == 2500.0) // every sample is ±A: RMS is exactly A
+    // non-square content: RMS strictly between 0 and the peak
+    val ramp = Codec.decodeWav(Codec.encodeWav(8000,
+      Array.tabulate(100)(i => (i * 10).toShort))).get
+    assert(ramp.rms > 0.0 && ramp.rms < 990.0)
+    assert(Codec.decodeWav(Array[Byte](1, 2, 3, 4)).isEmpty) // junk is None, not a throw
+  }
+
+  test("synthesizeAudio -> decodeAudio recovers planted parameters; junk errors or drops") {
+    implicit val s = spark
+    val ids = Seq(0L, 3L, 11L, 23L).toDF("doc_id")
+    val feats = Multimodal.decodeAudio(Multimodal.synthesizeAudio(ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 3L, 11L, 23L)) {
+      val (amp, n) = (1000 + (id % 7) * 500, 800 + (id % 5) * 400)
+      val f = feats(id)
+      assert(f.sample_rate == 8000L && f.n_samples == n.toLong)
+      assert(f.rms == amp.toDouble)
+      assert(f.duration_s == n.toDouble / 8000)
+    }
+    val junk = Seq(Multimodal.MediaRow(9L, Array[Byte](0, 1, 2))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(junk).collect()
+    }
+    assert(Multimodal.decodeAudio(junk, onUndecodable = "drop").isEmpty)
+  }
+
   test("sampleFrames decodes only sampled frames with planted tones") {
     implicit val s = spark
     val ids = Seq(25L).toDF("doc_id") // 25 % 30 + 1 = 26 frames
