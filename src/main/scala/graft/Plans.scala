@@ -81,7 +81,13 @@ object Plans {
     "q_fuzzy_join" ->
       "PassJoin fuzzy join: segment/probe expansion is scan-stage Generate (constant factor per string), the candidate match is a plain shuffle hash join on the (length, segment, content) key, and levenshtein runs only on candidates — the quadratic comparison never exists in the plan.",
     "q_join_size_est" ->
-      "Join-size sketch: each side's scan collapses map-side to <= depth x width histogram rows before a sketch-sized exchange; the inner-product join and per-row sum touch sketch rows only — corpus scanned once per side, nothing key-cardinality-sized moves.")
+      "Join-size sketch: each side's scan collapses map-side to <= depth x width histogram rows before a sketch-sized exchange; the inner-product join and per-row sum touch sketch rows only — corpus scanned once per side, nothing key-cardinality-sized moves.",
+    "q_jaccard_join" ->
+      "AllPairs prefix filter: candidates equi-join on each set's rarest-shingle prefix (complete by theorem — the brute-force oracle recertifies it), sizes prune before the distinct, and the exact verify joins arrays back onto CANDIDATE pairs only, never the corpus cross product.",
+    "q_entity_resolution" ->
+      "Entity resolution: PassJoin candidates -> levenshtein verify -> iterative component contraction (localCheckpoint'd generations) -> one cluster-key exchange shared by the size count and canonical-pick windows.",
+    "q_zipf_fit" ->
+      "Zipf fit: vocabulary ranks via range repartition + per-partition row_number + broadcast offsets — rank assignment has NO single-task sort, and the regression is one moment aggregate over the ranked vocabulary.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
