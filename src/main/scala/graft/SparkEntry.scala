@@ -519,6 +519,18 @@ object SparkEntry {
         substring(col("text"), 1, 12).as("prefix")),
       "prefix", "doc_id", maxDist = 2)
 
+  /** Cross-corpus fuzzy match ([[graft.operators.FuzzyJoin
+    * .editDistanceJoin]]): every document prefix within ed ≤ 2 of a
+    * 50-doc "benchmark" slice — the near-miss decontamination lookup.
+    * Brute-force oracle certifies cross-set banding completeness. */
+  private def qFuzzyCross(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 12).as("prefix"))
+    graft.operators.FuzzyJoin.editDistanceJoin(
+      t, "prefix", "doc_id",
+      t.filter(col("doc_id") % 10 === 0), "prefix", "doc_id", maxDist = 2)
+  }
+
   /** Entity resolution end-to-end: fuzzy pairs (ed ≤ 2 on the 12-char
     * prefix) → connected components → cluster size + canonical (min-id)
     * flag. Both windows share the one cluster-key exchange. */
@@ -2631,6 +2643,7 @@ object SparkEntry {
     "q_triangles"      -> (qTriangles _),
     "q_pmi"            -> (qPmi _),
     "q_fuzzy_join"     -> (qFuzzyJoin _),
+    "q_fuzzy_cross"    -> (qFuzzyCross _),
     "q_entity_resolution" -> (qEntityResolution _),
     "q_join_size_est"  -> (qJoinSizeEst _),
     "q_range_join"     -> (qRangeJoin _),
@@ -4381,6 +4394,12 @@ object SparkEntry {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
       FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 2""",
+    "q_fuzzy_cross" -> """
+      WITH t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM t a JOIN t b ON b.doc_id % 10 = 0
       WHERE levenshtein(a.s, b.s) <= 2""",
     "q_entity_resolution" -> """
       WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents),

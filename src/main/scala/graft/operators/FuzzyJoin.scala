@@ -31,50 +31,82 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All unordered id pairs with levenshtein ≤ maxDist. Output:
-    * `id_a` < `id_b`, `dist`. */
-  def editDistanceSelfJoin(df: DataFrame, strCol: String, idCol: String,
-                           maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 8,
-      s"maxDist must be in [1, 8] (probe fan-out is (2k+1)^2(k+1)), got $maxDist")
-    Ids.requireIntegral(df, idCol)
-    val k = maxDist
-    val parts = k + 1
-    val strs = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("s"), length(col(strCol)).cast("long").as("len"))
-    def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
-      floor(i * l / lit(parts.toDouble)).cast("long")
-    // index side: the k+1 segments of each string, keyed by own length
-    val index = strs
+  private def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
+                       parts: Int) =
+    floor(i * l / lit(parts.toDouble)).cast("long")
+
+  /** Index side: the k+1 segments of each string, keyed by own length. */
+  private def indexSide(strs: DataFrame, k: Int): DataFrame =
+    strs
       .select(col("id").as("id_x"), col("s").as("s_x"), col("len").as("lt"),
         explode(sequence(lit(0L), lit(k.toLong))).as("i"))
       .select(col("id_x"), col("s_x"), col("lt"), col("i"),
         col("s_x").substr(
-          (segStart(col("i"), col("lt")) + 1).cast("int"),
-          (segStart(col("i") + 1, col("lt")) - segStart(col("i"), col("lt"))).cast("int"))
+          (segStart(col("i"), col("lt"), k + 1) + 1).cast("int"),
+          (segStart(col("i") + 1, col("lt"), k + 1)
+            - segStart(col("i"), col("lt"), k + 1)).cast("int"))
           .as("seg"))
-    // probe side: every substring a surviving segment could be, for each
-    // partner length / segment idx / displacement — one explode over a
-    // constant-size generated array
+
+  /** Probe side: every substring a surviving segment could be, for each
+    * partner length / segment idx / displacement — one explode over a
+    * constant-size generated array. */
+  private def probeSide(strs: DataFrame, k: Int): DataFrame = {
     val variants = flatten(transform(
       sequence(greatest(col("len") - k, lit(0L)), col("len") + k), lt =>
         flatten(transform(sequence(lit(0L), lit(k.toLong)), i =>
           transform(sequence(lit(-k.toLong), lit(k.toLong)), sh =>
             struct(lt.as("lt"), i.as("i"),
-              (segStart(i, lt) + sh).as("st"),
-              (segStart(i + 1, lt) - segStart(i, lt)).as("ln")))))))
-    val probe = strs
+              (segStart(i, lt, k + 1) + sh).as("st"),
+              (segStart(i + 1, lt, k + 1) - segStart(i, lt, k + 1)).as("ln")))))))
+    strs
       .select(col("id").as("id_p"), col("s").as("s_p"), col("len"),
         explode(variants).as("v"))
       .filter(col("v.st") >= 0 && col("v.st") + col("v.ln") <= col("len"))
       .select(col("id_p"), col("s_p"), col("v.lt").as("lt"), col("v.i").as("i"),
         col("s_p").substr((col("v.st") + 1).cast("int"), col("v.ln").cast("int")).as("seg"))
       .distinct() // shifts often alias: one candidate probe per distinct key
-    probe.join(index, Seq("lt", "i", "seg"))
+  }
+
+  private def normalized(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"), length(col(strCol)).cast("long").as("len"))
+
+  private def requireDist(maxDist: Int): Unit =
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (probe fan-out is (2k+1)^2(k+1)), got $maxDist")
+
+  /** All unordered id pairs with levenshtein ≤ maxDist. Output:
+    * `id_a` < `id_b`, `dist`. */
+  def editDistanceSelfJoin(df: DataFrame, strCol: String, idCol: String,
+                           maxDist: Int): DataFrame = {
+    requireDist(maxDist)
+    Ids.requireIntegral(df, idCol)
+    val strs = normalized(df, strCol, idCol)
+    probeSide(strs, maxDist).join(indexSide(strs, maxDist), Seq("lt", "i", "seg"))
       .filter(col("id_p") =!= col("id_x"))
-      .filter(levenshtein(col("s_p"), col("s_x")) <= k)
+      .filter(levenshtein(col("s_p"), col("s_x")) <= maxDist)
       .select(least(col("id_p"), col("id_x")).as("id_a"),
         greatest(col("id_p"), col("id_x")).as("id_b"),
+        levenshtein(col("s_p"), col("s_x")).cast("long").as("dist"))
+      .distinct()
+  }
+
+  /** Two-table variant — every (left, right) pair within `maxDist`; the
+    * cross-corpus decontamination shape ("which corpus titles are a
+    * near-miss of a benchmark title"). Simpler than the self-join: the
+    * pigeonhole theorem needs only one direction, so RIGHT indexes its
+    * segments and LEFT probes. Output: `left_id`, `right_id`, `dist`.
+    */
+  def editDistanceJoin(left: DataFrame, leftStr: String, leftId: String,
+                       right: DataFrame, rightStr: String, rightId: String,
+                       maxDist: Int): DataFrame = {
+    requireDist(maxDist)
+    Ids.requireIntegral(left, leftId)
+    Ids.requireIntegral(right, rightId)
+    probeSide(normalized(left, leftStr, leftId), maxDist)
+      .join(indexSide(normalized(right, rightStr, rightId), maxDist), Seq("lt", "i", "seg"))
+      .filter(levenshtein(col("s_p"), col("s_x")) <= maxDist)
+      .select(col("id_p").as("left_id"), col("id_x").as("right_id"),
         levenshtein(col("s_p"), col("s_x")).cast("long").as("dist"))
       .distinct()
   }

@@ -563,4 +563,22 @@ class OperatorsSpec extends AnyFunSuite {
       assert(banded.count() > 0, s"degenerate test: no pairs at k=$k")
     }
   }
+
+  test("editDistanceJoin (two-table) is complete vs brute force; keeps exact self-matches") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", substring($"text", 1, 10).as("s"))
+    val bench = corpus.filter($"doc_id" % 7 === 0)
+    for (k <- Seq(1, 2)) {
+      val banded = FuzzyJoin.editDistanceJoin(corpus, "s", "doc_id", bench, "s", "doc_id", k)
+      val brute = corpus.select($"doc_id".as("left_id"), $"s".as("sl"))
+        .crossJoin(bench.select($"doc_id".as("right_id"), $"s".as("sr")))
+        .filter(levenshtein($"sl", $"sr") <= k)
+        .select($"left_id", $"right_id", levenshtein($"sl", $"sr").cast("long").as("dist"))
+      assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+        s"two-table banded join diverged from brute force at k=$k")
+      // a bench doc is ed-0 from itself on the corpus side — must be present
+      assert(banded.filter($"left_id" === $"right_id" && $"dist" === 0).count() ==
+        bench.count(), s"missing exact self-matches at k=$k")
+    }
+  }
 }
