@@ -1257,6 +1257,20 @@ object SparkEntry {
     graft.dedup.Dedup.clusters(emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
   }
 
+  /** Leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.leakageSafeSplit]]): the q_dedup_clusters
+    * near-duplicate graph (cosine ≥ 0.35) is folded atomically — every
+    * component hashes once on its canonical label, so no near-dup pair
+    * can straddle the train/test boundary. The oracle replays components
+    * (recursive CTE) and the PolyHash bucket relationally. */
+  private def qLeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.35)
+    Sampling.leakageSafeSplit(emb.select(col("vec_id")), "vec_id",
+      pairs, "id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------------
   // Batch 6 — training-pipeline depth: repetition signals, PII redaction,
   // deterministic splits, pair-verify Jaccard, SCD-2 runs, approx
@@ -2619,6 +2633,7 @@ object SparkEntry {
     "q_scd2"           -> (qScd2 _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_leakage_split"  -> (qLeakageSplit _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -4282,6 +4297,21 @@ object SparkEntry {
         TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
       FROM lineitem GROUP BY 1""",
     "q_dedup_clusters" -> ClusterOracle,
+    "q_leakage_split" -> s"""$ClusterCte,
+      comp AS (
+        SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+        FROM reach GROUP BY 1),
+      bk AS (
+        SELECT id, cluster,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(CAST(cluster AS VARCHAR), ''),
+              c -> CAST(ord(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 10 AS bucket
+        FROM comp)
+      SELECT id, cluster, CAST(bucket AS BIGINT) AS bucket,
+        CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bk""",
     "q_dedup_keep_best" -> s"""$ClusterCte,
       comp AS (
         SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster

@@ -134,4 +134,44 @@ object Sampling {
       .drop("__quota")
       .withColumnRenamed("__rk", "rk")
   }
+
+  /** Cluster-aware (leakage-safe) train/val/test split: every connected
+    * component of the near-duplicate `pairs` graph lands in the SAME
+    * fold.
+    *
+    * A per-document hash split (the [[graft.SparkEntry]] q_hash_split
+    * shape) puts each member of a near-duplicate pair in train with
+    * probability p independently, so a pair straddles the train/test
+    * boundary with probability 2p(1-p) — at p=0.8 that's 32% of all
+    * near-dup pairs leaking train content into test. Hashing the
+    * component's canonical (min-id) label instead makes the fold
+    * assignment constant within each component by construction.
+    *
+    * Dataflow: [[graft.dedup.Dedup.clusters]] label propagation
+    * (O(diameter) bucket-local rounds), then the bucket is a scan-stage
+    * projection over the final labels — PolyHash of the decimal cluster
+    * id mod `nBuckets`, replayable by any engine — and the split
+    * boundaries are plain bucket comparisons. Nothing beyond the label
+    * propagation shuffles; singleton documents (no pairs) keep
+    * cluster = own id and spread uniformly across buckets.
+    *
+    * Output: `id`, `cluster`, `bucket`, `split` ∈ train|val|test.
+    */
+  def leakageSafeSplit(ids: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       trainBuckets: Int = 8, valBuckets: Int = 1,
+                       nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && trainBuckets >= 1 && valBuckets >= 0 &&
+      trainBuckets + valBuckets < nBuckets,
+      s"need 1 <= trainBuckets, 0 <= valBuckets, trainBuckets + valBuckets " +
+        s"< nBuckets to leave test room; got $trainBuckets/$valBuckets/$nBuckets")
+    val comps = graft.dedup.Dedup.clusters(ids, pairs, idCol, aCol, bCol)
+    val bucket =
+      pmod(graft.functions.PolyHash.polyHash(col("cluster").cast("string")),
+        lit(nBuckets.toLong))
+    comps.select(col("id"), col("cluster"), bucket.as("bucket"),
+      when(bucket < trainBuckets, "train")
+        .when(bucket < trainBuckets + valBuckets, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -564,6 +564,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles folds; singletons spread; args validated") {
+    import graft.operators.Sampling
+    val ids = (1L to 400L).toDF("id")
+    // chain components {1..4}, {10,11}, plus 394 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(ids, "id", pairs, "id_a", "id_b")
+    // every edge's endpoints got the identical fold AND bucket
+    val straddle = pairs
+      .join(split.as("x"), $"id_a" === $"x.id")
+      .join(split.as("y"), $"id_b" === $"y.id")
+    assert(straddle.filter($"x.split" =!= $"y.split" || $"x.bucket" =!= $"y.bucket").count() == 0)
+    // folds partition the ids; train is the big share; all three non-empty
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400L && counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(ids, "id", pairs, "id_a", "id_b",
+        trainBuckets = 9, valBuckets = 1, nBuckets = 10) // no test room
+    }
+  }
+
   test("editDistanceJoin (two-table) is complete vs brute force; keeps exact self-matches") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", substring($"text", 1, 10).as("s"))
