@@ -1390,6 +1390,29 @@ object SparkEntry {
         col("n_orders"), col("st").as("status_ff"))
   }
 
+  /** Trailing EWMA per user ([[graft.operators.TimeSeries.ewma]]):
+    * the s←s·α+x recurrence as an exact left fold over the ordered
+    * 20-row trailing frame — no driver loop, no stateful UDF, and the
+    * identical fold replays bit-for-bit in the oracle's list_reduce. */
+  private def qEwma(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewma(Tables.events(s, d), Seq("user_id"),
+        Seq("ts", "event_id"), "value", alpha = 0.9, lookback = 20)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value"), round(col("ewma"), 6).as("ewma"))
+
+  /** Pareto frontier ([[graft.operators.Skyline.skyline2D]]): documents
+    * that are maximally lexically diverse for their length budget —
+    * minimize n_chars, maximize distinct-token ratio. Exact two-stage
+    * skyline (bucket-local windows, then one pass over survivors); the
+    * quadratic NOT EXISTS oracle certifies both stages. */
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      (size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " "))).as("dr"))
+    Skyline.skyline2D(t, "n_chars", "dr", "doc_id")
+      .select(col("doc_id"), col("n_chars"), round(col("dr"), 6).as("distinct_ratio"))
+  }
+
   /** Window-function battery: first/last/nth value over the full frame,
     * ntile quartiles, percent_rank, cume_dist — one shared sort. */
   private def qWindowFns(s: SparkSession, d: String): DataFrame = {
@@ -2634,6 +2657,8 @@ object SparkEntry {
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_leakage_split"  -> (qLeakageSplit _),
+    "q_ewma"           -> (qEwma _),
+    "q_skyline"        -> (qSkyline _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -4563,6 +4588,24 @@ object SparkEntry {
         count(DISTINCT e.user_id) AS users
       FROM events e JOIN first f USING (user_id)
       GROUP BY 1, 2""",
+    "q_skyline" -> """
+      WITH t AS (SELECT doc_id, n_chars,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS dr FROM documents)
+      SELECT a.doc_id, a.n_chars, round(a.dr, 6) AS distinct_ratio
+      FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+        WHERE b.n_chars <= a.n_chars AND b.dr >= a.dr
+          AND (b.n_chars < a.n_chars OR b.dr > a.dr))""",
+    "q_ewma" -> """
+      WITH frames AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS frame
+        FROM events)
+      SELECT user_id, event_id, ts_us, value,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), frame),
+          (s, x) -> s * 0.9 + x), 6) AS ewma
+      FROM frames""",
     "q_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, event_id, value, epoch_ns(ts) AS tns,

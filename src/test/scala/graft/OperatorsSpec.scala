@@ -586,6 +586,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma: exact fold weights, frame truncation, per-key isolation, args validated") {
+    import graft.operators.TimeSeries
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 8.0),
+                 (2L, 1L, 100.0)).toDF("k", "t", "x")
+    val out = TimeSeries.ewma(df, Seq("k"), Seq("t"), "x", alpha = 0.5, lookback = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 1L)) == 2.0)
+    assert(out((1L, 2L)) == 2.0 * 0.5 + 4.0)
+    assert(out((1L, 3L)) == (2.0 * 0.5 + 4.0) * 0.5 + 8.0)
+    assert(out((2L, 1L)) == 100.0) // other key never bleeds in
+    // lookback=2 drops the oldest term at t=3
+    val short = TimeSeries.ewma(df, Seq("k"), Seq("t"), "x", alpha = 0.5, lookback = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(short((1L, 3L)) == 4.0 * 0.5 + 8.0)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, Seq("k"), Seq("t"), "x", alpha = 1.0)
+    }
+  }
+
+  test("skyline2D matches brute force; keeps incomparable duplicates; bucket-count invariant") {
+    import graft.operators.Skyline
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_chars", ($"doc_id" * 37 % 101).cast("double").as("y"))
+    for (b <- Seq(1, 8)) {
+      val sky = Skyline.skyline2D(docs, "n_chars", "y", "doc_id", buckets = b)
+      val brute = docs.as("a").join(docs.as("b"),
+          $"b.n_chars" <= $"a.n_chars" && $"b.y" >= $"a.y" &&
+            ($"b.n_chars" < $"a.n_chars" || $"b.y" > $"a.y"), "left_anti")
+      assert(sky.exceptAll(brute).isEmpty && brute.exceptAll(sky).isEmpty,
+        s"skyline diverged from brute force at buckets=$b")
+      assert(sky.count() > 0)
+    }
+    // equal (x, y) points are mutually incomparable — all must survive
+    val dup = Seq((1L, 10L, 5.0), (2L, 10L, 5.0), (3L, 20L, 1.0)).toDF("id", "x", "y")
+    val kept = Skyline.skyline2D(dup, "x", "y", "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("editDistanceJoin (two-table) is complete vs brute force; keeps exact self-matches") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", substring($"text", 1, 10).as("s"))
