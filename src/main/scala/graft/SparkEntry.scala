@@ -557,6 +557,19 @@ object SparkEntry {
         Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.2),
       "id_a", "id_b")
 
+  /** 2-core of the cosine ≥ 0.2 similarity graph
+    * ([[graft.graph.KCore.kCore]]): nodes whose similarity neighborhood
+    * is structurally dense (every member has ≥ 2 surviving neighbors),
+    * not just a chain of pairwise matches. Peeling converges in 5
+    * rounds on this data; the oracle unrolls 8 (extra rounds are
+    * fixpoint no-ops, so the bounded unroll replays the converged
+    * result exactly). */
+  private def qKcore(s: SparkSession, d: String): DataFrame =
+    graft.graph.KCore.kCore(
+      graft.similarity.Similarity.cosinePairs(
+        Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.2),
+      "id_a", "id_b", k = 2)
+
   /** Top-20 PMI collocations over the corpus
     * ([[graft.text.TextFns.pmiCollocations]]). */
   private def qPmi(s: SparkSession, d: String): DataFrame =
@@ -2659,6 +2672,7 @@ object SparkEntry {
     "q_leakage_split"  -> (qLeakageSplit _),
     "q_ewma"           -> (qEwma _),
     "q_skyline"        -> (qSkyline _),
+    "q_kcore"          -> (qKcore _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -2911,6 +2925,21 @@ object SparkEntry {
   }
 
   /** The exact cosine over the membership CTE's `e` arrays. */
+  /** q_kcore oracle: `KCoreOracleRounds` unrolled peel rounds — each is
+    * a degree aggregate over the previous survivors plus two keep-joins.
+    * Peeling is monotone with a unique fixpoint, so any unroll ≥ the
+    * data's convergence depth (5 at sf0.01) replays [[graft.graph.KCore
+    * .kCore]]'s converged answer exactly; the 3 spare rounds are no-ops.
+    */
+  private val KCoreOracleRounds = 8
+  private val KCorePeelCtes: String = (1 to KCoreOracleRounds).map { i =>
+    s"""k$i AS MATERIALIZED (
+        SELECT src FROM (SELECT src, count(*) AS dg FROM s${i - 1} GROUP BY 1)
+        WHERE dg >= 2),
+      s$i AS MATERIALIZED (SELECT s.src, s.dst FROM s${i - 1} s
+              JOIN k$i x ON s.src = x.src JOIN k$i y ON s.dst = y.src)"""
+  }.mkString(",\n      ")
+
   private val SubBucketCos =
     """round(list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"""
@@ -4394,6 +4423,20 @@ object SparkEntry {
         ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
        AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
       WHERE $SubBucketCos >= 0.35""",
+    "q_kcore" -> s"""
+      WITH ${subBucketCte("label", 1000)},
+      e0 AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+        WHERE $SubBucketCos >= 0.2),
+      e AS (SELECT DISTINCT a, b FROM e0),
+      s0 AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      $KCorePeelCtes
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+      FROM s$KCoreOracleRounds GROUP BY 1""",
     "q_triangles" -> s"""
       WITH ${subBucketCte("label", 1000)},
       e0 AS (

@@ -200,6 +200,46 @@ class GraphSpec extends AnyFunSuite {
     assert(total == 3 * brute, s"sum of per-node counts must be 3x the $brute triangles")
   }
 
+  test("kCore: hand graph — triangle survives 2-core, tail chain peels off in cascade") {
+    import graft.graph.KCore
+    // triangle {1,2,3} + chain 3-4-5: peeling drops 5, then 4; the
+    // triangle is the 2-core with in-core degree 2 everywhere
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = KCore.kCore(pairs, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: no node has 3 neighbors, everything peels
+    assert(KCore.kCore(pairs, "a", "b", k = 3).count() == 0)
+    // direction/duplicate/self-loop normalization: same graph, noisy input
+    val noisy = pairs.unionAll(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    assert(KCore.kCore(noisy, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore matches driver-side iterative peeling on the corpus pair graph") {
+    import graft.graph.KCore
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "embedding", "vec_id", "label", threshold = 0.2)
+    val out = KCore.kCore(pairs, "id_a", "id_b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain Scala peel over the collected edge list
+    val edges = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    var adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var nodes = adj.keySet
+    var changed = true
+    while (changed) {
+      val keep = nodes.filter(n => (adj(n) & nodes).size >= 2)
+      changed = keep != nodes
+      nodes = keep
+    }
+    val expect = nodes.map(n => n -> (adj(n) & nodes).size.toLong).toMap
+    assert(out == expect, "distributed peel diverged from driver-side peel")
+    assert(out.nonEmpty, "degenerate test: empty 2-core")
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
