@@ -731,6 +731,31 @@ object SparkEntry {
     graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb)
   }
 
+  /** Two quantized Lloyd iterations of coarse k-means (k=4) under FULL
+    * oracle replay ([[graft.similarity.Ivf.trainCentroids]] with
+    * `quantize=Some(6)`): init = the 4 lowest-id vectors, each iteration
+    * is a scan-stage argmin assignment + one k×d-bounded mean aggregate,
+    * and between-iteration quantization pins the floats so the DuckDB
+    * replay (argmin via row_number, means via 64 avg terms) is exact —
+    * actual iterated TRAINING under the correctness gate, not just the
+    * iters=0 seeding the PQ/IVF queries use. Output: per (cell, dim)
+    * centroid values + the final assignment counts. */
+  private def qKmeans(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.{Ivf, Similarity}
+    val emb = Tables.embeddings(s, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 2, quantize = Some(6))
+    val assign = emb
+      .select(Ivf.assignCell(Similarity.toDouble(col("embedding")), cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val centRows = cents.flatMap(c =>
+        c.values.zipWithIndex.map { case (v, i) => (c.cellId.toLong, (i + 1).toLong, v) })
+      .toDF("cell", "dim", "c_val")
+    centRows.join(assign, centRows("cell") === assign("cell").cast("long"))
+      .select(centRows("cell"), col("dim"), round(col("c_val"), 6).as("c_val"), col("n"))
+  }
+
   /** ADC top-10 under the same codebook: the query (vec 0) builds one
     * 8×16 lookup table; every stored vector's approximate distance is an
     * 8-lookup fold over its CODES — the scan never touches the float
@@ -2673,6 +2698,7 @@ object SparkEntry {
     "q_ewma"           -> (qEwma _),
     "q_skyline"        -> (qSkyline _),
     "q_kcore"          -> (qKcore _),
+    "q_kmeans"         -> (qKmeans _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -2882,6 +2908,30 @@ object SparkEntry {
           round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
           round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
         FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)"""
+
+  /** q_kmeans oracle machinery: each Lloyd iteration is argmin
+    * assignment (row_number over the generated 64-term left-associated
+    * distance sum, tiebreak = lowest cell, mirroring array_position's
+    * first occurrence) + per-cell quantized means (64 round(avg+1e-12,6)
+    * terms, matching trainCentroids' quantize=Some(6)); empty cells keep
+    * the previous centroid via the LEFT JOIN coalesce. MATERIALIZED stops
+    * DuckDB's CTE inlining from exponentiating the unroll. */
+  private def kmeansIterCte(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+        SELECT v.vec_id, co.cell, ${(1 to 64).map(j =>
+          s"(v.e[$j] - co.c[$j]) * (v.e[$j] - co.c[$j])").mkString(" + ")} AS d
+        FROM ve v CROSS JOIN c${i - 1} co),
+      a$i AS MATERIALIZED (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM d$i) WHERE rn = 1),
+      m$i AS MATERIALIZED (
+        SELECT cell, [${(1 to 64).map(j =>
+          s"round(avg(e[$j]) + 1e-12, 6)").mkString(", ")}] AS c
+        FROM ve JOIN a$i USING (vec_id) GROUP BY cell),
+      c$i AS MATERIALIZED (
+        SELECT p.cell, coalesce(m.c, p.c) AS c
+        FROM c${i - 1} p LEFT JOIN m$i m ON p.cell = m.cell)"""
 
   /** Coarse-cell distance terms for q_ann_ivfpq — the full 64-dim
     * left-associated sum, matching Ivf.assignCell's zip_with fold. */
@@ -3293,6 +3343,21 @@ object SparkEntry {
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_kmeans" -> s"""
+      WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+        FROM (SELECT * FROM ve ORDER BY vec_id LIMIT 4)),
+      ${kmeansIterCte(1)},
+      ${kmeansIterCte(2)},
+      ${kmeansIterCte(3)}
+      SELECT cr.cell, cr.dim, round(cr.v, 6) AS c_val, cnt.n
+      FROM (SELECT cell, unnest(list_transform(c, (x, i) ->
+              struct_pack(dim := CAST(i AS BIGINT), v := x)),
+              recursive := true) FROM c2) cr
+      JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n
+            FROM a3 GROUP BY 1) cnt ON cr.cell = cnt.cell""",
     "q_pq_encode" -> s"""$PqCte
       SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes,
         round(sum(d) + 1e-12, 6) AS recon_err

@@ -61,9 +61,18 @@ object Ivf {
 
   /** Lloyd's iterations; deterministic init = the nCells lowest-id
     * vectors. Empty cells keep their previous centroid.
+    *
+    * `quantize = Some(p)` rounds each updated mean to p decimals (with
+    * the +1e-12 exact-tie nudge) BETWEEN iterations: the mean of a
+    * distributed double sum is reproducible only to ~ulp (partial-sum
+    * order), and an ulp wobble can flip a near-tied argmin in the NEXT
+    * iteration — quantizing pins every iteration's input to a value any
+    * engine reproduces, making multi-iteration training exactly
+    * replayable (the full-replay oracle pattern). None = raw means.
     */
   def trainCentroids(df: DataFrame, embCol: String, idCol: String,
-                     nCells: Int, iters: Int): Seq[Centroid] = {
+                     nCells: Int, iters: Int,
+                     quantize: Option[Int] = None): Seq[Centroid] = {
     val data = df.select(col(idCol).as("__id"), Similarity.toDouble(col(embCol)).as("__e"))
     var cents: Seq[Centroid] = data.orderBy(col("__id")).limit(nCells)
       .select(col("__e")).collect()
@@ -75,10 +84,14 @@ object Ivf {
       // posexplode — the generator form made the optimizer re-evaluate
       // the (interpreted-HOF) assignment expression once per exploded
       // row, 64x the work.
+      val mean = (i: Int) => quantize match {
+        case Some(p) => round(avg(col("__e").getItem(i)) + lit(1e-12), p)
+        case None    => avg(col("__e").getItem(i))
+      }
       val means = data
         .select(assignCell(col("__e"), cents).as("cell_id"), col("__e"))
         .groupBy(col("cell_id"))
-        .agg(array((0 until dim).map(i => avg(col("__e").getItem(i))): _*).as("centroid"))
+        .agg(array((0 until dim).map(mean): _*).as("centroid"))
         .collect()
         .map(r => Centroid(r.getInt(0), r.getSeq[Double](1))).toSeq
       val byId = means.map(c => c.cellId -> c).toMap

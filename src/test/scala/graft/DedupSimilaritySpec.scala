@@ -146,6 +146,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute & ivf).size >= 4, s"recall ${(brute & ivf).size}/10")
   }
 
+  test("IVF quantized training: 1e-6 grid centroids, Lloyd SSE non-increasing, raw path intact") {
+    import graft.similarity.Ivf
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 2, quantize = Some(6))
+    // every trained coordinate sits exactly on the 1e-6 grid (replayable)
+    assert(cents.flatMap(_.values).forall(v => (v * 1e6).round / 1e6 == v))
+    // Lloyd monotonicity survives quantization at this granularity:
+    // SSE under 2 iterations <= SSE under the init centroids
+    def sse(cs: Seq[Ivf.Centroid]): Double = {
+      val data = emb.select(Similarity.toDouble(col("embedding")).as("__e"))
+      data.select(Ivf.assignCell(col("__e"), cs).as("c"), col("__e")).collect().map { r =>
+        val e = r.getSeq[Double](1); val c = cs(r.getInt(0)).values
+        e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    }
+    val init = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 4, iters = 0)
+    assert(sse(cents) <= sse(init), "quantized Lloyd increased SSE")
+    // quantize=None default unchanged: raw means off the grid in general
+    val raw = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 4, iters = 2)
+    assert(raw.flatMap(_.values).exists(v => (v * 1e6).round / 1e6 != v))
+  }
+
   test("SimHashAgg (TypedImperativeAggregate) equals the column-composed simhash") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val viaAgg = Dedup.simhash(real, "text", "doc_id")
