@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, InterleaveBits, NfcNormalize, PolyHash, TitleCase, WordShingles}
+import graft.functions.{DotProduct, InterleaveBits, JaroWinkler, NfcNormalize, PolyHash, TitleCase, WordShingles}
 
 /** Session extension wiring: registers the library's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT titlecase(c) ...")`
@@ -34,6 +34,7 @@ object GraftExtensions {
     "poly_hash"       -> (exprs => PolyHash(exprs.head)),
     "nfc_normalize"   -> (exprs => NfcNormalize(exprs.head)),
     "dot_product"     -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "jaro_winkler"    -> (exprs => JaroWinkler(exprs(0), exprs(1))),
     "interleave_bits" -> (exprs => InterleaveBits(exprs(0), exprs(1))),
     "word_shingles"   -> (exprs => WordShingles(exprs(0),
       exprs(1).eval().asInstanceOf[Int]))) // n must be a literal

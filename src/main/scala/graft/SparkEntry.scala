@@ -519,6 +519,23 @@ object SparkEntry {
         substring(col("text"), 1, 12).as("prefix")),
       "prefix", "doc_id", maxDist = 2)
 
+  /** Jaro-Winkler rescoring of the PassJoin candidate pairs
+    * ([[graft.functions.JaroWinkler]]): banding generates (exact, ed ≤ 2
+    * on the 12-char prefix), the codegen expression VERIFIES — the
+    * transposition-tolerant score entity resolution actually ranks by,
+    * with the O(|a||b|) arithmetic confined to candidate pairs. DuckDB's
+    * jaro_winkler_similarity certifies the expression on every pair. */
+  private def qJaroVerify(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 12).as("prefix"))
+    graft.operators.FuzzyJoin.editDistanceSelfJoin(t, "prefix", "doc_id", maxDist = 2)
+      .join(t.select(col("doc_id").as("id_a"), col("prefix").as("pa")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("pa"), col("pb"))
+          + lit(1e-12), 6).as("jw"))
+  }
+
   /** Cross-corpus fuzzy match ([[graft.operators.FuzzyJoin
     * .editDistanceJoin]]): every document prefix within ed ≤ 2 of a
     * 50-doc "benchmark" slice — the near-miss decontamination lookup.
@@ -2724,6 +2741,7 @@ object SparkEntry {
     "q_pmi"            -> (qPmi _),
     "q_fuzzy_join"     -> (qFuzzyJoin _),
     "q_fuzzy_cross"    -> (qFuzzyCross _),
+    "q_jaro_verify"    -> (qJaroVerify _),
     "q_entity_resolution" -> (qEntityResolution _),
     "q_join_size_est"  -> (qJoinSizeEst _),
     "q_range_join"     -> (qRangeJoin _),
@@ -4556,6 +4574,13 @@ object SparkEntry {
       WITH t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 2""",
+    "q_jaro_verify" -> """
+      WITH t AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+        round(jaro_winkler_similarity(a.s, b.s) + 1e-12, 6) AS jw
       FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE levenshtein(a.s, b.s) <= 2""",
     "q_fuzzy_cross" -> """

@@ -222,6 +222,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == ('a' * 31 + 'b') % 1000000007L)
   }
 
+  test("JaroWinkler: textbook vectors, boost gating, empties, case, nulls, SQL registration") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // transposed pair + prefix boost
+      ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296), // no common prefix -> no boost
+      ("crate", "trace", 0.733333),     // jaro > 0.7 but prefix 0
+      ("ab", "aab", 0.611111),          // jaro <= 0.7: boost suppressed
+      ("abcdef", "bcadef", 0.944444),   // odd half-transpositions floor to 1
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                // window 0: no matches
+      ("", "abc", 0.0), ("", "", 0.0),  // empty => 0 by convention
+      ("ABC", "abc", 0.0))              // case-sensitive
+    val df = cases.toDF("a", "b", "want")
+      .withColumn("got", round(jaroWinkler($"a", $"b") + lit(1e-12), 6))
+    assert(df.filter($"got" =!= $"want").count() == 0,
+      df.filter($"got" =!= $"want").collect().mkString(", "))
+    // null propagates
+    val n = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .select(jaroWinkler($"a", $"b")).head
+    assert(n.isNullAt(0))
+    // SQL surface + codegen path on corpus data
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("jw_docs")
+    val sql = spark.sql(
+      "SELECT round(jaro_winkler(substr(text, 1, 8), lower(substr(text, 1, 8))), 6) AS v FROM jw_docs")
+    assert(sql.filter($"v" < 0 || $"v" > 1).count() == 0 && sql.count() > 0)
+  }
+
   test("CollapseTitleCase rule removes nested titlecase and inner lower") {
     GraftExtensions.register(spark)
     // non-literal input so constant folding can't collapse the whole tree
