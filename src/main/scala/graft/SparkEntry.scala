@@ -748,6 +748,21 @@ object SparkEntry {
     graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb)
   }
 
+  /** SQ8 scalar quantization of the corpus
+    * ([[graft.similarity.Sq8]]): per-dimension int8 codes under plan-
+    * literal bounds (one 2×64-double aggregate, then a zero-shuffle
+    * scan-stage encode) + midpoint-decode reconstruction error. The
+    * oracle replays bounds, codes, and decode relationally. */
+  private def qSq8(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Sq8
+    val emb = Tables.embeddings(s, d)
+    val b = Sq8.trainBounds(emb, "embedding", 64)
+    Sq8.encode(emb, "embedding", "vec_id", b)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("code_sum"),
+        round(col("recon_err") + lit(1e-12), 6).as("recon_err"))
+  }
+
   /** Two quantized Lloyd iterations of coarse k-means (k=4) under FULL
     * oracle replay ([[graft.similarity.Ivf.trainCentroids]] with
     * `quantize=Some(6)`): init = the 4 lowest-id vectors, each iteration
@@ -2716,6 +2731,7 @@ object SparkEntry {
     "q_skyline"        -> (qSkyline _),
     "q_kcore"          -> (qKcore _),
     "q_kmeans"         -> (qKmeans _),
+    "q_sq8"            -> (qSq8 _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -3361,6 +3377,23 @@ object SparkEntry {
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_sq8" -> """
+      WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      ex AS MATERIALIZED (
+        SELECT vec_id, unnest(list_transform(e, (x, i) ->
+          struct_pack(i := i, x := x)), recursive := true) FROM ve),
+      mm AS MATERIALIZED (
+        SELECT i, min(x) AS lo, max(x) - min(x) AS rg FROM ex GROUP BY 1),
+      enc AS (
+        SELECT ex.vec_id, ex.x, mm.lo, mm.rg,
+          CASE WHEN mm.rg > 0 THEN floor((ex.x - mm.lo) / mm.rg * 255.0)
+               ELSE 0 END AS code
+        FROM ex JOIN mm USING (i))
+      SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        round(sum((x - (lo + (code + 0.5) * rg / 255.0))
+                * (x - (lo + (code + 0.5) * rg / 255.0))) + 1e-12, 6) AS recon_err
+      FROM enc GROUP BY 1""",
     "q_kmeans" -> s"""
       WITH ve AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

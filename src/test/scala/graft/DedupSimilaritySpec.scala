@@ -169,6 +169,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.flatMap(_.values).exists(v => (v * 1e6).round / 1e6 != v))
   }
 
+  test("Sq8: codes bounded, extremes pinned, midpoint decode within the cell-width bound") {
+    import graft.similarity.Sq8
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Sq8.trainBounds(emb, "embedding", 64)
+    assert(b.mins.length == 64 && b.maxs.zip(b.mins).forall { case (h, l) => h >= l })
+    val enc = Sq8.encode(emb, "embedding", "vec_id", b)
+    val rows = enc.select($"codes", $"recon_err").collect()
+    assert(rows.forall(_.getSeq[Int](0).forall(c => c >= 0 && c <= 255)))
+    // midpoint decode error: per dim at most (range/255/2)^2 ... except the
+    // top cell, whose width can reach 2*range/255 (x == max lands in it);
+    // use the safe half-cell-of-double-width bound
+    val bound = b.maxs.zip(b.mins).map { case (h, l) => math.pow((h - l) / 255.0, 2) }.sum
+    assert(rows.forall(_.getDouble(1) <= bound), "reconstruction error above cell bound")
+    // a degenerate constant dimension encodes 0 and decodes exactly
+    val const = Seq((1L, Array(1.5f, 2.0f)), (2L, Array(1.5f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Sq8.trainBounds(const, "embedding", 2)
+    val crow = Sq8.encode(const, "embedding", "vec_id", cb)
+      .orderBy($"vec_id").select($"codes").collect()
+    assert(crow(0).getSeq[Int](0).head == 0 && crow(1).getSeq[Int](0).head == 0)
+  }
+
   test("SimHashAgg (TypedImperativeAggregate) equals the column-composed simhash") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val viaAgg = Dedup.simhash(real, "text", "doc_id")
