@@ -87,7 +87,21 @@ object Plans {
     "q_entity_resolution" ->
       "Entity resolution: PassJoin candidates -> levenshtein verify -> iterative component contraction (localCheckpoint'd generations) -> one cluster-key exchange shared by the size count and canonical-pick windows.",
     "q_zipf_fit" ->
-      "Zipf fit: vocabulary ranks via range repartition + per-partition row_number + broadcast offsets — rank assignment has NO single-task sort, and the regression is one moment aggregate over the ranked vocabulary.")
+      "Zipf fit: vocabulary ranks via range repartition + per-partition row_number + broadcast offsets — rank assignment has NO single-task sort, and the regression is one moment aggregate over the ranked vocabulary.",
+    "q_ewma" ->
+      "Trailing EWMA: the s<-s*a+x recurrence as a fold over the 20-row trailing frame of ONE user_id window — a single hash exchange and per-partition sort, bounded collected list, no stateful UDF and no driver loop (plan-pinned in PlansSpec).",
+    "q_skyline" ->
+      "Distributed skyline: stage-1 local frontiers are per-bucket windows (hash-partitioned on __b — fully parallel, ONE running max(struct(y, -x)) instead of a dominance join); only the <= buckets x frontier-size survivors reach the single-partition stage-2 window, the collect-k-centroids regime.",
+    "q_sq8" ->
+      "SQ8 encode: min/max bounds are plan literals, so codes and the midpoint-decode error are a scan-stage projection — ZERO Exchange at any corpus size (plan-pinned); the only shuffle in the operator's lifetime is the one 2x64-double bounds aggregate.",
+    "q_kmeans" ->
+      "Iterated k-means: cell assignment is a scan-stage argmin over the plan-literal centroid matrix; each Lloyd update is one k x d-bounded hash aggregate (map-side partials); the plan shown is the final encode — training shuffled only k x d means per iteration, never vectors.",
+    "q_kcore" ->
+      "k-core (final generation shown): each peel round is a degree aggregate + two semi-joins on the localCheckpoint'd shrinking edge set — no adjacency buffering, parallelism = nodes, round count = peel depth (2-core of the cosine graph).",
+    "q_leakage_split" ->
+      "Leakage-safe split: component labels come from the checkpointed label-prop generations; the PolyHash bucket and fold boundaries are a zero-shuffle projection OVER the final labels — folding adds nothing to the clustering's cost.",
+    "q_jaro_verify" ->
+      "Jaro-Winkler verify: PassJoin banding generates candidates (scan-stage Generate + equi-join); the codegen'd jaro_winkler expression runs only on candidate rows — the O(|a||b|) similarity never sees the cross product.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -89,6 +89,25 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_sq8: encode + decode error are scan-stage — no Exchange at any corpus size") {
+    val p = planOf("q_sq8")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_ewma: one hash exchange + one sort on the key serve the trailing-frame window") {
+    val p = planOf("q_ewma")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("rangepartitioning"), p) // never a global sort
+    assert("\\bSort \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_skyline: stage-1 windows hash-partition by bucket; no dominance join in the plan") {
+    val p = planOf("q_skyline")
+    assert(p.contains("Exchange hashpartitioning(__b"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("q_asof_bucketed: the heavy window partitions by (key, bucket), not key alone") {
     val p = planOf("q_asof_bucketed")
     // the full-data running-last window must carry both partition keys —
