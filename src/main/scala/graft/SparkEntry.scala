@@ -574,6 +574,21 @@ object SparkEntry {
         Tables.embeddings(s, d), "embedding", "vec_id", "label", threshold = 0.2),
       "id_a", "id_b")
 
+  /** DBSCAN over the cosine ≥ 0.2 ε-graph
+    * ([[graft.similarity.Dbscan.dbscan]], minPts = 3): labels propagate
+    * only through CORE points, so sparse one-off matches that plain CC
+    * (q_dedup_clusters) would chain into mega-clusters become border or
+    * noise; border points join the min neighboring core cluster
+    * (deterministic, partitioning-invariant). */
+  private def qDbscan(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.Dbscan.dbscan(
+      emb.select(col("vec_id")), "vec_id",
+      graft.similarity.Similarity.cosinePairs(
+        emb, "embedding", "vec_id", "label", threshold = 0.2),
+      "id_a", "id_b", minPts = 3)
+  }
+
   /** 2-core of the cosine ≥ 0.2 similarity graph
     * ([[graft.graph.KCore.kCore]]): nodes whose similarity neighborhood
     * is structurally dense (every member has ≥ 2 surviving neighbors),
@@ -2730,6 +2745,7 @@ object SparkEntry {
     "q_ewma"           -> (qEwma _),
     "q_skyline"        -> (qSkyline _),
     "q_kcore"          -> (qKcore _),
+    "q_dbscan"         -> (qDbscan _),
     "q_kmeans"         -> (qKmeans _),
     "q_sq8"            -> (qSq8 _),
     "q_salted_agg"     -> (qSaltedAgg _),
@@ -4539,6 +4555,44 @@ object SparkEntry {
         ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
        AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
       WHERE $SubBucketCos >= 0.35""",
+    "q_dbscan" -> s"""
+      WITH RECURSIVE ${subBucketCte("label", 1000)},
+      e0 AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+        WHERE $SubBucketCos >= 0.2),
+      e AS (SELECT DISTINCT a, b FROM e0),
+      sym AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      core AS MATERIALIZED (
+        SELECT src FROM (SELECT src, count(*) AS dg FROM sym GROUP BY 1)
+        WHERE dg >= 3),
+      ce AS MATERIALIZED (
+        SELECT s.src, s.dst FROM sym s
+        JOIN core x ON s.src = x.src JOIN core y ON s.dst = y.src),
+      reach(id, r) AS (
+        SELECT src, src FROM core
+        UNION
+        SELECT c.dst, reach.r FROM reach JOIN ce c ON c.src = reach.id
+      ),
+      comp AS MATERIALIZED (
+        SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      border AS MATERIALIZED (
+        SELECT s.src AS id, min(comp.cluster) AS cluster
+        FROM sym s JOIN core c ON s.dst = c.src
+        JOIN comp ON comp.id = s.dst
+        WHERE s.src NOT IN (SELECT src FROM core)
+        GROUP BY 1)
+      SELECT v.vec_id AS id,
+        CASE WHEN cp.cluster IS NOT NULL THEN 'core'
+             WHEN bd.cluster IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(coalesce(cp.cluster, bd.cluster, -1) AS BIGINT) AS cluster
+      FROM embeddings v
+      LEFT JOIN comp cp ON cp.id = v.vec_id
+      LEFT JOIN border bd ON bd.id = v.vec_id""",
     "q_kcore" -> s"""
       WITH ${subBucketCte("label", 1000)},
       e0 AS (

@@ -169,6 +169,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.flatMap(_.values).exists(v => (v * 1e6).round / 1e6 != v))
   }
 
+  test("Dbscan: core/border/noise roles, labels flow only through cores, CC contrast") {
+    import graft.similarity.Dbscan
+    val ids = (1L to 8L).toDF("id")
+    // clique {1,2,3}: all core at minPts=2; tail 3-4: 4 is border;
+    // chain 5-6-7: 6 core, 5/7 border; isolated 8: noise
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val out = Dbscan.dbscan(ids, "id", pairs, "a", "b", minPts = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ("core", 1L) && out(2L) == ("core", 1L) && out(3L) == ("core", 1L))
+    assert(out(4L) == ("border", 1L))
+    assert(out(6L) == ("core", 6L))
+    assert(out(5L) == ("border", 6L) && out(7L) == ("border", 6L))
+    assert(out(8L) == ("noise", -1L))
+    // the CC-chaining failure DBSCAN exists to avoid: a sparse pair is
+    // noise (neither endpoint dense), while plain clusters() merges it
+    val sparse = Seq((20L, 21L)).toDF("a", "b")
+    val d2 = Dbscan.dbscan(Seq(20L, 21L).toDF("id"), "id", sparse, "a", "b", minPts = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == Map(20L -> "noise", 21L -> "noise"))
+    intercept[IllegalArgumentException] {
+      Dbscan.dbscan(ids, "id", pairs, "a", "b", minPts = 0)
+    }
+  }
+
   test("Sq8: codes bounded, extremes pinned, midpoint decode within the cell-width bound") {
     import graft.similarity.Sq8
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
