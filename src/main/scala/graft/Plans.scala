@@ -101,7 +101,9 @@ object Plans {
     "q_leakage_split" ->
       "Leakage-safe split: component labels come from the checkpointed label-prop generations; the PolyHash bucket and fold boundaries are a zero-shuffle projection OVER the final labels — folding adds nothing to the clustering's cost.",
     "q_jaro_verify" ->
-      "Jaro-Winkler verify: PassJoin banding generates candidates (scan-stage Generate + equi-join); the codegen'd jaro_winkler expression runs only on candidate rows — the O(|a||b|) similarity never sees the cross product.")
+      "Jaro-Winkler verify: PassJoin banding generates candidates (scan-stage Generate + equi-join); the codegen'd jaro_winkler expression runs only on candidate rows — the O(|a||b|) similarity never sees the cross product.",
+    "q_dbscan" ->
+      "DBSCAN (final generation shown): degree aggregate -> core semi-joins -> label prop on the CORE subgraph only -> one border min-join — every stage is neighborhood-local; the e-pair generator is the only quadratic-risk stage and is bucket-capped inside cosinePairs.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

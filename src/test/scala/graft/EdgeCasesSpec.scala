@@ -123,4 +123,28 @@ class EdgeCasesSpec extends AnyFunSuite {
     val w = graft.text.Curation.temperatureWeights(oneSrc, "source", alpha = 0.5).head()
     assert(w.getDouble(3) == 1.0 && w.getDouble(4) == 1.0) // sole source: full weight, keep all
   }
+
+  test("ewma/skyline on empty and singleton inputs") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "t", "x")
+    assert(TimeSeries.ewma(empty, Seq("k"), Seq("t"), "x", 0.5).count() == 0)
+    val one = Seq((1L, 1L, 3.5)).toDF("k", "t", "x")
+    assert(TimeSeries.ewma(one, Seq("k"), Seq("t"), "x", 0.5)
+      .select(col("ewma")).head().getDouble(0) == 3.5)
+    val emptyPts = Seq.empty[(Long, Long, Double)].toDF("id", "x", "y")
+    assert(Skyline.skyline2D(emptyPts, "x", "y", "id").count() == 0)
+    val onePt = Seq((1L, 10L, 1.0)).toDF("id", "x", "y")
+    assert(Skyline.skyline2D(onePt, "x", "y", "id").count() == 1)
+  }
+
+  test("kCore/dbscan/leakageSafeSplit with no edges: nothing survives, all noise, pure hash fold") {
+    val ids = (1L to 5L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.graph.KCore.kCore(noPairs, "a", "b", k = 1).count() == 0)
+    val d = graft.similarity.Dbscan.dbscan(ids, "id", noPairs, "a", "b", minPts = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(d.length == 5 && d.forall(_ == ("noise", -1L)))
+    // no pairs -> every doc is its own cluster; split is the plain hash fold
+    val s = Sampling.leakageSafeSplit(ids, "id", noPairs, "a", "b")
+    assert(s.count() == 5 && s.filter(col("id") =!= col("cluster")).count() == 0)
+  }
 }
