@@ -763,6 +763,23 @@ object SparkEntry {
     graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb)
   }
 
+  /** Gonzalez k-center diversity seeds
+    * ([[graft.similarity.KCenter.greedySeeds]], k = 5): each pick is
+    * one corpus scan with the chosen vectors as plan literals and a
+    * 1-row max_by — max-min-distance selection, ties to lowest id,
+    * chosen ids excluded. The oracle unrolls all four picks
+    * relationally; distances on raw vectors are bit-identical, so the
+    * whole greedy trajectory replays exactly. */
+  private def qKcenter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.similarity.KCenter
+      .greedySeeds(Tables.embeddings(s, d), "embedding", "vec_id", k = 5)
+      .map(sd => (sd.rank.toLong, sd.id, sd.dist))
+      .toDF("seed_rank", "vec_id", "sel_dist")
+      .select(col("seed_rank"), col("vec_id"),
+        round(col("sel_dist") + lit(1e-12), 6).as("sel_dist"))
+  }
+
   /** SQ8 scalar quantization of the corpus
     * ([[graft.similarity.Sq8]]): per-dimension int8 codes under plan-
     * literal bounds (one 2×64-double aggregate, then a zero-shuffle
@@ -2748,6 +2765,7 @@ object SparkEntry {
     "q_dbscan"         -> (qDbscan _),
     "q_kmeans"         -> (qKmeans _),
     "q_sq8"            -> (qSq8 _),
+    "q_kcenter"        -> (qKcenter _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -2958,6 +2976,25 @@ object SparkEntry {
           round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
           round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
         FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)"""
+
+  /** q_kcenter oracle: each greedy round is min-distance-to-chosen
+    * (generated 64-term sums, min over the chosen rows) with chosen ids
+    * excluded, then the argmax pick (ORDER BY d DESC, vec_id — the
+    * max_by(struct(d, -id)) tiebreak). Distances use raw corpus
+    * vectors, so the trajectory replays bit-for-bit. */
+  private def kcenterRoundCte(i: Int): String =
+    s"""md$i AS MATERIALIZED (
+        SELECT v.vec_id, min(${(1 to 64).map(j =>
+          s"(v.e[$j] - c.c[$j]) * (v.e[$j] - c.c[$j])").mkString(" + ")}) AS d
+        FROM ve v CROSS JOIN ch${i - 1} c
+        WHERE v.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+        GROUP BY v.vec_id),
+      pk$i AS MATERIALIZED (
+        SELECT vec_id, d FROM md$i ORDER BY d DESC, vec_id LIMIT 1),
+      ch$i AS MATERIALIZED (
+        SELECT rk, vec_id, c FROM ch${i - 1}
+        UNION ALL
+        SELECT $i, p.vec_id, v.e FROM pk$i p JOIN ve v USING (vec_id))"""
 
   /** q_kmeans oracle machinery: each Lloyd iteration is argmin
     * assignment (row_number over the generated 64-term left-associated
@@ -3393,6 +3430,24 @@ object SparkEntry {
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_kcenter" -> s"""
+      WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      ch0 AS MATERIALIZED (
+        SELECT 0 AS rk, vec_id, e AS c
+        FROM (SELECT * FROM ve ORDER BY vec_id LIMIT 1)),
+      ${kcenterRoundCte(1)},
+      ${kcenterRoundCte(2)},
+      ${kcenterRoundCte(3)},
+      ${kcenterRoundCte(4)}
+      SELECT CAST(seed_rank AS BIGINT) AS seed_rank, vec_id,
+        round(d + 1e-12, 6) AS sel_dist
+      FROM (
+        SELECT 0 AS seed_rank, vec_id, 0.0 AS d FROM ch0
+        UNION ALL SELECT 1, vec_id, d FROM pk1
+        UNION ALL SELECT 2, vec_id, d FROM pk2
+        UNION ALL SELECT 3, vec_id, d FROM pk3
+        UNION ALL SELECT 4, vec_id, d FROM pk4)""",
     "q_sq8" -> """
       WITH ve AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -169,6 +169,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.flatMap(_.values).exists(v => (v * 1e6).round / 1e6 != v))
   }
 
+  test("KCenter: farthest-first trajectory, tie to lowest id, duplicate corpus stays distinct") {
+    import graft.similarity.KCenter
+    // line positions 0, 1, 10, 11: greedy = start 0, then 11 (d=121),
+    // then the 1-vs-10 tie (both min-dist 1) breaks to the lower id
+    val line = Seq((1L, Array(0.0f)), (2L, Array(1.0f)),
+      (3L, Array(10.0f)), (4L, Array(11.0f))).toDF("vec_id", "embedding")
+    val seeds = KCenter.greedySeeds(line, "embedding", "vec_id", k = 3)
+    assert(seeds.map(_.id) == Seq(1L, 4L, 2L))
+    assert(seeds.map(_.dist) == Seq(0.0, 121.0, 1.0))
+    // all-duplicates corpus: exclusion still yields k distinct ids
+    val dup = Seq((7L, Array(2.0f)), (8L, Array(2.0f))).toDF("vec_id", "embedding")
+    val ds = KCenter.greedySeeds(dup, "embedding", "vec_id", k = 2)
+    assert(ds.map(_.id) == Seq(7L, 8L) && ds(1).dist == 0.0)
+    // k=1 is just the lowest id, no scan rounds
+    assert(KCenter.greedySeeds(line, "embedding", "vec_id", k = 1).map(_.id) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      KCenter.greedySeeds(line, "embedding", "vec_id", k = 0)
+    }
+  }
+
   test("Dbscan: core/border/noise roles, labels flow only through cores, CC contrast") {
     import graft.similarity.Dbscan
     val ids = (1L to 8L).toDF("id")
