@@ -1416,6 +1416,22 @@ object SparkEntry {
       (bucket < 2).as("in_sample_20pct"))
   }
 
+  /** Rendezvous-hash shard stability
+    * ([[graft.operators.Rendezvous.assign]]): every document's HRW
+    * winner under 5 shards and under 6 — the `moved` flag demonstrates
+    * (and the spec asserts) that growing capacity relocates only ~1/6
+    * of keys, where pmod re-shards nearly everything. Both assignments
+    * are scan-stage expressions; the oracle replays the md5-string
+    * tournament per (key, shard). */
+  private def qRendezvous(s: SparkSession, d: String): DataFrame = {
+    val five = (0 until 5).map(i => s"s$i")
+    val six = five :+ "s5"
+    Tables.documents(s, d).select(col("doc_id"),
+      Rendezvous.shardFor(col("doc_id"), five).as("shard5"),
+      Rendezvous.shardFor(col("doc_id"), six).as("shard6"))
+      .withColumn("moved", col("shard5") =!= col("shard6"))
+  }
+
   /** Verify-on-pairs Jaccard: token-length-band blocking proposes
     * candidates (deterministic, oracle-able), jaccardOnPairs verifies
     * exactly those — the generate-nothing-from-shingles shape that scales
@@ -2766,6 +2782,7 @@ object SparkEntry {
     "q_kmeans"         -> (qKmeans _),
     "q_sq8"            -> (qSq8 _),
     "q_kcenter"        -> (qKcenter _),
+    "q_rendezvous"     -> (qRendezvous _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -3430,6 +3447,21 @@ object SparkEntry {
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_rendezvous" -> """
+      WITH sh AS (SELECT * FROM (VALUES (0,'s0'),(1,'s1'),(2,'s2'),(3,'s3'),
+        (4,'s4'),(5,'s5')) t(i, s)),
+      scored AS (
+        SELECT d.doc_id, sh.i, sh.s,
+          md5(CAST(d.doc_id AS VARCHAR) || '#' || sh.s) AS h
+        FROM documents d CROSS JOIN sh),
+      a5 AS (SELECT doc_id, s AS shard5 FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, i) AS rn
+        FROM scored WHERE i < 5) WHERE rn = 1),
+      a6 AS (SELECT doc_id, s AS shard6 FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, i) AS rn
+        FROM scored) WHERE rn = 1)
+      SELECT doc_id, shard5, shard6, shard5 <> shard6 AS moved
+      FROM a5 JOIN a6 USING (doc_id)""",
     "q_kcenter" -> s"""
       WITH ve AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -586,6 +586,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Rendezvous: only the new shard's winners move on grow; balanced; args validated") {
+    import graft.operators.Rendezvous
+    val keys = (1L to 2000L).toDF("k")
+    val five = (0 until 5).map(i => s"s$i")
+    val six = five :+ "s5"
+    val both = keys.select($"k",
+      Rendezvous.shardFor($"k", five).as("a"),
+      Rendezvous.shardFor($"k", six).as("b")).collect()
+    // a key moves IFF the new shard won it — never between old shards
+    assert(both.forall(r => r.getString(1) == r.getString(2) || r.getString(2) == "s5"))
+    val moved = both.count(r => r.getString(1) != r.getString(2))
+    assert(moved > 0 && moved < 2000 / 3, s"expected ~1/6 moved, got $moved/2000")
+    // every shard gets a reasonable share under 5 shards (hash balance)
+    val counts = both.groupBy(_.getString(1)).map { case (_, v) => v.size }
+    assert(counts.size == 5 && counts.min > 2000 / 5 / 3)
+    intercept[IllegalArgumentException] { Rendezvous.shardFor($"k", Seq()) }
+    intercept[IllegalArgumentException] { Rendezvous.shardFor($"k", Seq("x", "x")) }
+  }
+
   test("ewma: exact fold weights, frame truncation, per-key isolation, args validated") {
     import graft.operators.TimeSeries
     val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 8.0),
