@@ -780,6 +780,26 @@ object SparkEntry {
         round(col("sel_dist") + lit(1e-12), 6).as("sel_dist"))
   }
 
+  /** MMR diversity rerank ([[graft.similarity.Mmr.rerank]], k = 5,
+    * λ = 0.7, query = vec 0): the greedy
+    * λ·rel − (1−λ)·max-sim-to-chosen trajectory, cosines snapped to the
+    * 1e-6 grid before combination so the DuckDB unroll replays every
+    * pick exactly. Completes the retrieval stack above BM25/ANN. */
+  private def qMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(graft.similarity.Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    graft.similarity.Mmr
+      .rerank(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        q, k = 5, lambda = 0.7)
+      .map(p => (p.rank.toLong, p.id, p.score))
+      .toDF("mmr_rank", "vec_id", "score")
+      .select(col("mmr_rank"), col("vec_id"),
+        round(col("score") + lit(1e-12), 6).as("score"))
+  }
+
   /** SQ8 scalar quantization of the corpus
     * ([[graft.similarity.Sq8]]): per-dimension int8 codes under plan-
     * literal bounds (one 2×64-double aggregate, then a zero-shuffle
@@ -2783,6 +2803,7 @@ object SparkEntry {
     "q_sq8"            -> (qSq8 _),
     "q_kcenter"        -> (qKcenter _),
     "q_rendezvous"     -> (qRendezvous _),
+    "q_mmr"            -> (qMmr _),
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
@@ -2993,6 +3014,28 @@ object SparkEntry {
           round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
           round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
         FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)"""
+
+  /** q_mmr oracle: the MMR greedy unrolled — per round, redundancy =
+    * max 1e-6-grid cosine to the chosen set (chosen excluded), score =
+    * 0.7·rel − (1.0 − 0.7)·red with the subtraction spelled exactly as
+    * the Spark plan computes it, pick = ORDER BY score DESC, vec_id. */
+  private val MmrCos =
+    """round(list_dot_product(r.e, c.e)
+      / (sqrt(list_dot_product(r.e, r.e)) * sqrt(list_dot_product(c.e, c.e)))
+      + 1e-12, 6)"""
+  private def mmrRoundCte(i: Int): String =
+    s"""rd$i AS MATERIALIZED (
+        SELECT r.vec_id, max($MmrCos) AS red
+        FROM rel r CROSS JOIN ch${i - 1} c
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+        GROUP BY r.vec_id),
+      pk$i AS MATERIALIZED (
+        SELECT rel.vec_id, rel.e, 0.7 * rel.rel - (1.0 - 0.7) * rd.red AS score
+        FROM rel JOIN rd$i rd ON rel.vec_id = rd.vec_id
+        ORDER BY 0.7 * rel.rel - (1.0 - 0.7) * rd.red DESC, rel.vec_id LIMIT 1),
+      ch$i AS MATERIALIZED (
+        SELECT rk, vec_id, e, score FROM ch${i - 1}
+        UNION ALL SELECT $i, vec_id, e, score FROM pk$i)"""
 
   /** q_kcenter oracle: each greedy round is min-distance-to-chosen
     * (generated 64-term sums, min over the chosen rows) with chosen ids
@@ -3462,6 +3505,26 @@ object SparkEntry {
         FROM scored) WHERE rn = 1)
       SELECT doc_id, shard5, shard6, shard5 <> shard6 AS moved
       FROM a5 JOIN a6 USING (doc_id)""",
+    "q_mmr" -> s"""
+      WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS MATERIALIZED (SELECT e AS qe FROM ve WHERE vec_id = 0),
+      rel AS MATERIALIZED (
+        SELECT v.vec_id, v.e,
+          round(list_dot_product(v.e, q.qe)
+            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+            + 1e-12, 6) AS rel
+        FROM ve v CROSS JOIN q WHERE v.vec_id <> 0),
+      ch0 AS MATERIALIZED (
+        SELECT 0 AS rk, vec_id, e, 0.7 * rel - (1.0 - 0.7) * 0.0 AS score
+        FROM rel ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, vec_id LIMIT 1),
+      ${mmrRoundCte(1)},
+      ${mmrRoundCte(2)},
+      ${mmrRoundCte(3)},
+      ${mmrRoundCte(4)}
+      SELECT CAST(rk AS BIGINT) AS mmr_rank, vec_id,
+        round(score + 1e-12, 6) AS score
+      FROM ch4""",
     "q_kcenter" -> s"""
       WITH ve AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -189,6 +189,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("Mmr: diversity beats the duplicate at moderate lambda; pure relevance at lambda=1") {
+    import graft.similarity.Mmr
+    // 1 and 2 are exact duplicates; 3 is equally relevant but diverse
+    val cands = Seq(
+      (1L, Array(1.0f, 0.3f)), (2L, Array(1.0f, 0.3f)),
+      (3L, Array(1.0f, -0.3f))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    val relOrder = Mmr.rerank(cands, "embedding", "vec_id", q, k = 3, lambda = 1.0)
+    assert(relOrder.map(_.id) == Seq(1L, 2L, 3L)) // equal rel: ties break by id
+    val diverse = Mmr.rerank(cands, "embedding", "vec_id", q, k = 3, lambda = 0.5)
+    assert(diverse.map(_.id) == Seq(1L, 3L, 2L), // diversity demotes the duplicate
+      diverse.toString)
+    // scores are non-increasing along the greedy trajectory at fixed lambda=1
+    assert(relOrder.map(_.score) == relOrder.map(_.score).sorted.reverse)
+    intercept[IllegalArgumentException] {
+      Mmr.rerank(cands, "embedding", "vec_id", q, k = 3, lambda = 1.5)
+    }
+  }
+
   test("Dbscan: core/border/noise roles, labels flow only through cores, CC contrast") {
     import graft.similarity.Dbscan
     val ids = (1L to 8L).toDF("id")
