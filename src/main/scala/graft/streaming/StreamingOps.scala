@@ -114,6 +114,42 @@ object StreamingOps {
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 
+  case class EwmaState(user_id: Long, n: Long, ewma: Double)
+
+  /** Per-key streaming EWMA — the unbounded-frame counterpart of
+    * [[graft.operators.TimeSeries.ewma]]: the recurrence s ← s·α + x is
+    * O(1) memory by nature, so where the batch form truncates the frame
+    * to bound its collected list, the streaming form keeps the WHOLE
+    * history in one double of `ValueState` per key. Rows fold in
+    * arrival order within each micro-batch (the streaming contract:
+    * order across batches is source order, deterministic under replay
+    * from a checkpoint). Emits the key's updated (n, ewma) each batch;
+    * state size is O(distinct keys), sharded with the key exchange.
+    */
+  def streamingEwma(events: Dataset[Event], alpha: Double): Dataset[EwmaState] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    implicit val outEnc: Encoder[EwmaState] = Encoders.product[EwmaState]
+    val processor = new StatefulProcessor[Long, Event, EwmaState] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[EwmaState](
+          "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Event],
+                                   timers: TimerValues): Iterator[EwmaState] = {
+        val prev = Option(state.get()).getOrElse(EwmaState(key, 0L, 0.0))
+        val next = rows.foldLeft(prev) { (acc, e) =>
+          EwmaState(key, acc.n + 1, acc.ewma * alpha + e.value)
+        }
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
+
   case class BandHit(bucket: Long, doc_id: Long)
   case class CandidatePair(id_a: Long, id_b: Long, bucket: Long)
 

@@ -343,6 +343,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingEwma folds the recurrence across micro-batches, keys isolated") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.streamingEwma(mem.toDS(), alpha = 0.5)
+        .writeStream.format("memory").queryName("tws_ewma")
+        .outputMode("update").start()
+      try {
+        mem.addData(Event(1, ts(1), 1, 2.0), Event(1, ts(2), 2, 4.0), Event(2, ts(3), 3, 9.0))
+        q.processAllAvailable()
+        val b1 = spark.sql("SELECT * FROM tws_ewma").as[StreamingOps.EwmaState]
+          .collect().map(r => r.user_id -> r).toMap
+        assert(b1(1L) == StreamingOps.EwmaState(1L, 2L, 2.0 * 0.5 + 4.0))
+        assert(b1(2L) == StreamingOps.EwmaState(2L, 1L, 9.0))
+        // the recurrence continues from state, not from zero — exactly
+        // the batch fold over the concatenated history
+        mem.addData(Event(1, ts(9), 4, 8.0))
+        q.processAllAvailable()
+        val b2 = spark.sql("SELECT * FROM tws_ewma").as[StreamingOps.EwmaState]
+          .collect().filter(_.user_id == 1L)
+        assert(b2.contains(StreamingOps.EwmaState(1L, 3L, (2.0 * 0.5 + 4.0) * 0.5 + 8.0)),
+          b2.mkString(","))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains a file source incrementally and terminates") {
     // the periodic-incremental-job pattern: process everything available,
     // checkpoint, exit — rerunnable on a schedule with exactly-once state
