@@ -103,7 +103,9 @@ object Plans {
     "q_jaro_verify" ->
       "Jaro-Winkler verify: PassJoin banding generates candidates (scan-stage Generate + equi-join); the codegen'd jaro_winkler expression runs only on candidate rows — the O(|a||b|) similarity never sees the cross product.",
     "q_dbscan" ->
-      "DBSCAN (final generation shown): degree aggregate -> core semi-joins -> label prop on the CORE subgraph only -> one border min-join — every stage is neighborhood-local; the e-pair generator is the only quadratic-risk stage and is bucket-capped inside cosinePairs.")
+      "DBSCAN (final generation shown): degree aggregate -> core semi-joins -> label prop on the CORE subgraph only -> one border min-join — every stage is neighborhood-local; the e-pair generator is the only quadratic-risk stage and is bucket-capped inside cosinePairs.",
+    "q_rendezvous" ->
+      "Rendezvous sharding: both HRW tournaments (5 and 6 shards) are array_max over md5 structs computed per row in the scan stage — ZERO Exchange (plan-pinned); re-sharding a 100 TB lake is a map-only rewrite of the moved ~1/(N+1) slice.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -94,6 +94,11 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_rendezvous: both shard tournaments are scan-stage — no Exchange") {
+    val p = planOf("q_rendezvous")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q_ewma: one hash exchange + one sort on the key serve the trailing-frame window") {
     val p = planOf("q_ewma")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
