@@ -589,6 +589,22 @@ object SparkEntry {
       "id_a", "id_b", minPts = 3)
   }
 
+  /** Modularity of the DBSCAN partition on the same ε-graph
+    * ([[graft.graph.Modularity.modularity]]): noise maps to singleton
+    * clusters, then Q asks whether the density clustering beats a
+    * degree-preserving random graph — the one-number audit of a
+    * clustering run. */
+  private def qModularity(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.2)
+    val lab = graft.similarity.Dbscan.dbscan(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b", minPts = 3)
+      .select(col("id"),
+        when(col("cluster") === -1L, col("id")).otherwise(col("cluster")).as("cluster"))
+    graft.graph.Modularity.modularity(pairs, "id_a", "id_b", lab, "id", "cluster")
+  }
+
   /** 2-core of the cosine ≥ 0.2 similarity graph
     * ([[graft.graph.KCore.kCore]]): nodes whose similarity neighborhood
     * is structurally dense (every member has ≥ 2 surviving neighbors),
@@ -2799,6 +2815,7 @@ object SparkEntry {
     "q_skyline"        -> (qSkyline _),
     "q_kcore"          -> (qKcore _),
     "q_dbscan"         -> (qDbscan _),
+    "q_modularity"     -> (qModularity _),
     "q_kmeans"         -> (qKmeans _),
     "q_sq8"            -> (qSq8 _),
     "q_kcenter"        -> (qKcenter _),
@@ -3014,6 +3031,40 @@ object SparkEntry {
           round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls) + 1e-12, 6) AS dup_line_frac,
           round(t1.c * len(t1.g) * 1.0 / len(text) + 1e-12, 6) AS top_bigram_char_frac
         FROM base b JOIN top1 t1 ON b.doc_id = t1.doc_id)"""
+
+  /** Shared DBSCAN replay (q_dbscan, q_modularity): cosine ≥ 0.2 pairs
+    * via the sub-bucket CTE, degree ≥ 3 cores, recursive reach over
+    * core-core edges, border = min neighboring core cluster. */
+  private lazy val DbscanCte = s"""
+      WITH RECURSIVE ${subBucketCte("label", 1000)},
+      e0 AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM m a JOIN m b
+          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
+        WHERE $SubBucketCos >= 0.2),
+      e AS (SELECT DISTINCT a, b FROM e0),
+      sym AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      core AS MATERIALIZED (
+        SELECT src FROM (SELECT src, count(*) AS dg FROM sym GROUP BY 1)
+        WHERE dg >= 3),
+      ce AS MATERIALIZED (
+        SELECT s.src, s.dst FROM sym s
+        JOIN core x ON s.src = x.src JOIN core y ON s.dst = y.src),
+      reach(id, r) AS (
+        SELECT src, src FROM core
+        UNION
+        SELECT c.dst, reach.r FROM reach JOIN ce c ON c.src = reach.id
+      ),
+      comp AS MATERIALIZED (
+        SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      border AS MATERIALIZED (
+        SELECT s.src AS id, min(comp.cluster) AS cluster
+        FROM sym s JOIN core c ON s.dst = c.src
+        JOIN comp ON comp.id = s.dst
+        WHERE s.src NOT IN (SELECT src FROM core)
+        GROUP BY 1)"""
 
   /** q_mmr oracle: the MMR greedy unrolled — per round, redundancy =
     * max 1e-6-grid cosine to the chosen set (chosen excluded), score =
@@ -4705,36 +4756,7 @@ object SparkEntry {
         ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
        AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
       WHERE $SubBucketCos >= 0.35""",
-    "q_dbscan" -> s"""
-      WITH RECURSIVE ${subBucketCte("label", 1000)},
-      e0 AS (
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM m a JOIN m b
-          ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
-         AND a.vec_id < b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)
-        WHERE $SubBucketCos >= 0.2),
-      e AS (SELECT DISTINCT a, b FROM e0),
-      sym AS MATERIALIZED (
-        SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-      core AS MATERIALIZED (
-        SELECT src FROM (SELECT src, count(*) AS dg FROM sym GROUP BY 1)
-        WHERE dg >= 3),
-      ce AS MATERIALIZED (
-        SELECT s.src, s.dst FROM sym s
-        JOIN core x ON s.src = x.src JOIN core y ON s.dst = y.src),
-      reach(id, r) AS (
-        SELECT src, src FROM core
-        UNION
-        SELECT c.dst, reach.r FROM reach JOIN ce c ON c.src = reach.id
-      ),
-      comp AS MATERIALIZED (
-        SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
-      border AS MATERIALIZED (
-        SELECT s.src AS id, min(comp.cluster) AS cluster
-        FROM sym s JOIN core c ON s.dst = c.src
-        JOIN comp ON comp.id = s.dst
-        WHERE s.src NOT IN (SELECT src FROM core)
-        GROUP BY 1)
+    "q_dbscan" -> s"""$DbscanCte
       SELECT v.vec_id AS id,
         CASE WHEN cp.cluster IS NOT NULL THEN 'core'
              WHEN bd.cluster IS NOT NULL THEN 'border'
@@ -4743,6 +4765,34 @@ object SparkEntry {
       FROM embeddings v
       LEFT JOIN comp cp ON cp.id = v.vec_id
       LEFT JOIN border bd ON bd.id = v.vec_id""",
+    "q_modularity" -> s"""$DbscanCte,
+      lab AS MATERIALIZED (
+        SELECT v.vec_id AS id,
+          CAST(coalesce(cp.cluster, bd.cluster, v.vec_id) AS BIGINT) AS c
+        FROM embeddings v
+        LEFT JOIN comp cp ON cp.id = v.vec_id
+        LEFT JOIN border bd ON bd.id = v.vec_id),
+      mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      ec AS (
+        SELECT la.c, CAST(count(*) AS BIGINT) AS ec
+        FROM e JOIN lab la ON la.id = e.a JOIN lab lb ON lb.id = e.b
+        WHERE la.c = lb.c GROUP BY 1),
+      deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+      dc AS (
+        SELECT l.c, CAST(sum(d.d) AS BIGINT) AS dc
+        FROM deg d JOIN lab l ON l.id = d.src GROUP BY 1),
+      percl AS (
+        SELECT coalesce(ec.ec, 0) AS ec,
+          CAST(coalesce(ec.ec, 0) AS DOUBLE) / mm2.m
+            - (CAST(dc.dc AS DOUBLE) / (2 * mm2.m))
+            * (CAST(dc.dc AS DOUBLE) / (2 * mm2.m)) AS qc
+        FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN mm2)
+      SELECT mm2.m, agg.intra_edges, nc.n_clusters, agg.q
+      FROM (SELECT CAST(sum(ec) AS BIGINT) AS intra_edges,
+              round(sum(qc) + 1e-12, 6) AS q FROM percl) agg
+      CROSS JOIN mm2
+      CROSS JOIN (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_clusters
+                  FROM lab) nc""",
     "q_kcore" -> s"""
       WITH ${subBucketCte("label", 1000)},
       e0 AS (

@@ -240,6 +240,29 @@ class GraphSpec extends AnyFunSuite {
     assert(out.nonEmpty, "degenerate test: empty 2-core")
   }
 
+  test("modularity: closed-form hand values — components 0.5, one blob 0, singletons -1/3") {
+    import graft.graph.Modularity
+    // two disjoint triangles
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    def q(lab: Seq[(Long, Long)]): (Long, Long, Double) = {
+      val r = Modularity.modularity(e, "a", "b", lab.toDF("id", "c"), "id", "c").head()
+      (r.getLong(0), r.getLong(1), r.getDouble(3))
+    }
+    // partition = the two components: Q = 2 * (3/6 - (6/12)^2) = 0.5
+    val comp = q(Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(comp == ((6L, 6L, 0.5)))
+    // everything in one cluster: Q = 6/6 - 1 = 0 (no structure explained)
+    assert(q((1L to 6L).map(_ -> 1L))._3 == 0.0)
+    // every node its own cluster: Q = 6 * (0 - (2/12)^2) = -1/6
+    val single = q((1L to 6L).map(i => i -> i))
+    assert(single._2 == 0L && single._3 == -0.166667)
+    // normalization: duplicate/reversed edges and self-loops change nothing
+    val noisy = e.unionAll(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    assert(Modularity.modularity(noisy, "a", "b",
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L).toDF("id", "c"),
+      "id", "c").head().getDouble(3) == 0.5)
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
