@@ -1554,6 +1554,14 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         col("value"), round(col("ewma"), 6).as("ewma"))
 
+  /** Bootstrap error bars per language
+    * ([[graft.operators.Bootstrap.meanCI]], B = 40): Bayesian-bootstrap
+    * 95% CI on mean document length — deterministic −ln(u) Dirichlet
+    * weights from the md5 uniform, so the oracle replays every
+    * resample mean and the order statistics that become the interval. */
+  private def qBootstrapCi(s: SparkSession, d: String): DataFrame =
+    Bootstrap.meanCI(Tables.documents(s, d), Seq("lang"), "n_chars", "doc_id")
+
   /** Pareto frontier ([[graft.operators.Skyline.skyline2D]]): documents
     * that are maximally lexically diverse for their length budget —
     * minimize n_chars, maximize distinct-token ratio. Exact two-stage
@@ -2813,6 +2821,7 @@ object SparkEntry {
     "q_leakage_split"  -> (qLeakageSplit _),
     "q_ewma"           -> (qEwma _),
     "q_skyline"        -> (qSkyline _),
+    "q_bootstrap_ci"   -> (qBootstrapCi _),
     "q_kcore"          -> (qKcore _),
     "q_dbscan"         -> (qDbscan _),
     "q_modularity"     -> (qModularity _),
@@ -5008,6 +5017,36 @@ object SparkEntry {
         count(DISTINCT e.user_id) AS users
       FROM events e JOIN first f USING (user_id)
       GROUP BY 1, 2""",
+    "q_bootstrap_ci" -> """
+      WITH reps AS (
+        SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x, bb
+        FROM documents CROSS JOIN (SELECT unnest(range(40)) AS bb)
+        WHERE n_chars IS NOT NULL),
+      wtd AS (
+        SELECT lang, bb, x,
+          -ln(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(substring(
+                md5(CAST(doc_id AS VARCHAR) || '#' || CAST(bb AS VARCHAR)), 1, 13), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) AS DOUBLE) / power(16, 13)) AS w
+        FROM reps),
+      means AS (
+        SELECT lang, bb, sum(w * x) / sum(w) AS mb FROM wtd GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, mb,
+          row_number() OVER (PARTITION BY lang ORDER BY mb, bb) AS rn
+        FROM means),
+      ci AS (
+        SELECT lang,
+          round(max(CASE WHEN rn = 1 THEN mb END) + 1e-12, 6) AS ci_lo,
+          round(max(CASE WHEN rn = 39 THEN mb END) + 1e-12, 6) AS ci_hi
+        FROM ranked GROUP BY 1),
+      st AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          round(avg(CAST(n_chars AS DOUBLE)) + 1e-12, 6) AS mean
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+      SELECT st.lang, st.n, st.mean, ci.ci_lo, ci.ci_hi
+      FROM st JOIN ci ON st.lang = ci.lang""",
     "q_skyline" -> """
       WITH t AS (SELECT doc_id, n_chars,
         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

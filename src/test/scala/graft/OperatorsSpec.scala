@@ -586,6 +586,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bootstrap.meanCI: CI brackets the mean, collapses on constants, narrows with n") {
+    import graft.operators.Bootstrap
+    // same alternating 0/100 distribution at two sample sizes
+    val df = spark.range(5500).select(
+      when($"id" < 500, "small").otherwise("big").as("g"),
+      ($"id" % 2 * 100).cast("double").as("x"), $"id".as("k"))
+    val out = Bootstrap.meanCI(df, Seq("g"), "x", "k")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out.foreach { case (g, (mean, lob, hib)) =>
+      assert(lob <= mean && mean <= hib, s"$g: CI [$lob, $hib] misses mean $mean")
+    }
+    val widthSmall = out("small")._3 - out("small")._2
+    val widthBig = out("big")._3 - out("big")._2
+    assert(widthBig < widthSmall, s"CI did not narrow: big=$widthBig small=$widthSmall")
+    // constant data: every resample mean is the constant
+    val const = spark.range(100).select(lit("c").as("g"), lit(7.25).as("x"), $"id".as("k"))
+    val c = Bootstrap.meanCI(const, Seq("g"), "x", "k").head()
+    assert(c.getDouble(2) == 7.25 && c.getDouble(3) == 7.25 && c.getDouble(4) == 7.25)
+    intercept[IllegalArgumentException] {
+      Bootstrap.meanCI(df, Seq("g"), "x", "k", lo = 0.9, hi = 0.1)
+    }
+  }
+
   test("Rendezvous: only the new shard's winners move on grow; balanced; args validated") {
     import graft.operators.Rendezvous
     val keys = (1L to 2000L).toDF("k")
