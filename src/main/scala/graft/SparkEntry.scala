@@ -1215,6 +1215,29 @@ object SparkEntry {
       Tables.documents(s, d), "text", "doc_id",
       Seq("stream", "merge", "window", "filter"), k1 = 1.2, b = 0.75, topK = 10)
 
+  /** Hybrid retrieval fusion ([[graft.text.Retrieval.rrfFuse]]):
+    * BM25 top-50 (lexical) and brute-cosine top-50 vs vec 0 (dense,
+    * vec_id ≡ doc_id) fused by reciprocal rank — no score calibration,
+    * rank-only, the union-not-join shape. Both input rankings are
+    * rounded before ranking, so ranks and the fused head replay
+    * exactly. */
+  private def qRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.Retrieval.bm25TopK(
+        Tables.documents(s, d), "text", "doc_id",
+        Seq("stream", "merge", "window", "filter"), topK = 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val emb = Tables.embeddings(s, d)
+    val dense = graft.similarity.Similarity.bruteForceTopK(
+        emb, "embedding", "vec_id", emb.filter(col("vec_id") === 0), "embedding", 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .withColumnRenamed("vec_id", "doc_id")
+    graft.text.Retrieval.rrfFuse(
+      Seq("bm25" -> lex, "dense" -> dense), "doc_id", "rank")
+  }
+
   /** DSIR importance weights against an English-subset target
     * ([[graft.text.Curation.dsirLogWeights]]): hashed-unigram
     * log-likelihood ratio per document, histograms broadcast. */
@@ -2822,6 +2845,7 @@ object SparkEntry {
     "q_ewma"           -> (qEwma _),
     "q_skyline"        -> (qSkyline _),
     "q_bootstrap_ci"   -> (qBootstrapCi _),
+    "q_rrf"            -> (qRrf _),
     "q_kcore"          -> (qKcore _),
     "q_dbscan"         -> (qDbscan _),
     "q_modularity"     -> (qModularity _),
@@ -4041,6 +4065,41 @@ object SparkEntry {
                  FROM contrib GROUP BY 1)
       SELECT doc_id, dl, n_terms, score FROM perdoc
       QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
+    "q_rrf" -> """
+      WITH docs AS (SELECT doc_id, lower(text) AS t,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+      toks AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS token FROM docs),
+      ft AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl FROM toks
+             WHERE token IN ('stream', 'merge', 'window', 'filter') GROUP BY 1, 2),
+      dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ft GROUP BY 1),
+      contrib AS (
+        SELECT doc_id,
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(ft.dl AS DOUBLE) / avgdl))) AS c
+        FROM ft JOIN dfreq USING (token) CROSS JOIN stats),
+      lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1)
+        QUALIFY rank <= 50),
+      dense AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+        FROM (
+          SELECT e.vec_id AS doc_id,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+              6) AS cs
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        QUALIFY rank <= 50),
+      u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense)
+      SELECT doc_id AS id, round(sum(1.0 / (60 + rank)) + 1e-12, 6) AS rrf_score,
+        CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1 ORDER BY rrf_score DESC, id LIMIT 10""",
     "q_dsir_weights" -> """
       WITH ph AS (SELECT doc_id, lang,
           list_reduce(list_prepend(CAST(0 AS BIGINT),

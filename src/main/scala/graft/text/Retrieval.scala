@@ -65,4 +65,33 @@ object Retrieval {
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): fuse
+    * any number of rankings by rrf(d) = Σ_lists 1/(k + rank_d) — the
+    * standard hybrid-retrieval combiner (lexical BM25 + dense ANN)
+    * precisely because it needs NO score calibration between lists,
+    * only ranks. k=60 is the paper's constant; larger k flattens the
+    * head.
+    *
+    * Union-based, never an N-way join: each list contributes
+    * (id, rank) rows, one groupBy sums the reciprocal ranks (map-side
+    * combined), and the head is TakeOrderedAndProject. Documents
+    * missing from a list contribute nothing for it — the RRF-over-union
+    * convention. Output: id, `rrf_score`, `n_lists` (how many lists
+    * ranked it), top `topK` by (score desc, id).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, kk: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "fusing fewer than 2 rankings is a rename")
+    require(kk >= 1, s"k must be >= 1, got $kk")
+    val unioned = rankings.map { case (_, r) =>
+      r.select(col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rank"))
+    }.reduce(_ unionAll _)
+    unioned.groupBy(col("id"))
+      .agg(round(sum(lit(1.0) / (lit(kk) + col("rank"))) + lit(1e-12), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+  }
 }

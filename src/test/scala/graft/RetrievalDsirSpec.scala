@@ -177,4 +177,22 @@ class RetrievalDsirSpec extends AnyFunSuite {
       .distinct().count()
     assert(nb <= 64)
   }
+
+  test("rrfFuse: consensus beats a single #1; closed-form scores; union not join") {
+    import graft.text.Retrieval
+    // doc 10 is #1 lexically but absent from dense; doc 20 is #2 in both
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val dense = Seq((40L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+        "doc_id", "rank", kk = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def rr(r: Long) = 1.0 / (60 + r)
+    assert(out(20L)._1 == math.rint((rr(2) + rr(2) + 1e-12) * 1e6) / 1e6)
+    assert(out(20L)._2 == 2L && out(10L)._2 == 1L)
+    // two #2s beat one #1: 2/62 > 1/61
+    assert(out(20L)._1 > out(10L)._1 && out(30L)._1 > out(10L)._1)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("only" -> lex), "doc_id", "rank")
+    }
+  }
 }
