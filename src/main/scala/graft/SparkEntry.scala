@@ -1585,6 +1585,13 @@ object SparkEntry {
   private def qBootstrapCi(s: SparkSession, d: String): DataFrame =
     Bootstrap.meanCI(Tables.documents(s, d), Seq("lang"), "n_chars", "doc_id")
 
+  /** Per-source influence ([[graft.operators.Bootstrap
+    * .leaveOneOutMeans]]): the corpus mean length with and without each
+    * source — which source pulls the aggregate where; exact from one
+    * global + one per-category aggregate. */
+  private def qLooInfluence(s: SparkSession, d: String): DataFrame =
+    Bootstrap.leaveOneOutMeans(Tables.documents(s, d), "source", "n_chars")
+
   /** Pareto frontier ([[graft.operators.Skyline.skyline2D]]): documents
     * that are maximally lexically diverse for their length budget —
     * minimize n_chars, maximize distinct-token ratio. Exact two-stage
@@ -2846,6 +2853,7 @@ object SparkEntry {
     "q_skyline"        -> (qSkyline _),
     "q_bootstrap_ci"   -> (qBootstrapCi _),
     "q_rrf"            -> (qRrf _),
+    "q_loo_influence"  -> (qLooInfluence _),
     "q_kcore"          -> (qKcore _),
     "q_dbscan"         -> (qDbscan _),
     "q_modularity"     -> (qModularity _),
@@ -5076,6 +5084,19 @@ object SparkEntry {
         count(DISTINCT e.user_id) AS users
       FROM events e JOIN first f USING (user_id)
       GROUP BY 1, 2""",
+    "q_loo_influence" -> """
+      WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(n_chars AS DOUBLE)) AS s
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      tot AS (SELECT sum(n) AS nn, sum(s) AS ss FROM per)
+      SELECT source, n,
+        round(ss / nn + 1e-12, 6) AS mean_all,
+        CASE WHEN nn > n
+          THEN round((ss - s) / (nn - n) + 1e-12, 6) END AS mean_without,
+        CASE WHEN nn > n
+          THEN round(ss / nn - (ss - s) / (nn - n) + 1e-12, 6) END AS influence
+      FROM per CROSS JOIN tot""",
     "q_bootstrap_ci" -> """
       WITH reps AS (
         SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x, bb

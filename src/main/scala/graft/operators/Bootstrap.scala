@@ -55,4 +55,33 @@ object Bootstrap {
     stats.join(ci, groupCols)
       .select(g ++ Seq(col("n"), col("mean"), col("ci_lo"), col("ci_hi")): _*)
   }
+
+  /** Leave-one-group-out influence (jackknife by category): for each
+    * category c, the corpus mean of `valueCol` WITHOUT c and its delta
+    * against the full mean — "which source is moving the metric", the
+    * data-valuation triage that decides what to re-crawl or drop.
+    * Exact and cheap: one global sum, one per-category sum,
+    * mean₋c = (S − S_c)/(N − n_c) — no per-category rescan of the
+    * corpus, category-cardinality work after a single aggregate.
+    * Output per category: `n`, `mean_all`, `mean_without`, `influence`
+    * (= mean_all − mean_without: positive means the category pulls the
+    * mean UP). A category covering the whole corpus yields nulls
+    * (nothing remains without it).
+    */
+  def leaveOneOutMeans(df: DataFrame, catCol: String,
+                       valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val per = rows.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("s"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    val without = (col("ss") - col("s")) / (col("nn") - col("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n"),
+        round(col("ss") / col("nn") + lit(1e-12), 6).as("mean_all"),
+        when(col("nn") > col("n"),
+          round(without + lit(1e-12), 6)).as("mean_without"),
+        when(col("nn") > col("n"),
+          round(col("ss") / col("nn") - without + lit(1e-12), 6)).as("influence"))
+  }
 }

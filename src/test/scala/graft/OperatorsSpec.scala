@@ -609,6 +609,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leaveOneOutMeans: closed-form influence, signs, single-category null") {
+    import graft.operators.Bootstrap
+    // A: two 10s; B: one 40 -> mean_all = 20; without A = 40; without B = 10
+    val df = Seq(("A", 10.0), ("A", 10.0), ("B", 40.0)).toDF("c", "x")
+    val out = Bootstrap.leaveOneOutMeans(df, "c", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((2L, 20.0, 40.0, -20.0))) // A pulls the mean DOWN
+    assert(out("B") == ((1L, 20.0, 10.0, 10.0)))  // B pulls it UP
+    // one category covering everything: nothing remains without it
+    val solo = Bootstrap.leaveOneOutMeans(Seq(("A", 1.0)).toDF("c", "x"), "c", "x").head()
+    assert(solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
   test("Rendezvous: only the new shard's winners move on grow; balanced; args validated") {
     import graft.operators.Rendezvous
     val keys = (1L to 2000L).toDF("k")
