@@ -1238,6 +1238,14 @@ object SparkEntry {
       Seq("bm25" -> lex, "dense" -> dense), "doc_id", "rank")
   }
 
+  /** Best-passage snippets ([[graft.text.Snippet.bestPassage]]) for the
+    * BM25 query terms: the densest 10-token window per matching doc,
+    * found by an in-plan match-anchored argmax — zero Exchange before
+    * the top-k. The oracle re-derives every window relationally. */
+  private def qSnippet(s: SparkSession, d: String): DataFrame =
+    graft.text.Snippet.bestPassage(Tables.documents(s, d), "text", "doc_id",
+      Seq("stream", "merge", "window", "filter"), window = 10, topK = 10)
+
   /** DSIR importance weights against an English-subset target
     * ([[graft.text.Curation.dsirLogWeights]]): hashed-unigram
     * log-likelihood ratio per document, histograms broadcast. */
@@ -2854,6 +2862,7 @@ object SparkEntry {
     "q_bootstrap_ci"   -> (qBootstrapCi _),
     "q_rrf"            -> (qRrf _),
     "q_loo_influence"  -> (qLooInfluence _),
+    "q_snippet"        -> (qSnippet _),
     "q_kcore"          -> (qKcore _),
     "q_dbscan"         -> (qDbscan _),
     "q_modularity"     -> (qModularity _),
@@ -4073,6 +4082,29 @@ object SparkEntry {
                  FROM contrib GROUP BY 1)
       SELECT doc_id, dl, n_terms, score FROM perdoc
       QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
+    "q_snippet" -> """
+      WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      mp AS (
+        SELECT doc_id, toks,
+          list_filter(range(0, len(toks)),
+            i -> list_contains(['stream', 'merge', 'window', 'filter'], toks[i + 1])) AS mpos
+        FROM docs),
+      cand AS (
+        SELECT doc_id, toks, mpos, unnest(mpos) AS p FROM mp),
+      scored AS (
+        SELECT doc_id, toks, p,
+          len(list_filter(mpos, q -> q >= p AND q < p + 10)) AS hits
+        FROM cand),
+      best AS (
+        SELECT doc_id, p, hits,
+          row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p) AS rn
+        FROM scored)
+      SELECT b.doc_id, CAST(b.p AS BIGINT) AS start, CAST(b.hits AS BIGINT) AS hits,
+        array_to_string(d.toks[b.p + 1 : b.p + 10], ' ') AS snippet
+      FROM best b JOIN docs d ON d.doc_id = b.doc_id
+      WHERE b.rn = 1
+      ORDER BY b.hits DESC, b.doc_id LIMIT 10""",
     "q_rrf" -> """
       WITH docs AS (SELECT doc_id, lower(text) AS t,
                       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl

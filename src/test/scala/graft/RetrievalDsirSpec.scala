@@ -178,6 +178,29 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(nb <= 64)
   }
 
+  test("bestPassage: densest window wins, earliest on tie, no-match docs dropped") {
+    import graft.text.Snippet
+    val docs = Seq(
+      // two hits cluster at the tail: window must anchor at position 7
+      (1L, "x x x cat x x x cat dog y"),
+      // tie between two 1-hit windows: earliest anchor (pos 1) wins
+      (2L, "a cat b c d e f g h i j k cat z"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = Snippet.bestPassage(docs, "text", "doc_id",
+        Seq("cat", "dog"), window = 3, topK = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 2L, "cat dog y")))
+    assert(out(2L) == ((1L, 1L, "cat b c")))
+    assert(!out.contains(3L)) // no query term -> dropped
+    // window truncates at the document end
+    val tail = Snippet.bestPassage(Seq((9L, "a b cat")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq("cat"), window = 5).head()
+    assert(tail.getLong(1) == 2L && tail.getString(3) == "cat")
+    intercept[IllegalArgumentException] {
+      Snippet.bestPassage(docs, "text", "doc_id", Seq(), window = 3)
+    }
+  }
+
   test("rrfFuse: consensus beats a single #1; closed-form scores; union not join") {
     import graft.text.Retrieval
     // doc 10 is #1 lexically but absent from dense; doc 20 is #2 in both
