@@ -2781,9 +2781,85 @@ object SparkEntry {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
+  /** Two-sample KS test: did the engagement-value distribution of
+    * clicks move relative to views? Histogram + two-level cumsum ECDFs
+    * ([[graft.operators.HypothesisTests.ksTest]]) — no global sort. */
+  private def qKsTest(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.ksTest(
+      Tables.events(s, d), "event_type", "value", "click", "view")
+
+  /** Mann–Whitney U with tie correction over the same two samples —
+    * the rank-sum complement of the KS sup-distance. */
+  private def qMannWhitney(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.mannWhitneyU(
+      Tables.events(s, d), "event_type", "value", "click", "view")
+
+  /** Per-user CUSUM drift detection on event values (target 5, slack
+    * 0.5, alarm at 20): the sequential recurrence as two window
+    * aggregates over one sort ([[graft.operators.TimeSeries.cusum]]). */
+  private def qCusum(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.cusum(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        target = 5.0, slack = 0.5, threshold = 20.0)
+      .select(col("event_id"), col("user_id"), col("cusum"), col("alarm"))
+
+  /** Per-source Gini concentration of document lengths — how unevenly
+    * the corpus' bytes spread over its documents, from the distinct-
+    * value histogram (exact integer arithmetic, no global sort). */
+  private def qGini(s: SparkSession, d: String): DataFrame =
+    graft.operators.RankedStats.gini(
+      Tables.documents(s, d), Seq("source"), "n_chars")
+
+  /** Benjamini–Hochberg step-up control at FDR 0.1 over per-doc
+    * p-values (a deterministic md5-uniform draw, rounded to 6 so the
+    * p column itself is engine-exact). Only the cutoff p* is reduced;
+    * the corpus is flagged by broadcast comparison. */
+  private def qBhFdr(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val withP = Tables.documents(s, d)
+      .select(col("doc_id"), round(u + lit(1e-12), 6).as("p"))
+    graft.operators.HypothesisTests.bhReject(withP, "p", q = 0.1)
+  }
+
+  /** The directed similarity k-NN graph every graph query shares
+    * (label-bucketed, k=3 — the q_knn_graph edge set). */
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity.knnGraph(
+      Tables.embeddings(s, d), "embedding", "vec_id", "label", k = 3)
+
+  /** Adamic–Adar link prediction over the similarity graph: scores for
+    * non-adjacent distance-2 pairs from one wedge self-join (cost
+    * Σ deg², bounded-degree input). */
+  private def qAdamicAdar(s: SparkSession, d: String): DataFrame =
+    graft.graph.LinkPrediction.adamicAdar(knnEdges(s, d), "id", "nbr")
+
+  /** Synchronous label-propagation communities (3 iterations,
+    * smallest-label ties) over the similarity graph — density-based
+    * communities vs. the connected components of q_dedup_clusters. */
+  private def qLabelProp(s: SparkSession, d: String): DataFrame =
+    graft.graph.LabelProp.labelPropagation(knnEdges(s, d), "id", "nbr",
+      Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
+
+  /** HITS hubs/authorities (3 iterations, L2-normalized, 9-decimal
+    * inter-iteration quantization) over the DIRECTED k-NN graph. */
+  private def qHits(s: SparkSession, d: String): DataFrame =
+    graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
+      Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test"        -> (qKsTest _),
+    "q_mann_whitney"   -> (qMannWhitney _),
+    "q_cusum"          -> (qCusum _),
+    "q_gini"           -> (qGini _),
+    "q_bh_fdr"         -> (qBhFdr _),
+    "q_adamic_adar"    -> (qAdamicAdar _),
+    "q_label_prop"     -> (qLabelProp _),
+    "q_hits"           -> (qHits _),
     "q_dsv2_source"    -> (qDsv2Source _),
     "q_dsv2_agg"       -> (qDsv2Agg _),
     "q_mixture"        -> (qMixture _),
@@ -3157,6 +3233,47 @@ object SparkEntry {
         UNION ALL
         SELECT $i, p.vec_id, v.e FROM pk$i p JOIN ve v USING (vec_id))"""
 
+  /** q_label_prop oracle: one synchronous round — integer neighbor-label
+    * votes, argmax with ties to the smallest label, isolated nodes keep
+    * theirs via the LEFT JOIN coalesce. */
+  private def labelPropIterCte(i: Int): String =
+    s"""c$i AS MATERIALIZED (
+        SELECT e0.s AS node, l.label, count(*) AS v
+        FROM e0 JOIN l${i - 1} l ON e0.d = l.node GROUP BY 1, 2),
+      p$i AS MATERIALIZED (SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node ORDER BY v DESC, label) AS rn
+        FROM c$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (
+        SELECT l.node, coalesce(p.label, l.label) AS label
+        FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)"""
+
+  /** q_hits oracle: one full HITS round — authorities from the previous
+    * hubs over in-edges, then hubs from the fresh authorities over
+    * out-edges, each L2-normalized (zero-norm guarded) and quantized to
+    * 9 decimals exactly like Hits.normalized. */
+  private def hitsIterCte(i: Int): String =
+    s"""au$i AS MATERIALIZED (
+        SELECT e.d AS node, sum(h.q) AS v
+        FROM h${i - 1} h JOIN e ON h.node = e.s GROUP BY 1),
+      af$i AS MATERIALIZED (
+        SELECT nd.node, coalesce(au$i.v, 0.0) AS v
+        FROM nd LEFT JOIN au$i ON nd.node = au$i.node),
+      an$i AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nm FROM af$i),
+      a$i AS MATERIALIZED (
+        SELECT node, round(v / (CASE WHEN nm = 0.0 THEN 1.0 ELSE nm END) + 1e-12, 9) AS q
+        FROM af$i CROSS JOIN an$i),
+      hu$i AS MATERIALIZED (
+        SELECT e.s AS node, sum(a.q) AS v
+        FROM a$i a JOIN e ON a.node = e.d GROUP BY 1),
+      hf$i AS MATERIALIZED (
+        SELECT nd.node, coalesce(hu$i.v, 0.0) AS v
+        FROM nd LEFT JOIN hu$i ON nd.node = hu$i.node),
+      hn$i AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nm FROM hf$i),
+      h$i AS MATERIALIZED (
+        SELECT node, round(v / (CASE WHEN nm = 0.0 THEN 1.0 ELSE nm END) + 1e-12, 9) AS q
+        FROM hf$i CROSS JOIN hn$i)"""
+
   /** q_kmeans oracle machinery: each Lloyd iteration is argmin
     * assignment (row_number over the generated 64-term left-associated
     * distance sum, tiebreak = lowest cell, mirroring array_position's
@@ -3298,6 +3415,105 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // ECDFs from the pooled distinct-value histogram; integer-count
+    // ratios, so D replays exactly under any evaluation order
+    "q_ks_test" -> """
+      WITH h AS (
+        SELECT value AS v,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY 1),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h),
+      c AS (SELECT ca, cb,
+          sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM h),
+      d AS (SELECT na, nb,
+          max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)) AS dd
+        FROM c CROSS JOIN t GROUP BY 1, 2)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        round(dd + 1e-12, 6) AS ks_d,
+        round(dd * sqrt(na * nb / CAST(na + nb AS DOUBLE)) + 1e-12, 6) AS ks_z
+      FROM d""",
+    // midranks per tied block: (cum-t) + (t+1)/2 — integer-multiple-of-½
+    // terms, so the rank sum is exact and order-independent
+    "q_mann_whitney" -> """
+      WITH h AS (
+        SELECT value AS v,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb,
+          count(*) AS t
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY 1),
+      c AS (SELECT ca, cb, t,
+          sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h),
+      a AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+          sum(ca * (CAST(cum - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS ra,
+          sum(t * t * t - t) AS ties
+        FROM c),
+      u AS (SELECT na, nb, ra - CAST(na AS DOUBLE) * (na + 1) / 2 AS u0,
+          ties, na + nb AS nn
+        FROM a)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        round(u0 + 1e-12, 6) AS u_stat,
+        round((u0 - CAST(na AS DOUBLE) * nb / 2)
+          / sqrt(CAST(na AS DOUBLE) * nb / 12
+            * (CAST(nn + 1 AS DOUBLE)
+              - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))) + 1e-12, 6)
+          AS mw_z
+      FROM u""",
+    // S_i = cs_i - min(0, min_{j<=i} cs_j): the Page recurrence's exact
+    // prefix-scan form, two window aggregates over one ordered frame
+    "q_cusum" -> """
+      WITH s AS (
+        SELECT event_id, user_id, ts,
+          sum(value - 5.0 - 0.5) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cs
+        FROM events),
+      m AS (
+        SELECT event_id, user_id, cs,
+          least(0.0, min(cs) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS mn
+        FROM s)
+      SELECT event_id, user_id, round(cs - mn + 1e-12, 6) AS cusum,
+        (cs - mn) > 20.0 AS alarm
+      FROM m""",
+    // tied block of value v at ranks (cum-t, cum] contributes
+    // v*(t*(cum-t) + t*(t+1)/2) to sum(i*x_i) — exact integers
+    "q_gini" -> """
+      WITH h AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v, count(*) AS t
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      c AS (SELECT source, v, t,
+          sum(t) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h)
+      SELECT source, CAST(sum(t) AS BIGINT) AS n,
+        round(2.0 * sum(v * (t * (cum - t) + t * (t + 1) / 2))
+            / (sum(t) * sum(v * t))
+          - CAST(sum(t) + 1 AS DOUBLE) / sum(t) + 1e-12, 6) AS gini
+      FROM c GROUP BY source""",
+    // BH step-up: within a tied block the condition is tightest at the
+    // block's LAST rank (= cum), so distinct p values decide everything;
+    // p*m <= k*q spelled as the same two products both engines compute
+    "q_bh_fdr" -> """
+      WITH pv AS (
+        SELECT doc_id,
+          round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) AS DOUBLE) / power(16, 13) + 1e-12, 6) AS p
+        FROM documents),
+      h AS (SELECT p, count(*) AS t FROM pv GROUP BY 1),
+      m AS (SELECT sum(t) AS mm FROM h),
+      c AS (SELECT p, sum(t) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      cut AS (SELECT max(CASE WHEN p * mm <= CAST(cum AS DOUBLE) * 0.1 THEN p END) AS pstar
+        FROM c CROSS JOIN m)
+      SELECT doc_id, p, coalesce(p <= pstar, FALSE) AS rejected
+      FROM pv CROSS JOIN cut""",
     "q_dsv2_agg" -> """
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(i) AS BIGINT) AS min_id,
         CAST(max(i) AS BIGINT) AS max_id
@@ -3942,6 +4158,42 @@ object SparkEntry {
       r4 AS (SELECT r3.node AS node, ((1.0 - 0.85) / n) + 0.85 * (coalesce(c4.s, 0.0) + dm / n) AS r
              FROM r3 LEFT JOIN c4 ON r3.node = c4.node CROSS JOIN nn CROSS JOIN d4)
       SELECT node, round(r + 1e-12, 6) AS pagerank FROM r4""",
+    // wedges via one self-join on the center; a and b share the center's
+    // degree, adjacency removed with NOT EXISTS (the left-anti mirror)
+    "q_adamic_adar" -> s"""
+      WITH knn AS ($KnnGraphOracle),
+      e0 AS (SELECT id AS s, nbr AS d FROM knn
+             UNION SELECT nbr, id FROM knn),
+      deg AS (SELECT s, count(*) AS dg FROM e0 GROUP BY 1),
+      arms AS (SELECT e0.d AS w, e0.s AS n, deg.dg
+               FROM e0 JOIN deg ON e0.d = deg.s WHERE deg.dg <= 10000),
+      wg AS (SELECT a.n AS id_a, b.n AS id_b, a.dg
+             FROM arms a JOIN arms b ON a.w = b.w AND a.n < b.n)
+      SELECT id_a, id_b, count(*) AS common_nbrs,
+        round(sum(1.0 / ln(CAST(dg AS DOUBLE))) + 1e-12, 6) AS adamic_adar
+      FROM wg
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.s = wg.id_a AND e0.d = wg.id_b)
+      GROUP BY 1, 2""",
+    // 3 synchronous rounds, integer votes, ties to the smallest label —
+    // same fixed rules as LabelProp.labelPropagation
+    "q_label_prop" -> s"""
+      WITH knn AS ($KnnGraphOracle),
+      e0 AS MATERIALIZED (SELECT id AS s, nbr AS d FROM knn
+             UNION SELECT nbr, id FROM knn),
+      l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+      ${Seq(1, 2, 3).map(labelPropIterCte).mkString(",\n      ")}
+      SELECT node, label AS community FROM l3""",
+    // 3 HITS iterations; each half-step L2-normalizes then quantizes to
+    // 9 decimals — the same inter-iteration pin as Hits.hits
+    "q_hits" -> s"""
+      WITH knn AS ($KnnGraphOracle),
+      e AS MATERIALIZED (SELECT id AS s, nbr AS d FROM knn),
+      nd AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
+      h0 AS (SELECT node, 1.0 AS q FROM nd),
+      ${Seq(1, 2, 3).map(hitsIterCte).mkString(",\n      ")}
+      SELECT h3.node AS node, round(h3.q + 1e-12, 6) AS hub,
+        round(a3.q + 1e-12, 6) AS authority
+      FROM h3 JOIN a3 ON h3.node = a3.node""",
     "q_global_shuffle" -> """
       SELECT doc_id,
         CAST(row_number() OVER (

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison tests over two row groups — the statistical
+  * gate a training-data pipeline runs when a source is re-crawled, a
+  * scorer is re-trained, or a mixture is re-weighted: "did the score /
+  * length / value distribution actually move?" Complements
+  * [[Drift]] (which compares CATEGORICAL histograms via KL/JS/PSI) with
+  * the standard nonparametric tests over CONTINUOUS columns.
+  *
+  * Both tests ride [[RankedStats.withCumulative]]: reduce to a
+  * distinct-value histogram with per-side counts, two-level cumsum for
+  * the ECDFs/ranks, then pure arithmetic — no global sort, no stage
+  * whose parallelism is bounded by 1. Every intermediate is an exact
+  * integer (or an integer ratio computed once), so results are
+  * partitioning-independent and replayable bit-for-bit.
+  */
+object HypothesisTests {
+
+  /** Two-sample Kolmogorov–Smirnov: D = sup_v |F_a(v) − F_b(v)|,
+    * evaluated at every pooled distinct value (where the sup of step
+    * ECDFs is attained). One output row: `n_a`, `n_b`, `ks_d` (rounded
+    * 6), `ks_z` = D·√(n_a·n_b/(n_a+n_b)) — the scaled statistic fed to
+    * the Kolmogorov distribution for a p-value.
+    *
+    * ECDF differences are ratios of exact integer counts; max over them
+    * is order-independent, so the statistic is deterministic under any
+    * partitioning.
+    */
+  def ksTest(df: DataFrame, sideCol: String, valueCol: String,
+             sideA: String, sideB: String, shards: Int = 0): DataFrame = {
+    val hist = twoSideHistogram(df, sideCol, valueCol, sideA, sideB)
+    // sample sizes come from the cheap histogram aggregate (1 row,
+    // broadcast) — not a window over the cumsum'd side
+    val tot = hist.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__ca", "__cb"), shards)
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("__cum___ca").cast("double") / col("n_a")
+        - col("__cum___cb").cast("double") / col("n_b"))).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__d") + lit(1e-12), 6).as("ks_d"),
+        round(col("__d") * sqrt(col("n_a") * col("n_b")
+          / (col("n_a") + col("n_b")).cast("double")) + lit(1e-12), 6).as("ks_z"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation. A tied block of t rows spanning ranks (c−t, c]
+    * shares the midrank c−t + (t+1)/2; side A's rank sum is then
+    * R_a = Σ ca·midrank — every term an integer multiple of ½, exact in
+    * doubles, so the sum is order-independent. U = R_a − n_a(n_a+1)/2;
+    * z = (U − n_a·n_b/2) / σ with the standard tie correction
+    * σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * One output row: `n_a`, `n_b`, `u_stat`, `mw_z` (rounded 6).
+    */
+  def mannWhitneyU(df: DataFrame, sideCol: String, valueCol: String,
+                   sideA: String, sideB: String, shards: Int = 0): DataFrame = {
+    val hist = twoSideHistogram(df, sideCol, valueCol, sideA, sideB)
+    val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__t"), shards)
+    val t = col("__t").cast("double")
+    val midrank = (col("__cum___t") - col("__t")).cast("double") + (t + 1) / 2
+    cum.agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * midrank).as("__ra"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("__ra") - col("n_a").cast("double") * (col("n_a") + 1) / 2).as("__u"),
+        col("__ties"), (col("n_a") + col("n_b")).as("__nn"))
+      .select(col("n_a"), col("n_b"), col("__u"),
+        sqrt(col("n_a").cast("double") * col("n_b") / 12
+          * ((col("__nn") + 1).cast("double")
+            - col("__ties").cast("double")
+              / (col("__nn").cast("double") * (col("__nn") - 1)))).as("__sigma"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__u") + lit(1e-12), 6).as("u_stat"),
+        // σ = 0 (every pooled value tied) has no defined z — null, not
+        // an ANSI divide-by-zero
+        when(col("__sigma") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__u") - col("n_a").cast("double") * col("n_b") / 2)
+            / col("__sigma") + lit(1e-12), 6)).as("mw_z"))
+  }
+
+  /** Benjamini–Hochberg step-up control at FDR level `q`: sort the m
+    * p-values ascending, find the largest k with p_(k) ≤ (k/m)·q, and
+    * reject hypotheses 1..k. Appends a boolean `rejected`.
+    *
+    * Scale shape: BH needs only the CUTOFF p-value, and within a tied
+    * block the step-up condition is tightest at the block's LAST rank —
+    * so the distinct-p histogram + cumulative count decides each block,
+    * a 1-row aggregate takes the max admissible p*, and a broadcast
+    * comparison flags the corpus. No global sort of the corpus, no
+    * per-row rank materialization; the corpus is touched by exactly two
+    * scans (histogram + flagging).
+    */
+  def bhReject(df: DataFrame, pCol: String, q: Double,
+               shards: Int = 0): DataFrame = {
+    require(q > 0 && q < 1, s"FDR level q must be in (0,1), got $q")
+    val hist = df.select(col(pCol).cast("double").as("__p"))
+      .filter(col("__p").isNotNull)
+      .groupBy(col("__p")).agg(count(lit(1)).as("__t"))
+    val m = hist.agg(sum(col("__t")).as("__m"))
+    val cum = RankedStats.withCumulative(hist, Nil, "__p", Seq("__t"), shards)
+    // p ≤ (k/m)·q at the block's top rank k = cum; spelled p·m ≤ k·q so
+    // both engines evaluate the same two exact products
+    val cutoff = cum.crossJoin(broadcast(m))
+      .agg(max(when(col("__p") * col("__m")
+        <= col("__cum___t").cast("double") * q, col("__p"))).as("__pstar"))
+    df.crossJoin(broadcast(cutoff))
+      .withColumn("rejected",
+        coalesce(col(pCol).cast("double") <= col("__pstar"), lit(false)))
+      .drop("__pstar")
+  }
+
+  /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
+    * pooled count `__t`; rows outside the two sides and null values drop
+    * (the usual two-sample framing).
+    */
+  private def twoSideHistogram(df: DataFrame, sideCol: String, valueCol: String,
+                               sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, "the two samples must be distinct sides")
+    df.select(col(sideCol).as("__side"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__side").isin(sideA, sideB))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"),
+        count(lit(1)).as("__t"))
+  }
+}

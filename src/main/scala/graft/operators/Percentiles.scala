@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *   1. histogram: groupBy(group, value) -> count. Parallel everywhere,
   *      shrinks rows to distinct values, map-side partial aggregation.
   *   2. range-shard the histogram by (group, value) — contiguous value
-  *      ranges per shard (`repartitionByRange`; the sampling pass reuses
-  *      the histogram's shuffle map output, and AQE-coalesced partitions
-  *      stay contiguous so correctness never depends on the boundaries).
+  *      ranges per shard (`repartitionByRange`, materialized once so
+  *      every consumer sees ONE boundary assignment; see the
+  *      localCheckpoint note below).
   *   3. two-level cumulative count: a window cumsum WITHIN each
   *      (group, shard) — parallelism = groups x shards, spillable — plus
   *      a broadcast join of per-shard offsets (a groups x shards -row
@@ -94,10 +94,20 @@ object Percentiles {
     val cnt = col(cntCol).cast("long")
 
     // Order-preserving shards: contiguous (group, value) ranges. The shard
-    // id must be captured BEFORE the window's hash exchange moves rows.
+    // id must be captured BEFORE the window's hash exchange moves rows,
+    // and the localCheckpoint is LOAD-BEARING: the level-1 and level-2
+    // branches below each read `ranged`, and without materialization
+    // each re-instantiates the range exchange — RangePartitioner SAMPLES
+    // its boundaries with a per-instantiation seed, so the two branches
+    // can assign the same row to different shards and the stitched
+    // cumulative counts silently corrupt (caught by a RankedStats cumsum
+    // diff; the exchanges do NOT get ReusedExchange'd because each
+    // branch prunes different columns). Materializing the histogram
+    // (distinct values, not corpus rows) stays bounded at any SF.
     val ranged = hist
       .repartitionByRange(nShards, gcols :+ col(valCol): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
 
     // Level 1: cumulative count within (group, shard), ordered by value.
     val wLoc = Window.partitionBy(gcols :+ col("__pid"): _*).orderBy(col(valCol))

@@ -47,4 +47,40 @@ object TimeSeries {
     df.withColumn(colName,
       aggregate(frame, lit(0.0), (s: Column, x: Column) => s * lit(alpha) + x))
   }
+
+  /** One-sided CUSUM change detection per key: S_i = max(0, S_{i−1} +
+    * (x_i − target − slack)), alarm when S_i > threshold — the standard
+    * sequential drift detector (Page 1954) a pipeline runs per source /
+    * per scorer to catch upward level shifts the global mean hides.
+    *
+    * The recurrence looks inherently sequential, but it has an exact
+    * prefix-scan closed form: with y_i = x_i − target − slack and
+    * cs_i = Σ_{j≤i} y_j,  S_i = cs_i − min(0, min_{j≤i} cs_j)
+    * (induction: max(0, cs_i − M_{i−1}) = cs_i − min(cs_i, M_{i−1}),
+    * and min(cs_i, M_{i−1}) is exactly M_i since M_{i−1} ≤ 0). Both
+    * terms are plain window aggregates over the SAME ordered frame, so
+    * one range-partitioned sort per key serves the whole detector — no
+    * driver loop, no stateful UDF, parallelism = number of keys, and
+    * the prefix sums fold left-to-right identically in any engine.
+    *
+    * Appends `cusum` (S_i, rounded 6) and boolean `alarm`. Ordering
+    * must be total per key for determinism — pass tie-breaking
+    * `orderCols` (e.g. ts, event_id).
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+            valueCol: String, target: Double, slack: Double,
+            threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val y = col(valueCol).cast("double") - lit(target) - lit(slack)
+    // two window columns over ONE frame spec — a single sort serves both
+    // (windows cannot nest, so the prefix sum lands in a column first)
+    val s = col("__cs") - least(lit(0.0), min(col("__cs")).over(w))
+    df.withColumn("__cs", sum(y).over(w))
+      .withColumn("cusum", round(s + lit(1e-12), 6))
+      .withColumn("alarm", s > threshold)
+      .drop("__cs")
+  }
 }

@@ -287,8 +287,14 @@ object TextFns {
     val counts = df.select(explode(split(lower(col(textCol)), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint is LOAD-BEARING: `local` and `offsets` both read
+    // `ranged`, and an unmaterialized range exchange re-samples its
+    // boundaries per branch instantiation (seeded per RDD), so the two
+    // branches could disagree on a row's __pid and corrupt the stitched
+    // ranks — see Percentiles.fromHistogram for the full account.
     val ranged = counts.repartitionByRange(parts, desc("cnt"), col("token"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("__pid")).orderBy(desc("cnt"), col("token"))
     val local = ranged.withColumn("__lrk", row_number().over(wLocal).cast("long"))
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)

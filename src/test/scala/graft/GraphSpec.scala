@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.graph.PageRank
+import graft.graph.{Hits, LabelProp, LinkPrediction, PageRank}
 import graft.similarity.EmbedStats
 
 /** PageRank and embedding second-moment statistics. */
@@ -261,6 +261,61 @@ class GraphSpec extends AnyFunSuite {
     assert(Modularity.modularity(noisy, "a", "b",
       Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L).toDF("id", "c"),
       "id", "c").head().getDouble(3) == 0.5)
+  }
+
+  test("adamicAdar scores non-adjacent distance-2 pairs and excludes edges") {
+    // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share two degree-2
+    // neighbors each -> aa = 2/ln(2); adjacent pairs must not appear
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = LinkPrediction.adamicAdar(e, "s", "d")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val aa = BigDecimal(2.0 / math.log(2.0) + 1e-12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, aa)) && got((2L, 4L)) == ((2L, aa)))
+  }
+
+  test("adamicAdar maxDegree excludes hub centers from wedge generation") {
+    // star center 0 with 5 leaves: every leaf pair is a wedge through 0
+    val e = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    assert(LinkPrediction.adamicAdar(e, "s", "d").count() == 10L)
+    // capping below the hub's degree removes all wedges - loudly empty,
+    // not quadratically expensive
+    assert(LinkPrediction.adamicAdar(e, "s", "d", maxDegree = 4).count() == 0L)
+  }
+
+  test("labelPropagation: two triangles with one bridge keep separate communities") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val nodes = (1L to 6L).toDF("id")
+    val got = LabelProp.labelPropagation(e, "s", "d", nodes, "id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle converges to its own minimum label: the bridge is a
+    // minority vote and never wins
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1 && got(4L) != 1L)
+  }
+
+  test("labelPropagation: isolated node keeps its own label") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val got = LabelProp.labelPropagation(e, "s", "d", (1L to 3L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 3L)
+    // the lone edge is the documented synchronous-update oscillation:
+    // the endpoints swap labels every round, deterministically
+    assert(Set(got(1L), got(2L)) == Set(1L, 2L))
+  }
+
+  test("hits: in-star concentrates authority on the center, hubs on the leaves") {
+    val e = (1L to 4L).map(i => (i, 0L)).toDF("s", "d")
+    val nodes = (0L to 4L).toDF("id")
+    val got = Hits.hits(e, "s", "d", nodes, "id")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // authority mass is entirely on node 0; hub mass splits evenly over
+    // the four leaves (L2-normalized: each 1/2)
+    assert(got(0L) == ((0.0, 1.0)))
+    (1L to 4L).foreach(i => assert(got(i) == ((0.5, 0.0))))
   }
 
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {

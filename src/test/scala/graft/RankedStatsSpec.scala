@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HypothesisTests, RankedStats, TimeSeries}
+
+/** Rank-statistics machinery ([[graft.operators.RankedStats]],
+  * [[graft.operators.HypothesisTests]], CUSUM): the sharded cumsum
+  * against a single-window reference, closed-form test statistics, and
+  * the BH step-up on a hand-checked example.
+  */
+class RankedStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("withCumulative matches a single-partition window cumsum on a multi-shard histogram") {
+    // large enough that 8 shards are all populated — the regression case
+    // for the two-branch range-boundary disagreement (each branch of the
+    // un-checkpointed plan sampled its own boundaries and ~75% of rows
+    // got a wrong cumulative)
+    val hist = spark.range(1, 5000)
+      .select((col("id") % 997).cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val got = RankedStats.withCumulative(hist, Nil, "v", Seq("t"), shards = 8)
+      .select(col("v"), col("__cum_t"))
+    val want = hist.withColumn("__cum_t",
+      sum(col("t")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("__cum_t"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("withCumulative keeps groups independent") {
+    val hist = Seq(("a", 1.0, 2L), ("a", 2.0, 3L), ("b", 1.0, 5L), ("b", 3.0, 7L))
+      .toDF("g", "v", "t")
+    val got = RankedStats.withCumulative(hist, Seq("g"), "v", Seq("t"), shards = 4)
+      .select(col("g"), col("v"), col("__cum_t")).as[(String, Double, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 1.0, 2L), ("a", 2.0, 5L), ("b", 1.0, 5L), ("b", 3.0, 12L)))
+  }
+
+  test("gini: uniform mass scores 0, fully concentrated mass scores (n-1)/n") {
+    val uniform = Seq.fill(8)(("s", 10.0)).toDF("g", "x")
+    val gu = RankedStats.gini(uniform, Seq("g"), "x").select("gini").head.getDouble(0)
+    assert(gu == 0.0)
+    val conc = (Seq.fill(7)(("s", 0.0)) :+ ("s", 100.0)).toDF("g", "x")
+    val gc = RankedStats.gini(conc, Seq("g"), "x").select("gini").head.getDouble(0)
+    assert(gc == 0.875) // (n-1)/n with n=8
+  }
+
+  test("gini rejects negative values loudly") {
+    val df = Seq(("s", -1.0), ("s", 5.0)).toDF("g", "x")
+    val e = intercept[Exception] {
+      RankedStats.gini(df, Seq("g"), "x").collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
+  test("ksTest: identical samples give D=0; disjoint ranges give D=1") {
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("side", "v")
+    val r0 = HypothesisTests.ksTest(same, "side", "v", "a", "b").head
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    val apart = ((1 to 30).map(i => ("a", i.toDouble))
+      ++ (100 to 140).map(i => ("b", i.toDouble))).toDF("side", "v")
+    val r1 = HypothesisTests.ksTest(apart, "side", "v", "a", "b").head
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(r1.getAs[Long]("n_a") == 30L && r1.getAs[Long]("n_b") == 41L)
+  }
+
+  test("mannWhitneyU: a stochastically smaller side gives U=0; swap symmetry holds") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble))
+      ++ (20 to 34).map(i => ("b", i.toDouble))).toDF("side", "v")
+    val r = HypothesisTests.mannWhitneyU(df, "side", "v", "a", "b").head
+    // every A value ranks below every B value: R_a = 55, U = 55 - 55 = 0
+    assert(r.getAs[Double]("u_stat") == 0.0)
+    val sw = HypothesisTests.mannWhitneyU(df, "side", "v", "b", "a").head
+    assert(sw.getAs[Double]("u_stat") == 150.0) // n_a*n_b - 0
+  }
+
+  test("mannWhitneyU midranks: all-tied samples give U = n_a*n_b/2 and a null z") {
+    val df = (1 to 12).map(i => (if (i % 2 == 0) "a" else "b", 7.0)).toDF("side", "v")
+    val r = HypothesisTests.mannWhitneyU(df, "side", "v", "a", "b").head
+    assert(r.getAs[Double]("u_stat") == 18.0) // 6*6/2
+    assert(r.isNullAt(r.fieldIndex("mw_z"))) // sigma = 0: no defined z
+  }
+
+  test("bhReject: hand-checked step-up including a rejected-by-tie block") {
+    // m=5, q=0.25: thresholds k*q/m = .05,.10,.15,.20,.25
+    // sorted p = .01,.04,.04,.30,.50 -> ties at .04 top out at k=3
+    // (.04 <= .15), so p* = .04 and three rejections
+    val df = Seq((1L, 0.01), (2L, 0.04), (3L, 0.04), (4L, 0.30), (5L, 0.50))
+      .toDF("id", "p")
+    val got = HypothesisTests.bhReject(df, "p", q = 0.25)
+      .select(col("id"), col("rejected")).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+  }
+
+  test("bhReject: nothing admissible rejects nothing") {
+    val df = Seq((1L, 0.8), (2L, 0.9)).toDF("id", "p")
+    val got = HypothesisTests.bhReject(df, "p", q = 0.05)
+      .select("rejected").as[Boolean].collect()
+    assert(got.forall(!_))
+  }
+
+  test("cusum follows the Page recurrence and resets after sub-target runs") {
+    // target 10, slack 0: y = x - 10. S: 2,0,5,11 -> alarm at the last
+    val df = Seq((1L, 1, 12.0), (1L, 2, 7.0), (1L, 3, 15.0), (1L, 4, 16.0))
+      .toDF("k", "i", "x")
+    val got = TimeSeries.cusum(df, Seq("k"), Seq("i"), "x",
+        target = 10.0, slack = 0.0, threshold = 10.0)
+      .orderBy("i").select("cusum", "alarm").as[(Double, Boolean)].collect()
+    assert(got.map(_._1).toSeq == Seq(2.0, 0.0, 5.0, 11.0))
+    assert(got.map(_._2).toSeq == Seq(false, false, false, true))
+  }
+
+  test("cusum keys are independent") {
+    val df = Seq((1L, 1, 100.0), (2L, 1, 0.0), (2L, 2, 0.0))
+      .toDF("k", "i", "x")
+    val got = TimeSeries.cusum(df, Seq("k"), Seq("i"), "x",
+        target = 1.0, slack = 0.0, threshold = 50.0)
+      .select(col("k"), col("cusum")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 99.0), (2L, 0.0)))
+  }
+}
