@@ -2824,6 +2824,47 @@ object SparkEntry {
     graft.operators.HypothesisTests.bhReject(withP, "p", q = 0.1)
   }
 
+  /** Kruskal–Wallis H across ALL five event types — the k-group
+    * rank test over the same pooled-midrank machinery as
+    * q_mann_whitney ([[graft.operators.HypothesisTests.kruskalWallis]]). */
+  private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.kruskalWallis(
+      Tables.events(s, d), "event_type", "value")
+
+  /** One-way ANOVA F across event types: decimal-exact per-group
+    * moments, doubles only in the final ratio. */
+  private def qAnova(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.anovaF(
+      Tables.events(s, d), "event_type", "value")
+
+  /** Reliability bins + ECE for the linear quality scorer, scored
+    * against "is this document English" as the ground-truth bit —
+    * the calibration audit before scores become keep-probabilities. */
+  private def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val score = graft.text.Curation.scoreCol(col("text"),
+      weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
+        "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
+      bias = -1.5, stopwords = Seq("the", "a"))
+    graft.operators.Calibration.calibration(
+      Tables.documents(s, d).select(score.as("p"), (col("lang") === "en").as("y")),
+      "p", "y", bins = 10)
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences ([[graft.operators.Markov.transitionMatrix]]):
+    * |states|²-bounded output, exact integer transition probabilities. */
+  private def qMarkov(s: SparkSession, d: String): DataFrame =
+    graft.operators.Markov.transitionMatrix(
+      Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), "event_type")
+
+  /** Winnowing (MOSS) fingerprint candidate pairs: k=3-gram hashes,
+    * window w=4 minima, pairs sharing ≥ 2 fingerprints — guaranteed to
+    * catch any shared run of ≥ 6 tokens ([[graft.dedup.Winnow]]). */
+  private def qWinnow(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Winnow.candidatePairs(
+      Tables.documents(s, d), "doc_id", "text", k = 3, w = 4,
+      minShared = 2, maxBucket = 200)
+
   /** The directed similarity k-NN graph every graph query shares
     * (label-bucketed, k=3 — the q_knn_graph edge set). */
   private def knnEdges(s: SparkSession, d: String): DataFrame =
@@ -2854,6 +2895,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test"        -> (qKsTest _),
     "q_mann_whitney"   -> (qMannWhitney _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_anova"          -> (qAnova _),
+    "q_calibration"    -> (qCalibration _),
+    "q_markov"         -> (qMarkov _),
+    "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
     "q_gini"           -> (qGini _),
     "q_bh_fdr"         -> (qBhFdr _),
@@ -3514,6 +3560,125 @@ object SparkEntry {
         FROM c CROSS JOIN m)
       SELECT doc_id, p, coalesce(p <= pstar, FALSE) AS rejected
       FROM pv CROSS JOIN cut""",
+    // k-group rank sums from the same pooled-midrank cumsum as
+    // q_mann_whitney; H and its tie correction spelled operation-for-
+    // operation like kruskalWallis
+    "q_kruskal_wallis" -> """
+      WITH b AS (SELECT event_type AS g, value AS v FROM events
+                 WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      pool AS (SELECT v, count(*) AS t FROM b GROUP BY 1),
+      mid AS (SELECT v, t,
+          CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS DOUBLE)
+            + (CAST(t AS DOUBLE) + 1) / 2 AS mid
+        FROM pool),
+      pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, sum(c * mid) AS r
+        FROM (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2) hg
+        JOIN mid USING (v) GROUP BY g),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+          CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM pool),
+      agg AS (SELECT count(*) AS k, sum(r * r / CAST(n AS DOUBLE)) AS s,
+          max(nn) AS nn, max(ties) AS ties
+        FROM pg CROSS JOIN tot)
+      SELECT k, nn AS n,
+        round(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1)) * s
+          - 3.0 * (CAST(nn AS DOUBLE) + 1) + 1e-12, 6) AS h_stat,
+        CASE WHEN 1.0 - CAST(ties AS DOUBLE)
+            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(nn AS DOUBLE)) = 0.0 THEN NULL
+          ELSE round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1)) * s
+            - 3.0 * (CAST(nn AS DOUBLE) + 1))
+            / (1.0 - CAST(ties AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                - CAST(nn AS DOUBLE))) + 1e-12, 6) END AS h_corrected
+      FROM agg""",
+    // decimal-exact per-group moments; doubles only in the final ratio —
+    // same operation spelling as anovaF
+    "q_anova" -> """
+      WITH per AS (SELECT event_type AS g, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS s,
+          sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1),
+      t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+          CAST(sum(s) AS DOUBLE) AS ss, CAST(sum(q) AS DOUBLE) AS qq,
+          sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sq
+        FROM per)
+      SELECT k, nn AS n,
+        round(sq - ss * ss / CAST(nn AS DOUBLE) + 1e-12, 6) AS ss_between,
+        round(qq - sq + 1e-12, 6) AS ss_within,
+        CASE WHEN nn = k OR qq - sq = 0.0 THEN NULL
+          ELSE round(((sq - ss * ss / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((qq - sq) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) + 1e-12, 6)
+          END AS f_stat
+      FROM t""",
+    // reliability bins over the (pre-rounded) classifier score, labels =
+    // lang='en'; DECIMAL(16,6) score sums make confidence engine-exact
+    "q_calibration" -> """
+      WITH feat AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents),
+      sc AS (SELECT
+          round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
+            + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS p,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM feat),
+      binned AS (SELECT
+          least(greatest(CAST(floor(p * 10) AS BIGINT), 0), 9) AS bin,
+          count(*) AS n,
+          CAST(sum(CAST(p AS DECIMAL(16,6))) AS DOUBLE) / count(*) AS confidence,
+          CAST(sum(y) AS DOUBLE) / count(*) AS accuracy
+        FROM sc GROUP BY 1),
+      g AS (SELECT bin, n, confidence, accuracy,
+          abs(accuracy - confidence) AS gap FROM binned),
+      e AS (SELECT round(sum(n * gap) / sum(n) + 1e-12, 6) AS ece FROM g)
+      SELECT bin, n, round(confidence + 1e-12, 6) AS confidence,
+        round(accuracy + 1e-12, 6) AS accuracy,
+        round(gap + 1e-12, 6) AS gap, ece
+      FROM g CROSS JOIN e""",
+    // lag per user over (ts, event_id); probabilities are exact integer
+    // ratios row-normalized over the tiny transition matrix
+    "q_markov" -> """
+      WITH s AS (SELECT event_type AS to_state,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_state
+        FROM events),
+      c AS (SELECT from_state, to_state, count(*) AS n FROM s
+        WHERE from_state IS NOT NULL GROUP BY 1, 2)
+      SELECT from_state, to_state, n,
+        round(CAST(n AS DOUBLE)
+          / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) + 1e-12, 6) AS p
+      FROM c""",
+    // winnowing replay: k=3-gram md5-52bit hashes, w=4 window minima,
+    // distinct per doc, bucket-capped fingerprint join
+    "q_winnow" -> s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+          THEN list_transform(range(0, len(tk) - 2),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+          ELSE [] END AS gs FROM t),
+      h AS (SELECT doc_id, list_transform(gs, g ->
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substring(md5(g), 1, 13), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) AS BIGINT)) AS hs FROM g),
+      m AS (SELECT doc_id, CASE
+          WHEN len(hs) >= 4 THEN list_transform(range(0, len(hs) - 3),
+            j -> list_min(list_slice(hs, j + 1, j + 4)))
+          WHEN len(hs) > 0 THEN [list_min(hs)]
+          ELSE [] END AS ms FROM h),
+      f AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM m),
+      keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 200),
+      ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q_dsv2_agg" -> """
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(i) AS BIGINT) AS min_id,
         CAST(max(i) AS BIGINT) AS max_id

@@ -115,6 +115,77 @@ object HypothesisTests {
       .drop("__pstar")
   }
 
+  /** Kruskal–Wallis H — the k-group generalization of
+    * [[mannWhitneyU]]: are the value distributions of ALL groups (e.g.
+    * every event type, every source) plausibly the same? Midranks come
+    * from the pooled distinct-value cumsum exactly as in the two-sample
+    * test; per-group rank sums are a histogram-sized join away (the
+    * group histogram joins the pooled midrank table on the value — both
+    * distinct-value-sized, never corpus-sized). H = 12/(N(N+1))·Σ R_j²/n_j
+    * − 3(N+1), tie-corrected by 1 − Σ(t³−t)/(N³−N).
+    *
+    * One output row: `k`, `n`, `h_stat`, `h_corrected` (rounded 6;
+    * `h_corrected` null when every pooled value is tied).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    shards: Int = 0): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val pool = base.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    val cum = RankedStats.withCumulative(pool, Nil, "__v", Seq("__t"), shards)
+      .select(col("__v"), col("__t"),
+        ((col("__cum___t") - col("__t")).cast("double")
+          + (col("__t").cast("double") + 1) / 2).as("__mid"))
+    val perGroup = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .join(cum.select(col("__v"), col("__mid")), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__c") * col("__mid")).as("__r"))
+    val totals = cum.agg(sum(col("__t")).as("__N"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+    val nD = col("__N").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) * col("__s") - lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("__ties").cast("double") / (nD * nD * nD - nD)
+    perGroup
+      .agg(count(lit(1)).as("k"),
+        sum(col("__r") * col("__r") / col("__n").cast("double")).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("__N").as("n"),
+        round(h + lit(1e-12), 6).as("h_stat"),
+        when(corr === 0.0, lit(null).cast("double"))
+          .otherwise(round(h / corr + lit(1e-12), 6)).as("h_corrected"))
+  }
+
+  /** One-way ANOVA F over k groups. Sums ride DECIMAL(18,2) /
+    * DECIMAL(38,4) (value and value² of 2-decimal data are exact
+    * decimals), so every per-group moment is order-independent and
+    * engine-exact; only the final k-term reduction and the F ratio run
+    * in doubles. SSB = Σ s_j²/n_j − S²/N, SSW = Q − Σ s_j²/n_j,
+    * F = (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * One output row: `k`, `n`, `ss_between`, `ss_within`, `f_stat`
+    * (rounded 6; `f_stat` null for the degenerate SSW = 0 or N = k).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"),
+        sum(v * v).as("__q"))
+    val nD = col("__N").cast("double")
+    val ssb = col("__sq") - col("__S").cast("double") * col("__S").cast("double") / nD
+    val ssw = col("__Q").cast("double") - col("__sq")
+    val f = (ssb / (col("k") - 1).cast("double")) / (ssw / (nD - col("k").cast("double")))
+    per.agg(count(lit(1)).as("k"), sum(col("__n")).as("__N"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+        sum(col("__s").cast("double") * col("__s").cast("double")
+          / col("__n").cast("double")).as("__sq"))
+      .select(col("k"), col("__N").as("n"),
+        round(ssb + lit(1e-12), 6).as("ss_between"),
+        round(ssw + lit(1e-12), 6).as("ss_within"),
+        when(col("__N") === col("k") || ssw === 0.0, lit(null).cast("double"))
+          .otherwise(round(f + lit(1e-12), 6)).as("f_stat"))
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

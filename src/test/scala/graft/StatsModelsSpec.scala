@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Winnow
+import graft.operators.{Calibration, HypothesisTests, Markov}
+
+/** Hand-checked examples for the k-group tests (Kruskal–Wallis H,
+  * one-way ANOVA F), classifier calibration (reliability bins + ECE),
+  * the Markov transition matrix, and the winnowing fingerprint
+  * guarantee (any shared run of ≥ w+k−1 tokens shares a fingerprint).
+  */
+class StatsModelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kruskalWallis matches the hand-computed tie-free H") {
+    // groups a={1,2}, b={3,4}, c={5,6}: ranks 1..6, R_a=3, R_b=7, R_c=11
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 12/42*89.5 - 21
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = HypothesisTests.kruskalWallis(df, "g", "v", shards = 2).head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 6L)
+    val want = math.rint((12.0 / 42.0 * 89.5 - 21.0 + 1e-12) * 1e6) / 1e6
+    assert(r.getAs[Double]("h_stat") == want)
+    assert(r.getAs[Double]("h_corrected") == want) // no ties: corr = 1
+  }
+
+  test("kruskalWallis tie correction divides by 1 - sum(t^3-t)/(N^3-N); all-tied is null") {
+    // a={1,1}, b={2,2}: midranks 1.5,1.5,3.5,3.5; R_a=3, R_b=7
+    // H = 12/(4*5)*(9/2+49/2) - 15 = 2.4; ties: two blocks of 2 ->
+    // sum(t^3-t)=12, corr = 1 - 12/60 = 0.8 -> H' = 3.0
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val r = HypothesisTests.kruskalWallis(df, "g", "v", shards = 2).head
+    assert(r.getAs[Double]("h_stat") == 2.4 && r.getAs[Double]("h_corrected") == 3.0)
+    val tied = Seq(("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(HypothesisTests.kruskalWallis(tied, "g", "v").head.isNullAt(3))
+  }
+
+  test("anovaF matches the hand-computed decomposition") {
+    // a={1,2,3}, b={5,6,7}: means 2 and 6, grand 4
+    // SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24; SSW = 2 + 2 = 4
+    // F = (24/1)/(4/4) = 24
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val r = HypothesisTests.anovaF(df, "g", "v").head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 24.0)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 24.0)
+  }
+
+  test("anovaF nulls F when SSW = 0 (constant groups)") {
+    val df = Seq(("a", 2.0), ("a", 2.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val r = HypothesisTests.anovaF(df, "g", "v").head
+    assert(r.getAs[Double]("ss_within") == 0.0 && r.isNullAt(4))
+  }
+
+  test("calibration bins, gaps, and ECE on a hand-checked example") {
+    // bin 1 (0.1-0.2): scores {0.1, 0.15}, labels {1, 0} -> conf 0.125, acc 0.5
+    // bin 9 (0.9-1.0]: scores {0.9, 1.0}, labels {1, 1} -> conf 0.95, acc 1.0
+    // ECE = (2*0.375 + 2*0.05)/4 = 0.2125
+    val df = Seq((0.1, true), (0.15, false), (0.9, true), (1.0, true))
+      .toDF("p", "y")
+    val rows = Calibration.calibration(df, "p", "y", bins = 10)
+      .orderBy("bin").collect()
+    assert(rows.length == 2)
+    val b1 = rows(0)
+    assert(b1.getAs[Long]("bin") == 1L && b1.getAs[Long]("n") == 2L)
+    assert(b1.getAs[Double]("confidence") == 0.125)
+    assert(b1.getAs[Double]("accuracy") == 0.5)
+    assert(b1.getAs[Double]("gap") == 0.375)
+    val b9 = rows(1)
+    assert(b9.getAs[Long]("bin") == 9L) // p=1.0 clamps into the top bin
+    assert(b9.getAs[Double]("gap") == 0.05)
+    assert(rows.forall(_.getAs[Double]("ece") == 0.2125))
+  }
+
+  test("markov transition matrix: exact counts and row-normalized probabilities") {
+    // user 1: a->b->a->b ; user 2: a->a
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a")).toDF("u", "t", "s")
+    val got = Markov.transitionMatrix(df, Seq("u"), Seq("t"), "s")
+      .select("from_state", "to_state", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("a", "b", 2L, 0.666667), ("a", "a", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: any common substring of >= 6 tokens must collide
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val df = Seq(
+      (1L, s"unique one two three $shared tail1 tail2 tail3"),
+      (2L, s"$shared other words entirely different here now"),
+      (3L, "nothing in common with the rest at all zzz"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(df, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fp.groupBy("id").agg(collect_set("fp").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(byDoc(1L).toSet.intersect(byDoc(2L).toSet).nonEmpty)
+    assert(byDoc(3L).toSet.intersect(byDoc(1L).toSet ++ byDoc(2L).toSet).isEmpty)
+    // short-document rule: fewer than w k-grams keeps the global min
+    val short = Seq((9L, "just four tokens here")).toDF("doc_id", "text")
+    assert(Winnow.fingerprints(short, "doc_id", "text", k = 3, w = 4).count() == 1L)
+    // sub-k documents produce no fingerprints (and no crash)
+    val tiny = Seq((8L, "two words")).toDF("doc_id", "text")
+    assert(Winnow.fingerprints(tiny, "doc_id", "text", k = 3, w = 4).count() == 0L)
+  }
+
+  test("winnow candidatePairs excludes oversized fingerprint buckets loudly-by-doc") {
+    // 30 docs all sharing one boilerplate sentence; maxBucket=10 drops
+    // that bucket, so no pairs form from boilerplate alone
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"common boiler plate sentence shared by all plus unique$i"))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.candidatePairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxBucket = 10)
+    assert(pairs.count() == 0L)
+  }
+}
