@@ -1238,6 +1238,37 @@ object SparkEntry {
       Seq("bm25" -> lex, "dense" -> dense), "doc_id", "rank")
   }
 
+  /** Retrieval-quality metrics ([[graft.text.Retrieval.evalRanking]]):
+    * three single-term runs ranked by term frequency, judged against
+    * graded two-term relevance (rel = min(tf₁, 3) where BOTH terms
+    * occur) — per-query MRR, NDCG@10, recall@10. The demo runs rank
+    * the matching corpus with a per-qid window (parallelism = queries);
+    * a production run list would come from [[graft.text.Retrieval
+    * .bm25TopK]]'s TakeOrderedAndProject head instead. */
+  private def qRetrievalEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val qdefs = Seq(("q_join", "join", "merge"), ("q_scan", "scan", "filter"),
+      ("q_batch", "batch", "window"))
+    def tf(term: String) =
+      size(filter(split(lower(col("text")), " "), t => t === term)).cast("long")
+    val runs = qdefs.map { case (qid, t1, _) =>
+        docs.select(lit(qid).as("qid"), col("doc_id").as("id"), tf(t1).as("__tf1"))
+          .filter(col("__tf1") >= 1)
+      }.reduce(_ unionAll _)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("__tf1").desc, col("id")))
+        .cast("long"))
+      .filter(col("rank") <= 20)
+    val qrels = qdefs.map { case (qid, t1, t2) =>
+        docs.select(lit(qid).as("qid"), col("doc_id").as("id"),
+            tf(t1).as("__tf1"), tf(t2).as("__tf2"))
+          .filter(col("__tf1") >= 1 && col("__tf2") >= 1)
+          .select(col("qid"), col("id"), least(col("__tf1"), lit(3L)).as("rel"))
+      }.reduce(_ unionAll _)
+    graft.text.Retrieval.evalRanking(runs, qrels, "qid", "id", "rank", "rel", k = 10)
+  }
+
   /** Best-passage snippets ([[graft.text.Snippet.bestPassage]]) for the
     * BM25 query terms: the densest 10-token window per matching doc,
     * found by an in-plan match-anchored argmax — zero Exchange before
@@ -2983,6 +3014,7 @@ object SparkEntry {
     "q_skyline"        -> (qSkyline _),
     "q_bootstrap_ci"   -> (qBootstrapCi _),
     "q_rrf"            -> (qRrf _),
+    "q_retrieval_eval" -> (qRetrievalEval _),
     "q_loo_influence"  -> (qLooInfluence _),
     "q_snippet"        -> (qSnippet _),
     "q_kcore"          -> (qKcore _),
@@ -4557,6 +4589,44 @@ object SparkEntry {
       SELECT doc_id AS id, round(sum(1.0 / (60 + rank)) + 1e-12, 6) AS rrf_score,
         CAST(count(*) AS BIGINT) AS n_lists
       FROM u GROUP BY 1 ORDER BY rrf_score DESC, id LIMIT 10""",
+    // per-qid tf runs + two-term graded qrels, then MRR / NDCG@10 /
+    // recall@10 spelled gain/log2(rank+1) exactly as evalRanking
+    "q_retrieval_eval" -> """
+      WITH qdef AS (SELECT * FROM (VALUES
+          ('q_join', 'join', 'merge'), ('q_scan', 'scan', 'filter'),
+          ('q_batch', 'batch', 'window')) AS t(qid, t1, t2)),
+      tf AS (SELECT qid, doc_id AS id,
+          CAST(len(list_filter(string_split(lower(text), ' '), w -> w = t1)) AS BIGINT) AS tf1,
+          CAST(len(list_filter(string_split(lower(text), ' '), w -> w = t2)) AS BIGINT) AS tf2
+        FROM documents CROSS JOIN qdef),
+      runs AS (SELECT qid, id,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY tf1 DESC, id) AS BIGINT) AS rnk
+        FROM tf WHERE tf1 >= 1 QUALIFY rnk <= 20),
+      qrels AS (SELECT qid, id, least(tf1, 3) AS rel FROM tf
+        WHERE tf1 >= 1 AND tf2 >= 1),
+      j AS (SELECT r.qid, r.id, r.rnk, coalesce(q.rel, 0) AS rel
+        FROM runs r LEFT JOIN qrels q ON r.qid = q.qid AND r.id = q.id),
+      perq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ret,
+          coalesce(max(CASE WHEN rel >= 1 THEN 1.0 / rnk END), 0.0) AS rr,
+          sum(CASE WHEN rnk <= 10
+            THEN (pow(2.0, CAST(rel AS DOUBLE)) - 1) / log2(rnk + 1.0)
+            ELSE 0.0 END) AS dcg,
+          CAST(sum(CASE WHEN rnk <= 10 AND rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM j GROUP BY 1),
+      ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+          sum(CASE WHEN irank <= 10
+            THEN (pow(2.0, CAST(rel AS DOUBLE)) - 1) / log2(irank + 1.0)
+            ELSE 0.0 END) AS idcg
+        FROM (SELECT qid, id, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS irank
+          FROM qrels)
+        GROUP BY 1)
+      SELECT p.qid, round(rr + 1e-12, 6) AS rr,
+        CASE WHEN idcg IS NOT NULL THEN round(dcg / idcg + 1e-12, 6) END AS ndcg,
+        CASE WHEN n_rel IS NOT NULL
+          THEN round(CAST(hits AS DOUBLE) / n_rel + 1e-12, 6) END AS recall,
+        CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel, n_ret
+      FROM perq p LEFT JOIN ideal i ON p.qid = i.qid""",
     "q_dsir_weights" -> """
       WITH ph AS (SELECT doc_id, lang,
           list_reduce(list_prepend(CAST(0 AS BIGINT),

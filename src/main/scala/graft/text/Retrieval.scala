@@ -66,6 +66,67 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Offline retrieval-quality evaluation — the metrics loop that keeps
+    * a BM25 → ANN → RRF → MMR stack honest: reciprocal rank, NDCG@k
+    * (graded, gain 2^rel − 1, the standard burges form), and recall@k,
+    * one row per query.
+    *
+    * Inputs: `runs` (qid, id, rank — a system's ranked results) and
+    * `qrels` (qid, id, rel — graded relevance judgments, rel ≥ 1 means
+    * relevant; pairs absent from qrels are irrelevant). Output per qid:
+    * `rr` (1/rank of the first relevant result, 0 if none), `ndcg`
+    * (null when the query has no relevant documents), `recall`
+    * (relevant retrieved in the top k / all relevant, null when no
+    * relevant), `n_rel`, `n_ret`.
+    *
+    * Scale shape: one left join runs→qrels on (qid, id) — both sides
+    * shard on the same key, per-query lists are k-bounded; the ideal
+    * DCG ranks each query's judgments with a per-qid window
+    * (parallelism = queries, frames are judgment-list-sized). Nothing
+    * is collected; queries-many output rows. DCG terms are spelled
+    * gain/log2(rank+1) identically on both engine and oracle sides so
+    * 6-decimal rounding agrees bit-for-bit.
+    */
+  def evalRanking(runs: DataFrame, qrels: DataFrame, qidCol: String,
+                  idCol: String, rankCol: String, relCol: String,
+                  k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = runs.select(col(qidCol).as("qid"), col(idCol).as("id"),
+      col(rankCol).cast("long").as("__rank"))
+    val j = qrels.select(col(qidCol).as("qid"), col(idCol).as("id"),
+      col(relCol).cast("long").as("__rel"))
+    val joined = r.join(j, Seq("qid", "id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val gain = (pow(lit(2.0), col("__rel").cast("double")) - 1.0)
+    val perQ = joined.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_ret"),
+      coalesce(max(when(col("__rel") >= 1, lit(1.0) / col("__rank").cast("double"))),
+        lit(0.0)).as("__rr"),
+      sum(when(col("__rank") <= k,
+        gain / log2(col("__rank").cast("double") + 1.0)).otherwise(lit(0.0))).as("__dcg"),
+      sum(when(col("__rank") <= k && col("__rel") >= 1, lit(1L))
+        .otherwise(lit(0L))).as("__hits"))
+    // ideal DCG + relevant count from the judgments alone
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__rel").desc, col("id"))
+    val ideal = j.filter(col("__rel") >= 1)
+      .withColumn("__irank", row_number().over(wIdeal))
+      .groupBy(col("qid")).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          gain / log2(col("__irank").cast("double") + 1.0))
+          .otherwise(lit(0.0))).as("__idcg"))
+    perQ.join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        round(col("__rr") + lit(1e-12), 6).as("rr"),
+        when(col("__idcg").isNotNull,
+          round(col("__dcg") / col("__idcg") + lit(1e-12), 6)).as("ndcg"),
+        when(col("n_rel").isNotNull,
+          round(col("__hits").cast("double") / col("n_rel").cast("double")
+            + lit(1e-12), 6)).as("recall"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_ret"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): fuse
     * any number of rankings by rrf(d) = Σ_lists 1/(k + rank_d) — the
     * standard hybrid-retrieval combiner (lexical BM25 + dense ANN)

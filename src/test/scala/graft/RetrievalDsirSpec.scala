@@ -218,4 +218,32 @@ class RetrievalDsirSpec extends AnyFunSuite {
       Retrieval.rrfFuse(Seq("only" -> lex), "doc_id", "rank")
     }
   }
+
+  test("evalRanking: hand-checked MRR, NDCG@k, recall@k; null metrics without judgments") {
+    import graft.text.Retrieval
+    // qa: ranks 1..3 = docs 1,2,3; rel(2)=2, rel(3)=1, rel(4)=3 (unretrieved)
+    // qb: ranked but zero judged-relevant docs
+    val runs = Seq(("qa", 1L, 1L), ("qa", 2L, 2L), ("qa", 3L, 3L),
+      ("qb", 7L, 1L)).toDF("qid", "id", "rank")
+    val qrels = Seq(("qa", 2L, 2L), ("qa", 3L, 1L), ("qa", 4L, 3L))
+      .toDF("qid", "id", "rel")
+    val out = Retrieval.evalRanking(runs, qrels, "qid", "id", "rank", "rel", k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val qa = out("qa")
+    // first relevant at rank 2 -> rr = 0.5
+    assert(qa.getAs[Double]("rr") == 0.5)
+    // dcg@2 = 0 + (2^2-1)/log2(3); idcg@2 = (2^3-1)/log2(2) + (2^2-1)/log2(3)
+    val dcg = 3.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 7.0 + dcg
+    assert(qa.getAs[Double]("ndcg") == math.rint((dcg / idcg + 1e-12) * 1e6) / 1e6)
+    // top-2 retrieved contains 1 of the 3 relevant docs
+    assert(qa.getAs[Double]("recall") == 0.333333)
+    assert(qa.getAs[Long]("n_rel") == 3L && qa.getAs[Long]("n_ret") == 3L)
+    val qb = out("qb")
+    assert(qb.getAs[Double]("rr") == 0.0 && qb.isNullAt(2) && qb.isNullAt(3))
+    assert(qb.getAs[Long]("n_rel") == 0L)
+    intercept[IllegalArgumentException] {
+      Retrieval.evalRanking(runs, qrels, "qid", "id", "rank", "rel", k = 0)
+    }
+  }
 }
