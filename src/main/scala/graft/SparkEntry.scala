@@ -2868,6 +2868,21 @@ object SparkEntry {
     graft.operators.HypothesisTests.anovaF(
       Tables.events(s, d), "event_type", "value")
 
+  /** Welch's unequal-variance t between click and purchase values —
+    * "did the mean move?", the parametric complement to q_mann_whitney
+    * ([[graft.operators.HypothesisTests.welchT]]). */
+  private def qWelchT(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.welchT(
+      Tables.events(s, d), "event_type", "value", "click", "purchase")
+
+  /** χ² test of independence (lang × source over documents) with
+    * Cramér's V — is the language mix uniform across sources, the
+    * audit run before per-source sampling rates are set
+    * ([[graft.operators.HypothesisTests.chiSquare]]). */
+  private def qChiSquare(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.chiSquare(
+      Tables.documents(s, d), "lang", "source")
+
   /** Reliability bins + ECE for the linear quality scorer, scored
     * against "is this document English" as the ground-truth bit —
     * the calibration audit before scores become keep-probabilities. */
@@ -2928,6 +2943,8 @@ object SparkEntry {
     "q_mann_whitney"   -> (qMannWhitney _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova"          -> (qAnova _),
+    "q_chi_square"     -> (qChiSquare _),
+    "q_welch_t"        -> (qWelchT _),
     "q_calibration"    -> (qCalibration _),
     "q_markov"         -> (qMarkov _),
     "q_winnow"         -> (qWinnow _),
@@ -3643,6 +3660,63 @@ object SparkEntry {
             / ((qq - sq) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) + 1e-12, 6)
           END AS f_stat
       FROM t""",
+    // decimal-exact per-side moments collapsed by conditional sums;
+    // variance/t/dof arithmetic spelled operation-for-operation as welchT
+    "q_welch_t" -> """
+      WITH per AS (SELECT event_type AS g, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS s,
+          sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      one AS (SELECT
+          CAST(coalesce(sum(CASE WHEN g = 'click' THEN n END), 0) AS BIGINT) AS na,
+          CAST(coalesce(sum(CASE WHEN g = 'purchase' THEN n END), 0) AS BIGINT) AS nb,
+          sum(CASE WHEN g = 'click' THEN s END) AS sa,
+          sum(CASE WHEN g = 'purchase' THEN s END) AS sb,
+          sum(CASE WHEN g = 'click' THEN q END) AS qa,
+          sum(CASE WHEN g = 'purchase' THEN q END) AS qb
+        FROM per),
+      d AS (SELECT na, nb,
+          CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+          CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+          (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+            / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)
+            / CAST(na AS DOUBLE) AS va,
+          (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+            / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)
+            / CAST(nb AS DOUBLE) AS vb
+        FROM one)
+      SELECT na AS n_a, nb AS n_b,
+        round(ma + 1e-12, 6) AS mean_a, round(mb + 1e-12, 6) AS mean_b,
+        CASE WHEN na < 2 OR nb < 2 OR va + vb = 0.0 THEN NULL
+          ELSE round((ma - mb) / sqrt(va + vb) + 1e-12, 6) END AS t_stat,
+        CASE WHEN na < 2 OR nb < 2 OR va + vb = 0.0 THEN NULL
+          ELSE round((va + vb) * (va + vb) / (va * va / CAST(na - 1 AS DOUBLE)
+            + vb * vb / CAST(nb - 1 AS DOUBLE)) + 1e-12, 6) END AS dof
+      FROM d""",
+    // contingency cells → row/col totals → Σ(O−E)²/E, with E spelled
+    // CAST(ra AS DOUBLE)*cb/n exactly like the engine's expression tree
+    "q_chi_square" -> """
+      WITH b AS (SELECT lang AS a, source AS s2 FROM documents
+                 WHERE lang IS NOT NULL AND source IS NOT NULL),
+      cells AS (SELECT a, s2, count(*) AS o FROM b GROUP BY 1, 2),
+      rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      ct AS (SELECT s2, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      tots AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r,
+          count(DISTINCT s2) AS c FROM cells),
+      terms AS (SELECT n, r, c,
+          (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+            * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+            / (CAST(ra AS DOUBLE) * cb / n) AS term
+        FROM cells JOIN rt USING (a) JOIN ct USING (s2) CROSS JOIN tots),
+      agg AS (SELECT n, r, c, sum(term) AS chi2 FROM terms GROUP BY 1, 2, 3)
+      SELECT n, r, c, round(chi2 + 1e-12, 6) AS chi2,
+        (r - 1) * (c - 1) AS dof,
+        CASE WHEN least(r - 1, c - 1) >= 1
+          THEN round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+            + 1e-12, 6) END AS cramers_v
+      FROM agg""",
     // reliability bins over the (pre-rounded) classifier score, labels =
     // lang='en'; DECIMAL(16,6) score sums make confidence engine-exact
     "q_calibration" -> """

@@ -186,6 +186,96 @@ object HypothesisTests {
           .otherwise(round(f + lit(1e-12), 6)).as("f_stat"))
   }
 
+  /** Welch's two-sample t (unequal variances) between groups `a` and
+    * `b` of `groupCol` — the parametric complement to q_mann_whitney
+    * for "did the mean move?", with the Welch–Satterthwaite effective
+    * degrees of freedom.
+    *
+    * Scale shape: ONE map-side-combined groupBy over the corpus builds
+    * per-side (n, Σv, Σv²) in DECIMAL(18,2) (order-independent, exact);
+    * the 2-row table collapses to one row by conditional sums. Doubles
+    * enter only in the final mean/variance/t arithmetic:
+    * var_j = (Q_j − S_j²/n_j)/(n_j−1), se² = va/na + vb/nb,
+    * t = (m_a − m_b)/√se²,
+    * dof = se⁴ / ((va/na)²/(na−1) + (vb/nb)²/(nb−1)).
+    *
+    * One output row: `n_a`, `n_b`, `mean_a`, `mean_b`, `t_stat`, `dof`
+    * (rounded 6; `t_stat`/`dof` null when either side has n < 2 or the
+    * pooled standard error is 0).
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isin(a, b))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__q"))
+    def pick(tag: String, c: String) =
+      sum(when(col("__g") === tag, col(c)))
+    val one = per.agg(
+      coalesce(pick(a, "__n"), lit(0L)).as("__na"),
+      coalesce(pick(b, "__n"), lit(0L)).as("__nb"),
+      pick(a, "__s").as("__sa"), pick(b, "__s").as("__sb"),
+      pick(a, "__q").as("__qa"), pick(b, "__q").as("__qb"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    def va(s: String, q: String, n: String) =
+      (col(q).cast("double") - col(s).cast("double") * col(s).cast("double")
+        / col(n).cast("double")) / (col(n) - 1).cast("double")
+    val (vA, vB) = (va("__sa", "__qa", "__na") / col("__na").cast("double"),
+      va("__sb", "__qb", "__nb") / col("__nb").cast("double"))
+    val se2 = vA + vB
+    val t = (m("__sa", "__na") - m("__sb", "__nb")) / sqrt(se2)
+    val dof = se2 * se2 /
+      (vA * vA / (col("__na") - 1).cast("double")
+        + vB * vB / (col("__nb") - 1).cast("double"))
+    val degenerate = col("__na") < 2 || col("__nb") < 2 || se2 === 0.0
+    one.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(m("__sa", "__na") + lit(1e-12), 6).as("mean_a"),
+      round(m("__sb", "__nb") + lit(1e-12), 6).as("mean_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(t + lit(1e-12), 6)).as("t_stat"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(dof + lit(1e-12), 6)).as("dof"))
+  }
+
+  /** Chi-squared test of independence between two CATEGORICAL columns
+    * (is language independent of source? event type of weekday?) plus
+    * Cramér's V — the normalized [0,1] effect size that makes the
+    * statistic comparable across table shapes.
+    *
+    * Scale shape: ONE corpus-sized groupBy builds the contingency cells
+    * (output |A|·|B|-bounded, map-side combined); row totals, column
+    * totals, and the (N, r, c) scalars are re-aggregates of the tiny
+    * cell table, joined back by broadcast. χ² = Σ (O−E)²/E with
+    * E = rowTot·colTot/N — O and the totals are exact integers, E and
+    * the cell terms are doubles over a cell-bounded sum.
+    *
+    * One output row: `n`, `r`, `c` (distinct categories), `chi2`,
+    * `dof` = (r−1)(c−1), `cramers_v` = √(χ²/(N·min(r−1, c−1))) —
+    * null when dof = 0 (a single row or column category).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tots = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
+    val e = col("__ra").cast("double") * col("__cb") / col("__n")
+    val term = (col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e
+    val minDim = least(col("r") - 1, col("c") - 1)
+    cells.join(broadcast(rowT), "__a").join(broadcast(colT), "__b")
+      .crossJoin(broadcast(tots))
+      .groupBy(col("__n"), col("r"), col("c"))
+      .agg(sum(term).as("__chi2"))
+      .select(col("__n").as("n"), col("r"), col("c"),
+        round(col("__chi2") + lit(1e-12), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        when(minDim >= 1,
+          round(sqrt(col("__chi2") / (col("__n") * minDim).cast("double"))
+            + lit(1e-12), 6)).as("cramers_v"))
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

@@ -57,6 +57,51 @@ class StatsModelsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ss_within") == 0.0 && r.isNullAt(4))
   }
 
+  test("welchT matches the hand-computed unequal-variance example") {
+    // a={1,2,3}: mean 2, var 1; b={2,4,6}: mean 4, var 4
+    // se2 = 1/3 + 4/3; t = -2/sqrt(5/3); dof = (5/3)^2/((1/9+16/9)/2) = 50/17
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("c", 99.0)).toDF("g", "v")
+    val r = HypothesisTests.welchT(df, "g", "v", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 4.0)
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(r.getAs[Double]("t_stat") == r6(-2.0 / math.sqrt(5.0 / 3.0)))
+    assert(r.getAs[Double]("dof") == r6(50.0 / 17.0))
+  }
+
+  test("welchT nulls t and dof when a side has n < 2") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = HypothesisTests.welchT(df, "g", "v", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 1L)
+    assert(r.isNullAt(r.fieldIndex("t_stat")) && r.isNullAt(r.fieldIndex("dof")))
+  }
+
+  test("chiSquare matches the hand-computed 2x2 table; nulls drop") {
+    // O: (x,p)=10 (x,q)=20 (y,p)=30 (y,q)=40; N=100
+    // rows x=30 y=70; cols p=40 q=60; E = 12,18,28,42
+    // chi2 = 4/12 + 4/18 + 4/28 + 4/42; V = sqrt(chi2/(100*1))
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q")) ++
+      Seq((null, "p"), ("x", null)) // dropped
+    val df = rows.toDF("a", "b")
+    val r = HypothesisTests.chiSquare(df, "a", "b").head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("r") == 2L &&
+      r.getAs[Long]("c") == 2L && r.getAs[Long]("dof") == 1L)
+    val chi = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    assert(r.getAs[Double]("chi2") == math.rint((chi + 1e-12) * 1e6) / 1e6)
+    assert(r.getAs[Double]("cramers_v") ==
+      math.rint((math.sqrt(chi / 100.0) + 1e-12) * 1e6) / 1e6)
+  }
+
+  test("chiSquare with a single row-category: chi2 = 0, V null (dof = 0)") {
+    // r=1 makes every E = colTot*N/N = O, so chi2 = 0 and V undefined
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q")).toDF("a", "b")
+    val r = HypothesisTests.chiSquare(df, "a", "b").head
+    assert(r.getAs[Long]("dof") == 0L && r.getAs[Double]("chi2") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+
   test("calibration bins, gaps, and ECE on a hand-checked example") {
     // bin 1 (0.1-0.2): scores {0.1, 0.15}, labels {1, 0} -> conf 0.125, acc 0.5
     // bin 9 (0.9-1.0]: scores {0.9, 1.0}, labels {1, 1} -> conf 0.95, acc 1.0
