@@ -2836,6 +2836,13 @@ object SparkEntry {
         target = 5.0, slack = 0.5, threshold = 20.0)
       .select(col("event_id"), col("user_id"), col("cusum"), col("alarm"))
 
+  /** ACF of the hourly event-count series at lags 1..6 — the
+    * periodicity probe run before picking retention windows or
+    * anomaly baselines ([[graft.operators.TimeSeries.acf]]). */
+  private def qAcf(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.acf(
+      Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
+
   /** Per-source Gini concentration of document lengths — how unevenly
     * the corpus' bytes spread over its documents, from the distinct-
     * value histogram (exact integer arithmetic, no global sort). */
@@ -2949,6 +2956,7 @@ object SparkEntry {
     "q_markov"         -> (qMarkov _),
     "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
+    "q_acf"            -> (qAcf _),
     "q_gini"           -> (qGini _),
     "q_bh_fdr"         -> (qBhFdr _),
     "q_adamic_adar"    -> (qAdamicAdar _),
@@ -3562,6 +3570,34 @@ object SparkEntry {
           AS mw_z
       FROM u""",
     // S_i = cs_i - min(0, min_{j<=i} cs_j): the Page recurrence's exact
+    // dense hourly grid, exact long moments per lag, the float math a
+    // handful of ops on exact integers — spelled exactly like acf
+    "q_acf" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
+          FROM events GROUP BY 1),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+      s AS (SELECT g.h AS h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        FROM grid g LEFT JOIN c ON g.h = c.h),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS t,
+          CAST(sum(x) AS BIGINT) AS sm, CAST(sum(x * x) AS BIGINT) AS q
+        FROM s),
+      lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+      p AS (SELECT l.lag AS lag, CAST(sum(a.x * bb.x) AS BIGINT) AS pxy,
+          CAST(sum(a.x) AS BIGINT) AS pa, CAST(sum(bb.x) AS BIGINT) AS pb,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM s a CROSS JOIN lags l JOIN s bb ON bb.h = a.h + l.lag
+        GROUP BY 1),
+      f AS (SELECT lag, n_pairs, pxy, pa, pb,
+          CAST(sm AS DOUBLE) / CAST(t AS DOUBLE) AS m,
+          CAST(q AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+            / CAST(t AS DOUBLE) AS denom
+        FROM p CROSS JOIN st)
+      SELECT lag, n_pairs,
+        CASE WHEN denom = 0.0 THEN NULL
+          ELSE round((CAST(pxy AS DOUBLE) - m * pa - m * pb
+            + n_pairs * m * m) / denom + 1e-12, 6) END AS acf
+      FROM f""",
     // prefix-scan form, two window aggregates over one ordered frame
     "q_cusum" -> """
       WITH s AS (

@@ -83,4 +83,71 @@ object TimeSeries {
       .withColumn("alarm", s > threshold)
       .drop("__cs")
   }
+
+  /** Autocorrelation function of the event-count series at lags
+    * 1..`maxLag`: bucket timestamps into `bucketWidth`-wide bins,
+    * densify over the full [min, max] bucket range (absent buckets
+    * count 0 — ACF over a sparse series would silently splice gaps
+    * together), then r(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the
+    * numerator summed over the T−k overlapping pairs.
+    *
+    * Exactness: counts are integers, so every aggregate is an exact
+    * long sum — Σx_a·x_b, Σx_a, Σx_b per lag plus global (T, S, Q) —
+    * and the float arithmetic is a HANDFUL of operations on those
+    * exact moments (num = Σxy − m·Σx_a − m·Σx_b + c·m², denom =
+    * Q − S²/T), making the result partitioning-independent, unlike a
+    * naive Σ(x−m)(y−m) float sum whose order varies per run.
+    *
+    * Scale shape: ONE map-side-combined corpus groupBy produces the
+    * bucket counts; everything after is series-sized (time-range /
+    * bucketWidth rows, independent of corpus size). The series is
+    * localCheckpoint'd once — it feeds the stats row and both sides of
+    * the lag join, and each reuse would otherwise rescan the corpus.
+    * The only driver-side step collects exactly 2 longs (the bucket
+    * bounds) to drive `spark.range`, which generates the dense grid in
+    * parallel instead of exploding one giant array.
+    *
+    * Output: `lag`, `n_pairs` (= T−k on a dense grid), `acf` (rounded
+    * 6; null when the series is constant, denom = 0). Empty input →
+    * empty output.
+    */
+  def acf(df: DataFrame, tsCol: String, bucketWidth: Long,
+          maxLag: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = df.sparkSession
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"$tsCol div $bucketWidth").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("h")), max(col("h"))).head
+    if (bounds.isNullAt(0))
+      return spark.range(0).select(col("id").as("lag"),
+        col("id").as("n_pairs"), lit(null).cast("double").as("acf"))
+    val series = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("h")
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val stats = series.agg(count(lit(1)).as("__T"), sum(col("x")).as("__S"),
+      sum(col("x") * col("x")).as("__Q"))
+    val lags = spark.range(1L, maxLag + 1L).toDF("lag")
+    val pairs = series.select(col("h"), col("x").as("__xa"))
+      .crossJoin(broadcast(lags))
+      .join(series.select(col("h").as("__hb"), col("x").as("__xb")),
+        col("__hb") === col("h") + col("lag"))
+    val m = col("__S").cast("double") / col("__T").cast("double")
+    val denom = col("__Q").cast("double") -
+      col("__S").cast("double") * col("__S").cast("double") /
+        col("__T").cast("double")
+    val num = col("__pxy").cast("double") - m * col("__pa") -
+      m * col("__pb") + col("n_pairs") * m * m
+    pairs.groupBy(col("lag"))
+      .agg(sum(col("__xa") * col("__xb")).as("__pxy"),
+        sum(col("__xa")).as("__pa"), sum(col("__xb")).as("__pb"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(stats))
+      .select(col("lag"), col("n_pairs"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / denom + lit(1e-12), 6)).as("acf"))
+  }
 }

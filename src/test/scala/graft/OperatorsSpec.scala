@@ -661,6 +661,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("acf: hand-computed lags over a densified gap series; constant and empty inputs") {
+    import graft.operators.TimeSeries
+    // buckets (width 10): h=0 x1, h=1 x2, h=2 GAP->0, h=3 x1 => series [1,2,0,1]
+    // m=1, denom=2; lag1 pairs (1,2)(2,0)(0,1): num=2-3-3+3=-1 -> -0.5
+    // lag2 pairs (1,0)(2,1): num=2-3-1+2=0 -> 0.0
+    val df = Seq(5L, 10L, 15L, 35L).toDF("ts")
+    val out = TimeSeries.acf(df, "ts", bucketWidth = 10L, maxLag = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, -0.5)) && out(2L) == ((2L, 0.0)))
+    // constant series: denom = 0 -> acf null at every lag
+    val const = TimeSeries.acf(Seq(1L, 11L, 21L).toDF("ts"), "ts", 10L, 1)
+    assert(const.collect().forall(_.isNullAt(2)))
+    // empty input -> empty output, schema intact
+    val empty = TimeSeries.acf(Seq.empty[Long].toDF("ts"), "ts", 10L, 3)
+    assert(empty.columns.toSeq == Seq("lag", "n_pairs", "acf") && empty.isEmpty)
+    intercept[IllegalArgumentException] { TimeSeries.acf(df, "ts", 0L, 1) }
+    intercept[IllegalArgumentException] { TimeSeries.acf(df, "ts", 10L, 0) }
+  }
+
   test("skyline2D matches brute force; keeps incomparable duplicates; bucket-count invariant") {
     import graft.operators.Skyline
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
