@@ -2836,6 +2836,13 @@ object SparkEntry {
         target = 5.0, slack = 0.5, threshold = 20.0)
       .select(col("event_id"), col("user_id"), col("cusum"), col("alarm"))
 
+  /** Pairwise association rules over per-user event-type baskets
+    * (support/confidence/lift, minSupport 0.05 — the market-basket
+    * audit, [[graft.operators.AssocRules.pairRules]]). */
+  private def qAssocRules(s: SparkSession, d: String): DataFrame =
+    graft.operators.AssocRules.pairRules(
+      Tables.events(s, d), "user_id", "event_type", minSupport = 0.05)
+
   /** ACF of the hourly event-count series at lags 1..6 — the
     * periodicity probe run before picking retention windows or
     * anomaly baselines ([[graft.operators.TimeSeries.acf]]). */
@@ -2957,6 +2964,7 @@ object SparkEntry {
     "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
     "q_acf"            -> (qAcf _),
+    "q_assoc_rules"    -> (qAssocRules _),
     "q_gini"           -> (qGini _),
     "q_bh_fdr"         -> (qBhFdr _),
     "q_adamic_adar"    -> (qAdamicAdar _),
@@ -3570,6 +3578,35 @@ object SparkEntry {
           AS mw_z
       FROM u""",
     // S_i = cs_i - min(0, min_{j<=i} cs_j): the Page recurrence's exact
+    // distinct (user, type) baskets, within-user pair join, exact
+    // counts; the three ratios spelled operation-for-operation as
+    // pairRules (sup = p/t, conf = p/a, lift = p*t/a/c)
+    "q_assoc_rules" -> """
+      WITH it AS (SELECT DISTINCT user_id AS tx, event_type AS item
+          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      t AS (SELECT CAST(count(DISTINCT tx) AS BIGINT) AS n_tx FROM it),
+      ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM it GROUP BY 1),
+      pr AS (SELECT a.item AS ia, b.item AS ib,
+          CAST(count(*) AS BIGINT) AS n_pair
+        FROM it a JOIN it b ON a.tx = b.tx AND a.item < b.item
+        GROUP BY 1, 2),
+      dir AS (SELECT ia AS antecedent, ib AS consequent, n_pair FROM pr
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, n_pair FROM pr),
+      j AS (SELECT d.antecedent, d.consequent, t.n_tx, d.n_pair,
+          ca.ni AS n_ante, cc.ni AS n_cons
+        FROM dir d JOIN ic ca ON d.antecedent = ca.item
+        JOIN ic cc ON d.consequent = cc.item CROSS JOIN t)
+      SELECT antecedent, consequent, n_tx, n_pair, n_ante, n_cons,
+        round(CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) + 1e-12, 6)
+          AS support,
+        round(CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) + 1e-12, 6)
+          AS confidence,
+        round(CAST(n_pair AS DOUBLE) * CAST(n_tx AS DOUBLE)
+          / CAST(n_ante AS DOUBLE) / CAST(n_cons AS DOUBLE) + 1e-12, 6)
+          AS lift
+      FROM j
+      WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
     // dense hourly grid, exact long moments per lag, the float math a
     // handful of ops on exact integers — spelled exactly like acf
     "q_acf" -> """

@@ -661,6 +661,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("assoc pairRules: hand-computed support/confidence/lift; minSupport prunes; dup rows collapse") {
+    import graft.operators.AssocRules
+    // baskets: 1={a,b} 2={a,b,c} 3={a}; duplicate (1,a) row must not double-count
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (2L, "c"), (3L, "a")).toDF("tx", "item")
+    val all = AssocRules.pairRules(df, "tx", "item", minSupport = 0.0)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(3), r.getDouble(7), r.getDouble(8))).toMap
+    assert(all.size == 6)
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(all(("a", "b")) == ((2L, 1.0, 1.0)))          // b->a: conf 2/2, lift 2*3/(2*3)
+    assert(all(("b", "a")) == ((2L, r6(2.0 / 3), 1.0)))  // a->b
+    assert(all(("c", "b")) == ((1L, 0.5, 1.5)))          // b->c: conf 1/2, lift 3/2
+    // minSupport 0.5 keeps only the {a,b} pair (support 2/3)
+    val pruned = AssocRules.pairRules(df, "tx", "item", minSupport = 0.5)
+    assert(pruned.count() == 2)
+    intercept[IllegalArgumentException] {
+      AssocRules.pairRules(df, "tx", "item", minSupport = 1.5)
+    }
+  }
+
   test("acf: hand-computed lags over a densified gap series; constant and empty inputs") {
     import graft.operators.TimeSeries
     // buckets (width 10): h=0 x1, h=1 x2, h=2 GAP->0, h=3 x1 => series [1,2,0,1]
