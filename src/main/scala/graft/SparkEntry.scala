@@ -2836,6 +2836,14 @@ object SparkEntry {
         target = 5.0, slack = 0.5, threshold = 20.0)
       .select(col("event_id"), col("user_id"), col("cusum"), col("alarm"))
 
+  /** Kaplan–Meier retention curve over user activity lifetimes in
+    * hours, right-censored for users still active in the final 7 days
+    * ([[graft.operators.Survival.kaplanMeier]]). */
+  private def qKaplanMeier(s: SparkSession, d: String): DataFrame =
+    graft.operators.Survival.kaplanMeier(
+      Tables.events(s, d), "user_id", "ts",
+      horizon = 604800000000000L, bucketWidth = 3600000000000L)
+
   /** Pairwise association rules over per-user event-type baskets
     * (support/confidence/lift, minSupport 0.05 — the market-basket
     * audit, [[graft.operators.AssocRules.pairRules]]). */
@@ -2965,6 +2973,7 @@ object SparkEntry {
     "q_cusum"          -> (qCusum _),
     "q_acf"            -> (qAcf _),
     "q_assoc_rules"    -> (qAssocRules _),
+    "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
     "q_bh_fdr"         -> (qBhFdr _),
     "q_adamic_adar"    -> (qAdamicAdar _),
@@ -3578,6 +3587,37 @@ object SparkEntry {
           AS mw_z
       FROM u""",
     // S_i = cs_i - min(0, min_{j<=i} cs_j): the Page recurrence's exact
+    // lifetimes -> per-duration (d, c) -> exact reverse-cumulative risk
+    // counts -> exp(sum(ln(1 - d/n))) with the d = n collapse pinned to
+    // exactly 0.0 — spelled operation-for-operation as kaplanMeier
+    "q_kaplan_meier" -> """
+      WITH per AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+          max(epoch_ns(ts)) AS t1
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      mx AS (SELECT max(t1) AS mxx FROM per),
+      subj AS (SELECT (t1 - t0) // 3600000000000 AS dur,
+          (t1 > mxx - 604800000000000) AS cens FROM per CROSS JOIN mx),
+      bd AS (SELECT dur,
+          CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM subj GROUP BY 1),
+      cum AS (SELECT dur, d, c,
+          CAST(sum(d + c) OVER () AS BIGINT) AS tot,
+          CAST(sum(d + c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cm
+        FROM bd),
+      nn AS (SELECT dur, d, c, tot - cm + (d + c) AS n FROM cum),
+      sv AS (SELECT dur, d, c, n,
+          sum(CASE WHEN d < n
+              THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) END)
+            OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lns,
+          max(CASE WHEN d = n THEN 1 ELSE 0 END)
+            OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS z
+        FROM nn)
+      SELECT dur AS duration, n AS at_risk, d AS events, c AS censored,
+        CASE WHEN z = 1 THEN 0.0
+          ELSE round(exp(lns) + 1e-12, 6) END AS survival
+      FROM sv""",
     // distinct (user, type) baskets, within-user pair join, exact
     // counts; the three ratios spelled operation-for-operation as
     // pairRules (sup = p/t, conf = p/a, lift = p*t/a/c)

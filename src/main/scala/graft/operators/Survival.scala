@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation over subject lifetimes — "how long
+  * does a user stay active?", with the right-censoring a live dataset
+  * forces: a subject still active near the end of the observation
+  * window hasn't churned, it's censored, and treating it as a churn
+  * biases every retention curve downward.
+  *
+  * Lifetime model: per subject, duration = (last ts − first ts)
+  * bucketed to `bucketWidth` units; the subject is CENSORED when its
+  * last event falls within `horizon` of the global max ts (it may
+  * still be active), otherwise its churn is observed at that duration.
+  *
+  * The estimator: at each distinct duration t with n_t subjects still
+  * at risk (duration ≥ t) and d_t observed churns,
+  * S(t) = Π_{t'≤t} (1 − d_t'/n_t'). The product is evaluated as
+  * exp(Σ ln(1 − d/n)) — a cumulative SUM the engine can window —
+  * with the d = n collapse (ln 0) handled explicitly: a cumulative
+  * flag pins survival to exactly 0.0 from the first time everyone at
+  * risk churns (both engines would otherwise disagree on ln(0)).
+  *
+  * Scale shape: ONE corpus-sized groupBy(subject) produces lifetimes;
+  * everything after is distinct-duration-sized (bounded by the
+  * observation window / bucketWidth, independent of corpus size), so
+  * the ordered windows run over an aggregate-sized table — the same
+  * deliberate single-partition-over-tiny-input shape as
+  * [[Drift.categoricalDrift]]'s totals. Risk counts are exact longs
+  * (reverse cumulative via total − exclusive prefix); doubles enter
+  * only in the hazard ln/exp.
+  *
+  * Output per distinct duration: `duration`, `at_risk`, `events`,
+  * `censored`, `survival` (rounded 6).
+  */
+object Survival {
+
+  def kaplanMeier(df: DataFrame, subjectCol: String, tsCol: String,
+                  horizon: Long, bucketWidth: Long): DataFrame = {
+    require(horizon >= 0, s"horizon must be >= 0, got $horizon")
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val per = df.filter(col(subjectCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(subjectCol))
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+    val mx = per.agg(max(col("__t1")).as("__mx"))
+    val subj = per.crossJoin(broadcast(mx)).select(
+      expr(s"(__t1 - __t0) div ${bucketWidth}L").as("dur"),
+      (col("__t1") > col("__mx") - lit(horizon)).as("__cens"))
+    val byDur = subj.groupBy(col("dur")).agg(
+      sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+      sum(when(col("__cens"), 1L).otherwise(0L)).as("c"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPre = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("__tot") - col("__cum") + (col("d") + col("c"))
+    val lnTerm = when(col("d") < col("__n"),
+      log(lit(1.0) - col("d").cast("double") / col("__n").cast("double")))
+    byDur
+      .withColumn("__tot", sum(col("d") + col("c")).over(wAll))
+      .withColumn("__cum", sum(col("d") + col("c")).over(wPre))
+      .withColumn("__n", n)
+      .withColumn("__lnS", sum(lnTerm).over(wPre))
+      .withColumn("__z",
+        max(when(col("d") === col("__n"), 1).otherwise(0)).over(wPre))
+      .select(col("dur").as("duration"), col("__n").as("at_risk"),
+        col("d").as("events"), col("c").as("censored"),
+        when(col("__z") === 1, lit(0.0))
+          .otherwise(round(exp(col("__lnS")) + lit(1e-12), 6)).as("survival"))
+  }
+}

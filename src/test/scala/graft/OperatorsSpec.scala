@@ -661,6 +661,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kaplanMeier: hand-computed curve with censoring; d = n collapses to exactly 0") {
+    import graft.operators.Survival
+    // lifetimes (bucket 1): u1 dur 2, u2 dur 3, u3 dur 9 (t1=10=max,
+    // horizon 2 => censored). S(2)=2/3, S(3)=1/3, S(9)=1/3 (no event)
+    val df = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 1L), (3L, 10L))
+      .toDF("u", "ts")
+    val out = Survival.kaplanMeier(df, "u", "ts", horizon = 2L, bucketWidth = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(out(2L) == ((3L, 1L, 0L, r6(math.exp(math.log(2.0 / 3))))))
+    assert(out(3L) == ((2L, 1L, 0L,
+      r6(math.exp(math.log(2.0 / 3) + math.log(0.5))))))
+    assert(out(9L) == ((1L, 0L, 1L,
+      r6(math.exp(math.log(2.0 / 3) + math.log(0.5))))))
+    // everyone at risk churns at once: survival pinned to exactly 0.0
+    val all = Seq((1L, 0L), (2L, 0L)).toDF("u", "ts")
+    val z = Survival.kaplanMeier(all, "u", "ts", horizon = 0L, bucketWidth = 1L)
+    assert(z.head.getDouble(4) == 0.0 && z.head.getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(df, "u", "ts", horizon = -1L, bucketWidth = 1L)
+    }
+  }
+
   test("assoc pairRules: hand-computed support/confidence/lift; minSupport prunes; dup rows collapse") {
     import graft.operators.AssocRules
     // baskets: 1={a,b} 2={a,b,c} 3={a}; duplicate (1,a) row must not double-count
