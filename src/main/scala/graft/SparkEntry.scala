@@ -2858,6 +2858,15 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Cross-correlation of hourly click vs purchase counts at lags
+    * −3..3 — "do clicks lead purchases, and by how many hours?"
+    * ([[graft.operators.TimeSeries.ccf]]). */
+  private def qCcf(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.ccf(
+      Tables.events(s, d), "ts",
+      col("event_type") === "click", col("event_type") === "purchase",
+      bucketWidth = 3600000000000L, maxLag = 3)
+
   /** Per-source Gini concentration of document lengths — how unevenly
     * the corpus' bytes spread over its documents, from the distinct-
     * value histogram (exact integer arithmetic, no global sort). */
@@ -2972,6 +2981,7 @@ object SparkEntry {
     "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
     "q_acf"            -> (qAcf _),
+    "q_ccf"            -> (qCcf _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3647,6 +3657,43 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // two count series on one dense grid, exact long moments per lag;
+    // num = pxy - my*pa - mx*pb + c*mx*my spelled exactly like ccf
+    "q_ccf" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+      s AS (SELECT g.h AS h, CAST(coalesce(c.x, 0) AS BIGINT) AS x,
+          CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON g.h = c.h),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS t,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx,
+          CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS qy
+        FROM s),
+      lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+      p AS (SELECT l.lag AS lag, CAST(sum(a.x * bb.y) AS BIGINT) AS pxy,
+          CAST(sum(a.x) AS BIGINT) AS pa, CAST(sum(bb.y) AS BIGINT) AS pb,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM s a CROSS JOIN lags l JOIN s bb ON bb.h = a.h + l.lag
+        GROUP BY 1),
+      f AS (SELECT lag, n_pairs, pxy, pa, pb,
+          CAST(sx AS DOUBLE) / CAST(t AS DOUBLE) AS mx,
+          CAST(sy AS DOUBLE) / CAST(t AS DOUBLE) AS my,
+          sqrt((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(t AS DOUBLE))
+            * (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(t AS DOUBLE))) AS denom
+        FROM p CROSS JOIN st)
+      SELECT lag, n_pairs,
+        CASE WHEN denom = 0.0 THEN NULL
+          ELSE round((CAST(pxy AS DOUBLE) - my * pa - mx * pb
+            + n_pairs * mx * my) / denom + 1e-12, 6) END AS ccf
+      FROM f""",
     // dense hourly grid, exact long moments per lag, the float math a
     // handful of ops on exact integers — spelled exactly like acf
     "q_acf" -> """

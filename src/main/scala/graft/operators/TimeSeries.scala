@@ -111,6 +111,65 @@ object TimeSeries {
     * 6; null when the series is constant, denom = 0). Empty input →
     * empty output.
     */
+  /** Cross-correlation between two event-count series at lags
+    * −`maxLag`..`maxLag`: bucket rows into `bucketWidth` bins, count
+    * rows matching `aFilter` (series x) and `bFilter` (series y) per
+    * bin, densify over the union [min, max] range, then
+    * r(k) = Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) — the lead-lag
+    * probe ("do clicks lead purchases by k hours?"). Positive k means
+    * y LAGS x by k buckets.
+    *
+    * Same exactness design as [[acf]]: both series are integer counts,
+    * so per-lag Σx·y, Σx, Σy and the global (T, Sx, Qx, Sy, Qy) are
+    * exact long sums; floats touch only the final handful of
+    * operations (num = Σxy − ȳ·Σx − x̄·Σy + c·x̄·ȳ), making the result
+    * partitioning-independent. One corpus groupBy; everything after is
+    * series-sized. Output: `lag`, `n_pairs`, `ccf` (rounded 6; null
+    * when either series is constant). Empty input → empty output.
+    */
+  def ccf(df: DataFrame, tsCol: String, aFilter: Column, bFilter: Column,
+          bucketWidth: Long, maxLag: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = df.sparkSession
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"$tsCol div $bucketWidth").as("h"))
+      .agg(sum(when(aFilter, 1L).otherwise(0L)).as("x"),
+        sum(when(bFilter, 1L).otherwise(0L)).as("y"))
+    val bounds = counts.agg(min(col("h")), max(col("h"))).head
+    if (bounds.isNullAt(0))
+      return spark.range(0).select(col("id").as("lag"),
+        col("id").as("n_pairs"), lit(null).cast("double").as("ccf"))
+    val series = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("h")
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val stats = series.agg(count(lit(1)).as("__T"),
+      sum(col("x")).as("__Sx"), sum(col("x") * col("x")).as("__Qx"),
+      sum(col("y")).as("__Sy"), sum(col("y") * col("y")).as("__Qy"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L).toDF("lag")
+    val pairs = series.select(col("h"), col("x").as("__xa"))
+      .crossJoin(broadcast(lags))
+      .join(series.select(col("h").as("__hb"), col("y").as("__yb")),
+        col("__hb") === col("h") + col("lag"))
+    def m(s: String) = col(s).cast("double") / col("__T").cast("double")
+    def dev(s: String, q: String) = col(q).cast("double") -
+      col(s).cast("double") * col(s).cast("double") / col("__T").cast("double")
+    val num = col("__pxy").cast("double") - m("__Sy") * col("__pa") -
+      m("__Sx") * col("__pb") + col("n_pairs") * m("__Sx") * m("__Sy")
+    val denom = sqrt(dev("__Sx", "__Qx") * dev("__Sy", "__Qy"))
+    pairs.groupBy(col("lag"))
+      .agg(sum(col("__xa") * col("__yb")).as("__pxy"),
+        sum(col("__xa")).as("__pa"), sum(col("__yb")).as("__pb"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(stats))
+      .select(col("lag"), col("n_pairs"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / denom + lit(1e-12), 6)).as("ccf"))
+  }
+
   def acf(df: DataFrame, tsCol: String, bucketWidth: Long,
           maxLag: Int): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")

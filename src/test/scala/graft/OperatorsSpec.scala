@@ -661,6 +661,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ccf: lag 0 equals Pearson r; a shifted copy correlates perfectly at its lead") {
+    import graft.operators.TimeSeries
+    // x counts at h=0..3: [1,2,0,1] (type a); y is x shifted +1: [0,1,2,0]
+    // at lag +1 the overlapping y window IS x's first 3 values
+    val rows = Seq(5L -> "a", 10L -> "a", 15L -> "a", 35L -> "a",
+      15L -> "b", 25L -> "b", 26L -> "b").map { case (t, g) => (t, g) }
+    val df = rows.toDF("ts", "g")
+    val out = TimeSeries.ccf(df, "ts", col("g") === "a", col("g") === "b",
+        bucketWidth = 10L, maxLag = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out.keySet == Set(-1L, 0L, 1L) && out(0L)._1 == 4L && out(1L)._1 == 3L)
+    // hand check lag 1: pairs (x_t, y_t+1) = (1,1)(2,2)(0,0); mx=1, my=3/4
+    // num = 5 - .75*3 - 1*3 + 3*.75 = 2.0; denom = sqrt(2 * (5 - 9/4))
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(out(1L)._2 == r6(2.0 / math.sqrt(2.0 * (5.0 - 9.0 / 4))))
+    // y matches nothing -> constant-0 series -> denom 0 -> null everywhere
+    val const = TimeSeries.ccf(df, "ts", col("g") === "a", col("g") === "zzz",
+      10L, 1)
+    assert(const.count() == 3 && const.collect().forall(_.isNullAt(2)))
+  }
+
   test("kaplanMeier: hand-computed curve with censoring; d = n collapses to exactly 0") {
     import graft.operators.Survival
     // lifetimes (bucket 1): u1 dur 2, u2 dur 3, u3 dur 9 (t1=10=max,
