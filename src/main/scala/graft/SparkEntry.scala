@@ -2858,6 +2858,13 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Benford first-digit audit of lineitem extended prices — the
+    * fabricated-data detector ([[graft.operators.Profile.benford]]);
+    * summing chi2_term gives the χ² against the Benford null. */
+  private def qBenford(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.benford(
+      Tables.lineitem(s, d), "l_extendedprice")
+
   /** Cross-correlation of hourly click vs purchase counts at lags
     * −3..3 — "do clicks lead purchases, and by how many hours?"
     * ([[graft.operators.TimeSeries.ccf]]). */
@@ -2982,6 +2989,7 @@ object SparkEntry {
     "q_cusum"          -> (qCusum _),
     "q_acf"            -> (qAcf _),
     "q_ccf"            -> (qCcf _),
+    "q_benford"        -> (qBenford _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3657,6 +3665,29 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // textual first-digit extraction from the DECIMAL(18,2) rendering;
+    // ratios and log10 terms spelled operation-for-operation as benford
+    "q_benford" -> """
+      WITH d AS (SELECT regexp_extract(
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+          '[1-9]') AS fd FROM lineitem),
+      c AS (SELECT CAST(fd AS BIGINT) AS digit,
+          CAST(count(*) AS BIGINT) AS n_obs
+        FROM d WHERE fd IS NOT NULL AND fd <> '' GROUP BY 1),
+      g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+      j AS (SELECT g.digit AS digit,
+          CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs
+        FROM g LEFT JOIN c ON g.digit = c.digit),
+      t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n,
+          CAST(n_obs AS DOUBLE)
+            / CAST(sum(n_obs) OVER () AS DOUBLE) AS p_obs,
+          log10(1.0 + 1.0 / digit) AS p_exp
+        FROM j)
+      SELECT digit, n_obs, round(p_obs + 1e-12, 6) AS p_obs,
+        round(p_exp + 1e-12, 6) AS p_exp,
+        round((p_obs - p_exp) * (p_obs - p_exp) / p_exp
+          * CAST(n AS DOUBLE) + 1e-12, 6) AS chi2_term
+      FROM t""",
     // two count series on one dense grid, exact long moments per lag;
     // num = pxy - my*pa - mx*pb + c*mx*my spelled exactly like ccf
     "q_ccf" -> """

@@ -46,4 +46,51 @@ object Profile {
     }
     branches.reduce(_.unionByName(_))
   }
+
+  /** Benford first-significant-digit audit of a numeric column — the
+    * classic fabricated-or-truncated-data detector for money-like
+    * fields: naturally-occurring multiplicative values put digit d
+    * first with probability log10(1 + 1/d); synthetic, capped, or
+    * unit-defaulted values don't.
+    *
+    * The first significant digit is extracted TEXTUALLY: cast to
+    * DECIMAL(18,2), render to string, take the first [1-9] character —
+    * exact for "0.0023" (→ 2) and "-1234.56" (→ 1) alike, and
+    * engine-portable where a floor(v/10^floor(log10 v)) formulation
+    * hangs correctness on log10 rounding at decade boundaries. Zeros
+    * and nulls drop (they have no first significant digit).
+    *
+    * Scale shape: one map-side-combined corpus groupBy onto ≤ 9 rows;
+    * the digit table left-joins a constant 1..9 grid (absent digits
+    * surface as 0 counts — an audit that silently omits "no 9s ever"
+    * is hiding its own headline) and totals ride a global window over
+    * those 9 rows. Counts exact; doubles only in the final ratios.
+    *
+    * Output per digit 1..9: `digit`, `n_obs`, `p_obs`, `p_exp`,
+    * `chi2_term` = (p_obs−p_exp)²/p_exp·N (rounded 6; summing the
+    * column gives the χ² statistic against the Benford null).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val firstDigit = regexp_extract(
+      col(valueCol).cast("decimal(18,2)").cast("string"), "[1-9]", 0)
+    val counts = df.select(firstDigit.as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("long").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pObs = col("n_obs").cast("double") / col("__n").cast("double")
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit"))
+    spark.range(1L, 10L).toDF("digit")
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .withColumn("__n", sum(col("n_obs")).over(w))
+      .select(col("digit"), col("n_obs"),
+        round(pObs + lit(1e-12), 6).as("p_obs"),
+        round(pExp + lit(1e-12), 6).as("p_exp"),
+        round((pObs - pExp) * (pObs - pExp) / pExp
+          * col("__n").cast("double") + lit(1e-12), 6).as("chi2_term"))
+  }
 }

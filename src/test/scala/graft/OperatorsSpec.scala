@@ -661,6 +661,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("benford: textual first-digit extraction, absent digits surface as 0, zeros drop") {
+    import graft.operators.Profile
+    // digits: 1 (12.3), 1 (0.0123 -> "0.01"), 2 (-25.0), 2 (0.2);
+    // 0.0 and null drop; digits 3..9 must appear with n_obs 0
+    val df = Seq(Some(12.3), Some(0.0123), Some(-25.0), Some(0.2),
+      Some(0.0), None).toDF("v")
+    val out = Profile.benford(df, "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == (1L to 9L).toSet)
+    assert(out(1L) == ((2L, 0.5)) && out(2L) == ((2L, 0.5)))
+    assert((3L to 9L).forall(d => out(d)._1 == 0L && out(d)._2 == 0.0))
+    // expected shares follow log10(1 + 1/d) and sum to ~1
+    val pexp = Profile.benford(df, "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(pexp(1L) == r6(math.log10(2.0)) && pexp(9L) == r6(math.log10(10.0 / 9)))
+  }
+
   test("ccf: lag 0 equals Pearson r; a shifted copy correlates perfectly at its lead") {
     import graft.operators.TimeSeries
     // x counts at h=0..3: [1,2,0,1] (type a); y is x shifted +1: [0,1,2,0]
