@@ -2858,6 +2858,13 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Hour-of-day seasonal profile of hourly event volume with the
+    * eta² seasonality strength
+    * ([[graft.operators.TimeSeries.seasonalProfile]]). */
+  private def qSeasonalProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.seasonalProfile(
+      Tables.events(s, d), "ts", bucketWidth = 3600000000000L, period = 24)
+
   /** Benford first-digit audit of lineitem extended prices — the
     * fabricated-data detector ([[graft.operators.Profile.benford]]);
     * summing chi2_term gives the χ² against the Benford null. */
@@ -2990,6 +2997,7 @@ object SparkEntry {
     "q_acf"            -> (qAcf _),
     "q_ccf"            -> (qCcf _),
     "q_benford"        -> (qBenford _),
+    "q_seasonal"       -> (qSeasonalProfile _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3665,6 +3673,34 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // dense hourly series folded on h % 24; per-phase exact moments,
+    // SSR/SST spelled operation-for-operation as seasonalProfile
+    "q_seasonal" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
+          FROM events GROUP BY 1),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+      s AS (SELECT g.h % 24 AS phase, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        FROM grid g LEFT JOIN c ON g.h = c.h),
+      bp AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(x) AS BIGINT) AS sp, CAST(sum(x * x) AS BIGINT) AS qp
+        FROM s GROUP BY 1),
+      t AS (SELECT CAST(sum(n_buckets) AS BIGINT) AS tt,
+          CAST(sum(sp) AS BIGINT) AS ss, CAST(sum(qp) AS BIGINT) AS qq,
+          sum(CAST(qp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+            / CAST(n_buckets AS DOUBLE)) AS ssr
+        FROM bp),
+      f AS (SELECT phase, n_buckets,
+          CAST(sp AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_c,
+          CAST(ss AS DOUBLE) / CAST(tt AS DOUBLE) AS grand,
+          CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+            / CAST(tt AS DOUBLE) AS sst, ssr
+        FROM bp CROSS JOIN t)
+      SELECT phase, n_buckets, round(mean_c + 1e-12, 6) AS mean_count,
+        round(mean_c - grand + 1e-12, 6) AS seasonal,
+        CASE WHEN sst = 0.0 THEN NULL
+          ELSE round(1.0 - ssr / sst + 1e-12, 6) END AS strength
+      FROM f""",
     // textual first-digit extraction from the DECIMAL(18,2) rendering;
     // ratios and log10 terms spelled operation-for-operation as benford
     "q_benford" -> """

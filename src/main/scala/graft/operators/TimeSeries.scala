@@ -170,6 +170,75 @@ object TimeSeries {
           .otherwise(round(num / denom + lit(1e-12), 6)).as("ccf"))
   }
 
+  /** Seasonal profile of the event-count series: bucket into
+    * `bucketWidth` bins, densify (gaps count 0, as in [[acf]]), fold
+    * each bucket onto its phase = bucket mod `period` (period 24 on
+    * hourly buckets = hour-of-day), and report the per-phase mean, its
+    * deviation from the grand mean, and the SEASONALITY STRENGTH
+    * 1 − SSR/SST — the share of series variance the phase explains
+    * (the one-way eta² of phase; the STL-style strength measure for a
+    * pure seasonal-plus-residual decomposition).
+    *
+    * Exactness: per-phase (c, Σx, Σx²) are exact longs;
+    * SSR = Σ_phase (Q_p − S_p²/c_p) and SST = Q − S²/T are a
+    * period-bounded handful of double ops on them (the same
+    * decimal-moment discipline as [[HypothesisTests.anovaF]], which
+    * this is, run on the series instead of raw values).
+    *
+    * Scale shape: one corpus groupBy to bucket counts; everything
+    * after is series- then period-sized. Output per OBSERVED phase:
+    * `phase`, `n_buckets`, `mean_count`, `seasonal` (mean − grand
+    * mean), `strength` (identical on every row; rounded 6, null when
+    * the series is constant). Empty input → empty output.
+    */
+  def seasonalProfile(df: DataFrame, tsCol: String, bucketWidth: Long,
+                      period: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = df.sparkSession
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"$tsCol div $bucketWidth").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("h")), max(col("h"))).head
+    if (bounds.isNullAt(0))
+      return spark.range(0).select(col("id").as("phase"),
+        col("id").as("n_buckets"), lit(null).cast("double").as("mean_count"),
+        lit(null).cast("double").as("seasonal"),
+        lit(null).cast("double").as("strength"))
+    val byPhase = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("h")
+      .join(counts, Seq("h"), "left")
+      .select((col("h") % period).as("phase"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("x")).as("__s"),
+        sum(col("x") * col("x")).as("__q"))
+    // totals ride a global window over the period-sized table (the
+    // Drift pattern) — a crossJoin with an aggregate of the same
+    // subtree would hit Spark's ambiguous-self-join resolution
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // total columns get distinct names: resolution is case-insensitive,
+    // so a "__S" withColumn would silently REPLACE the per-phase "__s"
+    val mean = col("__s").cast("double") / col("n_buckets").cast("double")
+    val grand = col("__ts").cast("double") / col("__tn").cast("double")
+    val sst = col("__tq").cast("double") - col("__ts").cast("double") *
+      col("__ts").cast("double") / col("__tn").cast("double")
+    byPhase
+      .withColumn("__tn", sum(col("n_buckets")).over(w))
+      .withColumn("__ts", sum(col("__s")).over(w))
+      .withColumn("__tq", sum(col("__q")).over(w))
+      .withColumn("__ssr", sum(col("__q").cast("double")
+        - col("__s").cast("double") * col("__s").cast("double")
+          / col("n_buckets").cast("double")).over(w))
+      .select(col("phase"), col("n_buckets"),
+        round(mean + lit(1e-12), 6).as("mean_count"),
+        round(mean - grand + lit(1e-12), 6).as("seasonal"),
+        when(sst === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("__ssr") / sst + lit(1e-12), 6))
+          .as("strength"))
+  }
+
   def acf(df: DataFrame, tsCol: String, bucketWidth: Long,
           maxLag: Int): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")

@@ -661,6 +661,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalProfile: perfectly periodic series has strength 1; constant series nulls") {
+    import graft.operators.TimeSeries
+    // width 10, period 2: counts [1,3,1,3] -> phase means 1 and 3,
+    // grand 2, SSR 0, SST 4 -> strength exactly 1
+    val df = Seq(5L, 10L, 11L, 12L, 25L, 30L, 31L, 32L).toDF("ts")
+    val out = TimeSeries.seasonalProfile(df, "ts", bucketWidth = 10L, period = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((2L, 1.0, -1.0, 1.0)))
+    assert(out(1L) == ((2L, 3.0, 1.0, 1.0)))
+    // constant series: SST = 0 -> strength null, seasonal 0
+    val const = TimeSeries.seasonalProfile(
+      Seq(1L, 11L, 21L, 31L).toDF("ts"), "ts", 10L, 2)
+    assert(const.collect().forall(r => r.isNullAt(4) && r.getDouble(3) == 0.0))
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalProfile(df, "ts", 10L, 1)
+    }
+  }
+
   test("benford: textual first-digit extraction, absent digits surface as 0, zeros drop") {
     import graft.operators.Profile
     // digits: 1 (12.3), 1 (0.0123 -> "0.01"), 2 (-25.0), 2 (0.2);
