@@ -2858,6 +2858,24 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Per-language Flesch reading-ease and FK grade averages — the
+    * readability slice of the quality battery. Per-doc scores are
+    * rounded then summed as DECIMAL(18,6), so the group averages are
+    * order-independent ([[graft.text.TextFns.fleschEase]]). */
+  private def qReadability(s: SparkSession, d: String): DataFrame = {
+    val fl = round(graft.text.TextFns.fleschEase(col("text")) + lit(1e-12), 6)
+      .cast("decimal(18,6)")
+    val gr = round(graft.text.TextFns.fkGrade(col("text")) + lit(1e-12), 6)
+      .cast("decimal(18,6)")
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(fl).as("__sf"), sum(gr).as("__sg"))
+      .select(col("lang"), col("n_docs"),
+        round(col("__sf").cast("double") / col("n_docs").cast("double")
+          + lit(1e-12), 6).as("avg_flesch"),
+        round(col("__sg").cast("double") / col("n_docs").cast("double")
+          + lit(1e-12), 6).as("avg_fk_grade"))
+  }
+
   /** Hour-of-day seasonal profile of hourly event volume with the
     * eta² seasonality strength
     * ([[graft.operators.TimeSeries.seasonalProfile]]). */
@@ -2998,6 +3016,7 @@ object SparkEntry {
     "q_ccf"            -> (qCcf _),
     "q_benford"        -> (qBenford _),
     "q_seasonal"       -> (qSeasonalProfile _),
+    "q_readability"    -> (qReadability _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3673,6 +3692,32 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // per-doc Flesch/FK rounded then summed as DECIMAL(18,6) so the
+    // per-language averages are order-independent; count formulas
+    // spelled operation-for-operation as fleschEase/fkGrade
+    "q_readability" -> """
+      WITH f AS (SELECT lang,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+          CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+            AS DOUBLE) AS s,
+          CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+            AS DOUBLE) AS y
+        FROM documents),
+      sc AS (SELECT lang,
+          CAST(round(206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+            + 1e-12, 6) AS DECIMAL(18,6)) AS fl,
+          CAST(round(0.39 * (w / s) + 11.8 * (y / w) - 15.59
+            + 1e-12, 6) AS DECIMAL(18,6)) AS gr
+        FROM f),
+      g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          sum(fl) AS sf, sum(gr) AS sg
+        FROM sc GROUP BY 1)
+      SELECT lang, n_docs,
+        round(CAST(sf AS DOUBLE) / CAST(n_docs AS DOUBLE) + 1e-12, 6)
+          AS avg_flesch,
+        round(CAST(sg AS DOUBLE) / CAST(n_docs AS DOUBLE) + 1e-12, 6)
+          AS avg_fk_grade
+      FROM g""",
     // dense hourly series folded on h % 24; per-phase exact moments,
     // SSR/SST spelled operation-for-operation as seasonalProfile
     "q_seasonal" -> """

@@ -25,6 +25,36 @@ object TextFns {
   def bpeIshTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeIshPattern), lit(0)))
 
+  /** Flesch reading-ease of a document, from the three classic scan-
+    * stage counts: words W (whitespace tokens), sentences S (runs of
+    * `.!?`, floored at 1 — headline-like fragments still count as one
+    * sentence), syllables Y (vowel-group runs `[aeiouy]+` over the
+    * lowercased text, floored at 1 — the standard cheap approximation;
+    * silent-e handling would need a dictionary).
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W); higher = easier.
+    * All codegen'd string ops — no UDF, no shuffle.
+    */
+  def fleschEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = greatest(lit(1), size(regexp_extract_all(text,
+      lit("[.!?]+"), lit(0)))).cast("double")
+    val y = greatest(lit(1), size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0)))).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w)
+  }
+
+  /** Flesch–Kincaid grade level from the same counts:
+    * 0.39·(W/S) + 11.8·(Y/W) − 15.59.
+    */
+  def fkGrade(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = greatest(lit(1), size(regexp_extract_all(text,
+      lit("[.!?]+"), lit(0)))).cast("double")
+    val y = greatest(lit(1), size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0)))).cast("double")
+    lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59)
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Count of stopword tokens (higher-order filter, stays in codegen). */

@@ -113,6 +113,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("fleschEase and fkGrade match hand-computed counts; sentence floor applies") {
+    import graft.text.TextFns
+    // "go. stop now!": W=3, S=2 (runs of .!?), Y=3 vowel groups
+    // "xyz": W=1, S floored to 1, Y=1 ("y" counts as vowel)
+    val df = Seq("go. stop now!", "xyz").toDF("text")
+    val out = df.select(col("text"), TextFns.fleschEase(col("text")).as("f"),
+      TextFns.fkGrade(col("text")).as("g"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (f1, g1) = out("go. stop now!")
+    assert(math.abs(f1 - (206.835 - 1.015 * 1.5 - 84.6)) < 1e-9)
+    assert(math.abs(g1 - (0.39 * 1.5 + 11.8 - 15.59)) < 1e-9)
+    val (f2, g2) = out("xyz")
+    assert(math.abs(f2 - (206.835 - 1.015 - 84.6)) < 1e-9)
+    assert(math.abs(g2 - (0.39 + 11.8 - 15.59)) < 1e-9)
+  }
+
   test("redactPii masks emails and 555-phones; counts match") {
     import graft.text.TextFns
     val df = Seq(
