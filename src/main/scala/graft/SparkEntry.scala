@@ -2858,6 +2858,15 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Neyman-allocation stratified sample of documents by source
+    * (budget 200, value n_chars): high-variance sources get more of
+    * the budget ([[graft.operators.Sampling.neymanSample]]). */
+  private def qNeymanSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.neymanSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "source", "doc_id", "n_chars", totalN = 200L)
+
   /** Per-language Flesch reading-ease and FK grade averages — the
     * readability slice of the quality battery. Per-doc scores are
     * rounded then summed as DECIMAL(18,6), so the group averages are
@@ -3017,6 +3026,7 @@ object SparkEntry {
     "q_benford"        -> (qBenford _),
     "q_seasonal"       -> (qSeasonalProfile _),
     "q_readability"    -> (qReadability _),
+    "q_neyman_sample"  -> (qNeymanSample _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3692,6 +3702,32 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // decimal-exact stratum moments -> Neyman k_h = floor allocation
+    // capped at stratum size; the draw replays the md5 rank device
+    "q_neyman_sample" -> """
+      WITH per AS (SELECT source AS st, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(n_chars AS DECIMAL(18,2))) AS s,
+          sum(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2))) AS q
+        FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1),
+      sd AS (SELECT st, n,
+          CASE WHEN n > 1 THEN sqrt((CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS sdv
+        FROM per),
+      t AS (SELECT st, n, sdv,
+          sum(CAST(n AS DOUBLE) * sdv) OVER () AS tot FROM sd),
+      k AS (SELECT st, CASE WHEN tot = 0.0 THEN 0
+          ELSE least(CAST(floor(200.0 * (CAST(n AS DOUBLE) * sdv) / tot)
+            AS BIGINT), n) END AS k_alloc
+        FROM t),
+      r AS (SELECT doc_id, source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+      SELECT r.doc_id AS doc_id, r.source AS source, r.n_chars AS n_chars,
+        r.rn AS rn, k.k_alloc AS k_alloc
+      FROM r JOIN k ON r.source = k.st WHERE r.rn <= k.k_alloc""",
     // per-doc Flesch/FK rounded then summed as DECIMAL(18,6) so the
     // per-language averages are order-independent; count formulas
     // spelled operation-for-operation as fleschEase/fkGrade

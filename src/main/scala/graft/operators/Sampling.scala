@@ -135,6 +135,58 @@ object Sampling {
       .withColumnRenamed("__rk", "rk")
   }
 
+  /** Stratified sample under NEYMAN ALLOCATION: the `totalN` budget is
+    * split across strata ∝ N_h·σ_h (stratum size × stratum standard
+    * deviation of `valueCol`) — the allocation that minimizes the
+    * variance of the stratified mean estimator for a fixed budget,
+    * instead of the proportional-to-size default that oversamples
+    * homogeneous strata.
+    *
+    * Allocation: per-stratum (N, Σv, Σv²) in DECIMAL(18,2) → exact
+    * sample σ_h; k_h = min(⌊totalN · N_h σ_h / Σ N_h σ_h⌋, N_h)
+    * (floor, not round — round's half-up boundary is engine-dependent;
+    * k_h = 0 everywhere when every stratum is constant). The draw is
+    * the same replayable device as [[mixtureSample]]: rank by
+    * md5(key) within stratum, keep rank ≤ k_h — deterministic,
+    * partitioning-invariant, computable by any engine with md5.
+    *
+    * Scale shape: one corpus groupBy for moments (strata-sized
+    * output, global window over it), one range-partitioned sort per
+    * stratum for the ranking, allocation broadcast back. Output: the
+    * sampled rows plus `rn` (rank in stratum) and `k_alloc` (the
+    * stratum's allocation).
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, keyCol: String,
+                   valueCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be > 0, got $totalN")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("decimal(18,2)")
+    val per = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__q"))
+    val sd = when(col("__n") > 1,
+      sqrt((col("__q").cast("double") - col("__s").cast("double")
+        * col("__s").cast("double") / col("__n").cast("double"))
+        / (col("__n") - 1).cast("double"))).otherwise(lit(0.0))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = lit(totalN.toDouble) *
+      (col("__n").cast("double") * col("__sd")) / col("__tot")
+    val strata = per.withColumn("__sd", sd)
+      .withColumn("__tot", sum(col("__n").cast("double") * col("__sd")).over(wAll))
+      .select(col("__st"),
+        when(col("__tot") === 0.0, lit(0L))
+          .otherwise(least(floor(alloc).cast("long"), col("__n")))
+          .as("k_alloc"))
+    val byHash = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(byHash).cast("long"))
+      .join(broadcast(strata), col(stratumCol) === col("__st"))
+      .filter(col("rn") <= col("k_alloc"))
+      .drop("__st")
+  }
+
   /** Cluster-aware (leakage-safe) train/val/test split: every connected
     * component of the near-duplicate `pairs` graph lands in the SAME
     * fold.

@@ -661,6 +661,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("neymanSample: budget flows to the high-variance stratum; all-constant strata sample nothing") {
+    import graft.operators.Sampling
+    // "a" has variance (sd=sqrt(50)), "b" and "c" are constant (sd=0):
+    // the whole budget lands on "a" (k=min(2,2)), none elsewhere
+    val df = Seq((1L, "a", 0.0), (2L, "a", 10.0), (3L, "b", 5.0),
+      (4L, "b", 5.0), (5L, "b", 5.0), (6L, "c", 7.0)).toDF("id", "st", "v")
+    val out = Sampling.neymanSample(df, "st", "id", "v", totalN = 2L).collect()
+    assert(out.length == 2 && out.forall(_.getAs[String]("st") == "a"))
+    assert(out.forall(_.getAs[Long]("k_alloc") == 2L))
+    // every stratum constant -> sigma-weighted total 0 -> empty sample
+    val const = Seq((1L, "a", 5.0), (2L, "b", 5.0), (3L, "b", 5.0))
+      .toDF("id", "st", "v")
+    assert(Sampling.neymanSample(const, "st", "id", "v", 10L).isEmpty)
+    // determinism: same input, same draw
+    val again = Sampling.neymanSample(df, "st", "id", "v", 2L).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == again.map(_.getAs[Long]("id")).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.neymanSample(df, "st", "id", "v", 0L)
+    }
+  }
+
   test("seasonalProfile: perfectly periodic series has strength 1; constant series nulls") {
     import graft.operators.TimeSeries
     // width 10, period 2: counts [1,3,1,3] -> phase means 1 and 3,
