@@ -105,7 +105,15 @@ object Plans {
     "q_dbscan" ->
       "DBSCAN (final generation shown): degree aggregate -> core semi-joins -> label prop on the CORE subgraph only -> one border min-join — every stage is neighborhood-local; the e-pair generator is the only quadratic-risk stage and is bucket-capped inside cosinePairs.",
     "q_rendezvous" ->
-      "Rendezvous sharding: both HRW tournaments (5 and 6 shards) are array_max over md5 structs computed per row in the scan stage — ZERO Exchange (plan-pinned); re-sharding a 100 TB lake is a map-only rewrite of the moved ~1/(N+1) slice.")
+      "Rendezvous sharding: both HRW tournaments (5 and 6 shards) are array_max over md5 structs computed per row in the scan stage — ZERO Exchange (plan-pinned); re-sharding a 100 TB lake is a map-only rewrite of the moved ~1/(N+1) slice.",
+    "q_chi_square" ->
+      "Chi-squared independence: ONE corpus scan builds the contingency cells; row totals, column totals, and the (N,r,c) scalars all re-aggregate the SAME cell exchange (ReusedExchange x3 under AQE) and come back by broadcast — the corpus is read once, everything downstream is |A|x|B|-bounded.",
+    "q_acf" ->
+      "Autocorrelation: the corpus collapses to the localCheckpoint'd dense bucket series (the only FileScan feeds the checkpoint); stats row + both lag-join sides read the checkpoint, the lag table broadcasts, and all aggregates are exact long sums — series-sized work after one exchange, no corpus rescans.",
+    "q_kaplan_meier" ->
+      "Kaplan-Meier: per-subject lifetimes localCheckpoint'd (one corpus scan; the study-end max is a 1-row aggregate OF THE CHECKPOINT, broadcast back); the four cumulative windows share one duration-ordered sort over the distinct-duration-sized table.",
+    "q_neyman_sample" ->
+      "Neyman sampling: two honest corpus passes — a moment groupBy (strata-sized output, global window over it) and the per-stratum md5 rank sort — with the allocation joined back by broadcast; the cross-stratum normalizer makes a single-pass form impossible without materializing the corpus.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

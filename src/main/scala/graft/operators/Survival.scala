@@ -41,9 +41,14 @@ object Survival {
                   horizon: Long, bucketWidth: Long): DataFrame = {
     require(horizon >= 0, s"horizon must be >= 0, got $horizon")
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    // localCheckpoint: `per` feeds both the study-end scalar and the
+    // lifetime projection — without it the 1-row max re-aggregates the
+    // corpus from the scan (AQE can't reuse a min+max exchange for a
+    // max-only subtree), doubling the corpus cost at scale
     val per = df.filter(col(subjectCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(subjectCol))
       .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .localCheckpoint()
     val mx = per.agg(max(col("__t1")).as("__mx"))
     val subj = per.crossJoin(broadcast(mx)).select(
       expr(s"(__t1 - __t0) div ${bucketWidth}L").as("dur"),
