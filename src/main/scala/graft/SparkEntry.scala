@@ -2858,6 +2858,16 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Cohen's kappa between the stored `lang` label and the marker-
+    * vocabulary language classifier — chance-corrected agreement, the
+    * honest version of "the classifier is 90% accurate"
+    * ([[graft.operators.Calibration.cohenKappa]]). */
+  private def qCohenKappa(s: SparkSession, d: String): DataFrame =
+    graft.operators.Calibration.cohenKappa(
+      Tables.documents(s, d).select(col("lang"),
+        graft.text.TextFns.langId(col("text")).as("lang_pred")),
+      "lang", "lang_pred")
+
   /** Neyman-allocation stratified sample of documents by source
     * (budget 200, value n_chars): high-variance sources get more of
     * the budget ([[graft.operators.Sampling.neymanSample]]). */
@@ -3027,6 +3037,7 @@ object SparkEntry {
     "q_seasonal"       -> (qSeasonalProfile _),
     "q_readability"    -> (qReadability _),
     "q_neyman_sample"  -> (qNeymanSample _),
+    "q_cohen_kappa"    -> (qCohenKappa _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_kaplan_meier"   -> (qKaplanMeier _),
     "q_gini"           -> (qGini _),
@@ -3702,6 +3713,31 @@ object SparkEntry {
           AS lift
       FROM j
       WHERE CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) >= 0.05""",
+    // confusion cells from the replayed lang-id classifier; diagonal,
+    // marginal-product, and ratio spelling mirror cohenKappa exactly
+    "q_cohen_kappa" -> s"""
+      WITH p AS (SELECT lang AS a,
+          ${graft.text.TextFns.langIdOracleSql("text")} AS b
+        FROM documents),
+      cells AS (SELECT a, b, count(*) AS o FROM p
+        WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS n_agree
+        FROM cells),
+      rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      pp AS (SELECT CAST(sum(coalesce(ra, 0) * coalesce(cb, 0)) AS BIGINT)
+          AS ppv
+        FROM rt FULL OUTER JOIN ct ON rt.a = ct.b),
+      f AS (SELECT n, n_agree,
+          CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          CAST(ppv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        FROM t CROSS JOIN pp)
+      SELECT n, n_agree, round(po + 1e-12, 6) AS po,
+        round(pe + 1e-12, 6) AS pe,
+        CASE WHEN pe = 1.0 THEN NULL
+          ELSE round((po - pe) / (1.0 - pe) + 1e-12, 6) END AS kappa
+      FROM f""",
     // decimal-exact stratum moments -> Neyman k_h = floor allocation
     // capped at stratum size; the draw replays the md5 rank device
     "q_neyman_sample" -> """

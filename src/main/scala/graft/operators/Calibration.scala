@@ -52,4 +52,48 @@ object Calibration {
         round(col("gap") + lit(1e-12), 6).as("gap"))
       .crossJoin(broadcast(ece))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelers (a stored label vs a classifier, two
+    * annotators, two model versions): κ = (p_o − p_e)/(1 − p_e) with
+    * p_o the observed agreement and p_e = Σ_c row_c·col_c/N² the
+    * agreement two independent labelers with these marginals would
+    * reach by chance. Raw accuracy flatters skewed label
+    * distributions; κ is the audit number.
+    *
+    * Scale shape: the [[HypothesisTests.chiSquare]] discipline — ONE
+    * corpus groupBy builds the |A|·|B|-bounded confusion cells, N /
+    * diagonal / marginals all re-aggregate that cell table (AQE
+    * reuses its exchange), and the marginal product joins on the
+    * category full-outer (a category present on one side only
+    * contributes 0). Counts and products are exact longs; doubles
+    * enter in the final three ratios.
+    *
+    * One output row: `n`, `n_agree`, `po`, `pe`, `kappa` (rounded 6;
+    * kappa null when p_e = 1 — a single shared category, agreement is
+    * vacuous).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val tots = cells.agg(sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L))
+        .as("n_agree"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val peNum = rowT.join(colT, col("__a") === col("__b"), "full_outer")
+      .agg(sum(coalesce(col("__ra"), lit(0L)) * coalesce(col("__cb"), lit(0L)))
+        .as("__pp"))
+    val nD = col("__n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = col("__pp").cast("double") / (nD * nD)
+    tots.crossJoin(broadcast(peNum))
+      .select(col("__n").as("n"), col("n_agree"),
+        round(po + lit(1e-12), 6).as("po"),
+        round(pe + lit(1e-12), 6).as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe) + lit(1e-12), 6))
+          .as("kappa"))
+  }
 }

@@ -102,6 +102,26 @@ class StatsModelsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("cramers_v")))
   }
 
+  test("cohenKappa: hand-computed 2x2 agreement; disjoint labels give kappa 0; pe=1 nulls") {
+    import graft.operators.Calibration
+    // (x,x)x3 (x,y)x1 (y,y)x2: po=5/6; rows x=4,y=2; cols x=3,y=3
+    // pe = (4*3 + 2*3)/36 = 1/2; kappa = (5/6 - 1/2)/(1/2) = 2/3
+    val df = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("x", "y"),
+      ("y", "y"), ("y", "y")).toDF("a", "b")
+    val r = Calibration.cohenKappa(df, "a", "b").head
+    def r6(v: Double) = math.rint((v + 1e-12) * 1e6) / 1e6
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_agree") == 5L)
+    assert(r.getAs[Double]("po") == r6(5.0 / 6) && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == r6((5.0 / 6 - 0.5) / 0.5))
+    // disjoint label alphabets: po=0, pe=0 (full-outer product), kappa=0
+    val disj = Seq(("x", "z"), ("x", "z")).toDF("a", "b")
+    assert(Calibration.cohenKappa(disj, "a", "b").head.getAs[Double]("kappa") == 0.0)
+    // one shared constant label: pe=1 -> kappa null (vacuous agreement)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Calibration.cohenKappa(const, "a", "b").head
+    assert(c.getAs[Double]("po") == 1.0 && c.isNullAt(c.fieldIndex("kappa")))
+  }
+
   test("calibration bins, gaps, and ECE on a hand-checked example") {
     // bin 1 (0.1-0.2): scores {0.1, 0.15}, labels {1, 0} -> conf 0.125, acc 0.5
     // bin 9 (0.9-1.0]: scores {0.9, 1.0}, labels {1, 1} -> conf 0.95, acc 1.0
