@@ -412,14 +412,14 @@ class StreamingSpec extends AnyFunSuite {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
 
-    // stream the SAME parquet through the windowed streaming aggregate
-    // (file sources need a directory -> stage a copy)
+    // stream the SAME rows through the windowed streaming aggregate
+    // (file sources need a directory -> stage the NORMALIZED table; a raw
+    // file copy would re-expose whatever physical ts type this testdata
+    // generation used, while Tables.events pins the epoch-nanos contract)
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val schema = Tables.events(spark, "/root/testdata/sf0.001").schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val evn = Tables.events(spark, "/root/testdata/sf0.001")
+    evn.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(evn.schema).parquet(dir)
       .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
       .withColumn("value", col("value").cast("decimal(18,2)"))
     val agg = StreamingOps.hourlyAggregate(stream, "ts_ts", "1 hour")
