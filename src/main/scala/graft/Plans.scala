@@ -113,7 +113,15 @@ object Plans {
     "q_kaplan_meier" ->
       "Kaplan-Meier: per-subject lifetimes localCheckpoint'd (one corpus scan; the study-end max is a 1-row aggregate OF THE CHECKPOINT, broadcast back); the four cumulative windows share one duration-ordered sort over the distinct-duration-sized table.",
     "q_neyman_sample" ->
-      "Neyman sampling: two honest corpus passes — a moment groupBy (strata-sized output, global window over it) and the per-stratum md5 rank sort — with the allocation joined back by broadcast; the cross-stratum normalizer makes a single-pass form impossible without materializing the corpus.")
+      "Neyman sampling: two honest corpus passes — a moment groupBy (strata-sized output, global window over it) and the per-stratum md5 rank sort — with the allocation joined back by broadcast; the cross-stratum normalizer makes a single-pass form impossible without materializing the corpus.",
+    "q_roc_auc" ->
+      "ROC AUC + AP: the distinct-score histogram is the only corpus aggregate; the sharded cumsum ranks it (per-shard window + broadcast shard offsets — no global sort), class totals broadcast as ONE row, and both statistics collapse in a map-side partial aggregate over histogram-sized input; every AUC/AP term is exact-integer arithmetic off the cumulative columns.",
+    "q_spearman" ->
+      "Spearman: each variable's rank table is its own histogram + sharded cumsum (histogram-sized, never corpus-sized); the corpus joins the two rank tables on (group, value) — AQE broadcasts small tables — and the five DECIMAL cross-moments fold with map-side partials, so after the joins nothing exceeds group-count rows.",
+    "q_containment" ->
+      "Containment verify: the q_ngram_verify skeleton unchanged — banded candidate equi-join, two hash joins attach per-doc shingle arrays, and ONE per-row array_intersect feeds containment_a/containment_b/jaccard together; no pair is ever generated from a shared shingle.",
+    "q_numeric_drift" ->
+      "Numeric drift: the reference half's deciles ride the exact sharded percentile dataflow and broadcast as ONE row; both halves bin in their scan stage (size(filter(edges))) and the smoothing/divergence arithmetic runs on the <=bins-row joined table — corpus cost is two scans plus two <=bins-group aggregates.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1547,6 +1547,27 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Containment verify on the same banded candidates as
+    * q_ngram_verify ([[graft.dedup.Dedup.containmentOnPairs]]):
+    * asymmetric |A∩B|/|A| catches subset-duplication (quotes,
+    * boilerplate, embedded documents) that the Jaccard threshold
+    * misses. */
+  private def qContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val banded = docs.select(col("doc_id").cast("long").as("id"),
+      col("lang"), col("source"),
+      floor(size(split(col("text"), " ")) / 10).cast("long").as("band"))
+    val cand = banded.select(col("lang"), col("source"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("lang"), col("source"), col("band"), col("id").as("id_b")),
+        Seq("lang", "source", "band"))
+      .filter(col("id_a") < col("id_b"))
+    graft.dedup.Dedup.containmentOnPairs(docs, "text", "doc_id", cand, "id_a", "id_b", 3)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SCD-2 run collapse: consecutive equal order statuses per customer
     * (ordered by date, keyed deterministically) become validity
     * intervals. */
@@ -2495,6 +2516,17 @@ object SparkEntry {
       ev.filter(col("event_id") % 2 === 1), "event_type")
   }
 
+  /** Numeric drift of event values between the same two deterministic
+    * halves as q_drift, binned by the reference half's deciles — the
+    * PSI-over-quantile-bins audit for continuous columns
+    * ([[graft.operators.Drift.numericDrift]]). */
+  private def qNumericDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.operators.Drift.numericDrift(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1), "value", bins = 10)
+  }
+
   /** Per-document token entropy + type-token ratio over documents. */
   private def qEntropy(s: SparkSession, d: String): DataFrame =
     graft.text.TextFns.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
@@ -2965,6 +2997,14 @@ object SparkEntry {
     graft.operators.HypothesisTests.chiSquare(
       Tables.documents(s, d), "lang", "source")
 
+  /** Spearman rank correlation of quantity vs extended price per
+    * return flag ([[graft.operators.HypothesisTests.spearman]]) — the
+    * monotone-association audit over doubled midranks with exact
+    * DECIMAL sums. */
+  private def qSpearman(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.spearman(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+
   /** Reliability bins + ECE for the linear quality scorer, scored
     * against "is this document English" as the ground-truth bit —
     * the calibration audit before scores become keep-probabilities. */
@@ -2976,6 +3016,20 @@ object SparkEntry {
     graft.operators.Calibration.calibration(
       Tables.documents(s, d).select(score.as("p"), (col("lang") === "en").as("y")),
       "p", "y", bins = 10)
+  }
+
+  /** ROC AUC + average precision for the same scorer/label pair as
+    * q_calibration — the threshold-free ranking audit
+    * ([[graft.operators.Calibration.rocAuc]]): exact midrank
+    * U-statistic AUC + distinct-threshold average precision. */
+  private def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    val score = graft.text.Curation.scoreCol(col("text"),
+      weights = Map("n_tokens" -> 0.02, "avg_token_len" -> 0.5,
+        "distinct_ratio" -> 2.0, "stopword_ratio" -> -3.0),
+      bias = -1.5, stopwords = Seq("the", "a"))
+    graft.operators.Calibration.rocAuc(
+      Tables.documents(s, d).select(score.as("p"), (col("lang") === "en").as("y")),
+      "p", "y")
   }
 
   /** First-order Markov transition matrix over per-user event
@@ -3028,6 +3082,8 @@ object SparkEntry {
     "q_chi_square"     -> (qChiSquare _),
     "q_welch_t"        -> (qWelchT _),
     "q_calibration"    -> (qCalibration _),
+    "q_roc_auc"        -> (qRocAuc _),
+    "q_spearman"       -> (qSpearman _),
     "q_markov"         -> (qMarkov _),
     "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
@@ -3114,6 +3170,7 @@ object SparkEntry {
     "q_pii_redact"     -> (qPiiRedact _),
     "q_hash_split"     -> (qHashSplit _),
     "q_ngram_verify"   -> (qNgramVerify _),
+    "q_containment"    -> (qContainment _),
     "q_scd2"           -> (qScd2 _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -3230,6 +3287,7 @@ object SparkEntry {
     "q_semdedup"       -> (qSemdedup _),
     "q_quantize"       -> (qQuantize _),
     "q_drift"          -> (qDrift _),
+    "q_numeric_drift"  -> (qNumericDrift _),
     "q_entropy"        -> (qEntropy _),
     "q_heavy_hitters"  -> (qHeavyHitters _),
     "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
@@ -4092,6 +4150,74 @@ object SparkEntry {
         round(accuracy + 1e-12, 6) AS accuracy,
         round(gap + 1e-12, 6) AS gap, ece
       FROM g CROSS JOIN e""",
+    // doubled midranks 2(c-t)+t+1 from per-variable distinct-value
+    // cumsums; exact integer sums, doubles only in the final ratio
+    "q_spearman" -> """
+      WITH r AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+      hx AS (SELECT g, x, count(*) AS t FROM r GROUP BY 1, 2),
+      cx AS (SELECT g, x,
+          2 * (sum(t) OVER (PARTITION BY g ORDER BY x) - t) + t + 1 AS sx FROM hx),
+      hy AS (SELECT g, y, count(*) AS t FROM r GROUP BY 1, 2),
+      cy AS (SELECT g, y,
+          2 * (sum(t) OVER (PARTITION BY g ORDER BY y) - t) + t + 1 AS sy FROM hy),
+      j AS (SELECT r.g, cx.sx, cy.sy FROM r
+        JOIN cx ON r.g = cx.g AND r.x = cx.x
+        JOIN cy ON r.g = cy.g AND r.y = cy.y),
+      a AS (SELECT g, count(*) AS n, sum(sx) AS ax, sum(sy) AS ay,
+          sum(sx * sx) AS axx, sum(sy * sy) AS ayy, sum(sx * sy) AS axy
+        FROM j GROUP BY 1)
+      SELECT g AS l_returnflag, n,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(axx AS DOUBLE)
+              - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE) = 0
+            OR CAST(n AS DOUBLE) * CAST(ayy AS DOUBLE)
+              - CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE) = 0 THEN NULL
+          ELSE round((CAST(n AS DOUBLE) * CAST(axy AS DOUBLE)
+              - CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(axx AS DOUBLE)
+                - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(ayy AS DOUBLE)
+                - CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE))) + 1e-12, 6)
+        END AS rho
+      FROM a""",
+    // same scorer CTEs as q_calibration; AUC via the midrank rank-sum
+    // identity over the distinct-score cumsum, AP at distinct-threshold
+    // granularity — every count an exact integer, floats in final ops
+    "q_roc_auc" -> """
+      WITH feat AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents),
+      sc AS (SELECT
+          round(1.0 / (1.0 + exp(-(((((-1.5) + avg_token_len * 0.5) + distinct_ratio * 2.0)
+            + n_tokens * 0.02) + stopword_ratio * (-3.0)))), 6) AS p,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM feat),
+      h AS (SELECT p AS v, count(*) AS t, sum(y) AS pos FROM sc GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np FROM h),
+      c AS (SELECT v, t, pos,
+          sum(t) OVER (ORDER BY v) AS ct,
+          sum(pos) OVER (ORDER BY v) AS cp
+        FROM h),
+      terms AS (SELECT n, np,
+          pos * (CAST(ct - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2) AS rterm,
+          CAST(pos AS DOUBLE) * CAST(np - (cp - pos) AS DOUBLE)
+            / CAST(n - (ct - t) AS DOUBLE) AS apterm
+        FROM c CROSS JOIN tot)
+      SELECT n, np AS n_pos, n - np AS n_neg,
+        CASE WHEN np = 0 OR n = np THEN NULL
+          ELSE round((sum(rterm) - CAST(np AS DOUBLE) * (np + 1) / 2)
+            / (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE)) + 1e-12, 6) END AS auc,
+        CASE WHEN np = 0 THEN NULL
+          ELSE round(sum(apterm) / CAST(np AS DOUBLE) + 1e-12, 6) END AS ap
+      FROM terms GROUP BY n, np""",
     // lag per user over (ts, event_id); probabilities are exact integer
     // ratios row-normalized over the tiny transition matrix
     "q_markov" -> """
@@ -5661,6 +5787,23 @@ object SparkEntry {
       FROM sh a JOIN sh b
         ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
          AND a.doc_id < b.doc_id""",
+    // same banded candidates as q_ngram_verify; containment divides the
+    // intersection by ONE side's set size (asymmetric, catches subsets)
+    "q_containment" -> """
+      WITH t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, lang, source, len(w) // 10 AS band,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+         AND a.doc_id < b.doc_id""",
     "q_jaccard_join" -> """
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT doc_id,
@@ -6228,6 +6371,45 @@ object SparkEntry {
             * scale)))),
           (a, b) -> greatest(a, b)), 6) AS max_err
       FROM c""",
+    // reference-half deciles via quantile_cont (same interpolation as
+    // the exact-percentile dataflow), bin = count of edges <= v, then
+    // the q_drift smoothing block verbatim over the bin table
+    "q_numeric_drift" -> """
+      WITH av AS (SELECT value AS v FROM events
+                  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      bv AS (SELECT value AS v FROM events
+             WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      e AS (SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+                    quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+                    quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+                    quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+                    quantile_cont(v, 0.9)] AS edges FROM av),
+      a AS (SELECT len(list_filter(e.edges, x -> av.v >= x)) AS bin,
+              count(*) AS n_a FROM av CROSS JOIN e GROUP BY 1),
+      b AS (SELECT len(list_filter(e.edges, x -> bv.v >= x)) AS bin,
+              count(*) AS n_b FROM bv CROSS JOIN e GROUP BY 1),
+      j AS (SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM a FULL OUTER JOIN b USING (bin)),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
+      SELECT bin, n_a, n_b,
+        round(CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE), 6) AS p_a,
+        round(CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE), 6) AS p_b,
+        round(CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+          * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))), 6) AS kl_term,
+        round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+            * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+               / ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+                 + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) / 2.0))
+          + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)
+            * ln((CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+               / ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+                 + CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) / 2.0))) / 2.0, 6) AS js_term,
+        round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+             - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+          * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))), 6) AS psi_term
+      FROM j, t""",
     "q_drift" -> """
       WITH a AS (SELECT event_type AS category, count(*) AS n_a FROM events
                  WHERE event_id % 2 = 0 GROUP BY 1),

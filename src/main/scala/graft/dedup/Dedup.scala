@@ -588,6 +588,35 @@ object Dedup {
         carry.map(col): _*)
   }
 
+  /** Shingle-set CONTAINMENT for explicit candidate pairs — the
+    * asymmetric companion of [[jaccardOnPairs]]: c(a→b) = |A∩B| / |A|.
+    * A quote, a boilerplate header, or a full document embedded in a
+    * larger one scores near 1 on containment while its Jaccard stays
+    * low (the union is dominated by the host document) — so a
+    * Jaccard-thresholded dedup pass misses exactly the
+    * subset-duplication a training corpus cares about. Same two hash
+    * joins and per-row `array_intersect` as the Jaccard verify (cost
+    * O(|pairs|·doc_len), no shingle-level pair generation); emits both
+    * directions plus the Jaccard so one pass serves both policies.
+    */
+  def containmentOnPairs(df: DataFrame, textCol: String, idCol: String,
+                         pairs: DataFrame, aCol: String, bCol: String, n: Int,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("__id"),
+      shingles(lower(col(textCol)), n).as("__sh"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    pairs.select(col(aCol).cast("long").as("id_a") +: col(bCol).cast("long").as("id_b")
+          +: carry.map(col): _*)
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        (inter.cast("double") / size(col("__sh_a"))).as("containment_a") +:
+        (inter.cast("double") / size(col("__sh_b"))).as("containment_b") +:
+        (inter.cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - inter)).as("jaccard") +:
+        carry.map(col): _*)
+  }
+
   /** Exact n-gram Jaccard similarity for pairs inside coarse buckets
     * (e.g. same lang+source). Shingle-explode + self-join on shingle
     * counts the intersection; union size from per-doc distinct counts.

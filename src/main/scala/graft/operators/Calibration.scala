@@ -53,6 +53,68 @@ object Calibration {
       .crossJoin(broadcast(ece))
   }
 
+  /** ROC AUC + average precision for a binary scorer — the
+    * threshold-free companions of [[calibration]]'s ECE: AUC is the
+    * probability a random positive outscores a random negative (ties
+    * count half), AP is precision averaged over recall steps — the
+    * ranking-quality numbers a pipeline checks before sweeping a keep
+    * threshold over classifier scores.
+    *
+    * Scale shape: the [[RankedStats.withCumulative]] discipline — the
+    * corpus reduces to a distinct-score histogram with (total,
+    * positive) counts, the two-level cumsum ranks it with no global
+    * sort, and both statistics come out of arithmetic over the
+    * cumulative columns:
+    *
+    *   - AUC via the Mann–Whitney identity: a tied block of t rows
+    *     ending at cumulative count c shares midrank (c−t) + (t+1)/2;
+    *     R₊ = Σ pos·midrank (each term an integer multiple of ½ —
+    *     exact in doubles, order-independent), and
+    *     AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋).
+    *   - AP at distinct-threshold granularity (the per-sample step
+    *     integral collapses on tied blocks): descending through
+    *     thresholds v, TP = n₊ − (cum₊ − pos) and predicted-positive
+    *     PP = n − (cum − t) are exact longs, and
+    *     AP = Σ pos·(TP/PP) / n₊ — each recall step weighted by the
+    *     precision at its threshold.
+    *
+    * One output row: `n`, `n_pos`, `n_neg`, `auc`, `ap` (rounded 6;
+    * both null when a class is empty — ranking quality is undefined,
+    * not zero). Null scores/labels drop; empty input → zero rows.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             shards: Int = 0): DataFrame = {
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__v"),
+        col(labelCol).cast("int").cast("long").as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+    // class sizes from the cheap histogram re-aggregate (1 row,
+    // broadcast), not a window over the cumsum'd table
+    val tot = hist.agg(sum(col("__t")).as("__n"), sum(col("__p")).as("__np"))
+    val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__t", "__p"), shards)
+    val t = col("__t").cast("double")
+    val midrank = (col("__cum___t") - col("__t")).cast("double") + (t + 1) / 2
+    val tp = col("__np") - (col("__cum___p") - col("__p"))
+    val pp = col("__n") - (col("__cum___t") - col("__t"))
+    val np = col("__np").cast("double")
+    val nn = (col("__n") - col("__np")).cast("double")
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("__n"), col("__np"))
+      .agg(sum(col("__p") * midrank).as("__rp"),
+        sum(col("__p").cast("double") * tp.cast("double") / pp.cast("double"))
+          .as("__apn"))
+      .select(col("__n").as("n"), col("__np").as("n_pos"),
+        (col("__n") - col("__np")).as("n_neg"),
+        when(col("__np") === 0L || col("__n") === col("__np"),
+            lit(null).cast("double"))
+          .otherwise(round((col("__rp") - np * (col("__np") + 1) / 2)
+            / (np * nn) + lit(1e-12), 6)).as("auc"),
+        when(col("__np") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("__apn") / np + lit(1e-12), 6)).as("ap"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelers (a stored label vs a classifier, two
     * annotators, two model versions): κ = (p_o − p_e)/(1 − p_e) with

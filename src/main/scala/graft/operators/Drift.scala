@@ -54,4 +54,37 @@ object Drift {
         round((p * log(p / m) + q * log(q / m)) / 2.0, 6).as("js_term"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }
+
+  /** Drift report for a NUMERIC column — the PSI-over-quantile-bins
+    * practice: bin edges are the `bins`-quantiles of snapshot `a` (the
+    * reference — equal-population bins make every PSI term comparable,
+    * where fixed-width bins put 90% of the mass in one cell), both
+    * snapshots are bucketed against those same edges, and the per-bin
+    * table gets the [[categoricalDrift]] smoothing/divergence
+    * arithmetic verbatim. Output: `bin` (0-based; bin i = values in
+    * [edge_i, edge_{i+1})), n_a, n_b, p_a, p_b, kl_term, js_term,
+    * psi_term.
+    *
+    * Scale shape: edges come from [[Percentiles.exact]] (the sharded
+    * histogram dataflow — no buffer-all percentile, no global sort)
+    * as ONE broadcast row; binning is then a scan-stage
+    * `size(filter(edges, v >= _))` over each corpus — nothing
+    * corpus-sized shuffles until the ≤`bins`-group count. Heavily tied
+    * reference data may collapse adjacent edges; the collapsed bin
+    * simply never appears (rows jump past it), which the smoothing
+    * already handles.
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, valCol: String,
+                   bins: Int = 10, shards: Int = 0): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val edges = Percentiles.exact(a, Nil, valCol,
+      (1 until bins).map(_.toDouble / bins), out = "__edges", shards = shards)
+    def binned(df: DataFrame) = df
+      .select(col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(size(filter(col("__edges"), e => col("__v") >= e)).cast("long").as("bin"))
+    categoricalDrift(binned(a), binned(b), "bin")
+      .withColumnRenamed("category", "bin")
+  }
 }

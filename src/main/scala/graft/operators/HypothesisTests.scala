@@ -276,6 +276,60 @@ object HypothesisTests {
             + lit(1e-12), 6)).as("cramers_v"))
   }
 
+  /** Spearman rank correlation per group — the monotone-association
+    * audit (does quality score track document length? price track
+    * quantity?) that Pearson misses on nonlinear-but-monotone data and
+    * outliers distort. ρ = Pearson over the two columns' midranks,
+    * with the standard tie handling.
+    *
+    * Scale shape: each variable reduces to a per-group distinct-value
+    * histogram ranked by the [[RankedStats.withCumulative]] two-level
+    * cumsum (no global sort); rows then join their two rank tables on
+    * the (group, value) keys — histogram-sized build sides, so AQE
+    * broadcasts them when small and the corpus shuffles at most twice.
+    * Ranks are carried DOUBLED — 2·midrank = 2(c−t) + t + 1, an exact
+    * long even on tied blocks (ρ is scale-invariant, so doubling
+    * cancels) — and the five sums ride DECIMAL(38,0) on long products
+    * (exact for groups below ~1.5·10⁹ rows, the long product bound;
+    * order- and partitioning-independent). Doubles touch only the
+    * final ratio ρ = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)).
+    *
+    * Output: groupCols..., `n`, `rho` (rounded 6; null when either
+    * column is constant within the group — rank variance is zero).
+    */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
+               shards: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = df.select(gcols :+ col(xCol).cast("double").as("__x")
+        :+ col(yCol).cast("double").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankTable(c: String, out: String) = {
+      val hist = rows.groupBy(gcols :+ col(c): _*).agg(count(lit(1)).as("__t"))
+      RankedStats.withCumulative(hist, groupCols, c, Seq("__t"), shards)
+        .select(gcols :+ col(c) :+
+          (lit(2L) * (col("__cum___t") - col("__t")) + col("__t") + lit(1L)).as(out): _*)
+    }
+    val ranked = rows
+      .join(rankTable("__x", "__sx"), groupCols :+ "__x")
+      .join(rankTable("__y", "__sy"), groupCols :+ "__y")
+    val d19 = "decimal(19,0)"
+    def dd(c: String) = col(c).cast("double")
+    val num = dd("n") * dd("__axy") - dd("__ax") * dd("__ay")
+    val denx = dd("n") * dd("__axx") - dd("__ax") * dd("__ax")
+    val deny = dd("n") * dd("__ayy") - dd("__ay") * dd("__ay")
+    ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__sx").cast(d19)).as("__ax"),
+        sum(col("__sy").cast(d19)).as("__ay"),
+        sum(col("__sx").cast(d19) * col("__sx").cast(d19)).as("__axx"),
+        sum(col("__sy").cast(d19) * col("__sy").cast(d19)).as("__ayy"),
+        sum(col("__sx").cast(d19) * col("__sy").cast(d19)).as("__axy"))
+      .select(gcols :+ col("n") :+
+        when(denx === 0.0 || deny === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(denx) * sqrt(deny)) + lit(1e-12), 6))
+          .as("rho"): _*)
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

@@ -479,6 +479,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
   }
 
+  test("containmentOnPairs: embedded document scores 1 on containment while jaccard stays low") {
+    // A's shingles = {one two three, two three four}; B holds both plus 3
+    // more -> c(a→b)=1, c(b→a)=2/5, jaccard=2/5
+    val docs2 = Seq(
+      (1L, "one two three four"),
+      (2L, "zero one two three four five six")).toDF("doc_id", "text")
+    val r = Dedup.containmentOnPairs(docs2, "text", "doc_id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", 3).head
+    assert(r.getAs[Double]("containment_a") == 1.0)
+    assert(r.getAs[Double]("containment_b") == 0.4)
+    assert(r.getAs[Double]("jaccard") == 0.4)
+    // disjoint pair: all three metrics 0 (verify form must still answer)
+    val z = Dedup.containmentOnPairs(docs, "text", "doc_id",
+      Seq((0L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", 3).head
+    assert(z.getAs[Double]("containment_a") == 0.0 &&
+      z.getAs[Double]("containment_b") == 0.0 && z.getAs[Double]("jaccard") == 0.0)
+  }
+
   test("jaccardOnPairs agrees with ngramJaccardPairs on the pairs both see") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     // generate-from-shingles form, low threshold so several pairs survive

@@ -51,6 +51,33 @@ class DriftQuantizeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("numericDrift: identical snapshots give equal-population decile bins with zero terms") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val rows = Drift.numericDrift(df, df, "v", bins = 10).orderBy("bin").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    // reference deciles of 1..100 split it into 10 equal-population bins
+    assert(rows.forall(_.getAs[Long]("n_a") == 10L))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_term") == 0.0 &&
+        r.getAs[Double]("js_term") == 0.0 && r.getAs[Double]("psi_term") == 0.0)
+    }
+  }
+
+  test("numericDrift: a location shift concentrates snapshot b in the top bin") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val b = (1 to 100).map(_ + 1000.0).toDF("v")   // all past a's last edge
+    val rows = Drift.numericDrift(a, b, "v", bins = 10).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(rows(9L).getAs[Long]("n_b") == 100L)
+    assert((0L to 8L).forall(i => rows(i).getAs[Long]("n_b") == 0L))
+    // every term finite under smoothing, and the shifted mass dominates PSI
+    assert(rows.values.forall(r => !r.getAs[Double]("psi_term").isInfinite))
+    assert(rows(9L).getAs[Double]("psi_term") > 0)
+    // bins must come from side A only: b's values never move the edges
+    assert(rows(0L).getAs[Long]("n_a") == 10L)
+  }
+
   // -- Quantize ---------------------------------------------------------
 
   test("quantize: reconstruction error bounded by one quantization step") {

@@ -122,6 +122,24 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(user_id#") && p.contains(", __bkt#"), p)
   }
 
+  test("q_roc_auc: ranking rides the sharded cumsum — no global sort of scores") {
+    val p = planOf("q_roc_auc")
+    // the checkpointed range exchange happens before this plan; what must
+    // NOT appear is a global ordering of the (histogram or corpus) rows
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p) // per-shard cumsum
+  }
+
+  test("q_numeric_drift: decile edges attach as a 1-row broadcast; binning is scan-stage") {
+    val p = planOf("q_numeric_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the edge-array attach
+    // the ONLY sort-merge join is the full-outer stitch of the two
+    // <=bins-row count tables (full outer can't broadcast); the corpus
+    // sides must never reach it
+    assert("SortMergeJoin".r.findAllIn(p).size == 1 && p.contains("FullOuter"), p)
+  }
+
   test("identical aggregate subplans reuse one exchange (self-join diamond)") {
     val agg = Tables.customer(spark, sf)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))

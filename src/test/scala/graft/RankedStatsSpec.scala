@@ -87,6 +87,32 @@ class RankedStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("mw_z"))) // sigma = 0: no defined z
   }
 
+  test("spearman: monotone gives 1, reversed gives -1, one tie matches sqrt(3)/2") {
+    // perfect monotone (nonlinear): rho = 1; reversed: rho = -1
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0)).toDF("x", "y")
+    assert(HypothesisTests.spearman(mono, Nil, "x", "y", shards = 2)
+      .head.getAs[Double]("rho") == 1.0)
+    val rev = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    assert(HypothesisTests.spearman(rev, Nil, "x", "y")
+      .head.getAs[Double]("rho") == -1.0)
+    // x = {1,1,2}: midranks {1.5,1.5,3}; known closed form sqrt(3)/2
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = HypothesisTests.spearman(tied, Nil, "x", "y").head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("rho") ==
+      math.rint((math.sqrt(3.0) / 2 + 1e-12) * 1e6) / 1e6)
+  }
+
+  test("spearman: constant column nulls rho; groups are independent") {
+    val df = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0), ("a", 3.0, 5.0),
+      ("b", 1.0, 2.0), ("b", 2.0, 3.0), ("b", 3.0, 1.0)).toDF("g", "x", "y")
+    val rows = HypothesisTests.spearman(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("rho"))) // constant y in a
+    // b: ranks x {1,2,3}, y {2,3,1} -> rho = 1 - 6*(1+1+4)/(3*8) = -0.5
+    assert(rows(1).getAs[Double]("rho") == -0.5)
+  }
+
   test("bhReject: hand-checked step-up including a rejected-by-tie block") {
     // m=5, q=0.25: thresholds k*q/m = .05,.10,.15,.20,.25
     // sorted p = .01,.04,.04,.30,.50 -> ties at .04 top out at k=3

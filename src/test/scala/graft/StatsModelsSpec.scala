@@ -142,6 +142,38 @@ class StatsModelsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("ece") == 0.2125))
   }
 
+  test("rocAuc: hand-computed midrank AUC and distinct-threshold AP with ties") {
+    // pos {0.9, 0.7, 0.5}, neg {0.8, 0.5, 0.3, 0.1}
+    // pairwise wins: 4 + 3 + 2.5 (one tie at 0.5) = 9.5 -> AUC = 9.5/12
+    // AP thresholds desc: 0.9 (P=1/1), 0.7 (P=2/3), 0.5 (P=3/5)
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.8, false), (0.5, false), (0.3, false), (0.1, false)).toDF("p", "y")
+    val r = Calibration.rocAuc(df, "p", "y", shards = 2).head
+    def r6(v: Double) = math.rint((v + 1e-12) * 1e6) / 1e6
+    assert(r.getAs[Long]("n") == 7L && r.getAs[Long]("n_pos") == 3L &&
+      r.getAs[Long]("n_neg") == 4L)
+    assert(r.getAs[Double]("auc") == r6(9.5 / 12))
+    assert(r.getAs[Double]("ap") == r6((1.0 + 2.0 / 3 + 3.0 / 5) / 3))
+  }
+
+  test("rocAuc: perfect separation, reversal, and one-class nulls") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("p", "y")
+    val rp = Calibration.rocAuc(perfect, "p", "y").head
+    assert(rp.getAs[Double]("auc") == 1.0 && rp.getAs[Double]("ap") == 1.0)
+    // every negative outscores every positive: AUC 0, AP = 1/2
+    val rev = Seq((0.1, true), (0.9, false)).toDF("p", "y")
+    val rr = Calibration.rocAuc(rev, "p", "y").head
+    assert(rr.getAs[Double]("auc") == 0.0 && rr.getAs[Double]("ap") == 0.5)
+    // one-class inputs: ranking vs the absent class is undefined -> null
+    // AUC; AP stays defined (trivially 1) only when positives exist
+    val op = Calibration.rocAuc(
+      Seq((0.5, true), (0.7, true)).toDF("p", "y"), "p", "y").head
+    assert(op.isNullAt(op.fieldIndex("auc")) && op.getAs[Double]("ap") == 1.0)
+    val on = Calibration.rocAuc(Seq((0.5, false)).toDF("p", "y"), "p", "y").head
+    assert(on.isNullAt(on.fieldIndex("auc")) && on.isNullAt(on.fieldIndex("ap")))
+  }
+
   test("markov transition matrix: exact counts and row-normalized probabilities") {
     // user 1: a->b->a->b ; user 2: a->a
     val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
