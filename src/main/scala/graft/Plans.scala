@@ -121,7 +121,9 @@ object Plans {
     "q_containment" ->
       "Containment verify: the q_ngram_verify skeleton unchanged — banded candidate equi-join, two hash joins attach per-doc shingle arrays, and ONE per-row array_intersect feeds containment_a/containment_b/jaccard together; no pair is ever generated from a shared shingle.",
     "q_numeric_drift" ->
-      "Numeric drift: the reference half's deciles ride the exact sharded percentile dataflow and broadcast as ONE row; both halves bin in their scan stage (size(filter(edges))) and the smoothing/divergence arithmetic runs on the <=bins-row joined table — corpus cost is two scans plus two <=bins-group aggregates.")
+      "Numeric drift: the reference half's deciles ride the exact sharded percentile dataflow and broadcast as ONE row; both halves bin in their scan stage (size(filter(edges))) and the smoothing/divergence arithmetic runs on the <=bins-row joined table — corpus cost is two scans plus two <=bins-group aggregates.",
+    "q_mann_kendall" ->
+      "Mann-Kendall + Theil-Sen: the corpus collapses ONCE to the checkpointed dense daily series; the T(T-1)/2 pair join is series-local (T is time-range-bounded, corpus-INDEPENDENT — a fixed cost knob, not a scale risk) and the Sen median rides the exact percentile dataflow over the slope histogram.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2890,6 +2890,14 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(
       Tables.events(s, d), "ts", bucketWidth = 3600000000000L, maxLag = 6)
 
+  /** Mann–Kendall trend test + Theil–Sen slope of the DAILY event-count
+    * series — the robust "is volume actually trending?" audit
+    * ([[graft.operators.TimeSeries.mannKendall]]); daily buckets keep
+    * the series-local pair join at ~10k pairs at any corpus size. */
+  private def qMannKendall(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.mannKendall(
+      Tables.events(s, d), "ts", bucketWidth = 86400000000000L)
+
   /** Cohen's kappa between the stored `lang` label and the marker-
     * vocabulary language classifier — chance-corrected agreement, the
     * honest version of "the classifier is 90% accurate"
@@ -3088,6 +3096,7 @@ object SparkEntry {
     "q_winnow"         -> (qWinnow _),
     "q_cusum"          -> (qCusum _),
     "q_acf"            -> (qAcf _),
+    "q_mann_kendall"   -> (qMannKendall _),
     "q_ccf"            -> (qCcf _),
     "q_benford"        -> (qBenford _),
     "q_seasonal"       -> (qSeasonalProfile _),
@@ -3938,6 +3947,36 @@ object SparkEntry {
       FROM f""",
     // dense hourly grid, exact long moments per lag, the float math a
     // handful of ops on exact integers — spelled exactly like acf
+    // dense daily grid; S and Var(S) from exact integers, the Theil-Sen
+    // median via quantile_cont (same interpolation as the percentile path)
+    "q_mann_kendall" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS h, count(*) AS x
+          FROM events GROUP BY 1),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+      s AS (SELECT g.h AS h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        FROM grid g LEFT JOIN c ON g.h = c.h),
+      p AS (SELECT a.x AS xa, bb.x AS xb, a.h AS ha, bb.h AS hb
+        FROM s a JOIN s bb ON bb.h > a.h),
+      st AS (SELECT CAST(sum(CASE WHEN xb > xa THEN 1
+          WHEN xb < xa THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM p),
+      tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+        FROM (SELECT count(*) AS t FROM s GROUP BY x)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM s),
+      sen AS (SELECT quantile_cont(CAST(xb - xa AS DOUBLE)
+          / CAST(hb - ha AS DOUBLE), 0.5) AS sl FROM p),
+      f AS (SELECT n_buckets, s_stat,
+          CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tt AS DOUBLE)
+            / 18.0 AS var_s,
+          CAST(s_stat AS DOUBLE) AS sd, sl
+        FROM n CROSS JOIN st CROSS JOIN tt CROSS JOIN sen)
+      SELECT n_buckets, s_stat, round(var_s + 1e-12, 6) AS var_s,
+        CASE WHEN var_s = 0.0 THEN NULL
+          ELSE round(CASE WHEN sd > 0 THEN (sd - 1) / sqrt(var_s)
+                     WHEN sd < 0 THEN (sd + 1) / sqrt(var_s)
+                     ELSE 0.0 END + 1e-12, 6) END AS mk_z,
+        round(sl + 1e-12, 6) AS sen_slope
+      FROM f""",
     "q_acf" -> """
       WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
           FROM events GROUP BY 1),

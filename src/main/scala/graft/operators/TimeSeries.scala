@@ -278,4 +278,75 @@ object TimeSeries {
         when(denom === 0.0, lit(null).cast("double"))
           .otherwise(round(num / denom + lit(1e-12), 6)).as("acf"))
   }
+
+  /** Mann–Kendall trend test + Theil–Sen slope over the dense bucket
+    * series — the nonparametric "is volume actually trending?" audit
+    * (monotone-trend S statistic with the tie-corrected normal
+    * approximation, and the median-of-pairwise-slopes estimator that a
+    * single outlier bucket can't drag the way least squares can; the
+    * robust complement of q_regression).
+    *
+    * Exactness: S = Σ sign(x_j − x_i) over i<j pairs is an exact
+    * integer; Var(S) = (T(T−1)(2T+5) − Σ t(t−1)(2t+5))/18 comes from
+    * exact longs (the tie sum re-aggregates the series by value);
+    * pairwise slopes are single-division doubles and their median runs
+    * through [[Percentiles.fromHistogram]] — the same interpolation as
+    * the exact-percentile oracle path. z applies the standard ±1
+    * continuity correction and nulls when Var(S) = 0 (all buckets
+    * tied).
+    *
+    * Scale shape: the corpus collapses to the localCheckpoint'd dense
+    * series ONCE (the only corpus-sized stage); the T(T−1)/2 pair join
+    * is then series-local — T is time-range-bounded (buckets between
+    * min and max ts), corpus-INDEPENDENT, so the quadratic is a fixed
+    * cost knob set by `bucketWidth`, not a scale risk (141 daily
+    * buckets → ~10k pairs at ANY corpus size). One output row:
+    * `n_buckets`, `s_stat`, `var_s`, `mk_z`, `sen_slope`.
+    */
+  def mannKendall(df: DataFrame, tsCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val spark = df.sparkSession
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"$tsCol div $bucketWidth").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("h")), max(col("h"))).head
+    if (bounds.isNullAt(0))
+      return spark.range(0).select(col("id").as("n_buckets"),
+        col("id").as("s_stat"), lit(null).cast("double").as("var_s"),
+        lit(null).cast("double").as("mk_z"),
+        lit(null).cast("double").as("sen_slope"))
+    val series = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("h")
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val pairs = series.select(col("h").as("__ha"), col("x").as("__xa"))
+      .join(series.select(col("h").as("__hb"), col("x").as("__xb")),
+        col("__hb") > col("__ha"))
+    val stat = pairs.agg(
+      sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = series.groupBy(col("x")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1)
+        * (lit(2L) * col("__t") + 5)), lit(0L)).as("__tt"))
+    val n = series.agg(count(lit(1)).as("n_buckets"))
+    val sen = Percentiles.fromHistogram(
+      pairs.select(((col("__xb") - col("__xa")).cast("double")
+          / (col("__hb") - col("__ha")).cast("double")).as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__cnt")),
+      Nil, "__v", "__cnt", Seq(0.5), out = "__ps")
+    val t = col("n_buckets")
+    val varS = (t * (t - 1) * (lit(2L) * t + 5) - col("__tt")).cast("double") / 18.0
+    val sD = col("s_stat").cast("double")
+    n.crossJoin(broadcast(stat)).crossJoin(broadcast(ties))
+      .join(sen, lit(true), "left") // T<2 → no slopes → null sen_slope
+      .select(col("n_buckets"), col("s_stat"),
+        round(varS + lit(1e-12), 6).as("var_s"),
+        when(varS === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            when(sD > 0, (sD - 1) / sqrt(varS))
+              .when(sD < 0, (sD + 1) / sqrt(varS))
+              .otherwise(lit(0.0)) + lit(1e-12), 6)).as("mk_z"),
+        round(element_at(col("__ps"), 1) + lit(1e-12), 6).as("sen_slope"))
+  }
 }

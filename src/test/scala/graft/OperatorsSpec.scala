@@ -805,6 +805,39 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TimeSeries.acf(df, "ts", 10L, 0) }
   }
 
+  test("mannKendall: hand S/var/z/sen on rising, falling, tied, and gapped series") {
+    import graft.operators.TimeSeries
+    def r6(v: Double) = math.rint((v + 1e-12) * 1e6) / 1e6
+    // buckets (width 10): counts [1, 2, 3] -> S=3, no ties, Var=3*2*11/18
+    // z = (3-1)/sqrt(66/18); slopes {1,1,1} -> sen = 1
+    val rising = Seq(5L, 10L, 15L, 20L, 25L, 29L).toDF("ts")
+    val r = TimeSeries.mannKendall(rising, "ts", bucketWidth = 10L).head
+    assert(r.getAs[Long]("n_buckets") == 3L && r.getAs[Long]("s_stat") == 3L)
+    assert(r.getAs[Double]("var_s") == r6(66.0 / 18))
+    assert(r.getAs[Double]("mk_z") == r6(2.0 / math.sqrt(66.0 / 18)))
+    assert(r.getAs[Double]("sen_slope") == 1.0)
+    // reversed counts [3, 2, 1]: S=-3, z negative by the +1 correction
+    val falling = Seq(1L, 2L, 3L, 11L, 12L, 21L).toDF("ts")
+    val f = TimeSeries.mannKendall(falling, "ts", 10L).head
+    assert(f.getAs[Long]("s_stat") == -3L)
+    assert(f.getAs[Double]("mk_z") == r6(-2.0 / math.sqrt(66.0 / 18)))
+    assert(f.getAs[Double]("sen_slope") == -1.0)
+    // all-tied counts [2, 2, 2]: tie sum cancels Var(S) -> z null, sen 0
+    val tied = Seq(1L, 2L, 11L, 12L, 21L, 22L).toDF("ts")
+    val td = TimeSeries.mannKendall(tied, "ts", 10L).head
+    assert(td.getAs[Long]("s_stat") == 0L && td.getAs[Double]("var_s") == 0.0)
+    assert(td.isNullAt(td.fieldIndex("mk_z")) && td.getAs[Double]("sen_slope") == 0.0)
+    // a gap densifies to 0: series [1, 0, 1] -> S = -1 + 0 + 1 = 0
+    val gap = Seq(5L, 25L).toDF("ts")
+    val g = TimeSeries.mannKendall(gap, "ts", 10L).head
+    assert(g.getAs[Long]("n_buckets") == 3L && g.getAs[Long]("s_stat") == 0L)
+    // empty input -> empty output, schema intact
+    val empty = TimeSeries.mannKendall(Seq.empty[Long].toDF("ts"), "ts", 10L)
+    assert(empty.columns.toSeq ==
+      Seq("n_buckets", "s_stat", "var_s", "mk_z", "sen_slope") && empty.isEmpty)
+    intercept[IllegalArgumentException] { TimeSeries.mannKendall(rising, "ts", 0L) }
+  }
+
   test("skyline2D matches brute force; keeps incomparable duplicates; bucket-count invariant") {
     import graft.operators.Skyline
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
