@@ -26,8 +26,11 @@ object Explain {
       val df = SparkEntry.queries(q)(spark, sfDir)
       // execute through THIS queryExecution so the printed plan is the
       // AQE-final one (a separate write() action would re-plan fresh)
+      val t0 = System.nanoTime()
       df.queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
       println(df.queryExecution.executedPlan.toString)
+      println(f"[$q executed in $secs%.2f s]")
     }
     spark.stop()
   }
