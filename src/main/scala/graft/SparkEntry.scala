@@ -772,11 +772,17 @@ object SparkEntry {
     * exactly: with no Lloyd step the centroids are whole-vector slices,
     * so the oracle's distance terms index the full 64-dim arrays
     * directly). Output: codes (8 ints = the stored form, an 8-byte
-    * representation of a 256-byte vector) + exact reconstruction error. */
+    * representation of a 256-byte vector) + exact reconstruction error.
+    * The codes array is serialized to a comma-joined string per the
+    * harness convention (top-level outputs are scalars/strings only —
+    * the comparator sorts cell values, which arrays break). */
   private def qPqEncode(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
     graft.similarity.Pq.encode(emb, "embedding", "vec_id", cb)
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",").as("codes"),
+        col("recon_err"))
   }
 
   /** Gonzalez k-center diversity seeds
@@ -4673,7 +4679,7 @@ object SparkEntry {
       JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n
             FROM a3 GROUP BY 1) cnt ON cr.cell = cnt.cell""",
     "q_pq_encode" -> s"""$PqCte
-      SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes,
+      SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
         round(sum(d) + 1e-12, 6) AS recon_err
       FROM chosen GROUP BY 1""",
     "q_pq_adc" -> s"""$PqCte,

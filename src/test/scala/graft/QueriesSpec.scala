@@ -33,6 +33,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  // Harness output contract: the driver's comparator (tools/compare.py)
+  // normalizes results with a pandas sort over every column, which throws
+  // on non-scalar cells (ndarray is unhashable/unorderable). Any query
+  // emitting a top-level array/map/struct column would therefore be red
+  // at the CORRECTNESS gate regardless of value correctness — serialize
+  // via array_join / to_json instead (the q_pq_encode lesson, round 6).
+  test("no query emits a top-level array/map/struct column (harness contract)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Certificates.enforce = false
+    try {
+      val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          fn(spark, sf).schema.fields.collect {
+            case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+              s"$name.${f.name}: ${f.dataType.simpleString}"
+          }
+      }
+      assert(violations.isEmpty,
+        s"non-scalar output columns break the oracle comparator:\n  " +
+          violations.mkString("\n  "))
+    } finally Certificates.enforce = true
+  }
+
   // Smoke runs uncertified: precondition certificates are calibrated for
   // the ORACLE regime (sf0.01) and legitimately fire at sf0.001 (e.g. the
   // simhash recall margin — the tiny corpus's verified pairs reach
