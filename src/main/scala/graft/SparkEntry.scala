@@ -596,8 +596,12 @@ object SparkEntry {
     * clustering run. */
   private def qModularity(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // pairs feeds BOTH the dbscan labeling and the modularity audit —
+    // checkpoint the ε-graph once at the double-consume boundary so the
+    // capped cosine self-join (the dominant stage) runs exactly once.
     val pairs = graft.similarity.Similarity.cosinePairs(
       emb, "embedding", "vec_id", "label", threshold = 0.2)
+      .localCheckpoint()
     val lab = graft.similarity.Dbscan.dbscan(
         emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b", minPts = 3)
       .select(col("id"),

@@ -28,8 +28,13 @@ object Modularity {
                  labels: DataFrame, idCol: String, clusterCol: String): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // e is consumed by three subtrees (m, labeled, deg); materialize the
+    // normalized edge list once so the pair generator behind `pairs`
+    // isn't re-evaluated per consumer (reliable checkpoint() at cluster
+    // scale).
     val e = pairs.select(least(a, b).as("a"), greatest(a, b).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val lab = labels.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("c"))
     val m = e.agg(count(lit(1)).as("m"))

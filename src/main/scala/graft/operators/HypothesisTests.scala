@@ -300,9 +300,14 @@ object HypothesisTests {
   def spearman(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
                shards: Int = 0): DataFrame = {
     val gcols = groupCols.map(col)
+    // rows feeds three consumers (both rank-table histograms and the
+    // final join) — materialize the narrow projection once instead of
+    // scanning the source thrice (reliable checkpoint() at cluster
+    // scale; the multi-consumer discipline of Dedup.clusters).
     val rows = df.select(gcols :+ col(xCol).cast("double").as("__x")
         :+ col(yCol).cast("double").as("__y"): _*)
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint()
     def rankTable(c: String, out: String) = {
       val hist = rows.groupBy(gcols :+ col(c): _*).agg(count(lit(1)).as("__t"))
       RankedStats.withCumulative(hist, groupCols, c, Seq("__t"), shards)

@@ -38,9 +38,17 @@ object Dbscan {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // sym is consumed by FOUR downstream subtrees (core degree agg, the
+    // two core-edge semi joins, borderClusters, and clusters' own edge
+    // build) — without materialization Spark re-evaluates the ε-pair
+    // generator feeding `pairs` (the dominant stage: a capped cosine
+    // self-join) once per consumer. Same discipline as Dedup.clusters'
+    // edges persist; at cluster scale this is a reliable-storage
+    // checkpoint() instead.
     val sym = pairs.select(a.as("src"), b.as("dst"))
       .unionAll(pairs.select(b.as("src"), a.as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     val core = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minPts).select(col("src").as("core_id"))
     // cluster labels propagate ONLY through core-core edges

@@ -219,4 +219,23 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin"), plan)           // broadcast or shuffled
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("q_dbscan/q_modularity: the ε-pair subtree is checkpointed once, not re-derived per consumer") {
+    // Dbscan checkpoints `sym` (4 consumers) and Modularity checkpoints
+    // `e` (3 consumers): the capped cosine self-join that generates the
+    // ε-graph — the dominant stage — must appear in NEITHER final plan
+    // (it lives behind a materialized RDD scan), and the only parquet
+    // scan left in q_dbscan is the id-universe read. Before the fix the
+    // pair join re-evaluated 4-6x per query — a 6x multiplier on the
+    // most expensive stage at 100x scale.
+    // signature of a re-derived pair generator: a scan reading the
+    // embedding VECTOR column (the checkpointed graph needs only ids)
+    val dbscan = planOf("q_dbscan")
+    assert("FileScan parquet".r.findAllIn(dbscan).size == 1, dbscan)
+    assert(!dbscan.contains("embedding:array"), dbscan)
+    assert("Scan ExistingRDD".r.findAllIn(dbscan).size >= 2, dbscan)
+    val modularity = planOf("q_modularity")
+    assert(!modularity.contains("embedding:array"), modularity)
+    assert("Scan ExistingRDD".r.findAllIn(modularity).size >= 2, modularity)
+  }
 }
