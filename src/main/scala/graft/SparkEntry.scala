@@ -499,6 +499,24 @@ object SparkEntry {
     verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The ADAPTIVE-banding variant of q_dedup_minhash
+    * ([[graft.dedup.Dedup.minhashDedupAdaptive]]): (bands,
+    * rows-per-band) derived from the banding theorem — the fewest bands
+    * whose catch probability at jaccard 0.3 reaches 0.95, which for
+    * k = 64 is (32, 2) where the fixed default (16, 4) only reaches
+    * 0.12 — and the shared-bands certificate made self-correcting: a
+    * verified pair within one band of being missed escalates the
+    * banding (volume-guarded, like the simhash radius escalation)
+    * instead of crashing a constant-banding assert. Same brute-force
+    * oracle as q_dedup_minhash: the verified output is
+    * banding-independent whenever recall at the threshold is complete,
+    * so any adaptive-path recall loss fails the hash compare. */
+  private def qDedupMinhashAdaptive(s: SparkSession, d: String): DataFrame = {
+    val (verified, _) = graft.dedup.Dedup.minhashDedupAdaptive(
+      Tables.documents(s, d), "text", "doc_id", minJaccard = 0.3)
+    verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs within (lang, source) buckets. */
   private def qDedupNgram(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
@@ -3266,6 +3284,7 @@ object SparkEntry {
     "q_dedup_minhash"  -> (qDedupMinhash _),
     "q_dedup_simhash"  -> (qDedupSimhash _),
     "q_dedup_simhash_adaptive" -> (qDedupSimhashAdaptive _),
+    "q_dedup_minhash_adaptive" -> (qDedupMinhashAdaptive _),
     "q_dedup_ngram"    -> (qDedupNgram _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_embed_pairs_skew" -> (qEmbedPairsSkew _),
@@ -4596,6 +4615,7 @@ object SparkEntry {
     "q_dedup_minhash" -> PairJaccardOracle,
     "q_dedup_simhash" -> PairJaccardOracle,
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
+    "q_dedup_minhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
     "q_rendezvous" -> """
       WITH sh AS (SELECT * FROM (VALUES (0,'s0'),(1,'s1'),(2,'s2'),(3,'s3'),

@@ -84,31 +84,51 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(df, textCol, idCol, k), k, bands, maxBucket)
+
+  /** The banded + capped (band, bucket, sub-bucket) membership table for
+    * a signature set — the stage [[minhashCandidatesFromSigs]] pairs
+    * from, exposed so probes (candidate-volume bounds) can aggregate
+    * over it without materializing any pair.
+    *
+    * Healthy band buckets are near-dup-sized, but a degenerate bucket
+    * (thousands of boilerplate near-identical docs sharing a band) would
+    * collect every member's 64-long signature into ONE aggregation
+    * buffer — an OOM path at corpus scale. Split oversized buckets into
+    * capped rank-chunk sub-buckets plus a half-offset stitching pass
+    * (graft.operators.SubBuckets): every aggregation buffer stays ≤
+    * maxBucket members, pair work per bucket is linear (≤ m·maxBucket),
+    * and skewed buckets keep their ≤-maxBucket/2-rank-distance recall
+    * instead of being dropped. The membership window shares the
+    * (band, bucket) hash partitioning the pairing groupBy needs — its
+    * (band, bucket, pass, sub) keys extend the window's partitioning,
+    * so one shuffle total; WindowExec spills, so even the degenerate
+    * bucket is memory-bounded.
+    */
+  private[dedup] def minhashBanded(sigs: DataFrame, k: Int, bands: Int,
+                                   maxBucket: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minhashSignatures(df, textCol, idCol, k)
-
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
-    // Healthy band buckets are near-dup-sized, but a degenerate bucket
-    // (thousands of boilerplate near-identical docs sharing a band) would
-    // collect every member's 64-long signature into ONE aggregation
-    // buffer — an OOM path at corpus scale. Split oversized buckets into
-    // capped rank-chunk sub-buckets plus a half-offset stitching pass
-    // (graft.operators.SubBuckets): every aggregation buffer stays ≤
-    // maxBucket members, pair work per bucket is linear (≤ m·maxBucket),
-    // and skewed buckets keep their ≤-maxBucket/2-rank-distance recall
-    // instead of being dropped. The membership window shares the
-    // (band, bucket) hash partitioning the groupBy below needs — its
-    // (band, bucket, pass, sub) keys extend the window's partitioning,
-    // so one shuffle total; WindowExec spills, so even the degenerate
-    // bucket is memory-bounded.
-    val capped = graft.operators.SubBuckets.withMembership(
+    graft.operators.SubBuckets.withMembership(
       banded, Seq(col("band"), col("bucket")), col("id"), maxBucket)
+  }
+
+  /** [[minhashCandidates]] from a precomputed (id, sig) signature table —
+    * the shape to use when several bandings probe the SAME corpus (the
+    * adaptive path): signatures are the expensive aggregate, banding is
+    * cheap, so compute them once and band per (bands, rows) split.
+    */
+  def minhashCandidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                                maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val capped = minhashBanded(sigs, k, bands, maxBucket)
 
     // Group docs per (band bucket, sub-bucket) and emit member pairs
     // directly — a self-join here is a diamond over the (expensive)
@@ -146,6 +166,116 @@ object Dedup {
             slice(col("sig_a"), b * rows + 1, lit(rows)),
             slice(col("sig_b"), b * rows + 1, lit(rows)),
             (x, y) => x === y), p => p))).cast("long").as("n_shared_bands"))
+  }
+
+  /** Banding-theorem band count for a k-hash MinHash signature: the
+    * FEWEST bands b (largest rows-per-band r = k/b — fewest false
+    * positives) whose catch probability 1 − (1 − s^r)^b at s =
+    * `minJaccard` reaches `recallTarget`. This replaces the constant
+    * (16, 4) default — whose theoretical catch probability at s = 0.3
+    * is only 0.12; it works on corpora whose true near-dups sit far
+    * above the threshold, and silently loses recall the moment the
+    * near-dup jaccard distribution drifts down toward it. Falls back to
+    * b = k (rows = 1, catch 1 − (1−s)^k ≈ 1) when no divisor split
+    * reaches the target.
+    */
+  def deriveMinhashBanding(k: Int, minJaccard: Double,
+                           recallTarget: Double = 0.95): Int = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minJaccard > 0 && minJaccard < 1,
+      s"minJaccard must be in (0,1), got $minJaccard")
+    require(recallTarget > 0 && recallTarget < 1,
+      s"recallTarget must be in (0,1), got $recallTarget")
+    (1 to k).filter(k % _ == 0).find { b =>
+      val r = k / b
+      1.0 - math.pow(1.0 - math.pow(minJaccard, r), b) >= recallTarget
+    }.getOrElse(k)
+  }
+
+  /** MinHash verified dedup with an ADAPTIVE banding: (bands,
+    * rows-per-band) start at the banding-theorem split for the target
+    * jaccard threshold ([[deriveMinhashBanding]]) instead of a constant,
+    * and the q_dedup_minhash shared-bands certificate is made
+    * self-correcting — if any VERIFIED pair shares fewer than
+    * `marginBands` band buckets (one hash perturbation from being
+    * missed), the banding escalates through the divisor ladder (more
+    * bands, fewer rows → lower catch threshold → higher recall) until
+    * the margin holds.
+    *
+    * Escalation is VOLUME-GUARDED exactly like
+    * [[simhashDedupAdaptive]]: before escalating, the next banding's
+    * candidate volume is bounded by ONE aggregate over its banded
+    * sub-buckets (Σ m(m−1)/2 — no pair materialized), and an escalation
+    * whose bound exceeds `maxCandidatesPerDoc` per document is refused
+    * with a loud warning — narrower bands on a corpus where they have
+    * lost selectivity is the quadratic cluster burn, not a recall fix.
+    *
+    * Signatures are computed once (localCheckpoint'd — k longs/doc) and
+    * re-banded per rung; each margin probe is one 1-row min-aggregate
+    * over that rung's verified pairs (near-dup-sized, also
+    * checkpoint'd), so the common no-escalation case costs one verify
+    * pass + one scalar probe. The usual observability caveat: a truth
+    * pair missed by the WIDEST probed banding is unobservable by
+    * construction — the shared-bands margin on the pairs we do see is
+    * the strongest in-plan signal available.
+    *
+    * Returns (verified pairs at the chosen banding, chosen band count).
+    */
+  def minhashDedupAdaptive(df: DataFrame, textCol: String, idCol: String,
+                           minJaccard: Double, k: Int = 64, n: Int = 3,
+                           marginBands: Int = 2, recallTarget: Double = 0.95,
+                           maxBucket: Int = 1000,
+                           maxCandidatesPerDoc: Int = 100): (DataFrame, Int) = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val sigs = minhashSignatures(df, textCol, idCol, k).localCheckpoint()
+    val nDocs = sigs.count()
+    val budget = maxCandidatesPerDoc.toLong * nDocs
+    val start = deriveMinhashBanding(k, minJaccard, recallTarget)
+    val ladder = (1 to k).filter(k % _ == 0).filter(_ >= start)
+    val probed = collection.mutable.Map.empty[Int, DataFrame]
+    def verifiedAt(b: Int): DataFrame = probed.getOrElseUpdate(b, {
+      val cand = minhashCandidatesFromSigs(sigs, k, b, maxBucket)
+      jaccardOnPairs(df, textCol, idCol, cand, "id_a", "id_b", n,
+        carry = Seq("n_shared_bands"))
+        .filter(col("jaccard") >= minJaccard)
+        .localCheckpoint()
+    })
+    // Upper bound on the pair-join output at band count b: one aggregate
+    // over the banded sub-buckets (stitch-pass members count twice — an
+    // over-estimate, so the guard can only over-refuse, never under).
+    def candidateVolume(b: Int): Long =
+      minhashBanded(sigs, k, b, maxBucket)
+        .groupBy(col("band"), col("bucket"), col("__pass"), col("__sub"))
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m") * (col("m") - lit(1L))), lit(0L)))
+        .head.getLong(0) / 2
+
+    var i = 0
+    var out: (DataFrame, Int) = null
+    while (out == null) {
+      val b = ladder(i)
+      val v = verifiedAt(b)
+      val minb = v.agg(coalesce(min(col("n_shared_bands")), lit(b.toLong)))
+        .head.getLong(0)
+      if (minb >= marginBands) out = (v, b)
+      else if (i + 1 == ladder.length) {
+        log.warn(s"minhashDedupAdaptive: a verified pair shares only $minb " +
+          s"band bucket(s) at the widest banding b=$b — recall may be " +
+          "incomplete; raise k for narrower bands")
+        out = (v, b)
+      } else {
+        val next = ladder(i + 1)
+        val vol = candidateVolume(next)
+        if (vol > budget) {
+          log.warn(s"minhashDedupAdaptive: banding b=$next admits ~$vol " +
+            s"candidate pairs (> $maxCandidatesPerDoc/doc over $nDocs docs) " +
+            s"— narrower bands have lost selectivity on this corpus; " +
+            s"keeping b=$b and its recall limit")
+          out = (v, b)
+        } else i += 1
+      }
+    }
+    out
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over

@@ -422,6 +422,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!gPairs.contains((0L, 9L)) && gPairs.contains((0L, 1L)), gPairs)
   }
 
+  test("deriveMinhashBanding follows the banding theorem") {
+    // k=64 at jaccard 0.3: (16,4) catches only 12% — the theorem picks
+    // (32,2), the first split reaching 95%
+    assert(Dedup.deriveMinhashBanding(64, 0.3) == 32)
+    // at jaccard 0.8 the classic (16,4) default IS the derived answer
+    assert(Dedup.deriveMinhashBanding(64, 0.8) == 16)
+    // no divisor split reaches the target -> rows=1 fallback
+    assert(Dedup.deriveMinhashBanding(4, 0.05) == 4)
+    intercept[IllegalArgumentException](Dedup.deriveMinhashBanding(64, 1.5))
+  }
+
+  test("minhashDedupAdaptive: derived banding is recall-superset, margin escalates, volume-guarded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // halving rows-per-band can only ADD candidates: a pair matching a
+    // 4-row band matches both its 2-row halves
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 64).localCheckpoint()
+    val at16 = Dedup.minhashCandidatesFromSigs(sigs, 64, 16).select("id_a", "id_b")
+    val at32 = Dedup.minhashCandidatesFromSigs(sigs, 64, 32).select("id_a", "id_b")
+    assert(at16.exceptAll(at32).isEmpty)
+
+    // the adaptive path on the real corpus: no escalation (margin holds
+    // at the derived b=32) and the verified output matches the fixed
+    // q_dedup_minhash regime exactly (both have complete recall here)
+    val (adaptive, b) = Dedup.minhashDedupAdaptive(docs, "text", "doc_id", minJaccard = 0.3)
+    assert(b == 32, s"expected the derived banding 32, got $b")
+    val fixed = Dedup.jaccardOnPairs(docs, "text", "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id").select("id_a", "id_b"),
+        "id_a", "id_b", 3).filter(col("jaccard") >= 0.3)
+    val aSet = adaptive.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fSet = fixed.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aSet == fSet, s"adaptive $aSet vs fixed $fSet")
+
+    // an unreachable margin walks the divisor ladder to its widest rung
+    // (64 one-row bands) and returns with the loud-warning path...
+    val tiny = Seq((0L, (0 until 40).map(i => s"w$i").mkString(" ")),
+        (1L, (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashDedupAdaptive(tiny, "text", "doc_id", 0.3,
+      marginBands = 1000)._2 == 64)
+    // ...unless the volume guard refuses the escalation budget
+    assert(Dedup.minhashDedupAdaptive(tiny, "text", "doc_id", 0.3,
+      marginBands = 1000, maxCandidatesPerDoc = 0)._2 == 32)
+  }
+
   test("Pq: seed self-reconstruction, code ranges, Lloyd monotonicity, ADC self-rank") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb0 = Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
