@@ -511,6 +511,87 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // Streaming has no DuckDB oracle (the harness oracles batch parquet),
+  // so this differential against the oracle-checked batch mirror is the
+  // strongest correctness check available for the streaming dedup path:
+  // identical docs through both pipelines must yield identical verified
+  // duplicate pairs and identical surviving corpora. The corpus keeps
+  // every dup group at 2 members, where the streaming first-seen-vs-later
+  // pairing and the batch all-pairs bucket pairing provably see the SAME
+  // pairs (a 3+ group agrees only on the keep-list: streaming pairs
+  // through the bucket's first doc while batch also pairs later members
+  // with each other — components still collapse identically).
+  test("batch-vs-stream differential: streaming dedup reproduces the batch mirror") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_diff").toString
+    val mem = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    val batch1 = Seq(
+      1L -> base,
+      5L -> "an entirely separate report about quarterly financial results and revenue growth")
+    val batch2 = Seq(
+      // cross-batch near-dup of doc 1 (one word changed): both paths drop it
+      2L -> base.replace("park", "rain"),
+      // false candidate vs doc 1 (shares a shingle run, true jaccard ~0.35):
+      // the verify stage must clear it in BOTH paths
+      3L -> "the quick brown fox jumps over the lazy elephant in a faraway circus tent",
+      // unrelated
+      4L -> "completely different content with no shared trigrams at all here",
+      // cross-batch EXACT dup of doc 5: the batch mirror's md5 path and the
+      // streaming jaccard-1.0 path must agree
+      6L -> "an entirely separate report about quarterly financial results and revenue growth")
+    val q = StreamingOps.streamingDedupVerified(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", dir, minJaccard = 0.8)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+
+      // keep-list equality: the streaming survivors ARE the batch keeps
+      val batchKeep = graft.dedup.Dedup
+        .dedupCorpusVerified(allDocs, "text", "doc_id", minJaccard = 0.8)
+        .filter(col("keep")).select(col("id")).as[Long].collect().toSet
+      val streamKeep = StreamingOps.currentKeepList(spark, dir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(streamKeep == batchKeep, s"stream $streamKeep vs batch $batchKeep")
+      assert(streamKeep == Set(1L, 3L, 4L, 5L))
+
+      // verified-pair equality: streaming dropped pairs = batch verified
+      // near-dup pairs ∪ batch exact-dup pairs
+      val streamDropped = spark.read.parquet(s"$dir/pairs")
+        .filter(col("dropped"))
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      val cand = graft.dedup.Dedup
+        .minhashCandidates(allDocs, "text", "doc_id").select(col("id_a"), col("id_b"))
+      val batchFuzzy = graft.dedup.Dedup
+        .jaccardOnPairs(allDocs, "text", "doc_id", cand, "id_a", "id_b", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      val exact = graft.dedup.Dedup
+        .exactByContent(allDocs, "text", "doc_id").filter(col("n_copies") > 1)
+      val batchExact = allDocs
+        .select(md5(col("text")).as("text_hash"), col("doc_id").as("other_id"))
+        .join(exact, "text_hash").filter(col("other_id") > col("keep_id"))
+        .select(col("keep_id"), col("other_id")).as[(Long, Long)].collect().toSet
+      assert(streamDropped == (batchFuzzy ++ batchExact),
+        s"stream $streamDropped vs batch fuzzy $batchFuzzy + exact $batchExact")
+
+      // the false candidate was examined and CLEARED by the streaming
+      // verify (present in the audit trail, not dropped)
+      val cleared = spark.read.parquet(s"$dir/pairs").filter(!col("dropped"))
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      assert(cleared.contains((1L, 3L)), cleared)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("purchaseAttribution: stream-stream join matches clicks in the hour before each purchase") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
