@@ -37,11 +37,16 @@ object Bench {
     // seconds for the dedup pipelines); warming on sf0.001 moves that
     // one-time cost out of the timed sf0.1 runs so numbers reflect
     // steady-state throughput.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-    }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local
+    // iteration on specific plans (the driver contract never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
 
     // SPARK_GRAFT_BENCH_REPS > 1 (default 1, the driver contract) runs
     // each query N times and records the per-query MEDIAN — one noisy
@@ -49,7 +54,9 @@ object Bench {
     // number 10x+ round-over-round and mask a real plan regression, so
     // local iteration should compare medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -70,7 +77,9 @@ object Bench {
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullLine")
-    try {
+    // Subset runs never touch the committed records — a partial queries
+    // map would clobber the full-run history the regression gate diffs.
+    try if (only.isEmpty) {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -85,10 +94,38 @@ object Bench {
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
+    // Per-query regression gate: diff this run against the committed
+    // median-of-3 record and name every query >2x its recorded median —
+    // one glance now answers the "302 s scare" class of question (noise
+    // or plan regression?). Single-shot runs carry per-query noise, so
+    // a hit here is a LEAD, confirmed by re-running with
+    // SPARK_GRAFT_BENCH_REPS=3; a clean gate on a single shot is strong
+    // evidence of no regression. The 0.5 s absolute floor keeps
+    // sub-second jitter (page cache, JIT) out of the report.
+    try {
+      val recPath = java.nio.file.Paths.get("BENCH_MEDIANS.json")
+      if (java.nio.file.Files.exists(recPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(recPath), "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        val rec = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val regressed = results
+          .filter { case (k, v) => rec.get(k).exists(r => v > 2 * r && v - r > 0.5) }
+          .sortBy { case (k, v) => -(v - rec(k)) }
+          .map { case (k, v) => f""""$k":"${rec(k)}%.2f->$v%.2f"""" }
+        val newQ = results.count { case (k, _) => !rec.contains(k) }
+        println(s"""BENCH_GATE {"vs":"BENCH_MEDIANS.json","over_2x":${regressed.size},""" +
+          s""""new_queries":$newQ,"detail":{${regressed.take(10).mkString(",")}}}""")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] regression gate failed: ${e.getMessage}")
+    }
+
     // Final line must fit (with sbt's trailing "[success] ..." line) inside
     // a 2000-char tail capture, or downstream parsing fails. Emit the
     // slowest queries first and stop before the line grows past the budget.
-    val budget  = 1600
+    val budget  = 1400
     val slowest = results.sortBy(-_._2)
     val sb      = new StringBuilder
     var n       = 0
