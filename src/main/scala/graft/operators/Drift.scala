@@ -77,8 +77,18 @@ object Drift {
   def numericDrift(a: DataFrame, b: DataFrame, valCol: String,
                    bins: Int = 10, shards: Int = 0): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // The 1-row edges frame is consumed by BOTH binned sides —
+    // materialize the percentile dataflow once. Materializing also lets
+    // the empty-reference case fail fast: with zero non-null reference
+    // values Percentiles.exact yields ZERO rows, and the broadcast
+    // crossJoin would silently empty snapshot b too (diverging from the
+    // oracle form, which bins all b rows into bin 0).
     val edges = Percentiles.exact(a, Nil, valCol,
       (1 until bins).map(_.toDouble / bins), out = "__edges", shards = shards)
+      .localCheckpoint()
+    require(!edges.isEmpty,
+      s"numericDrift: reference snapshot has no non-null '$valCol' values " +
+        "— quantile bin edges are undefined")
     def binned(df: DataFrame) = df
       .select(col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)

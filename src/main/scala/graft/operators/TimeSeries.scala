@@ -302,9 +302,19 @@ object TimeSeries {
     * cost knob set by `bucketWidth`, not a scale risk (141 daily
     * buckets → ~10k pairs at ANY corpus size). One output row:
     * `n_buckets`, `s_stat`, `var_s`, `mk_z`, `sen_slope`.
+    *
+    * CAVEAT: "corpus-independent" holds only for sane time ranges. A
+    * single outlier timestamp (epoch-0 sentinel, corrupt far-future
+    * date) silently inflates the min-to-max grid, and with it the
+    * T(T−1)/2 pair join — `maxBuckets` turns that silent blowup into a
+    * fail-fast. Clean the series (or widen `bucketWidth`) rather than
+    * raising the cap: 10k buckets ≈ 50M nested-loop pairs is already
+    * the practical ceiling for an audit statistic.
     */
-  def mannKendall(df: DataFrame, tsCol: String, bucketWidth: Long): DataFrame = {
+  def mannKendall(df: DataFrame, tsCol: String, bucketWidth: Long,
+                  maxBuckets: Long = 10000): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxBuckets > 0, s"maxBuckets must be > 0, got $maxBuckets")
     val spark = df.sparkSession
     val counts = df.filter(col(tsCol).isNotNull)
       .groupBy(expr(s"$tsCol div $bucketWidth").as("h"))
@@ -315,6 +325,12 @@ object TimeSeries {
         col("id").as("s_stat"), lit(null).cast("double").as("var_s"),
         lit(null).cast("double").as("mk_z"),
         lit(null).cast("double").as("sen_slope"))
+    val span = bounds.getLong(1) - bounds.getLong(0) + 1
+    require(span <= maxBuckets,
+      s"mannKendall grid spans $span buckets (> maxBuckets=$maxBuckets): " +
+        s"the T(T-1)/2 pair join would materialize ~${span * (span - 1) / 2} " +
+        "pairs. An outlier timestamp usually causes this — filter the series " +
+        "to its sane range or widen bucketWidth.")
     val series = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
       .toDF("h")
       .join(counts, Seq("h"), "left")

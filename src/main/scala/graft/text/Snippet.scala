@@ -71,7 +71,7 @@ object Snippet {
         col("__best.hits").cast("long").as("hits"),
         concat_ws(" ", slice(col("__toks"), -col("__best.ns") + 1, lit(window)))
           .as("snippet"))
-      .orderBy(col("hits").desc, col(idCol))
+      .orderBy(col("hits").desc_nulls_last, col(idCol))
       .limit(topK)
       .filter(col("hits").isNotNull)
   }
