@@ -2721,6 +2721,40 @@ object SparkEntry {
       graft.text.Vocab.topK(docs, "text", 100))
   }
 
+  /** First BPE merge round: adjacent character-pair counts over the
+    * word-count vocabulary table, weighted by word frequency — the one
+    * pair-vocab-sized shuffle every [[graft.text.Bpe.train]] iteration
+    * pays. Top 20 under the (count desc, a, b) total order. */
+  private def qBpePairs(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.pairCounts(
+        graft.text.Bpe.wordTable(Tables.documents(s, d), "text"))
+      .orderBy(col("pair_cnt").desc, col("a"), col("b"))
+      .limit(20)
+
+  /** Ten canonical BPE merges trained distributed on the corpus
+    * ([[graft.text.Bpe.train]], batch=1 = exact greedy). The DuckDB
+    * oracle replays the identical iterations unrolled, applying each
+    * merge with a separator-encoded left-to-right string replace —
+    * the same non-overlapping greedy semantics as the Spark fold
+    * (BpeSpec proves the fold against a single-node reference). */
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.train(Tables.documents(s, d), "text", nMerges = 10)
+      .select(col("rank"), col("left").as("left_sym"),
+        col("right").as("right_sym"), col("pair_cnt"))
+
+  /** Per-doc subword statistics after applying the 10 trained merges:
+    * merge application is vocab-sized work, then the (word →
+    * n_subwords) table is BROADCAST back onto the exploded corpus
+    * ([[graft.text.Bpe.tokenStats]]). The 10-row driver collect of the
+    * merge table is bounded by construction. */
+  private def qBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.text.Bpe.train(docs, "text", nMerges = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.tokenStats(docs, "text", "doc_id", merges)
+  }
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3230,6 +3264,9 @@ object SparkEntry {
     "q_salted_agg"     -> (qSaltedAgg _),
     "q_frame_sample"   -> (qFrameSample _),
     "q_top_tokens"     -> (qTopTokens _),
+    "q_bpe_pairs"      -> (qBpePairs _),
+    "q_bpe_train"      -> (qBpeTrain _),
+    "q_bpe_tokenize"   -> (qBpeTokenize _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
@@ -3628,6 +3665,48 @@ object SparkEntry {
     * data's convergence depth (5 at sf0.01) replays [[graft.graph.KCore
     * .kCore]]'s converged answer exactly; the 3 spare rounds are no-ops.
     */
+  /** BPE merge-replay oracle pieces: symbols ride encoded as
+    * U+001F <sym>U+001E , so applying merge (a,b) is a plain `replace`
+    * of U+001F aU+001E U+001F bU+001E  with U+001F abU+001E  — string
+    * replace scans left-to-right, never rescans its own output, and
+    * the U+001E  terminator blocks prefix false-matches, which is
+    * EXACTLY the greedy fold in [[graft.text.Bpe]] (BpeSpec pins the
+    * fold against a single-node reference; the overlap cases aaa/aaaa
+    * were hand-verified identical in both engines). Control-char
+    * separators cannot occur in the corpus text. */
+  private val BpeSep = "\u001f"
+  private val BpeTer = "\u001e"
+
+  /** Unrolled `n`-iteration canonical-BPE CTE chain: per iteration one
+    * pair count + 1-row argmax (count desc, a, b — the trainer's tie
+    * order) + one replace. MATERIALIZED guards the doubly-referenced
+    * w\$t from exponential CTE inlining. */
+  private def bpeMergeCtes(n: Int): String = {
+    val base = s"""words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+      w0 AS MATERIALIZED (SELECT word, cnt, '$BpeSep' || array_to_string(
+          list_transform(string_split(word, ''), c -> c || '$BpeTer$BpeSep'), '')
+          || '</w>$BpeTer' AS enc FROM words)"""
+    val iters = (0 until n).map { t =>
+      s"""s$t AS (SELECT cnt,
+        string_split(trim(enc, '$BpeSep$BpeTer'), '$BpeTer$BpeSep') AS syms
+        FROM w$t),
+      p$t AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS c
+        FROM s$t, unnest(generate_series(1, len(syms) - 1)) t(i)
+        GROUP BY 1, 2),
+      b$t AS MATERIALIZED (SELECT a, b, c FROM p$t
+        ORDER BY c DESC, a, b LIMIT 1),
+      w${t + 1} AS MATERIALIZED (SELECT w.word, w.cnt, replace(w.enc,
+          '$BpeSep' || b.a || '$BpeTer$BpeSep' || b.b || '$BpeTer',
+          '$BpeSep' || b.a || b.b || '$BpeTer') AS enc
+        FROM w$t w CROSS JOIN b$t b)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + iters
+  }
+
   private val KCoreOracleRounds = 8
   private val KCorePeelCtes: String = (1 to KCoreOracleRounds).map { i =>
     s"""k$i AS MATERIALIZED (
@@ -4921,6 +5000,34 @@ object SparkEntry {
               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
             FROM c)
       SELECT lang, tok, n, rn FROM r WHERE rn <= 3""",
+    "q_bpe_pairs" -> """
+      WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+      s AS (SELECT cnt, list_append(string_split(word, ''), '</w>') AS syms FROM w),
+      p AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS pair_cnt
+        FROM s, unnest(generate_series(1, len(syms) - 1)) t(i) GROUP BY 1, 2)
+      SELECT a, b, CAST(pair_cnt AS BIGINT) AS pair_cnt FROM p
+      ORDER BY pair_cnt DESC, a, b LIMIT 20""",
+    "q_bpe_train" -> s"""
+      WITH ${bpeMergeCtes(10)}
+      ${(0 until 10).map(t =>
+        s"SELECT CAST(${t + 1} AS BIGINT) AS rank, a AS left_sym," +
+          s" b AS right_sym, CAST(c AS BIGINT) AS pair_cnt FROM b$t")
+        .mkString("\n      UNION ALL\n      ")}""",
+    "q_bpe_tokenize" -> s"""
+      WITH ${bpeMergeCtes(10)},
+      sub AS (SELECT word, CAST(len(string_split(trim(enc, '$BpeSep$BpeTer'),
+          '$BpeTer$BpeSep')) AS BIGINT) AS n_sub FROM w10),
+      tok AS (SELECT doc_id,
+          unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents),
+      tk AS (SELECT doc_id, word FROM tok WHERE len(word) > 0)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+        round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subword_ratio
+      FROM tk JOIN sub USING (word) GROUP BY 1""",
     // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
     // spelled as a subtraction so both engines produce the identical double
     "q_pagerank" -> s"""

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+/** BPE tokenizer training: hand-computed merges on the classic corpus,
+  * then a differential check of the distributed trainer against a
+  * single-node reference implementation on the real sf0.001 corpus —
+  * the same batch-vs-independent-implementation discipline as the
+  * streaming dedup spec. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Single-node canonical BPE (greedy, left-to-right non-overlapping,
+    * ties lexicographic on (a, b)) — the oracle for the differential
+    * test. Plain Scala, no Spark. */
+  private def referenceBpe(words: Map[String, Long],
+                           nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ Bpe.EndOfWord) -> c
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.length < nMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("train reproduces the hand-computed merges on the classic corpus") {
+    // Sennrich's worked example shape: suffix 'est</w>' should win.
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val merges = Bpe.train(docs, "text", nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // 9 'est' words: (e,s)=9 wins first (ties on 9 broken lexically:
+    // (e,s) < (s,t) < (t,</w>)), then (es,t)=9, then (est,</w>)=9,
+    // then (l,o)=7.
+    assert(merges(0) == ((1L, "e", "s", 9L)), merges.mkString(","))
+    assert(merges(1) == ((2L, "es", "t", 9L)))
+    assert(merges(2) == ((3L, "est", "</w>", 9L)))
+    assert(merges(3) == ((4L, "l", "o", 7L)))
+  }
+
+  test("applyMerge fold is left-to-right non-overlapping (aaa -> [aa, a])") {
+    val docs = Seq("aaa aaaa").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val merges = Bpe.train(docs, "text", nMerges = 1).collect()
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "a")
+    // count of (a,a) pairs: 'aaa' has 2, 'aaaa' has 3 -> 5
+    assert(merges(0).getLong(3) == 5L)
+  }
+
+  test("distributed train matches the single-node reference on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val words = Bpe.wordTable(docs, "text")
+      .select("word", "cnt").as[(String, Long)].collect().toMap
+    val expected = referenceBpe(words, nMerges = 25)
+    val got = Bpe.train(docs, "text", nMerges = 25).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"distributed=${got.take(8)} reference=${expected.take(8)}")
+  }
+
+  test("batched merging picks symbol-disjoint pairs and stays valid") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val merges = Bpe.train(docs, "text", nMerges = 12, mergesPerRound = 4)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    // every merge pair must be buildable from its predecessors' outputs
+    // or single chars — i.e. the merge list is a valid derivation.
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      def ok(s: String) =
+        s.length == 1 || s == Bpe.EndOfWord || known.contains(s)
+      assert(ok(a) && ok(b), s"merge ($a,$b) uses an underivable symbol")
+      known += a + b
+    }
+    assert(merges.length == 12)
+  }
+
+  test("tokenStats compresses and is consistent (n_subwords <= chars+1 per word)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val mergeRows = Bpe.train(docs, "text", nMerges = 20).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val stats = Bpe.tokenStats(docs, "text", "doc_id", mergeRows)
+    val row = stats.agg(sum("n_words"), sum("n_subwords")).head()
+    val (nw, ns) = (row.getLong(0), row.getLong(1))
+    // with the </w> marker, untrained would be chars+1 per word; after
+    // 20 merges the corpus must compress strictly below that bound and
+    // stay at or above one subword per word.
+    val chars = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(ns < chars + nw, s"no compression: ns=$ns chars+nw=${chars + nw}")
+    assert(ns >= nw)
+    assert(stats.filter(col("subword_ratio") < 1.0).count() == 0)
+  }
+}
