@@ -2755,6 +2755,65 @@ object SparkEntry {
     graft.text.Bpe.tokenStats(docs, "text", "doc_id", merges)
   }
 
+  /** Shared Fellegi–Sunter field model for the q_linkage_* pair:
+    * (m, u) priors per field; the log2 weights are literal doubles
+    * (Double.toString) interpolated into BOTH the Spark plan and the
+    * oracle text, so the two engines parse identical constants. The
+    * name agreement thresholds the 6-dp-ROUNDED Jaro–Winkler — rounding
+    * first makes the boundary comparison engine-identical (the raw
+    * similarity is proven equal by q_jaro_verify). */
+  private val LinkageFields = Seq(
+    graft.operators.RecordLinkage.FieldSpec("name",
+      (a, b) => round(graft.functions.JaroWinkler.jaroWinkler(a, b)
+        + lit(1e-12), 6) >= 0.9, m = 0.95, u = 0.02),
+    graft.operators.RecordLinkage.FieldSpec("seg",
+      (a, b) => a === b, m = 0.90, u = 0.20),
+    graft.operators.RecordLinkage.FieldSpec("acct",
+      (a, b) => abs(a - b) <= 50.0, m = 0.85, u = 0.05))
+
+  /** Deterministic noisy-duplicate benchmark: side A is customer with
+    * an md5-derived 12-hex pseudo-name; side B re-keys every entity
+    * (+1e6) and perturbs it — every 3rd name drops its 5th character,
+    * every 11th segment is blanked to UNKNOWN, balances shift by
+    * (key mod 7 - 3). Blocked on nation. */
+  private def linkageSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val c = Tables.customer(s, d)
+    val nm = substring(md5(col("c_custkey").cast("string")), 1, 12)
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("ent"),
+      nm.as("name"), col("c_mktsegment").as("seg"), col("c_acctbal").as("acct"))
+    val b = c.select(col("c_nationkey"),
+      (col("c_custkey") + 1000000L).as("ent"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(nm, 1, 4), substring(nm, 6, 100)))
+        .otherwise(nm).as("name"),
+      when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      (col("c_acctbal") + (col("c_custkey") % 7 - lit(3)).cast("double"))
+        .as("acct"))
+    (a, b)
+  }
+
+  /** Fellegi–Sunter linkage scores over the nation-blocked candidate
+    * pairs, keeping match/possible decisions only
+    * ([[graft.operators.RecordLinkage.score]]). */
+  private def qLinkageScore(s: SparkSession, d: String): DataFrame = {
+    val (a, b) = linkageSides(s, d)
+    graft.operators.RecordLinkage.score(a, b, "ent", Seq("c_nationkey"),
+        LinkageFields, upper = 6.0, lower = 0.0)
+      .filter(col("decision") =!= "nonmatch")
+  }
+
+  /** Exact agreement-pattern counts over ALL blocked pairs — the 2^k
+    * driver-sized table an EM m/u re-estimation runs over
+    * ([[graft.operators.RecordLinkage.patternCounts]]). */
+  private def qLinkagePatterns(s: SparkSession, d: String): DataFrame = {
+    val (a, b) = linkageSides(s, d)
+    graft.operators.RecordLinkage.patternCounts(
+      graft.operators.RecordLinkage.score(a, b, "ent", Seq("c_nationkey"),
+        LinkageFields, upper = 6.0, lower = 0.0),
+      LinkageFields)
+  }
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3267,6 +3326,8 @@ object SparkEntry {
     "q_bpe_pairs"      -> (qBpePairs _),
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_tokenize"   -> (qBpeTokenize _),
+    "q_linkage_score"  -> (qLinkageScore _),
+    "q_linkage_patterns" -> (qLinkagePatterns _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
@@ -3705,6 +3766,42 @@ object SparkEntry {
         FROM w$t w CROSS JOIN b$t b)"""
     }.mkString(",\n      ")
     base + ",\n      " + iters
+  }
+
+  /** Fellegi–Sunter oracle: mirrors [[linkageSides]] + [[graft
+    * .operators.RecordLinkage.score]] with the SAME literal weights
+    * (Double.toString of the Scala-computed log2 ratios) and the same
+    * left-associated addition order, so the double weight is
+    * bit-identical before the 6-dp round. */
+  private lazy val LinkageOracleCtes: String = {
+    val Seq(fn, fs, fa) = LinkageFields
+    s"""a AS (SELECT c_nationkey, c_custkey AS id_a,
+        substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name_a,
+        c_mktsegment AS seg_a, c_acctbal AS acct_a FROM customer),
+      b AS (SELECT c_nationkey, c_custkey + 1000000 AS id_b,
+        CASE WHEN c_custkey % 3 = 0 THEN
+            substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), 1, 4)
+            || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), 6)
+          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) END AS name_b,
+        CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+          ELSE c_mktsegment END AS seg_b,
+        c_acctbal + CAST(c_custkey % 7 - 3 AS DOUBLE) AS acct_b
+        FROM customer),
+      p AS (SELECT id_a, id_b,
+        CASE WHEN round(jaro_winkler_similarity(name_a, name_b) + 1e-12, 6)
+          >= 0.9 THEN 1 ELSE 0 END AS agr_name,
+        CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS agr_seg,
+        CASE WHEN abs(acct_a - acct_b) <= 50.0 THEN 1 ELSE 0 END AS agr_acct
+        FROM a JOIN b USING (c_nationkey)),
+      w AS (SELECT id_a, id_b,
+        CAST(agr_name AS BIGINT) AS agr_name,
+        CAST(agr_seg AS BIGINT) AS agr_seg,
+        CAST(agr_acct AS BIGINT) AS agr_acct,
+        round((CASE WHEN agr_name = 1 THEN ${fn.wAgree} ELSE ${fn.wDisagree} END)
+            + (CASE WHEN agr_seg = 1 THEN ${fs.wAgree} ELSE ${fs.wDisagree} END)
+            + (CASE WHEN agr_acct = 1 THEN ${fa.wAgree} ELSE ${fa.wDisagree} END)
+            + 1e-12, 6) AS weight
+        FROM p)"""
   }
 
   private val KCoreOracleRounds = 8
@@ -5028,6 +5125,17 @@ object SparkEntry {
         CAST(sum(n_sub) AS BIGINT) AS n_subwords,
         round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subword_ratio
       FROM tk JOIN sub USING (word) GROUP BY 1""",
+    "q_linkage_score" -> s"""
+      WITH $LinkageOracleCtes
+      SELECT id_a, id_b, agr_name, agr_seg, agr_acct, weight,
+        CASE WHEN weight >= 6.0 THEN 'match'
+             WHEN weight >= 0.0 THEN 'possible'
+             ELSE 'nonmatch' END AS decision
+      FROM w WHERE weight >= 0.0""",
+    "q_linkage_patterns" -> s"""
+      WITH $LinkageOracleCtes
+      SELECT agr_name, agr_seg, agr_acct, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM w GROUP BY 1, 2, 3""",
     // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
     // spelled as a subtraction so both engines produce the identical double
     "q_pagerank" -> s"""
