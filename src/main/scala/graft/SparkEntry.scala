@@ -2814,6 +2814,46 @@ object SparkEntry {
       LinkageFields)
   }
 
+  /** Fleiss' kappa across three deterministic raters of each document
+    * (truth label, the n-gram language identifier, and a doc_id-keyed
+    * uniform pseudo-rater) — the multi-annotator agreement audit
+    * ([[graft.operators.Calibration.fleissKappa]]). */
+  private def qFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
+    val ratings = docs.select(col("doc_id"), col("lang").as("cat"))
+      .unionByName(docs.select(col("doc_id"),
+        graft.text.TextFns.langId(col("text")).as("cat")))
+      .unionByName(docs.select(col("doc_id"),
+        element_at(langs, (col("doc_id") % 5 + 1).cast("int")).as("cat")))
+    graft.operators.Calibration.fleissKappa(ratings, "doc_id", "cat",
+      nRaters = 3)
+  }
+
+  /** Functional-dependency audit across four tables' candidate
+    * det → dep pairs: exact violating-group counts and g3 repair cost
+    * ([[graft.operators.Profile.functionalDeps]]). n_nationkey →
+    * n_regionkey and p_partkey → p_brand hold (keys); the rest are
+    * expected failures with measured repair cost. */
+  private def qFdAudit(s: SparkSession, d: String): DataFrame = {
+    val fd = graft.operators.Profile.functionalDeps _
+    fd(Tables.nation(s, d), "nation",
+        Seq(("n_nationkey", "n_regionkey"), ("n_name", "n_regionkey")))
+      .unionByName(fd(Tables.part(s, d), "part",
+        Seq(("p_brand", "p_type"), ("p_partkey", "p_brand"))))
+      .unionByName(fd(Tables.orders(s, d), "orders",
+        Seq(("o_custkey", "o_orderpriority"))))
+      .unionByName(fd(Tables.customer(s, d), "customer",
+        Seq(("c_nationkey", "c_mktsegment"))))
+  }
+
+  /** Additive moving-average decomposition of the daily event series:
+    * 7-day centered trend, day-of-week seasonal index, residual
+    * ([[graft.operators.TimeSeries.trendDecompose]]). */
+  private def qTrendDecompose(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.trendDecompose(Tables.events(s, d), "ts",
+      bucketWidth = 86400000000000L, period = 7, halfWindow = 3)
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3328,6 +3368,9 @@ object SparkEntry {
     "q_bpe_tokenize"   -> (qBpeTokenize _),
     "q_linkage_score"  -> (qLinkageScore _),
     "q_linkage_patterns" -> (qLinkagePatterns _),
+    "q_fleiss_kappa"   -> (qFleissKappa _),
+    "q_fd_audit"       -> (qFdAudit _),
+    "q_trend_decompose" -> (qTrendDecompose _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
@@ -3803,6 +3846,21 @@ object SparkEntry {
             + 1e-12, 6) AS weight
         FROM p)"""
   }
+
+  /** One functional-dependency candidate's oracle branch — mirrors
+    * [[graft.operators.Profile.functionalDeps]]'s two-level exact
+    * aggregate. */
+  private def fdOracleBranch(table: String, det: String, dep: String): String =
+    s"""SELECT '$table' AS tbl, '$det' AS det_col, '$dep' AS dep_col,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS violating_groups,
+        CAST(sum(rw - kp) AS BIGINT) AS g3_rows,
+        CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+          THEN 1 ELSE 0 END AS BIGINT) AS holds
+      FROM (SELECT dt, count(*) AS nd, sum(n) AS rw, max(n) AS kp
+        FROM (SELECT $det AS dt, $dep AS dp, count(*) AS n
+          FROM $table GROUP BY 1, 2) GROUP BY 1)"""
 
   private val KCoreOracleRounds = 8
   private val KCorePeelCtes: String = (1 to KCoreOracleRounds).map { i =>
@@ -5136,6 +5194,68 @@ object SparkEntry {
       WITH $LinkageOracleCtes
       SELECT agr_name, agr_seg, agr_acct, CAST(count(*) AS BIGINT) AS n_pairs
       FROM w GROUP BY 1, 2, 3""",
+    // same exact-long-sums-then-fixed-order-doubles algebra as the
+    // Spark side, so p_bar/p_e/kappa are bit-identical pre-round
+    "q_fleiss_kappa" -> s"""
+      WITH r AS (
+        SELECT doc_id, lang AS cat FROM documents
+        UNION ALL SELECT doc_id,
+          ${graft.text.TextFns.langIdOracleSql("text")} AS cat FROM documents
+        UNION ALL SELECT doc_id,
+          (['de','en','es','fr','zh'])[CAST(doc_id % 5 AS INT) + 1] AS cat
+        FROM documents),
+      nij AS (SELECT doc_id, cat, count(*) AS n FROM r GROUP BY 1, 2),
+      per AS (SELECT doc_id, sum(n * n) AS s2 FROM nij GROUP BY 1),
+      it AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(s2) AS BIGINT) AS sum_s2 FROM per),
+      ct AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sum_cj2
+        FROM (SELECT sum(n) AS cj FROM nij GROUP BY cat))
+      SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+        round(CAST(sum_s2 - n_items * 3 AS DOUBLE)
+          / (CAST(n_items AS DOUBLE) * CAST(6 AS DOUBLE)) + 1e-12, 6) AS p_bar,
+        round(CAST(sum_cj2 AS DOUBLE)
+          / ((CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))
+           * (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) + 1e-12, 6) AS p_e,
+        round((CAST(sum_s2 - n_items * 3 AS DOUBLE)
+            / (CAST(n_items AS DOUBLE) * CAST(6 AS DOUBLE))
+          - CAST(sum_cj2 AS DOUBLE)
+            / ((CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))
+             * (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))))
+          / (1.0 - CAST(sum_cj2 AS DOUBLE)
+            / ((CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))
+             * (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))))
+          + 1e-12, 6) AS kappa
+      FROM it CROSS JOIN ct""",
+    "q_fd_audit" -> Seq(
+        fdOracleBranch("nation", "n_nationkey", "n_regionkey"),
+        fdOracleBranch("nation", "n_name", "n_regionkey"),
+        fdOracleBranch("part", "p_brand", "p_type"),
+        fdOracleBranch("part", "p_partkey", "p_brand"),
+        fdOracleBranch("orders", "o_custkey", "o_orderpriority"),
+        fdOracleBranch("customer", "c_nationkey", "c_mktsegment"))
+      .mkString("\n      UNION ALL\n      "),
+    "q_trend_decompose" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+          count(*) AS n FROM events GROUP BY 1),
+      b AS (SELECT min(bucket) AS h0, max(bucket) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS bucket FROM b),
+      s AS (SELECT g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN c USING (bucket)),
+      t AS (SELECT bucket, n_events,
+          round(CAST(sum(n_events) OVER w AS DOUBLE)
+            / CAST(count(*) OVER w AS DOUBLE) + 1e-12, 6) AS trend,
+          bucket % 7 AS phase
+        FROM s WINDOW w AS (ORDER BY bucket
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, CAST(round(CAST(n_events AS DOUBLE) - trend
+          + 1e-12, 6) AS DECIMAL(18,6)) AS detr FROM t),
+      se AS (SELECT phase, round(CAST(sum(detr) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS seasonal
+        FROM dt GROUP BY 1)
+      SELECT bucket, n_events, trend, CAST(phase AS BIGINT) AS phase,
+        seasonal,
+        round(CAST(detr AS DOUBLE) - seasonal + 1e-12, 6) AS residual
+      FROM dt JOIN se USING (phase)""",
     // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
     // spelled as a subtraction so both engines produce the identical double
     "q_pagerank" -> s"""

@@ -158,4 +158,54 @@ object Calibration {
           .otherwise(round((po - pe) / (lit(1.0) - pe) + lit(1e-12), 6))
           .as("kappa"))
   }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for a
+    * FIXED number `nRaters` of ratings per item, the multi-annotator
+    * generalization of [[cohenKappa]]. `ratings` is the long table
+    * (one row per (item, rating)); items with a different rating count
+    * are rejected up front (a silent drop would bias P-bar).
+    *
+    * All sums ride exact longs — sum of per-item squared category
+    * counts for P-bar, squared category totals for P-e — so the only
+    * doubles are the final few divisions in fixed expression order:
+    * order-independent, engine-identical. Shape: one (item, category)
+    * aggregate (map-side combined), one item-level rollup, one
+    * k-row category rollup; nothing driver-side. Output one row:
+    * n_items, n_raters, p_bar, p_e, kappa (rounded 6). */
+  def fleissKappa(ratings: DataFrame, itemCol: String, catCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val nij = ratings.filter(col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = nij.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"), sum(col("__n") * col("__n")).as("__s2"))
+    val items = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__s2")).as("__sumS2"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"))
+    val cats = nij.groupBy(col("__c")).agg(sum(col("__n")).as("__cj"))
+      .agg(sum(col("__cj") * col("__cj")).as("__sumCj2"))
+    val n = lit(nRaters.toLong)
+    val nD = col("n_items").cast("double")
+    val pBar = (col("__sumS2") - col("n_items") * n).cast("double") /
+      (nD * (n * (n - 1)).cast("double"))
+    val pE = col("__sumCj2").cast("double") /
+      ((nD * n.cast("double")) * (nD * n.cast("double")))
+    items.crossJoin(broadcast(cats))
+      .select(col("n_items"), col("__nmin"), col("__nmax"),
+        n.as("n_raters"), col("__sumS2"), col("__sumCj2"))
+      .withColumn("__ok",
+        when(col("__nmin") === n && col("__nmax") === n, lit(true))
+          .otherwise(raise_error(format_string("fleissKappa: every item " +
+            s"needs exactly $nRaters ratings; found counts in [%d, %d]",
+            col("__nmin"), col("__nmax")))))
+      .filter(col("__ok"))
+      .select(col("n_items"), col("n_raters"),
+        round(pBar + lit(1e-12), 6).as("p_bar"),
+        round(pE + lit(1e-12), 6).as("p_e"),
+        when(pE === 1.0, lit(null).cast("double"))
+          .otherwise(round((pBar - pE) / (lit(1.0) - pE) + lit(1e-12), 6))
+          .as("kappa"))
+  }
 }

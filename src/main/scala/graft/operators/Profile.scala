@@ -93,4 +93,38 @@ object Profile {
         round((pObs - pExp) * (pObs - pExp) / pExp
           * col("__n").cast("double") + lit(1e-12), 6).as("chi2_term"))
   }
+
+  /** Functional-dependency audit: for each candidate det → dep pair,
+    * exact violation counts and the g3 repair cost (minimum rows to
+    * delete for the FD to hold — Kivinen & Mannila 1995's g3 measure).
+    *
+    * Shape per candidate: one two-column-pruned scan into a
+    * (det, dep) hash aggregate — the shuffle carries one row per
+    * DISTINCT (det, dep), never the data — then a det-level rollup
+    * and a 1-row summary. Candidates union at plan level (k is a
+    * config-sized constant); each branch reads only its two columns,
+    * so the k-candidate audit costs k pruned scans, not k full ones.
+    * Output per candidate: tbl, det_col, dep_col, n_groups,
+    * violating_groups, g3_rows, holds (1/0 long).
+    */
+  def functionalDeps(df: DataFrame, table: String,
+                     candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "functionalDeps needs candidates")
+    candidates.map { case (det, dep) =>
+      df.select(col(det).as("__det"), col(dep).as("__dep"))
+        .groupBy(col("__det"), col("__dep"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__det"))
+        .agg(count(lit(1)).as("__ndep"), sum(col("__n")).as("__rows"),
+          max(col("__n")).as("__keep"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__ndep") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(col("__rows") - col("__keep")).as("g3_rows"))
+        .select(lit(table).as("tbl"), lit(det).as("det_col"),
+          lit(dep).as("dep_col"), col("n_groups"), col("violating_groups"),
+          col("g3_rows"),
+          when(col("violating_groups") === 0, 1L).otherwise(0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

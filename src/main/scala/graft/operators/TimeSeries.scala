@@ -365,4 +365,64 @@ object TimeSeries {
               .otherwise(lit(0.0)) + lit(1e-12), 6)).as("mk_z"),
         round(element_at(col("__ps"), 1) + lit(1e-12), 6).as("sen_slope"))
   }
+
+  /** Classical moving-average decomposition of an event-count series:
+    * count per bucket → centered (2·halfWindow+1)-row moving-average
+    * TREND → per-phase mean of the detrended series (SEASONAL index,
+    * phase = bucket mod period) → RESIDUAL. The additive little
+    * sibling of STL, and the standard first look at a telemetry
+    * series.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined
+    * count aggregate; everything after runs on the densified bucket
+    * grid, which is time-range-bounded (span-guarded against outlier
+    * timestamps exactly like [[mannKendall]]) — so the unpartitioned
+    * trend window orders a bounded series, not the corpus. Detrended
+    * values are rounded to 6 dp and summed as DECIMAL(18,6), making
+    * the per-phase means order-independent and engine-identical.
+    *
+    * Output per bucket: bucket, n_events, trend, phase, seasonal,
+    * residual (trend/seasonal/residual rounded to 6 dp).
+    */
+  def trendDecompose(df: DataFrame, tsCol: String, bucketWidth: Long,
+                     period: Int, halfWindow: Int = 3,
+                     maxBuckets: Long = 100000): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val spark = df.sparkSession
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"$tsCol div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = counts.agg(min(col("bucket")), max(col("bucket"))).head
+    require(!bounds.isNullAt(0), "trendDecompose: empty series")
+    val span = bounds.getLong(1) - bounds.getLong(0) + 1
+    require(span <= maxBuckets,
+      s"trendDecompose grid spans $span buckets (> maxBuckets=" +
+        s"$maxBuckets) — an outlier timestamp usually causes this; " +
+        "filter the series or widen bucketWidth.")
+    val series = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(-halfWindow, halfWindow)
+    // single long-division per row: deterministic IEEE, then 6-dp round
+    val trended = series.select(col("bucket"), col("n_events"),
+      round(sum(col("n_events")).over(w).cast("double")
+        / count(lit(1)).over(w).cast("double") + lit(1e-12), 6).as("trend"),
+      pmod(col("bucket"), lit(period.toLong)).as("phase"))
+      .withColumn("__detr",
+        round(col("n_events").cast("double") - col("trend") + lit(1e-12), 6)
+          .cast("decimal(18,6)"))
+    val seasonal = trended.groupBy(col("phase"))
+      .agg(round(sum(col("__detr")).cast("double")
+        / count(lit(1)).cast("double") + lit(1e-12), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("phase"))
+      .select(col("bucket"), col("n_events"), col("trend"), col("phase"),
+        col("seasonal"),
+        round(col("__detr").cast("double") - col("seasonal") + lit(1e-12), 6)
+          .as("residual"))
+  }
 }
