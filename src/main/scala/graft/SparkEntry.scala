@@ -2854,6 +2854,26 @@ object SparkEntry {
     graft.operators.TimeSeries.trendDecompose(Tables.events(s, d), "ts",
       bucketWidth = 86400000000000L, period = 7, halfWindow = 3)
 
+  /** Fixed-point power iteration to the dominant eigenvector of the
+    * embedding Gram matrix — the engine-exact PCA-1 (every step
+    * integer arithmetic, so the oracle replays it bit-for-bit;
+    * [[graft.similarity.EmbedStats.powerIterationFp]]). 64 rows. */
+  private def qPowerIter(s: SparkSession, d: String): DataFrame = {
+    val v = graft.similarity.EmbedStats.powerIterationFp(
+      Tables.embeddings(s, d), "embedding", dim = 64, iters = 64)
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toSeq.toDF("pos", "v_fp")
+  }
+
+  /** Every embedding's exact integer projection onto the fixed-point
+    * dominant eigenvector — the distributed, zero-shuffle scan half of
+    * the power-iteration PCA
+    * ([[graft.similarity.EmbedStats.powerProjectFp]]). */
+  private def qPowerProject(s: SparkSession, d: String): DataFrame =
+    graft.similarity.EmbedStats.powerProjectFp(
+      Tables.embeddings(s, d), "embedding", "vec_id", dim = 64, iters = 64)
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3371,6 +3391,8 @@ object SparkEntry {
     "q_fleiss_kappa"   -> (qFleissKappa _),
     "q_fd_audit"       -> (qFdAudit _),
     "q_trend_decompose" -> (qTrendDecompose _),
+    "q_power_iter"     -> (qPowerIter _),
+    "q_power_project"  -> (qPowerProject _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
@@ -3861,6 +3883,39 @@ object SparkEntry {
       FROM (SELECT dt, count(*) AS nd, sum(n) AS rw, max(n) AS kp
         FROM (SELECT $det AS dt, $dep AS dp, count(*) AS n
           FROM $table GROUP BY 1, 2) GROUP BY 1)"""
+
+  /** Fixed-point power-iteration oracle: the identical integer
+    * computation as [[graft.similarity.EmbedStats.powerIterationFp]],
+    * unrolled — quantize (round x*1000), exact integer Gram, truncating
+    * integer-division rescales (DuckDB `//` truncates toward zero,
+    * matching Scala Long `/`), `iters` matvec rounds. Every value is an integer, so parity is exact by
+    * construction, not by rounding convention. */
+  private def powerIterOracleCtes(iters: Int): String = {
+    val base = Seq(
+      """fp AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(round(x * 1000) AS BIGINT)) AS x
+        FROM embeddings)""",
+      """pr AS MATERIALIZED (SELECT t1.i AS i, t2.j AS j,
+        CAST(sum(x[t1.i] * x[t2.j]) AS BIGINT) AS g
+        FROM fp, unnest(generate_series(1, 64)) t1(i),
+          unnest(generate_series(1, 64)) t2(j)
+        GROUP BY 1, 2)""",
+      """gm AS (SELECT max(abs(g)) AS mg FROM pr)""",
+      """gs AS MATERIALIZED (SELECT i, j, g // (mg // 1000000 + 1) AS g
+        FROM pr CROSS JOIN gm)""",
+      """v0 AS (SELECT unnest(generate_series(1, 64)) AS i,
+        CAST(1000 AS BIGINT) AS vv)""")
+    val rounds = (0 until iters).flatMap { t => Seq(
+      s"""m$t AS MATERIALIZED (SELECT g.i AS i,
+        CAST(sum(g.g * v.vv) AS BIGINT) AS mv
+        FROM gs g JOIN v$t v ON g.j = v.i GROUP BY 1)""",
+      s"""s$t AS (SELECT max(abs(mv)) AS mx FROM m$t)""",
+      s"""v${t + 1} AS MATERIALIZED (SELECT i, mv // (mx // 10000 + 1) AS vv
+        FROM m$t CROSS JOIN s$t)""")
+    }
+    (base ++ rounds).mkString(",\n      ")
+  }
 
   private val KCoreOracleRounds = 8
   private val KCorePeelCtes: String = (1 to KCoreOracleRounds).map { i =>
@@ -5256,6 +5311,15 @@ object SparkEntry {
         seasonal,
         round(CAST(detr AS DOUBLE) - seasonal + 1e-12, 6) AS residual
       FROM dt JOIN se USING (phase)""",
+    "q_power_iter" -> s"""
+      WITH ${powerIterOracleCtes(64)}
+      SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(vv AS BIGINT) AS v_fp
+      FROM v64""",
+    "q_power_project" -> s"""
+      WITH ${powerIterOracleCtes(64)}
+      SELECT vec_id, label, CAST(sum(x[t.i] * vv.vv) AS BIGINT) AS score_fp
+      FROM fp, unnest(generate_series(1, 64)) t(i), v64 vv
+      WHERE vv.i = t.i GROUP BY 1, 2""",
     // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
     // spelled as a subtraction so both engines produce the identical double
     "q_pagerank" -> s"""

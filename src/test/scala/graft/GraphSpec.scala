@@ -328,4 +328,43 @@ class GraphSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
     assert(plan.contains("Generate")) // the posexplode stays codegen-adjacent
   }
+
+  test("powerIterationFp aligns with the breeze top eigendirection of the Gram") {
+    // powerIterationFp iterates the raw (uncentered) Gram — compare
+    // against an exact eigensolve of that same matrix.
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vfp = EmbedStats.powerIterationFp(df, "embedding", dim = 64, iters = 64)
+    val rows = df.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.round(x.toDouble * 1000).toDouble).toArray)
+    val gram = breeze.linalg.DenseMatrix.tabulate(64, 64) { (i, j) =>
+      rows.map(r => r(i) * r(j)).sum
+    }
+    val es = breeze.linalg.eigSym(gram)
+    val top = Array.tabulate(64)(i => es.eigenvectors(i, 63)) // ascending order
+    val v = vfp.map(_.toDouble)
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs(v.zip(top).map { case (a, b) => a * b }.sum / nv)
+    assert(cos > 0.98, s"fixed-point eigenvector diverges: cos=$cos")
+  }
+
+  test("powerIterationFp is invariant to partitioning (exact integers)") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = EmbedStats.powerIterationFp(df, "embedding", dim = 64)
+    val b = EmbedStats.powerIterationFp(df.repartition(13), "embedding", dim = 64)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("powerProjectFp scores are the exact integer dot products") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val v = EmbedStats.powerIterationFp(df, "embedding", dim = 64)
+    val scores = EmbedStats.powerProjectFp(df, "embedding", "vec_id", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hand = df.select("vec_id", "embedding").collect().map { r =>
+      val e = r.getSeq[Float](1)
+      r.getLong(0) -> e.zipWithIndex.map { case (x, i) =>
+        math.round(x.toDouble * 1000) * v(i)
+      }.sum
+    }.toMap
+    assert(scores == hand)
+  }
 }
