@@ -2874,6 +2874,35 @@ object SparkEntry {
     graft.similarity.EmbedStats.powerProjectFp(
       Tables.embeddings(s, d), "embedding", "vec_id", dim = 64, iters = 64)
 
+  /** Z-order vs 1-D-sort layout audit: bucket lineitem into a 256×256
+    * (partkey, suppkey) grid, lay it out 16 ways twice — by the top 4
+    * Morton bits ([[graft.functions.InterleaveBits]], the zorderWrite
+    * key) and by partkey range alone — and emit each file's min/max
+    * footer stats plus whether a fixed 64×32 box predicate must scan
+    * it (the box sits inside the populated grid: suppkey at small SF
+    * only reaches ~100, so y stays under 128). The z-order layout
+    * bounds BOTH dimensions per file; the 1-D sort bounds only its
+    * own column, so it scans 4× the files for the same box.
+    * This is the skipping argument for zorderWrite, stated as data. */
+  private def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    def cells(withZ: DataFrame, layout: String) = withZ
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .select(lit(layout).as("layout"), col("cell"), col("n_rows"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        when(col("x_min") <= 127 && col("x_max") >= 64
+          && col("y_min") <= 95 && col("y_max") >= 64, 1L).otherwise(0L)
+          .as("scan_needed"))
+    val z = pts.withColumn("cell", shiftright(
+      graft.functions.InterleaveBits.interleaveBits(col("x"), col("y")), 12))
+    val xs = pts.withColumn("cell", shiftright(col("x"), 4))
+    cells(z, "zorder").unionByName(cells(xs, "xsort"))
+  }
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3393,6 +3422,7 @@ object SparkEntry {
     "q_trend_decompose" -> (qTrendDecompose _),
     "q_power_iter"     -> (qPowerIter _),
     "q_power_project"  -> (qPowerProject _),
+    "q_zorder_layout"  -> (qZorderLayout _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
@@ -5320,6 +5350,26 @@ object SparkEntry {
       SELECT vec_id, label, CAST(sum(x[t.i] * vv.vv) AS BIGINT) AS score_fp
       FROM fp, unnest(generate_series(1, 64)) t(i), v64 vv
       WHERE vv.i = t.i GROUP BY 1, 2""",
+    // morton code unrolled bit-by-bit — the SQL mirror of
+    // InterleaveBits.morton for 8-bit inputs
+    "q_zorder_layout" -> s"""
+      WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+        FROM lineitem),
+      zc AS (SELECT x, y, (${(0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")}) >> 12 AS cell FROM pts),
+      xc AS (SELECT x, y, x >> 4 AS cell FROM pts),
+      cz AS (SELECT 'zorder' AS layout, cell, CAST(count(*) AS BIGINT)
+          AS n_rows, min(x) AS x_min, max(x) AS x_max,
+          min(y) AS y_min, max(y) AS y_max FROM zc GROUP BY 2),
+      cx AS (SELECT 'xsort' AS layout, cell, CAST(count(*) AS BIGINT)
+          AS n_rows, min(x) AS x_min, max(x) AS x_max,
+          min(y) AS y_min, max(y) AS y_max FROM xc GROUP BY 2)
+      SELECT layout, cell, n_rows, x_min, x_max, y_min, y_max,
+        CAST(CASE WHEN x_min <= 127 AND x_max >= 64
+          AND y_min <= 95 AND y_max >= 64 THEN 1 ELSE 0 END AS BIGINT)
+          AS scan_needed
+      FROM (SELECT * FROM cz UNION ALL SELECT * FROM cx)""",
     // same 3 unrolled iterations as PageRank.pageRank; (1.0 - 0.85) is
     // spelled as a subtraction so both engines produce the identical double
     "q_pagerank" -> s"""
