@@ -123,7 +123,13 @@ object Plans {
     "q_numeric_drift" ->
       "Numeric drift: the reference half's deciles ride the exact sharded percentile dataflow and broadcast as ONE row; both halves bin in their scan stage (size(filter(edges))) and the smoothing/divergence arithmetic runs on the <=bins-row joined table — corpus cost is two scans plus two <=bins-group aggregates.",
     "q_mann_kendall" ->
-      "Mann-Kendall + Theil-Sen: the corpus collapses ONCE to the checkpointed dense daily series; the T(T-1)/2 pair join is series-local (T is time-range-bounded, corpus-INDEPENDENT — a fixed cost knob, not a scale risk) and the Sen median rides the exact percentile dataflow over the slope histogram.")
+      "Mann-Kendall + Theil-Sen: the corpus collapses ONCE to the checkpointed dense daily series; the T(T-1)/2 pair join is series-local (T is time-range-bounded, corpus-INDEPENDENT — a fixed cost knob, not a scale risk) and the Sen median rides the exact percentile dataflow over the slope histogram.",
+    "q_bpe_pairs" ->
+      "BPE pair counts: the corpus collapses to the (word, count) vocabulary aggregate; pair expansion is a scan-stage Generate OVER THE VOCAB TABLE (never the corpus) into a map-side-combined pair aggregate — the training loop repeats exactly this plan per merge, which is why the representation change is the scale story.",
+    "q_linkage_score" ->
+      "Fellegi-Sunter linkage: both sides hash-partition on the blocking key (the one pair-volume knob); every field agreement, the literal-weight sum, and the decision band are a single codegen'd projection over the joined stream — nothing shuffles after the blocked join.",
+    "q_power_project" ->
+      "Power-iteration projection: the learned eigenvector is a plan literal, so each row's exact integer score is a scan-stage fold — ZERO Exchange at any corpus size; the training pass behind it shuffles one flat GramAgg blob per partition.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -238,4 +238,22 @@ class PlansSpec extends AnyFunSuite {
     assert(!modularity.contains("embedding:array"), modularity)
     assert("Scan ExistingRDD".r.findAllIn(modularity).size >= 2, modularity)
   }
+
+  test("q_power_project: scoring is scan-stage — no Exchange from the projection") {
+    // the eigenvector rides as a literal; the projection itself must
+    // plan as a pure scan-stage fold (the only exchanges in the full
+    // query belong to the training Gram aggregate, which runs before)
+    val plan = SparkEntry.queries("q_power_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q_linkage_score: one blocked join, nothing shuffles after it") {
+    val plan = SparkEntry.queries("q_linkage_score")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // exactly one join on the blocking key; weight/decision are a
+    // projection above it (no aggregate, no second exchange)
+    assert("Join".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
 }
