@@ -2742,6 +2742,18 @@ object SparkEntry {
       .select(col("rank"), col("left").as("left_sym"),
         col("right").as("right_sym"), col("pair_cnt"))
 
+  /** Subword vocabulary after the 10 trained merges: every surviving
+    * symbol with its corpus occurrence count (weighted by word count) —
+    * the table a tokenizer ships. Merge application is vocab-sized;
+    * the symbol aggregate is symbol-vocab-sized. */
+  private def qBpeVocab(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.text.Bpe.train(docs, "text", nMerges = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.vocabulary(docs, "text", merges)
+  }
+
   /** Per-doc subword statistics after applying the 10 trained merges:
     * merge application is vocab-sized work, then the (word →
     * n_subwords) table is BROADCAST back onto the exploded corpus
@@ -3415,6 +3427,7 @@ object SparkEntry {
     "q_bpe_pairs"      -> (qBpePairs _),
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_tokenize"   -> (qBpeTokenize _),
+    "q_bpe_vocab"      -> (qBpeVocab _),
     "q_linkage_score"  -> (qLinkageScore _),
     "q_linkage_patterns" -> (qLinkagePatterns _),
     "q_fleiss_kappa"   -> (qFleissKappa _),
@@ -5268,6 +5281,12 @@ object SparkEntry {
         CAST(sum(n_sub) AS BIGINT) AS n_subwords,
         round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subword_ratio
       FROM tk JOIN sub USING (word) GROUP BY 1""",
+    "q_bpe_vocab" -> s"""
+      WITH ${bpeMergeCtes(10)}
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      FROM (SELECT cnt, unnest(string_split(trim(enc, '$BpeSep$BpeTer'),
+        '$BpeTer$BpeSep')) AS sym FROM w10)
+      GROUP BY 1""",
     "q_linkage_score" -> s"""
       WITH $LinkageOracleCtes
       SELECT id_a, id_b, agr_name, agr_seg, agr_acct, weight,

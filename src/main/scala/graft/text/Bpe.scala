@@ -146,6 +146,20 @@ object Bpe {
         col("pair_cnt"))
   }
 
+  /** The subword vocabulary a tokenizer ships: apply `mergeRows` to the
+    * word table, explode the surviving symbols, and count occurrences
+    * weighted by word frequency. Output: sym, n_occurrences (long) —
+    * symbol-vocab-sized end to end. */
+  def vocabulary(df: DataFrame, textCol: String,
+                 mergeRows: Seq[(String, String)]): DataFrame = {
+    val words = mergeRows.foldLeft(wordTable(df, textCol)) {
+      case (w, (a, b)) => w.withColumn("syms", applyMerge("syms", a, b))
+    }
+    words.select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("cnt")).as("n_occurrences"))
+  }
+
   /** Tokenize `textCol` with a trained merge table: rebuild the word
     * table, apply the merges in rank order (vocab-sized work), then
     * BROADCAST the (word → n_subwords, joined subwords) map back
