@@ -146,19 +146,31 @@ object Bpe {
         col("pair_cnt"))
   }
 
+  /** Apply a trained merge list to a word table, cutting lineage every
+    * `checkpointEvery` merges — the SAME discipline as [[train]]'s
+    * loop. Without the cuts the folds stack into one deep interpreted
+    * expression chain whose analysis+evaluation cost grows with merge
+    * count (measured 14 s for a 10-merge chain at sf0.1 vs ~1 s cut;
+    * a 50k-merge production vocabulary would be unusable). */
+  def applyMerges(words: DataFrame, mergeRows: Seq[(String, String)],
+                  checkpointEvery: Int = 8): DataFrame =
+    mergeRows.zipWithIndex.foldLeft(words) {
+      case (w, ((a, b), k)) =>
+        val merged = w.withColumn("syms", applyMerge("syms", a, b))
+        if ((k + 1) % checkpointEvery == 0) merged.localCheckpoint()
+        else merged
+    }
+
   /** The subword vocabulary a tokenizer ships: apply `mergeRows` to the
     * word table, explode the surviving symbols, and count occurrences
     * weighted by word frequency. Output: sym, n_occurrences (long) —
     * symbol-vocab-sized end to end. */
   def vocabulary(df: DataFrame, textCol: String,
-                 mergeRows: Seq[(String, String)]): DataFrame = {
-    val words = mergeRows.foldLeft(wordTable(df, textCol)) {
-      case (w, (a, b)) => w.withColumn("syms", applyMerge("syms", a, b))
-    }
-    words.select(col("cnt"), explode(col("syms")).as("sym"))
+                 mergeRows: Seq[(String, String)]): DataFrame =
+    applyMerges(wordTable(df, textCol), mergeRows)
+      .select(col("cnt"), explode(col("syms")).as("sym"))
       .groupBy(col("sym"))
       .agg(sum(col("cnt")).as("n_occurrences"))
-  }
 
   /** Tokenize `textCol` with a trained merge table: rebuild the word
     * table, apply the merges in rank order (vocab-sized work), then
@@ -168,10 +180,9 @@ object Bpe {
     * vocab is worth shipping. */
   def tokenStats(df: DataFrame, textCol: String, idCol: String,
                  mergeRows: Seq[(String, String)]): DataFrame = {
-    val words = mergeRows.foldLeft(wordTable(df, textCol)) {
-      case (w, (a, b)) => w.withColumn("syms", applyMerge("syms", a, b))
-    }.select(col("word"),
-      size(col("syms")).cast("long").as("n_subwords_w"))
+    val words = applyMerges(wordTable(df, textCol), mergeRows)
+      .select(col("word"),
+        size(col("syms")).cast("long").as("n_subwords_w"))
     df.select(col(idCol),
         explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
