@@ -2892,6 +2892,33 @@ object SparkEntry {
     graft.similarity.EmbedStats.powerProjectFp(
       Tables.embeddings(s, d), "embedding", "vec_id", dim = 64, iters = 64)
 
+  /** Fixed-point logistic-regression training ([[graft.ml.LogReg]]):
+    * 4 full-batch GD iterations on the 64-dim embeddings, one-vs-rest
+    * target label = 0, lr = 0.5 (exactly binary-representable). Output
+    * is the 65 trained weights on the 1e-6 long grid (j = 0 is the
+    * bias) — bit-replayed by the oracle's per-iteration CTE unroll.
+    * Each iteration is one aggregation over the checkpointed quantized
+    * rows; the driver holds only the 65-vector. */
+  private def qLogregTrain(s: SparkSession, d: String): DataFrame = {
+    val w = graft.ml.LogReg.trainFp(Tables.embeddings(s, d), "embedding",
+      "label", positive = 0, dim = 64, iters = 4, lr = 0.5)
+    import s.implicits._
+    w.toSeq.zipWithIndex.map { case (wl, j) => (j.toLong, wl) }
+      .toDF("j", "w_fp")
+  }
+
+  /** Score the corpus with the trained classifier
+    * ([[graft.ml.LogReg.scoreFp]]): exact integer margin at 1e-12
+    * scale + thresholded class, the model a plan literal in the scan
+    * stage — the distributed, zero-shuffle half of the train/score
+    * loop (classifier-based corpus filtering). */
+  private def qLogregScore(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val w = graft.ml.LogReg.trainFp(emb, "embedding", "label",
+      positive = 0, dim = 64, iters = 4, lr = 0.5)
+    graft.ml.LogReg.scoreFp(emb, "embedding", "vec_id", w)
+  }
+
   /** Z-order vs 1-D-sort layout audit: bucket lineitem into a 256×256
     * (partkey, suppkey) grid, lay it out 16 ways twice — by the top 4
     * Morton bits ([[graft.functions.InterleaveBits]], the zorderWrite
@@ -3441,6 +3468,8 @@ object SparkEntry {
     "q_trend_decompose" -> (qTrendDecompose _),
     "q_power_iter"     -> (qPowerIter _),
     "q_power_project"  -> (qPowerProject _),
+    "q_logreg_train"   -> (qLogregTrain _),
+    "q_logreg_score"   -> (qLogregScore _),
     "q_zorder_layout"  -> (qZorderLayout _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
@@ -3967,6 +3996,46 @@ object SparkEntry {
       s"""s$t AS (SELECT max(abs(mv)) AS mx FROM m$t)""",
       s"""v${t + 1} AS MATERIALIZED (SELECT i, mv // (mx // 10000 + 1) AS vv
         FROM m$t CROSS JOIN s$t)""")
+    }
+    (base ++ rounds).mkString(",\n      ")
+  }
+
+  /** Per-iteration SQL unroll of [[graft.ml.LogReg.trainFp]] (label 0
+    * one-vs-rest, lr = 0.5): quantized bias-extended features, exact
+    * integer margins, grid-snapped sigmoid, exact gradient sums, and
+    * the double-space weight update re-snapped to the 1e-6 grid —
+    * every arithmetic step written in the same shape (and the same
+    * association order) the Spark side computes it, so weights replay
+    * bit-for-bit. */
+  private def logregOracleCtes(iters: Int): String = {
+    val base = Seq(
+      """lr0 AS MATERIALIZED (SELECT vec_id,
+        CASE WHEN label = 0 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS yl,
+        list_concat([CAST(1000000 AS BIGINT)],
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(round(x * 1000000.0) AS BIGINT))) AS xl
+        FROM embeddings)""",
+      """lrn AS (SELECT count(*) AS n FROM lr0)""",
+      """lrj AS MATERIALIZED (SELECT vec_id, yl, t.j, xl[t.j + 1] AS x
+        FROM lr0, unnest(generate_series(0, 64)) t(j))""",
+      """lw0 AS (SELECT unnest(generate_series(0, 64)) AS j,
+        CAST(0 AS BIGINT) AS wl)""")
+    val rounds = (0 until iters).flatMap { t => Seq(
+      s"""lz$t AS MATERIALIZED (SELECT v.vec_id, v.yl,
+        sum(w.wl * v.x) AS zfp
+        FROM lrj v JOIN lw$t w ON w.j = v.j GROUP BY 1, 2)""",
+      s"""lp$t AS MATERIALIZED (SELECT vec_id,
+        CAST(round(1000000.0 / (1 + exp(-(CAST(zfp AS DOUBLE) / 1.0e12))))
+          AS BIGINT) - yl AS rl
+        FROM lz$t)""",
+      s"""lg$t AS (SELECT v.j, sum(p.rl * v.x) AS g
+        FROM lrj v JOIN lp$t p ON v.vec_id = p.vec_id GROUP BY 1)""",
+      s"""lw${t + 1} AS MATERIALIZED (SELECT w.j,
+        CAST(round((CAST(w.wl AS DOUBLE) / 1000000.0
+          - 0.5 * (CAST(g.g AS DOUBLE) / 1.0e12 / n.n)) * 1000000.0)
+          AS BIGINT) AS wl
+        FROM lw$t w JOIN lg$t g ON w.j = g.j CROSS JOIN lrn n)""")
     }
     (base ++ rounds).mkString(",\n      ")
   }
@@ -5380,6 +5449,16 @@ object SparkEntry {
       SELECT vec_id, label, CAST(sum(x[t.i] * vv.vv) AS BIGINT) AS score_fp
       FROM fp, unnest(generate_series(1, 64)) t(i), v64 vv
       WHERE vv.i = t.i GROUP BY 1, 2""",
+    "q_logreg_train" -> s"""
+      WITH ${logregOracleCtes(4)}
+      SELECT CAST(j AS BIGINT) AS j, wl AS w_fp FROM lw4""",
+    "q_logreg_score" -> s"""
+      WITH ${logregOracleCtes(4)},
+      sc AS (SELECT v.vec_id, CAST(sum(w.wl * v.x) AS BIGINT) AS score_fp
+        FROM lrj v JOIN lw4 w ON v.j = w.j GROUP BY 1)
+      SELECT vec_id, score_fp,
+        CAST(CASE WHEN score_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM sc""",
     // morton code unrolled bit-by-bit — the SQL mirror of
     // InterleaveBits.morton for 8-bit inputs
     "q_zorder_layout" -> s"""
