@@ -2919,6 +2919,14 @@ object SparkEntry {
     graft.ml.LogReg.scoreFp(emb, "embedding", "vec_id", w)
   }
 
+  /** Johnson–Lindenstrauss 64 → 8 projection
+    * ([[graft.similarity.JlProject]]): hash-derived ±1 matrix as a plan
+    * literal, exact integer coordinates on the 1e-6 grid, zero
+    * shuffles, per-vector norm-preservation ratio stated as data. */
+  private def qJlProject(s: SparkSession, d: String): DataFrame =
+    graft.similarity.JlProject.projectFp(
+      Tables.embeddings(s, d), "embedding", "vec_id", k = 8, dim = 64)
+
   /** Z-order vs 1-D-sort layout audit: bucket lineitem into a 256×256
     * (partkey, suppkey) grid, lay it out 16 ways twice — by the top 4
     * Morton bits ([[graft.functions.InterleaveBits]], the zorderWrite
@@ -3470,6 +3478,7 @@ object SparkEntry {
     "q_power_project"  -> (qPowerProject _),
     "q_logreg_train"   -> (qLogregTrain _),
     "q_logreg_score"   -> (qLogregScore _),
+    "q_jl_project"     -> (qJlProject _),
     "q_zorder_layout"  -> (qZorderLayout _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
@@ -5459,6 +5468,26 @@ object SparkEntry {
       SELECT vec_id, score_fp,
         CAST(CASE WHEN score_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM sc""",
+    // the ±1 matrix regenerated inline: bit 16 of an LCG over the
+    // flattened (c, j) index — the exact JlProject.signs formula
+    "q_jl_project" -> """
+      WITH jlx AS MATERIALIZED (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xl
+        FROM embeddings),
+      jlj AS MATERIALIZED (SELECT vec_id, t.j, xl[t.j + 1] AS x
+        FROM jlx, unnest(generate_series(0, 63)) t(j)),
+      jly AS (SELECT vec_id, tc.c,
+        sum((1 - 2 * (((1103515245 * (tc.c * 64 + j) + 12345) // 65536) % 2))
+          * x) AS y
+        FROM jlj, unnest(generate_series(0, 7)) tc(c) GROUP BY 1, 2),
+      jln AS (SELECT vec_id, sum(x * x) AS n2 FROM jlj GROUP BY 1),
+      jls AS (SELECT vec_id, sum(y * y) AS sy FROM jly GROUP BY 1)
+      SELECT y.vec_id, y.c, CAST(y.y AS BIGINT) AS y_fp,
+        round((CAST(s.sy AS DOUBLE) / 8.0) / CAST(n.n2 AS DOUBLE), 6)
+          AS jl_ratio
+      FROM jly y JOIN jln n ON y.vec_id = n.vec_id
+      JOIN jls s ON y.vec_id = s.vec_id""",
     // morton code unrolled bit-by-bit — the SQL mirror of
     // InterleaveBits.morton for 8-bit inputs
     "q_zorder_layout" -> s"""
