@@ -289,6 +289,23 @@ object SparkEntry {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
 
+  /** Holt level+trend smoothing with one-step forecast over the hourly
+    * event series per type ([[graft.operators.TimeSeries.holt]],
+    * α = 0.5, β = 0.25): the coupled recurrence runs as a grid-snapped
+    * struct-fold per ordered prefix; the oracle replays it with a
+    * recursive CTE. Corpus-sized work is the one hourly count
+    * aggregate — the fold runs on the bucket-bounded series. */
+  private def qHolt(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    TimeSeries.holt(hourly, Seq("event_type"), "hour_bucket", "n",
+        alpha = 0.5, beta = 0.25)
+      .select(col("event_type"), col("hour_bucket"), col("n"),
+        col("level"), col("trend"), col("forecast"))
+  }
+
   /** As-of join: each purchase matched to the user's latest click at or
     * before it (AsOfJoin operator; DuckDB native ASOF JOIN as oracle). */
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
@@ -3550,6 +3567,7 @@ object SparkEntry {
     "q_rollup"         -> (qRollup _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_events_hourly"  -> (qEventsHourly _),
+    "q_holt"           -> (qHolt _),
     "q_asof_join"      -> (qAsofJoin _),
     "q_asof_bucketed"  -> (qAsofBucketed _),
     "q_funnel"         -> (qFunnel _),
@@ -6788,6 +6806,34 @@ object SparkEntry {
       SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""",
+    // Holt recurrence replayed exactly: states snap to the 1e-6 grid
+    // after every step, so the recursive CTE walks the same trajectory
+    "q_holt" -> """
+      WITH RECURSIVE ht AS MATERIALIZED (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      hs AS MATERIALIZED (
+        SELECT event_type, hour_bucket, n, CAST(n AS DOUBLE) AS y,
+          row_number() OVER (PARTITION BY event_type ORDER BY hour_bucket)
+            AS rn
+        FROM ht),
+      hrec(event_type, rn, l, b) AS (
+        -- CAST: an untyped 0.0 anchor would type b as DECIMAL(2,1) and
+        -- truncate every subsequent trend to one decimal
+        SELECT event_type, rn, y, CAST(0.0 AS DOUBLE) FROM hs WHERE rn = 1
+        UNION ALL
+        SELECT q.event_type, q.rn, q.nl,
+          round(0.25 * (q.nl - q.l0) + 0.75 * q.b0 + 1e-12, 6)
+        FROM (
+          SELECT s.event_type, s.rn,
+            round(0.5 * s.y + 0.5 * (r.l + r.b) + 1e-12, 6) AS nl,
+            r.l AS l0, r.b AS b0
+          FROM hrec r
+          JOIN hs s ON s.event_type = r.event_type AND s.rn = r.rn + 1) q)
+      SELECT s.event_type, s.hour_bucket, s.n, h.l AS level, h.b AS trend,
+        round(h.l + h.b + 1e-12, 6) AS forecast
+      FROM hrec h JOIN hs s ON h.event_type = s.event_type AND h.rn = s.rn""",
     "q_asof_join" -> """
       SELECT p.event_id AS event_id, p.user_id AS user_id,
         epoch_ns(p.ts) // 1000 AS purchase_us,

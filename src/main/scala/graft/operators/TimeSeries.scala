@@ -384,6 +384,69 @@ object TimeSeries {
     * Output per bucket: bucket, n_events, trend, phase, seasonal,
     * residual (trend/seasonal/residual rounded to 6 dp).
     */
+  /** Holt double exponential smoothing (level + linear trend) per key,
+    * with the one-step-ahead forecast l + b — the standard capacity /
+    * throughput projection over a bucketed event series (EWMA alone
+    * lags a trending series by a constant; Holt tracks the slope).
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * seeded l_1 = y_1, b_1 = 0. Both states snap to the 1e-6 grid after
+    * EVERY step, so the whole trajectory replays bit-for-bit in a SQL
+    * recursive CTE (the k-means inter-iteration quantization idiom) —
+    * and the coupled recurrence, inherently sequential, stays inside
+    * the engine as a struct-accumulator left fold over each row's
+    * ordered prefix (the [[ewma]] pattern, with (l, b, started) as the
+    * fold state).
+    *
+    * Cost shape: the prefix re-fold makes a key's series O(T²) in its
+    * OWN length — T is bucket-count-bounded (time span / bucket width),
+    * not corpus-bounded, the [[trendDecompose]] argument; `maxLen`
+    * fail-fasts if an outlier timestamp inflates the grid. Nulls in
+    * `valueCol` are dropped by the frame collect and would misalign the
+    * recurrence — feed a densified or null-free series.
+    *
+    * Appends `level`, `trend`, `forecast`. α/β are embedded as plan
+    * literals; any decimal literal parses to the same double on both
+    * engines, so no representability restriction. */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCol: String,
+           valueCol: String, alpha: Double, beta: Double,
+           maxLen: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val longest = df.groupBy(keyCols.map(col): _*).count()
+      .agg(max(col("count"))).head
+    if (!longest.isNullAt(0)) require(longest.getLong(0) <= maxLen,
+      s"holt: a key's series has ${longest.getLong(0)} buckets (> maxLen=" +
+        s"$maxLen) — the prefix re-fold is quadratic in series length; " +
+        "widen the bucket or filter outlier timestamps.")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frame = collect_list(col(valueCol).cast("double")).over(w)
+    val st = aggregate(frame,
+      struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("s")),
+      (acc: Column, x: Column) => {
+        val l0 = acc.getField("l")
+        val b0 = acc.getField("b")
+        val nl = round(lit(alpha) * x + lit(1 - alpha) * (l0 + b0)
+          + lit(1e-12), 6)
+        val nb = round(lit(beta) * (nl - l0) + lit(1 - beta) * b0
+          + lit(1e-12), 6)
+        val first = !acc.getField("s")
+        struct(when(first, x).otherwise(nl).as("l"),
+          when(first, lit(0.0)).otherwise(nb).as("b"),
+          lit(true).as("s"))
+      })
+    df.withColumn("__st", st)
+      .withColumn("level", col("__st").getField("l"))
+      .withColumn("trend", col("__st").getField("b"))
+      .withColumn("forecast",
+        round(col("__st").getField("l") + col("__st").getField("b")
+          + lit(1e-12), 6))
+      .drop("__st")
+  }
+
   def trendDecompose(df: DataFrame, tsCol: String, bucketWidth: Long,
                      period: Int, halfWindow: Int = 3,
                      maxBuckets: Long = 100000): DataFrame = {

@@ -661,6 +661,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: hand-walked level/trend recurrence, per-key isolation, guards") {
+    import graft.operators.TimeSeries
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 6.0),
+                 (2L, 1L, 50.0)).toDF("k", "t", "x")
+    val out = TimeSeries.holt(df, Seq("k"), "t", "x", alpha = 0.5, beta = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // seed: l=2, b=0; step2: l=.5*4+.5*2=3, b=.5*(3-2)+.5*0=.5
+    assert(out((1L, 1L)) == ((2.0, 0.0, 2.0)))
+    assert(out((1L, 2L)) == ((3.0, 0.5, 3.5)))
+    // step3: l=.5*6+.5*(3+.5)=4.75, b=.5*(4.75-3)+.5*.5=1.125
+    assert(out((1L, 3L)) == ((4.75, 1.125, 5.875)))
+    assert(out((2L, 1L)) == ((50.0, 0.0, 50.0))) // key isolation
+    // a perfectly linear series converges onto the true slope
+    val lin = (1 to 40).map(i => (1L, i.toLong, 10.0 + 3.0 * i)).toDF("k", "t", "x")
+    val last = TimeSeries.holt(lin, Seq("k"), "t", "x", 0.5, 0.25)
+      .orderBy(desc("t")).head()
+    assert(math.abs(last.getDouble(4) - 3.0) < 0.01, s"trend ${last.getDouble(4)}")
+    assert(math.abs(last.getDouble(5) - (10.0 + 3.0 * 41)) < 0.1)
+    intercept[IllegalArgumentException] {
+      TimeSeries.holt(df, Seq("k"), "t", "x", alpha = 0.0, beta = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holt(df, Seq("k"), "t", "x", 0.5, 0.5, maxLen = 2)
+    }
+  }
+
   test("neymanSample: budget flows to the high-variance stratum; all-constant strata sample nothing") {
     import graft.operators.Sampling
     // "a" has variance (sd=sqrt(50)), "b" and "c" are constant (sd=0):
