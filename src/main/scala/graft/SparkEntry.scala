@@ -901,6 +901,43 @@ object SparkEntry {
       .select(centRows("cell"), col("dim"), round(col("c_val"), 6).as("c_val"), col("n"))
   }
 
+  /** Cluster-then-describe corpus exploration (the BERTopic shape):
+    * k-means cells over the embeddings (the q_kmeans training, 4 cells
+    * × 2 Lloyd iterations, quantized centroids), each cluster described
+    * by its top-5 c-TF-IDF terms — tf(term, cell) · ln(1 + A/f_term)
+    * with A = mean words per cluster, f = corpus term frequency.
+    * Scale shape: corpus-sized work is ONE explode-aggregate to the
+    * (cell × vocabulary) tf table; everything downstream (corpus
+    * frequencies, the tf⋈f join, top-k) is vocabulary-sized; the
+    * centroids ride the scan as plan literals (vec_id ≡ doc_id, the
+    * q_rrf convention). */
+  private def qClusterTopics(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.{Ivf, Similarity}
+    val emb = Tables.embeddings(s, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 2, quantize = Some(6))
+    val assign = emb.select(col("vec_id").as("doc_id"),
+      Ivf.assignCell(Similarity.toDouble(col("embedding")), cents).as("cell"))
+    val words = Tables.documents(s, d).join(assign, Seq("doc_id"))
+      .select(col("cell"), explode(split(lower(col("text")), " ")).as("term"))
+    val tf = words.groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ft = words.groupBy(col("term")).agg(count(lit(1)).as("f_t"))
+    val tot = words.agg((count(lit(1)).cast("double")
+      / countDistinct(col("cell")).cast("double")).as("a"))
+    val sc = tf.join(ft, Seq("term")).crossJoin(broadcast(tot))
+      .select(col("cell"), col("term"), col("tf"),
+        round(col("tf").cast("double")
+          * log(lit(1.0) + col("a") / col("f_t").cast("double"))
+          + lit(1e-12), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("score").desc, col("term"))
+    sc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("cell").cast("long").as("cell"), col("term"), col("tf"),
+        col("score"), col("rk"))
+  }
+
   /** ADC top-10 under the same codebook: the query (vec 0) builds one
     * 8×16 lookup table; every stored vector's approximate distance is an
     * 8-lookup fold over its CODES — the scan never touches the float
@@ -3475,6 +3512,7 @@ object SparkEntry {
     "q_dbscan"         -> (qDbscan _),
     "q_modularity"     -> (qModularity _),
     "q_kmeans"         -> (qKmeans _),
+    "q_cluster_topics" -> (qClusterTopics _),
     "q_sq8"            -> (qSq8 _),
     "q_kcenter"        -> (qKcenter _),
     "q_rendezvous"     -> (qRendezvous _),
@@ -5126,6 +5164,34 @@ object SparkEntry {
         round(sum((x - (lo + (code + 0.5) * rg / 255.0))
                 * (x - (lo + (code + 0.5) * rg / 255.0))) + 1e-12, 6) AS recon_err
       FROM enc GROUP BY 1""",
+    // the q_kmeans training replayed (a3 = the final assignment), then
+    // c-TF-IDF over per-cluster term counts — corpus work is one unnest
+    "q_cluster_topics" -> s"""
+      WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+        FROM (SELECT * FROM ve ORDER BY vec_id LIMIT 4)),
+      ${kmeansIterCte(1)},
+      ${kmeansIterCte(2)},
+      ${kmeansIterCte(3)},
+      ctw AS MATERIALIZED (
+        SELECT a.cell, u.term
+        FROM a3 a JOIN documents d ON d.doc_id = a.vec_id,
+          unnest(string_split(lower(d.text), ' ')) u(term)),
+      cttf AS (SELECT cell, term, count(*) AS tf FROM ctw GROUP BY 1, 2),
+      ctft AS (SELECT term, count(*) AS f_t FROM ctw GROUP BY 1),
+      cttot AS (SELECT CAST(count(*) AS DOUBLE)
+          / CAST(count(DISTINCT cell) AS DOUBLE) AS a FROM ctw),
+      ctsc AS (SELECT tf.cell, tf.term, tf.tf,
+        round(CAST(tf.tf AS DOUBLE)
+          * ln(1.0 + t.a / CAST(f.f_t AS DOUBLE)) + 1e-12, 6) AS score
+        FROM cttf tf JOIN ctft f ON tf.term = f.term CROSS JOIN cttot t)
+      SELECT cell, term, CAST(tf AS BIGINT) AS tf, score,
+        CAST(rk AS BIGINT) AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY cell
+              ORDER BY score DESC, term) AS rk FROM ctsc)
+      WHERE rk <= 5""",
     "q_kmeans" -> s"""
       WITH ve AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
