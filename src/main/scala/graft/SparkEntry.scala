@@ -2946,6 +2946,32 @@ object SparkEntry {
     graft.similarity.EmbedStats.powerProjectFp(
       Tables.embeddings(s, d), "embedding", "vec_id", dim = 64, iters = 64)
 
+  /** Multinomial Naive Bayes language model trained in one aggregation
+    * pass ([[graft.ml.NaiveBayes.model]]): the dense add-one-smoothed
+    * (class × vocabulary) log-likelihood table, every entry an integer
+    * count through one grid-snapped ln — counting IS training. */
+  private def qNbTrain(s: SparkSession, d: String): DataFrame = {
+    val (_, lik) = graft.ml.NaiveBayes.model(
+      Tables.documents(s, d), "text", "lang")
+    lik.select(col("cls"), col("term"), col("cnt"), col("ll"))
+  }
+
+  /** Score the corpus with the trained NB model
+    * ([[graft.ml.NaiveBayes.score]]): argmax class per document from
+    * DECIMAL-exact log-likelihood sums (order-free), with the actual
+    * label and a correctness flag — the self-classification readout a
+    * router is validated on. Model and priors broadcast; corpus work
+    * is one explode + per-(doc, class) partial-summed aggregate. */
+  private def qNbScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (priors, lik) = graft.ml.NaiveBayes.model(docs, "text", "lang")
+    graft.ml.NaiveBayes.score(docs, "doc_id", "text", priors, lik)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("score"),
+        col("lang").as("actual"),
+        (col("pred") === col("lang")).cast("long").as("correct"))
+  }
+
   /** Fixed-point logistic-regression training ([[graft.ml.LogReg]]):
     * 4 full-batch GD iterations on the 64-dim embeddings, one-vs-rest
     * target label = 0, lr = 0.5 (exactly binary-representable). Output
@@ -3534,6 +3560,8 @@ object SparkEntry {
     "q_logreg_train"   -> (qLogregTrain _),
     "q_logreg_score"   -> (qLogregScore _),
     "q_jl_project"     -> (qJlProject _),
+    "q_nb_train"       -> (qNbTrain _),
+    "q_nb_score"       -> (qNbScore _),
     "q_zorder_layout"  -> (qZorderLayout _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
@@ -4064,6 +4092,28 @@ object SparkEntry {
     }
     (base ++ rounds).mkString(",\n      ")
   }
+
+  /** The Naive Bayes model CTEs shared by q_nb_train and q_nb_score:
+    * the SQL mirror of [[graft.ml.NaiveBayes.model]] — one token
+    * unnest, class/vocab counts, the DENSE add-one-smoothed
+    * log-likelihood table with each ln snapped to the 1e-6 grid. */
+  private val NbModelCtes: String = """nbt AS MATERIALIZED (
+        SELECT d.lang AS cls, d.doc_id, u.term
+        FROM documents d, unnest(string_split(lower(d.text), ' ')) u(term)),
+      nbc AS (SELECT cls, term, count(*) AS cnt FROM nbt GROUP BY 1, 2),
+      nbtot AS (SELECT cls, count(*) AS tot FROM nbt GROUP BY 1),
+      nbv AS (SELECT count(DISTINCT term) AS v FROM nbt),
+      nbcl AS (SELECT lang AS cls, count(*) AS n_docs
+        FROM documents GROUP BY 1),
+      nball AS (SELECT count(*) AS n_all FROM documents),
+      nbd AS (SELECT t.term, c.cls, coalesce(n.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT term FROM nbt) t
+        CROSS JOIN (SELECT cls FROM nbcl) c
+        LEFT JOIN nbc n ON n.cls = c.cls AND n.term = t.term),
+      nblik AS MATERIALIZED (SELECT d.cls, d.term, d.cnt,
+        round(ln(CAST(d.cnt + 1 AS DOUBLE) / CAST(tt.tot + v.v AS DOUBLE))
+          + 1e-12, 6) AS ll
+        FROM nbd d JOIN nbtot tt ON d.cls = tt.cls CROSS JOIN nbv v)"""
 
   /** Per-iteration SQL unroll of [[graft.ml.LogReg.trainFp]] (label 0
     * one-vs-rest, lr = 0.5): quantized bias-extended features, exact
@@ -5552,6 +5602,27 @@ object SparkEntry {
       SELECT vec_id, score_fp,
         CAST(CASE WHEN score_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM sc""",
+    "q_nb_train" -> s"""
+      WITH $NbModelCtes
+      SELECT cls, term, CAST(cnt AS BIGINT) AS cnt, ll FROM nblik""",
+    "q_nb_score" -> s"""
+      WITH $NbModelCtes,
+      nbpr AS (SELECT cls, round(ln(CAST(n_docs AS DOUBLE)
+          / CAST(a.n_all AS DOUBLE)) + 1e-12, 6) AS logprior
+        FROM nbcl CROSS JOIN nball a),
+      nbsc AS (SELECT t.doc_id, l.cls,
+          sum(CAST(l.ll AS DECIMAL(18,6))) AS ll_sum
+        FROM nbt t JOIN nblik l ON t.term = l.term GROUP BY 1, 2),
+      nbfin AS (SELECT s.doc_id, s.cls,
+          s.ll_sum + CAST(p.logprior AS DECIMAL(18,6)) AS score
+        FROM nbsc s JOIN nbpr p ON s.cls = p.cls)
+      SELECT f.doc_id, f.cls AS pred, CAST(f.score AS DOUBLE) AS score,
+        d.lang AS actual,
+        CAST(CASE WHEN f.cls = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cls) AS rn FROM nbfin) f
+      JOIN documents d ON f.doc_id = d.doc_id
+      WHERE f.rn = 1""",
     // the ±1 matrix regenerated inline: bit 16 of an LCG over the
     // flattened (c, j) index — the exact JlProject.signs formula
     "q_jl_project" -> """

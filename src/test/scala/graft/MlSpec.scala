@@ -71,6 +71,57 @@ class MlSpec extends AnyFunSuite {
       LogReg.trainFp(big, "emb", "label", 1, 2, 1, 0.5))
   }
 
+  test("naiveBayes: hand-checked counts, smoothing, and priors on a tiny corpus") {
+    import graft.ml.NaiveBayes
+    val docs = Seq(
+      (0L, "a a b", "x"), (1L, "a b", "x"), (2L, "c c", "y")
+    ).toDF("doc_id", "text", "lang")
+    val (priors, lik) = NaiveBayes.model(docs, "text", "lang")
+    val pr = priors.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // priors: x = ln(2/3), y = ln(1/3), snapped to 1e-6
+    assert(math.abs(pr("x") - math.log(2.0 / 3.0)) < 1e-6)
+    assert(math.abs(pr("y") - math.log(1.0 / 3.0)) < 1e-6)
+    val ll = lik.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(ll.size == 6) // dense: 3 vocab terms x 2 classes
+    // class x: 5 tokens, V=3 -> denominator 8; 'a' seen 3x
+    assert(ll(("x", "a"))._1 == 3L)
+    assert(math.abs(ll(("x", "a"))._2 - math.log(4.0 / 8.0)) < 1e-6)
+    // unseen (y, a): cnt 0, add-one floor over denominator 2+3
+    assert(ll(("y", "a"))._1 == 0L)
+    assert(math.abs(ll(("y", "a"))._2 - math.log(1.0 / 5.0)) < 1e-6)
+  }
+
+  test("naiveBayes: separable vocabularies classify the training corpus perfectly") {
+    import graft.ml.NaiveBayes
+    val docs = (0 until 60).map { i =>
+      val cls = Seq("en", "fr", "de")(i % 3)
+      val words = cls match {
+        case "en" => "the cat sat here"
+        case "fr" => "le chat assis ici"
+        case _    => "die katze sass hier"
+      }
+      (i.toLong, words, cls)
+    }.toDF("doc_id", "text", "lang")
+    val (priors, lik) = NaiveBayes.model(docs, "text", "lang")
+    val scored = NaiveBayes.score(docs, "doc_id", "text", priors, lik)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    assert(scored.filter(col("pred") === col("lang")).count() == 60)
+    // exactly one prediction per doc
+    assert(scored.count() == 60)
+  }
+
+  test("naiveBayes: exact score tie breaks to the lexicographically first class") {
+    import graft.ml.NaiveBayes
+    // perfectly symmetric classes: every doc's score ties across x and y
+    val docs = Seq((0L, "a", "x"), (1L, "a", "y")).toDF("doc_id", "text", "lang")
+    val (priors, lik) = NaiveBayes.model(docs, "text", "lang")
+    val preds = NaiveBayes.score(docs, "doc_id", "text", priors, lik)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "x" && preds(1L) == "x")
+  }
+
   test("scoreFp margin sign matches p >= 0.5 and ships the model as a literal") {
     val df = separable(60)
     val w = LogReg.trainFp(df, "emb", "label", 1, 2, 10, 0.5)
