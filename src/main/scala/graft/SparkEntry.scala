@@ -289,6 +289,63 @@ object SparkEntry {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
+    * pre-period covariate x (each user's spend before the corpus
+    * midpoint) adjusts the post-period metric y via
+    * y − θ·(x − x̄), θ = cov(x,y)/var(x) — the standard trick that cuts
+    * an A/B test's metric variance without touching its mean. Variants
+    * are a deterministic user_id % 2 split; the output states the
+    * variance reduction as data (var_yadj < var_y per variant).
+    *
+    * Engine-exact: per-user sums ride DECIMAL(18,2) (order-free), the
+    * pooled moments are exact decimal sums, θ/x̄ and each user's
+    * adjusted metric snap to the 1e-6 grid before the per-variant
+    * moment pass (also decimal-exact). Shuffles: one per-user
+    * aggregate, one 1-row moment aggregate, one per-variant aggregate
+    * — nothing wider than the user table. */
+  private def qCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mid = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val usr = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < col("mid"), dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("x"),
+        sum(when(col("ts") >= col("mid"), dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("y"))
+    val st = usr.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"))
+    val nd = col("n").cast("double")
+    val theta = round((nd * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+      / (nd * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      + lit(1e-12), 6)
+    val xbar = round(col("sx").cast("double") / nd + lit(1e-12), 6)
+    val adj = usr.crossJoin(broadcast(
+        st.select(theta.as("theta"), xbar.as("xbar"))))
+      .select(pmod(col("user_id"), lit(2)).cast("long").as("variant"),
+        col("y"),
+        round(col("y").cast("double")
+          - col("theta") * (col("x").cast("double") - col("xbar"))
+          + lit(1e-12), 6).cast("decimal(18,6)").as("yadj"))
+    val nu = count(lit(1)).cast("double")
+    def meanOf(c: Column) = round(sum(c).cast("double") / nu + lit(1e-12), 6)
+    def varOf(c: Column, sqType: String) = round(
+      (sum((c * c).cast(sqType)).cast("double")
+        - sum(c).cast("double") * sum(c).cast("double") / nu) / nu
+      + lit(1e-12), 6)
+    adj.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        meanOf(col("y")).as("mean_y"),
+        meanOf(col("yadj")).as("mean_yadj"),
+        varOf(col("y"), "decimal(38,4)").as("var_y"),
+        varOf(col("yadj"), "decimal(38,12)").as("var_yadj"))
+  }
+
   /** Holt level+trend smoothing with one-step forecast over the hourly
     * event series per type ([[graft.operators.TimeSeries.holt]],
     * α = 0.5, β = 0.25): the coupled recurrence runs as a grid-snapped
@@ -681,6 +738,32 @@ object SparkEntry {
   private def qKnnGraph(s: SparkSession, d: String): DataFrame =
     graft.similarity.Similarity.knnGraph(
       Tables.embeddings(s, d), "embedding", "vec_id", "label", k = 3)
+
+  /** k-NN majority-vote classification eval over the id-sharded
+    * neighbor graph ([[graft.similarity.Similarity.knnGraph]] bucketed
+    * by `vec_id % 4` — shards are label-independent, so the readout is
+    * honest, and random-shard ANN is the legitimate scale pattern: each
+    * shard's pair work is capped by SubBuckets). Majority vote with
+    * (votes desc, label asc) tie-break, then the correctness flag
+    * against the true label — the standard embedding-quality probe. */
+  private def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val g = graft.similarity.Similarity.knnGraph(
+      emb.withColumn("shard", pmod(col("vec_id"), lit(4))),
+      "embedding", "vec_id", "shard", k = 3)
+    val lbl = emb.select(col("vec_id").as("nbr"),
+      col("label").cast("long").as("nbr_label"))
+    val votes = g.join(lbl, Seq("nbr"))
+      .groupBy(col("id"), col("nbr_label")).agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("votes").desc, col("nbr_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("actual")),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("nbr_label").as("pred_label"), col("votes"),
+        col("actual"),
+        (col("nbr_label") === col("actual")).cast("long").as("correct"))
+  }
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
@@ -3634,6 +3717,7 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "q_events_hourly"  -> (qEventsHourly _),
     "q_holt"           -> (qHolt _),
+    "q_cuped"          -> (qCuped _),
     "q_asof_join"      -> (qAsofJoin _),
     "q_asof_bucketed"  -> (qAsofBucketed _),
     "q_funnel"         -> (qFunnel _),
@@ -3665,6 +3749,7 @@ object SparkEntry {
     "q_heavy_hitters_approx" -> (qHeavyHittersApprox _),
     "q_weighted_percentile" -> (qWeightedPercentile _),
     "q_knn_graph"      -> (qKnnGraph _),
+    "q_knn_classify"   -> (qKnnClassify _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -6716,6 +6801,26 @@ object SparkEntry {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
     "q_knn_graph" -> KnnGraphOracle,
+    // the knnGraph membership replay on id shards, then vote/argmax
+    "q_knn_classify" -> s"""
+      WITH ${subBucketCte("vec_id % 4", 1000)},
+      kp AS (SELECT a.vec_id AS id, b.vec_id AS nbr, $SubBucketCos AS cos_sim
+        FROM m a JOIN m b ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id <> b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)),
+      kn AS (SELECT id, nbr FROM (SELECT id, nbr,
+          row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rk
+        FROM kp) WHERE rk <= 3),
+      kv AS (SELECT k.id, CAST(e.label AS BIGINT) AS nbr_label,
+          count(*) AS votes
+        FROM kn k JOIN embeddings e ON k.nbr = e.vec_id GROUP BY 1, 2),
+      kb AS (SELECT id, nbr_label, votes FROM (SELECT *,
+          row_number() OVER (PARTITION BY id
+            ORDER BY votes DESC, nbr_label) AS rn FROM kv) WHERE rn = 1)
+      SELECT b.id AS vec_id, b.nbr_label AS pred_label,
+        CAST(b.votes AS BIGINT) AS votes, CAST(e.label AS BIGINT) AS actual,
+        CAST(CASE WHEN b.nbr_label = e.label THEN 1 ELSE 0 END AS BIGINT)
+          AS correct
+      FROM kb b JOIN embeddings e ON b.id = e.vec_id""",
     "q_embed_pairs" -> s"""
       WITH ${subBucketCte("label", 1000)}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $SubBucketCos AS cos_sim
@@ -6943,6 +7048,52 @@ object SparkEntry {
       SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""",
+    // CUPED: exact decimal moments -> grid-snapped theta/xbar -> exact
+    // per-variant moments; every association order mirrors the Spark plan
+    "q_cuped" -> """
+      WITH cmid AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+          AS mid FROM events),
+      cu AS MATERIALIZED (SELECT user_id,
+          CAST(sum(CASE WHEN epoch_ns(ts) < m.mid
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+          CAST(sum(CASE WHEN epoch_ns(ts) >= m.mid
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y
+        FROM events CROSS JOIN cmid m GROUP BY 1),
+      cst AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS sxy,
+          sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS sxx
+        FROM cu),
+      cth AS (SELECT
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 1e-12, 6)
+            AS theta,
+          round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 6) AS xbar
+        FROM cst),
+      cadj AS (SELECT user_id % 2 AS variant, y,
+          CAST(round(CAST(y AS DOUBLE)
+            - t.theta * (CAST(x AS DOUBLE) - t.xbar) + 1e-12, 6)
+            AS DECIMAL(18,6)) AS yadj
+        FROM cu CROSS JOIN cth t)
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-12, 6)
+          AS mean_y,
+        round(CAST(sum(yadj) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-12, 6)
+          AS mean_yadj,
+        round((CAST(sum(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+            AS DOUBLE)
+          - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+          + 1e-12, 6) AS var_y,
+        round((CAST(sum(CAST(yadj AS DECIMAL(19,6))
+            * CAST(yadj AS DECIMAL(19,6))) AS DOUBLE)
+          - CAST(sum(yadj) AS DOUBLE) * CAST(sum(yadj) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+          + 1e-12, 6) AS var_yadj
+      FROM cadj GROUP BY 1""",
     // Holt recurrence replayed exactly: states snap to the 1e-6 grid
     // after every step, so the recursive CTE walks the same trajectory
     "q_holt" -> """
