@@ -2904,6 +2904,64 @@ object SparkEntry {
     graft.text.Bpe.tokenStats(docs, "text", "doc_id", merges)
   }
 
+  /** Unigram-LM Viterbi segmentation cost per distinct word under the
+    * BPE-trained subword vocabulary ([[graft.text.UnigramLm]]): the
+    * SentencePiece inference shape, completing the tokenizer family —
+    * cost = the word's minimum −log-likelihood decomposition. The cost
+    * table is a plan-literal map; the DP is a zero-shuffle fold over
+    * the distinct-word table. */
+  private def qUnigramSegment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.text.Bpe.train(docs, "text", nMerges = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.text.Bpe.vocabulary(docs, "text", merges)
+    val costs = graft.text.UnigramLm.costTable(vocab, "sym", "n_occurrences")
+    graft.text.UnigramLm.viterbiSegment(
+      graft.text.Bpe.wordTable(docs, "text").select(col("word"), col("cnt")),
+      costs)
+  }
+
+  /** q_unigram_segment oracle: the BPE vocabulary replay feeding a
+    * position-unrolled Viterbi — ub_i = min over j of best_j +
+    * cost(substr) with the identical one-addition candidates, so min
+    * decisions replay exactly. 12 positions ≥ maxLen matches the
+    * engine's fail-fast, so both change together. */
+  private def unigramSegmentOracle: String = {
+    val maxPos = 12
+    val rounds = (1 to maxPos).map { i =>
+      s"""ub$i AS MATERIALIZED (SELECT s.word, $i AS i,
+        min(p.best + s.cost) AS best
+        FROM usc s JOIN uball${i - 1} p ON s.word = p.word AND s.j = p.i
+        WHERE s.i = $i GROUP BY 1),
+      uball$i AS (SELECT * FROM uball${i - 1} UNION ALL SELECT * FROM ub$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${bpeMergeCtes(10)},
+      uvoc AS (SELECT replace(sym, '</w>', chr(1)) AS sym, sum(cnt) AS n
+        FROM (SELECT cnt, unnest(string_split(trim(enc, '$BpeSep$BpeTer'),
+          '$BpeTer$BpeSep')) AS sym FROM w10) GROUP BY 1),
+      utot AS (SELECT sum(n) AS t FROM uvoc),
+      ucost AS MATERIALIZED (SELECT sym,
+        -round(ln(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)) + 1e-12, 6)
+          AS cost
+        FROM uvoc CROSS JOIN utot t),
+      uw AS MATERIALIZED (SELECT word, cnt, word || chr(1) AS wx,
+        len(word) + 1 AS n FROM w10),
+      usc AS MATERIALIZED (SELECT w.word, t1.j, t2.i, c.cost
+        FROM uw w, unnest(generate_series(0, w.n - 1)) t1(j),
+          unnest(generate_series(1, w.n)) t2(i), ucost c
+        WHERE t2.i > t1.j
+          AND substr(w.wx, CAST(t1.j + 1 AS INT), CAST(t2.i - t1.j AS INT))
+            = c.sym),
+      uball0 AS (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best FROM uw),
+      $rounds
+      SELECT w.word, CAST(w.cnt AS BIGINT) AS cnt,
+        CAST(len(w.word) AS BIGINT) AS n_chars,
+        round(b.best + 1e-12, 6) AS viterbi_cost
+      FROM uw w JOIN uball$maxPos b ON b.word = w.word AND b.i = w.n"""
+  }
+
   /** Shared Fellegi–Sunter field model for the q_linkage_* pair:
     * (m, u) priors per field; the log2 weights are literal doubles
     * (Double.toString) interpolated into BOTH the Spark plan and the
@@ -3633,6 +3691,7 @@ object SparkEntry {
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_tokenize"   -> (qBpeTokenize _),
     "q_bpe_vocab"      -> (qBpeVocab _),
+    "q_unigram_segment" -> (qUnigramSegment _),
     "q_linkage_score"  -> (qLinkageScore _),
     "q_linkage_patterns" -> (qLinkagePatterns _),
     "q_fleiss_kappa"   -> (qFleissKappa _),
@@ -5595,6 +5654,7 @@ object SparkEntry {
       FROM (SELECT cnt, unnest(string_split(trim(enc, '$BpeSep$BpeTer'),
         '$BpeTer$BpeSep')) AS sym FROM w10)
       GROUP BY 1""",
+    "q_unigram_segment" -> unigramSegmentOracle,
     "q_linkage_score" -> s"""
       WITH $LinkageOracleCtes
       SELECT id_a, id_b, agr_name, agr_seg, agr_acct, weight,

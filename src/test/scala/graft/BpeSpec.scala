@@ -123,4 +123,46 @@ class BpeSpec extends AnyFunSuite {
     assert(ns >= nw)
     assert(stats.filter(col("subword_ratio") < 1.0).count() == 0)
   }
+
+  test("unigramLm: Viterbi picks the cheaper decomposition, hand-checked") {
+    import graft.text.UnigramLm
+    // vocab over chars a, b plus the merged 'ab' and markers; costs from
+    // counts 4:2:2:8 (total 16): cost(a)=ln4, cost(b)=ln8, cost(ab)=ln8,
+    // cost(eow)=ln2 -> "ab"+eow: path a|b = ln4+ln8+ln2, path ab = ln8+ln2
+    val vocab = Seq(("a", 4L), ("b", 2L), ("ab", 2L), ("</w>", 8L))
+      .toDF("sym", "n_occurrences")
+    val costs = UnigramLm.costTable(vocab, "sym", "n_occurrences")
+    val cm = costs.toMap
+    assert(math.abs(cm("a") - math.log(4.0)) < 1e-5)
+    assert(math.abs(cm(UnigramLm.Eow) - math.log(2.0)) < 1e-5)
+    val words = Seq(("ab", 3L), ("a", 1L), ("ba", 1L)).toDF("word", "cnt")
+    val out = UnigramLm.viterbiSegment(words, costs)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // "ab": single piece ln8 beats a|b = ln4+ln8
+    assert(math.abs(out("ab") - (math.log(8.0) + math.log(2.0))) < 1e-4,
+      s"ab cost ${out("ab")}")
+    assert(math.abs(out("a") - (math.log(4.0) + math.log(2.0))) < 1e-4)
+    // "ba" must use b|a (no 'ba' symbol)
+    assert(math.abs(out("ba") - (math.log(8.0) + math.log(4.0) + math.log(2.0))) < 1e-4)
+  }
+
+  test("unigramLm: corpus words always reach the final state; guards fire") {
+    import graft.text.UnigramLm
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val merges = Bpe.train(docs, "text", nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val costs = UnigramLm.costTable(
+      Bpe.vocabulary(docs, "text", merges), "sym", "n_occurrences")
+    val seg = UnigramLm.viterbiSegment(
+      Bpe.wordTable(docs, "text").select(col("word"), col("cnt")), costs)
+    // every word segments finitely (its own merged decomposition exists)
+    assert(seg.filter(col("viterbi_cost") >= 1e17).count() == 0)
+    assert(seg.filter(col("viterbi_cost") <= 0.0).count() == 0)
+    intercept[IllegalArgumentException](
+      UnigramLm.viterbiSegment(Seq(("ab", 1L)).toDF("word", "cnt"), costs,
+        maxLen = 2))
+    intercept[IllegalArgumentException](
+      UnigramLm.viterbiSegment(Seq(("ab", 1L)).toDF("word", "cnt"), Seq.empty))
+  }
 }
