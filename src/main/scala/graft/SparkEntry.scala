@@ -289,6 +289,48 @@ object SparkEntry {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
 
+  /** Changepoint localization (binary segmentation, one level) per
+    * event type: the split hour maximizing |mean_left − mean_right|
+    * over the hourly count series — where CUSUM (q_cusum) answers
+    * "did the level shift?", this answers "WHERE did it shift?".
+    * Prefix sums are exact longs over the bucket-bounded series; the
+    * score is a deterministic double from integer inputs, snapped to
+    * the 1e-6 grid before the (score desc, hour asc) argmax — fully
+    * SQL-replayable. Corpus-sized work is the one hourly aggregate. */
+  private def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val pre = hourly
+      .withColumn("k", count(lit(1)).over(wOrd))
+      .withColumn("sk", sum(col("n")).over(wOrd))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("n")).over(wAll))
+      .filter(col("k") < col("nn"))
+    val meanL = col("sk").cast("double") / col("k").cast("double")
+    val meanR = (col("sn") - col("sk")).cast("double") /
+      (col("nn") - col("k")).cast("double")
+    val scored = pre.select(col("event_type"), col("hour_bucket"), col("k"),
+      round(meanL + lit(1e-12), 6).as("mean_left"),
+      round(meanR + lit(1e-12), 6).as("mean_right"),
+      round(abs(meanL - meanR) + lit(1e-12), 6).as("score"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("hour_bucket"))
+    scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour_bucket").as("split_hour"),
+        col("k").as("n_left"), col("mean_left"), col("mean_right"),
+        col("score"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
     * pre-period covariate x (each user's spend before the corpus
     * midpoint) adjusts the post-period metric y via
@@ -3177,6 +3219,34 @@ object SparkEntry {
     cells(z, "zorder").unionByName(cells(xs, "xsort"))
   }
 
+  /** Parent-pointer hierarchy resolution by pointer doubling
+    * ([[graft.graph.Hierarchy.resolve]]): the recursive-CTE capability
+    * in Spark's execution model — ⌈log₂ depth⌉ self-joins instead of a
+    * depth-long sequential walk. The synthetic hierarchy is the binary
+    * tree parent = custkey div 2 (custkey 0 is its own parent = the
+    * root); output is every customer's root and depth. */
+  private def qHierarchy(s: SparkSession, d: String): DataFrame =
+    graft.graph.Hierarchy.resolve(
+      Tables.customer(s, d).select(col("c_custkey"),
+        expr("c_custkey div 2").as("parent")),
+      "c_custkey", "parent", maxDepth = 64)
+
+  /** Checksum-validated identifier detection (the PII pattern for
+    * account/card numbers): digit runs extracted from a text field
+    * (customer names carry zero-padded ids), validated with the Luhn
+    * mod-10 checksum as a pure-integer fold over reversed digit
+    * positions — scan-stage, zero extra shuffles beyond the per-nation
+    * rollup. Output: per nation, identifiers seen vs checksum-valid. */
+  private def qPiiLuhn(s: SparkSession, d: String): DataFrame = {
+    val digits = regexp_extract(col("c_name"), "([0-9]+)", 1)
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        when(graft.functions.Luhn.luhnValid(digits), 1L).otherwise(0L)
+          .as("valid"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_ids"), sum(col("valid")).as("n_luhn_valid"))
+  }
+
   /** Exact distinct users per event type via fixed-size bitmaps:
     * (type, bucket) partials from bitmap_construct_agg combine with
     * map-side partial aggregation, then bitmap_count sums per type —
@@ -3777,6 +3847,7 @@ object SparkEntry {
     "q_events_hourly"  -> (qEventsHourly _),
     "q_holt"           -> (qHolt _),
     "q_cuped"          -> (qCuped _),
+    "q_changepoint"    -> (qChangepoint _),
     "q_asof_join"      -> (qAsofJoin _),
     "q_asof_bucketed"  -> (qAsofBucketed _),
     "q_funnel"         -> (qFunnel _),
@@ -3809,6 +3880,8 @@ object SparkEntry {
     "q_weighted_percentile" -> (qWeightedPercentile _),
     "q_knn_graph"      -> (qKnnGraph _),
     "q_knn_classify"   -> (qKnnClassify _),
+    "q_hierarchy"      -> (qHierarchy _),
+    "q_pii_luhn"       -> (qPiiLuhn _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -6861,6 +6934,34 @@ object SparkEntry {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
     "q_knn_graph" -> KnnGraphOracle,
+    // root rows (parent = id) anchor; the walk excludes the self-loop
+    "q_hierarchy" -> """
+      WITH RECURSIVE hc AS (
+        SELECT c_custkey AS id, c_custkey // 2 AS parent FROM customer),
+      hr(id, root, depth) AS (
+        SELECT id, id, CAST(0 AS BIGINT) FROM hc WHERE parent = id
+        UNION ALL
+        SELECT c.id, r.root, r.depth + 1
+        FROM hc c JOIN hr r ON c.parent = r.id AND c.parent <> c.id)
+      SELECT id, root, depth FROM hr""",
+    "q_pii_luhn" -> """
+      WITH pd AS (SELECT c_custkey, c_nationkey,
+          reverse(regexp_extract(c_name, '([0-9]+)', 1)) AS rv
+        FROM customer),
+      ps AS (SELECT c_custkey,
+          sum(CASE WHEN t.i % 2 = 0
+            THEN CAST(substr(rv, CAST(t.i AS INT), 1) AS BIGINT) * 2
+              - CASE WHEN CAST(substr(rv, CAST(t.i AS INT), 1) AS BIGINT) > 4
+                THEN 9 ELSE 0 END
+            ELSE CAST(substr(rv, CAST(t.i AS INT), 1) AS BIGINT) END) AS s
+        FROM pd, unnest(generate_series(1, len(rv))) t(i)
+        GROUP BY 1)
+      SELECT CAST(d.c_nationkey AS BIGINT) AS nationkey,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(sum(CASE WHEN p.s IS NOT NULL AND p.s % 10 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+      FROM pd d LEFT JOIN ps p ON d.c_custkey = p.c_custkey
+      GROUP BY 1""",
     // the knnGraph membership replay on id shards, then vote/argmax
     "q_knn_classify" -> s"""
       WITH ${subBucketCte("vec_id % 4", 1000)},
@@ -7108,6 +7209,34 @@ object SparkEntry {
       SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""",
+    // prefix-sum split scores from exact integer sums, then the
+    // (score desc, hour) argmax — the same association order as Spark
+    "q_changepoint" -> """
+      WITH ch AS (SELECT event_type,
+          epoch_ns(ts) // 3600000000000 AS hour_bucket, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      cp AS (SELECT event_type, hour_bucket,
+          count(*) OVER (PARTITION BY event_type ORDER BY hour_bucket
+            ROWS UNBOUNDED PRECEDING) AS k,
+          sum(n) OVER (PARTITION BY event_type ORDER BY hour_bucket
+            ROWS UNBOUNDED PRECEDING) AS sk,
+          count(*) OVER (PARTITION BY event_type) AS nn,
+          sum(n) OVER (PARTITION BY event_type) AS sn
+        FROM ch),
+      cs AS (SELECT event_type, hour_bucket, k,
+          round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) + 1e-12, 6)
+            AS mean_left,
+          round(CAST(sn - sk AS DOUBLE) / CAST(nn - k AS DOUBLE) + 1e-12, 6)
+            AS mean_right,
+          round(abs(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+            - CAST(sn - sk AS DOUBLE) / CAST(nn - k AS DOUBLE)) + 1e-12, 6)
+            AS score
+        FROM cp WHERE k < nn)
+      SELECT event_type, hour_bucket AS split_hour, CAST(k AS BIGINT)
+          AS n_left, mean_left, mean_right, score
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY score DESC, hour_bucket) AS rn FROM cs)
+      WHERE rn = 1""",
     // CUPED: exact decimal moments -> grid-snapped theta/xbar -> exact
     // per-variant moments; every association order mirrors the Spark plan
     "q_cuped" -> """

@@ -282,4 +282,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nLower == 0, s"expected no lower, plan: $optimized")
     assert(df.head.getString(0).startsWith("Customer#"))
   }
+  test("luhn: textbook valid/invalid numbers and the empty edge") {
+    import graft.functions.Luhn
+    val df = Seq("79927398713", "79927398714", "4539578763621486", "")
+      .toDF("d")
+      .select(col("d"), Luhn.luhnValid(col("d")).as("v"))
+    val m = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(m("79927398713"))        // the ISO 7812 worked example
+    assert(!m("79927398714"))       // off-by-one check digit
+    assert(m("4539578763621486"))   // a valid 16-digit PAN
+    assert(!m(""))
+  }
 }

@@ -367,4 +367,28 @@ class GraphSpec extends AnyFunSuite {
     }.toMap
     assert(scores == hand)
   }
+  test("hierarchy: pointer doubling resolves root/depth in log rounds; guards fire") {
+    import graft.graph.Hierarchy
+    // binary-tree parents: 0 is root (parent = self)
+    val nodes = (0L to 40L).map(i => (i, i / 2)).toDF("id", "parent")
+    val r = Hierarchy.resolve(nodes, "id", "parent", maxDepth = 16)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == ((0L, 0L)))
+    assert(r(1L) == ((0L, 1L)))
+    assert(r(40L) == ((0L, 6L))) // 40->20->10->5->2->1->0: six hops
+    // null parent is also a root
+    val two = Seq((10L, null.asInstanceOf[java.lang.Long]), (11L, java.lang.Long.valueOf(10L)))
+      .toDF("id", "parent")
+    val r2 = Hierarchy.resolve(two, "id", "parent")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2(10L) == ((10L, 0L)) && r2(11L) == ((10L, 1L)))
+    // depth overrun: chain of 9 with maxDepth 4 (2 rounds -> 4-hops known)
+    val chain = (0L to 9L).map(i => (i, math.max(0L, i - 1))).toDF("id", "parent")
+    intercept[IllegalArgumentException](
+      Hierarchy.resolve(chain, "id", "parent", maxDepth = 4))
+    // a 2-cycle never stabilizes
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("id", "parent")
+    intercept[IllegalArgumentException](
+      Hierarchy.resolve(cyc, "id", "parent", maxDepth = 8))
+  }
 }
