@@ -129,7 +129,19 @@ object Plans {
     "q_linkage_score" ->
       "Fellegi-Sunter linkage: both sides hash-partition on the blocking key (the one pair-volume knob); every field agreement, the literal-weight sum, and the decision band are a single codegen'd projection over the joined stream — nothing shuffles after the blocked join.",
     "q_power_project" ->
-      "Power-iteration projection: the learned eigenvector is a plan literal, so each row's exact integer score is a scan-stage fold — ZERO Exchange at any corpus size; the training pass behind it shuffles one flat GramAgg blob per partition.")
+      "Power-iteration projection: the learned eigenvector is a plan literal, so each row's exact integer score is a scan-stage fold — ZERO Exchange at any corpus size; the training pass behind it shuffles one flat GramAgg blob per partition.",
+    "q_logreg_score" ->
+      "Logistic-regression scoring: the trained weight vector is a plan literal, so each row's exact integer margin + thresholded class are ONE codegen projection over the scan — ZERO Exchange (plan-pinned in MlSpec); each training iteration behind it shuffled only dim+1 decimal gradient partials.",
+    "q_jl_project" ->
+      "JL projection: the hash-sign matrix is a plan literal and every row is independent — projection, norm, and distortion ratio are a scan-stage map with ZERO Exchange at any corpus size (plan-pinned in ProjectionSpec).",
+    "q_nb_score" ->
+      "Naive Bayes scoring: the dense vocab x class model and the priors arrive as BroadcastExchanges; the corpus crosses one (doc, class) exchange whose partial sums combine map-side — tokens never shuffle raw, and the argmax is a per-doc window over class-count rows.",
+    "q_hierarchy" ->
+      "Pointer-doubling hierarchy: each of the ceil(log2 depth) rounds is a two-long-column self-join on the id key (localCheckpoint'd, so the final plan shows ONE round, not a depth-long lineage) — a depth-D chain resolves in log D shuffles instead of D.",
+    "q_unigram_segment" ->
+      "Viterbi segmentation: the cost table is a plan-literal map and the DP is a per-row fold — the only exchange is the distinct-word aggregate the corpus collapses to first; segmentation work is vocabulary-sized, never corpus-sized.",
+    "q_holt" ->
+      "Holt smoothing: the corpus collapses to the hourly count aggregate; the coupled level/trend recurrence is a struct-accumulator fold over each row's prefix frame of ONE event_type window — a single exchange + per-partition sort, no stateful UDF, no driver loop.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
