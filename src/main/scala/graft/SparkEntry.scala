@@ -1026,6 +1026,41 @@ object SparkEntry {
       .select(centRows("cell"), col("dim"), round(col("c_val"), 6).as("c_val"), col("n"))
   }
 
+  /** Inverse-propensity-weighted treatment-effect readout
+    * (Horvitz–Thompson): propensity from the SAME fixed-point LogReg
+    * trainer, this time predicting the (deterministic) treatment
+    * assignment vec_id % 2 from the embeddings; p = grid-snapped
+    * sigmoid clipped to [0.05, 0.95]; outcome = label. Assignment is
+    * random by construction, so the honest answer is ATE ≈ 0 — the
+    * query pins the MACHINERY (train → score → clip → weight → exact
+    * decimal means), which is what a real observational readout runs. */
+  private def qIpwAte(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("t", pmod(col("vec_id"), lit(2)).cast("int"))
+    val w = graft.ml.LogReg.trainFp(emb, "embedding", "t",
+      positive = 1, dim = 64, iters = 4, lr = 0.5)
+    val scored = graft.ml.LogReg.scoreFp(emb, "embedding", "vec_id", w)
+      .join(emb.select(col("vec_id"), col("t"),
+        col("label").cast("double").as("y")), Seq("vec_id"))
+    val z = col("score_fp").cast("double") / lit(1.0e12)
+    val p = least(greatest(
+      round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-12), 6),
+      lit(0.05)), lit(0.95))
+    val terms = scored.select(
+      when(col("t") === 1,
+        round(col("y") / p + lit(1e-12), 6).cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)")).as("ty"),
+      when(col("t") === 0,
+        round(col("y") / (lit(1.0) - p) + lit(1e-12), 6).cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)")).as("cy"))
+    val n = count(lit(1)).cast("double")
+    terms.agg(count(lit(1)).as("n"),
+      round(sum(col("ty")).cast("double") / n + lit(1e-12), 6).as("mean_treat"),
+      round(sum(col("cy")).cast("double") / n + lit(1e-12), 6).as("mean_ctrl"),
+      round(sum(col("ty")).cast("double") / n
+        - sum(col("cy")).cast("double") / n + lit(1e-12), 6).as("ate"))
+  }
+
   /** Cluster-then-describe corpus exploration (the BERTopic shape):
     * k-means cells over the embeddings (the q_kmeans training, 4 cells
     * × 2 Lloyd iterations, quantized centroids), each cluster described
@@ -3155,6 +3190,41 @@ object SparkEntry {
         (col("pred") === col("lang")).cast("long").as("correct"))
   }
 
+  /** Per-class precision/recall/F1 over the NB router's predictions —
+    * the confusion-matrix readout every deployed corpus classifier is
+    * gated on. Counts are exact integers from one class × prediction
+    * aggregate (classes-sized sides); p/r snap to the grid and F1 is
+    * computed FROM the snapped p/r, so the whole table replays. */
+  private def qEvalF1(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (priors, lik) = graft.ml.NaiveBayes.model(docs, "text", "lang")
+    val perDoc = graft.ml.NaiveBayes.score(docs, "doc_id", "text", priors, lik)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .select(col("pred"), col("actual"))
+    val classes = docs.select(col("lang").as("cls")).distinct()
+    val stats = classes.crossJoin(perDoc)
+      .groupBy(col("cls"))
+      .agg(
+        sum(when(col("pred") === col("cls") && col("actual") === col("cls"),
+          1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === col("cls") && col("actual") =!= col("cls"),
+          1L).otherwise(0L)).as("fp"),
+        sum(when(col("actual") === col("cls") && col("pred") =!= col("cls"),
+          1L).otherwise(0L)).as("fn"))
+    val p = when(col("tp") + col("fp") === 0L, lit(0.0)).otherwise(
+      round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+        + lit(1e-12), 6))
+    val r = when(col("tp") + col("fn") === 0L, lit(0.0)).otherwise(
+      round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+        + lit(1e-12), 6))
+    stats.select(col("cls"), col("tp"), col("fp"), col("fn"),
+        p.as("prec"), r.as("rec"))
+      .withColumn("f1",
+        when(col("prec") + col("rec") === 0.0, lit(0.0)).otherwise(
+          round(lit(2.0) * col("prec") * col("rec")
+            / (col("prec") + col("rec")) + lit(1e-12), 6)))
+  }
+
   /** Fixed-point logistic-regression training ([[graft.ml.LogReg]]):
     * 4 full-batch GD iterations on the 64-dim embeddings, one-vs-rest
     * target label = 0, lr = 0.5 (exactly binary-representable). Output
@@ -3771,9 +3841,11 @@ object SparkEntry {
     "q_power_project"  -> (qPowerProject _),
     "q_logreg_train"   -> (qLogregTrain _),
     "q_logreg_score"   -> (qLogregScore _),
+    "q_ipw_ate"        -> (qIpwAte _),
     "q_jl_project"     -> (qJlProject _),
     "q_nb_train"       -> (qNbTrain _),
     "q_nb_score"       -> (qNbScore _),
+    "q_eval_f1"        -> (qEvalF1 _),
     "q_zorder_layout"  -> (qZorderLayout _),
     "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_pagerank"       -> (qPagerank _),
@@ -4332,6 +4404,22 @@ object SparkEntry {
           + 1e-12, 6) AS ll
         FROM nbd d JOIN nbtot tt ON d.cls = tt.cls CROSS JOIN nbv v)"""
 
+  /** NB scoring CTEs (shared by q_nb_score, q_eval_f1): priors, exact
+    * decimal log-likelihood sums, (score desc, cls) argmax. */
+  private val NbScoreCtes: String = """nbpr AS (SELECT cls,
+        round(ln(CAST(n_docs AS DOUBLE)
+          / CAST(a.n_all AS DOUBLE)) + 1e-12, 6) AS logprior
+        FROM nbcl CROSS JOIN nball a),
+      nbsc AS (SELECT t.doc_id, l.cls,
+          sum(CAST(l.ll AS DECIMAL(18,6))) AS ll_sum
+        FROM nbt t JOIN nblik l ON t.term = l.term GROUP BY 1, 2),
+      nbfin AS (SELECT s.doc_id, s.cls,
+          s.ll_sum + CAST(p.logprior AS DECIMAL(18,6)) AS score
+        FROM nbsc s JOIN nbpr p ON s.cls = p.cls),
+      nbbest AS (SELECT doc_id, cls, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, cls) AS rn FROM nbfin) WHERE rn = 1)"""
+
   /** Per-iteration SQL unroll of [[graft.ml.LogReg.trainFp]] (label 0
     * one-vs-rest, lr = 0.5): quantized bias-extended features, exact
     * integer margins, grid-snapped sigmoid, exact gradient sums, and
@@ -4339,10 +4427,11 @@ object SparkEntry {
     * every arithmetic step written in the same shape (and the same
     * association order) the Spark side computes it, so weights replay
     * bit-for-bit. */
-  private def logregOracleCtes(iters: Int): String = {
+  private def logregOracleCtes(iters: Int,
+                               targetSql: String = "label = 0"): String = {
     val base = Seq(
-      """lr0 AS MATERIALIZED (SELECT vec_id,
-        CASE WHEN label = 0 THEN CAST(1000000 AS BIGINT)
+      s"""lr0 AS MATERIALIZED (SELECT vec_id,
+        CASE WHEN $targetSql THEN CAST(1000000 AS BIGINT)
              ELSE CAST(0 AS BIGINT) END AS yl,
         list_concat([CAST(1000000 AS BIGINT)],
           list_transform(CAST(embedding AS DOUBLE[]),
@@ -5820,27 +5909,74 @@ object SparkEntry {
       SELECT vec_id, score_fp,
         CAST(CASE WHEN score_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM sc""",
+    // the same GD unroll retrained on the treatment target, then the
+    // Horvitz-Thompson terms with the identical clip/round shapes
+    "q_ipw_ate" -> s"""
+      WITH ${logregOracleCtes(4, "vec_id % 2 = 1")},
+      iscore AS (SELECT v.vec_id, sum(w.wl * v.x) AS zfp
+        FROM lrj v JOIN lw4 w ON v.j = w.j GROUP BY 1),
+      iprep AS (SELECT s.vec_id, r.yl, e.label,
+          least(greatest(round(1.0
+            / (1 + exp(-(CAST(s.zfp AS DOUBLE) / 1.0e12))) + 1e-12, 6),
+            0.05), 0.95) AS p
+        FROM iscore s JOIN lr0 r ON s.vec_id = r.vec_id
+        JOIN embeddings e ON e.vec_id = s.vec_id),
+      iterm AS (SELECT
+          CASE WHEN yl = 1000000 THEN CAST(round(CAST(label AS DOUBLE) / p
+            + 1e-12, 6) AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END AS ty,
+          CASE WHEN yl = 0 THEN CAST(round(CAST(label AS DOUBLE) / (1.0 - p)
+            + 1e-12, 6) AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END AS cy
+        FROM iprep)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(ty) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-12, 6)
+          AS mean_treat,
+        round(CAST(sum(cy) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-12, 6)
+          AS mean_ctrl,
+        round(CAST(sum(ty) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          - CAST(sum(cy) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-12, 6)
+          AS ate
+      FROM iterm""",
     "q_nb_train" -> s"""
       WITH $NbModelCtes
       SELECT cls, term, CAST(cnt AS BIGINT) AS cnt, ll FROM nblik""",
     "q_nb_score" -> s"""
       WITH $NbModelCtes,
-      nbpr AS (SELECT cls, round(ln(CAST(n_docs AS DOUBLE)
-          / CAST(a.n_all AS DOUBLE)) + 1e-12, 6) AS logprior
-        FROM nbcl CROSS JOIN nball a),
-      nbsc AS (SELECT t.doc_id, l.cls,
-          sum(CAST(l.ll AS DECIMAL(18,6))) AS ll_sum
-        FROM nbt t JOIN nblik l ON t.term = l.term GROUP BY 1, 2),
-      nbfin AS (SELECT s.doc_id, s.cls,
-          s.ll_sum + CAST(p.logprior AS DECIMAL(18,6)) AS score
-        FROM nbsc s JOIN nbpr p ON s.cls = p.cls)
+      $NbScoreCtes
       SELECT f.doc_id, f.cls AS pred, CAST(f.score AS DOUBLE) AS score,
         d.lang AS actual,
         CAST(CASE WHEN f.cls = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
-      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-              ORDER BY score DESC, cls) AS rn FROM nbfin) f
-      JOIN documents d ON f.doc_id = d.doc_id
-      WHERE f.rn = 1""",
+      FROM nbbest f JOIN documents d ON f.doc_id = d.doc_id""",
+    // confusion-matrix metrics over the NB predictions: integer counts,
+    // rounded p/r, f1 from the ROUNDED p/r (same order as Spark)
+    "q_eval_f1" -> s"""
+      WITH $NbModelCtes,
+      $NbScoreCtes,
+      efp AS (SELECT f.cls AS pred, d.lang AS actual
+        FROM nbbest f JOIN documents d ON f.doc_id = d.doc_id),
+      efc AS (SELECT cls FROM nbcl),
+      efs AS (SELECT c.cls,
+          CAST(sum(CASE WHEN p.pred = c.cls AND p.actual = c.cls
+            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN p.pred = c.cls AND p.actual <> c.cls
+            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN p.actual = c.cls AND p.pred <> c.cls
+            THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM efc c CROSS JOIN efp p GROUP BY 1),
+      efm AS (SELECT cls, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+            round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) + 1e-12, 6)
+          END AS prec,
+          CASE WHEN tp + fn = 0 THEN 0.0 ELSE
+            round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) + 1e-12, 6)
+          END AS rec
+        FROM efs)
+      SELECT cls, tp, fp, fn, prec, rec,
+        CASE WHEN prec + rec = 0.0 THEN 0.0 ELSE
+          round(2.0 * prec * rec / (prec + rec) + 1e-12, 6)
+        END AS f1
+      FROM efm""",
     // the ±1 matrix regenerated inline: bit 16 of an LCG over the
     // flattened (c, j) index — the exact JlProject.signs formula
     "q_jl_project" -> """
