@@ -356,6 +356,9 @@ object SparkEntry {
           .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("x"),
         sum(when(col("ts") >= col("mid"), dec(col("value")))
           .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("y"))
+      // user table consumed by the moment pass AND the adjustment pass —
+      // cut once so the events aggregate runs once
+      .localCheckpoint()
     val st = usr.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"),
@@ -1078,12 +1081,16 @@ object SparkEntry {
       nCells = 4, iters = 2, quantize = Some(6))
     val assign = emb.select(col("vec_id").as("doc_id"),
       Ivf.assignCell(Similarity.toDouble(col("embedding")), cents).as("cell"))
-    val words = Tables.documents(s, d).join(assign, Seq("doc_id"))
+    // one corpus explode into the checkpointed (cell × vocab) tf table;
+    // corpus frequencies and the A scalar derive from it (multi-consumer
+    // discipline — same values, one scan instead of three)
+    val tf = Tables.documents(s, d).join(assign, Seq("doc_id"))
       .select(col("cell"), explode(split(lower(col("text")), " ")).as("term"))
-    val tf = words.groupBy(col("cell"), col("term"))
+      .groupBy(col("cell"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val ft = words.groupBy(col("term")).agg(count(lit(1)).as("f_t"))
-    val tot = words.agg((count(lit(1)).cast("double")
+      .localCheckpoint()
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("f_t"))
+    val tot = tf.agg((sum(col("tf")).cast("double")
       / countDistinct(col("cell")).cast("double")).as("a"))
     val sc = tf.join(ft, Seq("term")).crossJoin(broadcast(tot))
       .select(col("cell"), col("term"), col("tf"),

@@ -32,21 +32,27 @@ object NaiveBayes {
     * being absent, so scoring needs no fallback path. */
   def model(docs: DataFrame, textCol: String, classCol: String)
       : (DataFrame, DataFrame) = {
-    val tokens = docs.select(col(classCol).as("cls"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
-    val counts = tokens.groupBy(col("cls"), col("term"))
+    // the corpus-sized token explode runs ONCE, into the checkpointed
+    // (class × vocab) count table; totals, vocab size, and the dense
+    // grid all derive from it (the q_dbscan multi-consumer lesson —
+    // without the cut, four consumers would re-run the explode)
+    val counts = docs.select(col(classCol).as("cls"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy(col("cls"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = tokens.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
-    val vocabN = tokens.select(col("term")).distinct()
+      .localCheckpoint()
+    val tot = counts.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val vocabN = counts.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))
     val classes = docs.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n_docs"))
-    val nAll = docs.agg(count(lit(1)).as("n_all"))
+      .localCheckpoint()
+    val nAll = classes.agg(sum(col("n_docs")).as("n_all"))
     val priors = classes.crossJoin(broadcast(nAll))
       .select(col("cls"), col("n_docs"),
         round(log(col("n_docs").cast("double") / col("n_all").cast("double"))
           + lit(1e-12), 6).as("logprior"))
-    val dense = tokens.select(col("term")).distinct()
+    val dense = counts.select(col("term")).distinct()
       .crossJoin(classes.select(col("cls")))
       .join(counts, Seq("cls", "term"), "left")
       .select(col("cls"), col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"))
