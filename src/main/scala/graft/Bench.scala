@@ -77,6 +77,16 @@ object Bench {
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullLine")
+    // Read the committed median record BEFORE overwriting it below —
+    // a reps>1 run rewrites BENCH_MEDIANS.json, and gating against the
+    // freshly-written file would self-compare (over_2x:0 by definition).
+    val priorRecord: Option[String] = try {
+      val recPath = java.nio.file.Paths.get("BENCH_MEDIANS.json")
+      if (java.nio.file.Files.exists(recPath))
+        Some(new String(java.nio.file.Files.readAllBytes(recPath), "UTF-8"))
+      else None
+    } catch { case _: Throwable => None }
+
     // Subset runs never touch the committed records — a partial queries
     // map would clobber the full-run history the regression gate diffs.
     try if (only.isEmpty) {
@@ -103,9 +113,7 @@ object Bench {
     // evidence of no regression. The 0.5 s absolute floor keeps
     // sub-second jitter (page cache, JIT) out of the report.
     try {
-      val recPath = java.nio.file.Paths.get("BENCH_MEDIANS.json")
-      if (java.nio.file.Files.exists(recPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(recPath), "UTF-8")
+      priorRecord.foreach { txt =>
         val qStart = txt.indexOf("\"queries\":{")
         val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
         val rec = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)

@@ -148,4 +148,73 @@ class PropertiesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     inputs.foreach(s => assert(got(s) == pyTitle(s), s"input='$s'"))
   }
+  test("hierarchy == driver-side parent walk on random forests (seeded, 8 cases)") {
+    import graft.graph.Hierarchy
+    val forestGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 30)
+      parents <- Gen.sequence[Seq[Long], Long](
+        (1 until n).map(i => Gen.choose(0L, (i - 1).toLong)))
+    } yield (0L, 0L) +: (1 until n).map(i => (i.toLong, parents(i - 1)))
+    cases(forestGen, 8).foreach { rows =>
+      val pmap = rows.toMap
+      def walk(x: Long): (Long, Long) = {
+        var (c, d) = (x, 0L)
+        while (pmap(c) != c) { c = pmap(c); d += 1 }
+        (c, d)
+      }
+      val got = Hierarchy.resolve(rows.toDF("id", "parent"), "id", "parent",
+          maxDepth = 64)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      rows.foreach { case (id, _) =>
+        assert(got(id) == walk(id), s"node $id in $rows")
+      }
+    }
+  }
+
+  test("luhn: appending the computed check digit always validates (seeded, 40 cases)") {
+    import graft.functions.Luhn
+    val numGen: Gen[String] = for {
+      len <- Gen.choose(6, 18)
+      ds <- Gen.listOfN(len, Gen.choose(0, 9))
+    } yield ds.mkString
+    val inputs = cases(numGen, 40)
+    // driver-side reference: check digit that makes (body + digit) valid
+    def checkDigit(body: String): Int = {
+      val s = body.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      (10 - s % 10) % 10
+    }
+    val full = inputs.map(b => b + checkDigit(b))
+    val got = full.toDF("d")
+      .select(col("d"), Luhn.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    full.foreach(f => assert(got(f), s"'$f' should Luhn-validate"))
+  }
+
+  test("viterbi cost is bounded above by the char-by-char decomposition (seeded)") {
+    import graft.text.UnigramLm
+    // vocab: all single chars plus some multi-char symbols
+    val chars = "abcd".map(_.toString)
+    val vocab = (chars.map(_ -> 5L) ++
+      Seq("ab" -> 9L, "cd" -> 7L, "abc" -> 3L, UnigramLm.Eow -> 20L))
+      .toDF("sym", "n_occurrences")
+    val costs = UnigramLm.costTable(vocab, "sym", "n_occurrences")
+    val cm = costs.toMap
+    val wordGen: Gen[String] = for {
+      len <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val words = cases(wordGen, 25).distinct
+    val got = UnigramLm.viterbiSegment(
+        words.zipWithIndex.map { case (w, i) => (w, i.toLong + 1) }
+          .toDF("word", "cnt"), costs)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    words.foreach { w =>
+      val charCost = w.map(c => cm(c.toString)).sum + cm(UnigramLm.Eow)
+      assert(got(w) <= charCost + 1e-9, s"word '$w': ${got(w)} > $charCost")
+      assert(got(w) > 0.0)
+    }
+  }
 }
