@@ -3711,6 +3711,51 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** McNemar's paired test over two document quality filters evaluated
+    * on the SAME corpus — char-length (n_chars ≥ 300) vs token-count
+    * (≥ 55 whitespace tokens): are the discordant flips symmetric, i.e.
+    * would swapping filters actually change the kept set
+    * ([[graft.operators.PairedTests.mcnemar]])? */
+  private def qMcnemar(s: SparkSession, d: String): DataFrame =
+    graft.operators.PairedTests.mcnemar(
+      Tables.documents(s, d)
+        .select((col("n_chars") >= 300).as("pass_chars"),
+          (size(split(col("text"), " ")) >= 55).as("pass_tokens")),
+      "pass_chars", "pass_tokens")
+
+  /** Wilcoxon signed-rank over per-user paired means — mean click value
+    * vs mean purchase value for users with both — the paired complement
+    * to q_welch_t/q_mann_whitney: pairing by user removes between-user
+    * spend variance ([[graft.operators.PairedTests.wilcoxonSignedRank]]). */
+  private def qWilcoxonSigned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def perUser(t: String, out: String) =
+      ev.filter(col("event_type") === t && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as(out))
+    graft.operators.PairedTests.wilcoxonSignedRank(
+      perUser("click", "__x").join(perUser("purchase", "__y"), "user_id"),
+      "__x", "__y")
+  }
+
+  /** Levene's variance-homogeneity test across event types — the spread
+    * companion to q_anova (means) and q_kruskal_wallis (locations),
+    * scaled-deviation-exact ([[graft.operators.HypothesisTests.levene]]). */
+  private def qLevene(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.levene(
+      Tables.events(s, d), "event_type", "value")
+
+  /** 2×2 effect-size audit: does being a long document (n_chars ≥ 300)
+    * predict passing the English-language gate? Odds ratio with Wald CI
+    * + risk ratio ([[graft.operators.HypothesisTests.oddsRatio2x2]]). */
+  private def qOddsRatio(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.oddsRatio2x2(
+      Tables.documents(s, d)
+        .select((col("n_chars") >= 300).as("long_doc"),
+          (col("lang") === "en").as("is_en")),
+      "long_doc", "is_en")
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3968,6 +4013,10 @@ object SparkEntry {
     "q_outliers"       -> (qOutliers _),
     "q_intervals"      -> (qIntervals _),
     "q_snapshot_diff"  -> (qSnapshotDiff _),
+    "q_mcnemar"        -> (qMcnemar _),
+    "q_wilcoxon_signed" -> (qWilcoxonSigned _),
+    "q_levene"         -> (qLevene _),
+    "q_odds_ratio"     -> (qOddsRatio _),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column aliases —
@@ -7849,5 +7898,122 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // 4-cell conditional count, then the discordant-pair arithmetic —
+    // the same expression tree as PairedTests.mcnemar
+    "q_mcnemar" -> """
+      WITH f AS (SELECT n_chars >= 300 AS a,
+          len(string_split(text, ' ')) >= 55 AS b
+        FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      cells AS (SELECT
+          sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
+          sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+          sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+          sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11
+        FROM f)
+      SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        CASE WHEN n10 + n01 = 0 THEN NULL
+          ELSE round(CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+            / CAST(n10 + n01 AS DOUBLE) + 1e-12, 6) END AS mcnemar_chi2,
+        CASE WHEN n10 + n01 = 0 THEN NULL
+          ELSE round(greatest(abs(CAST(n10 - n01 AS DOUBLE)) - 1, 0.0)
+            * greatest(abs(CAST(n10 - n01 AS DOUBLE)) - 1, 0.0)
+            / CAST(n10 + n01 AS DOUBLE) + 1e-12, 6) END AS mcnemar_cc
+      FROM cells""",
+    // per-user paired means -> |d| histogram -> cumulative midranks ->
+    // the tie-corrected normal z, every step mirroring
+    // PairedTests.wilcoxonSignedRank (midranks are exact half-integers,
+    // so the double sums are order-free in both engines)
+    "q_wilcoxon_signed" -> """
+      WITH cl AS (SELECT user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS x
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1),
+      pu AS (SELECT user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS y
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1),
+      nz AS (SELECT cl.x - pu.y AS d FROM cl JOIN pu USING (user_id)
+        WHERE cl.x - pu.y IS NOT NULL AND cl.x - pu.y <> 0.0),
+      hist AS (SELECT abs(d) AS a,
+          sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp, count(*) AS t
+        FROM nz GROUP BY 1),
+      cum AS (SELECT a, cp, t, sum(t) OVER (ORDER BY a) AS c FROM hist),
+      ag AS (SELECT sum(t) AS n,
+          sum(cp * (CAST(c - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS wp,
+          sum(t * t * t - t) AS ties
+        FROM cum)
+      SELECT CAST(n AS BIGINT) AS n, round(wp + 1e-12, 6) AS w_plus,
+        CASE WHEN sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+            * (2 * CAST(n AS DOUBLE) + 1) / 24 - CAST(ties AS DOUBLE) / 48) = 0.0
+          THEN NULL
+          ELSE round((wp - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+            / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+              * (2 * CAST(n AS DOUBLE) + 1) / 24 - CAST(ties AS DOUBLE) / 48)
+            + 1e-12, 6) END AS wsr_z
+      FROM ag""",
+    // scaled deviations w = |n_g*v - S_g| kept in exact DECIMAL through
+    // both moment sums; doubles only in the final k-term F — the same
+    // dataflow as HypothesisTests.levene
+    "q_levene" -> """
+      WITH base AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      gm AS (SELECT g, count(*) AS n, sum(v) AS s FROM base GROUP BY 1),
+      wt AS (SELECT b.g, gm.n,
+          CAST(abs(CAST(gm.n AS DECIMAL(18,0)) * b.v - gm.s) AS DECIMAL(18,2)) AS w
+        FROM base b JOIN gm ON b.g = gm.g),
+      pg AS (SELECT g, min(n) AS n, sum(w) AS sw, sum(w * w) AS qw
+        FROM wt GROUP BY 1),
+      z AS (SELECT g, n, CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS sz,
+          CAST(qw AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS qz
+        FROM pg),
+      ag AS (SELECT count(*) AS k, sum(n) AS nn, sum(sz) AS sS, sum(qz) AS qQ,
+          sum(sz * sz / CAST(n AS DOUBLE)) AS sq
+        FROM z)
+      SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        CASE WHEN nn = k OR (qQ - sq) <= 0.0 THEN NULL
+          ELSE round(((sq - sS * sS / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((qQ - sq) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+            + 1e-12, 6) END AS w_stat
+      FROM ag""",
+    // 2x2 cells with the Haldane-Anscombe +0.5 applied to all four
+    // cells when any is zero — the same corrected/uncorrected split as
+    // HypothesisTests.oddsRatio2x2
+    "q_odds_ratio" -> """
+      WITH f AS (SELECT n_chars >= 300 AS ex, lang = 'en' AS o
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      cells AS (SELECT
+          sum(CASE WHEN ex AND o THEN 1 ELSE 0 END) AS n11,
+          sum(CASE WHEN ex AND NOT o THEN 1 ELSE 0 END) AS n10,
+          sum(CASE WHEN NOT ex AND o THEN 1 ELSE 0 END) AS n01,
+          sum(CASE WHEN NOT ex AND NOT o THEN 1 ELSE 0 END) AS n00
+        FROM f),
+      c2 AS (SELECT *, (n11 = 0 OR n10 = 0 OR n01 = 0 OR n00 = 0) AS corrected
+        FROM cells),
+      c3 AS (SELECT *,
+          CASE WHEN corrected THEN CAST(n11 AS DOUBLE) + 0.5
+            ELSE CAST(n11 AS DOUBLE) END AS a,
+          CASE WHEN corrected THEN CAST(n10 AS DOUBLE) + 0.5
+            ELSE CAST(n10 AS DOUBLE) END AS b,
+          CASE WHEN corrected THEN CAST(n01 AS DOUBLE) + 0.5
+            ELSE CAST(n01 AS DOUBLE) END AS c,
+          CASE WHEN corrected THEN CAST(n00 AS DOUBLE) + 0.5
+            ELSE CAST(n00 AS DOUBLE) END AS d
+        FROM c2)
+      SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        round(a * d / (b * c) + 1e-12, 6) AS odds_ratio,
+        round(ln(a * d / (b * c)) + 1e-12, 6) AS log_or,
+        round(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) + 1e-12, 6) AS se_log_or,
+        round(exp(ln(a * d / (b * c))
+          - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)) + 1e-12, 6) AS ci_lo,
+        round(exp(ln(a * d / (b * c))
+          + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)) + 1e-12, 6) AS ci_hi,
+        CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0 AND n01 > 0
+          THEN round((CAST(n11 AS DOUBLE) / CAST(n11 + n10 AS DOUBLE))
+            / (CAST(n01 AS DOUBLE) / CAST(n01 + n00 AS DOUBLE)) + 1e-12, 6)
+          END AS risk_ratio,
+        corrected
+      FROM c3""",
   )
 }

@@ -335,6 +335,105 @@ object HypothesisTests {
           .as("rho"): _*)
   }
 
+  /** Levene's test of variance homogeneity across k groups (center =
+    * mean — the classic form; the Brown–Forsythe median-centered variant
+    * trades exactness of this dataflow for outlier robustness): ANOVA F
+    * over the absolute deviations z_ij = |x_ij − mean_j|. The audit run
+    * before pooled-variance tests or per-group sampling-rate decisions —
+    * "is the SPREAD the same across event types/sources?", which
+    * [[anovaF]] (means) and [[kruskalWallis]] (locations) don't answer.
+    *
+    * Exactness: deviations are carried SCALED — w_ij = |n_j·x_ij − S_j|,
+    * an exact DECIMAL product/difference (x as DECIMAL(18,2), so no
+    * division noise enters the per-group sums; z-moments come out as
+    * Σz = Σw/n_j and Σz² = Σw²/n_j² with ONE double division per group).
+    * Requires n_j·max|x| < 10^16 value units per group (the
+    * DECIMAL(18,2) bound before squaring); beyond that, pre-scale x.
+    *
+    * Scale shape: two corpus scans (per-group moments; deviation
+    * moments with the k-row moment table broadcast back), both map-side
+    * combined. Doubles touch only the final k-term F arithmetic.
+    *
+    * One output row: `k`, `n`, `w_stat` (the Levene F, rounded 6; null
+    * when N = k or SSW = 0 — e.g. every group internally symmetric-
+    * constant in |deviation|).
+    */
+  def levene(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val gm = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    // w = |n_g·v − S_g| exact in DECIMAL; re-cast to (18,2) before the
+    // square so the product stays inside precision 38 (bound documented
+    // above)
+    val w = abs(col("__n").cast("decimal(18,0)") * col("__v") - col("__s"))
+      .cast("decimal(18,2)")
+    val perGroup = base.join(broadcast(gm), "__g")
+      .groupBy(col("__g"))
+      .agg(min(col("__n")).as("__n"),
+        sum(w).as("__sw"), sum(w * w).as("__qw"))
+      .select(col("__g"), col("__n"),
+        // Σz and Σz² for z = w/n_g: one double division per group
+        (col("__sw").cast("double") / col("__n").cast("double")).as("__sz"),
+        (col("__qw").cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double"))).as("__qz"))
+    val nD = col("__N").cast("double")
+    val ssb = col("__sq") - col("__S") * col("__S") / nD
+    val ssw = col("__Q") - col("__sq")
+    val f = (ssb / (col("k") - 1).cast("double")) / (ssw / (nD - col("k").cast("double")))
+    perGroup.agg(count(lit(1)).as("k"), sum(col("__n")).as("__N"),
+        sum(col("__sz")).as("__S"), sum(col("__qz")).as("__Q"),
+        sum(col("__sz") * col("__sz") / col("__n").cast("double")).as("__sq"))
+      .select(col("k"), col("__N").as("n"),
+        when(col("__N") === col("k") || ssw <= 0.0, lit(null).cast("double"))
+          .otherwise(round(f + lit(1e-12), 6)).as("w_stat"))
+  }
+
+  /** 2×2 effect-size audit for a binary exposure vs a binary outcome
+    * (does source class predict passing the language filter?): cell
+    * counts, odds ratio, log-OR with its standard error and Wald 95% CI,
+    * and the risk ratio. When ANY cell is zero the Haldane–Anscombe
+    * +0.5 correction applies to ALL four cells for the OR/log-OR/SE/CI
+    * (the standard continuity fix; `corrected` reports whether it
+    * fired); the risk ratio stays uncorrected and goes null if a
+    * denominator row is empty. CI uses z = 1.96 exactly.
+    *
+    * One output row: `n11` (exp∧out), `n10`, `n01`, `n00`,
+    * `odds_ratio`, `log_or`, `se_log_or`, `ci_lo`, `ci_hi`,
+    * `risk_ratio`, `corrected` (rounded 6). Null-flag rows drop.
+    *
+    * Scale shape: ONE corpus scan into a 1-row 4-cell conditional-count
+    * aggregate; everything after is scalar arithmetic.
+    */
+  def oddsRatio2x2(df: DataFrame, exposureCol: String, outcomeCol: String): DataFrame = {
+    val ex = col(exposureCol).cast("boolean")
+    val out = col(outcomeCol).cast("boolean")
+    def cell(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
+    val anyZero = col("n11") === 0 || col("n10") === 0 ||
+      col("n01") === 0 || col("n00") === 0
+    def adj(c: String) =
+      when(anyZero, col(c).cast("double") + 0.5).otherwise(col(c).cast("double"))
+    val (a, b, c_, dd) = (adj("n11"), adj("n10"), adj("n01"), adj("n00"))
+    val orr = a * dd / (b * c_)
+    val se = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c_ + lit(1.0) / dd)
+    val riskDen = col("n11") + col("n10") > 0 && col("n01") + col("n00") > 0 &&
+      col("n01") > 0
+    val rr = (col("n11").cast("double") / (col("n11") + col("n10")).cast("double")) /
+      (col("n01").cast("double") / (col("n01") + col("n00")).cast("double"))
+    df.filter(ex.isNotNull && out.isNotNull)
+      .agg(cell(ex && out).as("n11"), cell(ex && !out).as("n10"),
+        cell(!ex && out).as("n01"), cell(!ex && !out).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(orr + lit(1e-12), 6).as("odds_ratio"),
+        round(log(orr) + lit(1e-12), 6).as("log_or"),
+        round(se + lit(1e-12), 6).as("se_log_or"),
+        round(exp(log(orr) - lit(1.96) * se) + lit(1e-12), 6).as("ci_lo"),
+        round(exp(log(orr) + lit(1.96) * se) + lit(1e-12), 6).as("ci_hi"),
+        when(riskDen, round(rr + lit(1e-12), 6)).as("risk_ratio"),
+        anyZero.as("corrected"))
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

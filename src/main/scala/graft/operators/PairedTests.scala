@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paired-sample tests — the audits a pipeline runs when the SAME units
+  * are measured twice: did swapping quality filter v1 for v2 actually
+  * change which documents pass (McNemar), did the per-user metric shift
+  * between two event types (Wilcoxon signed-rank)? Complements
+  * [[HypothesisTests]] (independent-group tests): pairing removes the
+  * between-unit variance, so these are the right tools for before/after
+  * comparisons on a fixed corpus.
+  *
+  * Both are single-aggregate dataflows: McNemar is one map-side-combined
+  * 4-cell count; the signed-rank test rides the
+  * [[RankedStats.withCumulative]] distinct-value-histogram idiom (no
+  * global sort, exact half-integer midranks), like every other rank
+  * statistic in this library.
+  */
+object PairedTests {
+
+  /** McNemar's test for paired binary outcomes: given two boolean
+    * columns over the same rows (pass/fail under filter A vs filter B),
+    * count the concordant/discordant cells and test whether the
+    * discordant flips are symmetric. χ² = (n10 − n01)²/(n10 + n01);
+    * the continuity-corrected form uses (max(0, |n10 − n01| − 1))².
+    *
+    * One output row: `n00`, `n01`, `n10`, `n11`, `mcnemar_chi2`,
+    * `mcnemar_cc` (rounded 6; both null when n01 + n10 = 0 — no
+    * discordant pairs, nothing to test). Rows where either flag is null
+    * drop (the pair is incomplete).
+    *
+    * Scale shape: ONE corpus scan into a 1-row conditional-count
+    * aggregate (map-side combined, exact integers); the statistics are
+    * pure arithmetic on the four cells — partitioning-independent.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    def cell(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val disc = (col("n10") - col("n01")).cast("double")
+    val tot = (col("n10") + col("n01")).cast("double")
+    val cc = greatest(abs(disc) - 1, lit(0.0))
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(cell(!a && !b).as("n00"), cell(!a && b).as("n01"),
+        cell(a && !b).as("n10"), cell(a && b).as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        when(tot === 0.0, lit(null).cast("double"))
+          .otherwise(round(disc * disc / tot + lit(1e-12), 6)).as("mcnemar_chi2"),
+        when(tot === 0.0, lit(null).cast("double"))
+          .otherwise(round(cc * cc / tot + lit(1e-12), 6)).as("mcnemar_cc"))
+  }
+
+  /** Wilcoxon signed-rank test over paired values: d = x − y per row,
+    * zeros dropped (the standard reduced-sample convention), |d| ranked
+    * with midranks, W⁺ = Σ ranks of positive d. The tie-corrected
+    * normal approximation: z = (W⁺ − n(n+1)/4) / σ with
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    *
+    * One output row: `n` (non-zero pairs), `w_plus`, `wsr_z` (rounded
+    * 6; `wsr_z` null when σ = 0 — every |d| tied in one block).
+    *
+    * Scale shape: the |d| histogram (groupBy — map-side combined,
+    * |distinct| rows) plus the [[RankedStats.withCumulative]] two-level
+    * cumsum; midranks are exact half-integers and counts exact longs,
+    * so W⁺ and the tie term are order- and partitioning-independent.
+    * No global sort, no per-row rank materialization.
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
+                         shards: Int = 0): DataFrame = {
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val hist = df.select(d.as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0.0)
+      .groupBy(abs(col("__d")).as("__a"))
+      .agg(sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__t"))
+    val cum = RankedStats.withCumulative(hist, Nil, "__a", Seq("__t"), shards)
+    val t = col("__t").cast("double")
+    val midrank = (col("__cum___t") - col("__t")).cast("double") + (t + 1) / 2
+    val nD = col("n").cast("double")
+    val sigma = sqrt(nD * (nD + 1) * (nD * 2 + 1) / 24
+      - col("__ties").cast("double") / 48)
+    cum.agg(sum(col("__t")).as("n"),
+        sum(col("__cp") * midrank).as("__wp"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .select(col("n"),
+        round(col("__wp") + lit(1e-12), 6).as("w_plus"),
+        when(sigma === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__wp") - nD * (nD + 1) / 4) / sigma
+            + lit(1e-12), 6)).as("wsr_z"))
+  }
+}

@@ -150,4 +150,84 @@ class RankedStatsSpec extends AnyFunSuite {
       .select(col("k"), col("cusum")).as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 99.0), (2L, 0.0)))
   }
+
+  private def round6(x: Double): Double = math.rint((x + 1e-12) * 1e6) / 1e6
+
+  test("mcnemar: hand-counted cells, chi2, and continuity correction") {
+    // n00=3, n01=2, n10=6, n11=4; null-flag rows drop
+    val rows = Seq.fill(3)((Some(false), Some(false))) ++
+      Seq.fill(2)((Some(false), Some(true))) ++
+      Seq.fill(6)((Some(true), Some(false))) ++
+      Seq.fill(4)((Some(true), Some(true))) :+ ((None: Option[Boolean], Some(true)))
+    val r = graft.operators.PairedTests.mcnemar(rows.toDF("a", "b"), "a", "b").head
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n11")) == ((3L, 2L, 6L, 4L)))
+    assert(r.getAs[Double]("mcnemar_chi2") == 2.0) // (6-2)^2 / 8
+    assert(r.getAs[Double]("mcnemar_cc") == 1.125) // (4-1)^2 / 8
+  }
+
+  test("mcnemar: no discordant pairs yields null statistics") {
+    val r = graft.operators.PairedTests.mcnemar(
+      Seq((true, true), (false, false)).toDF("a", "b"), "a", "b").head
+    assert(r.isNullAt(r.fieldIndex("mcnemar_chi2")))
+    assert(r.isNullAt(r.fieldIndex("mcnemar_cc")))
+  }
+
+  test("wilcoxonSignedRank: untied example, zero pairs dropped") {
+    // d = +1,+2,+3,-4 (plus a zero pair that drops): W+ = 1+2+3 = 6,
+    // n = 4, mean = 5, sigma^2 = 4*5*9/24 = 7.5
+    val df = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0), (1.0, 5.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val r = graft.operators.PairedTests.wilcoxonSignedRank(df, "x", "y").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("w_plus") == 6.0)
+    assert(r.getAs[Double]("wsr_z") == round6(1.0 / math.sqrt(7.5)))
+  }
+
+  test("wilcoxonSignedRank: tied |d| block uses midranks and the tie correction") {
+    // d = +1,-1,+2: midranks {1.5,1.5,3}, W+ = 4.5, n = 3,
+    // sigma^2 = 3*4*7/24 - (2^3-2)/48 = 3.375
+    val df = Seq((2.0, 1.0), (1.0, 2.0), (5.0, 3.0)).toDF("x", "y")
+    val r = graft.operators.PairedTests.wilcoxonSignedRank(df, "x", "y", shards = 2).head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("w_plus") == 4.5)
+    assert(r.getAs[Double]("wsr_z") == round6(1.5 / math.sqrt(3.375)))
+  }
+
+  test("levene: hand-computed F over scaled deviations; equal-spread degenerate is null") {
+    // a: {0,2,4} -> z = {2,0,2}; b: {0,8} -> z = {4,4}
+    // SSB = 112/15... spelled: sq = 16/3 + 32, S = 12, Q = 40 -> F = 9.6
+    val df = Seq(("a", 0.0), ("a", 2.0), ("a", 4.0), ("b", 0.0), ("b", 8.0))
+      .toDF("g", "v")
+    val r = HypothesisTests.levene(df, "g", "v").head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("w_stat") == 9.6)
+    // both groups internally constant in |deviation| -> SSW = 0 -> null
+    val deg = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val r2 = HypothesisTests.levene(deg, "g", "v").head
+    assert(r2.isNullAt(r2.fieldIndex("w_stat")))
+  }
+
+  test("oddsRatio2x2: uncorrected cells give the closed-form OR/CI; zero cell corrects") {
+    // n11=6, n10=2, n01=3, n00=9: OR = 54/6 = 9
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(3)((false, true)) ++ Seq.fill(9)((false, false))
+    val r = HypothesisTests.oddsRatio2x2(rows.toDF("e", "o"), "e", "o").head
+    val se = math.sqrt(1.0 / 6 + 1.0 / 2 + 1.0 / 3 + 1.0 / 9)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    assert(r.getAs[Double]("log_or") == round6(math.log(9.0)))
+    assert(r.getAs[Double]("se_log_or") == round6(se))
+    assert(r.getAs[Double]("ci_lo") == round6(math.exp(math.log(9.0) - 1.96 * se)))
+    assert(r.getAs[Double]("ci_hi") == round6(math.exp(math.log(9.0) + 1.96 * se)))
+    // risk ratio = (6/8) / (3/12) = 3
+    assert(r.getAs[Double]("risk_ratio") == 3.0)
+    assert(!r.getAs[Boolean]("corrected"))
+    // a zero cell fires Haldane-Anscombe on ALL cells and nulls the RR
+    val z = Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false))
+    val rz = HypothesisTests.oddsRatio2x2(z.toDF("e", "o"), "e", "o").head
+    assert(rz.getAs[Boolean]("corrected"))
+    assert(rz.isNullAt(rz.fieldIndex("risk_ratio")))
+    // corrected OR = (4.5*2.5)/(0.5*0.5) = 45
+    assert(rz.getAs[Double]("odds_ratio") == 45.0)
+  }
 }
