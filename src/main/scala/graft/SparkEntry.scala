@@ -3711,6 +3711,56 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Smoothed leave-one-out target encoding of `source` against the
+    * is-English label (m = 10) — the leakage-guarded categorical
+    * feature a tabular quality model trains on
+    * ([[graft.ml.FeatureEng.targetEncodeLoo]]). */
+  private def qTargetEncode(s: SparkSession, d: String): DataFrame =
+    graft.ml.FeatureEng.targetEncodeLoo(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en")),
+      "doc_id", "source", "is_en", m = 10.0)
+
+  /** Signed feature hashing of (lang, source) into 32 dimensions —
+    * the engine-portable sparse featurization (md5-derived index and
+    * sign, so any engine reproduces the exact feature space;
+    * [[graft.ml.FeatureEng.featureHash]]). */
+  private def qFeatureHash(s: SparkSession, d: String): DataFrame =
+    graft.ml.FeatureEng.featureHash(
+      Tables.documents(s, d), "doc_id", Seq("lang", "source"), dim = 32)
+
+  /** Per-event-type z-score + min-max scaling of event values with
+    * exact decimal-moment parameters
+    * ([[graft.ml.FeatureEng.scaleFeatures]]). */
+  private def qFeatureScale(s: SparkSession, d: String): DataFrame =
+    graft.ml.FeatureEng.scaleFeatures(
+      Tables.events(s, d), "event_id", Seq("event_type"), "value")
+
+  /** Two-feature OLS with intercept over lineitem — price on quantity
+    * and discount, solved closed-form by Cramer from one
+    * sufficient-statistics aggregate ([[graft.ml.Ols.ols2]]): the
+    * "does y track x1 once x2 is controlled for?" audit. */
+  private def qOls2(s: SparkSession, d: String): DataFrame =
+    graft.ml.Ols.ols2(Tables.lineitem(s, d),
+      "l_quantity", "l_discount", "l_extendedprice")
+
+  /** BFS hop distance from vec 0 over the directed similarity k-NN
+    * graph (≤ 4 hops) — the reach audit: how much of the corpus sits
+    * within k hops of a flagged document ([[graft.graph.Bfs]]; the
+    * oracle replays it as a recursive-CTE min-hop walk). */
+  private def qBfsHops(s: SparkSession, d: String): DataFrame =
+    graft.graph.Bfs.hopDistance(knnEdges(s, d), "id", "nbr",
+      sources = Seq(0L), maxHops = 4)
+
+  /** Personalized PageRank seeded at vec 0 over the similarity graph —
+    * "relevance to THIS document" centrality, the seed-expansion score
+    * ([[graft.graph.PageRank.personalizedPageRank]], 3 iterations,
+    * plain dangling semantics matching q_pagerank). */
+  private def qPpr(s: SparkSession, d: String): DataFrame =
+    graft.graph.PageRank.personalizedPageRank(knnEdges(s, d), "id", "nbr",
+      Tables.embeddings(s, d).select(col("vec_id")), "vec_id",
+      seeds = Seq(0L), iterations = 3)
+
   /** McNemar's paired test over two document quality filters evaluated
     * on the SAME corpus — char-length (n_chars ≥ 300) vs token-count
     * (≥ 55 whitespace tokens): are the discordant flips symmetric, i.e.
@@ -4013,6 +4063,12 @@ object SparkEntry {
     "q_outliers"       -> (qOutliers _),
     "q_intervals"      -> (qIntervals _),
     "q_snapshot_diff"  -> (qSnapshotDiff _),
+    "q_bfs_hops"       -> (qBfsHops _),
+    "q_ppr"            -> (qPpr _),
+    "q_target_encode"  -> (qTargetEncode _),
+    "q_feature_hash"   -> (qFeatureHash _),
+    "q_feature_scale"  -> (qFeatureScale _),
+    "q_ols2"           -> (qOls2 _),
     "q_mcnemar"        -> (qMcnemar _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_levene"         -> (qLevene _),
@@ -7898,6 +7954,134 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // category aggregate + global prior, then the LOO shrinkage formula
+    // on every row — the same expression tree as FeatureEng.targetEncodeLoo
+    "q_target_encode" -> """
+      WITH base AS (SELECT doc_id, source,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+      pc AS (SELECT source, count(*) AS n, sum(y) AS s FROM base GROUP BY 1),
+      pr AS (SELECT CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS p FROM pc)
+      SELECT b.doc_id, b.source, CAST(b.y AS BIGINT) AS y,
+        round((CAST(pc.s - b.y AS DOUBLE) + 10.0 * pr.p)
+          / (CAST(pc.n - 1 AS DOUBLE) + 10.0) + 1e-12, 6) AS te
+      FROM base b JOIN pc USING (source) CROSS JOIN pr""",
+    // the md5-hex fold mirrors conv(substring(md5,...),16,10) digit by
+    // digit; % on non-negative values == pmod
+    "q_feature_hash" -> """
+      WITH f AS (
+        SELECT doc_id, 'lang' AS nm, lang AS v FROM documents WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 'source', source FROM documents WHERE source IS NOT NULL),
+      h AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substring(md5(nm || '=' || v), 1, 8), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) % 32 AS feat_idx,
+          CAST(strpos('0123456789abcdef', substring(md5(nm || '=' || v), 9, 1)) - 1
+            AS BIGINT) % 2 * 2 - 1 AS sign
+        FROM f)
+      SELECT doc_id, CAST(feat_idx AS BIGINT) AS feat_idx,
+        CAST(sum(sign) AS BIGINT) AS feat_val
+      FROM h GROUP BY 1, 2""",
+    // per-group exact decimal moments broadcast back over one scan —
+    // the same mean/std/range expressions as FeatureEng.scaleFeatures
+    "q_feature_scale" -> """
+      WITH base AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL),
+      st AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS q,
+          min(v) AS mn, max(v) AS mx
+        FROM base GROUP BY 1)
+      SELECT b.event_id, b.event_type,
+        CASE WHEN st.n < 2 OR sqrt((CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) = 0.0 THEN NULL
+          ELSE round((CAST(b.v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) + 1e-12, 6) END AS z,
+        CASE WHEN CAST(mx - mn AS DOUBLE) = 0.0 THEN NULL
+          ELSE round(CAST(b.v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+            + 1e-12, 6) END AS minmax
+      FROM base b JOIN st USING (event_type)""",
+    // nine exact-decimal sufficient statistics -> the same cofactor
+    // expansions as Ols.ols2's det3 helper, argument order preserved
+    "q_ols2" -> """
+      WITH base AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+          CAST(l_discount AS DECIMAL(18,2)) AS x2,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      sm AS (SELECT count(*) AS n, sum(x1) AS s1d, sum(x2) AS s2d,
+          sum(x1 * x1) AS s11d, sum(x2 * x2) AS s22d, sum(x1 * x2) AS s12d,
+          sum(y) AS syd, sum(x1 * y) AS s1yd, sum(x2 * y) AS s2yd,
+          sum(y * y) AS syyd
+        FROM base),
+      d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+          CAST(s11d AS DOUBLE) AS s11, CAST(s22d AS DOUBLE) AS s22,
+          CAST(s12d AS DOUBLE) AS s12, CAST(syd AS DOUBLE) AS sy,
+          CAST(s1yd AS DOUBLE) AS s1y, CAST(s2yd AS DOUBLE) AS s2y,
+          CAST(syyd AS DOUBLE) AS syy
+        FROM sm),
+      dets AS (SELECT *,
+          nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM d)
+      SELECT n,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det0 / det + 1e-12, 6) END AS b0,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det1 / det + 1e-12, 6) END AS b1,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det2 / det + 1e-12, 6) END AS b2,
+        CASE WHEN det = 0.0 OR (syy - sy * sy / nd) = 0.0 THEN NULL
+          ELSE round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+            - (det2 / det) * s2y) / (syy - sy * sy / nd) + 1e-12, 6) END AS r2
+      FROM dets""",
+    // min-hop over a bounded recursive walk == the BFS level a node is
+    // first settled at; UNION (distinct) keeps the walk (node,hop)-sized
+    "q_bfs_hops" -> s"""
+      WITH RECURSIVE knn AS ($KnnGraphOracle),
+      walk(node, hop) AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        UNION
+        SELECT e.nbr, w.hop + 1
+        FROM walk w JOIN knn e ON w.node = e.id
+        WHERE w.hop < 4)
+      SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY 1""",
+    // 3 unrolled iterations with the teleport vector concentrated on
+    // vec 0 — the same (1.0 - 0.85) expression tree as the engine
+    "q_ppr" -> s"""
+      WITH knn AS ($KnnGraphOracle),
+      edges AS (SELECT id, nbr FROM knn),
+      deg AS (SELECT id, count(*) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT vec_id AS node,
+          CASE WHEN vec_id = 0 THEN 1.0 ELSE 0.0 END AS r,
+          CASE WHEN vec_id = 0 THEN 1.0 ELSE 0.0 END AS tele
+        FROM embeddings),
+      c1 AS (SELECT e.nbr AS node, sum(r0.r / deg.deg) AS s
+             FROM r0 JOIN edges e ON r0.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r1 AS (SELECT r0.node AS node, (1.0 - 0.85) * r0.tele + 0.85 * coalesce(c1.s, 0.0) AS r,
+               r0.tele AS tele
+             FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+      c2 AS (SELECT e.nbr AS node, sum(r1.r / deg.deg) AS s
+             FROM r1 JOIN edges e ON r1.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r2 AS (SELECT r1.node AS node, (1.0 - 0.85) * r1.tele + 0.85 * coalesce(c2.s, 0.0) AS r,
+               r1.tele AS tele
+             FROM r1 LEFT JOIN c2 ON r1.node = c2.node),
+      c3 AS (SELECT e.nbr AS node, sum(r2.r / deg.deg) AS s
+             FROM r2 JOIN edges e ON r2.node = e.id JOIN deg ON e.id = deg.id GROUP BY 1),
+      r3 AS (SELECT r2.node AS node, (1.0 - 0.85) * r2.tele + 0.85 * coalesce(c3.s, 0.0) AS r,
+               r2.tele AS tele
+             FROM r2 LEFT JOIN c3 ON r2.node = c3.node)
+      SELECT node, round(r + 1e-12, 6) AS ppr FROM r3""",
     // 4-cell conditional count, then the discordant-pair arithmetic —
     // the same expression tree as PairedTests.mcnemar
     "q_mcnemar" -> """

@@ -22,6 +22,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r(3L) == 0.05)
   }
 
+  test("hopDistance: BFS levels on a diamond-with-cycle; unreachable nodes absent") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 0L))
+      .toDF("src", "dst")
+    val got = graft.graph.Bfs.hopDistance(edges, "src", "dst", Seq(0L), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // early stop: a generous bound terminates once the frontier drains,
+    // and nodes not in the edge list never appear
+    val wide = graft.graph.Bfs.hopDistance(edges, "src", "dst", Seq(0L), maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == got)
+    // multi-source: minimum level over the seed set wins
+    val multi = graft.graph.Bfs.hopDistance(edges, "src", "dst", Seq(0L, 3L), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(multi(3L) == 0L && multi(4L) == 1L && multi(1L) == 1L)
+  }
+
+  test("personalizedPageRank: chain from the seed decays by damping per hop") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = (0L to 2L).toDF("id")
+    val r = PageRank.personalizedPageRank(edges, "src", "dst", nodes, "id",
+        seeds = Seq(0L), iterations = 3)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    // hand-unrolled: r3 = (0.15, 0.85*0.15, 0.85^2*0.15)
+    assert(r(0L) == 0.15 && r(1L) == 0.1275 && r(2L) == 0.108375)
+  }
+
   test("pageRank: a sink-pointing star concentrates rank on the hub") {
     // 4 spokes all point at node 0; node 0 points back at node 1
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))

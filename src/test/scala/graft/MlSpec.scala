@@ -134,4 +134,58 @@ class MlSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  private def round6(x: Double): Double = math.rint((x + 1e-12) * 1e6) / 1e6
+
+  test("targetEncodeLoo: hand-checked shrinkage; own label excluded") {
+    // cat a: y = {1,1,0} (n=3, S=2); cat b: y = {0} (n=1); prior = 2/4
+    val df = Seq((1L, "a", true), (2L, "a", true), (3L, "a", false),
+      (4L, "b", false)).toDF("id", "cat", "y")
+    val got = graft.ml.FeatureEng.targetEncodeLoo(df, "id", "cat", "y", m = 2.0)
+      .select("id", "te").as[(Long, Double)].collect().toMap
+    // row 1 (y=1): (2-1 + 2*0.5)/(2+2) = 0.5 ; row 3 (y=0): (2+1)/4 = 0.75
+    assert(got(1L) == 0.5 && got(2L) == 0.5 && got(3L) == 0.75)
+    // singleton cat b: (0-0+1)/(0+2) = 0.5 — smoothing carries it
+    assert(got(4L) == 0.5)
+  }
+
+  test("featureHash: deterministic indices in range, signed, collisions summed") {
+    val df = Seq((1L, "en", "web"), (2L, "en", "web"), (3L, "de", "print"))
+      .toDF("id", "lang", "source")
+    val got = graft.ml.FeatureEng.featureHash(df, "id", Seq("lang", "source"), dim = 8)
+      .as[(Long, Long, Long)].collect()
+    // |v| <= n_features; a zero-sum collision (two features, same index,
+    // opposite signs) is legitimate and kept — both engines agree on it
+    assert(got.forall { case (_, idx, v) => idx >= 0 && idx < 8 && math.abs(v) <= 2 })
+    // identical inputs hash identically
+    val by1 = got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    val by2 = got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+    assert(by1 == by2 && by1.nonEmpty)
+  }
+
+  test("scaleFeatures: z and minmax on a hand case; constant group nulls both z and range") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 5.0), (5L, "b", 5.0)).toDF("id", "g", "v")
+    val got = graft.ml.FeatureEng.scaleFeatures(df, "id", Seq("g"), "v")
+      .select("id", "z", "minmax")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == ((Some(-1.0), Some(0.0))))
+    assert(got(2L) == ((Some(0.0), Some(0.5))))
+    assert(got(3L) == ((Some(1.0), Some(1.0))))
+    assert(got(4L) == ((None, None)) && got(5L) == ((None, None)))
+  }
+
+  test("ols2 recovers exact plane coefficients and flags a collinear design") {
+    // y = 2 + 3*x1 - 1*x2 exactly: r2 = 1, coefficients exact
+    val pts = for (i <- 0 until 5; j <- 0 until 5)
+      yield (i.toDouble, j.toDouble, 2.0 + 3.0 * i - 1.0 * j)
+    val r = graft.ml.Ols.ols2(pts.toDF("x1", "x2", "y"), "x1", "x2", "y").head
+    assert(r.getAs[Double]("b0") == 2.0 && r.getAs[Double]("b1") == 3.0
+      && r.getAs[Double]("b2") == round6(-1.0))
+    assert(r.getAs[Double]("r2") == 1.0)
+    // x2 = 2*x1: singular normal matrix -> null coefficients
+    val col2 = (0 until 6).map(i => (i.toDouble, 2.0 * i, i * 1.5))
+    val rs = graft.ml.Ols.ols2(col2.toDF("x1", "x2", "y"), "x1", "x2", "y").head
+    assert(rs.isNullAt(rs.fieldIndex("b1")) && rs.isNullAt(rs.fieldIndex("r2")))
+  }
 }
