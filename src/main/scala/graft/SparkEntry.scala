@@ -3711,6 +3711,15 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** TextRank keywords: weighted PageRank over the adjacent-token
+    * co-occurrence graph (min token length 3, 3 iterations), top-20 by
+    * rounded rank — graph centrality as keyword salience, vs the
+    * frequency (q_top_tokens) and PMI (q_pmi) lenses
+    * ([[graft.text.TextRank.keywords]]). */
+  private def qTextrank(s: SparkSession, d: String): DataFrame =
+    graft.text.TextRank.keywords(Tables.documents(s, d), "text",
+      minLen = 3, iterations = 3, topK = 20)
+
   /** Smoothed leave-one-out target encoding of `source` against the
     * is-English label (m = 10) — the leakage-guarded categorical
     * feature a tabular quality model trains on
@@ -4065,6 +4074,7 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_textrank"       -> (qTextrank _),
     "q_target_encode"  -> (qTargetEncode _),
     "q_feature_hash"   -> (qFeatureHash _),
     "q_feature_scale"  -> (qFeatureScale _),
@@ -7954,6 +7964,39 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // adjacent-token bigrams (scan-stage 1-based indexing mirrors the
+    // engine's zip_with-over-shifted-slices), symmetrized counts, then
+    // 3 unrolled weighted-PageRank iterations; top-20 on the ROUNDED
+    // rank exactly as TextRank.keywords orders
+    "q_textrank" -> """
+      WITH toks AS (SELECT list_filter(string_split(lower(text), ' '),
+          t -> len(t) >= 3) AS w FROM documents),
+      pr0 AS (SELECT w[i] AS s, w[i+1] AS d
+        FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+        WHERE w[i] <> w[i+1]),
+      e AS MATERIALIZED (SELECT s, d, CAST(count(*) AS DOUBLE) AS wt
+        FROM (SELECT s, d FROM pr0 UNION ALL SELECT d, s FROM pr0)
+        GROUP BY 1, 2),
+      tot AS (SELECT s, sum(wt) AS tw FROM e GROUP BY 1),
+      nodes AS (SELECT DISTINCT s AS term FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT term, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.d AS term, sum(r0.r * e.wt / tot.tw) AS x
+             FROM r0 JOIN e ON r0.term = e.s JOIN tot ON e.s = tot.s GROUP BY 1),
+      r1 AS (SELECT r0.term, (1.0 - 0.85) / n + 0.85 * coalesce(c1.x, 0.0) AS r
+             FROM r0 LEFT JOIN c1 USING (term) CROSS JOIN nn),
+      c2 AS (SELECT e.d AS term, sum(r1.r * e.wt / tot.tw) AS x
+             FROM r1 JOIN e ON r1.term = e.s JOIN tot ON e.s = tot.s GROUP BY 1),
+      r2 AS (SELECT r1.term, (1.0 - 0.85) / n + 0.85 * coalesce(c2.x, 0.0) AS r
+             FROM r1 LEFT JOIN c2 USING (term) CROSS JOIN nn),
+      c3 AS (SELECT e.d AS term, sum(r2.r * e.wt / tot.tw) AS x
+             FROM r2 JOIN e ON r2.term = e.s JOIN tot ON e.s = tot.s GROUP BY 1),
+      r3 AS (SELECT r2.term, (1.0 - 0.85) / n + 0.85 * coalesce(c3.x, 0.0) AS r
+             FROM r2 LEFT JOIN c3 USING (term) CROSS JOIN nn)
+      SELECT term, round(r + 1e-12, 6) AS textrank,
+        CAST(row_number() OVER (ORDER BY round(r + 1e-12, 6) DESC, term)
+          AS BIGINT) AS rk
+      FROM r3 QUALIFY rk <= 20""",
     // category aggregate + global prior, then the LOO shrinkage formula
     // on every row — the same expression tree as FeatureEng.targetEncodeLoo
     "q_target_encode" -> """

@@ -53,6 +53,48 @@ object PageRank {
     pageRankWithIters(edges, srcCol, dstCol, nodes, nodeCol,
       iterations, damping, redistributeDangling, tolerance)._1
 
+  /** Weighted PageRank: inflow is proportional to edge weight instead
+    * of uniform over out-edges — r'(v) = (1−d)/N + d·Σ_{u→v}
+    * r(u)·w(u,v)/W(u) with W(u) = Σ_x w(u,x) (plain dangling
+    * semantics: mass at weightless nodes drops, matching [[pageRank]]).
+    * The centrality under TextRank-style co-occurrence graphs, where
+    * edge multiplicity carries the signal.
+    *
+    * Same per-iteration join + re-aggregate dataflow as [[pageRank]];
+    * edges are pre-joined with their source weight totals once and
+    * checkpointed. Weights must be positive (zero/negative weights
+    * make W(u) meaningless — filter first). Output: nodeCol +
+    * `pagerank` (rounded 6).
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, nodes: DataFrame, nodeCol: String,
+                       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val n1 = nodes.select(col(nodeCol).as("node")).agg(count(lit(1)).as("__N"))
+    val tot = edges.groupBy(col(srcCol).as("__src"))
+      .agg(sum(col(weightCol).cast("double")).as("__tw"))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w"))
+      .join(tot, "__src")
+      .localCheckpoint()
+    var ranks = nodes.select(col(nodeCol).as("node")).crossJoin(n1)
+      .select(col("node"), (lit(1.0) / col("__N")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("r") * col("__w") / col("__tw")).as("__s"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(n1)
+        .select(col("node"), ((lit(1.0 - damping) / col("__N"))
+          + lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("r") + lit(1e-12), 6).as("pagerank"))
+  }
+
   /** Personalized PageRank: the teleport vector concentrates on a
     * literal seed set instead of being uniform — r'(v) = (1−d)·s(v) +
     * d·Σ_{u→v} r(u)/outdeg(u) with s(v) = 1/|S| on seeds, 0 elsewhere

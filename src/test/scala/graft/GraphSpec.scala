@@ -49,6 +49,27 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) == 0.15 && r(1L) == 0.1275 && r(2L) == 0.108375)
   }
 
+  test("weightedPageRank: uniform weights reduce to plain pageRank") {
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val nodes = (1L to 3L).toDF("id")
+    val plain = PageRank.pageRank(e, "src", "dst", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val weighted = PageRank.weightedPageRank(e, "src", "dst", "w", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain == weighted)
+  }
+
+  test("textRank keywords: path graph concentrates rank on the middle term, ties break lexicographically") {
+    val docs = Seq("aaa bbb ccc", "x y").toDF("text") // 'x','y' drop (minLen)
+    val got = graft.text.TextRank.keywords(docs, "text", minLen = 3,
+        iterations = 3, topK = 20)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("bbb", "aaa", "ccc")) // symmetric tie: aaa < ccc
+    assert(got.map(_._3) == Seq(1L, 2L, 3L))
+    assert(got(1)._2 == got(2)._2 && got(0)._2 > got(1)._2)
+  }
+
   test("pageRank: a sink-pointing star concentrates rank on the hub") {
     // 4 spokes all point at node 0; node 0 points back at node 1
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
