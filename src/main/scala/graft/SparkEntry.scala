@@ -3711,6 +3711,57 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Friedman test across event types blocked BY USER (per-user mean
+    * value per type, complete blocks only) — the repeated-measures
+    * complement to q_kruskal_wallis: blocking removes between-user
+    * spend variance ([[graft.operators.PairedTests.friedman]]). */
+  private def qFriedman(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("mv"))
+    graft.operators.PairedTests.friedman(perUser, "user_id", "event_type", "mv")
+  }
+
+  /** Cochran's Q across event types blocked by user on a binary
+    * outcome (did the user ever exceed value 200 in that type?) — the
+    * k-treatment McNemar ([[graft.operators.PairedTests.cochranQ]]). */
+  private def qCochranQ(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((max(col("value")) >= 200).as("succ"))
+    graft.operators.PairedTests.cochranQ(perUser, "user_id", "event_type", "succ")
+  }
+
+  /** Effect sizes for click vs purchase values — Cohen's d, Hedges' g,
+    * Cliff's δ: the "how much" beside q_welch_t/q_mann_whitney's "is it
+    * real" ([[graft.operators.HypothesisTests.effectSizes]]). */
+  private def qEffectSize(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.effectSizes(
+      Tables.events(s, d), "event_type", "value", "click", "purchase")
+
+  /** Decision stump on n_chars vs the is-English label — best Gini
+    * threshold from the distinct-value cumsum, the unit step of tree
+    * ensembles ([[graft.ml.Stump.train]]). */
+  private def qStump(s: SparkSession, d: String): DataFrame =
+    graft.ml.Stump.train(
+      Tables.documents(s, d).select(col("n_chars"), (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en")
+
+  /** Top-20 joint outliers of (quantity, price) by squared bivariate
+    * Mahalanobis distance — rows ordinary in each margin but impossible
+    * jointly ([[graft.operators.Robust.mahalanobis2]]). */
+  private def qMahalanobis(s: SparkSession, d: String): DataFrame =
+    graft.operators.Robust.mahalanobis2(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        "l_quantity", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("maha2") + lit(1e-12), 6).as("maha2"))
+      .orderBy(col("maha2").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
   /** TextRank keywords: weighted PageRank over the adjacent-token
     * co-occurrence graph (min token length 3, 3 iterations), top-20 by
     * rounded rank — graph centrality as keyword salience, vs the
@@ -4074,6 +4125,11 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_friedman"       -> (qFriedman _),
+    "q_cochran_q"      -> (qCochranQ _),
+    "q_effect_size"    -> (qEffectSize _),
+    "q_stump"          -> (qStump _),
+    "q_mahalanobis"    -> (qMahalanobis _),
     "q_textrank"       -> (qTextrank _),
     "q_target_encode"  -> (qTargetEncode _),
     "q_feature_hash"   -> (qFeatureHash _),
@@ -7964,6 +8020,173 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // complete blocks -> k-row block-partitioned midranks -> the same
+    // chi/tie-corrected expressions as PairedTests.friedman
+    "q_friedman" -> """
+      WITH pv AS (SELECT user_id AS b, event_type AS t,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      kt AS (SELECT count(DISTINCT t) AS k0 FROM pv),
+      cb AS (SELECT b FROM pv GROUP BY b
+        HAVING count(DISTINCT t) = (SELECT k0 FROM kt)),
+      rk AS (SELECT pv.b, pv.t,
+          CAST(rank() OVER (PARTITION BY pv.b ORDER BY pv.v) AS DOUBLE)
+            + (CAST(count(*) OVER (PARTITION BY pv.b, pv.v) AS DOUBLE) - 1) / 2 AS r
+        FROM pv JOIN cb USING (b)),
+      cs AS (SELECT t, sum(r) AS rr, count(*) AS n FROM rk GROUP BY 1),
+      a1 AS (SELECT CAST(count(*) AS DOUBLE) AS k, CAST(min(n) AS DOUBLE) AS n,
+          sum(rr * rr) AS s FROM cs),
+      a2 AS (SELECT sum(r * r) AS a FROM rk)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        CASE WHEN a - n * k * (k + 1) * (k + 1) / 4 = 0.0 THEN NULL
+          ELSE round(12.0 / (n * k * (k + 1)) * s - 3.0 * n * (k + 1)
+            + 1e-12, 6) END AS q_stat,
+        CASE WHEN a - n * k * (k + 1) * (k + 1) / 4 = 0.0 THEN NULL
+          ELSE round((k - 1) * (s - n * n * k * (k + 1) * (k + 1) / 4)
+            / (a - n * k * (k + 1) * (k + 1) / 4) + 1e-12, 6) END AS q_corrected
+      FROM a1 CROSS JOIN a2""",
+    // exact-integer row/column success totals -> Cochran's closed form,
+    // mirroring PairedTests.cochranQ
+    "q_cochran_q" -> """
+      WITH pv AS (SELECT user_id AS b, event_type AS t,
+          CASE WHEN max(value) >= 200 THEN 1 ELSE 0 END AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      kt AS (SELECT count(DISTINCT t) AS k0 FROM pv),
+      cb AS (SELECT b FROM pv GROUP BY b
+        HAVING count(DISTINCT t) = (SELECT k0 FROM kt)),
+      kept AS (SELECT pv.* FROM pv JOIN cb USING (b)),
+      ct AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+          CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(c * c) AS DOUBLE) AS scc
+        FROM (SELECT t, sum(x) AS c FROM kept GROUP BY 1)),
+      rt AS (SELECT count(*) AS n,
+          CAST(sum(r) AS DOUBLE) AS sr, CAST(sum(r * r) AS DOUBLE) AS srr
+        FROM (SELECT b, sum(x) AS r FROM kept GROUP BY 1))
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        CASE WHEN k * sr - srr = 0.0 THEN NULL
+          ELSE round((k - 1) * (k * scc - sc * sc) / (k * sr - srr)
+            + 1e-12, 6) END AS q_stat
+      FROM ct CROSS JOIN rt""",
+    // decimal moments for d/g + the mannWhitney midrank cumsum for
+    // Cliff's delta — the same two dataflows as HypothesisTests.effectSizes
+    "q_effect_size" -> """
+      WITH per AS (SELECT event_type AS g, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS s,
+          sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      one AS (SELECT
+          CAST(coalesce(sum(CASE WHEN g = 'click' THEN n END), 0) AS BIGINT) AS na,
+          CAST(coalesce(sum(CASE WHEN g = 'purchase' THEN n END), 0) AS BIGINT) AS nb,
+          sum(CASE WHEN g = 'click' THEN s END) AS sa,
+          sum(CASE WHEN g = 'purchase' THEN s END) AS sb,
+          sum(CASE WHEN g = 'click' THEN q END) AS qa,
+          sum(CASE WHEN g = 'purchase' THEN q END) AS qb
+        FROM per),
+      hist AS (SELECT value AS v,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+          count(*) AS t
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      cum AS (SELECT v, ca, t, sum(t) OVER (ORDER BY v) AS c FROM hist),
+      ru AS (SELECT sum(ca * (CAST(c - t AS DOUBLE)
+          + (CAST(t AS DOUBLE) + 1) / 2)) AS ra FROM cum),
+      dd AS (SELECT na, nb, ra,
+          CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS md,
+          sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+              / CAST(na AS DOUBLE))
+            + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+              / CAST(nb AS DOUBLE)))
+            / (CAST(na + nb AS DOUBLE) - 2)) AS pooled
+        FROM one CROSS JOIN ru)
+      SELECT na AS n_a, nb AS n_b,
+        CASE WHEN na < 2 OR nb < 2 OR pooled = 0.0 THEN NULL
+          ELSE round(md / pooled + 1e-12, 6) END AS cohen_d,
+        CASE WHEN na < 2 OR nb < 2 OR pooled = 0.0 THEN NULL
+          ELSE round(md / pooled
+            * (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE) - 9))
+            + 1e-12, 6) END AS hedges_g,
+        CASE WHEN na = 0 OR nb = 0 THEN NULL
+          ELSE round(2.0 * (ra - CAST(na AS DOUBLE) * (na + 1) / 2)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1 + 1e-12, 6)
+          END AS cliff_delta
+      FROM dd""",
+    // distinct-value histogram cumsum -> per-candidate weighted Gini
+    // from exact integers -> (impurity, threshold) argmin, mirroring
+    // Stump.train's expression tree
+    "q_stump" -> """
+      WITH h AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS t,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1),
+      tt AS (SELECT sum(t) AS nn, sum(p) AS pp FROM h),
+      c AS (SELECT v, sum(t) OVER (ORDER BY v) AS nl,
+          sum(p) OVER (ORDER BY v) AS pl FROM h),
+      cand AS (SELECT v, nl, pl, nn - nl AS nr, pp - pl AS pr, nn, pp
+        FROM c CROSS JOIN tt WHERE nn - nl > 0),
+      imp AS (SELECT *,
+          (CAST(nl AS DOUBLE) / nn) * (1.0
+            - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+              * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+            - (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+              * (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+          + (CAST(nr AS DOUBLE) / nn) * (1.0
+            - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+              * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+            - (1.0 - CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+              * (1.0 - CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))) AS s
+        FROM cand),
+      best AS (SELECT * FROM imp ORDER BY s, v LIMIT 1)
+      SELECT v AS threshold, round(s + 1e-12, 6) AS gini_split,
+        round(1.0 - (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+          - (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+          + 1e-12, 6) AS gini_base,
+        CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        round(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE) + 1e-12, 6) AS p_left,
+        round(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE) + 1e-12, 6) AS p_right
+      FROM best""",
+    // one decimal-moment row -> closed-form 2x2 inverse -> top-20 by
+    // rounded distance, the same parameter/quadratic spelling as
+    // Robust.mahalanobis2
+    "q_mahalanobis" -> """
+      WITH mom AS (SELECT count(*) AS n,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+          sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      par AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vx,
+          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vy,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cxy
+        FROM mom),
+      sc AS (SELECT l.l_orderkey, l.l_linenumber,
+          CASE WHEN p.n < 3 OR (p.vx * p.vy - p.cxy * p.cxy) = 0.0 THEN NULL
+            ELSE round((p.vy * (CAST(l.l_quantity AS DOUBLE) - p.mx)
+                * (CAST(l.l_quantity AS DOUBLE) - p.mx)
+              - 2.0 * p.cxy * (CAST(l.l_quantity AS DOUBLE) - p.mx)
+                * (CAST(l.l_extendedprice AS DOUBLE) - p.my)
+              + p.vx * (CAST(l.l_extendedprice AS DOUBLE) - p.my)
+                * (CAST(l.l_extendedprice AS DOUBLE) - p.my))
+              / (p.vx * p.vy - p.cxy * p.cxy) + 1e-12, 6) END AS maha2
+        FROM lineitem l CROSS JOIN par p)
+      SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber, maha2
+      FROM sc ORDER BY maha2 DESC, l_orderkey, l_linenumber LIMIT 20""",
     // adjacent-token bigrams (scan-stage 1-based indexing mirrors the
     // engine's zip_with-over-shifted-slices), symmetrized counts, then
     // 3 unrolled weighted-PageRank iterations; top-20 on the ROUNDED

@@ -37,7 +37,10 @@ object Bfs {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
+    // edges feed EVERY level's join — materialize once or the upstream
+    // candidate generation (e.g. the k-NN cosine pairs) re-runs per hop
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
     var settled = sources.distinct.toDF("node")
       .select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()

@@ -434,6 +434,64 @@ object HypothesisTests {
         anyZero.as("corrected"))
   }
 
+  /** Two-sample effect sizes — the "HOW MUCH did it move?" companions
+    * to the significance tests (a 100M-row corpus makes everything
+    * significant; effect size is what decides action): Cohen's d
+    * (pooled-SD standardized mean difference), Hedges' g (the
+    * small-sample bias correction g = d·(1 − 3/(4N − 9))), and Cliff's
+    * δ (the ordinal P(a>b) − P(a<b), computed from the Mann–Whitney
+    * rank sum as δ = 2U/(n_a·n_b) − 1 — tie-aware via midranks).
+    *
+    * One output row: `n_a`, `n_b`, `cohen_d`, `hedges_g`, `cliff_delta`
+    * (rounded 6; d/g null when pooled SD is 0 or either n < 2).
+    *
+    * Scale shape: the moment half is ONE DECIMAL(18,2) map-side-combined
+    * aggregate (the [[welchT]] dataflow); the ordinal half rides the
+    * same distinct-value-histogram midrank cumsum as [[mannWhitneyU]].
+    * Both exact-by-construction, joined as two 1-row broadcasts.
+    */
+  def effectSizes(df: DataFrame, sideCol: String, valueCol: String,
+                  sideA: String, sideB: String, shards: Int = 0): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val per = df.filter(col(valueCol).isNotNull && col(sideCol).isin(sideA, sideB))
+      .groupBy(col(sideCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__q"))
+    def pick(tag: String, c: String) = sum(when(col("__g") === tag, col(c)))
+    val mom = per.agg(
+      coalesce(pick(sideA, "__n"), lit(0L)).as("__na"),
+      coalesce(pick(sideB, "__n"), lit(0L)).as("__nb"),
+      pick(sideA, "__s").as("__sa"), pick(sideB, "__s").as("__sb"),
+      pick(sideA, "__q").as("__qa"), pick(sideB, "__q").as("__qb"))
+    // U from the same midrank cumsum as mannWhitneyU
+    val hist = twoSideHistogram(df, sideCol, valueCol, sideA, sideB)
+    val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__t"), shards)
+    val t = col("__t").cast("double")
+    val midrank = (col("__cum___t") - col("__t")).cast("double") + (t + 1) / 2
+    val u = cum.agg(sum(col("__ca") * midrank).as("__ra"))
+      .select(col("__ra"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    def ss(s: String, q: String, n: String) =
+      col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / col(n).cast("double")
+    val nD = (col("__na") + col("__nb")).cast("double")
+    val pooled = sqrt((ss("__sa", "__qa", "__na") + ss("__sb", "__qb", "__nb"))
+      / (nD - 2))
+    val d = (m("__sa", "__na") - m("__sb", "__nb")) / pooled
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * nD - 9))
+    val uStat = col("__ra") - col("__na").cast("double") * (col("__na") + 1) / 2
+    val delta = lit(2.0) * uStat /
+      (col("__na").cast("double") * col("__nb").cast("double")) - 1
+    val degenerate = col("__na") < 2 || col("__nb") < 2 || pooled === 0.0
+    mom.crossJoin(broadcast(u))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(d + lit(1e-12), 6)).as("cohen_d"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(g + lit(1e-12), 6)).as("hedges_g"),
+        when(col("__na") === 0 || col("__nb") === 0, lit(null).cast("double"))
+          .otherwise(round(delta + lit(1e-12), 6)).as("cliff_delta"))
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

@@ -52,6 +52,109 @@ object PairedTests {
           .otherwise(round(cc * cc / tot + lit(1e-12), 6)).as("mcnemar_cc"))
   }
 
+  /** Friedman test over complete blocks: one value per (block,
+    * treatment); blocks missing any treatment drop (the complete-block
+    * requirement), values are midranked WITHIN their block, and the
+    * column rank sums feed the χ²_F statistic. The k-treatment
+    * repeated-measures complement to [[HypothesisTests.kruskalWallis]]
+    * (which assumes independent groups): blocking by user/document
+    * removes the between-block variance.
+    *
+    *   χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+    *   tie-corrected: Q = (k−1)·(Σ_j R_j² − n²k(k+1)²/4)
+    *                      / (A − n·k·(k+1)²/4),  A = Σ_ij r_ij²
+    *
+    * One output row: `n` (blocks), `k`, `q_stat`, `q_corrected`
+    * (rounded 6; both null when A = C — every block fully tied).
+    *
+    * Scale shape: ranks come from two block-partitioned windows (each
+    * block holds exactly k rows — bounded, spillable, fully parallel
+    * across blocks); midranks are exact half-integers, so every sum is
+    * order-independent. The completeness filter is one block-sized
+    * count aggregate joined back.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull && col("__v").isNotNull)
+    val kTotal = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base.groupBy(col("__b"))
+      .agg(countDistinct(col("__t")).as("__kb"))
+      .crossJoin(broadcast(kTotal))
+      .filter(col("__kb") === col("__k"))
+      .select(col("__b"))
+    // min-rank + tie size -> midrank; both windows are k-row bounded
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTie = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = base.join(complete, "__b")
+      .withColumn("__r", rank().over(wRank).cast("double")
+        + (count(lit(1)).over(wTie).cast("double") - 1) / 2)
+    val colSums = ranked.groupBy(col("__t"))
+      .agg(sum(col("__r")).as("__R"), count(lit(1)).as("__n"))
+    val cells = ranked.agg(sum(col("__r") * col("__r")).as("__A"))
+    val nD = col("__n").cast("double")
+    val kD = col("k").cast("double")
+    val chi = lit(12.0) / (nD * kD * (kD + 1)) * col("__S") - lit(3.0) * nD * (kD + 1)
+    val c = nD * kD * (kD + 1) * (kD + 1) / 4
+    val qc = (kD - 1) * (col("__S") - nD * nD * kD * (kD + 1) * (kD + 1) / 4) /
+      (col("__A") - c)
+    colSums
+      .agg(count(lit(1)).as("k"), min(col("__n")).as("__n"),
+        sum(col("__R") * col("__R")).as("__S"))
+      .crossJoin(broadcast(cells))
+      .select(col("__n").as("n"), col("k"),
+        when(col("__A") - c === 0.0, lit(null).cast("double"))
+          .otherwise(round(chi + lit(1e-12), 6)).as("q_stat"),
+        when(col("__A") - c === 0.0, lit(null).cast("double"))
+          .otherwise(round(qc + lit(1e-12), 6)).as("q_corrected"))
+  }
+
+  /** Cochran's Q over complete blocks of BINARY outcomes — the
+    * k-treatment generalization of [[mcnemar]]: do k filters/treatments
+    * pass the same fraction of the same blocks? Blocks missing any
+    * treatment drop.
+    *
+    *   Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²)
+    *
+    * with C_j the per-treatment success totals and R_i the per-block
+    * success totals — every term an exact integer, so the statistic is
+    * partitioning-independent by construction. One output row: `n`
+    * (blocks), `k`, `q_stat` (rounded 6; null when the denominator is
+    * 0 — every block all-success or all-failure).
+    *
+    * Scale shape: completeness filter + two count aggregates (by
+    * treatment, by block) + 1-row reductions; no windows at all.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               successCol: String): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        col(successCol).cast("boolean").cast("long").as("__x"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+    val kTotal = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base.groupBy(col("__b"))
+      .agg(countDistinct(col("__t")).as("__kb"))
+      .crossJoin(broadcast(kTotal))
+      .filter(col("__kb") === col("__k"))
+      .select(col("__b"))
+    val kept = base.join(complete, "__b").localCheckpoint()
+    val colT = kept.groupBy(col("__t")).agg(sum(col("__x")).as("__C"))
+      .agg(count(lit(1)).as("k"), sum(col("__C")).as("__sc"),
+        sum(col("__C") * col("__C")).as("__scc"))
+    val rowT = kept.groupBy(col("__b")).agg(sum(col("__x")).as("__R"))
+      .agg(count(lit(1)).as("n"), sum(col("__R")).as("__sr"),
+        sum(col("__R") * col("__R")).as("__srr"))
+    val kD = col("k").cast("double")
+    val num = (kD - 1) * (kD * col("__scc").cast("double")
+      - col("__sc").cast("double") * col("__sc").cast("double"))
+    val den = kD * col("__sr").cast("double") - col("__srr").cast("double")
+    colT.crossJoin(broadcast(rowT))
+      .select(col("n"), col("k"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den + lit(1e-12), 6)).as("q_stat"))
+  }
+
   /** Wilcoxon signed-rank test over paired values: d = x − y per row,
     * zeros dropped (the standard reduced-sample convention), |d| ranked
     * with midranks, W⁺ = Σ ranks of positive d. The tie-corrected

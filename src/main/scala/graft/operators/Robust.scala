@@ -60,4 +60,48 @@ object Robust {
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > k, lit(false)))
       .drop("__med", "__mad")
   }
+
+  /** Append `maha2`: the squared bivariate Mahalanobis distance of
+    * (x, y) from the corpus mean under the sample covariance — the
+    * joint-outlier score the per-column [[robustOutliers]] misses (a
+    * row can be ordinary in each margin but impossible jointly, e.g. a
+    * tiny order at a huge price). d² = (v_y·dx² − 2·c_xy·dx·dy +
+    * v_x·dy²)/det with the 2×2 inverse in closed form; null when the
+    * covariance is singular (constant or perfectly collinear columns).
+    *
+    * Scale shape: the five moments ride ONE DECIMAL(18,2)
+    * map-side-combined aggregate (exact for 2-decimal data —
+    * order-independent parameters, the same discipline as
+    * [[graft.ml.FeatureEng.scaleFeatures]]); the 1-row parameter table
+    * broadcasts back onto a single scan of pure row-local arithmetic.
+    * Requires n ≥ 3 (sample covariance); fewer rows null the score.
+    */
+  def mahalanobis2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def d2(c: String) = col(c).cast("decimal(18,2)")
+    val mom = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("__n"),
+        sum(d2(xCol)).as("__sx"), sum(d2(yCol)).as("__sy"),
+        sum(d2(xCol) * d2(xCol)).as("__sxx"),
+        sum(d2(yCol) * d2(yCol)).as("__syy"),
+        sum(d2(xCol) * d2(yCol)).as("__sxy"))
+    val nD = col("__n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val mx = dd("__sx") / nD
+    val my = dd("__sy") / nD
+    val vx = (dd("__sxx") - dd("__sx") * dd("__sx") / nD) / (nD - 1)
+    val vy = (dd("__syy") - dd("__sy") * dd("__sy") / nD) / (nD - 1)
+    val cxy = (dd("__sxy") - dd("__sx") * dd("__sy") / nD) / (nD - 1)
+    val params = mom.select(col("__n"), mx.as("__mx"), my.as("__my"),
+      vx.as("__vx"), vy.as("__vy"), cxy.as("__cxy"),
+      (vx * vy - cxy * cxy).as("__det"))
+    val dx = col(xCol).cast("double") - col("__mx")
+    val dy = col(yCol).cast("double") - col("__my")
+    val maha = (col("__vy") * dx * dx - lit(2.0) * col("__cxy") * dx * dy
+      + col("__vx") * dy * dy) / col("__det")
+    df.crossJoin(broadcast(params))
+      .withColumn("maha2",
+        when(col("__n") < 3 || col("__det") === 0.0, lit(null).cast("double"))
+          .otherwise(maha))
+      .drop("__n", "__mx", "__my", "__vx", "__vy", "__cxy", "__det")
+  }
 }

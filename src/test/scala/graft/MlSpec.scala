@@ -175,6 +175,21 @@ class MlSpec extends AnyFunSuite {
     assert(got(4L) == ((None, None)) && got(5L) == ((None, None)))
   }
 
+  test("stump: clean split found with exact child purities; constant feature yields null threshold") {
+    // v=1 -> all negative, v=2 -> all positive: threshold 1, split gini 0
+    val df = Seq((1.0, false), (1.0, false), (2.0, true), (2.0, true))
+      .toDF("f", "y")
+    val r = graft.ml.Stump.train(df, "f", "y").head
+    assert(r.getAs[Double]("threshold") == 1.0)
+    assert(r.getAs[Double]("gini_split") == 0.0)
+    assert(r.getAs[Double]("gini_base") == 0.5)
+    assert(r.getAs[Long]("n_left") == 2L && r.getAs[Long]("n_right") == 2L)
+    assert(r.getAs[Double]("p_left") == 0.0 && r.getAs[Double]("p_right") == 1.0)
+    val const = Seq((5.0, true), (5.0, false)).toDF("f", "y")
+    val rc = graft.ml.Stump.train(const, "f", "y").head
+    assert(rc.isNullAt(rc.fieldIndex("threshold")))
+  }
+
   test("ols2 recovers exact plane coefficients and flags a collinear design") {
     // y = 2 + 3*x1 - 1*x2 exactly: r2 = 1, coefficients exact
     val pts = for (i <- 0 until 5; j <- 0 until 5)

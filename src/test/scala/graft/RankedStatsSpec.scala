@@ -208,6 +208,64 @@ class RankedStatsSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("w_stat")))
   }
 
+  test("friedman: untied classic gives chi2 = corrected = 8; incomplete blocks drop; all-tied nulls") {
+    // 4 blocks, 3 treatments, same ordering everywhere: R = (4, 8, 12)
+    val rows = for (b <- 1 to 4; (t, v) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)))
+      yield (b.toLong, t, v + b) // +b keeps within-block order, varies values
+    val df = rows.toDF("blk", "trt", "v")
+    val r = graft.operators.PairedTests.friedman(df, "blk", "trt", "v").head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("q_stat") == 8.0)
+    assert(r.getAs[Double]("q_corrected") == 8.0)
+    // a block missing a treatment drops without changing the statistic
+    val extra = df.unionByName(Seq((9L, "A", 1.0)).toDF("blk", "trt", "v"))
+    val r2 = graft.operators.PairedTests.friedman(extra, "blk", "trt", "v").head
+    assert(r2.getAs[Long]("n") == 4L && r2.getAs[Double]("q_stat") == 8.0)
+    // every block fully tied: A = C -> null statistics
+    val tied = (for (b <- 1 to 2; t <- Seq("A", "B", "C")) yield (b.toLong, t, 5.0))
+      .toDF("blk", "trt", "v")
+    val r3 = graft.operators.PairedTests.friedman(tied, "blk", "trt", "v").head
+    assert(r3.isNullAt(r3.fieldIndex("q_stat")))
+  }
+
+  test("cochranQ: hand-counted 4x3 gives Q = 3; all-success denominator nulls") {
+    val rows = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false))
+    val r = graft.operators.PairedTests.cochranQ(
+      rows.toDF("blk", "trt", "x"), "blk", "trt", "x").head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("q_stat") == 3.0) // 2*(3*14-36)/(3*6-14)
+    val allPass = rows.map { case (b, t, _) => (b, t, true) }
+    val rp = graft.operators.PairedTests.cochranQ(
+      allPass.toDF("blk", "trt", "x"), "blk", "trt", "x").head
+    assert(rp.isNullAt(rp.fieldIndex("q_stat")))
+  }
+
+  test("effectSizes: separated triples give d = -3, g = -2.4, cliff = -1") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(4.0, 5.0, 6.0).map(("b", _)))
+      .toDF("side", "v")
+    val r = HypothesisTests.effectSizes(df, "side", "v", "a", "b").head
+    assert(r.getAs[Double]("cohen_d") == -3.0)
+    assert(r.getAs[Double]("hedges_g") == round6(-3.0 * (1.0 - 3.0 / 15.0)))
+    assert(r.getAs[Double]("cliff_delta") == -1.0)
+  }
+
+  test("mahalanobis2: symmetric cross scores corners equally, center zero; collinear nulls") {
+    val df = Seq((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 0.0, 2.0),
+      (4L, 2.0, 2.0), (5L, 1.0, 1.0)).toDF("id", "x", "y")
+    val got = graft.operators.Robust.mahalanobis2(df, "x", "y")
+      .select("id", "maha2").as[(Long, Double)].collect().toMap
+    assert(got(5L) == 0.0)
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 2.0))
+    val coll = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0)).toDF("id", "x", "y")
+    val r = graft.operators.Robust.mahalanobis2(coll, "x", "y")
+      .select("maha2").collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
   test("oddsRatio2x2: uncorrected cells give the closed-form OR/CI; zero cell corrects") {
     // n11=6, n10=2, n01=3, n00=9: OR = 54/6 = 9
     val rows = Seq.fill(6)((true, true)) ++ Seq.fill(2)((true, false)) ++
