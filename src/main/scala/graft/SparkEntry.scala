@@ -3711,6 +3711,50 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Nelson–Aalen cumulative hazard over user activity lifetimes —
+    * the integrated churn intensity beside q_kaplan_meier's survival
+    * curve, same lifetime/censoring model
+    * ([[graft.operators.Survival.nelsonAalen]]). */
+  private def qNelsonAalen(s: SparkSession, d: String): DataFrame =
+    graft.operators.Survival.nelsonAalen(
+      Tables.events(s, d), "user_id", "ts",
+      horizon = 604800000000000L, bucketWidth = 3600000000000L)
+
+  /** Two-cohort log-rank test of churn schedules (deterministic
+    * user_id-parity cohorts — the IPW-style randomized-assignment
+    * harness: ≈ null effect expected, the machinery is the
+    * deliverable; [[graft.operators.Survival.logRank]]). */
+  private def qLogrank(s: SparkSession, d: String): DataFrame =
+    graft.operators.Survival.logRank(
+      Tables.events(s, d)
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")),
+      "user_id", "ts", "cohort", groupA = "even",
+      horizon = 604800000000000L, bucketWidth = 3600000000000L)
+
+  /** Heaps' law fit: ln(vocab) on ln(tokens) across the 20 sources —
+    * the vocabulary-growth exponent β that sizes tokenizer vocabularies
+    * and dedup sketch widths; built-in regr_* over the source-sized
+    * point table. */
+  private def qHeapsFit(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+    val (lnV, lnN) = (log(col("v").cast("double")), log(col("n").cast("double")))
+    per.agg(count(lit(1)).as("n_points"),
+      round(regr_slope(lnV, lnN) + lit(1e-12), 6).as("beta"),
+      round(regr_intercept(lnV, lnN) + lit(1e-12), 6).as("ln_k"),
+      round(regr_r2(lnV, lnN) + lit(1e-12), 6).as("r2"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between all source unigram
+    * distributions — the 190-pair corpus-similarity matrix
+    * ([[graft.operators.Drift.pairwiseJsTerms]]). */
+  private def qSourceJs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.pairwiseJsTerms(
+      Tables.documents(s, d), "source", "text")
+
   /** Friedman test across event types blocked BY USER (per-user mean
     * value per type, complete blocks only) — the repeated-measures
     * complement to q_kruskal_wallis: blocking removes between-user
@@ -4125,6 +4169,10 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_nelson_aalen"   -> (qNelsonAalen _),
+    "q_logrank"        -> (qLogrank _),
+    "q_heaps_fit"      -> (qHeapsFit _),
+    "q_source_js"      -> (qSourceJs _),
     "q_friedman"       -> (qFriedman _),
     "q_cochran_q"      -> (qCochranQ _),
     "q_effect_size"    -> (qEffectSize _),
@@ -8020,6 +8068,110 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // the q_kaplan_meier lifetime/censoring CTEs with the hazard-sum
+    // window in place of the log-survival one
+    "q_nelson_aalen" -> """
+      WITH per AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+          max(epoch_ns(ts)) AS t1
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      mx AS (SELECT max(t1) AS mxx FROM per),
+      subj AS (SELECT (t1 - t0) // 3600000000000 AS dur,
+          (t1 > mxx - 604800000000000) AS cens FROM per CROSS JOIN mx),
+      bd AS (SELECT dur,
+          CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM subj GROUP BY 1),
+      cum AS (SELECT dur, d, c,
+          CAST(sum(d + c) OVER () AS BIGINT) AS tot,
+          CAST(sum(d + c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cm
+        FROM bd),
+      nn AS (SELECT dur, d, c, tot - cm + (d + c) AS n FROM cum)
+      SELECT dur AS duration, n AS at_risk, d AS events, c AS censored,
+        round(sum(CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+          OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) + 1e-12, 6) AS cum_hazard
+      FROM nn""",
+    // per-duration pooled + cohort-A risk counts via the same
+    // reverse-cumulative windows, then the E/V hypergeometric terms
+    // spelled as in Survival.logRank
+    "q_logrank" -> """
+      WITH per AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+          max(epoch_ns(ts)) AS t1,
+          min(CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END) AS g
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      mx AS (SELECT max(t1) AS mxx FROM per),
+      subj AS (SELECT (t1 - t0) // 3600000000000 AS dur,
+          (t1 > mxx - 604800000000000) AS cens,
+          (g = 'even') AS a FROM per CROSS JOIN mx),
+      bd AS (SELECT dur,
+          CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN NOT cens AND a THEN 1 ELSE 0 END) AS BIGINT) AS da,
+          CAST(sum(CASE WHEN cens AND a THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        FROM subj GROUP BY 1),
+      cum AS (SELECT dur, d, c, da, ca,
+          CAST(sum(d + c) OVER () AS BIGINT) AS tot,
+          CAST(sum(d + c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cm,
+          CAST(sum(da + ca) OVER () AS BIGINT) AS tota,
+          CAST(sum(da + ca) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cma
+        FROM bd),
+      nn AS (SELECT *, tot - cm + (d + c) AS n,
+          tota - cma + (da + ca) AS na FROM cum),
+      ag AS (SELECT CAST(sum(da) AS BIGINT) AS o_a,
+          sum(CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))) AS e,
+          sum(CASE WHEN n > 1
+            THEN CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+              * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+            ELSE 0.0 END) AS v
+        FROM nn)
+      SELECT o_a, round(e + 1e-12, 6) AS e_a, round(v + 1e-12, 6) AS var_lr,
+        CASE WHEN v = 0.0 THEN NULL
+          ELSE round((CAST(o_a AS DOUBLE) - e) / sqrt(v) + 1e-12, 6)
+          END AS logrank_z,
+        CASE WHEN v = 0.0 THEN NULL
+          ELSE round(((CAST(o_a AS DOUBLE) - e) / sqrt(v))
+            * ((CAST(o_a AS DOUBLE) - e) / sqrt(v)) + 1e-12, 6)
+          END AS logrank_chi2
+      FROM ag""",
+    // source-sized (tokens, vocab) points through the same built-in
+    // regr_* pair as q_regression
+    "q_heaps_fit" -> """
+      WITH per AS (SELECT source, count(*) AS n, count(DISTINCT t) AS v
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+        round(regr_slope(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+          + 1e-12, 6) AS beta,
+        round(regr_intercept(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+          + 1e-12, 6) AS ln_k,
+        round(regr_r2(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+          + 1e-12, 6) AS r2
+      FROM per""",
+    // shared-term pair join + closed-form exclusive-mass ln2 fold,
+    // mirroring Drift.pairwiseJsTerms
+    "q_source_js" -> """
+      WITH cnt AS (SELECT source AS g, t AS term, count(*) AS c
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+        GROUP BY 1, 2),
+      tt AS (SELECT g, sum(c) AS t FROM cnt GROUP BY 1),
+      p AS (SELECT cnt.g, cnt.term,
+          CAST(cnt.c AS DOUBLE) / CAST(tt.t AS DOUBLE) AS pr
+        FROM cnt JOIN tt ON cnt.g = tt.g),
+      pj AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS shared_terms,
+          sum(a.pr) AS spa, sum(b.pr) AS spb,
+          sum(a.pr * ln(2.0 * a.pr / (a.pr + b.pr))) AS ja,
+          sum(b.pr * ln(2.0 * b.pr / (a.pr + b.pr))) AS jb
+        FROM p a JOIN p b ON a.term = b.term AND a.g < b.g
+        GROUP BY 1, 2)
+      SELECT g_a, g_b, shared_terms,
+        round((ja + jb + (1.0 - spa) * ln(2.0) + (1.0 - spb) * ln(2.0)) * 0.5
+          + 1e-12, 6) AS js
+      FROM pj""",
     // complete blocks -> k-row block-partitioned midranks -> the same
     // chi/tie-corrected expressions as PairedTests.friedman
     "q_friedman" -> """

@@ -97,4 +97,54 @@ object Drift {
     categoricalDrift(binned(a), binned(b), "bin")
       .withColumnRenamed("category", "bin")
   }
+
+  /** Pairwise Jensen–Shannon divergence between the token unigram
+    * distributions of every group pair (all sources against each other
+    * in one shot — the corpus-similarity MATRIX, where
+    * [[categoricalDrift]] compares exactly two snapshots): which
+    * sources are near-duplicates in content mix, which is the odd one
+    * out. JS(P,Q) = ½ΣP·ln(2P/(P+Q)) + ½ΣQ·ln(2Q/(P+Q)); terms
+    * exclusive to one side contribute their mass times ln 2, folded in
+    * closed form via the shared-mass totals (JS = js_shared +
+    * ½(1−Σ_shared P)·ln2 + ½(1−Σ_shared Q)·ln2), so the join only ever
+    * touches SHARED terms.
+    *
+    * Scale shape: one corpus explode-aggregate to the (group, term)
+    * count table (map-side combined, vocabulary-sized), totals joined
+    * back broadcast; the pair join is term-keyed with ≤|groups| rows
+    * per term — replication bounded by the group count, never
+    * corpus-sized. The probability table is localCheckpoint'd (both
+    * sides of the self-join read it).
+    *
+    * Output per unordered pair: `g_a`, `g_b` (g_a < g_b),
+    * `shared_terms`, `js` (rounded 6; 0 ≤ js ≤ ln 2).
+    */
+  def pairwiseJsTerms(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cnt = df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__term"))
+      .groupBy(col("__g"), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__t"))
+    val p = cnt.join(broadcast(tot), "__g")
+      .select(col("__g"), col("__term"),
+        (col("__c").cast("double") / col("__t").cast("double")).as("__p"))
+      .localCheckpoint()
+    val a = p.select(col("__g").as("g_a"), col("__term"), col("__p").as("__pa"))
+    val b = p.select(col("__g").as("g_b"), col("__term"), col("__p").as("__pb"))
+    val ln2 = log(lit(2.0))
+    val jsShared =
+      col("__ja") + col("__jb") +
+        (lit(1.0) - col("__spa")) * ln2 + (lit(1.0) - col("__spb")) * ln2
+    a.join(b, "__term").filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(col("__pa")).as("__spa"), sum(col("__pb")).as("__spb"),
+        sum(col("__pa") * log(lit(2.0) * col("__pa")
+          / (col("__pa") + col("__pb")))).as("__ja"),
+        sum(col("__pb") * log(lit(2.0) * col("__pb")
+          / (col("__pa") + col("__pb")))).as("__jb"))
+      .select(col("g_a"), col("g_b"), col("shared_terms"),
+        round(jsShared * lit(0.5) + lit(1e-12), 6).as("js"))
+  }
 }

@@ -793,6 +793,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard on the kaplanMeier fixture") {
+    import graft.operators.Survival
+    // durations: u1=2, u2=3, u3=9 (censored): H(2)=1/3, H(3)=1/3+1/2, H(9) flat
+    val df = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 1L), (3L, 10L))
+      .toDF("u", "ts")
+    val out = Survival.nelsonAalen(df, "u", "ts", horizon = 2L, bucketWidth = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(out(2L) == r6(1.0 / 3))
+    assert(out(3L) == r6(1.0 / 3 + 1.0 / 2))
+    assert(out(9L) == r6(1.0 / 3 + 1.0 / 2))
+  }
+
+  test("logRank: early-churn cohort vs late-churn cohort gives the hand E/V/z") {
+    import graft.operators.Survival
+    // A churns at dur 1 (both), B at dur 3 (both); nobody censored.
+    // E_a = 2*(2/4) = 1, V = 2*(1/2)(1/2)*2/3 = 1/3, z = 1/sqrt(1/3)
+    val df = Seq(("a1", 0L, "A"), ("a1", 1L, "A"), ("a2", 0L, "A"), ("a2", 1L, "A"),
+      ("b1", 0L, "B"), ("b1", 3L, "B"), ("b2", 0L, "B"), ("b2", 3L, "B"))
+      .toDF("u", "ts", "g")
+    val r = Survival.logRank(df, "u", "ts", "g", groupA = "A",
+      horizon = 0L, bucketWidth = 1L).head
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    val v = 2.0 * 0.5 * 0.5 * 2 / 3
+    val z = (2.0 - 1.0) / math.sqrt(v)
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(r.getAs[Double]("e_a") == 1.0)
+    assert(r.getAs[Double]("var_lr") == r6(v))
+    assert(r.getAs[Double]("logrank_z") == r6(z))
+    assert(r.getAs[Double]("logrank_chi2") == r6(z * z))
+  }
+
+  test("pairwiseJsTerms: identical mixes give 0; hand-computed asymmetric pair") {
+    import graft.operators.Drift
+    val same = Seq(("g1", "a b"), ("g2", "a b")).toDF("src", "text")
+    val s = Drift.pairwiseJsTerms(same, "src", "text").head
+    assert(s.getAs[Double]("js") == 0.0 && s.getAs[Long]("shared_terms") == 2L)
+    // g1 = {a:2/3, b:1/3}, g2 = {a:1/2, c:1/2}; shared = {a}
+    val diff = Seq(("g1", "a a b"), ("g2", "a c")).toDF("src", "text")
+    val d = Drift.pairwiseJsTerms(diff, "src", "text").head
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    val (pa, pb) = (2.0 / 3, 1.0 / 2)
+    val ja = pa * math.log(2.0 * pa / (pa + pb))
+    val jb = pb * math.log(2.0 * pb / (pa + pb))
+    val js = 0.5 * (ja + jb + (1.0 - pa) * math.log(2.0) + (1.0 - pb) * math.log(2.0))
+    assert(d.getAs[Long]("shared_terms") == 1L)
+    assert(d.getAs[Double]("js") == r6(js))
+  }
+
   test("assoc pairRules: hand-computed support/confidence/lift; minSupport prunes; dup rows collapse") {
     import graft.operators.AssocRules
     // baskets: 1={a,b} 2={a,b,c} 3={a}; duplicate (1,a) row must not double-count
