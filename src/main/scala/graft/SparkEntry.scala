@@ -3711,6 +3711,37 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Isotonic calibration of a length score against the is-English
+    * label — monotone PAVA fit via the minimax dataflow over ≤ 101
+    * quantized levels ([[graft.operators.Isotonic.fit]]); the
+    * shape-free companion to q_calibration's fixed bins. */
+  private def qIsotonic(s: SparkSession, d: String): DataFrame =
+    graft.operators.Isotonic.fit(
+      Tables.documents(s, d)
+        .select((col("n_chars") / lit(600.0)).as("score"),
+          (col("lang") === "en").as("y")),
+      "score", "y", digits = 2)
+
+  /** k-anonymity / l-diversity audit of (source, length-bucket) as
+    * quasi-identifiers against lang as the sensitive column (k = 5) —
+    * the re-identification risk readout before a corpus ships
+    * ([[graft.operators.Privacy.kAnonymity]]). */
+  private def qKAnon(s: SparkSession, d: String): DataFrame =
+    graft.operators.Privacy.kAnonymity(
+      Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 100").as("len_bucket"),
+          col("lang")),
+      Seq("source", "len_bucket"), "lang", k = 5L)
+
+  /** Split-conformal ±q̂ interval for the q_ols2 price model
+    * (md5-parity split, α = 0.1): distribution-free coverage from the
+    * calibration-residual order statistic
+    * ([[graft.ml.Conformal.ols2Interval]]). */
+  private def qConformal(s: SparkSession, d: String): DataFrame =
+    graft.ml.Conformal.ols2Interval(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber"),
+      "l_quantity", "l_discount", "l_extendedprice", alpha = 0.1)
+
   /** Nelson–Aalen cumulative hazard over user activity lifetimes —
     * the integrated churn intensity beside q_kaplan_meier's survival
     * curve, same lifetime/censoring model
@@ -4169,6 +4200,9 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_isotonic"       -> (qIsotonic _),
+    "q_k_anon"         -> (qKAnon _),
+    "q_conformal"      -> (qConformal _),
     "q_nelson_aalen"   -> (qNelsonAalen _),
     "q_logrank"        -> (qLogrank _),
     "q_heaps_fit"      -> (qHeapsFit _),
@@ -8068,6 +8102,97 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // level prefix sums -> level-pair block averages -> running-min /
+    // per-level max: the same minimax dataflow as Isotonic.fit
+    "q_isotonic" -> """
+      WITH lev AS (SELECT round(n_chars / 600.0 + 1e-12, 2) AS s, count(*) AS n,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+        FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      cum AS (SELECT s, n, p, sum(n) OVER (ORDER BY s) AS cn,
+          sum(p) OVER (ORDER BY s) AS cp FROM lev),
+      pr AS (SELECT j.s AS sj, k.s AS sk,
+          CAST(k.cp - j.cp + j.p AS DOUBLE)
+            / CAST(k.cn - j.cn + j.n AS DOUBLE) AS a
+        FROM cum j JOIN cum k ON j.s <= k.s),
+      mm AS (SELECT sj, sk, min(a) OVER (PARTITION BY sj ORDER BY sk DESC
+          ROWS UNBOUNDED PRECEDING) AS m FROM pr),
+      ft AS (SELECT sk AS s, max(m) AS iso FROM mm GROUP BY 1)
+      SELECT l.s AS score, CAST(l.n AS BIGINT) AS n, CAST(l.p AS BIGINT) AS pos,
+        round(ft.iso + 1e-12, 6) AS iso_p
+      FROM lev l JOIN ft ON l.s = ft.s""",
+    // one quasi-group aggregate carrying size + distinct-sensitive,
+    // reduced once — the same exact-long dataflow as Privacy.kAnonymity
+    "q_k_anon" -> """
+      WITH g AS (SELECT source, n_chars // 100 AS len_bucket,
+          count(*) AS n, count(DISTINCT lang) AS l
+        FROM documents GROUP BY 1, 2)
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(min(n) AS BIGINT) AS min_group,
+        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS risky_rows,
+        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+          / CAST(sum(n) AS DOUBLE) + 1e-12, 6) AS risky_pct,
+        CAST(min(l) AS BIGINT) AS l_min,
+        CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_groups
+      FROM g""",
+    // md5-parity split -> the q_ols2 Cramer block on the train half
+    // (rounded coefficients ARE the model) -> calibration-residual
+    // order statistic + coverage, mirroring Conformal.ols2Interval
+    "q_conformal" -> """
+      WITH base AS (SELECT
+          CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+          CAST(l_discount AS DECIMAL(18,2)) AS x2,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+          CAST(l_quantity AS DOUBLE) AS x1d,
+          CAST(l_discount AS DOUBLE) AS x2d,
+          CAST(l_extendedprice AS DOUBLE) AS yd,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substring(md5(
+              CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 8), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) % 2 = 0 AS even
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      sm AS (SELECT count(*) AS n, sum(x1) AS s1d, sum(x2) AS s2d,
+          sum(x1 * x1) AS s11d, sum(x2 * x2) AS s22d, sum(x1 * x2) AS s12d,
+          sum(y) AS syd, sum(x1 * y) AS s1yd, sum(x2 * y) AS s2yd
+        FROM base WHERE even),
+      d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+          CAST(s11d AS DOUBLE) AS s11, CAST(s22d AS DOUBLE) AS s22,
+          CAST(s12d AS DOUBLE) AS s12, CAST(syd AS DOUBLE) AS sy,
+          CAST(s1yd AS DOUBLE) AS s1y, CAST(s2yd AS DOUBLE) AS s2y
+        FROM sm),
+      dets AS (SELECT *,
+          nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM d),
+      mdl AS (SELECT n AS n_train, round(det0 / det + 1e-12, 6) AS b0,
+          round(det1 / det + 1e-12, 6) AS b1,
+          round(det2 / det + 1e-12, 6) AS b2
+        FROM dets),
+      cal AS (SELECT abs(yd - (b0 + b1 * x1d + b2 * x2d)) AS r
+        FROM base CROSS JOIN mdl WHERE NOT even),
+      hist AS (SELECT r, count(*) AS t FROM cal GROUP BY 1),
+      nn AS (SELECT CAST(sum(t) AS BIGINT) AS ncal FROM hist),
+      cum AS (SELECT r, sum(t) OVER (ORDER BY r) AS c FROM hist),
+      qv AS (SELECT min(r) AS q FROM cum CROSS JOIN nn
+        WHERE c >= least(ceil((ncal + 1) * 0.9), ncal)),
+      cov AS (SELECT count(*) AS tot,
+          sum(CASE WHEN r <= q THEN 1 ELSE 0 END) AS inq
+        FROM cal CROSS JOIN qv)
+      SELECT mdl.n_train, nn.ncal AS n_cal, round(qv.q + 1e-12, 6) AS q_hat,
+        round(CAST(cov.inq AS DOUBLE) / CAST(cov.tot AS DOUBLE) + 1e-12, 6)
+          AS coverage_cal
+      FROM mdl CROSS JOIN nn CROSS JOIN qv CROSS JOIN cov""",
     // the q_kaplan_meier lifetime/censoring CTEs with the hazard-sum
     // window in place of the log-survival one
     "q_nelson_aalen" -> """

@@ -190,6 +190,19 @@ class MlSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("threshold")))
   }
 
+  test("conformal interval on an exact plane collapses to q_hat = 0 with full coverage") {
+    // y = 2 + 3*x1 - x2 exactly: zero residuals on any split
+    val pts = for (i <- 0 until 8; j <- 0 until 4)
+      yield (i.toLong * 4 + j, i.toDouble, j.toDouble, 2.0 + 3.0 * i - j)
+    val df = pts.toDF("id", "x1", "x2", "y")
+    val r = graft.ml.Conformal.ols2Interval(df, Seq("id"), "x1", "x2", "y",
+      alpha = 0.1).head
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") == 32L)
+    assert(r.getAs[Long]("n_cal") > 0L)
+    assert(r.getAs[Double]("q_hat") == 0.0)
+    assert(r.getAs[Double]("coverage_cal") == 1.0)
+  }
+
   test("ols2 recovers exact plane coefficients and flags a collinear design") {
     // y = 2 + 3*x1 - 1*x2 exactly: r2 = 1, coefficients exact
     val pts = for (i <- 0 until 5; j <- 0 until 5)

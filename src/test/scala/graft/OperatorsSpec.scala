@@ -842,6 +842,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d.getAs[Double]("js") == r6(js))
   }
 
+  test("isotonic fit pools the adjacent violator and leaves monotone data unchanged") {
+    import graft.operators.Isotonic
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    // levels 0.0 -> (1,0), 0.5 -> (1,1), 1.0 -> (2,1): PAVA pools the
+    // last two into (2/3)
+    val df = Seq((0.0, false), (0.5, true), (1.0, true), (1.0, false))
+      .toDF("s", "y")
+    val got = Isotonic.fit(df, "s", "y", digits = 2)
+      .select("score", "iso_p").as[(Double, Double)].collect().toMap
+    assert(got == Map(0.0 -> 0.0, 0.5 -> r6(2.0 / 3), 1.0 -> r6(2.0 / 3)))
+    // already-monotone data is a fixed point
+    val mono = Seq((0.0, false), (0.5, false), (0.5, true), (1.0, true))
+      .toDF("s", "y")
+    val gm = Isotonic.fit(mono, "s", "y", digits = 2)
+      .select("score", "iso_p").as[(Double, Double)].collect().toMap
+    assert(gm == Map(0.0 -> 0.0, 0.5 -> 0.5, 1.0 -> 1.0))
+  }
+
+  test("kAnonymity: hand-counted risk summary") {
+    import graft.operators.Privacy
+    // groups: (a,1) n=3 l=2; (a,2) n=1 l=1; (b,1) n=2 l=1
+    val df = Seq(("a", 1, "x"), ("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"),
+      ("b", 1, "z"), ("b", 1, "z")).toDF("q1", "q2", "sens")
+    val r = Privacy.kAnonymity(df, Seq("q1", "q2"), "sens", k = 3L).head
+    assert(r.getAs[Long]("n_rows") == 6L && r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("min_group") == 1L)
+    assert(r.getAs[Long]("risky_groups") == 2L && r.getAs[Long]("risky_rows") == 3L)
+    assert(r.getAs[Double]("risky_pct") == 0.5)
+    assert(r.getAs[Long]("l_min") == 1L && r.getAs[Long]("leaky_groups") == 2L)
+  }
+
   test("assoc pairRules: hand-computed support/confidence/lift; minSupport prunes; dup rows collapse") {
     import graft.operators.AssocRules
     // baskets: 1={a,b} 2={a,b,c} 3={a}; duplicate (1,a) row must not double-count
