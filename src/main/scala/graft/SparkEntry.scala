@@ -3711,6 +3711,54 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Frequent contiguous event paths (lengths 2-3, ≥ 5% user support)
+    * mined from per-user ordered sequences — the journey readout
+    * behind funnel design ([[graft.operators.SeqMining]]). */
+  private def qSeqMining(s: SparkSession, d: String): DataFrame =
+    graft.operators.SeqMining.contiguousPatterns(
+      Tables.events(s, d), "user_id", Seq("ts", "event_id"), "event_type",
+      sizes = Seq(2, 3), minSupport = 0.05)
+
+  /** Difference-in-differences on event values: user-parity treatment
+    * × midpoint-of-time pre/post — the quasi-experimental estimator
+    * with its parallel-trends caveat stated; ≈ 0 expected under the
+    * synthetic assignment ([[graft.operators.Causal.did]]). */
+  private def qDid(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mm = ev.agg(min(col("ts")).as("__mn"), max(col("ts")).as("__mx"))
+    graft.operators.Causal.did(
+      ev.crossJoin(broadcast(mm))
+        .select((col("user_id") % 2 === 0).as("treat"),
+          (col("ts") >= col("__mn") + expr("(__mx - __mn) div 2")).as("post"),
+          col("value")),
+      "treat", "post", "value")
+  }
+
+  /** RFM quintile scores per user (recency from the corpus max, event
+    * count, decimal-exact spend) with edges from the exact sharded
+    * percentile dataflow ([[graft.operators.Rfm.scores]]). */
+  private def qRfm(s: SparkSession, d: String): DataFrame =
+    graft.operators.Rfm.scores(Tables.events(s, d), "user_id", "ts", "value")
+
+  /** Quantile normalization of event values within each type —
+    * midrank/(n+1) to (0,1), the scale-free feature map
+    * ([[graft.operators.RankedStats.quantileNormalize]]). */
+  private def qQuantileNorm(s: SparkSession, d: String): DataFrame =
+    graft.operators.RankedStats.quantileNormalize(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"), col("value"), col("q_uniform"))
+
+  /** Balanced downsample of documents to the smallest language's size
+    * (md5-rank selection through the PartialTopK pathway;
+    * [[graft.operators.Sampling.classBalance]]). */
+  private def qClassBalance(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    graft.operators.Sampling.classBalance(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id")
+  }
+
   /** Isotonic calibration of a length score against the is-English
     * label — monotone PAVA fit via the minimax dataflow over ≤ 101
     * quantized levels ([[graft.operators.Isotonic.fit]]); the
@@ -4200,6 +4248,11 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_seq_mining"     -> (qSeqMining _),
+    "q_did"            -> (qDid _),
+    "q_rfm"            -> (qRfm _),
+    "q_quantile_norm"  -> (qQuantileNorm _),
+    "q_class_balance"  -> (qClassBalance _),
     "q_isotonic"       -> (qIsotonic _),
     "q_k_anon"         -> (qKAnon _),
     "q_conformal"      -> (qConformal _),
@@ -8102,6 +8155,131 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // ordered per-user item lists -> 1-based slice n-grams -> distinct
+    // (user, pattern) support, mirroring SeqMining.contiguousPatterns
+    "q_seq_mining" -> """
+      WITH seqs AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL
+        GROUP BY 1),
+      ne AS (SELECT count(*) AS n FROM seqs),
+      g2 AS (SELECT user_id, CAST(2 AS BIGINT) AS len,
+          array_to_string(s[i:i+1], '->') AS pattern
+        FROM seqs, unnest(generate_series(1, len(s) - 1)) t(i)),
+      g3 AS (SELECT user_id, CAST(3 AS BIGINT) AS len,
+          array_to_string(s[i:i+2], '->') AS pattern
+        FROM seqs, unnest(generate_series(1, len(s) - 2)) t(i)),
+      u AS (SELECT DISTINCT user_id, len, pattern
+        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)),
+      c AS (SELECT pattern, len, count(*) AS n_entities FROM u GROUP BY 1, 2)
+      SELECT pattern, len, CAST(n_entities AS BIGINT) AS n_entities,
+        round(CAST(n_entities AS DOUBLE) / CAST(ne.n AS DOUBLE) + 1e-12, 6)
+          AS support
+      FROM c CROSS JOIN ne
+      WHERE CAST(n_entities AS DOUBLE) >= 0.05 * ne.n""",
+    // 4-cell decimal moments -> means / mean-variances -> the same
+    // DID and Welch-style SE expressions as Causal.did
+    "q_did" -> """
+      WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        FROM events),
+      f AS (SELECT (user_id % 2 = 0) AS t,
+          (epoch_ns(ts) >= mn + (mx - mn) // 2) AS p,
+          CAST(value AS DECIMAL(18,2)) AS v
+        FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      cells AS (SELECT
+          CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS ntp,
+          sum(CASE WHEN t AND p THEN v END) AS stp,
+          sum(CASE WHEN t AND p THEN v * v END) AS qtp,
+          CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS ntr,
+          sum(CASE WHEN t AND NOT p THEN v END) AS str,
+          sum(CASE WHEN t AND NOT p THEN v * v END) AS qtr,
+          CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS ncp,
+          sum(CASE WHEN NOT t AND p THEN v END) AS scp,
+          sum(CASE WHEN NOT t AND p THEN v * v END) AS qcp,
+          CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS ncr,
+          sum(CASE WHEN NOT t AND NOT p THEN v END) AS scr,
+          sum(CASE WHEN NOT t AND NOT p THEN v * v END) AS qcr
+        FROM f),
+      d AS (SELECT *,
+          CAST(stp AS DOUBLE) / CAST(ntp AS DOUBLE) AS mtp,
+          CAST(str AS DOUBLE) / CAST(ntr AS DOUBLE) AS mtr,
+          CAST(scp AS DOUBLE) / CAST(ncp AS DOUBLE) AS mcp,
+          CAST(scr AS DOUBLE) / CAST(ncr AS DOUBLE) AS mcr,
+          (CAST(qtp AS DOUBLE) - CAST(stp AS DOUBLE) * CAST(stp AS DOUBLE)
+            / CAST(ntp AS DOUBLE)) / CAST(ntp - 1 AS DOUBLE) / CAST(ntp AS DOUBLE) AS vtp,
+          (CAST(qtr AS DOUBLE) - CAST(str AS DOUBLE) * CAST(str AS DOUBLE)
+            / CAST(ntr AS DOUBLE)) / CAST(ntr - 1 AS DOUBLE) / CAST(ntr AS DOUBLE) AS vtr,
+          (CAST(qcp AS DOUBLE) - CAST(scp AS DOUBLE) * CAST(scp AS DOUBLE)
+            / CAST(ncp AS DOUBLE)) / CAST(ncp - 1 AS DOUBLE) / CAST(ncp AS DOUBLE) AS vcp,
+          (CAST(qcr AS DOUBLE) - CAST(scr AS DOUBLE) * CAST(scr AS DOUBLE)
+            / CAST(ncr AS DOUBLE)) / CAST(ncr - 1 AS DOUBLE) / CAST(ncr AS DOUBLE) AS vcr
+        FROM cells),
+      gd AS (SELECT *,
+          (ntp = 0 OR ntr = 0 OR ncp = 0 OR ncr = 0) AS anyempty,
+          (ntp < 2 OR ntr < 2 OR ncp < 2 OR ncr < 2) AS anytiny
+        FROM d)
+      SELECT
+        CASE WHEN anyempty THEN NULL ELSE round(mtr + 1e-12, 6) END AS mean_t_pre,
+        CASE WHEN anyempty THEN NULL ELSE round(mtp + 1e-12, 6) END AS mean_t_post,
+        CASE WHEN anyempty THEN NULL ELSE round(mcr + 1e-12, 6) END AS mean_c_pre,
+        CASE WHEN anyempty THEN NULL ELSE round(mcp + 1e-12, 6) END AS mean_c_post,
+        CASE WHEN anyempty THEN NULL
+          ELSE round((mtp - mtr) - (mcp - mcr) + 1e-12, 6) END AS did,
+        CASE WHEN anyempty OR anytiny THEN NULL
+          ELSE round(sqrt(vtp + vtr + vcp + vcr) + 1e-12, 6) END AS se_did
+      FROM gd""",
+    // entity aggregate -> corpus-max recency -> quantile_cont quintile
+    // edges -> the numericDrift bucket arithmetic, mirroring Rfm.scores
+    "q_rfm" -> """
+      WITH per AS (SELECT user_id, max(epoch_ns(ts)) AS lastt,
+          CAST(count(*) AS BIGINT) AS freq,
+          CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS monetary
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      mx AS (SELECT max(lastt) AS m FROM per),
+      base AS (SELECT user_id, m - lastt AS recency, freq, monetary
+        FROM per CROSS JOIN mx),
+      er AS (SELECT quantile_cont(CAST(recency AS DOUBLE),
+          [0.2, 0.4, 0.6, 0.8]) AS e FROM base),
+      ef AS (SELECT quantile_cont(CAST(freq AS DOUBLE),
+          [0.2, 0.4, 0.6, 0.8]) AS e FROM base),
+      em AS (SELECT quantile_cont(monetary,
+          [0.2, 0.4, 0.6, 0.8]) AS e FROM base)
+      SELECT user_id, recency, freq, round(monetary + 1e-12, 6) AS monetary,
+        CAST(5 - len(list_filter(er.e, x -> CAST(recency AS DOUBLE) >= x))
+          AS BIGINT) AS r_score,
+        CAST(len(list_filter(ef.e, x -> CAST(freq AS DOUBLE) >= x)) + 1
+          AS BIGINT) AS f_score,
+        CAST(len(list_filter(em.e, x -> monetary >= x)) + 1
+          AS BIGINT) AS m_score,
+        CAST((5 - len(list_filter(er.e, x -> CAST(recency AS DOUBLE) >= x))) * 100
+          + (len(list_filter(ef.e, x -> CAST(freq AS DOUBLE) >= x)) + 1) * 10
+          + len(list_filter(em.e, x -> monetary >= x)) + 1
+          AS BIGINT) AS rfm
+      FROM base CROSS JOIN er CROSS JOIN ef CROSS JOIN em""",
+    // per-group distinct-value midranks -> midrank/(n+1), joined back
+    // on (group, value) as in RankedStats.quantileNormalize
+    "q_quantile_norm" -> """
+      WITH hist AS (SELECT event_type AS g, value AS v, count(*) AS t
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT g, sum(t) AS n FROM hist GROUP BY 1),
+      cum AS (SELECT g, v, t,
+          sum(t) OVER (PARTITION BY g ORDER BY v) AS c FROM hist),
+      rk AS (SELECT cum.g, cum.v,
+          (CAST(c - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)
+            / CAST(tot.n + 1 AS DOUBLE) AS qu
+        FROM cum JOIN tot ON cum.g = tot.g)
+      SELECT e.event_id, e.event_type, e.value,
+        round(rk.qu + 1e-12, 6) AS q_uniform
+      FROM events e JOIN rk ON e.event_type = rk.g AND e.value = rk.v""",
+    // min class count + the q_sample_hash md5-rank window per class
+    "q_class_balance" -> """
+      WITH r AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+      mc AS (SELECT min(n) AS k FROM (SELECT lang, count(*) AS n FROM r GROUP BY 1)),
+      rk AS (SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        FROM r)
+      SELECT doc_id, lang, rn FROM rk CROSS JOIN mc WHERE rn <= k""",
     // level prefix sums -> level-pair block averages -> running-min /
     // per-level max: the same minimax dataflow as Isotonic.fit
     "q_isotonic" -> """

@@ -77,6 +77,37 @@ object RankedStats {
       .drop(cntCols.flatMap(c => Seq(s"__l_$c", s"__o_$c")): _*)
   }
 
+  /** Quantile normalization: append `q_uniform` = midrank/(n+1) per
+    * group — the rank-to-(0,1) map that makes any two columns
+    * comparable regardless of their marginal distributions (the step
+    * before copula-style joins, rank-based blending, or feeding a
+    * scale-free feature to a model). midrank/(n+1) keeps the output
+    * strictly inside (0,1) (the Weibull plotting position), ties share
+    * one value.
+    *
+    * Scale shape: the distinct-value histogram + sharded cumsum build
+    * a rank TABLE (histogram-sized); rows join it on (group, value) —
+    * the [[HypothesisTests.spearman]] dataflow for one variable.
+    * Midranks are exact half-integers; one double division per row.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String], valCol: String,
+                        shards: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(gcols :+ col(valCol): _*).agg(count(lit(1)).as("__t"))
+    val cum = withCumulative(hist, groupCols, valCol, Seq("__t"), shards)
+    val tot = hist.groupBy(gcols: _*).agg(sum(col("__t")).as("__n"))
+    val t = col("__t").cast("double")
+    val midrank = (col("__cum___t") - col("__t")).cast("double") + (t + 1) / 2
+    val ranks = cum.select(gcols :+ col(valCol) :+ midrank.as("__mid"): _*)
+      .join(broadcast(tot), groupCols)
+      .select(gcols :+ col(valCol) :+
+        (col("__mid") / (col("__n") + 1).cast("double")).as("__qu"): _*)
+    df.join(ranks, groupCols :+ valCol)
+      .withColumn("q_uniform", round(col("__qu") + lit(1e-12), 6))
+      .drop("__qu")
+  }
+
   /** Gini coefficient of `valCol` per group — the standard corpus-audit
     * concentration measure (how unevenly tokens/bytes spread over
     * documents or sources; 0 = uniform, →1 = one row holds everything).

@@ -63,6 +63,27 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Balanced class downsampling: keep min-class-count rows PER CLASS,
+    * selected by md5-of-key rank — the deterministic, replayable
+    * rebalance before training on a skewed label (every class ends up
+    * exactly the size of the smallest). The min count is a 1-row
+    * driver read off the class histogram (bounded by |classes|, the
+    * Ivf-centroid collect discipline); selection then reuses
+    * [[bottomKByHash]]'s PartialTopK pathway, so the exchange carries
+    * at most k rows per (class, partition). Requires `GraftExtensions`
+    * on the session. Appends `rn` (1-based rank within the class).
+    */
+  def classBalance(df: DataFrame, classCol: String, keyCol: String): DataFrame = {
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val minRow = counts.agg(min(col("__n"))).head
+    require(!minRow.isNullAt(0), "classBalance: no rows with a non-null class")
+    val minCount = minRow.getLong(0)
+    require(minCount <= Int.MaxValue, "min class count exceeds Int range")
+    bottomKByHash(df.filter(col(classCol).isNotNull), Seq(classCol), keyCol,
+      minCount.toInt)
+  }
+
   /** Domain-mixture sampling: keep a per-stratum FRACTION (the
     * pretraining mixture weight) instead of a fixed k — stratum quota =
     * floor(weight * stratum size), membership by md5-of-key rank, so

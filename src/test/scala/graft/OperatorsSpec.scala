@@ -416,6 +416,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(tied.orderBy(col("v").desc)) == first)
   }
 
+  test("contiguousPatterns: hand-counted grams, short entities skip long sizes, repeats count once") {
+    import graft.operators.SeqMining
+    // u1: a,b,c ; u2: a,b ; u3: a,b,a,b (a->b twice, counted once)
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "a"), (3L, 4L, "b"))
+      .toDF("u", "ts", "item")
+    val got = SeqMining.contiguousPatterns(df, "u", Seq("ts"), "item",
+        sizes = Seq(2, 3), minSupport = 0.0)
+      .select("pattern", "n_entities").as[(String, Long)].collect().toMap
+    assert(got("a->b") == 3L)
+    assert(got("b->c") == 1L)
+    assert(got("a->b->c") == 1L)
+    assert(got("b->a") == 1L && got("b->a->b") == 1L)
+    // minSupport prunes
+    val pruned = SeqMining.contiguousPatterns(df, "u", Seq("ts"), "item",
+      Seq(2), minSupport = 0.9).select("pattern").as[String].collect().toSeq
+    assert(pruned == Seq("a->b"))
+  }
+
+  test("did: hand-computed four-cell estimate and Welch SE; empty cell nulls") {
+    import graft.operators.Causal
+    val rows = Seq((true, false, 1.0), (true, false, 3.0), (true, true, 5.0),
+      (true, true, 9.0), (false, false, 2.0), (false, false, 4.0),
+      (false, true, 3.0), (false, true, 5.0))
+    val r = Causal.did(rows.toDF("t", "p", "v"), "t", "p", "v").head
+    assert(r.getAs[Double]("mean_t_pre") == 2.0 && r.getAs[Double]("mean_t_post") == 7.0)
+    assert(r.getAs[Double]("mean_c_pre") == 3.0 && r.getAs[Double]("mean_c_post") == 4.0)
+    assert(r.getAs[Double]("did") == 4.0)
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(r.getAs[Double]("se_did") == r6(math.sqrt(7.0)))
+    val missing = rows.filterNot { case (t, p, _) => t && p }
+    val rm = Causal.did(missing.toDF("t", "p", "v"), "t", "p", "v").head
+    assert(rm.isNullAt(rm.fieldIndex("did")))
+  }
+
+  test("rfm: extreme users land in the extreme quintiles, recency inverted") {
+    import graft.operators.Rfm
+    // user i has i+1 events ending at ts 10*i, each worth 10*(i+1)
+    val rows = for (i <- 0 until 5; j <- 0 to i)
+      yield (i.toLong, i * 10L + j, 10.0 * (i + 1))
+    val got = Rfm.scores(rows.toDF("u", "ts", "amt"), "u", "ts", "amt")
+      .select("u", "r_score", "f_score", "m_score")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got(4L) == ((5L, 5L, 5L))) // latest, most events, highest spend
+    assert(got(0L) == ((1L, 1L, 1L)))
+    assert(got.values.forall { case (a, b, c) =>
+      Seq(a, b, c).forall(s => s >= 1 && s <= 5) })
+  }
+
+  test("quantileNormalize: midrank/(n+1) on a tied block; groups independent") {
+    import graft.operators.RankedStats
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0), ("h", 9.0))
+      .toDF("grp", "v")
+    val got = RankedStats.quantileNormalize(df, Seq("grp"), "v")
+      .select("grp", "v", "q_uniform").as[(String, Double, Double)]
+      .collect().toSet
+    assert(got == Set(("g", 1.0, 0.2), ("g", 2.0, 0.5), ("g", 3.0, 0.8),
+      ("h", 9.0, 0.5)))
+  }
+
+  test("classBalance: every class downsampled to the min class size, deterministically") {
+    import graft.operators.Sampling
+    GraftExtensions.register(spark)
+    val df = (Seq.tabulate(7)(i => (i.toLong, "a")) ++
+      Seq.tabulate(3)(i => (100L + i, "b"))).toDF("id", "cls")
+    val got = Sampling.classBalance(df, "cls", "id")
+    val counts = got.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 3L, "b" -> 3L))
+    val again = Sampling.classBalance(df.repartition(5), "cls", "id")
+    assert(got.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
   test("bottomKByHash sample is invariant under repartitioning (unlike sample())") {
     import graft.operators.Sampling
     GraftExtensions.register(spark)
