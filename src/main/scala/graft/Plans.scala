@@ -62,6 +62,18 @@ object Plans {
       "Drift report: each snapshot is scanned ONCE into a map-side-combined category count; totals attach via a global window over the category-sized joined table (an aggregate + cross-join formulation would recompute the join and scan each snapshot twice).",
     "q_heavy_hitters" ->
       "SpaceSaving: partial_space_saving buffers are capacity-bounded blobs per partition (the HLL exchange shape) merging into one global frequency table.",
+    "q_textrank" ->
+      "TextRank: bigram pairs are generated in the scan stage (zip_with over shifted slices — no posexplode self-join); each weighted-PageRank iteration is one join + re-aggregate over the vocabulary-sized rank vector; top-20 is TakeOrderedAndProject, never a global sort.",
+    "q_bfs_hops" ->
+      "BFS: the edge list is materialized ONCE (localCheckpoint) and re-joined per level; each level shuffles only the frontier; the settled set grows behind a per-level checkpoint so lineage stays flat.",
+    "q_isotonic" ->
+      "Isotonic minimax: the corpus collapses to <= 101 quantized levels in one map-side-combined aggregate; the level-pair table, running-min window, and per-level max are all corpus-INDEPENDENT — scale changes nothing after the first aggregate.",
+    "q_seq_mining" ->
+      "Sequence mining: ordered per-user arrays from one groupBy; n-grams are scan-stage sequence+slice folds; support is a distinct + count over (user, pattern) — map-side combined, pattern-sized output.",
+    "q_conformal" ->
+      "Split conformal: the md5 split predicate and residuals are scan-stage; the model is a 1-row broadcast; the order statistic rides the sharded cumsum — no global sort of residuals.",
+    "q_mahalanobis" ->
+      "Mahalanobis top-20: five decimal moments in ONE aggregate, parameters broadcast back, the quadratic is row-local codegen, and the top-k is TakeOrderedAndProject.",
     "q_semdedup" ->
       "SemDeDup: bucket-local cosine pairs reduce to a checkpointed drop-set; a bloom over it splits the corpus in the scan stage, so cleared rows never shuffle and only the suspected sliver reaches the exact anti join.",
     "q_classifier_score" ->
