@@ -3711,6 +3711,61 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Deterministic md5 negative sampling over the dense doc-id space
+    * (k = 3 per document, self-collisions remapped) — the contrastive
+    * training-pair generator ([[graft.operators.Sampling.negativeSamples]]). */
+  private def qNegSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.negativeSamples(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", k = 3)
+
+  /** Hard negatives off the similarity graph: per vector, the top-2
+    * most-similar neighbors with a DIFFERENT label — the
+    * contrastive-curation mine (close in embedding space, wrong by
+    * label). */
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    // the label-bucketed knnEdges would be vacuous here (all neighbors
+    // share the label) — use the label-INDEPENDENT id-shard graph, the
+    // q_knn_classify random-shard ANN pattern
+    val g = graft.similarity.Similarity.knnGraph(
+      emb.withColumn("shard", pmod(col("vec_id"), lit(4))),
+      "embedding", "vec_id", "shard", k = 3)
+    val cross = g
+      .join(lab.select(col("vec_id").as("id"), col("label").as("__la")), "id")
+      .join(lab.select(col("vec_id").as("nbr"), col("label").as("__lb")), "nbr")
+      .filter(col("__la") =!= col("__lb"))
+    // the per-id window runs over <= k knn rows — bounded by construction
+    cross.withColumn("hn_rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nbr")))
+      .cast("long"))
+      .filter(col("hn_rank") <= 2)
+      .select(col("id"), col("nbr"), col("cos_sim"), col("hn_rank"))
+  }
+
+  /** Per-language content manifest: row count, id range, order-free
+    * md5 fingerprint sum — the handoff integrity record
+    * ([[graft.operators.Profile.contentManifest]]). */
+  private def qManifest(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.contentManifest(
+      Tables.documents(s, d), Seq("lang"), "doc_id", "text")
+
+  /** Simplified (centroid) silhouette per embedding — label-noise
+    * detection: negative silhouette = closer to a foreign centroid
+    * than your own ([[graft.similarity.Silhouette.simplified]]). */
+  private def qSilhouette(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Silhouette.simplified(
+      Tables.embeddings(s, d), "embedding", "vec_id", "label")
+
+  /** 5-fold cross-validated OLS: every fold's model from (total −
+    * fold) sufficient statistics — one aggregate trains all five
+    * models; exact-decimal test MSE ([[graft.ml.CrossVal.cvOls2]]). */
+  private def qCvOls(s: SparkSession, d: String): DataFrame =
+    graft.ml.CrossVal.cvOls2(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber"),
+      "l_quantity", "l_discount", "l_extendedprice", folds = 5)
+
   /** Frequent contiguous event paths (lengths 2-3, ≥ 5% user support)
     * mined from per-user ordered sequences — the journey readout
     * behind funnel design ([[graft.operators.SeqMining]]). */
@@ -4248,6 +4303,11 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_neg_sample"     -> (qNegSample _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_manifest"       -> (qManifest _),
+    "q_silhouette"     -> (qSilhouette _),
+    "q_cv_ols"         -> (qCvOls _),
     "q_seq_mining"     -> (qSeqMining _),
     "q_did"            -> (qDid _),
     "q_rfm"            -> (qRfm _),
@@ -8155,6 +8215,148 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // the 13-hex md5 fold mod N with the self-collision remap,
+    // mirroring Sampling.negativeSamples
+    "q_neg_sample" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      jj AS (SELECT doc_id, unnest(generate_series(1, 3)) AS j FROM documents),
+      r AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substring(md5(
+              CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 13), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) % nn.n AS raw, nn.n AS n
+        FROM jj CROSS JOIN nn)
+      SELECT doc_id, j,
+        CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+      FROM r""",
+    // knn edges + both endpoints' labels; different-label survivors
+    // ranked per source by (cos desc, nbr)
+    "q_hard_negatives" -> s"""
+      WITH ${subBucketCte("vec_id % 4", 1000)},
+      kp AS (SELECT a.vec_id AS id, b.vec_id AS nbr, $SubBucketCos AS cos_sim
+        FROM m a JOIN m b ON a.bk = b.bk AND a.pass = b.pass AND a.sub = b.sub
+         AND a.vec_id <> b.vec_id AND (a.pass = 0 OR a.sub0 <> b.sub0)),
+      knn AS (SELECT id, nbr, cos_sim FROM (SELECT id, nbr, cos_sim,
+          row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rk
+        FROM kp) WHERE rk <= 3),
+      lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      x AS (SELECT k.id, k.nbr, k.cos_sim
+        FROM knn k JOIN lab a ON k.id = a.vec_id
+        JOIN lab b ON k.nbr = b.vec_id
+        WHERE a.label <> b.label)
+      SELECT id, nbr, cos_sim,
+        CAST(row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr)
+          AS BIGINT) AS hn_rank
+      FROM x QUALIFY hn_rank <= 2""",
+    // order-free fingerprint: exact decimal sum of per-row 52-bit md5
+    // digests, mirroring Profile.contentManifest
+    "q_manifest" -> """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(doc_id) AS BIGINT) AS min_id,
+        CAST(max(doc_id) AS BIGINT) AS max_id,
+        CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(substring(md5(
+            CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 13), ''),
+            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+          (a, b) -> a * 16 + b)) % 1000000000000000000 AS BIGINT) AS fingerprint
+      FROM documents GROUP BY 1""",
+    // the q_embed_centroid fixed-point centroid CTEs, every centroid
+    // scored against every point, then the (b-a)/max ratio
+    "q_silhouette" -> """
+      WITH f AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vfp
+        FROM embeddings),
+      d AS (
+        SELECT label, unnest(list_transform(vfp, (v, i) -> {'pos': i, 'v': v})) AS u
+        FROM f),
+      cent AS (
+        SELECT label, u.pos AS pos,
+          CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        FROM d GROUP BY label, u.pos),
+      carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+      sc AS (SELECT f.vec_id, f.label, c.label AS clabel,
+          CAST(list_sum(list_transform(f.vfp,
+            (v, i) -> (v - c.carr[i]) * (v - c.carr[i]))) AS BIGINT) AS d2
+        FROM f CROSS JOIN carr c),
+      ag AS (SELECT vec_id, label,
+          min(CASE WHEN clabel = label THEN d2 END) AS a_fp,
+          min(CASE WHEN clabel <> label THEN d2 END) AS b_fp
+        FROM sc GROUP BY 1, 2)
+      SELECT vec_id, label, a_fp, b_fp,
+        CASE WHEN b_fp IS NULL OR greatest(a_fp, b_fp) = 0 THEN NULL
+          ELSE round(CAST(b_fp - a_fp AS DOUBLE)
+            / CAST(greatest(a_fp, b_fp) AS DOUBLE) + 1e-12, 6) END AS sil
+      FROM ag""",
+    // fold-grouped sufficient statistics; training sums = total - fold;
+    // the q_ols2 Cramer block per fold; exact-decimal residual SSE
+    "q_cv_ols" -> """
+      WITH base AS (SELECT
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substring(md5(
+              CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 8), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b) % 5 AS fold,
+          CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+          CAST(l_discount AS DECIMAL(18,2)) AS x2,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      pf AS (SELECT fold, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+          sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+          sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        FROM base GROUP BY 1),
+      tt AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2,
+          sum(s11) AS ts11, sum(s22) AS ts22, sum(s12) AS ts12,
+          sum(sy) AS tsy, sum(s1y) AS ts1y, sum(s2y) AS ts2y
+        FROM pf),
+      tr AS (SELECT fold, CAST(n AS BIGINT) AS n_test,
+          CAST(tn - n AS BIGINT) AS n_train,
+          CAST(tn - n AS DOUBLE) AS nd,
+          CAST(ts1 - s1 AS DOUBLE) AS s1, CAST(ts2 - s2 AS DOUBLE) AS s2,
+          CAST(ts11 - s11 AS DOUBLE) AS s11, CAST(ts22 - s22 AS DOUBLE) AS s22,
+          CAST(ts12 - s12 AS DOUBLE) AS s12, CAST(tsy - sy AS DOUBLE) AS sy,
+          CAST(ts1y - s1y AS DOUBLE) AS s1y, CAST(ts2y - s2y AS DOUBLE) AS s2y
+        FROM pf CROSS JOIN tt),
+      dets AS (SELECT *,
+          nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM tr),
+      mdl AS (SELECT fold, n_test, n_train,
+          CASE WHEN det = 0.0 THEN NULL
+            ELSE round(det0 / det + 1e-12, 6) END AS b0,
+          CASE WHEN det = 0.0 THEN NULL
+            ELSE round(det1 / det + 1e-12, 6) END AS b1,
+          CASE WHEN det = 0.0 THEN NULL
+            ELSE round(det2 / det + 1e-12, 6) END AS b2
+        FROM dets),
+      -- term-by-term (18,8) casts mirror CrossVal's precision-bounded
+      -- subtraction chain; the final (19,8) forces DuckDB's int128
+      -- multiply path (the q_cuped hugeint note)
+      sse AS (SELECT b.fold,
+          sum(CAST(CAST(b.y AS DECIMAL(18,8)) - CAST(m.b0 AS DECIMAL(18,6))
+              - CAST(CAST(m.b1 AS DECIMAL(18,6)) * b.x1 AS DECIMAL(18,8))
+              - CAST(CAST(m.b2 AS DECIMAL(18,6)) * b.x2 AS DECIMAL(18,8))
+              AS DECIMAL(19,8))
+            * CAST(CAST(b.y AS DECIMAL(18,8)) - CAST(m.b0 AS DECIMAL(18,6))
+              - CAST(CAST(m.b1 AS DECIMAL(18,6)) * b.x1 AS DECIMAL(18,8))
+              - CAST(CAST(m.b2 AS DECIMAL(18,6)) * b.x2 AS DECIMAL(18,8))
+              AS DECIMAL(19,8))) AS s
+        FROM base b JOIN mdl m USING (fold) GROUP BY 1)
+      SELECT m.fold, m.n_train, m.n_test, m.b0, m.b1, m.b2,
+        CASE WHEN m.b0 IS NULL THEN NULL
+          ELSE round(CAST(sse.s AS DOUBLE) / CAST(m.n_test AS DOUBLE)
+            + 1e-9, 3) END AS mse
+      FROM mdl m LEFT JOIN sse ON m.fold = sse.fold""",
     // ordered per-user item lists -> 1-based slice n-grams -> distinct
     // (user, pattern) support, mirroring SeqMining.contiguousPatterns
     "q_seq_mining" -> """

@@ -127,4 +127,30 @@ object Profile {
           when(col("violating_groups") === 0, 1L).otherwise(0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Content manifest per partition — the integrity record a data
+    * handoff ships beside the files: row count, id range, and an
+    * ORDER-FREE content fingerprint: the exact sum of per-row 52-bit
+    * md5 digests of id + content hash, reduced mod 10^18 so the value
+    * stays a plain 64-bit integer in ANY engine (the sum itself rides
+    * DECIMAL(38,0), so no overflow before the reduction at any corpus
+    * size). Any row added, dropped, or mutated changes the
+    * fingerprint (mod-collisions need ~10^18 tries); any engine with
+    * md5 recomputes it, so producer and consumer verify without
+    * trusting each other's row order or partitioning.
+    *
+    * Scale shape: one scan, one map-side-combined groupBy on the
+    * partition columns; the digest arithmetic is codegen scan-stage.
+    */
+  def contentManifest(df: DataFrame, partCols: Seq[String], idCol: String,
+                      contentCol: String): DataFrame = {
+    require(partCols.nonEmpty, "contentManifest needs partition columns")
+    val digest = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      md5(col(contentCol).cast("string")))), 1, 13), 16, 10)
+      .cast("decimal(38,0)")
+    df.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        (sum(digest) % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+  }
 }

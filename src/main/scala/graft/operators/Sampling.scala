@@ -84,6 +84,36 @@ object Sampling {
       minCount.toInt)
   }
 
+  /** Deterministic negative sampling over a DENSE 0..N−1 id space —
+    * the contrastive-training data step: for each row, `k`
+    * pseudo-random partner ids drawn by md5 (engine-portable, so the
+    * exact negative set is replayable anywhere), self-collisions
+    * remapped to the next id. PRECONDITION: `idCol` must be dense
+    * 0..N−1 (the corpus contract of the synthetic documents table;
+    * re-index first otherwise — with a sparse id space some draws
+    * reference nonexistent rows, and that is NOT detected here).
+    *
+    * Scale shape: N is a 1-row broadcast (no driver read); the draw is
+    * scan-stage md5 arithmetic exploded k-fold — zero shuffles beyond
+    * the count.
+    *
+    * Output: idCol, `j` (1..k), `neg_id`.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n1 = df.agg(count(lit(1)).as("__N"))
+    val raw = conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+      col("j").cast("string"))), 1, 13), 16, 10).cast("long") % col("__N")
+    df.select(col(idCol))
+      .crossJoin(broadcast(n1))
+      .select(col(idCol), explode(sequence(lit(1L), lit(k.toLong))).as("j"),
+        col("__N"))
+      .select(col(idCol), col("j"), raw.as("__raw"), col("__N"))
+      .select(col(idCol), col("j"),
+        when(col("__raw") === col(idCol), (col("__raw") + 1) % col("__N"))
+          .otherwise(col("__raw")).as("neg_id"))
+  }
+
   /** Domain-mixture sampling: keep a per-stratum FRACTION (the
     * pretraining mixture weight) instead of a fixed k — stratum quota =
     * floor(weight * stratum size), membership by md5-of-key rank, so

@@ -70,6 +70,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1)._2 == got(2)._2 && got(0)._2 > got(1)._2)
   }
 
+  test("silhouette: pure clusters score 1, a mislabeled point scores -1") {
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 1, Seq(-1.0f, 0.0f)), (4L, 1, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.similarity.Silhouette
+      .simplified(rows, "embedding", "vec_id", "label")
+      .select("vec_id", "sil").as[(Long, Double)].collect().toMap
+    assert(got.values.forall(_ == 1.0))
+    // point 5 carries label 0 but sits ON cluster 1's centroid
+    val noisy = rows.unionByName(
+      Seq((5L, 0, Seq(-1.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    val g2 = graft.similarity.Silhouette
+      .simplified(noisy, "embedding", "vec_id", "label")
+      .select("vec_id", "sil").as[(Long, Double)].collect().toMap
+    assert(g2(5L) == -1.0)
+    assert(g2(3L) == 1.0 && g2(4L) == 1.0)
+  }
+
   test("pageRank: a sink-pointing star concentrates rank on the hub") {
     // 4 spokes all point at node 0; node 0 points back at node 1
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))

@@ -203,6 +203,20 @@ class MlSpec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage_cal") == 1.0)
   }
 
+  test("cvOls2: exact plane recovers per-fold coefficients with zero MSE; folds partition rows") {
+    val pts = for (i <- 0 until 10; j <- 0 until 4)
+      yield (i.toLong * 4 + j, i.toDouble, j.toDouble, 2.0 + 3.0 * i - j)
+    val got = graft.ml.CrossVal.cvOls2(pts.toDF("id", "x1", "x2", "y"),
+      Seq("id"), "x1", "x2", "y", folds = 4).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getAs[Long]("n_test")).sum == 40L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 40L)
+      assert(r.getAs[Double]("b0") == 2.0 && r.getAs[Double]("b1") == 3.0)
+      assert(r.getAs[Double]("mse") == 0.0)
+    }
+  }
+
   test("ols2 recovers exact plane coefficients and flags a collinear design") {
     // y = 2 + 3*x1 - 1*x2 exactly: r2 = 1, coefficients exact
     val pts = for (i <- 0 until 5; j <- 0 until 5)

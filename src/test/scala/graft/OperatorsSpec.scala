@@ -490,6 +490,39 @@ class OperatorsSpec extends AnyFunSuite {
       again.select("id").as[Long].collect().toSet)
   }
 
+  test("negativeSamples: in-range, never self, deterministic under repartitioning") {
+    import graft.operators.Sampling
+    val df = (0L until 10L).toDF("id")
+    val got = Sampling.negativeSamples(df, "id", k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.size == 20)
+    assert(got.forall { case (id, j, neg) =>
+      neg >= 0 && neg < 10 && neg != id && j >= 1 && j <= 2 })
+    val again = Sampling.negativeSamples(df.repartition(4), "id", k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("contentManifest: order-free fingerprint detects any mutation") {
+    import graft.operators.Profile
+    val df = Seq((1L, "p", "aa"), (2L, "p", "bb"), (3L, "q", "cc"))
+      .toDF("id", "part", "text")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Profile.contentManifest(d, Seq("part"), "id", "text")
+        .select("part", "n_rows", "fingerprint")
+        .as[(String, Long, Long)].collect()
+        .map { case (p, n, f) => p -> ((n, f)) }.toMap
+    val base = fp(df)
+    assert(base("p")._1 == 2L && base("q")._1 == 1L)
+    // row order / partitioning never changes the sum
+    assert(fp(df.orderBy(col("id").desc).repartition(3)) == base)
+    // one mutated byte changes the partition fingerprint only
+    val mut = Seq((1L, "p", "aX"), (2L, "p", "bb"), (3L, "q", "cc"))
+      .toDF("id", "part", "text")
+    val m = fp(mut)
+    assert(m("p") != base("p") && m("q") == base("q"))
+  }
+
   test("bottomKByHash sample is invariant under repartitioning (unlike sample())") {
     import graft.operators.Sampling
     GraftExtensions.register(spark)
