@@ -3711,6 +3711,39 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Per-type 10–90% trimmed mean of event values — the robust
+    * location between mean and median
+    * ([[graft.operators.Robust.trimmedMean]]). */
+  private def qTrimmedMean(s: SparkSession, d: String): DataFrame =
+    graft.operators.Robust.trimmedMean(
+      Tables.events(s, d), "event_type", "value", lo = 0.1, hi = 0.9)
+
+  /** Davies–Bouldin cluster-quality index (squared-distance variant)
+    * over the label clustering — the worst-confusable-pair readout
+    * beside q_silhouette ([[graft.similarity.Silhouette.daviesBouldin]]). */
+  private def qDaviesBouldin(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Silhouette.daviesBouldin(
+      Tables.embeddings(s, d), "embedding", "vec_id", "label")
+
+  /** Brier score + log loss of the length score (n_chars/600) as a
+    * probability of is-English — the proper-scoring-rule companions to
+    * q_calibration/q_roc_auc; the Brier sum is carried as exact
+    * integers via Σ(k − 600y)²/(360000·n). */
+  private def qBrier(s: SparkSession, d: String): DataFrame = {
+    val y = (col("lang") === "en").cast("long")
+    val dev = col("n_chars") - lit(600L) * col("__y")
+    val p = col("n_chars").cast("double") / 600.0
+    val term = when(col("__y") === 1, -log(p)).otherwise(-log(lit(1.0) - p))
+    Tables.documents(s, d).filter(col("lang").isNotNull)
+      .select(col("n_chars"), y.as("__y"))
+      .agg(count(lit(1)).as("n"), sum(dev * dev).as("__ss"),
+        sum(term).as("__ll"))
+      .select(col("n"),
+        round(col("__ss").cast("double")
+          / (lit(360000.0) * col("n").cast("double")) + lit(1e-12), 6).as("brier"),
+        round(col("__ll") / col("n").cast("double") + lit(1e-12), 6).as("logloss"))
+  }
+
   /** Deterministic md5 negative sampling over the dense doc-id space
     * (k = 3 per document, self-collisions remapped) — the contrastive
     * training-pair generator ([[graft.operators.Sampling.negativeSamples]]). */
@@ -4303,6 +4336,9 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_trimmed_mean"   -> (qTrimmedMean _),
+    "q_davies_bouldin" -> (qDaviesBouldin _),
+    "q_brier"          -> (qBrier _),
     "q_neg_sample"     -> (qNegSample _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_manifest"       -> (qManifest _),
@@ -8215,6 +8251,64 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // quantile_cont band edges + decimal-exact trimmed sum, mirroring
+    // Robust.trimmedMean (edge values kept on both sides)
+    "q_trimmed_mean" -> """
+      WITH e AS (SELECT event_type, quantile_cont(value, 0.1) AS lo,
+          quantile_cont(value, 0.9) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY 1)
+      SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_used,
+        round(CAST(sum(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS trimmed_mean
+      FROM events ev JOIN e ON ev.event_type = e.event_type
+      WHERE CAST(ev.value AS DOUBLE) >= e.lo AND CAST(ev.value AS DOUBLE) <= e.hi
+      GROUP BY 1""",
+    // fixed-point centroids -> integer scatters -> |labels|^2 pair
+    // matrix with (r desc, lj) argmax, mirroring Silhouette.daviesBouldin
+    "q_davies_bouldin" -> """
+      WITH f AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vfp
+        FROM embeddings),
+      d AS (
+        SELECT label, unnest(list_transform(vfp, (v, i) -> {'pos': i, 'v': v})) AS u
+        FROM f),
+      cent AS (
+        SELECT label, u.pos AS pos,
+          CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        FROM d GROUP BY label, u.pos),
+      carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+      sct AS (SELECT f.label, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(list_sum(list_transform(f.vfp,
+            (v, i) -> (v - c.carr[i]) * (v - c.carr[i])))) AS DOUBLE)
+            / count(*) AS s2
+        FROM f JOIN carr c ON f.label = c.label GROUP BY 1),
+      pr AS (SELECT a.label AS label, b.label AS lj,
+          (sa.s2 + sb.s2) / CAST(list_sum(list_transform(a.carr,
+            (v, i) -> (v - b.carr[i]) * (v - b.carr[i]))) AS DOUBLE) AS r
+        FROM carr a JOIN carr b ON a.label <> b.label
+        JOIN sct sa ON a.label = sa.label JOIN sct sb ON b.label = sb.label),
+      bst AS (SELECT label, r, lj,
+          row_number() OVER (PARTITION BY label ORDER BY r DESC, lj) AS rk
+        FROM pr)
+      SELECT s.label, s.n, round(s.s2 + 1e-12, 6) AS s2,
+        round(b.r + 1e-12, 6) AS r_max, b.lj AS worst_other
+      FROM sct s LEFT JOIN (SELECT * FROM bst WHERE rk = 1) b
+        ON s.label = b.label""",
+    // integer Brier sum (k - 600y)^2 / (360000 n); log loss as the
+    // double ln sum — the same expressions as qBrier
+    "q_brier" -> """
+      WITH b AS (SELECT n_chars,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+        FROM documents WHERE lang IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum((n_chars - 600 * en) * (n_chars - 600 * en)) AS DOUBLE)
+          / (360000.0 * CAST(count(*) AS DOUBLE)) + 1e-12, 6) AS brier,
+        round(sum(CASE WHEN en = 1 THEN -ln(CAST(n_chars AS DOUBLE) / 600.0)
+            ELSE -ln(1.0 - CAST(n_chars AS DOUBLE) / 600.0) END)
+          / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS logloss
+      FROM b""",
     // the 13-hex md5 fold mod N with the self-collision remap,
     // mirroring Sampling.negativeSamples
     "q_neg_sample" -> """

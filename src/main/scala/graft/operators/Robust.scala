@@ -61,6 +61,35 @@ object Robust {
       .drop("__med", "__mad")
   }
 
+  /** Per-group trimmed mean: the mean over values inside the
+    * [lo, hi] percentile band — the robust location estimate between
+    * the mean (outlier-dragged) and the median (throws away most of
+    * the data). Values exactly ON an edge are kept (both engines
+    * agree: edges are identical doubles).
+    *
+    * Scale shape: edges from [[Percentiles.exact]] as a group-sized
+    * broadcast; the trimmed sum rides DECIMAL(18,2) (exact,
+    * order-free) over one scan. Output: groupCol, `n_used`,
+    * `trimmed_mean` (rounded 6; null when the band is empty).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  lo: Double, hi: Double, shards: Int = 0): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bounds = Percentiles.exact(df, Seq(groupCol), valCol, Seq(lo, hi),
+        "__b", shards)
+      .select(col(groupCol),
+        element_at(col("__b"), 1).as("__lo"), element_at(col("__b"), 2).as("__hi"))
+    val v = col(valCol).cast("double")
+    df.join(broadcast(bounds), groupCol)
+      .filter(v >= col("__lo") && v <= col("__hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col(valCol).cast("decimal(18,2)")).as("__s"))
+      .select(col(groupCol), col("n_used"),
+        round(col("__s").cast("double") / col("n_used").cast("double")
+          + lit(1e-12), 6).as("trimmed_mean"))
+  }
+
   /** Append `maha2`: the squared bivariate Mahalanobis distance of
     * (x, y) from the corpus mean under the sample covariance — the
     * joint-outlier score the per-column [[robustOutliers]] misses (a

@@ -24,6 +24,62 @@ import org.apache.spark.sql.functions._
   */
 object Silhouette {
 
+  /** Davies–Bouldin index with SQUARED distances (documented variant:
+    * the classic index uses Euclidean means, whose per-point square
+    * roots would break integer exactness; squared scatters preserve
+    * the ranking this audit is read for): per label i,
+    * s_i = mean fp-distance² of members to their centroid, and
+    * R_i = max_{j≠i} (s_i + s_j)/d²(c_i, c_j) — lower is better.
+    * One row per label: `label`, `n`, `s2` (rounded 6), `r_max`
+    * (rounded 6, null for a single-label corpus), `worst_other` (the
+    * label attaining the max, ties to the SMALLEST label id).
+    *
+    * Scale shape: reuses [[simplified]]'s fixed-point centroid
+    * aggregate; scatters are one exact-integer groupBy; the R matrix
+    * is |labels|² rows of scalar arithmetic — corpus-independent.
+    */
+  def daviesBouldin(emb: DataFrame, embCol: String, idCol: String,
+                    labelCol: String): DataFrame = {
+    val fp = emb.select(col(labelCol).cast("long").as("label"),
+        transform(col(embCol),
+          v => round(v.cast("double") * 1e6).cast("long")).as("__vfp"))
+      .localCheckpoint()
+    val cent = fp.select(col("label"), posexplode(col("__vfp")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("__carr"))
+      .localCheckpoint() // scatter join + the centroid-pair matrix
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val scatter = fp.join(broadcast(carr), "label")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dist2(col("__vfp"), col("__carr"))).cast("double")
+          / count(lit(1))).as("__s2"))
+      .localCheckpoint() // both sides of the pair matrix
+    val pairs = scatter.select(col("label"), col("__s2"))
+      .join(carr, "label")
+      .crossJoin(broadcast(scatter.select(col("label").as("__lj"), col("__s2").as("__sj"))
+        .join(carr.select(col("label").as("__lj"), col("__carr").as("__cj")), "__lj")))
+      .filter(col("label") =!= col("__lj"))
+      .select(col("label"), col("__lj"),
+        ((col("__s2") + col("__sj"))
+          / dist2(col("__carr"), col("__cj")).cast("double")).as("__r"))
+    val best = pairs.groupBy(col("label"))
+      .agg(max_by(struct(col("__r"), col("__lj")),
+        struct(col("__r"), (-col("__lj")).as("__neg"))).as("__b"))
+      .select(col("label"), col("__b.__r").as("__rmax"),
+        col("__b.__lj").as("worst_other"))
+    scatter.join(best, Seq("label"), "left")
+      .select(col("label"), col("n"),
+        round(col("__s2") + lit(1e-12), 6).as("s2"),
+        round(col("__rmax") + lit(1e-12), 6).as("r_max"),
+        col("worst_other"))
+  }
+
   /** Per point: idCol, `label`, `a_fp`, `b_fp` (fixed-point integer
     * distances²), `sil` (rounded 6; null for a single-label corpus —
     * no foreign centroid — or a point exactly ON both centroids).

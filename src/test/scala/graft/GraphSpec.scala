@@ -89,6 +89,23 @@ class GraphSpec extends AnyFunSuite {
     assert(g2(3L) == 1.0 && g2(4L) == 1.0)
   }
 
+  test("daviesBouldin: hand-computed scatter/ratio; tight far clusters score near 0") {
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.2f)),
+      (3L, 1, Seq(-1.0f, 0.0f)), (4L, 1, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.similarity.Silhouette
+      .daviesBouldin(rows, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("s2"), r.getAs[Double]("r_max"), r.getLong(4))).toMap
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    // label 0: centroid (1e6, 1e5), each point 1e10 away (squared)
+    assert(got(0L)._1 == 1.0e10 && got(1L)._1 == 0.0)
+    val d2 = 2.0e6 * 2.0e6 + 1.0e5 * 1.0e5
+    assert(got(0L)._2 == r6(1.0e10 / d2) && got(1L)._2 == r6(1.0e10 / d2))
+    assert(got(0L)._3 == 1L && got(1L)._3 == 0L)
+  }
+
   test("pageRank: a sink-pointing star concentrates rank on the hub") {
     // 4 spokes all point at node 0; node 0 points back at node 1
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))

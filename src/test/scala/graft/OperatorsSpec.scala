@@ -490,6 +490,14 @@ class OperatorsSpec extends AnyFunSuite {
       again.select("id").as[Long].collect().toSet)
   }
 
+  test("trimmedMean: 10-90 band on 1..10 keeps 2..9 and averages 5.5") {
+    import graft.operators.Robust
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Robust.trimmedMean(df, "grp", "v", lo = 0.1, hi = 0.9).head
+    assert(r.getAs[Long]("n_used") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+  }
+
   test("negativeSamples: in-range, never self, deterministic under repartitioning") {
     import graft.operators.Sampling
     val df = (0L until 10L).toDF("id")

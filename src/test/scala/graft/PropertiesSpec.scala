@@ -217,4 +217,65 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got(w) > 0.0)
     }
   }
+
+  private val scoreLabelGen: Gen[List[(Double, Boolean)]] = for {
+    n <- Gen.choose(3, 40)
+    rows <- Gen.listOfN(n, for {
+      s <- Gen.choose(0, 99)
+      y <- Gen.oneOf(true, false)
+    } yield (s / 100.0, y))
+  } yield rows
+
+  test("isotonic fit is monotone nondecreasing and mean-preserving on random data (seeded, 8 cases)") {
+    cases(scoreLabelGen, 8).foreach { rows =>
+      val fit = graft.operators.Isotonic
+        .fit(rows.toDF("s", "y"), "s", "y", digits = 2)
+        .orderBy("score")
+        .select("score", "n", "pos", "iso_p")
+        .as[(Double, Long, Long, Double)].collect()
+      // monotone (up to the 6-dp output rounding)
+      fit.sliding(2).foreach {
+        case Array((_, _, _, a), (_, _, _, b)) => assert(b >= a - 1e-6)
+        case _ =>
+      }
+      // weighted mean of the fit equals the label mean (PAVA preserves mass)
+      val fitMass = fit.map { case (_, n, _, p) => n * p }.sum
+      val posMass = fit.map(_._3).sum.toDouble
+      assert(math.abs(fitMass - posMass) < 1e-3 * fit.length,
+        s"mass $fitMass vs $posMass")
+    }
+  }
+
+  test("quantileNormalize lands in (0,1) and is monotone in the value (seeded, 6 cases)") {
+    val gen = Gen.listOfN(30, Gen.choose(-50, 50).map(_.toDouble / 7))
+    cases(gen, 6).foreach { vs =>
+      val out = graft.operators.RankedStats
+        .quantileNormalize(vs.toDF("v"), Nil, "v")
+        .select("v", "q_uniform").as[(Double, Double)].collect()
+      assert(out.forall { case (_, q) => q > 0.0 && q < 1.0 })
+      val byV = out.toSeq.sortBy(_._1)
+      byV.sliding(2).foreach {
+        case Seq((v1, q1), (v2, q2)) =>
+          if (v1 == v2) assert(q1 == q2) else assert(q2 > q1)
+        case _ =>
+      }
+    }
+  }
+
+  test("wilcoxonSignedRank: swapping x and y reflects W+ around n(n+1)/2 (seeded, 6 cases)") {
+    val gen = Gen.listOfN(20, for {
+      x <- Gen.choose(1, 100); y <- Gen.choose(1, 100)
+    } yield (x.toDouble, y.toDouble))
+    cases(gen, 6).foreach { ps =>
+      val fwd = graft.operators.PairedTests
+        .wilcoxonSignedRank(ps.toDF("x", "y"), "x", "y").head
+      val rev = graft.operators.PairedTests
+        .wilcoxonSignedRank(ps.map(_.swap).toDF("x", "y"), "x", "y").head
+      val n = fwd.getAs[Long]("n").toDouble
+      assert(rev.getAs[Long]("n") == fwd.getAs[Long]("n"))
+      if (n > 0)
+        assert(math.abs(fwd.getAs[Double]("w_plus") + rev.getAs[Double]("w_plus")
+          - n * (n + 1) / 2) < 1e-6)
+    }
+  }
 }
