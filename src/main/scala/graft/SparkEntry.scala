@@ -3711,6 +3711,19 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Ridge regression (λ = 1000, intercept unpenalized) over the
+    * q_ols2 design — the shrunk, collinearity-proof variant
+    * ([[graft.ml.Ols.ridge2]]). */
+  private def qRidge(s: SparkSession, d: String): DataFrame =
+    graft.ml.Ols.ridge2(Tables.lineitem(s, d),
+      "l_quantity", "l_discount", "l_extendedprice", lambda = 1000.0)
+
+  /** Per-returnflag OLS — k independent regressions from ONE grouped
+    * sufficient-statistics aggregate ([[graft.ml.Ols.ols2By]]). */
+  private def qGroupOls(s: SparkSession, d: String): DataFrame =
+    graft.ml.Ols.ols2By(Tables.lineitem(s, d), Seq("l_returnflag"),
+      "l_quantity", "l_discount", "l_extendedprice")
+
   /** Per-type 10–90% trimmed mean of event values — the robust
     * location between mean and median
     * ([[graft.operators.Robust.trimmedMean]]). */
@@ -4336,6 +4349,8 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_ridge"          -> (qRidge _),
+    "q_group_ols"      -> (qGroupOls _),
     "q_trimmed_mean"   -> (qTrimmedMean _),
     "q_davies_bouldin" -> (qDaviesBouldin _),
     "q_brier"          -> (qBrier _),
@@ -8251,6 +8266,89 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // the q_ols2 Cramer block with +1000 on the two feature diagonal
+    // entries (intercept unpenalized), mirroring Ols.ridge2
+    "q_ridge" -> """
+      WITH base AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+          CAST(l_discount AS DECIMAL(18,2)) AS x2,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      sm AS (SELECT count(*) AS n, sum(x1) AS s1d, sum(x2) AS s2d,
+          sum(x1 * x1) AS s11d, sum(x2 * x2) AS s22d, sum(x1 * x2) AS s12d,
+          sum(y) AS syd, sum(x1 * y) AS s1yd, sum(x2 * y) AS s2yd,
+          sum(y * y) AS syyd
+        FROM base),
+      d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+          CAST(s11d AS DOUBLE) + 1000.0 AS r11,
+          CAST(s22d AS DOUBLE) + 1000.0 AS r22,
+          CAST(s12d AS DOUBLE) AS s12, CAST(syd AS DOUBLE) AS sy,
+          CAST(s1yd AS DOUBLE) AS s1y, CAST(s2yd AS DOUBLE) AS s2y,
+          CAST(syyd AS DOUBLE) AS syy
+        FROM sm),
+      dets AS (SELECT *,
+          nd * (r11 * r22 - s12 * s12) - s1 * (s1 * r22 - s12 * s2)
+            + s2 * (s1 * s12 - r11 * s2) AS det,
+          sy * (r11 * r22 - s12 * s12) - s1 * (s1y * r22 - s12 * s2y)
+            + s2 * (s1y * s12 - r11 * s2y) AS det0,
+          nd * (s1y * r22 - s12 * s2y) - sy * (s1 * r22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          nd * (r11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - r11 * s2) AS det2
+        FROM d)
+      SELECT n,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det0 / det + 1e-12, 6) END AS b0,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det1 / det + 1e-12, 6) END AS b1,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det2 / det + 1e-12, 6) END AS b2,
+        CASE WHEN det = 0.0 OR (syy - sy * sy / nd) = 0.0 THEN NULL
+          ELSE round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+            - (det2 / det) * s2y) / (syy - sy * sy / nd) + 1e-12, 6) END AS r2
+      FROM dets""",
+    // the q_ols2 block grouped by returnflag
+    "q_group_ols" -> """
+      WITH base AS (SELECT l_returnflag,
+          CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+          CAST(l_discount AS DECIMAL(18,2)) AS x2,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      sm AS (SELECT l_returnflag, count(*) AS n, sum(x1) AS s1d, sum(x2) AS s2d,
+          sum(x1 * x1) AS s11d, sum(x2 * x2) AS s22d, sum(x1 * x2) AS s12d,
+          sum(y) AS syd, sum(x1 * y) AS s1yd, sum(x2 * y) AS s2yd,
+          sum(y * y) AS syyd
+        FROM base GROUP BY 1),
+      d AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+          CAST(s11d AS DOUBLE) AS s11, CAST(s22d AS DOUBLE) AS s22,
+          CAST(s12d AS DOUBLE) AS s12, CAST(syd AS DOUBLE) AS sy,
+          CAST(s1yd AS DOUBLE) AS s1y, CAST(s2yd AS DOUBLE) AS s2y,
+          CAST(syyd AS DOUBLE) AS syy
+        FROM sm),
+      dets AS (SELECT *,
+          nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM d)
+      SELECT l_returnflag, n,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det0 / det + 1e-12, 6) END AS b0,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det1 / det + 1e-12, 6) END AS b1,
+        CASE WHEN det = 0.0 THEN NULL
+          ELSE round(det2 / det + 1e-12, 6) END AS b2,
+        CASE WHEN det = 0.0 OR (syy - sy * sy / nd) = 0.0 THEN NULL
+          ELSE round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+            - (det2 / det) * s2y) / (syy - sy * sy / nd) + 1e-12, 6) END AS r2
+      FROM dets""",
     // quantile_cont band edges + decimal-exact trimmed sum, mirroring
     // Robust.trimmedMean (edge values kept on both sides)
     "q_trimmed_mean" -> """

@@ -365,6 +365,46 @@ object StreamingOps {
     }
   }
 
+  /** Streaming content manifest: each micro-batch's per-partition
+    * [[graft.operators.Profile.contentManifest]] is MERGED into a
+    * versioned running manifest — counts and id ranges combine by
+    * sum/min/max, and the mod-10^18 fingerprint merges because modular
+    * sums compose ((a mod M) + (b mod M) ≡ a+b mod M). The invariant a
+    * consumer audits: the running manifest after batch k EQUALS the
+    * batch manifest of all rows so far (differential-tested against
+    * the batch operator in StreamingSpec — the strongest in-sandbox
+    * check, since streaming has no DuckDB oracle). Versioned writes
+    * make replay idempotent, like [[cdcSnapshotSink]]. Assumes an
+    * append-only stream (rows are never retracted — the manifest is a
+    * record of everything ever shipped).
+    */
+  def manifestSink(rows: DataFrame, dir: String, partCol: String,
+                   idCol: String, contentCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val mod = 1000000000000000000L
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bm = graft.operators.Profile.contentManifest(
+          batch, Seq(partCol), idCol, contentCol)
+        val merged = latestVersion(dir, before = Some(batchId)) match {
+          case Some(v) =>
+            s.read.parquet(s"$dir/v$v").unionByName(bm)
+              .groupBy(col(partCol))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
+                pmod(sum(col("fingerprint")), lit(mod)).cast("long")
+                  .as("fingerprint"))
+          case None => bm
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+  }
+
+  /** The current running manifest (highest version under `dir`). */
+  def latestManifest(spark: SparkSession, dir: String): DataFrame =
+    latestSnapshot(spark, dir)
+
   /** The current CDC snapshot (highest version under `dir`). */
   def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/v${latestVersion(dir, None).get}")

@@ -217,6 +217,34 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("ridge2: shrinks toward zero as lambda grows and solves the collinear design ols2 rejects") {
+    val pts = for (i <- 0 until 5; j <- 0 until 5)
+      yield (i.toDouble, j.toDouble, 2.0 + 3.0 * i - 1.0 * j)
+    val df = pts.toDF("x1", "x2", "y")
+    val small = graft.ml.Ols.ridge2(df, "x1", "x2", "y", lambda = 0.001).head
+    val big = graft.ml.Ols.ridge2(df, "x1", "x2", "y", lambda = 1e6).head
+    // tiny lambda ~ OLS; huge lambda crushes the slopes
+    assert(math.abs(small.getAs[Double]("b1") - 3.0) < 0.01)
+    assert(math.abs(big.getAs[Double]("b1")) < 0.1)
+    // x2 = 2*x1 is singular for OLS but solvable under ridge
+    val coll = (0 until 6).map(i => (i.toDouble, 2.0 * i, i * 1.5))
+      .toDF("x1", "x2", "y")
+    val rr = graft.ml.Ols.ridge2(coll, "x1", "x2", "y", lambda = 1.0).head
+    assert(!rr.isNullAt(rr.fieldIndex("b1")))
+  }
+
+  test("ols2By: per-group fits match independent ols2 runs") {
+    val pts = (for (i <- 0 until 6; j <- 0 until 3) yield Seq(
+      ("a", i.toDouble, j.toDouble, 1.0 + 2.0 * i + 3.0 * j),
+      ("b", i.toDouble, j.toDouble, 5.0 - 1.0 * i + 0.5 * j))).flatten
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val grouped = graft.ml.Ols.ols2By(df, Seq("g"), "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("b0"), r.getAs[Double]("b1"), r.getAs[Double]("b2"))).toMap
+    assert(grouped("a") == ((1.0, 2.0, 3.0)))
+    assert(grouped("b") == ((5.0, -1.0, 0.5)))
+  }
+
   test("ols2 recovers exact plane coefficients and flags a collinear design") {
     // y = 2 + 3*x1 - 1*x2 exactly: r2 = 1, coefficients exact
     val pts = for (i <- 0 until 5; j <- 0 until 5)

@@ -615,4 +615,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
     } finally q.stop()
   }
+
+  test("manifestSink: the running manifest equals the batch manifest of all rows so far") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_manifest").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val b1 = Seq((1L, "p", "aa"), (2L, "q", "bb"))
+    val b2 = Seq((3L, "p", "cc"), (4L, "p", "dd"), (5L, "r", "ee"))
+    val q = StreamingOps.manifestSink(
+        mem.toDF().toDF("id", "part", "text"), s"$dir/m", "part", "id", "text")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def manifestOf(rows: Seq[(Long, String, String)]) =
+        graft.operators.Profile
+          .contentManifest(rows.toDF("id", "part", "text"), Seq("part"), "id", "text")
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(StreamingOps.latestManifest(spark, s"$dir/m")
+        .as[(String, Long, Long, Long, Long)].collect().toSet == manifestOf(b1))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // the merged manifest is indistinguishable from a from-scratch batch run
+      assert(StreamingOps.latestManifest(spark, s"$dir/m")
+        .as[(String, Long, Long, Long, Long)].collect().toSet == manifestOf(b1 ++ b2))
+    } finally q.stop()
+  }
 }
