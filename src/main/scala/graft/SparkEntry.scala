@@ -3711,6 +3711,48 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Anomalous days in the event series: the trend+seasonal model
+    * explains the expected volume, median/MAD flags the residuals —
+    * [[graft.operators.TimeSeries.trendDecompose]] composed with
+    * [[graft.operators.Robust.robustOutliers]]; the series-level
+    * counterpart of q_outliers' per-row flags. */
+  private def qSeriesOutliers(s: SparkSession, d: String): DataFrame = {
+    val dec = graft.operators.TimeSeries.trendDecompose(
+        Tables.events(s, d), "ts", bucketWidth = 86400000000000L,
+        period = 7, halfWindow = 3)
+      .withColumn("__g", lit(1))
+    graft.operators.Robust.robustOutliers(dec, "__g", "residual", k = 3.5)
+      .select(col("bucket"), col("n_events"), col("residual"),
+        round(col("robust_z"), 4).as("robust_z"), col("is_outlier"))
+  }
+
+  /** Join-key skew audit for lineitem's order key: key count, max
+    * share, count Gini, and the p99/p50 per-key-count ratio — the
+    * numbers that decide salting/AQE settings BEFORE a join ships
+    * (composes [[graft.operators.RankedStats.gini]] and the exact
+    * percentile dataflow over the key histogram). */
+  private def qSkewAudit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals + gini + percentile edges all read it
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_count"))
+    val g = graft.operators.RankedStats.gini(counts, Nil, "cnt")
+      .select(col("gini"))
+    val qs = graft.operators.Percentiles.exact(counts, Nil, "cnt",
+        Seq(0.5, 0.99), "__p")
+      .select(element_at(col("__p"), 1).as("__p50"),
+        element_at(col("__p"), 2).as("__p99"))
+    tot.crossJoin(broadcast(g)).crossJoin(broadcast(qs))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        round(col("max_count").cast("double") / col("n_rows").cast("double")
+          + lit(1e-12), 6).as("max_share"),
+        col("gini"),
+        round(col("__p50") + lit(1e-12), 6).as("p50_count"),
+        round(col("__p99") + lit(1e-12), 6).as("p99_count"),
+        round(col("__p99") / col("__p50") + lit(1e-12), 6).as("p99_p50_ratio"))
+  }
+
   /** Ridge regression (λ = 1000, intercept unpenalized) over the
     * q_ols2 design — the shrunk, collinearity-proof variant
     * ([[graft.ml.Ols.ridge2]]). */
@@ -4349,6 +4391,8 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_series_outliers" -> (qSeriesOutliers _),
+    "q_skew_audit"     -> (qSkewAudit _),
     "q_ridge"          -> (qRidge _),
     "q_group_ols"      -> (qGroupOls _),
     "q_trimmed_mean"   -> (qTrimmedMean _),
@@ -8266,6 +8310,58 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // the q_trend_decompose CTEs + global median/MAD over the residual,
+    // the q_outliers mirror one level up
+    "q_series_outliers" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+          count(*) AS n FROM events GROUP BY 1),
+      b AS (SELECT min(bucket) AS h0, max(bucket) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS bucket FROM b),
+      s AS (SELECT g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN c USING (bucket)),
+      t AS (SELECT bucket, n_events,
+          round(CAST(sum(n_events) OVER w AS DOUBLE)
+            / CAST(count(*) OVER w AS DOUBLE) + 1e-12, 6) AS trend,
+          bucket % 7 AS phase
+        FROM s WINDOW w AS (ORDER BY bucket
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, CAST(round(CAST(n_events AS DOUBLE) - trend
+          + 1e-12, 6) AS DECIMAL(18,6)) AS detr FROM t),
+      se AS (SELECT phase, round(CAST(sum(detr) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS seasonal
+        FROM dt GROUP BY 1),
+      r AS (SELECT bucket, n_events,
+          round(CAST(detr AS DOUBLE) - seasonal + 1e-12, 6) AS residual
+        FROM dt JOIN se USING (phase)),
+      m AS (SELECT median(residual) AS med FROM r),
+      md AS (SELECT median(abs(residual - med)) AS mad FROM r CROSS JOIN m)
+      SELECT r.bucket, r.n_events, r.residual,
+        CASE WHEN md.mad > 0
+          THEN round(0.6745 * (r.residual - m.med) / md.mad, 4) END AS robust_z,
+        coalesce(abs(CASE WHEN md.mad > 0
+          THEN 0.6745 * (r.residual - m.med) / md.mad END) > 3.5, false)
+          AS is_outlier
+      FROM r CROSS JOIN m CROSS JOIN md""",
+    // per-key histogram -> exact tie-block Gini + quantile_cont ratio,
+    // mirroring qSkewAudit's composition
+    "q_skew_audit" -> """
+      WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(max(cnt) AS BIGINT) AS max_count FROM c),
+      srt AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS i FROM c),
+      g AS (SELECT round(2.0 * sum(CAST(i AS DOUBLE) * cnt)
+            / (count(*) * sum(CAST(cnt AS DOUBLE)))
+          - (count(*) + 1.0) / count(*) + 1e-12, 6) AS gini FROM srt),
+      q AS (SELECT quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50,
+          quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99 FROM c)
+      SELECT tot.n_keys, tot.n_rows, tot.max_count,
+        round(CAST(tot.max_count AS DOUBLE) / CAST(tot.n_rows AS DOUBLE)
+          + 1e-12, 6) AS max_share,
+        g.gini, round(q.p50 + 1e-12, 6) AS p50_count,
+        round(q.p99 + 1e-12, 6) AS p99_count,
+        round(q.p99 / q.p50 + 1e-12, 6) AS p99_p50_ratio
+      FROM tot CROSS JOIN g CROSS JOIN q""",
     // the q_ols2 Cramer block with +1000 on the two feature diagonal
     // entries (intercept unpenalized), mirroring Ols.ridge2
     "q_ridge" -> """
