@@ -39,6 +39,7 @@ object Stump {
       .filter(col("__v").isNotNull && col("__y").isNotNull)
       .groupBy(col("__v"))
       .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+      .localCheckpoint() // totals + cumsum both read it: one corpus scan
     val tot = hist.agg(sum(col("__t")).as("__tn"), sum(col("__p")).as("__tp"))
     val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__t", "__p"), shards)
     def gini(pos: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {

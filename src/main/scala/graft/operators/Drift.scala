@@ -125,6 +125,7 @@ object Drift {
         explode(split(lower(col(textCol)), " ")).as("__term"))
       .groupBy(col("__g"), col("__term"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals + probability projection: explode once
     val tot = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__t"))
     val p = cnt.join(broadcast(tot), "__g")
       .select(col("__g"), col("__term"),

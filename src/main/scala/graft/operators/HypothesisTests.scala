@@ -360,8 +360,10 @@ object HypothesisTests {
     */
   def levene(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("decimal(18,2)")
+    // base feeds the group moments AND the deviation pass — one scan
     val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), v.as("__v"))
+      .localCheckpoint()
     val gm = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
     // w = |n_g·v − S_g| exact in DECIMAL; re-cast to (18,2) before the

@@ -45,6 +45,7 @@ object Isotonic {
       .filter(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+      .localCheckpoint() // the cumsum AND the final join read it
     val cum = RankedStats.withCumulative(lev, Nil, "__s", Seq("__n", "__p"), shards)
       .select(col("__s"), col("__n"), col("__p"),
         col("__cum___n").as("__cn"), col("__cum___p").as("__cp"))

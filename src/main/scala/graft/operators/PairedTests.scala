@@ -76,9 +76,12 @@ object PairedTests {
   def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // base feeds the k scalar, the completeness filter, AND the ranked
+    // join — materialize once (often an upstream aggregate)
     val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__b").isNotNull && col("__t").isNotNull && col("__v").isNotNull)
+      .localCheckpoint()
     val kTotal = base.agg(countDistinct(col("__t")).as("__k"))
     val complete = base.groupBy(col("__b"))
       .agg(countDistinct(col("__t")).as("__kb"))
@@ -129,9 +132,11 @@ object PairedTests {
     */
   def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
                successCol: String): DataFrame = {
+    // same three-consumer shape as friedman — materialize base once
     val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
         col(successCol).cast("boolean").cast("long").as("__x"))
       .filter(col("__b").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+      .localCheckpoint()
     val kTotal = base.agg(countDistinct(col("__t")).as("__k"))
     val complete = base.groupBy(col("__b"))
       .agg(countDistinct(col("__t")).as("__kb"))

@@ -95,6 +95,7 @@ object RankedStats {
     val gcols = groupCols.map(col)
     val hist = df.filter(col(valCol).isNotNull)
       .groupBy(gcols :+ col(valCol): _*).agg(count(lit(1)).as("__t"))
+      .localCheckpoint() // cumsum + group totals both read it
     val cum = withCumulative(hist, groupCols, valCol, Seq("__t"), shards)
     val tot = hist.groupBy(gcols: _*).agg(sum(col("__t")).as("__n"))
     val t = col("__t").cast("double")

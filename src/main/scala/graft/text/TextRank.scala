@@ -39,6 +39,7 @@ object TextRank {
         (a, b) => struct(a.as("s"), b.as("d")))).as("__p"))
       .select(col("__p.s").as("__s"), col("__p.d").as("__d"))
       .filter(col("__s") =!= col("__d"))
+      .localCheckpoint() // both union directions read it: tokenize once
     val edges = pairs
       .unionByName(pairs.select(col("__d").as("__s"), col("__s").as("__d")))
       .groupBy(col("__s"), col("__d"))
