@@ -3711,6 +3711,29 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Two-proportion z-test with Wilson intervals: click vs view
+    * high-value rates (value ≥ 100) — the A/B conversion readout
+    * ([[graft.operators.HypothesisTests.twoProportionTest]]). */
+  private def qPropTest(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.twoProportionTest(
+      Tables.events(s, d).withColumn("high", col("value") >= 100),
+      "event_type", "high", "click", "view")
+
+  /** Partial correlation of quantity and price controlling for
+    * discount — the direct-relationship screen
+    * ([[graft.operators.HypothesisTests.partialCorr]]). */
+  private def qPartialCorr(s: SparkSession, d: String): DataFrame =
+    graft.operators.HypothesisTests.partialCorr(
+      Tables.lineitem(s, d), "l_quantity", "l_extendedprice", "l_discount")
+
+  /** Durbin–Watson autocorrelation of the daily-series decomposition
+    * residuals — did the trend+seasonal model leave lag-1 structure
+    * behind ([[graft.operators.TimeSeries.durbinWatson]])? */
+  private def qDurbinWatson(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.durbinWatson(
+      Tables.events(s, d), "ts", bucketWidth = 86400000000000L,
+      period = 7, halfWindow = 3)
+
   /** Anomalous days in the event series: the trend+seasonal model
     * explains the expected volume, median/MAD flags the residuals —
     * [[graft.operators.TimeSeries.trendDecompose]] composed with
@@ -4391,6 +4414,9 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_prop_test"      -> (qPropTest _),
+    "q_partial_corr"   -> (qPartialCorr _),
+    "q_durbin_watson"  -> (qDurbinWatson _),
     "q_series_outliers" -> (qSeriesOutliers _),
     "q_skew_audit"     -> (qSkewAudit _),
     "q_ridge"          -> (qRidge _),
@@ -8310,6 +8336,113 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // one 4-count aggregate -> pooled z + Wilson intervals with the
+    // identical operand order as HypothesisTests.twoProportionTest
+    "q_prop_test" -> """
+      WITH a AS (SELECT
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS na,
+          CAST(sum(CASE WHEN event_type = 'click' AND value >= 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS nb,
+          CAST(sum(CASE WHEN event_type = 'view' AND value >= 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS xb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      d AS (SELECT *, CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+          CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+          CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pool,
+          CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        FROM a)
+      SELECT na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+        CASE WHEN na = 0 THEN NULL ELSE round(pa + 1e-12, 6) END AS p_a,
+        CASE WHEN nb = 0 THEN NULL ELSE round(pb + 1e-12, 6) END AS p_b,
+        CASE WHEN na = 0 OR nb = 0 OR pool = 0.0 OR pool = 1.0 THEN NULL
+          ELSE round((pa - pb) / sqrt(pool * (1.0 - pool)
+            * (1.0 / na + 1.0 / nb)) + 1e-12, 6) END AS z_stat,
+        CASE WHEN na = 0 THEN NULL ELSE round(
+          (pa + 1.96 * 1.96 / (nad * 2)) / (1.0 + 1.96 * 1.96 / nad)
+          - 1.96 * sqrt(pa * (1.0 - pa) / nad + 1.96 * 1.96 / (nad * nad * 4))
+            / (1.0 + 1.96 * 1.96 / nad) + 1e-12, 6) END AS ci_a_lo,
+        CASE WHEN na = 0 THEN NULL ELSE round(
+          (pa + 1.96 * 1.96 / (nad * 2)) / (1.0 + 1.96 * 1.96 / nad)
+          + 1.96 * sqrt(pa * (1.0 - pa) / nad + 1.96 * 1.96 / (nad * nad * 4))
+            / (1.0 + 1.96 * 1.96 / nad) + 1e-12, 6) END AS ci_a_hi,
+        CASE WHEN nb = 0 THEN NULL ELSE round(
+          (pb + 1.96 * 1.96 / (nbd * 2)) / (1.0 + 1.96 * 1.96 / nbd)
+          - 1.96 * sqrt(pb * (1.0 - pb) / nbd + 1.96 * 1.96 / (nbd * nbd * 4))
+            / (1.0 + 1.96 * 1.96 / nbd) + 1e-12, 6) END AS ci_b_lo,
+        CASE WHEN nb = 0 THEN NULL ELSE round(
+          (pb + 1.96 * 1.96 / (nbd * 2)) / (1.0 + 1.96 * 1.96 / nbd)
+          + 1.96 * sqrt(pb * (1.0 - pb) / nbd + 1.96 * 1.96 / (nbd * nbd * 4))
+            / (1.0 + 1.96 * 1.96 / nbd) + 1e-12, 6) END AS ci_b_hi
+      FROM d""",
+    // ten decimal moments -> three Pearson correlations -> the partial
+    // formula, spelled as in HypothesisTests.partialCorr
+    "q_partial_corr" -> """
+      WITH base AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+          CAST(l_discount AS DECIMAL(18,2)) AS z
+        FROM lineitem WHERE l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      sm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+          sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+          sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+        FROM base),
+      d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+          CAST(sz AS DOUBLE) AS sz, CAST(sxx AS DOUBLE) AS sxx,
+          CAST(syy AS DOUBLE) AS syy, CAST(szz AS DOUBLE) AS szz,
+          CAST(sxy AS DOUBLE) AS sxy, CAST(sxz AS DOUBLE) AS sxz,
+          CAST(syz AS DOUBLE) AS syz
+        FROM sm),
+      r AS (SELECT n,
+          (nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS rxy,
+          (nd * sxz - sx * sz) / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz)) AS rxz,
+          (nd * syz - sy * sz) / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz)) AS ryz,
+          (nd * sxx - sx * sx = 0.0 OR nd * syy - sy * sy = 0.0
+            OR nd * szz - sz * sz = 0.0) AS const
+        FROM d)
+      SELECT n,
+        CASE WHEN const THEN NULL ELSE round(rxy + 1e-12, 6) END AS r_xy,
+        CASE WHEN const THEN NULL ELSE round(rxz + 1e-12, 6) END AS r_xz,
+        CASE WHEN const THEN NULL ELSE round(ryz + 1e-12, 6) END AS r_yz,
+        CASE WHEN const OR sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) = 0.0
+          THEN NULL
+          ELSE round((rxy - rxz * ryz)
+            / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) + 1e-12, 6)
+          END AS r_partial
+      FROM r""",
+    // the q_trend_decompose residual CTEs + a lag-1 window fold
+    "q_durbin_watson" -> """
+      WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+          count(*) AS n FROM events GROUP BY 1),
+      b AS (SELECT min(bucket) AS h0, max(bucket) AS h1 FROM c),
+      grid AS (SELECT unnest(generate_series(h0, h1)) AS bucket FROM b),
+      s AS (SELECT g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN c USING (bucket)),
+      t AS (SELECT bucket, n_events,
+          round(CAST(sum(n_events) OVER w AS DOUBLE)
+            / CAST(count(*) OVER w AS DOUBLE) + 1e-12, 6) AS trend,
+          bucket % 7 AS phase
+        FROM s WINDOW w AS (ORDER BY bucket
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, CAST(round(CAST(n_events AS DOUBLE) - trend
+          + 1e-12, 6) AS DECIMAL(18,6)) AS detr FROM t),
+      se AS (SELECT phase, round(CAST(sum(detr) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS seasonal
+        FROM dt GROUP BY 1),
+      r AS (SELECT bucket,
+          round(CAST(detr AS DOUBLE) - seasonal + 1e-12, 6) AS residual
+        FROM dt JOIN se USING (phase)),
+      lagd AS (SELECT residual,
+          residual - lag(residual) OVER (ORDER BY bucket) AS d FROM r)
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        CASE WHEN sum(residual * residual) = 0.0 THEN NULL
+          ELSE round(sum(d * d) / sum(residual * residual) + 1e-12, 6)
+          END AS dw
+      FROM lagd""",
     // the q_trend_decompose CTEs + global median/MAD over the residual,
     // the q_outliers mirror one level up
     "q_series_outliers" -> """

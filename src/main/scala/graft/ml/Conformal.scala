@@ -34,13 +34,18 @@ object Conformal {
                    alpha: Double = 0.1, shards: Int = 0): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(idCols.nonEmpty, "need id columns for the deterministic split")
-    val keep = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull
-      && col(yCol).isNotNull)
     val even = conv(substring(md5(concat_ws("_",
         idCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
       .cast("long") % 2 === 0
-    val train = keep.filter(even)
-    val cal = keep.filter(!even)
+    // materialize the split ONCE: the md5 flag and the narrow feature
+    // projection would otherwise be recomputed by the training
+    // aggregate, the calibration residuals, and the coverage pass
+    val keep = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull
+        && col(yCol).isNotNull)
+      .select(col(x1Col), col(x2Col), col(yCol), even.as("__even"))
+      .localCheckpoint()
+    val train = keep.filter(col("__even"))
+    val cal = keep.filter(!col("__even"))
     val model = Ols.ols2(train, x1Col, x2Col, yCol)
       .select(col("n").as("n_train"), col("b0"), col("b1"), col("b2"))
     val resid = cal.crossJoin(broadcast(model))

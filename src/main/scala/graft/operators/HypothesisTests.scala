@@ -494,6 +494,114 @@ object HypothesisTests {
           .otherwise(round(delta + lit(1e-12), 6)).as("cliff_delta"))
   }
 
+  /** Two-proportion z-test with Wilson score intervals — the A/B
+    * conversion readout: did variant A's success RATE move against
+    * B's, with per-variant intervals that behave at extreme rates
+    * (Wilson, not Wald — Wald collapses to zero width at p̂ ∈ {0,1}).
+    * z uses the pooled rate; intervals use z* = 1.96 exactly.
+    *
+    * One output row: `n_a`, `x_a`, `n_b`, `x_b`, `p_a`, `p_b`,
+    * `z_stat` (null when a side is empty or the pooled rate is 0/1),
+    * `ci_a_lo/hi`, `ci_b_lo/hi` (rounded 6; null for an empty side).
+    *
+    * Scale shape: ONE conditional-count aggregate (exact longs);
+    * everything after is scalar arithmetic.
+    */
+  def twoProportionTest(df: DataFrame, groupCol: String, successCol: String,
+                        sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, "the two variants must be distinct")
+    val s = col(successCol).cast("boolean")
+    def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
+    val agg = df.filter(s.isNotNull && col(groupCol).isin(sideA, sideB))
+      .agg(cnt(col(groupCol) === sideA).as("n_a"),
+        cnt(col(groupCol) === sideA && s).as("x_a"),
+        cnt(col(groupCol) === sideB).as("n_b"),
+        cnt(col(groupCol) === sideB && s).as("x_b"))
+    def p(x: String, n: String) = col(x).cast("double") / col(n).cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool)
+      * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val zStat = (p("x_a", "n_a") - p("x_b", "n_b")) / se
+    val zc = lit(1.96)
+    def wilson(x: String, n: String, hi: Boolean) = {
+      val nD = col(n).cast("double")
+      val ph = p(x, n)
+      val denom = lit(1.0) + zc * zc / nD
+      val center = (ph + zc * zc / (nD * 2)) / denom
+      val half = zc * sqrt(ph * (lit(1.0) - ph) / nD
+        + zc * zc / (nD * nD * 4)) / denom
+      if (hi) center + half else center - half
+    }
+    def r6(c: org.apache.spark.sql.Column) = round(c + lit(1e-12), 6)
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+      pool === 0.0 || pool === 1.0
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(r6(p("x_a", "n_a"))).as("p_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(r6(p("x_b", "n_b"))).as("p_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(r6(zStat)).as("z_stat"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(r6(wilson("x_a", "n_a", hi = false))).as("ci_a_lo"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(r6(wilson("x_a", "n_a", hi = true))).as("ci_a_hi"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(r6(wilson("x_b", "n_b", hi = false))).as("ci_b_lo"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(r6(wilson("x_b", "n_b", hi = true))).as("ci_b_hi"))
+  }
+
+  /** Partial correlation of x and y CONTROLLING for z — "does price
+    * track quantity once discount is held fixed?": the three pairwise
+    * Pearson correlations from one DECIMAL-exact moment aggregate,
+    * combined as r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    * The screening step before claiming a direct relationship.
+    *
+    * One output row: `n`, `r_xy`, `r_xz`, `r_yz`, `r_partial`
+    * (rounded 6; nulls when a variable is constant or a control
+    * correlation is ±1).
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    def d2(c: String) = col(c).cast("decimal(18,2)")
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull
+        && col(zCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(d2(xCol)).as("__sx"), sum(d2(yCol)).as("__sy"),
+        sum(d2(zCol)).as("__sz"),
+        sum(d2(xCol) * d2(xCol)).as("__sxx"),
+        sum(d2(yCol) * d2(yCol)).as("__syy"),
+        sum(d2(zCol) * d2(zCol)).as("__szz"),
+        sum(d2(xCol) * d2(yCol)).as("__sxy"),
+        sum(d2(xCol) * d2(zCol)).as("__sxz"),
+        sum(d2(yCol) * d2(zCol)).as("__syz"))
+    val nD = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    def cov(sab: String, sa: String, sb: String) =
+      nD * dd(sab) - dd(sa) * dd(sb)
+    def varr(saa: String, sa: String) = nD * dd(saa) - dd(sa) * dd(sa)
+    // a zero variance nulls EVERY output below; the 0.0 placeholder
+    // only exists so ANSI mode doesn't raise on the guarded division
+    // while evaluating the null-condition expressions themselves
+    def corr(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      when(varr(saa, sa) === 0.0 || varr(sbb, sb) === 0.0, lit(0.0))
+        .otherwise(cov(sab, sa, sb) / sqrt(varr(saa, sa) * varr(sbb, sb)))
+    val rxy = corr("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = corr("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = corr("__syz", "__sy", "__sz", "__syy", "__szz")
+    val den = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    val constant = varr("__sxx", "__sx") === 0.0 ||
+      varr("__syy", "__sy") === 0.0 || varr("__szz", "__sz") === 0.0
+    def r6n(c: org.apache.spark.sql.Column, bad: org.apache.spark.sql.Column) =
+      when(bad, lit(null).cast("double")).otherwise(round(c + lit(1e-12), 6))
+    agg.select(col("n"),
+      r6n(rxy, constant).as("r_xy"), r6n(rxz, constant).as("r_xz"),
+      r6n(ryz, constant).as("r_yz"),
+      r6n((rxy - rxz * ryz) / den, constant || den === 0.0).as("r_partial"))
+  }
+
   /** Distinct-value histogram with per-side counts `__ca`/`__cb` and the
     * pooled count `__t`; rows outside the two sides and null values drop
     * (the usual two-sample framing).

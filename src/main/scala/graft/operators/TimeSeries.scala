@@ -488,4 +488,33 @@ object TimeSeries {
         round(col("__detr").cast("double") - col("seasonal") + lit(1e-12), 6)
           .as("residual"))
   }
+
+  /** Durbin–Watson autocorrelation statistic of the [[trendDecompose]]
+    * residual series — the "did the model leave structure behind?"
+    * diagnostic (DW ≈ 2 means white residuals; → 0 positive, → 4
+    * negative lag-1 autocorrelation):
+    * DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t².
+    *
+    * The lag window is a single ordered pass over the DENSIFIED bucket
+    * series — time-span-bounded, corpus-independent (the
+    * [[kaplanMeier]]-style deliberate tiny-input window); residuals
+    * are the decomposition's rounded-6 doubles, so both engines fold
+    * identical values. One output row: `n_buckets`, `dw` (rounded 6;
+    * null when Σe² = 0 — a perfectly explained series).
+    */
+  def durbinWatson(df: DataFrame, tsCol: String, bucketWidth: Long,
+                   period: Int, halfWindow: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = trendDecompose(df, tsCol, bucketWidth, period, halfWindow)
+      .select(col("bucket"), col("residual"))
+    val w = Window.orderBy(col("bucket"))
+    val diff = col("residual") - lag(col("residual"), 1).over(w)
+    res.withColumn("__d", diff)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__d") * col("__d")).as("__num"),
+        sum(col("residual") * col("residual")).as("__den"))
+      .select(col("n_buckets"),
+        when(col("__den") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("__num") / col("__den") + lit(1e-12), 6)).as("dw"))
+  }
 }

@@ -908,6 +908,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("durbinWatson: perfectly explained series nulls; varying series lands in (0,4)") {
+    import graft.operators.TimeSeries
+    // constant 2 events/day for 10 days: residuals all 0 -> null dw
+    val flat = (0 until 10).flatMap(d => Seq(d * 10L, d * 10L + 1))
+      .toDF("ts")
+    val rf = TimeSeries.durbinWatson(flat, "ts", bucketWidth = 10L,
+      period = 7, halfWindow = 3).head
+    assert(rf.getAs[Long]("n_buckets") == 10L)
+    assert(rf.isNullAt(rf.fieldIndex("dw")))
+    // a sawtooth series leaves alternating residuals -> dw defined, in (0,4]
+    val saw = (0 until 12).flatMap(d => Seq.fill(if (d % 2 == 0) 1 else 4)(d * 10L))
+      .toDF("ts")
+    val rs = TimeSeries.durbinWatson(saw, "ts", bucketWidth = 10L,
+      period = 7, halfWindow = 3).head
+    val dw = rs.getAs[Double]("dw")
+    assert(dw > 0.0 && dw <= 4.0)
+  }
+
   test("nelsonAalen: hand-computed cumulative hazard on the kaplanMeier fixture") {
     import graft.operators.Survival
     // durations: u1=2, u2=3, u3=9 (censored): H(2)=1/3, H(3)=1/3+1/2, H(9) flat

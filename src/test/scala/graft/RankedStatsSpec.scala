@@ -266,6 +266,38 @@ class RankedStatsSpec extends AnyFunSuite {
     assert(r.forall(_.isNullAt(0)))
   }
 
+  test("twoProportionTest: hand z and Wilson interval; empty side nulls") {
+    // a: 8/10, b: 4/10 -> pool 0.6
+    val rows = (1 to 10).map(i => ("a", i <= 8)) ++ (1 to 10).map(i => ("b", i <= 4))
+    val r = HypothesisTests.twoProportionTest(rows.toDF("g", "s"), "g", "s", "a", "b").head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("x_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("x_b")) == ((10L, 8L, 10L, 4L)))
+    val se = math.sqrt(0.6 * 0.4 * (1.0 / 10 + 1.0 / 10))
+    assert(r.getAs[Double]("z_stat") == round6((0.8 - 0.4) / se))
+    val (nd, z2) = (10.0, 1.96 * 1.96)
+    val denom = 1.0 + z2 / nd
+    val center = (0.8 + z2 / (nd * 2)) / denom
+    val half = 1.96 * math.sqrt(0.8 * (1.0 - 0.8) / nd + z2 / (nd * nd * 4)) / denom
+    assert(r.getAs[Double]("ci_a_lo") == round6(center - half))
+    assert(r.getAs[Double]("ci_a_hi") == round6(center + half))
+    val one = HypothesisTests.twoProportionTest(
+      Seq(("a", true)).toDF("g", "s"), "g", "s", "a", "b").head
+    assert(one.isNullAt(one.fieldIndex("z_stat")))
+    assert(one.isNullAt(one.fieldIndex("p_b")))
+  }
+
+  test("partialCorr: additive independent confound yields partial = 1; constant column nulls") {
+    // y = x + z with x independent of z: controlling z reveals the exact link
+    val df = Seq((0.0, 0.0, 0.0), (0.0, 1.0, 1.0), (1.0, 0.0, 1.0), (1.0, 1.0, 2.0))
+      .toDF("x", "z", "y")
+    val r = HypothesisTests.partialCorr(df, "x", "y", "z").head
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    assert(r.getAs[Double]("r_partial") == 1.0)
+    val const = Seq((1.0, 2.0, 5.0), (1.0, 3.0, 5.0)).toDF("x", "y", "z")
+    val rc = HypothesisTests.partialCorr(const, "x", "y", "z").head
+    assert(rc.isNullAt(rc.fieldIndex("r_partial")))
+  }
+
   test("oddsRatio2x2: uncorrected cells give the closed-form OR/CI; zero cell corrects") {
     // n11=6, n10=2, n01=3, n00=9: OR = 54/6 = 9
     val rows = Seq.fill(6)((true, true)) ++ Seq.fill(2)((true, false)) ++
