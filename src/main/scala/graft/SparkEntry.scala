@@ -3711,6 +3711,22 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Propensity-score matching on the fixed-point LogReg scores
+    * (user-parity treatment — the randomized harness): each treated
+    * vector pairs with the nearest-below-score control, per-pair
+    * outcome differences ready for the ATT
+    * ([[graft.operators.Causal.psmMatch]]); completes the causal
+    * battery beside q_ipw_ate / q_cuped / q_did. */
+  private def qPsm(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("t", pmod(col("vec_id"), lit(2)).cast("int"))
+    val w = graft.ml.LogReg.trainFp(emb, "embedding", "t",
+      positive = 1, dim = 64, iters = 4, lr = 0.5)
+    val scored = graft.ml.LogReg.scoreFp(emb, "embedding", "vec_id", w)
+      .join(emb.select(col("vec_id"), col("t"), col("label")), Seq("vec_id"))
+    graft.operators.Causal.psmMatch(scored, "vec_id", "score_fp", "t", "label")
+  }
+
   /** Two-proportion z-test with Wilson intervals: click vs view
     * high-value rates (value ≥ 100) — the A/B conversion readout
     * ([[graft.operators.HypothesisTests.twoProportionTest]]). */
@@ -4414,6 +4430,7 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_psm"            -> (qPsm _),
     "q_prop_test"      -> (qPropTest _),
     "q_partial_corr"   -> (qPartialCorr _),
     "q_durbin_watson"  -> (qDurbinWatson _),
@@ -8336,6 +8353,22 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // the IPW GD unroll's integer scores + per-score control dedup +
+    // DuckDB's native ASOF as the nearest-below matcher
+    "q_psm" -> s"""
+      WITH ${logregOracleCtes(4, "vec_id % 2 = 1")},
+      iscore AS (SELECT v.vec_id, CAST(sum(w.wl * v.x) AS BIGINT) AS sc
+        FROM lrj v JOIN lw4 w ON v.j = w.j GROUP BY 1),
+      su AS (SELECT s.vec_id, s.sc, CAST(e.label AS BIGINT) AS y,
+          CAST(e.vec_id % 2 AS INT) AS t
+        FROM iscore s JOIN embeddings e ON e.vec_id = s.vec_id),
+      tr AS (SELECT vec_id AS t_id, sc, y AS y_t FROM su WHERE t = 1),
+      ct0 AS (SELECT sc, min(vec_id) AS c_id FROM su WHERE t = 0 GROUP BY 1),
+      ct AS (SELECT c.sc, c.c_id, u.y AS c_y
+        FROM ct0 c JOIN su u ON u.vec_id = c.c_id),
+      m AS (SELECT t.t_id, t.sc AS t_score_fp, t.y_t, c.c_id, c.c_y
+        FROM tr t ASOF LEFT JOIN ct c ON t.sc >= c.sc)
+      SELECT t_id, t_score_fp, y_t, c_id, c_y AS y_c, y_t - c_y AS dy FROM m""",
     // one 4-count aggregate -> pooled z + Wilson intervals with the
     // identical operand order as HypothesisTests.twoProportionTest
     "q_prop_test" -> """

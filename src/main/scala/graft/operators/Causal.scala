@@ -18,6 +18,47 @@ import org.apache.spark.sql.functions._
   */
 object Causal {
 
+  /** Propensity-score matching (nearest-below, with replacement): each
+    * TREATED unit is paired with the control whose score is the
+    * greatest ≤ its own — the classic PSM step after a propensity
+    * model scores every unit (the [[graft.ml.LogReg]] fixed-point
+    * scorer emits exact INTEGER scores, which is what keeps matching
+    * deterministic). Controls are deduplicated per distinct score
+    * (smallest id wins, carrying its own outcome), so the as-of match
+    * is unique; unmatched treated rows keep null controls. Pair rows
+    * are the output — aggregate `dy` for the ATT.
+    *
+    * Scale shape: one groupBy dedups controls; the match is the
+    * [[AsOfJoin.leftAsOf]] union + running-last pattern on the score
+    * ordering. by = ∅ here (one global ordering): at cluster scale
+    * partition by score range first (the [[AsOfJoin.leftAsOfBucketed]]
+    * construction with `score div B`) — documented knob, same result.
+    *
+    * Output per treated unit: `t_id`, `t_score_fp`, `y_t`, `c_id`,
+    * `y_c`, `dy` = y_t − y_c (null when unmatched).
+    */
+  def psmMatch(scored: DataFrame, idCol: String, scoreCol: String,
+               treatCol: String, outcomeCol: String): DataFrame = {
+    val base = scored.select(col(idCol).as("uid"),
+        col(scoreCol).cast("long").as("s"),
+        col(treatCol).cast("int").as("__t"),
+        col(outcomeCol).cast("long").as("y"))
+      .filter(col("uid").isNotNull && col("s").isNotNull && col("__t").isNotNull)
+      .localCheckpoint() // treated and control sides both read it
+    val treated = base.filter(col("__t") === 1)
+      .select(lit(1).as("__g"), col("uid"), col("s"), col("y"))
+    val ctrl = base.filter(col("__t") === 0)
+      .groupBy(col("s"))
+      .agg(min_by(struct(col("uid"), col("y")), col("uid")).as("__c"))
+      .select(lit(1).as("__g"), col("s"),
+        col("__c.uid").as("uid"), col("__c.y").as("c_y"))
+    AsOfJoin.leftAsOf(treated, ctrl, Seq("__g"), "s", "uid",
+        rightPayload = Seq("uid", "c_y"))
+      .select(col("uid").as("t_id"), col("s").as("t_score_fp"),
+        col("y").as("y_t"), col("asof_uid").as("c_id"),
+        col("asof_c_y").as("y_c"), (col("y") - col("asof_c_y")).as("dy"))
+  }
+
   /** One output row: `mean_t_pre`, `mean_t_post`, `mean_c_pre`,
     * `mean_c_post`, `did`, `se_did` (all rounded 6; null when any
     * cell is empty — the design is incomplete; `se_did` additionally

@@ -365,6 +365,20 @@ object StreamingOps {
     }
   }
 
+  /** Streaming heavy hitters: the [[graft.functions.SpaceSavingAgg]]
+    * sketch as a STATEFUL streaming aggregate — the state store holds
+    * one capacity-bounded buffer (not per-key counts, which would grow
+    * with cardinality), each micro-batch merges into it, and every
+    * trigger emits the current top list. Same exactness certificate as
+    * the batch operator: while distinct values ≤ capacity the counts
+    * are exact (the differential spec pins stream ≡ batch there);
+    * beyond it, SpaceSaving's ±error bound applies.
+    */
+  def streamingHeavyHitters(rows: DataFrame, valueCol: String,
+                            capacity: Int): DataFrame =
+    rows.groupBy().agg(graft.functions.SpaceSavingAgg
+      .spaceSaving(col(valueCol), capacity).as("hh"))
+
   /** Streaming content manifest: each micro-batch's per-partition
     * [[graft.operators.Profile.contentManifest]] is MERGED into a
     * versioned running manifest — counts and id ranges combine by

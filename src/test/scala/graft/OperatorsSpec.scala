@@ -436,6 +436,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned == Seq("a->b"))
   }
 
+  test("psmMatch: nearest-below control, per-score dedup, unmatched stays null") {
+    import graft.operators.Causal
+    val units = Seq(
+      (1L, 10L, 1, 1L), (3L, 5L, 1, 0L), (7L, 0L, 1, 1L), // treated
+      (2L, 8L, 0, 1L), (4L, 8L, 0, 0L), (6L, 1L, 0, 0L))  // controls (2,4 tie on score)
+      .toDF("id", "s", "t", "y")
+    val got = Causal.psmMatch(units, "id", "s", "t", "y")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == ((Some(2L), Some(1L)))) // score-8 tie -> min id 2
+    assert(got(3L) == ((Some(6L), Some(0L))))
+    assert(got(7L) == ((None, None))) // nothing at or below score 0
+  }
+
   test("did: hand-computed four-cell estimate and Welch SE; empty cell nulls") {
     import graft.operators.Causal
     val rows = Seq((true, false, 1.0), (true, false, 3.0), (true, true, 5.0),

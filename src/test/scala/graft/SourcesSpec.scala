@@ -43,6 +43,19 @@ class SourcesSpec extends AnyFunSuite {
     assertSame(spark.read.schema(tricky.schema).option("header", "true").csv(dir), tricky)
   }
 
+  test("mergeSchema read unifies evolving parquet batches (schema evolution)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "x")).toDF("id", "b").write.parquet(s"$dir/p1")
+    Seq((2L, 9.5)).toDF("id", "c").write.parquet(s"$dir/p2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/p1", s"$dir/p2")
+    assert(merged.columns.toSet == Set("id", "b", "c"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+  }
+
   test("zorderWrite clusters a 2-D box into few files; hash layout scatters it") {
     import spark.implicits._
     // 64x64 grid of points, 16 files each layout

@@ -616,6 +616,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters: stateful sketch equals the batch sketch in the exact regime") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.streamingHeavyHitters(mem.toDF().toDF("v"), "v",
+        capacity = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("shh").start()
+    try {
+      val b1 = Seq("a", "a", "b", "c", "a")
+      val b2 = Seq("b", "b", "b", "d", "a")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("shh").head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = (b1 ++ b2).toDF("v").groupBy()
+        .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("v"), 16).as("hh"))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.contains(("b", 4L)) && streamed.contains(("a", 4L)))
+    } finally q.stop()
+  }
+
   test("manifestSink: the running manifest equals the batch manifest of all rows so far") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
