@@ -3711,6 +3711,49 @@ object SparkEntry {
     graft.graph.Hits.hits(knnEdges(s, d), "id", "nbr",
       Tables.embeddings(s, d).select(col("vec_id")), "vec_id", iterations = 3)
 
+  /** Shared (user, event_type) count-model design: y = events of that
+    * type, features = bias + 4 type indicators (error = baseline) +
+    * user's total activity /100 — quantized to the 1e-6 grid in the
+    * scan stage, the [[graft.ml.Poisson]] contract. */
+  private def poissonFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val pb = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val ut = ev.groupBy(col("user_id")).agg(count(lit(1)).as("tot"))
+    def ind(t: String) =
+      when(col("event_type") === t, lit(1000000L)).otherwise(lit(0L))
+    pb.join(ut, "user_id")
+      .select(col("user_id"), col("event_type"), col("y"),
+        array(lit(1000000L), ind("click"), ind("view"), ind("purchase"),
+          ind("signup"),
+          round(col("tot").cast("double") / 100.0 * 1000000.0).cast("long"))
+          .as("xl"),
+        (col("y") * lit(1000000L)).as("yl"))
+  }
+
+  /** Poisson GLM trained by 4 fixed-point GD iterations on the
+    * per-user-type count design — the count model beside the LogReg
+    * classifier ([[graft.ml.Poisson.trainFp]]); the oracle replays
+    * every iteration bit-for-bit. */
+  private def qPoissonTrain(s: SparkSession, d: String): DataFrame = {
+    val w = graft.ml.Poisson.trainFp(poissonFeatures(s, d), "xl", "yl",
+      dims = 6, iters = 4, lr = 0.015625)
+    import s.implicits._
+    w.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq.toDF("j", "w_fp")
+  }
+
+  /** Every (user, type) cell scored by the trained count model:
+    * exact integer margin + the grid-snapped predicted rate
+    * ([[graft.ml.Poisson.scoreFp]]). */
+  private def qPoissonScore(s: SparkSession, d: String): DataFrame = {
+    val feats = poissonFeatures(s, d)
+    val w = graft.ml.Poisson.trainFp(feats, "xl", "yl",
+      dims = 6, iters = 4, lr = 0.015625)
+    graft.ml.Poisson.scoreFp(feats, "xl", w)
+      .select(col("user_id"), col("event_type"), col("y"),
+        col("score_fp"), col("lambda_fp"))
+  }
+
   /** Propensity-score matching on the fixed-point LogReg scores
     * (user-parity treatment — the randomized harness): each treated
     * vector pairs with the nearest-below-score control, per-pair
@@ -4430,6 +4473,8 @@ object SparkEntry {
     "q_snapshot_diff"  -> (qSnapshotDiff _),
     "q_bfs_hops"       -> (qBfsHops _),
     "q_ppr"            -> (qPpr _),
+    "q_poisson_train"  -> (qPoissonTrain _),
+    "q_poisson_score"  -> (qPoissonScore _),
     "q_psm"            -> (qPsm _),
     "q_prop_test"      -> (qPropTest _),
     "q_partial_corr"   -> (qPartialCorr _),
@@ -4968,6 +5013,54 @@ object SparkEntry {
           - 0.5 * (CAST(g.g AS DOUBLE) / 1.0e12 / n.n)) * 1000000.0)
           AS BIGINT) AS wl
         FROM lw$t w JOIN lg$t g ON w.j = g.j CROSS JOIN lrn n)""")
+    }
+    (base ++ rounds).mkString(",\n      ")
+  }
+
+  /** Unrolled fixed-point Poisson-GD CTEs over the (user, event_type)
+    * count design — the [[graft.ml.Poisson]] bit-replay (the logreg
+    * unroll with exp(least(z, 5)) in place of the sigmoid). */
+  private def poissonOracleCtes(iters: Int): String = {
+    val base = Seq(
+      """pf0 AS MATERIALIZED (SELECT user_id, event_type,
+        CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2)""",
+      """put AS (SELECT user_id, CAST(count(*) AS BIGINT) AS tot
+        FROM events GROUP BY 1)""",
+      """pfx AS MATERIALIZED (SELECT p.user_id, p.event_type, p.y,
+        p.y * 1000000 AS yl,
+        [CAST(1000000 AS BIGINT),
+         CASE WHEN p.event_type = 'click' THEN CAST(1000000 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.event_type = 'view' THEN CAST(1000000 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.event_type = 'purchase' THEN CAST(1000000 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.event_type = 'signup' THEN CAST(1000000 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END,
+         CAST(round(CAST(t.tot AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT)] AS xl
+        FROM pf0 p JOIN put t ON p.user_id = t.user_id)""",
+      """pn AS (SELECT count(*) AS n FROM pfx)""",
+      """pfj AS MATERIALIZED (SELECT user_id, event_type, yl, t.j,
+        xl[t.j + 1] AS x
+        FROM pfx, unnest(generate_series(0, 5)) t(j))""",
+      """pw0 AS (SELECT unnest(generate_series(0, 5)) AS j,
+        CAST(0 AS BIGINT) AS wl)""")
+    val rounds = (0 until iters).flatMap { t => Seq(
+      s"""pz$t AS MATERIALIZED (SELECT v.user_id, v.event_type, v.yl,
+        sum(w.wl * v.x) AS zfp
+        FROM pfj v JOIN pw$t w ON w.j = v.j GROUP BY 1, 2, 3)""",
+      s"""pl$t AS MATERIALIZED (SELECT user_id, event_type,
+        CAST(round(1000000.0 * exp(least(CAST(zfp AS DOUBLE) / 1.0e12, 5.0)))
+          AS BIGINT) - yl AS rl
+        FROM pz$t)""",
+      s"""pg$t AS (SELECT v.j, sum(p.rl * v.x) AS g
+        FROM pfj v JOIN pl$t p ON v.user_id = p.user_id
+          AND v.event_type = p.event_type GROUP BY 1)""",
+      s"""pw${t + 1} AS MATERIALIZED (SELECT w.j,
+        CAST(round((CAST(w.wl AS DOUBLE) / 1000000.0
+          - 0.015625 * (CAST(g.g AS DOUBLE) / 1.0e12 / n.n)) * 1000000.0)
+          AS BIGINT) AS wl
+        FROM pw$t w JOIN pg$t g ON w.j = g.j CROSS JOIN pn n)""")
     }
     (base ++ rounds).mkString(",\n      ")
   }
@@ -8353,6 +8446,20 @@ object SparkEntry {
              WHEN (p.c_name IS DISTINCT FROM n.c_name)
                OR (p.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'changed'
         END) IS NOT NULL""",
+    // 4 unrolled Poisson-GD iterations, bit-exact
+    "q_poisson_train" -> s"""
+      WITH ${poissonOracleCtes(4)}
+      SELECT CAST(j AS BIGINT) AS j, wl AS w_fp FROM pw4""",
+    "q_poisson_score" -> s"""
+      WITH ${poissonOracleCtes(4)},
+      sc AS (SELECT v.user_id, v.event_type,
+          CAST(sum(w.wl * v.x) AS BIGINT) AS score_fp
+        FROM pfj v JOIN pw4 w ON v.j = w.j GROUP BY 1, 2)
+      SELECT s.user_id, s.event_type, p.y, s.score_fp,
+        CAST(round(1000000.0 * exp(least(CAST(s.score_fp AS DOUBLE) / 1.0e12,
+          5.0))) AS BIGINT) AS lambda_fp
+      FROM sc s JOIN pfx p ON s.user_id = p.user_id
+        AND s.event_type = p.event_type""",
     // the IPW GD unroll's integer scores + per-score control dedup +
     // DuckDB's native ASOF as the nearest-below matcher
     "q_psm" -> s"""

@@ -217,6 +217,23 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("poisson trainFp: hand-computed first step; bias-only model converges to ln(mean)") {
+    import graft.ml.Poisson
+    // y = {3, 5}, bias-only: iter 1 from w=0 has lambda=1, rl=(1-y)*1e6,
+    // g = -6e12, w0 -> 0.015625 * 3 * 1e6 = 46875
+    val df = Seq((Seq(1000000L), 3000000L), (Seq(1000000L), 5000000L))
+      .toDF("xl", "yl")
+    val w1 = Poisson.trainFp(df, "xl", "yl", dims = 1, iters = 1, lr = 0.015625)
+    assert(w1(0) == 46875L)
+    // GD converges to the MLE: bias = ln(mean y) = ln 4
+    val wStar = Poisson.trainFp(df, "xl", "yl", dims = 1, iters = 20, lr = 0.25)
+    assert(math.abs(wStar(0) / 1e6 - math.log(4.0)) < 0.01)
+    // partitioning invariance (exact integer gradient sums)
+    val wRep = Poisson.trainFp(df.repartition(7), "xl", "yl",
+      dims = 1, iters = 20, lr = 0.25)
+    assert(wRep.toSeq == wStar.toSeq)
+  }
+
   test("ridge2: shrinks toward zero as lambda grows and solves the collinear design ols2 rejects") {
     val pts = for (i <- 0 until 5; j <- 0 until 5)
       yield (i.toDouble, j.toDouble, 2.0 + 3.0 * i - 1.0 * j)
