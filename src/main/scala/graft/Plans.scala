@@ -74,6 +74,12 @@ object Plans {
       "Split conformal: the md5 split predicate and residuals are scan-stage; the model is a 1-row broadcast; the order statistic rides the sharded cumsum — no global sort of residuals.",
     "q_mahalanobis" ->
       "Mahalanobis top-20: five decimal moments in ONE aggregate, parameters broadcast back, the quadratic is row-local codegen, and the top-k is TakeOrderedAndProject.",
+    "q_cv_ols" ->
+      "5-fold CV in one pass: the fold-grouped sufficient-statistics aggregate feeds every fold's training sums as (total - fold); the scoring join broadcasts the 5-row model table — the corpus is scanned once for training and once for test SSE.",
+    "q_psm" ->
+      "Propensity matching: the union+running-last as-of pattern on INTEGER scores — one sort-merge-shaped pass matches every treated unit; controls collapse to one row per distinct score first.",
+    "q_group_ols" ->
+      "Grouped OLS: k regressions from ONE map-side-combined aggregate; the Cramer solve is per-row arithmetic on the k-row result — no per-group scan, no driver loop.",
     "q_semdedup" ->
       "SemDeDup: bucket-local cosine pairs reduce to a checkpointed drop-set; a bloom over it splits the corpus in the scan stage, so cleared rows never shuffle and only the suspected sliver reaches the exact anti join.",
     "q_classifier_score" ->
