@@ -3770,6 +3770,27 @@ object SparkEntry {
     graft.operators.Causal.psmMatch(scored, "vec_id", "score_fp", "t", "label")
   }
 
+  /** The ATT readout over the q_psm pairs: matched-pair mean outcome
+    * difference with its paired-sample SE (exact integer sums; ≈ 0
+    * expected under the parity assignment — the estimator harness is
+    * the deliverable). */
+  private def qAtt(s: SparkSession, d: String): DataFrame = {
+    val pairs = qPsm(s, d)
+    val nm = col("n_matched").cast("double")
+    val se = sqrt((col("__q") - col("__s") * col("__s") / nm)
+      / (nm - 1) / nm)
+    pairs.agg(
+        sum(when(col("dy").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("dy").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(col("dy")).cast("double").as("__s"),
+        sum(col("dy") * col("dy")).cast("double").as("__q"))
+      .select(col("n_matched"), col("n_unmatched"),
+        when(col("n_matched") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__s") / nm + lit(1e-12), 6)).as("att"),
+        when(col("n_matched") < 2, lit(null).cast("double"))
+          .otherwise(round(se + lit(1e-12), 6)).as("se_att"))
+  }
+
   /** Two-proportion z-test with Wilson intervals: click vs view
     * high-value rates (value ≥ 100) — the A/B conversion readout
     * ([[graft.operators.HypothesisTests.twoProportionTest]]). */
@@ -4476,6 +4497,7 @@ object SparkEntry {
     "q_poisson_train"  -> (qPoissonTrain _),
     "q_poisson_score"  -> (qPoissonScore _),
     "q_psm"            -> (qPsm _),
+    "q_att"            -> (qAtt _),
     "q_prop_test"      -> (qPropTest _),
     "q_partial_corr"   -> (qPartialCorr _),
     "q_durbin_watson"  -> (qDurbinWatson _),
@@ -8476,6 +8498,33 @@ object SparkEntry {
       m AS (SELECT t.t_id, t.sc AS t_score_fp, t.y_t, c.c_id, c.c_y
         FROM tr t ASOF LEFT JOIN ct c ON t.sc >= c.sc)
       SELECT t_id, t_score_fp, y_t, c_id, c_y AS y_c, y_t - c_y AS dy FROM m""",
+    // the q_psm pipeline reduced to the paired ATT + SE
+    "q_att" -> s"""
+      WITH ${logregOracleCtes(4, "vec_id % 2 = 1")},
+      iscore AS (SELECT v.vec_id, CAST(sum(w.wl * v.x) AS BIGINT) AS sc
+        FROM lrj v JOIN lw4 w ON v.j = w.j GROUP BY 1),
+      su AS (SELECT s.vec_id, s.sc, CAST(e.label AS BIGINT) AS y,
+          CAST(e.vec_id % 2 AS INT) AS t
+        FROM iscore s JOIN embeddings e ON e.vec_id = s.vec_id),
+      tr AS (SELECT vec_id AS t_id, sc, y AS y_t FROM su WHERE t = 1),
+      ct0 AS (SELECT sc, min(vec_id) AS c_id FROM su WHERE t = 0 GROUP BY 1),
+      ct AS (SELECT c.sc, c.c_id, u.y AS c_y
+        FROM ct0 c JOIN su u ON u.vec_id = c.c_id),
+      m AS (SELECT t.y_t, c.c_y, t.y_t - c.c_y AS dy
+        FROM tr t ASOF LEFT JOIN ct c ON t.sc >= c.sc),
+      ag AS (SELECT
+          CAST(sum(CASE WHEN dy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+          CAST(sum(CASE WHEN dy IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+          CAST(sum(dy) AS DOUBLE) AS s, CAST(sum(dy * dy) AS DOUBLE) AS q
+        FROM m)
+      SELECT nm AS n_matched, nu AS n_unmatched,
+        CASE WHEN nm = 0 THEN NULL
+          ELSE round(s / CAST(nm AS DOUBLE) + 1e-12, 6) END AS att,
+        CASE WHEN nm < 2 THEN NULL
+          ELSE round(sqrt((q - s * s / CAST(nm AS DOUBLE))
+            / (CAST(nm AS DOUBLE) - 1) / CAST(nm AS DOUBLE)) + 1e-12, 6)
+          END AS se_att
+      FROM ag""",
     // one 4-count aggregate -> pooled z + Wilson intervals with the
     // identical operand order as HypothesisTests.twoProportionTest
     "q_prop_test" -> """
