@@ -262,6 +262,77 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cochranQ with k = 2 equals McNemar's uncorrected chi2 on random paired flags (seeded, 6 cases)") {
+    val gen = Gen.listOfN(25, for {
+      a <- Gen.oneOf(true, false); b <- Gen.oneOf(true, false)
+    } yield (a, b))
+    cases(gen, 6).foreach { ps =>
+      val paired = ps.zipWithIndex
+      val long = paired.flatMap { case ((a, b), i) =>
+        Seq((i.toLong, "A", a), (i.toLong, "B", b)) }
+      val q = graft.operators.PairedTests
+        .cochranQ(long.toDF("blk", "trt", "x"), "blk", "trt", "x").head
+      val m = graft.operators.PairedTests
+        .mcnemar(ps.toDF("a", "b"), "a", "b").head
+      (Option(q.get(q.fieldIndex("q_stat"))),
+        Option(m.get(m.fieldIndex("mcnemar_chi2")))) match {
+        case (Some(qs), Some(ms)) =>
+          assert(math.abs(qs.asInstanceOf[Double] - ms.asInstanceOf[Double]) < 1e-6)
+        case (qs, ms) =>
+          // both degenerate together (no discordant pairs <=> denominator 0)
+          assert(qs.isEmpty == ms.isEmpty)
+      }
+    }
+  }
+
+  test("psmMatch picks the greatest control score <= treated on random scores (seeded, 6 cases)") {
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 40L); t <- Gen.oneOf(0, 1); y <- Gen.choose(0L, 5L)
+      } yield (s, t, y))
+    } yield rows.zipWithIndex.map { case ((s, t, y), i) => (i.toLong, s, t, y) }
+    cases(gen, 6).foreach { units =>
+      val got = graft.operators.Causal
+        .psmMatch(units.toDF("id", "s", "t", "y"), "id", "s", "t", "y")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      val controls = units.filter(_._3 == 0)
+      units.filter(_._3 == 1).foreach { case (id, s, _, _) =>
+        val eligible = controls.filter(_._2 <= s)
+        got(id) match {
+          case Some(cid) =>
+            val best = eligible.map(_._2).max
+            // matched the best score, and within it the smallest id
+            val expected = eligible.filter(_._2 == best).map(_._1).min
+            assert(cid == expected, s"treated $id: got $cid expected $expected")
+          case None => assert(eligible.isEmpty)
+        }
+      }
+    }
+  }
+
+  test("conformal coverage honors the finite-sample bound on noisy planes (seeded, 5 cases)") {
+    val gen = for {
+      n <- Gen.choose(40, 80)
+      rows <- Gen.listOfN(n, for {
+        x1 <- Gen.choose(0, 20); x2 <- Gen.choose(0, 20); e <- Gen.choose(-300, 300)
+      } yield (x1.toDouble, x2.toDouble, 1.0 + 2.0 * x1 - x2 + e / 100.0))
+    } yield rows.zipWithIndex.map { case ((a, b, y), i) => (i.toLong, a, b, y) }
+    cases(gen, 5).foreach { pts =>
+      val r = graft.ml.Conformal.ols2Interval(pts.toDF("id", "x1", "x2", "y"),
+        Seq("id"), "x1", "x2", "y", alpha = 0.2).head
+      val nCal = r.getAs[Long]("n_cal")
+      if (nCal >= 5) {
+        // coverage >= k/n with k = min(ceil((n+1)(1-alpha)), n)
+        val k = math.min(math.ceil((nCal + 1) * 0.8), nCal.toDouble)
+        // coverage_cal is rounded to 6 decimals — compare on that grid
+        assert(r.getAs[Double]("coverage_cal") >= k / nCal - 5e-7)
+        assert(r.getAs[Double]("q_hat") >= 0.0)
+      }
+    }
+  }
+
   test("wilcoxonSignedRank: swapping x and y reflects W+ around n(n+1)/2 (seeded, 6 cases)") {
     val gen = Gen.listOfN(20, for {
       x <- Gen.choose(1, 100); y <- Gen.choose(1, 100)
