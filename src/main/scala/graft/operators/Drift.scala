@@ -117,7 +117,12 @@ object Drift {
     * sides of the self-join read it).
     *
     * Output per unordered pair: `g_a`, `g_b` (g_a < g_b),
-    * `shared_terms`, `js` (rounded 6; 0 ≤ js ≤ ln 2).
+    * `shared_terms`, `js` (rounded 6; 0 ≤ js ≤ ln 2). The matrix is
+    * COMPLETE: a pair with zero shared vocabulary — the maximally
+    * divergent "odd one out" the matrix exists to surface — still gets
+    * its row (shared_terms = 0, js = ln 2), unioned in from the
+    * groups² pair frame (groups-count-sized, trivially cheap) rather
+    * than silently dropped by the shared-term inner join.
     */
   def pairwiseJsTerms(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val cnt = df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
@@ -137,7 +142,7 @@ object Drift {
     val jsShared =
       col("__ja") + col("__jb") +
         (lit(1.0) - col("__spa")) * ln2 + (lit(1.0) - col("__spb")) * ln2
-    a.join(b, "__term").filter(col("g_a") < col("g_b"))
+    val shared = a.join(b, "__term").filter(col("g_a") < col("g_b"))
       .groupBy(col("g_a"), col("g_b"))
       .agg(count(lit(1)).as("shared_terms"),
         sum(col("__pa")).as("__spa"), sum(col("__pb")).as("__spb"),
@@ -147,5 +152,16 @@ object Drift {
           / (col("__pa") + col("__pb")))).as("__jb"))
       .select(col("g_a"), col("g_b"), col("shared_terms"),
         round(jsShared * lit(0.5) + lit(1e-12), 6).as("js"))
+    // complete the matrix: disjoint-vocabulary pairs have js = ln 2 but
+    // no shared-term row; the pair frame is |groups|²-sized (tot is the
+    // distinct group list), so a broadcast cross + left join is free
+    val gs = tot.select(col("__g"))
+    val allPairs = gs.select(col("__g").as("g_a"))
+      .crossJoin(broadcast(gs.select(col("__g").as("g_b"))))
+      .filter(col("g_a") < col("g_b"))
+    allPairs.join(shared, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        coalesce(col("js"), round(log(lit(2.0)) + lit(1e-12), 6)).as("js"))
   }
 }

@@ -27,7 +27,9 @@ object HypothesisTests {
     *
     * ECDF differences are ratios of exact integer counts; max over them
     * is order-independent, so the statistic is deterministic under any
-    * partitioning.
+    * partitioning. An empty side has no ECDF — `ks_d`/`ks_z` are null
+    * (the library-wide null-on-degenerate convention), not the NaN the
+    * unguarded 0/0 ratio would produce.
     */
   def ksTest(df: DataFrame, sideCol: String, valueCol: String,
              sideA: String, sideB: String, shards: Int = 0): DataFrame = {
@@ -36,14 +38,20 @@ object HypothesisTests {
     // broadcast) — not a window over the cumsum'd side
     val tot = hist.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
     val cum = RankedStats.withCumulative(hist, Nil, "__v", Seq("__ca", "__cb"), shards)
+    val emptySide = col("n_a") === 0 || col("n_b") === 0
     cum.crossJoin(broadcast(tot))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(max(abs(col("__cum___ca").cast("double") / col("n_a")
-        - col("__cum___cb").cast("double") / col("n_b"))).as("__d"))
+      // try_divide: an empty side's n = 0 must null the ECDF (ANSI mode
+      // would throw inside the aggregate, ahead of the output guard)
+      .agg(max(abs(try_divide(col("__cum___ca").cast("double"), col("n_a"))
+        - try_divide(col("__cum___cb").cast("double"), col("n_b")))).as("__d"))
       .select(col("n_a"), col("n_b"),
-        round(col("__d") + lit(1e-12), 6).as("ks_d"),
-        round(col("__d") * sqrt(col("n_a") * col("n_b")
-          / (col("n_a") + col("n_b")).cast("double")) + lit(1e-12), 6).as("ks_z"))
+        when(emptySide, lit(null).cast("double"))
+          .otherwise(round(col("__d") + lit(1e-12), 6)).as("ks_d"),
+        when(emptySide, lit(null).cast("double"))
+          .otherwise(round(col("__d") * sqrt(col("n_a") * col("n_b")
+            / (col("n_a") + col("n_b")).cast("double")) + lit(1e-12), 6))
+          .as("ks_z"))
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
@@ -54,7 +62,10 @@ object HypothesisTests {
     * z = (U − n_a·n_b/2) / σ with the standard tie correction
     * σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
     *
-    * One output row: `n_a`, `n_b`, `u_stat`, `mw_z` (rounded 6).
+    * One output row: `n_a`, `n_b`, `u_stat`, `mw_z` (rounded 6). An
+    * empty side leaves both rank statistics undefined — `u_stat` and
+    * `mw_z` are null (matching [[ksTest]] and the σ = 0 case), not the
+    * vacuous 0 the raw arithmetic lands on.
     */
   def mannWhitneyU(df: DataFrame, sideCol: String, valueCol: String,
                    sideA: String, sideB: String, shards: Int = 0): DataFrame = {
@@ -76,9 +87,10 @@ object HypothesisTests {
             - col("__ties").cast("double")
               / (col("__nn").cast("double") * (col("__nn") - 1)))).as("__sigma"))
       .select(col("n_a"), col("n_b"),
-        round(col("__u") + lit(1e-12), 6).as("u_stat"),
-        // σ = 0 (every pooled value tied) has no defined z — null, not
-        // an ANSI divide-by-zero
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__u") + lit(1e-12), 6)).as("u_stat"),
+        // σ = 0 (every pooled value tied, or an empty side) has no
+        // defined z — null, not an ANSI divide-by-zero
         when(col("__sigma") === 0.0, lit(null).cast("double"))
           .otherwise(round((col("__u") - col("n_a").cast("double") * col("n_b") / 2)
             / col("__sigma") + lit(1e-12), 6)).as("mw_z"))

@@ -38,7 +38,7 @@ object Silhouette {
     * aggregate; scatters are one exact-integer groupBy; the R matrix
     * is |labels|² rows of scalar arithmetic — corpus-independent.
     */
-  def daviesBouldin(emb: DataFrame, embCol: String, idCol: String,
+  def daviesBouldin(emb: DataFrame, embCol: String,
                     labelCol: String): DataFrame = {
     val fp = emb.select(col(labelCol).cast("long").as("label"),
         transform(col(embCol),

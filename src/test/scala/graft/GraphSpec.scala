@@ -95,7 +95,7 @@ class GraphSpec extends AnyFunSuite {
       (3L, 1, Seq(-1.0f, 0.0f)), (4L, 1, Seq(-1.0f, 0.0f)))
       .toDF("vec_id", "label", "embedding")
     val got = graft.similarity.Silhouette
-      .daviesBouldin(rows, "embedding", "vec_id", "label")
+      .daviesBouldin(rows, "embedding", "label")
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Double]("s2"), r.getAs[Double]("r_max"), r.getLong(4))).toMap
     def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6

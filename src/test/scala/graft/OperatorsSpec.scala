@@ -174,6 +174,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.count() == plain.count())
   }
 
+  test("saltedInnerHotDf: DF-driven hot split equals the plain join, string keys, no detection job") {
+    val probe = (Seq.fill(300)("hot") ++ Seq("c1", "c2", "c1")).zipWithIndex
+      .toDF("k", "tie")
+    val build = Seq(("hot", "H"), ("c1", "A"), ("c2", "B"), ("unmatched", "X"))
+      .toDF("k", "name")
+    val plain = probe.join(build, Seq("k"))
+    val hot = SkewJoin.saltedInnerHotDf(probe, build, "k",
+      hotKeys = Seq("hot").toDF("k"), saltSource = col("tie"), salts = 4)
+    assert(hot.count() == plain.count())
+    assert(hot.select("k", "tie", "name")
+      .exceptAll(plain.select("k", "tie", "name")).isEmpty)
+    // an empty hot list degrades to the plain join's rows
+    val none = SkewJoin.saltedInnerHotDf(probe, build, "k",
+      hotKeys = Seq.empty[String].toDF("k"), saltSource = col("tie"), salts = 4)
+    assert(none.count() == plain.count())
+  }
+
   test("Observation metrics ride the job — no second scan for data-quality counters") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val obs = org.apache.spark.sql.Observation()
@@ -987,6 +1004,21 @@ class OperatorsSpec extends AnyFunSuite {
     val js = 0.5 * (ja + jb + (1.0 - pa) * math.log(2.0) + (1.0 - pb) * math.log(2.0))
     assert(d.getAs[Long]("shared_terms") == 1L)
     assert(d.getAs[Double]("js") == r6(js))
+  }
+
+  test("pairwiseJsTerms: zero-overlap pairs appear with js = ln 2, not dropped") {
+    import graft.operators.Drift
+    // g1/g2 share vocabulary; g3 is fully disjoint — the odd one out
+    val df = Seq(("g1", "a b"), ("g2", "a b"), ("g3", "x y"))
+      .toDF("src", "text")
+    val rows = Drift.pairwiseJsTerms(df, "src", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared_terms"), r.getAs[Double]("js"))).toMap
+    assert(rows.size == 3) // complete 3-choose-2 matrix
+    def r6(x: Double) = math.rint((x + 1e-12) * 1e6) / 1e6
+    assert(rows(("g1", "g2")) == (2L, 0.0))
+    assert(rows(("g1", "g3")) == (0L, r6(math.log(2.0))))
+    assert(rows(("g2", "g3")) == (0L, r6(math.log(2.0))))
   }
 
   test("isotonic fit pools the adjacent violator and leaves monotone data unchanged") {

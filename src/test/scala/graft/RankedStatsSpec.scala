@@ -80,6 +80,18 @@ class RankedStatsSpec extends AnyFunSuite {
     assert(sw.getAs[Double]("u_stat") == 150.0) // n_a*n_b - 0
   }
 
+  test("ksTest / mannWhitneyU: an empty side yields null statistics, not NaN") {
+    // every row lands on side a; side b is empty — the degenerate case
+    // the null-on-degenerate convention covers (NaN would poison any
+    // downstream aggregate silently)
+    val df = (1 to 5).map(i => ("a", i.toDouble)).toDF("side", "v")
+    val ks = HypothesisTests.ksTest(df, "side", "v", "a", "b").head
+    assert(ks.getAs[Long]("n_a") == 5L && ks.getAs[Long]("n_b") == 0L)
+    assert(ks.isNullAt(ks.fieldIndex("ks_d")) && ks.isNullAt(ks.fieldIndex("ks_z")))
+    val mw = HypothesisTests.mannWhitneyU(df, "side", "v", "a", "b").head
+    assert(mw.isNullAt(mw.fieldIndex("u_stat")) && mw.isNullAt(mw.fieldIndex("mw_z")))
+  }
+
   test("mannWhitneyU midranks: all-tied samples give U = n_a*n_b/2 and a null z") {
     val df = (1 to 12).map(i => (if (i % 2 == 0) "a" else "b", 7.0)).toDF("side", "v")
     val r = HypothesisTests.mannWhitneyU(df, "side", "v", "a", "b").head
