@@ -37,13 +37,13 @@ object Dedup {
   /** The built-in composition WordShingles replaces — kept as the
     * differential reference for its spec.
     */
-  private[graft] def shinglesViaBuiltins(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
+  private[graft] def shinglesViaBuiltins(text: Column, n: Int): Column =
+    // array bound once via the single-element transform (see
+    // TextFns.allNgrams: an inlined split re-runs per position, O(n²))
+    array_distinct(flatten(transform(array(split(text, " ")), toks =>
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+          i => concat_ws(" ", slice(toks, i, lit(n))))))))
 
   /** MinHash signature as an aggregation: explode shingles once, then one
     * hash aggregate computing min(xxhash64(seed_i, shingle)) for all `k`

@@ -62,6 +62,37 @@ object SkewJoin {
     }
   }
 
+  /** Hot-key split driven by a DataFrame instead of a driver collect:
+    * `hotKeys` is a ONE-COLUMN DataFrame of hot key values (broadcast-
+    * sized by the definition of skew — a hot-key set that isn't tiny is
+    * volume, not skew). Cold keys take the plain equi-join; hot keys the
+    * salted leg, with the build side replicated `salts`× ONLY for the
+    * hot keys' rows. The union is row-identical to
+    * `probe.join(build, Seq(key))`.
+    *
+    * Versus [[saltedInnerHotOnly]]: no job runs at plan-build time — the
+    * hot list stays a lazy plan until Spark broadcasts it, so the caller
+    * can derive it from an aggregate the query already computes (e.g.
+    * the build side's own counts) instead of paying a separate
+    * detection pass, and the key type is unconstrained (string grams,
+    * not just longs). Both key columns must already share `key` as
+    * their name (USING-join semantics keep one copy).
+    */
+  def saltedInnerHotDf(probe: DataFrame, build: DataFrame, key: String,
+                       hotKeys: DataFrame, saltSource: Column,
+                       salts: Int): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val hk = broadcast(hotKeys.toDF(key))
+    val cold = probe.join(hk, Seq(key), "left_anti")
+      .join(build.join(hk, Seq(key), "left_anti"), Seq(key))
+    val saltedProbe = probe.join(hk, Seq(key), "left_semi")
+      .withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+    val saltedBuild = build.join(hk, Seq(key), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    cold.unionByName(
+      saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt"))
+  }
+
   /** Two-phase salted aggregation for hot grouping keys: partial
     * aggregate on (key, salt) — spreading each hot key over `salts`
     * partitions — then final aggregate on key. `aggs` must be

@@ -328,31 +328,73 @@ object Curation {
     * shuffled-boilerplate text that unigram frequency scores well falls
     * down here: its transitions are unseen.
     *
-    * Scale shape mirrors [[unigramLogProb]] exactly, one n-gram up:
-    * per-doc (doc, bigram) term counts join the corpus bigram table and
-    * the context table ON THE GRAM (shuffle joins — both model tables
-    * are vocabulary²-sized, far past broadcast at 100 TB; skew is
-    * bounded because the probe side is pre-aggregated per doc), V is a
-    * 1-row broadcast, then one re-group on the doc id. Documents with
-    * < 2 tokens have no transition and are absent (undefined, not 0).
-    * Output: idCol, `n_bigrams`, `mean_logp`.
+    * Scale shape, one n-gram up from [[unigramLogProb]] but skew-proofed
+    * (natural text is Zipf on BOTH join keys — "of the" on the bigram,
+    * "the" on the context):
+    *   - the token array is BOUND ONCE per row in its own projection
+    *     before the bigram lambda touches it. Inlining `split(text)`
+    *     into the transform lambda re-splits the string on every
+    *     element_at — twice per bigram position, O(tokens²) per
+    *     document (codegen subexpression elimination does not reach
+    *     inside LambdaFunction bodies) — measured 10× slower on the
+    *     bench corpus.
+    *   - ONE corpus-sized explode builds the per-doc (doc, bigram)
+    *     count table `tc`; it is localCheckpoint'd because the hot/cold
+    *     split legs and the model fold all consume it (ReuseExchange
+    *     does not dedupe across the broadcast/probe boundaries here —
+    *     measured, not assumed).
+    *   - the corpus bigram table `cb` folds out of `tc` (Σ tc — a
+    *     distinct-bigram-sized aggregate, NOT a second corpus pass) and
+    *     the context table `cu` folds out of `cb` (vocabulary-sized).
+    *     Both are vocabulary²-bounded — far past broadcast at 100 TB,
+    *     so the model joins shuffle.
+    *   - V needs no second corpus explode: every token is either the
+    *     w1 of some bigram (any non-final position) or a document's
+    *     LAST token — so V = |distinct(cu.w1 ∪ per-doc last token)|,
+    *     one vocab-sized plus one row-per-doc input.
+    *   - both model joins route through
+    *     [[graft.operators.SkewJoin.saltedInnerHotDf]]: keys whose
+    *     corpus count exceeds `hotThreshold` take a salted leg (probe
+    *     salted by the doc id, build replicated `salts`× for hot keys
+    *     only), so a Zipf-hot gram spreads over `salts` reducers
+    *     instead of landing one giant partition. The hot lists are the
+    *     model tables' own count columns — no extra detection pass.
+    *   - V is a 1-row broadcast; one final re-group on the doc id.
+    * Documents with < 2 tokens have no transition and are absent
+    * (undefined, not 0). Output: idCol, `n_bigrams`, `mean_logp`.
     */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
-                    alpha: Double = 0.5): DataFrame = {
+                    alpha: Double = 0.5, hotThreshold: Long = 1000L,
+                    salts: Int = 8): DataFrame = {
     require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    require(hotThreshold > 0, s"hotThreshold must be positive, got $hotThreshold")
     val t = split(col(textCol), " ")
-    val bi = df.filter(size(t) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("bg"))
+    val bi = df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => concat_ws(" ", element_at(col("__t"), i + 1),
+            element_at(col("__t"), i + 2)))).as("bg"))
     val tc = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tc"))
-    val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val cu = bi.select(split(col("bg"), " ").getItem(0).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val v = df.select(explode(t).as("token"))
+      .localCheckpoint()
+    val cb = tc.groupBy(col("bg")).agg(sum(col("tc")).as("cb"))
+      .localCheckpoint() // feeds cu, the hot list, and both join legs
+    val cu = cb.select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      .localCheckpoint() // feeds the hot list and both join legs
+    val v = cu.select(col("w1").as("token"))
+      .unionAll(df.select(try_element_at(t, lit(-1)).as("token")))
+      .filter(col("token").isNotNull)
       .agg(countDistinct(col("token")).as("__v"))
-    tc.join(cb, "bg")
-      .withColumn("__w1", split(col("bg"), " ").getItem(0))
-      .join(cu, col("__w1") === col("w1"))
+    val withCb = graft.operators.SkewJoin.saltedInnerHotDf(
+      tc, cb, "bg",
+      cb.filter(col("cb") >= hotThreshold).select(col("bg")),
+      col(idCol), salts)
+    val withCu = graft.operators.SkewJoin.saltedInnerHotDf(
+      withCb.withColumn("w1", split(col("bg"), " ").getItem(0)), cu, "w1",
+      cu.filter(col("cu") >= hotThreshold).select(col("w1")),
+      col(idCol), salts)
+    withCu
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(sum(col("tc")).as("n_bigrams"),

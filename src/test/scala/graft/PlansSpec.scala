@@ -256,4 +256,71 @@ class PlansSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).size >= 1, plan)
     assert(!plan.contains("HashAggregate"), plan)
   }
+
+  /** Total shuffle-WRITE RECORDS across every stage a body runs —
+    * listener-based, so it also sees the jobs behind localCheckpoint
+    * boundaries that the final plan's Exchange metrics can't. Record
+    * counts are machine-state-independent (unlike seconds), which makes
+    * these guards the mechanical tiebreaker between "the bench was
+    * noisy" and "the plan regressed": a pair-explosion or lost
+    * pre-aggregation multiplies records, never a CPU governor.
+    */
+  private def shuffleRecordsOf(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try body finally ()
+    // the listener bus is async — poll until the sum is stable
+    var prev = -1L; var stable = 0; var waited = 0
+    while (stable < 3 && waited < 10000) {
+      Thread.sleep(100); waited += 100
+      val cur = acc.get
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
+    spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
+  test("q_bigram_logprob: shuffle records stay linear in the bigram count") {
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.{size => asize}
+    val nBigrams = docs
+      .select(asize(split(col("text"), " ")).as("n")).filter(col("n") >= 2)
+      .agg(org.apache.spark.sql.functions.sum(col("n") - 1)).head.getLong(0)
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_bigram_logprob")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // corpus-sized tables cross the wire a bounded number of times:
+    // tc build (≤ n), cb/cu folds (≤ distinct grams each), the salted
+    // split legs (≤ 2n + models), V, final regroup (≤ n). A pair
+    // blowup or a lost pre-aggregation lands well past 8n.
+    assert(shuffled > 0 && shuffled < 8L * nBigrams,
+      s"q_bigram_logprob shuffled $shuffled records for $nBigrams bigrams")
+  }
+
+  test("q_dedup_clusters: shuffle records stay linear in edges x iterations") {
+    val emb = Tables.embeddings(spark, sf)
+    val nIds = emb.count()
+    val nEdges = graft.similarity.Similarity.cosinePairs(
+      emb, "embedding", "vec_id", "label", threshold = 0.35).count()
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_dedup_clusters")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // per label-propagation iteration: edge⋈label join (≤ 2·edges +
+    // ids), neighbor-min regroup (≤ ids), label update join (≤ 2·ids);
+    // the benched cosine graph's components are shallow (diameter ≤ a
+    // handful), plus the bounded candidate generation of cosinePairs.
+    // An accidental all-pairs generator or a diameter blowup multiplies
+    // this; machine load cannot.
+    val bound = 40L * (nEdges + nIds) + 10000L
+    assert(shuffled > 0 && shuffled < bound,
+      s"q_dedup_clusters shuffled $shuffled records " +
+        s"(edges=$nEdges, ids=$nIds, bound=$bound)")
+  }
 }

@@ -132,6 +132,24 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // no transition — absent, not zero
   }
 
+  test("bigramLogProb: hot-key salted legs activate and are row-identical") {
+    import graft.text.Curation
+    // "the" is the Zipf-hot context here (2 per doc × 40 docs = 80);
+    // threshold 10 puts it (and the repeated bigrams) on the salted leg
+    val docs = (1L to 40L).map(i => (i, "the quick fox saw the lazy dog"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "rare bigram here")).toDF("doc_id", "text"))
+    val hot = Curation.bigramLogProb(docs, "text", "doc_id",
+      hotThreshold = 10L, salts = 4)
+    // the salted join legs must survive into the physical plan
+    assert(hot.queryExecution.executedPlan.toString.contains("__salt"))
+    val cold = Curation.bigramLogProb(docs, "text", "doc_id",
+      hotThreshold = 1000000L)
+    val hs = hot.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cs = cold.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hs == cs && hs.size == 41)
+  }
+
   test("bigramLogProb: an unseen-transition doc scores below the corpus idiom") {
     import graft.text.Curation
     val docs = (1L to 9L).map(i => (i, "the quick fox")).toDF("doc_id", "text")
