@@ -1698,6 +1698,18 @@ object SparkEntry {
     * (pair generation -> label propagation to fixpoint) is hash-checked;
     * the minhash-driven variant of the same composition stays spec-
     * covered in DedupSimilaritySpec (its pairs are engine-hash-specific).
+    *
+    * Deliberately one-hop [[graft.dedup.Dedup.clusters]], NOT
+    * [[graft.dedup.Dedup.clustersStar]]: cosine-threshold near-dup
+    * components are quasi-cliques (diameter 1–2), where one-hop
+    * converges in ~3 rounds at a lower per-round cost than star
+    * contraction. clustersStar — the right default when diameter is
+    * unknown (chains contract in O(log n) rounds, asserted on a
+    * 128-node chain in DedupSimilaritySpec) — runs over the IDENTICAL
+    * input as q_cluster_star with the same oracle, proving both land on
+    * the same components; and the PlansSpec shuffle-records guard on
+    * this query turns a silent diameter blowup (iterations × edges)
+    * into a mechanical test failure rather than a bench mystery.
     */
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -3881,16 +3893,21 @@ object SparkEntry {
     * beside q_silhouette ([[graft.similarity.Silhouette.daviesBouldin]]). */
   private def qDaviesBouldin(s: SparkSession, d: String): DataFrame =
     graft.similarity.Silhouette.daviesBouldin(
-      Tables.embeddings(s, d), "embedding", "vec_id", "label")
+      Tables.embeddings(s, d), "embedding", "label")
 
   /** Brier score + log loss of the length score (n_chars/600) as a
     * probability of is-English — the proper-scoring-rule companions to
     * q_calibration/q_roc_auc; the Brier sum is carried as exact
-    * integers via Σ(k − 600y)²/(360000·n). */
+    * integers via Σ(k − 600y)²/(360000·n). The log-loss probability is
+    * clamped into [1e-6, 1−1e-6] first: an n_chars ≥ 600 row with
+    * lang ≠ 'en' (or n_chars = 0 with 'en') would otherwise contribute
+    * −ln(0) = Inf and poison the whole aggregate — standard log-loss
+    * epsilon-clipping, mirrored verbatim in the oracle SQL. */
   private def qBrier(s: SparkSession, d: String): DataFrame = {
     val y = (col("lang") === "en").cast("long")
     val dev = col("n_chars") - lit(600L) * col("__y")
-    val p = col("n_chars").cast("double") / 600.0
+    val p = least(greatest(col("n_chars").cast("double") / 600.0,
+      lit(0.000001)), lit(0.999999))
     val term = when(col("__y") === 1, -log(p)).otherwise(-log(lit(1.0) - p))
     Tables.documents(s, d).filter(col("lang").isNotNull)
       .select(col("n_chars"), y.as("__y"))
@@ -8813,16 +8830,18 @@ object SparkEntry {
       FROM sct s LEFT JOIN (SELECT * FROM bst WHERE rk = 1) b
         ON s.label = b.label""",
     // integer Brier sum (k - 600y)^2 / (360000 n); log loss as the
-    // double ln sum — the same expressions as qBrier
+    // double ln sum over the epsilon-clamped probability — the same
+    // expressions (and the same clamp constants) as qBrier
     "q_brier" -> """
       WITH b AS (SELECT n_chars,
-          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+          least(greatest(CAST(n_chars AS DOUBLE) / 600.0, 0.000001),
+            0.999999) AS p
         FROM documents WHERE lang IS NOT NULL)
       SELECT CAST(count(*) AS BIGINT) AS n,
         round(CAST(sum((n_chars - 600 * en) * (n_chars - 600 * en)) AS DOUBLE)
           / (360000.0 * CAST(count(*) AS DOUBLE)) + 1e-12, 6) AS brier,
-        round(sum(CASE WHEN en = 1 THEN -ln(CAST(n_chars AS DOUBLE) / 600.0)
-            ELSE -ln(1.0 - CAST(n_chars AS DOUBLE) / 600.0) END)
+        round(sum(CASE WHEN en = 1 THEN -ln(p) ELSE -ln(1.0 - p) END)
           / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS logloss
       FROM b""",
     // the 13-hex md5 fold mod N with the self-collision remap,
@@ -9282,11 +9301,16 @@ object SparkEntry {
           sum(a.pr * ln(2.0 * a.pr / (a.pr + b.pr))) AS ja,
           sum(b.pr * ln(2.0 * b.pr / (a.pr + b.pr))) AS jb
         FROM p a JOIN p b ON a.term = b.term AND a.g < b.g
-        GROUP BY 1, 2)
-      SELECT g_a, g_b, shared_terms,
-        round((ja + jb + (1.0 - spa) * ln(2.0) + (1.0 - spb) * ln(2.0)) * 0.5
-          + 1e-12, 6) AS js
-      FROM pj""",
+        GROUP BY 1, 2),
+      ap AS (SELECT a.g AS g_a, b.g AS g_b
+        FROM tt a JOIN tt b ON a.g < b.g)
+      SELECT ap.g_a, ap.g_b,
+        CAST(coalesce(shared_terms, 0) AS BIGINT) AS shared_terms,
+        coalesce(
+          round((ja + jb + (1.0 - spa) * ln(2.0) + (1.0 - spb) * ln(2.0)) * 0.5
+            + 1e-12, 6),
+          round(ln(2.0) + 1e-12, 6)) AS js
+      FROM ap LEFT JOIN pj ON ap.g_a = pj.g_a AND ap.g_b = pj.g_b""",
     // complete blocks -> k-row block-partitioned midranks -> the same
     // chi/tie-corrected expressions as PairedTests.friedman
     "q_friedman" -> """

@@ -349,4 +349,69 @@ class PropertiesSpec extends AnyFunSuite {
           - n * (n + 1) / 2) < 1e-6)
     }
   }
+
+  test("deriveMinhashBanding: minimal admissible divisor on a parameter grid") {
+    def catchProb(k: Int, b: Int, s: Double): Double = {
+      val r = k / b
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    }
+    for {
+      k <- Seq(8, 16, 24, 32, 48, 64, 128)
+      s <- Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.85, 0.95)
+      t <- Seq(0.5, 0.8, 0.9, 0.95, 0.99)
+    } {
+      val b = Dedup.deriveMinhashBanding(k, s, t)
+      assert(k % b == 0, s"b=$b does not divide k=$k")
+      val admissible = catchProb(k, b, s) >= t
+      // either the theorem bound holds, or we hit the b = k fallback
+      // (rows = 1) because NO divisor split reaches the target
+      if (!admissible)
+        assert(b == k &&
+          (1 to k).filter(k % _ == 0).forall(catchProb(k, _, s) < t),
+          s"k=$k s=$s t=$t chose inadmissible b=$b that is not the fallback")
+      // minimality: every coarser split (fewer bands -> fewer false
+      // positives was already preferred) must MISS the target
+      (1 until b).filter(k % _ == 0).foreach { smaller =>
+        assert(catchProb(k, smaller, s) < t,
+          s"k=$k s=$s t=$t: b=$b not minimal, b=$smaller admissible")
+      }
+    }
+  }
+
+  test("derived banding holds its catch-rate empirically on adversarial similarity mixes (seeded)") {
+    // MinHash's defining property: P[one signature slot agrees] = the
+    // pair's true jaccard, independently per hash family. Simulating the
+    // k slots as Bernoulli(s) draws lets us Monte-Carlo the banding
+    // catch-rate exactly where the theorem is weakest: pairs sitting AT
+    // the threshold (the adversarial mix — everything the corpus
+    // guarantees). 400 seeded trials, 3σ tolerance.
+    val rnd = new scala.util.Random(42)
+    def caught(k: Int, b: Int, s: Double): Boolean = {
+      val r = k / b
+      val slots = Array.fill(k)(rnd.nextDouble() < s)
+      (0 until b).exists(band => (0 until r).forall(i => slots(band * r + i)))
+    }
+    for {
+      k <- Seq(16, 32, 64)
+      s <- Seq(0.3, 0.5, 0.8)
+      t <- Seq(0.8, 0.95)
+    } {
+      val b = Dedup.deriveMinhashBanding(k, s, t)
+      val n = 400
+      val hits = (1 to n).count(_ => caught(k, b, s))
+      val tol = 3.0 * math.sqrt(t * (1 - t) / n)
+      assert(hits.toDouble / n >= t - tol,
+        s"k=$k s=$s t=$t b=$b: empirical catch ${hits.toDouble / n} < $t - $tol")
+      // pairs far BELOW the threshold must stay mostly uncaught when the
+      // split has selectivity (rows > 1): the same formula bounds the
+      // false-positive rate, and the empirical rate must respect it
+      if (k / b > 1) {
+        val sLow = s / 4
+        val fpBound = 1.0 - math.pow(1.0 - math.pow(sLow, k / b), b)
+        val fps = (1 to n).count(_ => caught(k, b, sLow))
+        assert(fps.toDouble / n <= fpBound + 0.08,
+          s"k=$k s=$s b=$b: low-sim catch ${fps.toDouble / n} > bound $fpBound")
+      }
+    }
+  }
 }
