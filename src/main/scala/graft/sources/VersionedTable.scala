@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Delta-style transactional table on plain parquet: an ordered
+  * commit log of immutable JSON entries under `_graft_log/`, each
+  * pointing at the immutable data directory its commit wrote. Readers
+  * reconstruct any version by replaying the log (last `overwrite` +
+  * subsequent `append`s); writers race for the next version number with
+  * an ATOMIC create — the Delta Lake commit protocol (Armbrust et al.,
+  * "Delta Lake: High-Performance ACID Table Storage over Cloud Object
+  * Stores", VLDB 2020, §3.1) re-expressed over a filesystem with
+  * O_EXCL semantics.
+  *
+  * Commit protocol (optimistic concurrency):
+  *   1. stage: write the DataFrame as parquet into `data/<uuid>/` —
+  *      invisible to readers until a log entry references it.
+  *   2. claim: `Files.createFile(_graft_log/<v>.json)` — atomic
+  *      create-if-absent (POSIX O_EXCL / HDFS create w/o overwrite). A
+  *      loser gets FileAlreadyExistsException and retries at v+1;
+  *      the staged data dir is never re-written.
+  *   3. publish: write the entry to a temp file and ATOMIC_MOVE it over
+  *      the claimed (empty) slot. Readers treat an empty/unparsable
+  *      newest entry as in-flight and fall back one version.
+  * On S3-class stores without atomic create, step 2 needs a commit
+  * coordinator (as Delta itself does); the log/data layout is unchanged.
+  *
+  * Scale notes: the log is metadata — entries are O(100 bytes); data
+  * dirs are whole parquet directories, so commit cost is one rename-
+  * free reference regardless of table size. Reads prune to exactly the
+  * dirs the replayed version references (a snapshot read never lists
+  * dead versions' files). Compaction ([[compact]]) is a normal commit:
+  * old versions stay time-travelable until [[vacuum]] drops them.
+  */
+object VersionedTable {
+
+  final case class Commit(version: Long, mode: String, dataDir: String)
+
+  private val LogDir = "_graft_log"
+  private val DataDir = "data"
+
+  private def logPath(table: String): Path = Paths.get(table, LogDir)
+
+  private def entryName(v: Long): String = f"$v%020d.json"
+
+  /** Parse the strict single-line entry this object writes. Returns
+    * None for in-flight (empty or partially published) entries.
+    */
+  private def parse(p: Path): Option[Commit] = {
+    val name = p.getFileName.toString
+    if (!name.endsWith(".json")) return None
+    val bytes = Files.readAllBytes(p)
+    if (bytes.isEmpty) return None
+    val s = new String(bytes, "UTF-8")
+    val re = """\{"version":(\d+),"mode":"(overwrite|append)","dataDir":"([^"]+)"\}""".r
+    s.trim match {
+      case re(v, m, d) => Some(Commit(v.toLong, m, d))
+      case _ => None
+    }
+  }
+
+  /** All committed entries, version-ascending. In-flight entries
+    * (claimed but not yet published) are excluded — normally only the
+    * trailing version, though a loser that re-claimed above a
+    * still-publishing winner can leave a TRANSIENT mid-log gap; replay
+    * never requires contiguity, so readers are unaffected.
+    */
+  def history(table: String): Seq[Commit] = {
+    import scala.jdk.CollectionConverters._
+    val dir = logPath(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val it = Files.list(dir)
+    try it.iterator().asScala.flatMap(parse).toSeq.sortBy(_.version)
+    finally it.close()
+  }
+
+  /** Latest committed version, or -1 for an empty/absent table. */
+  def latestVersion(table: String): Long =
+    history(table).lastOption.map(_.version).getOrElse(-1L)
+
+  /** Stage `df` and commit it as the next version. `mode` is
+    * "overwrite" (snapshot replaces the table) or "append" (adds to
+    * it). Returns the committed version. Thread/process-safe: losers of
+    * a version race retry at the next number with the SAME staged data,
+    * so every commit lands exactly once.
+    */
+  def commit(df: DataFrame, table: String, mode: String): Long = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append, got $mode")
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = Paths.get(table, DataDir, uuid)
+    df.write.mode("errorifexists").parquet(staged.toString)
+    Files.createDirectories(logPath(table))
+    var v = latestVersion(table) + 1
+    while (true) {
+      val slot = logPath(table).resolve(entryName(v))
+      try {
+        Files.createFile(slot) // atomic claim (O_EXCL)
+        val entry =
+          s"""{"version":$v,"mode":"$mode","dataDir":"$DataDir/$uuid"}"""
+        val tmp = Files.createTempFile(logPath(table), s".$v-", ".tmp")
+        Files.write(tmp, entry.getBytes("UTF-8"))
+        Files.move(tmp, slot, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING) // we own the claimed slot
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          v += 1 // another writer claimed this version — retry above it
+      }
+    }
+    v // unreachable
+  }
+
+  /** Snapshot at `version` (default: latest): the last overwrite at or
+    * below it plus every append after that overwrite. The union is a
+    * plan-level concat of parquet scans — partition pruning and filter
+    * pushdown reach every member dir.
+    */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val upTo = history(table).filter(_.version <= version)
+    require(upTo.nonEmpty, s"no committed version <= $version in $table")
+    val fromLastOverwrite = upTo.lastIndexWhere(_.mode == "overwrite") match {
+      case -1 => upTo
+      case i => upTo.drop(i)
+    }
+    fromLastOverwrite.map(c =>
+        spark.read.parquet(Paths.get(table, c.dataDir).toString))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Latest committed snapshot. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, Long.MaxValue)
+
+  /** MERGE INTO: apply a CDC change set to the latest snapshot via
+    * [[graft.operators.Cdc.applyChanges]] and commit the result as an
+    * overwrite — the plain-parquet equivalent of Delta MERGE, with the
+    * old snapshot still time-travelable.
+    */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+            keyCol: String, seqCol: String, opCol: String): Long = {
+    val next = graft.operators.Cdc.applyChanges(
+      read(spark, table), changes, keyCol, seqCol, opCol)
+    commit(next, table, "overwrite")
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot as one overwrite commit
+    * with `targetFiles` output files — collapses append chains (and
+    * their small-files problem) without losing history.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
+    commit(read(spark, table).coalesce(targetFiles), table, "overwrite")
+
+  /** Drop data dirs unreachable from versions > `keepAfter` and their
+    * log entries — Delta VACUUM. Time travel to <= keepAfter stops
+    * working; concurrent readers of dropped versions are the caller's
+    * contract to exclude (Delta's retention-window rule).
+    */
+  def vacuum(table: String, keepAfter: Long): Unit = {
+    val all = history(table)
+    val keep = all.filter(_.version > keepAfter)
+    // dirs referenced by ANY kept version's replay — a kept version's
+    // base overwrite (and the appends above it) may sit at or below
+    // keepAfter and must survive, log entry included
+    val live = keep.map(_.version).flatMap { w =>
+      val upTo = all.filter(_.version <= w)
+      val i = upTo.lastIndexWhere(_.mode == "overwrite")
+      (if (i == -1) upTo else upTo.drop(i)).map(_.dataDir)
+    }.toSet
+    val dead = all.filterNot(c => live.contains(c.dataDir))
+    dead.foreach { c =>
+      val dir = Paths.get(table, c.dataDir)
+      if (Files.isDirectory(dir)) {
+        val it = Files.walk(dir)
+        try it.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally it.close()
+      }
+      Files.deleteIfExists(logPath(table).resolve(entryName(c.version)))
+    }
+  }
+}
