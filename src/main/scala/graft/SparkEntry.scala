@@ -4252,9 +4252,34 @@ object SparkEntry {
           (col("lang") === "en").as("is_en")),
       "long_doc", "is_en")
 
+  /** Transactional-table round-trip under the oracle
+    * ([[graft.sources.VersionedTable]]): commit nation into a fresh
+    * version-logged table as overwrite(regionkey<2) →
+    * append(regionkey≥2) → overwrite(regionkey=0), then time-travel
+    * read v1 (the fully-assembled table) and v2 (the post-overwrite
+    * snapshot). The oracle recomputes both snapshots straight from
+    * nation, so the commit protocol's replay semantics (append chains,
+    * overwrite truncation) are hash-checked, not just spec-checked. */
+  private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-vtq")
+      .toString + "/nation"
+    val nat = Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("n_nationkey"),
+      col("n_name"),
+      col("n_regionkey").cast("long").as("n_regionkey"))
+    VersionedTable.commit(nat.filter(col("n_regionkey") < 2), base, "overwrite")
+    VersionedTable.commit(nat.filter(col("n_regionkey") >= 2), base, "append")
+    VersionedTable.commit(nat.filter(col("n_regionkey") === 0), base, "overwrite")
+    VersionedTable.readVersion(s, base, 1).withColumn("version", lit(1L))
+      .unionByName(
+        VersionedTable.readVersion(s, base, 2).withColumn("version", lit(2L)))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel"    -> (qTimeTravel _),
     "q_ks_test"        -> (qKsTest _),
     "q_mann_whitney"   -> (qMannWhitney _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -5173,6 +5198,18 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // v1 = overwrite(r<2) + append(r>=2) = all of nation; v2 = the
+    // r=0 overwrite snapshot — recomputed from the base table, so the
+    // version-log replay is what the hash pins
+    "q_time_travel" -> """
+      SELECT CAST(1 AS BIGINT) AS version,
+        CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(n_nationkey AS BIGINT), n_name,
+        CAST(n_regionkey AS BIGINT)
+      FROM nation WHERE n_regionkey = 0""",
     // ECDFs from the pooled distinct-value histogram; integer-count
     // ratios, so D replays exactly under any evaluation order
     "q_ks_test" -> """
