@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  final case class Commit(version: Long, mode: String, dataDir: String)
+  final case class Commit(version: Long, mode: String, dataDir: String,
+                          txn: Option[Long] = None)
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
@@ -54,9 +55,11 @@ object VersionedTable {
     val bytes = Files.readAllBytes(p)
     if (bytes.isEmpty) return None
     val s = new String(bytes, "UTF-8")
-    val re = """\{"version":(\d+),"mode":"(overwrite|append)","dataDir":"([^"]+)"\}""".r
+    val re =
+      """\{"version":(\d+),"mode":"(overwrite|append)"(?:,"txn":(-?\d+))?,"dataDir":"([^"]+)"\}""".r
     s.trim match {
-      case re(v, m, d) => Some(Commit(v.toLong, m, d))
+      case re(v, m, t, d) =>
+        Some(Commit(v.toLong, m, d, Option(t).map(_.toLong)))
       case _ => None
     }
   }
@@ -86,7 +89,17 @@ object VersionedTable {
     * a version race retry at the next number with the SAME staged data,
     * so every commit lands exactly once.
     */
-  def commit(df: DataFrame, table: String, mode: String): Long = {
+  def commit(df: DataFrame, table: String, mode: String): Long =
+    commit(df, table, mode, txn = None)
+
+  /** [[commit]] carrying a transaction identity — the Delta
+    * `txnAppId/txnVersion` idempotency device: a committer that may
+    * replay (a restarted streaming batch) tags its commit, and
+    * [[streamingCommitSink]] skips any batch whose txn already appears
+    * in the log.
+    */
+  def commit(df: DataFrame, table: String, mode: String,
+             txn: Option[Long]): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got $mode")
     val uuid = java.util.UUID.randomUUID().toString
@@ -98,8 +111,9 @@ object VersionedTable {
       val slot = logPath(table).resolve(entryName(v))
       try {
         Files.createFile(slot) // atomic claim (O_EXCL)
+        val txnField = txn.map(t => s""","txn":$t""").getOrElse("")
         val entry =
-          s"""{"version":$v,"mode":"$mode","dataDir":"$DataDir/$uuid"}"""
+          s"""{"version":$v,"mode":"$mode"$txnField,"dataDir":"$DataDir/$uuid"}"""
         val tmp = Files.createTempFile(logPath(table), s".$v-", ".tmp")
         Files.write(tmp, entry.getBytes("UTF-8"))
         Files.move(tmp, slot, StandardCopyOption.ATOMIC_MOVE,
@@ -145,6 +159,36 @@ object VersionedTable {
       read(spark, table), changes, keyCol, seqCol, opCol)
     commit(next, table, "overwrite")
   }
+
+  /** Change data feed between two committed versions — Delta
+    * `table_changes`: keyed added/removed/changed rows, computed by
+    * [[graft.operators.SnapshotDiff.diff]] over the two replayed
+    * snapshots, so the join carries (key, payload-hash), never
+    * payloads, and the output is churn-sized.
+    */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Long, keyCol: String,
+                     payloadCols: Seq[String]): DataFrame =
+    graft.operators.SnapshotDiff.diff(
+      readVersion(spark, table, fromVersion),
+      readVersion(spark, table, toVersion), keyCol, payloadCols)
+
+  /** Streaming sink: commit every micro-batch as one `mode` commit
+    * tagged with its batch id as the txn identity, so a REPLAYED batch
+    * (restart from checkpoint) is recognized in the log and skipped —
+    * exactly-once table contents over at-least-once batch delivery,
+    * the Delta idempotent-writes recipe.
+    */
+  def streamingCommitSink(df: DataFrame, table: String,
+                          mode: String = "append")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!history(table).exists(_.txn.contains(batchId))) {
+          commit(batch, table, mode, txn = Some(batchId))
+          ()
+        }
+    }
 
   /** OPTIMIZE: rewrite the current snapshot as one overwrite commit
     * with `targetFiles` output files — collapses append chains (and

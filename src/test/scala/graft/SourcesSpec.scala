@@ -226,4 +226,49 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(VersionedTable.read(spark, t).as[(Long, String)].collect().toMap == after)
   }
+
+  test("VersionedTable: changesBetween is the churn-sized CDF; txn commits are idempotent") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(
+      Seq((1L, "same"), (2L, "old"), (3L, "bye")).toDF("k", "s"), t, "overwrite")
+    VersionedTable.commit(
+      Seq((1L, "same"), (2L, "new"), (4L, "hi")).toDF("k", "s"), t, "overwrite")
+    val cdf = VersionedTable.changesBetween(spark, t, 0, 1, "k", Seq("s"))
+      .as[(Long, String)].collect().toMap
+    assert(cdf == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // same txn id twice -> second commit is the caller's to skip; the
+    // history exposes the identity the sink keys idempotency on
+    VersionedTable.commit(Seq((9L, "x")).toDF("k", "s"), t, "append", txn = Some(7L))
+    assert(VersionedTable.history(t).count(_.txn.contains(7L)) == 1)
+  }
+
+  test("VersionedTable: streaming sink commits per batch, replays do not double-commit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((0L, 0L)).toDF("a", "b"), t, "overwrite")
+    val mem = MemoryStream[(Long, Long)]
+    val q = VersionedTable.streamingCommitSink(mem.toDF().toDF("a", "b"), t)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-vt-ck").toString)
+      .start()
+    try {
+      mem.addData((1L, 10L)); q.processAllAvailable()
+      mem.addData((2L, 20L)); q.processAllAvailable()
+      assert(VersionedTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+        Set((0L, 0L), (1L, 10L), (2L, 20L)))
+      // batch txn ids 0 and 1 are in the log; a manual replay of batch 0
+      // (the restart-from-checkpoint path) must be skipped by the sink's
+      // guard — simulate by re-running its body
+      val before = VersionedTable.latestVersion(t)
+      if (!VersionedTable.history(t).exists(_.txn.contains(0L)))
+        VersionedTable.commit(Seq((1L, 10L)).toDF("a", "b"), t, "append", Some(0L))
+      assert(VersionedTable.latestVersion(t) == before) // nothing re-committed
+      assert(VersionedTable.history(t).flatMap(_.txn).sorted == Seq(0L, 1L))
+    } finally q.stop()
+  }
 }
