@@ -102,6 +102,18 @@ object VersionedTable {
              txn: Option[Long]): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got $mode")
+    // schema-on-write (Delta's append contract): an append whose
+    // columns don't match the current snapshot would poison every later
+    // read with a union error — fail at the write, name the drift.
+    // Overwrites may change schema freely (they truncate the replay).
+    if (mode == "append" && latestVersion(table) >= 0) {
+      val want = read(df.sparkSession, table).schema
+        .fields.map(f => (f.name, f.dataType)).toSet
+      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+      require(got == want,
+        s"append schema mismatch: appending ${df.schema.simpleString} " +
+          s"to a table whose snapshot schema differs — overwrite to evolve")
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val staged = Paths.get(table, DataDir, uuid)
     df.write.mode("errorifexists").parquet(staged.toString)

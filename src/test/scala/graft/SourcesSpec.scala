@@ -227,6 +227,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).as[(Long, String)].collect().toMap == after)
   }
 
+  test("VersionedTable: append enforces schema-on-write; overwrite may evolve") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((2L, 2.0)).toDF("k", "d"), t, "append")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // overwrite evolves the schema; appends then follow the NEW schema
+    VersionedTable.commit(Seq((2L, 2.0)).toDF("k", "d"), t, "overwrite")
+    VersionedTable.commit(Seq((3L, 3.0)).toDF("k", "d"), t, "append")
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
   test("VersionedTable: changesBetween is the churn-sized CDF; txn commits are idempotent") {
     import spark.implicits._
     import graft.sources.VersionedTable
