@@ -350,6 +350,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("VersionedTable replay == driver-side log fold on random commit sequences (seeded, 4 cases)") {
+    import graft.sources.VersionedTable
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-vtp")
+        .toString + "/tbl"
+      val nCommits = 3 + rnd.nextInt(6)
+      // reference: fold the same (mode, rows) sequence driver-side
+      var ref = Vector.empty[Seq[(Long, Long)]]
+      val committed = (0 until nCommits).map { i =>
+        val rows = Seq.fill(1 + rnd.nextInt(4))(
+          (rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+        val mode = if (i == 0 || rnd.nextBoolean()) "overwrite" else "append"
+        if (mode == "overwrite") ref = Vector(rows) else ref = ref :+ rows
+        val v = VersionedTable.commit(rows.toDF("k", "v"), t, mode)
+        (v, ref.flatten.sorted) // expected multiset at this version
+      }
+      committed.foreach { case (v, want) =>
+        val got = VersionedTable.readVersion(spark, t, v)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == want, s"version $v of $t")
+      }
+      assert(VersionedTable.history(t).map(_.version) == (0L until nCommits.toLong))
+    }
+  }
+
   test("deriveMinhashBanding: minimal admissible divisor on a parameter grid") {
     def catchProb(k: Int, b: Int, s: Double): Double = {
       val r = k / b
