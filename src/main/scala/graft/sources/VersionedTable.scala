@@ -209,6 +209,25 @@ object VersionedTable {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
     commit(read(spark, table).coalesce(targetFiles), table, "overwrite")
 
+  /** OPTIMIZE ... ZORDER BY (dimA, dimB): rewrite the current snapshot
+    * range-partitioned and sorted by the Morton interleave of the two
+    * dimensions (the [[graft.operators.Compaction.zorderWrite]] layout)
+    * as one overwrite commit — 2-D box predicates then prune to a few
+    * files via parquet min/max footer stats, and every prior version
+    * stays time-travelable.
+    */
+  def compactZorder(spark: SparkSession, table: String, dimA: String,
+                    dimB: String, files: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val z = read(spark, table)
+      .withColumn("__z", graft.functions.InterleaveBits.interleaveBits(
+        col(dimA).cast("long"), col(dimB).cast("long")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(z, table, "overwrite")
+  }
+
   /** Drop data dirs unreachable from versions > `keepAfter` and their
     * log entries — Delta VACUUM. Time travel to <= keepAfter stops
     * working; concurrent readers of dropped versions are the caller's
