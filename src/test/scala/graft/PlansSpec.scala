@@ -303,6 +303,53 @@ class PlansSpec extends AnyFunSuite {
       s"q_bigram_logprob shuffled $shuffled records for $nBigrams bigrams")
   }
 
+  test("q_cv_ols: the corpus never shuffles — sufficient statistics move, not rows") {
+    val n = Tables.lineitem(spark, sf).count()
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_cv_ols")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // the whole point of the fold-complement trick: training is ONE
+    // map-side-combined aggregate (partials per fold per partition) and
+    // scoring joins the 5-row model table broadcast — so shuffle volume
+    // is partition- and fold-sized, never corpus-sized
+    assert(shuffled > 0 && shuffled < n / 4,
+      s"q_cv_ols shuffled $shuffled records for $n input rows")
+  }
+
+  test("q_spearman / q_entity_resolution / q_modularity: shuffle records linear in input") {
+    val nLi = Tables.lineitem(spark, sf).count()
+    val sp = shuffleRecordsOf {
+      SparkEntry.queries("q_spearman")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // two value histograms + two rank joins + final moments: each moves
+    // ≤ n rows a bounded number of times
+    assert(sp > 0 && sp < 12L * nLi,
+      s"q_spearman shuffled $sp records for $nLi rows")
+
+    val nDocs = Tables.documents(spark, sf).count()
+    val er = shuffleRecordsOf {
+      SparkEntry.queries("q_entity_resolution")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // pigeonhole probe fan-out is a CONSTANT 75 variants/doc (k=2);
+    // a quadratic regression (all-pairs) would be ~docs²/2 — orders
+    // past this bound even at sf0.001
+    assert(er > 0 && er < 400L * nDocs,
+      s"q_entity_resolution shuffled $er records for $nDocs docs")
+
+    val nVec = Tables.embeddings(spark, sf).count()
+    val mo = shuffleRecordsOf {
+      SparkEntry.queries("q_modularity")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // ε-graph pairs are bucket-capped; dbscan + modularity re-walk the
+    // edge list a bounded number of rounds
+    assert(mo > 0 && mo < 600L * nVec,
+      s"q_modularity shuffled $mo records for $nVec vectors")
+  }
+
   test("q_dedup_clusters: shuffle records stay linear in edges x iterations") {
     val emb = Tables.embeddings(spark, sf)
     val nIds = emb.count()
