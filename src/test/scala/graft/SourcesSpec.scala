@@ -242,6 +242,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 2)
   }
 
+  test("VersionedTable: a crashed writer's claimed-but-unpublished slot is skipped, not fatal") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    // simulate a writer that claimed version 1 (atomic create) and died
+    // before publishing: an empty slot file
+    Files.createFile(java.nio.file.Paths.get(t, "_graft_log",
+      f"${1L}%020d.json"))
+    // readers treat the in-flight slot as uncommitted
+    assert(VersionedTable.latestVersion(t) == 0L)
+    assert(VersionedTable.read(spark, t).count() == 1)
+    // the next writer walks PAST the dead claim (FileAlreadyExists at 1)
+    val v = VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), t, "append")
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, t).count() == 2)
+    // history replays across the permanent gap at version 1
+    assert(VersionedTable.history(t).map(_.version) == Seq(0L, 2L))
+    assert(VersionedTable.readVersion(spark, t, 2).count() == 2)
+  }
+
   test("VersionedTable: compactZorder rewrites the snapshot z-ordered, history intact") {
     import spark.implicits._
     import graft.sources.VersionedTable
