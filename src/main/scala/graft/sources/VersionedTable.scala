@@ -33,6 +33,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dirs the replayed version references (a snapshot read never lists
   * dead versions' files). Compaction ([[compact]]) is a normal commit:
   * old versions stay time-travelable until [[vacuum]] drops them.
+  * Two growth dimensions and their mitigations, both the same moves
+  * Delta makes: (1) the log listing is O(total commits) — at high
+  * commit rates production Delta snapshots the replay state into
+  * parquet checkpoint files every ~10 commits so readers list only the
+  * tail; here [[vacuum]] bounds the listing by dropping dead entries.
+  * (2) a long append chain makes the snapshot a deep scan-union — the
+  * small-files problem — which [[compact]]/[[compactZorder]] collapse
+  * into one overwrite without losing history.
   */
 object VersionedTable {
 
