@@ -77,11 +77,21 @@ object SkewJoin {
     * detection pass, and the key type is unconstrained (string grams,
     * not just longs). Both key columns must already share `key` as
     * their name (USING-join semantics keep one copy).
+    *
+    * One cheap eager action runs at plan-build time: `hotKeys.isEmpty`.
+    * When NOTHING is hot (the common case on unskewed data) the split
+    * itself is the waste — the anti + semi legs read the probe twice
+    * for no benefit, two extra corpus passes at 100 TB — so the method
+    * degrades to the plain single-pass join. The probe is hot-list-
+    * sized by contract (derived from build-side counts), so the check
+    * costs a model-table-sized job, mirroring [[saltedInnerHotOnly]]'s
+    * eager detection precedent.
     */
   def saltedInnerHotDf(probe: DataFrame, build: DataFrame, key: String,
                        hotKeys: DataFrame, saltSource: Column,
                        salts: Int): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
+    if (hotKeys.isEmpty) return probe.join(build, Seq(key))
     val hk = broadcast(hotKeys.toDF(key))
     val cold = probe.join(hk, Seq(key), "left_anti")
       .join(build.join(hk, Seq(key), "left_anti"), Seq(key))
