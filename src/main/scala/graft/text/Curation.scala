@@ -331,13 +331,12 @@ object Curation {
     * Scale shape, one n-gram up from [[unigramLogProb]] but skew-proofed
     * (natural text is Zipf on BOTH join keys — "of the" on the bigram,
     * "the" on the context):
-    *   - the token array is BOUND ONCE per row in its own projection
-    *     before the bigram lambda touches it. Inlining `split(text)`
-    *     into the transform lambda re-splits the string on every
-    *     element_at — twice per bigram position, O(tokens²) per
-    *     document (codegen subexpression elimination does not reach
-    *     inside LambdaFunction bodies) — measured 10× slower on the
-    *     bench corpus.
+    *   - bigrams come from the native one-pass
+    *     [[graft.functions.WordNgrams]] expression (strict mode: a
+    *     sub-2-token doc yields an empty array, so the explode drops it
+    *     with no separate length filter). The builtin-composed form
+    *     needed careful array binding to dodge an O(tokens²) re-split
+    *     trap — see WordNgrams' scaladoc.
     *   - ONE corpus-sized explode builds the per-doc (doc, bigram)
     *     count table `tc`; it is localCheckpoint'd because the hot/cold
     *     split legs and the model fold all consume it (ReuseExchange
@@ -369,12 +368,9 @@ object Curation {
     require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
     require(hotThreshold > 0, s"hotThreshold must be positive, got $hotThreshold")
     val t = split(col(textCol), " ")
-    val bi = df.select(col(idCol), t.as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("__t")) - 2),
-          i => concat_ws(" ", element_at(col("__t"), i + 1),
-            element_at(col("__t"), i + 2)))).as("bg"))
+    val bi = df.select(col(idCol),
+      explode(graft.functions.WordNgrams.wordNgramsStrict(col(textCol), 2))
+        .as("bg"))
     val tc = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tc"))
       .localCheckpoint()
     val cb = tc.groupBy(col("bg")).agg(sum(col("tc")).as("cb"))

@@ -100,14 +100,25 @@ object TextFns {
     * dedup). Short docs collapse to one whole-text gram, mirroring
     * shingles' behavior.
     *
-    * The token array is bound ONCE through a single-element outer
-    * transform: lambda variables are materialized values, while a
-    * plain `val toks = split(...)` referenced inside the inner lambda
-    * would re-split the string at every n-gram position — O(tokens²)
-    * per document (codegen subexpression elimination does not reach
-    * inside LambdaFunction bodies; measured 10× on the bench corpus).
+    * Backed by the native codegen [[graft.functions.WordNgrams]]
+    * expression — one pass over the string. The equivalent builtin
+    * composition survives as [[allNgramsViaBuiltins]], the
+    * differential reference for the spec (and a reminder of the
+    * O(tokens²) lambda re-split trap it has to dodge via the
+    * single-element-transform binding).
     */
   def allNgrams(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.wordNgrams(text, n)
+
+  /** Builtin-composed reference for [[allNgrams]] — spec-only. The
+    * outer single-element transform binds the token array once: lambda
+    * variables are materialized values, while a plain
+    * `val toks = split(...)` referenced inside the inner lambda
+    * re-splits the string at every n-gram position — O(tokens²) per
+    * document (codegen subexpression elimination does not reach inside
+    * LambdaFunction bodies; measured 10× on the bench corpus).
+    */
+  private[graft] def allNgramsViaBuiltins(text: Column, n: Int): Column =
     flatten(transform(array(split(text, " ")), toks =>
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -282,14 +293,12 @@ object TextFns {
     val t = split(lower(col(textCol)), " ")
     val uni = df.select(explode(t).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // token array bound once per row (the allNgrams O(tokens²) note:
-    // inlining `t` into the lambda re-splits per bigram position)
+    // native one-pass bigram expression; strict mode returns an empty
+    // array for 1-token docs, so the explode drops them with no second
+    // split for a length filter
     val bi = df
-      .select(t.as("__t"))
-      .filter(size(col("__t")) >= 2) // sequence(0, -1) would DESCEND on a 1-token doc
-      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
-        i => concat_ws(" ", element_at(col("__t"), i + 1),
-          element_at(col("__t"), i + 2)))).as("bigram"))
+      .select(explode(graft.functions.WordNgrams.wordNgramsStrict(
+        lower(col(textCol)), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
     val nUni = uni.agg(sum(col("cnt")).as("__nu"))
     val nBi = bi.agg(sum(col("c_ab")).as("__nb"))

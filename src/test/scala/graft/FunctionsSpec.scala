@@ -293,4 +293,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m("4539578763621486"))   // a valid 16-digit PAN
     assert(!m(""))
   }
+
+  test("WordNgrams equals the builtin composition; strict mode drops short docs") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val native = real
+      .select(col("doc_id"), graft.text.TextFns.allNgrams(col("t"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val builtin = real
+      .select(col("doc_id"),
+        graft.text.TextFns.allNgramsViaBuiltins(col("t"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.size == 500 && native == builtin)
+    // edge cases: short doc, double space (empty tokens), empty string
+    val edges = Seq("one", "a  b", "", "x y z").toDF("t")
+    val n2 = edges.select(graft.functions.WordNgrams.wordNgrams(col("t"), 2))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val b2 = edges
+      .select(graft.text.TextFns.allNgramsViaBuiltins(col("t"), 2))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(n2 == b2)
+    // strict mode: < n tokens -> empty array (explode then drops the doc)
+    val s2 = edges
+      .select(graft.functions.WordNgrams.wordNgramsStrict(col("t"), 2))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(s2 == Seq(Seq(), Seq("a ", " b"), Seq(), Seq("x y", "y z")))
+  }
 }
