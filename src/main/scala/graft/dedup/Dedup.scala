@@ -285,6 +285,20 @@ object Dedup {
     * aggregation.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // scan-stage native expression — zero exchange for the signature
+    // stage (the aggregate form shuffles a vote buffer per doc per
+    // partition); null-text docs are absent, matching the explode form
+    df.select(col(idCol).as("id"),
+        graft.functions.SimHash64.simhash64(lower(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The aggregate formulation (explode → xxhash64 → SimHashAgg) —
+    * kept as the differential reference exercising the custom
+    * TypedImperativeAggregate; [[simhash]] is the zero-shuffle fast
+    * path.
+    */
+  private[graft] def simhashViaAgg(df: DataFrame, textCol: String,
+                                   idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

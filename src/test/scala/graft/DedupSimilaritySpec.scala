@@ -255,13 +255,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(crow(0).getSeq[Int](0).head == 0 && crow(1).getSeq[Int](0).head == 0)
   }
 
-  test("SimHashAgg (TypedImperativeAggregate) equals the column-composed simhash") {
+  test("SimHash: native scan expression == SimHashAgg == column-composed, and it is exchange-free") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
-    val viaAgg = Dedup.simhash(real, "text", "doc_id")
+    val native = Dedup.simhash(real, "text", "doc_id")
+    val viaExpr = native
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simhashViaAgg(real, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaCols = Dedup.simhashViaColumns(real, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaAgg.size == 500 && viaAgg == viaCols)
+    assert(viaExpr.size == 500 && viaExpr == viaAgg && viaExpr == viaCols)
+    // the structural win: signatures are scan-stage — no Exchange at
+    // any corpus size (the aggregate forms shuffle vote buffers)
+    assert(!native.queryExecution.executedPlan.toString.contains("Exchange"))
+    // empty and multi-space texts agree across all three forms too
+    import spark.implicits._
+    val edges = Seq((1L, ""), (2L, "a  b"), (3L, "x")).toDF("doc_id", "text")
+    val e1 = Dedup.simhash(edges, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e2 = Dedup.simhashViaAgg(edges, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e2)
   }
 
   test("WordShingles expression equals the built-in composition on real docs") {
