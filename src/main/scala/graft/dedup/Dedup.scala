@@ -279,10 +279,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
-    * token xxhash64 values, via the custom SimHashAgg
-    * TypedImperativeAggregate — one 256-byte vote buffer per group on the
-    * shuffle instead of 64 long columns, with normal map-side partial
-    * aggregation.
+    * token xxhash64 values, computed by the native scan-stage
+    * [[graft.functions.SimHash64]] expression — signatures materialize
+    * where the row already is, so this stage shuffles nothing at any
+    * corpus size. The SimHashAgg TypedImperativeAggregate formulation
+    * (one 256-byte vote buffer per group on the shuffle) survives as
+    * [[simhashViaAgg]], the spec's differential reference.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     // scan-stage native expression — zero exchange for the signature
