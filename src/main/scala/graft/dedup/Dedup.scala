@@ -45,18 +45,29 @@ object Dedup {
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))))))
 
-  /** MinHash signature as an aggregation: explode shingles once, then one
-    * hash aggregate computing min(xxhash64(seed_i, shingle)) for all `k`
-    * families simultaneously.
-    *
-    * This shape matters: the expression form (k nested array-transforms
-    * per row) gets duplicated by projection collapse and recomputes the
-    * shingle array per family — measured 50x slower. The explode+agg form
-    * hashes each shingle exactly k times, partial-aggregates map-side
-    * (shuffle carries one 64-long row per doc per partition), and scales
-    * linearly.
+  /** MinHash signature via the native scan-stage
+    * [[graft.functions.MinHashSig]] expression — bit-identical to the
+    * aggregate form but with ZERO exchange for the signature stage.
+    * Three formulations, worst to best (all measured): builtin
+    * expression composition (k nested array-transforms, duplicated by
+    * projection collapse — 50× slower); explode + [[graft.functions.
+    * MinHashAgg]] (hashes each shingle once, partial-aggregates, but
+    * shuffles a 64-long buffer per doc per partition to regroup by
+    * id — kept as [[minhashSignaturesViaAgg]], the differential
+    * reference); this native single pass (signature materializes in
+    * the scan, nothing shuffles).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashSig.minhashSig(lower(col(textCol)), k).as("sig"))
+      .filter(col("sig").isNotNull) // null-text docs absent, like the explode form
+
+  /** The explode + TypedImperativeAggregate formulation — the spec's
+    * differential reference for [[minhashSignatures]], and continued
+    * coverage for the custom MinHashAgg buffer merge path.
+    */
+  private[graft] def minhashSignaturesViaAgg(df: DataFrame, textCol: String,
+                                             idCol: String, k: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         explode(shingles(lower(col(textCol)), 3)).as("s"))
       .groupBy(col("id"))

@@ -278,6 +278,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e1 == e2)
   }
 
+  test("MinHashSig: native scan expression == MinHashAgg signatures, and it is exchange-free") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = Dedup.minhashSignatures(real, "text", "doc_id", 16)
+    val viaExpr = native.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minhashSignaturesViaAgg(real, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.size == 500 && viaExpr == viaAgg)
+    assert(!native.queryExecution.executedPlan.toString.contains("Exchange"))
+    // short / multi-space / empty texts: same whole-text fallback
+    import spark.implicits._
+    val edges = Seq((1L, ""), (2L, "a  b"), (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    val e1 = Dedup.minhashSignatures(edges, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val e2 = Dedup.minhashSignaturesViaAgg(edges, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e1 == e2)
+  }
+
   test("WordShingles expression equals the built-in composition on real docs") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), lower(col("text")).as("t"))
