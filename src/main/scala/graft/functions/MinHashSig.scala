@@ -54,9 +54,16 @@ object MinHashSig {
   def signature(text: UTF8String, k: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
     val mins = Array.fill(k)(Long.MaxValue)
-    def updateWith(s: String): Unit = {
-      val u = UTF8String.fromString(s)
-      val base = XxHash64Function.hash(u, SStringType, 42L)
+    // duplicate windows contribute nothing to a min, so the k-mix loop
+    // only runs per DISTINCT base hash — an open-addressed long set
+    // dedupes windows at one xxhash each, keeping repetitive corpora
+    // (boilerplate, templated docs) at O(distinct-shingles * k) instead
+    // of O(windows * k)
+    var cap = 64
+    var seen = new Array[Long](cap) // 0 = empty slot
+    var seenZero = false // base 0 can't live in the table — flag it
+    var size = 0
+    def foldMins(base: Long): Unit = {
       var i = 0
       while (i < k) {
         var z = base + 0x9E3779B97F4A7C15L * (i + 1)
@@ -67,11 +74,45 @@ object MinHashSig {
         i += 1
       }
     }
+    def foldBase(base: Long): Unit = {
+      if (base == 0L) {
+        if (!seenZero) { seenZero = true; foldMins(0L) }
+        return
+      }
+      val key = base
+      var slot = (key.toInt & 0x7FFFFFFF) % cap
+      while (seen(slot) != 0L) {
+        if (seen(slot) == key) return // duplicate window — already folded
+        slot = (slot + 1) % cap
+      }
+      seen(slot) = key
+      size += 1
+      if (size * 2 > cap) { // grow at 50% load
+        val old = seen
+        cap *= 2
+        seen = new Array[Long](cap)
+        size = 0
+        var oi = 0
+        while (oi < old.length) {
+          val v = old(oi)
+          if (v != 0L) {
+            var s2 = (v.toInt & 0x7FFFFFFF) % cap
+            while (seen(s2) != 0L) s2 = (s2 + 1) % cap
+            seen(s2) = v
+            size += 1
+          }
+          oi += 1
+        }
+      }
+      foldMins(base)
+    }
+    def updateWith(s: String): Unit = {
+      val u = UTF8String.fromString(s)
+      foldBase(XxHash64Function.hash(u, SStringType, 42L))
+    }
     val n = 3
     if (toks.length < n) updateWith(toks.mkString(" "))
     else {
-      // duplicates hash to identical values, so the distinct-set pass
-      // of WordShingles is unnecessary for minima — hash every window
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i <= toks.length - n) {
