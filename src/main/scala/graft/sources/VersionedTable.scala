@@ -17,15 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Commit protocol (optimistic concurrency):
   *   1. stage: write the DataFrame as parquet into `data/<uuid>/` —
   *      invisible to readers until a log entry references it.
-  *   2. claim: `Files.createFile(_graft_log/<v>.json)` — atomic
-  *      create-if-absent (POSIX O_EXCL / HDFS create w/o overwrite). A
-  *      loser gets FileAlreadyExistsException and retries at v+1;
-  *      the staged data dir is never re-written.
-  *   3. publish: write the entry to a temp file and ATOMIC_MOVE it over
-  *      the claimed (empty) slot. Readers treat an empty/unparsable
-  *      newest entry as in-flight and fall back one version.
+  *   2. claim-and-publish in ONE atomic step: the full entry is written
+  *      to a temp file, then `Files.createLink(_graft_log/<v>.json, tmp)`
+  *      materializes it at the version slot — hard-link creation is
+  *      create-if-absent (POSIX O_EXCL) AND carries the complete
+  *      content, so a published version is complete the instant it
+  *      exists. There is no claimed-but-unpublished window, hence a
+  *      version that readers have seen can never change contents
+  *      (commits are immutable) and versions are claimed strictly in
+  *      order (no transient mid-log gaps). A loser gets
+  *      FileAlreadyExistsException and retries at v+1.
   * On S3-class stores without atomic create, step 2 needs a commit
   * coordinator (as Delta itself does); the log/data layout is unchanged.
+  *
+  * Conflict semantics: blind version-bump retry is only safe for
+  * commits whose content does not depend on what they read — appends
+  * and caller-computed overwrites. Read-modify-write commits
+  * ([[merge]], [[compact]], [[compactZorder]]) pass the version they
+  * read as `expectedVersion`; if another writer lands first, the commit
+  * throws ConcurrentModificationException and the operation re-reads
+  * the new snapshot and recomputes — Delta's re-validate-and-retry
+  * rule, so no concurrent update is silently discarded.
   *
   * Scale notes: the log is metadata — entries are O(100 bytes); data
   * dirs are whole parquet directories, so commit cost is one rename-
@@ -34,49 +46,74 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dead versions' files). Compaction ([[compact]]) is a normal commit:
   * old versions stay time-travelable until [[vacuum]] drops them.
   * Two growth dimensions and their mitigations, both the same moves
-  * Delta makes: (1) the log listing is O(total commits) — at high
-  * commit rates production Delta snapshots the replay state into
-  * parquet checkpoint files every ~10 commits so readers list only the
-  * tail; here [[vacuum]] bounds the listing by dropping dead entries.
-  * (2) a long append chain makes the snapshot a deep scan-union — the
-  * small-files problem — which [[compact]]/[[compactZorder]] collapse
-  * into one overwrite without losing history.
+  * Delta makes: (1) O(total commits) log listings are avoided by
+  * CHECKPOINTING: every [[CheckpointInterval]] commits the writer
+  * snapshots the replay closure into `<v>.checkpoint` and points
+  * `_last_checkpoint` at it; snapshot reads and latest-version lookups
+  * then load one checkpoint and PROBE forward entry-by-entry (direct
+  * path existence checks, no directory listing) — O(tail), not
+  * O(history). Time travel below the newest checkpoint falls back to a
+  * full-log replay. (2) a long append chain makes the snapshot a deep
+  * scan-union — the small-files problem — which [[compact]]/
+  * [[compactZorder]] collapse into one overwrite without losing
+  * history.
   */
 object VersionedTable {
 
   final case class Commit(version: Long, mode: String, dataDir: String,
-                          txn: Option[Long] = None)
+                          txn: Option[Long] = None,
+                          txnApp: Option[String] = None)
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
+
+  /** Writer snapshots the replay closure every this many commits. */
+  val CheckpointInterval = 10
+
+  /** Log-entry files actually read and parsed — instrumentation so
+    * tests can assert the checkpointed read path touches O(tail)
+    * entries, not O(history).
+    */
+  private[graft] val parsedEntries = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def logPath(table: String): Path = Paths.get(table, LogDir)
 
   private def entryName(v: Long): String = f"$v%020d.json"
 
+  private def checkpointName(v: Long): String = f"$v%020d.checkpoint"
+
+  private def commitJson(c: Commit): String = {
+    val app = c.txnApp.map(a => s""","txnApp":"$a"""").getOrElse("")
+    val t = c.txn.map(t => s""","txn":$t""").getOrElse("")
+    s"""{"version":${c.version},"mode":"${c.mode}"$app$t,"dataDir":"${c.dataDir}"}"""
+  }
+
+  private val EntryRe =
+    """\{"version":(\d+),"mode":"(overwrite|append)"(?:,"txnApp":"([^"]*)")?(?:,"txn":(-?\d+))?,"dataDir":"([^"]+)"\}""".r
+
+  private def parseLine(s: String): Option[Commit] = s.trim match {
+    case EntryRe(v, m, app, t, d) =>
+      Some(Commit(v.toLong, m, d, Option(t).map(_.toLong), Option(app)))
+    case _ => None
+  }
+
   /** Parse the strict single-line entry this object writes. Returns
-    * None for in-flight (empty or partially published) entries.
+    * None for empty or unparsable entries (a legacy crashed writer's
+    * claimed-but-unpublished slot; the link protocol itself never
+    * leaves one).
     */
   private def parse(p: Path): Option[Commit] = {
     val name = p.getFileName.toString
     if (!name.endsWith(".json")) return None
     val bytes = Files.readAllBytes(p)
+    parsedEntries.incrementAndGet()
     if (bytes.isEmpty) return None
-    val s = new String(bytes, "UTF-8")
-    val re =
-      """\{"version":(\d+),"mode":"(overwrite|append)"(?:,"txn":(-?\d+))?,"dataDir":"([^"]+)"\}""".r
-    s.trim match {
-      case re(v, m, t, d) =>
-        Some(Commit(v.toLong, m, d, Option(t).map(_.toLong)))
-      case _ => None
-    }
+    parseLine(new String(bytes, "UTF-8"))
   }
 
-  /** All committed entries, version-ascending. In-flight entries
-    * (claimed but not yet published) are excluded — normally only the
-    * trailing version, though a loser that re-claimed above a
-    * still-publishing winner can leave a TRANSIENT mid-log gap; replay
-    * never requires contiguity, so readers are unaffected.
+  /** All committed entries, version-ascending, by FULL directory
+    * listing — the time-travel / audit path. Snapshot reads and
+    * writers use the checkpointed probe path instead.
     */
   def history(table: String): Seq[Commit] = {
     import scala.jdk.CollectionConverters._
@@ -87,27 +124,133 @@ object VersionedTable {
     finally it.close()
   }
 
-  /** Latest committed version, or -1 for an empty/absent table. */
-  def latestVersion(table: String): Long =
-    history(table).lastOption.map(_.version).getOrElse(-1L)
+  // -- checkpointed read path --------------------------------------------
+
+  /** Newest checkpoint version per `_last_checkpoint`, if any. */
+  private def lastCheckpointVersion(table: String): Option[Long] = {
+    val p = logPath(table).resolve("_last_checkpoint")
+    if (!Files.isRegularFile(p)) None
+    else scala.util.Try(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+      .toOption
+  }
+
+  /** The replay closure stored at checkpoint `v` (one commit JSON per
+    * line), or None if the file is missing/garbled (reader falls back
+    * to the full log).
+    */
+  private def readCheckpoint(table: String, v: Long): Option[Seq[Commit]] = {
+    val p = logPath(table).resolve(checkpointName(v))
+    if (!Files.isRegularFile(p)) return None
+    val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .filter(_.nonEmpty)
+    val parsed = lines.flatMap(parseLine).toSeq
+    if (parsed.length == lines.length && parsed.nonEmpty) Some(parsed) else None
+  }
+
+  /** Entries strictly above `from`, by direct path PROBES (no listing):
+    * walk v = from+1, from+2, … and stop after [[CheckpointInterval]]
+    * consecutive misses (tolerates legacy gaps from the pre-link
+    * two-step protocol).
+    */
+  private def probeAbove(table: String, from: Long): Seq[Commit] = {
+    val out = Seq.newBuilder[Commit]
+    var v = from + 1
+    var misses = 0
+    while (misses < CheckpointInterval) {
+      val p = logPath(table).resolve(entryName(v))
+      if (Files.isRegularFile(p)) {
+        misses = 0
+        parse(p).foreach(out += _)
+      } else misses += 1
+      v += 1
+    }
+    out.result()
+  }
+
+  /** The replay closure (last overwrite + subsequent appends) of the
+    * newest version ≤ `version`. Uses the checkpoint + forward probes
+    * when the target is at/above the newest checkpoint; full log replay
+    * below it (time travel into checkpointed-over history still works).
+    */
+  private def snapshotCommits(table: String, version: Long): Seq[Commit] = {
+    val upTo = lastCheckpointVersion(table) match {
+      case Some(cp) if version >= cp =>
+        readCheckpoint(table, cp) match {
+          case Some(state) =>
+            state ++ probeAbove(table, cp).filter(_.version <= version)
+          case None => history(table).filter(_.version <= version)
+        }
+      case _ => history(table).filter(_.version <= version)
+    }
+    require(upTo.nonEmpty, s"no committed version <= $version in $table")
+    upTo.lastIndexWhere(_.mode == "overwrite") match {
+      case -1 => upTo
+      case i => upTo.drop(i)
+    }
+  }
+
+  /** Latest committed version, or -1 for an empty/absent table.
+    * Checkpoint + probes when available; full listing otherwise.
+    */
+  def latestVersion(table: String): Long = lastCheckpointVersion(table) match {
+    case Some(cp) =>
+      val tail = probeAbove(table, cp)
+      if (tail.nonEmpty) tail.last.version else cp
+    case None => history(table).lastOption.map(_.version).getOrElse(-1L)
+  }
+
+  /** Snapshot the replay closure at `v` into `<v>.checkpoint` and point
+    * `_last_checkpoint` at it (tmp + ATOMIC_MOVE — readers see the old
+    * or the new pointer, never a torn one). Pure metadata; cost is
+    * O(closure), not O(table).
+    */
+  private def writeCheckpoint(table: String, v: Long,
+                              closure: Seq[Commit]): Unit = {
+    val dir = logPath(table)
+    val body = closure.map(commitJson).mkString("\n")
+    val tmp = Files.createTempFile(dir, s".cp$v-", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(checkpointName(v)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptr = Files.createTempFile(dir, ".lastcp-", ".tmp")
+    Files.write(ptr, v.toString.getBytes("UTF-8"))
+    Files.move(ptr, dir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // -- commit -------------------------------------------------------------
 
   /** Stage `df` and commit it as the next version. `mode` is
     * "overwrite" (snapshot replaces the table) or "append" (adds to
     * it). Returns the committed version. Thread/process-safe: losers of
     * a version race retry at the next number with the SAME staged data,
-    * so every commit lands exactly once.
+    * so every commit lands exactly once — safe because an append's (or
+    * caller-computed overwrite's) content does not depend on the
+    * version it lands at. Read-modify-write callers must pass
+    * `expectedVersion` via the 5-arg overload instead.
     */
   def commit(df: DataFrame, table: String, mode: String): Long =
     commit(df, table, mode, txn = None)
 
-  /** [[commit]] carrying a transaction identity — the Delta
-    * `txnAppId/txnVersion` idempotency device: a committer that may
-    * replay (a restarted streaming batch) tags its commit, and
-    * [[streamingCommitSink]] skips any batch whose txn already appears
-    * in the log.
-    */
   def commit(df: DataFrame, table: String, mode: String,
-             txn: Option[Long]): Long = {
+             txn: Option[Long]): Long =
+    commit(df, table, mode, txn, txnApp = None, expectedVersion = None)
+
+  /** [[commit]] carrying a transaction identity — the Delta
+    * `(txnAppId, txnVersion)` idempotency device: a committer that may
+    * replay (a restarted streaming batch) tags its commit with its app
+    * identity and batch number, and [[streamingCommitSink]] skips any
+    * batch whose PAIR already appears in the log — two queries writing
+    * the same table do not collide on bare batch ids.
+    *
+    * `expectedVersion`: Delta's conflict check for read-modify-write.
+    * When set, the commit lands at exactly `expectedVersion + 1` or
+    * throws ConcurrentModificationException (staged data is cleaned
+    * up) — the caller re-reads and recomputes. When None, losers retry
+    * blindly at the next version (append semantics).
+    */
+  def commit(df: DataFrame, table: String, mode: String, txn: Option[Long],
+             txnApp: Option[String], expectedVersion: Option[Long]): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got $mode")
     // schema-on-write (Delta's append contract): an append whose
@@ -125,44 +268,91 @@ object VersionedTable {
     val uuid = java.util.UUID.randomUUID().toString
     val staged = Paths.get(table, DataDir, uuid)
     df.write.mode("errorifexists").parquet(staged.toString)
+    try claimSlot(table, mode, s"$DataDir/$uuid", txn, txnApp, expectedVersion)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the staged dir will never be referenced — reclaim it now
+        // rather than leaving it to vacuum's orphan sweep
+        deleteRecursively(staged)
+        throw e
+    }
+  }
+
+  /** The log side of the commit protocol — everything after staging.
+    * Spark-free on purpose: the cross-JVM race test drives THIS.
+    */
+  private[graft] def claimSlot(table: String, mode: String, dataDir: String,
+                               txn: Option[Long], txnApp: Option[String],
+                               expectedVersion: Option[Long]): Long = {
     Files.createDirectories(logPath(table))
-    var v = latestVersion(table) + 1
+    var v = expectedVersion.map(_ + 1).getOrElse(latestVersion(table) + 1)
     while (true) {
       val slot = logPath(table).resolve(entryName(v))
+      val entry = commitJson(Commit(v, mode, dataDir, txn, txnApp))
+      val tmp = Files.createTempFile(logPath(table), s".$v-", ".tmp")
+      Files.write(tmp, entry.getBytes("UTF-8"))
       try {
-        Files.createFile(slot) // atomic claim (O_EXCL)
-        val txnField = txn.map(t => s""","txn":$t""").getOrElse("")
-        val entry =
-          s"""{"version":$v,"mode":"$mode"$txnField,"dataDir":"$DataDir/$uuid"}"""
-        val tmp = Files.createTempFile(logPath(table), s".$v-", ".tmp")
-        Files.write(tmp, entry.getBytes("UTF-8"))
-        Files.move(tmp, slot, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING) // we own the claimed slot
+        // atomic claim WITH content: hard-link creation is O_EXCL and
+        // the slot is fully published the instant it exists — no
+        // in-flight window, committed versions are immutable
+        Files.createLink(slot, tmp)
+        Files.deleteIfExists(tmp)
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(table, v, snapshotCommits(table, v))
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          if (expectedVersion.isDefined)
+            throw new java.util.ConcurrentModificationException(
+              s"$table moved past expected version ${expectedVersion.get} " +
+                "— re-read the snapshot and recompute")
           v += 1 // another writer claimed this version — retry above it
       }
     }
     v // unreachable
   }
 
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      val it = Files.walk(dir)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally it.close()
+    }
+
+  /** Retry loop for read-modify-write commits: read the latest
+    * snapshot, recompute, commit against that exact version; if a
+    * concurrent writer lands first, re-read and recompute — no
+    * concurrent update is ever overwritten unseen.
+    */
+  private def commitRmw(spark: SparkSession, table: String, attempts: Int = 8)
+                       (f: DataFrame => DataFrame): Long = {
+    var left = attempts
+    while (true) {
+      val base = latestVersion(table)
+      val next = f(readVersion(spark, table, base))
+      try return commit(next, table, "overwrite", None, None, Some(base))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  // -- reads --------------------------------------------------------------
+
   /** Snapshot at `version` (default: latest): the last overwrite at or
     * below it plus every append after that overwrite. The union is a
     * plan-level concat of parquet scans — partition pruning and filter
     * pushdown reach every member dir.
     */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val upTo = history(table).filter(_.version <= version)
-    require(upTo.nonEmpty, s"no committed version <= $version in $table")
-    val fromLastOverwrite = upTo.lastIndexWhere(_.mode == "overwrite") match {
-      case -1 => upTo
-      case i => upTo.drop(i)
-    }
-    fromLastOverwrite.map(c =>
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    snapshotCommits(table, version).map(c =>
         spark.read.parquet(Paths.get(table, c.dataDir).toString))
       .reduce(_.unionByName(_))
-  }
 
   /** Latest committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
@@ -171,14 +361,15 @@ object VersionedTable {
   /** MERGE INTO: apply a CDC change set to the latest snapshot via
     * [[graft.operators.Cdc.applyChanges]] and commit the result as an
     * overwrite — the plain-parquet equivalent of Delta MERGE, with the
-    * old snapshot still time-travelable.
+    * old snapshot still time-travelable. Conflict-safe: the commit is
+    * pinned to the version the merge read; a concurrent commit forces
+    * re-read + re-merge instead of silently clobbering it.
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
-            keyCol: String, seqCol: String, opCol: String): Long = {
-    val next = graft.operators.Cdc.applyChanges(
-      read(spark, table), changes, keyCol, seqCol, opCol)
-    commit(next, table, "overwrite")
-  }
+            keyCol: String, seqCol: String, opCol: String): Long =
+    commitRmw(spark, table) { snap =>
+      graft.operators.Cdc.applyChanges(snap, changes, keyCol, seqCol, opCol)
+    }
 
   /** Change data feed between two committed versions — Delta
     * `table_changes`: keyed added/removed/changed rows, computed by
@@ -194,28 +385,37 @@ object VersionedTable {
       readVersion(spark, table, toVersion), keyCol, payloadCols)
 
   /** Streaming sink: commit every micro-batch as one `mode` commit
-    * tagged with its batch id as the txn identity, so a REPLAYED batch
-    * (restart from checkpoint) is recognized in the log and skipped —
-    * exactly-once table contents over at-least-once batch delivery,
-    * the Delta idempotent-writes recipe.
+    * tagged with `(appId, batchId)` as the txn identity, so a REPLAYED
+    * batch (restart from checkpoint) is recognized in the log and
+    * skipped — exactly-once table contents over at-least-once batch
+    * delivery, the Delta idempotent-writes recipe. `appId` is the
+    * query's durable identity (derive it from the checkpoint location);
+    * keying on the PAIR, not the bare batch id, lets two different
+    * queries — both of which start at batchId 0 — share one table
+    * without the second query's early batches being mistaken for
+    * replays of the first's.
     */
   def streamingCommitSink(df: DataFrame, table: String,
-                          mode: String = "append")
+                          appId: String, mode: String = "append")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!history(table).exists(_.txn.contains(batchId))) {
-          commit(batch, table, mode, txn = Some(batchId))
+        val replayed = history(table).exists(c =>
+          c.txn.contains(batchId) && c.txnApp.contains(appId))
+        if (!replayed) {
+          commit(batch, table, mode, txn = Some(batchId),
+            txnApp = Some(appId), expectedVersion = None)
           ()
         }
     }
 
   /** OPTIMIZE: rewrite the current snapshot as one overwrite commit
     * with `targetFiles` output files — collapses append chains (and
-    * their small-files problem) without losing history.
+    * their small-files problem) without losing history. Conflict-safe
+    * like [[merge]]: a concurrent commit forces re-read + re-compact.
     */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
-    commit(read(spark, table).coalesce(targetFiles), table, "overwrite")
+    commitRmw(spark, table)(_.coalesce(targetFiles))
 
   /** OPTIMIZE ... ZORDER BY (dimA, dimB): rewrite the current snapshot
     * range-partitioned and sorted by the Morton interleave of the two
@@ -227,26 +427,39 @@ object VersionedTable {
   def compactZorder(spark: SparkSession, table: String, dimA: String,
                     dimB: String, files: Int): Long = {
     import org.apache.spark.sql.functions.col
-    val z = read(spark, table)
-      .withColumn("__z", graft.functions.InterleaveBits.interleaveBits(
-        col(dimA).cast("long"), col(dimB).cast("long")))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    commit(z, table, "overwrite")
+    commitRmw(spark, table) { snap =>
+      snap
+        .withColumn("__z", graft.functions.InterleaveBits.interleaveBits(
+          col(dimA).cast("long"), col(dimB).cast("long")))
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
   }
 
   /** Drop data dirs unreachable from versions > `keepAfter` and their
     * log entries — Delta VACUUM. Time travel to <= keepAfter stops
     * working; concurrent readers of dropped versions are the caller's
-    * contract to exclude (Delta's retention-window rule).
+    * contract to exclude (Delta's retention-window rule). Safety rails:
+    * `keepAfter` is clamped to latest-1 so the CURRENT snapshot can
+    * never be vacuumed away (Delta never removes files the head
+    * references), and staged-but-never-committed data dirs from
+    * crashed writers are reclaimed once older than `orphanGraceMs`
+    * (the grace period keeps a still-staging writer's dir alive).
+    * Finishes by re-checkpointing at the head so the probe path never
+    * walks into the vacuumed range.
     */
-  def vacuum(table: String, keepAfter: Long): Unit = {
+  def vacuum(table: String, keepAfter: Long,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+    import scala.jdk.CollectionConverters._
     val all = history(table)
-    val keep = all.filter(_.version > keepAfter)
+    if (all.isEmpty) return
+    val latest = all.last.version
+    val cutoff = math.min(keepAfter, latest - 1) // the head always survives
+    val keep = all.filter(_.version > cutoff)
     // dirs referenced by ANY kept version's replay — a kept version's
     // base overwrite (and the appends above it) may sit at or below
-    // keepAfter and must survive, log entry included
+    // the cutoff and must survive, log entry included
     val live = keep.map(_.version).flatMap { w =>
       val upTo = all.filter(_.version <= w)
       val i = upTo.lastIndexWhere(_.mode == "overwrite")
@@ -254,14 +467,46 @@ object VersionedTable {
     }.toSet
     val dead = all.filterNot(c => live.contains(c.dataDir))
     dead.foreach { c =>
-      val dir = Paths.get(table, c.dataDir)
-      if (Files.isDirectory(dir)) {
-        val it = Files.walk(dir)
-        try it.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally it.close()
-      }
+      deleteRecursively(Paths.get(table, c.dataDir))
       Files.deleteIfExists(logPath(table).resolve(entryName(c.version)))
     }
+    // reclaim orphans: data/<uuid> dirs no log entry (kept OR dead —
+    // dead ones were just deleted above) ever referenced, i.e. staged
+    // by a writer that died before claiming a slot
+    val referenced = all.map(c =>
+      Paths.get(c.dataDir).getFileName.toString).toSet
+    val dataRoot = Paths.get(table, DataDir)
+    if (Files.isDirectory(dataRoot)) {
+      val now = System.currentTimeMillis()
+      val it = Files.list(dataRoot)
+      try it.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          !referenced.contains(d.getFileName.toString) &&
+          now - Files.getLastModifiedTime(d).toMillis > orphanGraceMs)
+        .foreach(deleteRecursively)
+      finally it.close()
+    }
+    // drop checkpoints that may reference vacuumed entries, then
+    // re-anchor the probe path at the surviving head
+    val lit = Files.list(logPath(table))
+    try lit.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".checkpoint"))
+      .foreach(p => Files.deleteIfExists(p))
+    finally lit.close()
+    val headClosure = {
+      val upTo = keep
+      upTo.lastIndexWhere(_.mode == "overwrite") match {
+        case -1 =>
+          // head's overwrite base sits below the cutoff — rebuild from
+          // the full pre-vacuum view (its entries are live, kept above)
+          val full = all
+          full.lastIndexWhere(_.mode == "overwrite") match {
+            case -1 => full
+            case i => full.drop(i)
+          }
+        case i => upTo.drop(i)
+      }
+    }
+    writeCheckpoint(table, latest, headClosure)
   }
 }

@@ -314,7 +314,8 @@ class SourcesSpec extends AnyFunSuite {
     val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
     VersionedTable.commit(Seq((0L, 0L)).toDF("a", "b"), t, "overwrite")
     val mem = MemoryStream[(Long, Long)]
-    val q = VersionedTable.streamingCommitSink(mem.toDF().toDF("a", "b"), t)
+    val q = VersionedTable.streamingCommitSink(mem.toDF().toDF("a", "b"), t,
+        appId = "qA")
       .option("checkpointLocation",
         Files.createTempDirectory("graft-vt-ck").toString)
       .start()
@@ -327,10 +328,132 @@ class SourcesSpec extends AnyFunSuite {
       // (the restart-from-checkpoint path) must be skipped by the sink's
       // guard — simulate by re-running its body
       val before = VersionedTable.latestVersion(t)
-      if (!VersionedTable.history(t).exists(_.txn.contains(0L)))
-        VersionedTable.commit(Seq((1L, 10L)).toDF("a", "b"), t, "append", Some(0L))
+      if (!VersionedTable.history(t).exists(c =>
+          c.txn.contains(0L) && c.txnApp.contains("qA")))
+        VersionedTable.commit(Seq((1L, 10L)).toDF("a", "b"), t, "append",
+          Some(0L), Some("qA"), None)
       assert(VersionedTable.latestVersion(t) == before) // nothing re-committed
       assert(VersionedTable.history(t).flatMap(_.txn).sorted == Seq(0L, 1L))
     } finally q.stop()
+    // a SECOND query also starting at batchId 0 is NOT mistaken for a
+    // replay of the first's batch 0 — idempotency keys on the pair
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = VersionedTable.streamingCommitSink(mem2.toDF().toDF("a", "b"), t,
+        appId = "qB")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-vt-ck2").toString)
+      .start()
+    try {
+      mem2.addData((3L, 30L)); q2.processAllAvailable()
+      assert(VersionedTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+        Set((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L)))
+      assert(VersionedTable.history(t).count(_.txn.contains(0L)) == 2) // qA + qB
+    } finally q2.stop()
+  }
+
+  test("VersionedTable: checkpointed reads parse O(tail) entries, not O(history)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), t, "overwrite")
+    (1 to 24).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, i.toLong)).toDF("k", "v"), t, "append"))
+    // newest checkpoint is at version 20; the snapshot read should load
+    // it and PROBE versions 21..24 — never listing/parsing all 25
+    VersionedTable.parsedEntries.set(0)
+    assert(VersionedTable.read(spark, t).count() == 25)
+    val parsed = VersionedTable.parsedEntries.get
+    assert(parsed <= VersionedTable.CheckpointInterval + 1,
+      s"checkpointed read parsed $parsed entries — should be tail-sized")
+    // latestVersion rides the same probe path
+    VersionedTable.parsedEntries.set(0)
+    assert(VersionedTable.latestVersion(t) == 24L)
+    assert(VersionedTable.parsedEntries.get <= VersionedTable.CheckpointInterval + 1)
+    // time travel BELOW the checkpoint still works via full replay
+    assert(VersionedTable.readVersion(spark, t, 5).count() == 6)
+    assert(VersionedTable.readVersion(spark, t, 0).count() == 1)
+  }
+
+  test("VersionedTable: expectedVersion commit detects conflicts; merges never lose updates") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    // stale expectedVersion -> ConcurrentModificationException, and the
+    // staged-but-unreferenced data dir is reclaimed immediately
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), t, "append")
+    val dirsBefore = new java.io.File(t, "data").list().toSet
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commit(Seq((9L, "x")).toDF("k", "s"), t, "overwrite",
+        None, None, expectedVersion = Some(0L)) // table is at 1 now
+    }
+    assert(new java.io.File(t, "data").list().toSet == dirsBefore)
+    // two RACING merges on disjoint keys: the loser re-reads and
+    // re-merges, so BOTH change sets survive (no lost update)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val f1 = scala.concurrent.Future {
+      VersionedTable.merge(spark, t,
+        Seq((10L, "m1", 1L, "insert")).toDF("k", "s", "seq", "op"),
+        "k", "seq", "op")
+    }
+    val f2 = scala.concurrent.Future {
+      VersionedTable.merge(spark, t,
+        Seq((20L, "m2", 1L, "insert")).toDF("k", "s", "seq", "op"),
+        "k", "seq", "op")
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(f1, f2)),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    val keys = VersionedTable.read(spark, t).select("k")
+      .as[Long].collect().toSet
+    assert(keys == Set(1L, 2L, 10L, 20L),
+      s"a concurrent merge was lost: $keys")
+  }
+
+  test("VersionedTable: vacuum never destroys the current snapshot; orphaned staged dirs are reclaimed") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), t, "append")
+    // a writer that staged data and died before claiming a slot
+    val orphan = java.nio.file.Paths.get(t, "data", "dead-writer-uuid")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // keepAfter AT/ABOVE latest must clamp, not wipe the table
+    VersionedTable.vacuum(t, keepAfter = 99L, orphanGraceMs = 0L)
+    assert(VersionedTable.read(spark, t).count() == 2)
+    assert(VersionedTable.latestVersion(t) == 1L)
+    assert(!Files.exists(orphan), "orphaned staged dir not reclaimed")
+    // and the post-vacuum checkpoint keeps the probe path anchored
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), t, "append")
+    assert(VersionedTable.read(spark, t).count() == 3)
+  }
+
+  test("VersionedTable: cross-JVM writers race the log — every commit lands exactly once") {
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    // seed version 0 so both racers contend from the same base
+    VersionedTable.claimSlot(t, "overwrite", "data/seed", None, None, None)
+    val cp = sys.props("java.class.path")
+    val n = 25
+    def fork(writer: String) = new ProcessBuilder(
+        "java", "-cp", cp, "graft.tools.CommitRace", t, writer, n.toString)
+      .redirectErrorStream(true).start()
+    val (p1, p2) = (fork("w1"), fork("w2"))
+    assert(p1.waitFor() == 0 && p2.waitFor() == 0,
+      "racer JVM failed — check graft.tools.CommitRace")
+    val h = VersionedTable.history(t)
+    // exactly 1 seed + 2n commits, versions contiguous with no gaps
+    assert(h.map(_.version) == (0L until (2L * n + 1)),
+      s"version sequence broken: ${h.map(_.version)}")
+    // every (writer, i) landed exactly once — nothing lost, nothing doubled
+    val byWriter = h.drop(1).groupBy(_.txnApp.get)
+    assert(byWriter.keySet == Set("w1", "w2"))
+    byWriter.values.foreach(cs =>
+      assert(cs.flatMap(_.txn).sorted == (0L until n), s"lost commits: $cs"))
   }
 }
