@@ -58,9 +58,15 @@ object Dedup {
     * the scan, nothing shuffles).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    // null-text docs absent, like the explode form. Filter on the TEXT
+    // column, not the signature: minhash_sig is null-intolerant, so the
+    // two are equivalent — but `sig.isNotNull` gets predicate-pushed
+    // BELOW the Project as `isnotnull(minhash_sig(..))`, evaluating the
+    // whole signature a second time per row (caught by the PlansSpec
+    // single-evaluation pin), while the text predicate reaches the scan.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         graft.functions.MinHashSig.minhashSig(lower(col(textCol)), k).as("sig"))
-      .filter(col("sig").isNotNull) // null-text docs absent, like the explode form
 
   /** The explode + TypedImperativeAggregate formulation — the spec's
     * differential reference for [[minhashSignatures]], and continued
@@ -300,10 +306,13 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     // scan-stage native expression — zero exchange for the signature
     // stage (the aggregate form shuffles a vote buffer per doc per
-    // partition); null-text docs are absent, matching the explode form
-    df.select(col(idCol).as("id"),
+    // partition); null-text docs are absent, matching the explode form.
+    // Filter on TEXT, not the signature — a signature-null predicate
+    // would be pushed below the Project and evaluate simhash64 twice
+    // per row (see minhashSignatures).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         graft.functions.SimHash64.simhash64(lower(col(textCol))).as("simhash"))
-      .filter(col("simhash").isNotNull)
 
   /** The aggregate formulation (explode → xxhash64 → SimHashAgg) —
     * kept as the differential reference exercising the custom

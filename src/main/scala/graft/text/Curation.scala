@@ -378,9 +378,11 @@ object Curation {
     val cu = cb.select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
       .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
       .localCheckpoint() // feeds the hot list and both join legs
+    // no null filter: countDistinct skips NULL already, and an explicit
+    // `token.isNotNull` would be predicate-pushed below the Project,
+    // re-evaluating try_element_at(split(..)) once more per doc
     val v = cu.select(col("w1").as("token"))
       .unionAll(df.select(try_element_at(t, lit(-1)).as("token")))
-      .filter(col("token").isNotNull)
       .agg(countDistinct(col("token")).as("__v"))
     val withCb = graft.operators.SkewJoin.saltedInnerHotDf(
       tc, cb, "bg",

@@ -273,15 +273,16 @@ class PlansSpec extends AnyFunSuite {
         acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     }
     spark.sparkContext.addSparkListener(l)
-    try body finally ()
-    // the listener bus is async — poll until the sum is stable
-    var prev = -1L; var stable = 0; var waited = 0
-    while (stable < 3 && waited < 10000) {
-      Thread.sleep(100); waited += 100
-      val cur = acc.get
-      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-    }
-    spark.sparkContext.removeSparkListener(l)
+    try {
+      body
+      // the listener bus is async — poll until the sum is stable
+      var prev = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val cur = acc.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(l) // even when body throws
     acc.get
   }
 
@@ -369,5 +370,75 @@ class PlansSpec extends AnyFunSuite {
     assert(shuffled > 0 && shuffled < bound,
       s"q_dedup_clusters shuffled $shuffled records " +
         s"(edges=$nEdges, ids=$nIds, bound=$bound)")
+  }
+
+  test("q_dedup_minhash: shuffle records bounded by banded docs + capped candidate pairs") {
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val nDocs = docs.count()
+    val nCand = graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id").count()
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_dedup_minhash")(spark, d01)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // what legitimately crosses the wire: the banded membership window +
+    // pairing groupBy (≤ docs × 16 bands, twice for the stitching pass),
+    // the pair dedup + verification joins (≤ a few × candidate pairs),
+    // and the per-pair shingle verification regroup. A banding
+    // regression (cap lost, bucket blowup, all-pairs fallback) lands
+    // orders past this; machine load cannot move record counts.
+    val bound = 8L * nDocs * 16 + 30L * nCand + 10000L
+    assert(shuffled > 0 && shuffled < bound,
+      s"q_dedup_minhash shuffled $shuffled records " +
+        s"(docs=$nDocs, candidates=$nCand, bound=$bound)")
+  }
+
+  test("q_dedup_ngram: shuffle records bounded by shingle volume + DF-capped pairs") {
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val totTok = docs
+      .agg(org.apache.spark.sql.functions.sum(size(split(lower(col("text")), " "))))
+      .head.getLong(0)
+    val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, d01).count()
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_dedup_ngram")(spark, d01)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // one (bucket, shingle) exchange of the exploded shingles (≤ tokens
+    // per doc), the per-shingle pair emission regrouped on (id_a, id_b)
+    // (DF-capped, empirically pair-sized at this corpus's dup density),
+    // and the thresholded output. An uncapped hot shingle or an
+    // all-pairs join multiplies the pair leg quadratically.
+    val bound = 6L * totTok + 400L * (nPairs + 1) + 10000L
+    assert(shuffled > 0 && shuffled < bound,
+      s"q_dedup_ngram shuffled $shuffled records " +
+        s"(tokens=$totTok, outPairs=$nPairs, bound=$bound)")
+  }
+
+  test("minhashCandidates: the signature expression is evaluated ONCE per row") {
+    // the sig Project feeds both the output column and the per-band
+    // generator — if CollapseProject ever inlined minhash_sig into both
+    // consumers, every doc would pay the signature twice (the r8
+    // VERDICT's named suspect); pin it mechanically
+    val docs = Tables.documents(spark, sf)
+    def countIn(df: org.apache.spark.sql.DataFrame)(
+        pf: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Unit]): Int =
+      df.queryExecution.optimizedPlan.collect { case node =>
+        node.expressions.map(_.collect(pf).size).sum
+      }.sum
+    val cand = graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id")
+    val nMh = countIn(cand) { case _: graft.functions.MinHashSig => () }
+    assert(nMh == 1,
+      s"minhash_sig appears $nMh times in the optimized plan — " +
+        "expected exactly one evaluation per row")
+    // simhash is a DOCUMENTED diamond (simhashPairsFromSigs: the cheap
+    // 64-bit signature plans once per self-join leg — measured faster
+    // than HOF pair emission): exactly one evaluation PER LEG. 4 would
+    // mean the minhash-style filter-pushdown double sneaked back in.
+    val sh = graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+    val nSh = countIn(sh) { case _: graft.functions.SimHash64 => () }
+    assert(nSh == 2,
+      s"simhash64 appears $nSh times in the optimized plan — " +
+        "expected one per self-join leg (2)")
   }
 }
