@@ -91,6 +91,11 @@ object VersionedTable {
   private val EntryRe =
     """\{"version":(\d+),"mode":"(overwrite|append)"(?:,"txnApp":"([^"]*)")?(?:,"txn":(-?\d+))?,"dataDir":"([^"]+)"\}""".r
 
+  // checkpoint-only line: the Delta SetTransaction record — the highest
+  // txn each app has committed at/below the checkpoint version, so the
+  // streaming replay guard never needs the full log
+  private val TxnRe = """\{"txnApp":"([^"]*)","maxTxn":(-?\d+)\}""".r
+
   private def parseLine(s: String): Option[Commit] = s.trim match {
     case EntryRe(v, m, app, t, d) =>
       Some(Commit(v.toLong, m, d, Option(t).map(_.toLong), Option(app)))
@@ -134,17 +139,29 @@ object VersionedTable {
       .toOption
   }
 
-  /** The replay closure stored at checkpoint `v` (one commit JSON per
-    * line), or None if the file is missing/garbled (reader falls back
-    * to the full log).
+  /** The state stored at checkpoint `v`: the replay closure (one commit
+    * JSON per line) plus the per-app max-txn map, or None if the file
+    * is missing/garbled (reader falls back to the full log).
     */
-  private def readCheckpoint(table: String, v: Long): Option[Seq[Commit]] = {
+  private def readCheckpoint(table: String, v: Long)
+      : Option[(Seq[Commit], Map[String, Long])] = {
     val p = logPath(table).resolve(checkpointName(v))
     if (!Files.isRegularFile(p)) return None
     val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
       .filter(_.nonEmpty)
-    val parsed = lines.flatMap(parseLine).toSeq
-    if (parsed.length == lines.length && parsed.nonEmpty) Some(parsed) else None
+    val commits = Seq.newBuilder[Commit]
+    val txns = Map.newBuilder[String, Long]
+    var bad = false
+    lines.foreach { l =>
+      l.trim match {
+        case EntryRe(cv, m, app, t, d) =>
+          commits += Commit(cv.toLong, m, d, Option(t).map(_.toLong), Option(app))
+        case TxnRe(app, mx) => txns += app -> mx.toLong
+        case _ => bad = true
+      }
+    }
+    val cs = commits.result()
+    if (bad || cs.isEmpty) None else Some((cs, txns.result()))
   }
 
   /** Entries strictly above `from`, by direct path PROBES (no listing):
@@ -176,7 +193,7 @@ object VersionedTable {
     val upTo = lastCheckpointVersion(table) match {
       case Some(cp) if version >= cp =>
         readCheckpoint(table, cp) match {
-          case Some(state) =>
+          case Some((state, _)) =>
             state ++ probeAbove(table, cp).filter(_.version <= version)
           case None => history(table).filter(_.version <= version)
         }
@@ -199,15 +216,38 @@ object VersionedTable {
     case None => history(table).lastOption.map(_.version).getOrElse(-1L)
   }
 
+  /** Per-app highest committed txn — the streaming replay guard's
+    * lookup. Checkpointed map merged with a fold over the probe tail
+    * when a checkpoint exists (O(tail)); full-log fold otherwise.
+    * Checkpoint maps carry forward transitively, so txns survive
+    * vacuum exactly like Delta's SetTransaction records do.
+    */
+  private[graft] def txnMaxes(table: String): Map[String, Long] = {
+    def fold(cs: Seq[Commit], base: Map[String, Long]): Map[String, Long] =
+      cs.foldLeft(base) {
+        case (m, Commit(_, _, _, Some(t), Some(app))) =>
+          m.updated(app, math.max(t, m.getOrElse(app, Long.MinValue)))
+        case (m, _) => m
+      }
+    lastCheckpointVersion(table).flatMap(cp =>
+      readCheckpoint(table, cp).map { case (_, txns) =>
+        fold(probeAbove(table, cp), txns)
+      }).getOrElse(fold(history(table), Map.empty))
+  }
+
   /** Snapshot the replay closure at `v` into `<v>.checkpoint` and point
     * `_last_checkpoint` at it (tmp + ATOMIC_MOVE — readers see the old
     * or the new pointer, never a torn one). Pure metadata; cost is
-    * O(closure), not O(table).
+    * O(closure), not O(table). `txns` is the per-app max-txn map at
+    * `v` — it must MERGE the prior checkpoint's map so identities
+    * older than the closure survive.
     */
-  private def writeCheckpoint(table: String, v: Long,
-                              closure: Seq[Commit]): Unit = {
+  private def writeCheckpoint(table: String, v: Long, closure: Seq[Commit],
+                              txns: Map[String, Long]): Unit = {
     val dir = logPath(table)
-    val body = closure.map(commitJson).mkString("\n")
+    val body = (closure.map(commitJson) ++ txns.toSeq.sortBy(_._1).map {
+      case (app, mx) => s"""{"txnApp":"$app","maxTxn":$mx}"""
+    }).mkString("\n")
     val tmp = Files.createTempFile(dir, s".cp$v-", ".tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(checkpointName(v)),
@@ -298,7 +338,7 @@ object VersionedTable {
         Files.createLink(slot, tmp)
         Files.deleteIfExists(tmp)
         if (v > 0 && v % CheckpointInterval == 0)
-          writeCheckpoint(table, v, snapshotCommits(table, v))
+          writeCheckpoint(table, v, snapshotCommits(table, v), txnMaxes(table))
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -400,8 +440,10 @@ object VersionedTable {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val replayed = history(table).exists(c =>
-          c.txn.contains(batchId) && c.txnApp.contains(appId))
+        // Delta's rule: batch ids are monotonic per app, so "this app's
+        // highest committed txn >= batchId" IS the replay test — an
+        // O(tail) checkpoint-map lookup, never a full log scan per batch
+        val replayed = txnMaxes(table).get(appId).exists(_ >= batchId)
         if (!replayed) {
           commit(batch, table, mode, txn = Some(batchId),
             txnApp = Some(appId), expectedVersion = None)
@@ -454,6 +496,9 @@ object VersionedTable {
     import scala.jdk.CollectionConverters._
     val all = history(table)
     if (all.isEmpty) return
+    // capture txn identities BEFORE any deletion — they must survive
+    // vacuum (Delta keeps SetTransaction records through checkpoints)
+    val txns = txnMaxes(table)
     val latest = all.last.version
     val cutoff = math.min(keepAfter, latest - 1) // the head always survives
     val keep = all.filter(_.version > cutoff)
@@ -482,7 +527,7 @@ object VersionedTable {
       try it.iterator().asScala
         .filter(d => Files.isDirectory(d) &&
           !referenced.contains(d.getFileName.toString) &&
-          now - Files.getLastModifiedTime(d).toMillis > orphanGraceMs)
+          now - Files.getLastModifiedTime(d).toMillis >= orphanGraceMs)
         .foreach(deleteRecursively)
       finally it.close()
     }
@@ -507,6 +552,6 @@ object VersionedTable {
         case i => upTo.drop(i)
       }
     }
-    writeCheckpoint(table, latest, headClosure)
+    writeCheckpoint(table, latest, headClosure, txns)
   }
 }

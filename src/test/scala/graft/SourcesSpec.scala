@@ -423,6 +423,11 @@ class SourcesSpec extends AnyFunSuite {
     val orphan = java.nio.file.Paths.get(t, "data", "dead-writer-uuid")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // backdate past any grace window — a wall-clock-fresh orphan is
+    // legitimately kept (its writer may still be staging)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
     // keepAfter AT/ABOVE latest must clamp, not wipe the table
     VersionedTable.vacuum(t, keepAfter = 99L, orphanGraceMs = 0L)
     assert(VersionedTable.read(spark, t).count() == 2)
@@ -431,6 +436,29 @@ class SourcesSpec extends AnyFunSuite {
     // and the post-vacuum checkpoint keeps the probe path anchored
     VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), t, "append")
     assert(VersionedTable.read(spark, t).count() == 3)
+  }
+
+  test("VersionedTable: txn identities ride checkpoints and survive vacuum") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    def row(i: Long) = Seq((i, i)).toDF("k", "v")
+    VersionedTable.commit(row(0), t, "overwrite")
+    (1L to 6L).foreach(i =>
+      VersionedTable.commit(row(i), t, "append", Some(i), Some("s"), None))
+    VersionedTable.commit(row(7), t, "overwrite") // truncates the replay
+    (8L to 12L).foreach(i =>
+      VersionedTable.commit(row(i), t, "append", Some(i), Some("s"), None))
+    // the streaming guard's lookup: checkpoint map (written at v10)
+    // merged with the probe tail — never a full log scan
+    assert(VersionedTable.txnMaxes(t) == Map("s" -> 12L))
+    // vacuum drops versions 0..6 (below the last overwrite) — the app's
+    // committed-txn high-water mark must survive via the checkpoint,
+    // like Delta's SetTransaction records, or a restarted stream would
+    // re-commit batches the vacuumed entries proved were applied
+    VersionedTable.vacuum(t, keepAfter = 11L, orphanGraceMs = 0L)
+    assert(VersionedTable.history(t).map(_.version).head == 7L) // 0..6 gone
+    assert(VersionedTable.txnMaxes(t) == Map("s" -> 12L))
   }
 
   test("VersionedTable: cross-JVM writers race the log — every commit lands exactly once") {
