@@ -451,6 +451,57 @@ object VersionedTable {
         }
     }
 
+  /** The commit log AS A STREAM — Delta's streaming-source/CDF-read
+    * angle: one row per published log entry (version, mode, txnApp,
+    * txn, dataDir), delivered exactly once by Structured Streaming's
+    * file-source tracking. Safe by construction: entries are hard-link
+    * published ATOMICALLY with full content, so the file source can
+    * never observe a torn entry; temp files are dot-prefixed (hidden)
+    * and checkpoint/pointer files fail the `*.json` glob. Pair with
+    * [[hydrate]] inside `foreachBatch` to turn entries into data rows —
+    * log rows are the stream (tiny, exactly-once), data hydration is a
+    * batch-side parquet read of exactly the committed dirs.
+    */
+  def commitStream(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+    Files.createDirectories(logPath(table))
+    spark.readStream
+      .option("pathGlobFilter", "*.json")
+      .text(logPath(table).toString)
+      .select(
+        when(regexp_extract(col("value"), "\"version\":(\\d+)", 1) =!= lit(""),
+          regexp_extract(col("value"), "\"version\":(\\d+)", 1).cast("long"))
+          .as("version"), // unparsable line → null version, dropped below
+        regexp_extract(col("value"), "\"mode\":\"(overwrite|append)\"", 1)
+          .as("mode"),
+        regexp_extract(col("value"), "\"txnApp\":\"([^\"]*)\"", 1)
+          .as("txnApp"),
+        // absent → '' → null (an eager ANSI cast of '' would throw)
+        when(regexp_extract(col("value"), "\"txn\":(-?\\d+)", 1) =!= lit(""),
+          regexp_extract(col("value"), "\"txn\":(-?\\d+)", 1).cast("long"))
+          .as("txn"),
+        regexp_extract(col("value"), "\"dataDir\":\"([^\"]+)\"", 1)
+          .as("dataDir"))
+      .filter(col("dataDir") =!= "" && col("version").isNotNull) // unparsable lines
+  }
+
+  /** Batch-side hydration for [[commitStream]] micro-batches (call
+    * inside `foreachBatch`): reads the data rows the batch's entries
+    * committed. The collect is ENTRY-sized (per-batch commit count —
+    * O(100 bytes) each), never data-sized. Overwrite commits hydrate
+    * to the rows they staged, i.e. the stream delivers per-commit
+    * deltas, not snapshot diffs — the Delta `ignoreChanges` contract.
+    * Returns None for a batch with no data-bearing entries.
+    */
+  def hydrate(entries: DataFrame, table: String): Option[DataFrame] = {
+    val spark = entries.sparkSession
+    val dirs = entries.select("dataDir").collect().map(_.getString(0))
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d =>
+        spark.read.parquet(Paths.get(table, d).toString))
+      .reduce(_.unionByName(_)))
+  }
+
   /** OPTIMIZE: rewrite the current snapshot as one overwrite commit
     * with `targetFiles` output files — collapses append chains (and
     * their small-files problem) without losing history. Conflict-safe

@@ -438,6 +438,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 3)
   }
 
+  test("VersionedTable: the commit log streams — entries exactly once, hydrated to data rows") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val entriesSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = VersionedTable.commitStream(spark, t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-vt-cs").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        entriesSeen ++= b.select("version").collect().map(_.getLong(0))
+        VersionedTable.hydrate(b, t).foreach { data =>
+          seen ++= data.as[(Long, String)].collect()
+        }
+        b.unpersist(); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), t, "append")
+      q.processAllAvailable()
+      VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), t, "append")
+      q.processAllAvailable()
+      // every commit entry delivered exactly once, in the log's order
+      assert(entriesSeen.sorted == Seq(0L, 1L, 2L))
+      // hydration yields each commit's data rows exactly once
+      assert(seen.sortBy(_._1) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("VersionedTable: txn identities ride checkpoints and survive vacuum") {
     import spark.implicits._
     import graft.sources.VersionedTable
