@@ -248,11 +248,17 @@ object Curation {
     val t = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val grams = df
       .select(col(idCol).cast("long").as("id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - n),
+      // short docs excluded INSIDE the explode (empty array → no rows):
+      // a `size(t) >= n` filter here would be predicate-pushed below
+      // the Project and re-evaluate the split per doc (the signature
+      // double-eval pattern); `when` also keeps sequence() off the
+      // negative-bound path for short docs
+      .select(col("id"), explode(when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
         // unit-separator join: ("ab","c") and ("a","bc") fingerprint apart
         i => struct(i.as("pos"),
           xxhash64(array_join(slice(col("t"), i + 1, lit(n)), "")).as("g"))))
+        .otherwise(array()))
         .as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
       .repartition(col("g")) // ONE exchange: serves the windows below
