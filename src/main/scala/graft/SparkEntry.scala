@@ -1405,6 +1405,17 @@ object SparkEntry {
     * re-join). */
   private def qPipelineCuration(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // localCheckpoint: `gated` feeds THREE consumers (the canon groupBy,
+    // the dedup join probe, and the final select) and its quality
+    // filter would otherwise be predicate-pushed below the Gopher
+    // Projects, inlining the whole top-bigram fold (word_ngrams +
+    // sorted-run aggregate) into a Filter — the flags computed 2x per
+    // doc per plan copy (caught by the PlansSpec Filter sweep). One
+    // eager job materializes the gated rows once; everything downstream
+    // reuses them. Measured tradeoff: +0.1 s at sf0.1 (the checkpoint
+    // job costs more than the duplicated fold saves on 5k docs) for
+    // 1x-instead-of-6x flags evaluation — the right side of the trade
+    // everywhere the corpus, not the job launch, is the cost.
     val gated = docs.join(
         graft.text.Gopher.flags(docs, "text", "doc_id")
           .select(col("doc_id"), col("n_words"), col("top_bigram_char_frac"),
@@ -1413,6 +1424,7 @@ object SparkEntry {
       .filter(col("n_words") >= 50 && col("top_bigram_char_frac") <= 0.2
         && col("dup_line_frac") <= 0.3)
       .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
     val canon = gated.groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("__canon"))
     val ded = gated.join(canon, md5(col("text")) === col("__h"))

@@ -441,4 +441,32 @@ class PlansSpec extends AnyFunSuite {
       s"simhash64 appears $nSh times in the optimized plan — " +
         "expected one per self-join leg (2)")
   }
+
+  test("no query plan evaluates an expensive custom expression inside a Filter") {
+    // the pushdown pathology class: a predicate over a column computed
+    // by an expensive scan-stage expression gets pushed below its
+    // Project, inlining a SECOND full evaluation per row into the
+    // Filter. These expressions are signature/array builders — any
+    // appearance in a Filter condition is a re-evaluation bug, never a
+    // legitimate predicate. Sweeps every SparkEntry query's optimized
+    // plan (analysis only, nothing executes). Found and fixed this way:
+    // minhashSignatures/simhash sig.isNotNull, markedGrams size filter,
+    // q_pipeline_curation's quality gate over the Gopher fold.
+    val sfDir = sf
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        plan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case e: graft.functions.MinHashSig => e.prettyName
+              case e: graft.functions.SimHash64 => e.prettyName
+              case e: graft.functions.WordNgrams => e.prettyName
+              case e: graft.functions.TitleCase => e.prettyName
+            }.map(name -> _)
+        }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"Filter nodes evaluating expensive expressions: $offenders")
+  }
 }
