@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark) // SQL fns + library optimizer rules
 
     // Time production plans: precondition certificates (recall margin,
     // probe coverage) belong to correctness runs, where the oracle makes

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[TitleCase].getName, name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.CollapseTitleCase)
+    e.injectOptimizerRule(_ => graft.plans.SimplifyGraftNullGuards)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -47,6 +48,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseTitleCase)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollapseTitleCase
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SimplifyGraftNullGuards)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimplifyGraftNullGuards
     }
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -170,6 +170,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark) // SQL fns + library optimizer rules
     val sf = "/root/testdata/sf0.001"
 
     val sections = Annotated.map { case (name, note) =>

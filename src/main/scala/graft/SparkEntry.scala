@@ -2021,11 +2021,14 @@ object SparkEntry {
   private def qNormalize(s: SparkSession, d: String): DataFrame = {
     import graft.functions.NfcNormalize.nfcNormalize
     val decomposed = concat(col("c_mktsegment"), lit("é"))
+    // bind the normalization once; referencing it in two output
+    // columns of one select evaluates NFC twice per row
     Tables.customer(s, d).select(
-      col("c_custkey"),
-      nfcNormalize(decomposed).as("normalized"),
-      length(decomposed).cast("long").as("len_raw"),
-      length(nfcNormalize(decomposed)).cast("long").as("len_nfc"))
+        col("c_custkey"),
+        nfcNormalize(decomposed).as("normalized"),
+        length(decomposed).cast("long").as("len_raw"))
+      .select(col("c_custkey"), col("normalized"), col("len_raw"),
+        length(col("normalized")).cast("long").as("len_nfc"))
   }
 
   /** Error-safe function battery: try_cast / try_divide / try_element_at
@@ -2612,9 +2615,17 @@ object SparkEntry {
     * intersect/except are non-trivially populated (b ⊂≈ a plus one
     * truncation-boundary shingle). */
   private def qArrayFns(s: SparkSession, d: String): DataFrame = {
-    val a = graft.dedup.Dedup.shingles(lower(col("text")), 2)
-    val b = graft.dedup.Dedup.shingles(lower(substring(col("text"), 1, 50)), 2)
-    Tables.documents(s, d).select(
+    // bind the shingle arrays ONCE in a prior projection — inlining the
+    // Column vals directly would evaluate word_shingles 5x per doc in
+    // one Project (CollapseProject keeps the split because a non-cheap
+    // expression referenced >1x is not inlined; the PlansSpec sweep
+    // pins it)
+    val bound = Tables.documents(s, d).select(col("doc_id"),
+      graft.dedup.Dedup.shingles(lower(col("text")), 2).as("__a"),
+      graft.dedup.Dedup.shingles(lower(substring(col("text"), 1, 50)), 2).as("__b"))
+    val a = col("__a")
+    val b = col("__b")
+    bound.select(
       col("doc_id"),
       array_join(array_sort(array_union(a, b)), "|").as("u"),
       array_join(array_sort(array_intersect(a, b)), "|").as("i"),

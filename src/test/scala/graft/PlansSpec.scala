@@ -453,20 +453,55 @@ class PlansSpec extends AnyFunSuite {
     // minhashSignatures/simhash sig.isNotNull, markedGrams size filter,
     // q_pipeline_curation's quality gate over the Gopher fold.
     val sfDir = sf
+    def expensive(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e.collect {
+      case x: graft.functions.MinHashSig => x
+      case x: graft.functions.SimHash64 => x
+      case x: graft.functions.WordNgrams => x
+      case x: graft.functions.WordShingles => x
+      case x: graft.functions.TitleCase => x
+      case x: graft.functions.JaroWinkler => x
+      case x: graft.functions.DotProduct => x
+      case x: graft.functions.NfcNormalize => x
+    }
+    // Two pathology shapes, both counted on CANONICALLY-IDENTICAL trees:
+    //   1. the same tree in a Filter AND anywhere else — predicate-
+    //      pushdown substitution (incl. the guards
+    //      InferFiltersFromGenerate manufactures around explode): both
+    //      evaluations run over essentially the same rows.
+    //   2. the same tree >= 2x within ONE non-Join node — a lost
+    //      common-subexpression binding (q_array_fns' shingles,
+    //      q_normalize's nfc before their fixes).
+    // NOT flagged, deliberately: a tree in a Join CONDITION recomputed
+    // in the Project above (q_embed_pairs' cosine threshold, fuzzy
+    // joins' jaro) — the condition evaluates over candidates, the
+    // projection only over survivors; a single-eval plan would compute
+    // the same total while shuffling MORE rows. A tree appearing only
+    // in a Filter is likewise fine (q_ann_lsh's bucket probe — pruning
+    // drops it downstream). The simhash self-join diamond's legs carry
+    // different attribute ids and never collide.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-        plan.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition.collect {
-              case e: graft.functions.MinHashSig => e.prettyName
-              case e: graft.functions.SimHash64 => e.prettyName
-              case e: graft.functions.WordNgrams => e.prettyName
-              case e: graft.functions.TitleCase => e.prettyName
-            }.map(name -> _)
+        val occ = plan.collect { case node =>
+          node.expressions.flatMap(expensive).map(x => (node, x.canonicalized))
         }.flatten
+        occ.groupBy(_._2).collect {
+          case (tree, os) if {
+            val inFilter = os.exists(
+              _._1.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter])
+            val maxInOneNonJoinNode = os.groupBy(o => o._1).collect {
+              case (n, xs)
+                  if !n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] =>
+                xs.size
+            }.maxOption.getOrElse(0)
+            (os.size >= 2 && inFilter) || maxInOneNonJoinNode >= 2
+          } =>
+            (name, s"${tree.prettyName} evaluated ${os.size}x across " +
+              os.map(_._1.nodeName).distinct.mkString("/"))
+        }
     }
     assert(offenders.isEmpty,
-      s"Filter nodes evaluating expensive expressions: $offenders")
+      s"expensive-expression double evaluations: $offenders")
   }
 }

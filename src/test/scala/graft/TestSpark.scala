@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s) // SQL fns + library optimizer rules
     s
   }
 }
