@@ -395,20 +395,21 @@ object TimeSeries {
     * EVERY step, so the whole trajectory replays bit-for-bit in a SQL
     * recursive CTE (the k-means inter-iteration quantization idiom) —
     * and the coupled recurrence, inherently sequential, stays inside
-    * the engine as a struct-accumulator left fold over each row's
-    * ordered prefix (the [[ewma]] pattern, with (l, b, started) as the
-    * fold state).
+    * the engine as [[graft.functions.HoltStatesAgg]]: ONE linear fold
+    * per series producing every row's (level, trend, forecast) in a
+    * single aggregate, exploded and joined back on (keys, order).
     *
-    * Cost shape: the prefix re-fold makes a key's series O(T²) in its
-    * OWN length — T is bucket-count-bounded (time span / bucket width),
-    * not corpus-bounded, the [[trendDecompose]] argument; `maxLen`
-    * fail-fasts if an outlier timestamp inflates the grid. Nulls in
-    * `valueCol` are dropped by the frame collect and would misalign the
-    * recurrence — feed a densified or null-free series.
+    * Cost shape: O(T log T) per series (the in-eval sort) — the
+    * windowed prefix-re-fold formulation this replaced
+    * ([[holtViaWindow]], kept as the differential reference) was O(T²)
+    * in a key's OWN series length, which is why it carried a maxLen
+    * compute guard. Here `maxLen` only bounds the per-group buffer
+    * (series held in memory during the fold: 17 bytes/row). Nulls in
+    * `valueCol` keep the prior state (exactly the frame-collect
+    * semantics); rows with a null `orderCol` get null states.
     *
-    * Appends `level`, `trend`, `forecast`. α/β are embedded as plan
-    * literals; any decimal literal parses to the same double on both
-    * engines, so no representability restriction. */
+    * Appends `level`, `trend`, `forecast`. α/β are embedded in the
+    * aggregate; `orderCol` must be integral (it keys the join back). */
   def holt(df: DataFrame, keyCols: Seq[String], orderCol: String,
            valueCol: String, alpha: Double, beta: Double,
            maxLen: Int = 10000): DataFrame = {
@@ -419,8 +420,29 @@ object TimeSeries {
       .agg(max(col("count"))).head
     if (!longest.isNullAt(0)) require(longest.getLong(0) <= maxLen,
       s"holt: a key's series has ${longest.getLong(0)} buckets (> maxLen=" +
-        s"$maxLen) — the prefix re-fold is quadratic in series length; " +
+        s"$maxLen) — the whole series folds in one aggregation buffer; " +
         "widen the bucket or filter outlier timestamps.")
+    val states = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.HoltStatesAgg.holtStates(
+        col(orderCol).cast("long"), col(valueCol).cast("double"),
+        alpha, beta).as("__hs"))
+      .select((keyCols.map(col) :+ explode(col("__hs")).as("__h")): _*)
+      .select((keyCols.map(col) :+ col("__h.order").as("__ho")
+        :+ col("__h.level").as("level") :+ col("__h.trend").as("trend")
+        :+ col("__h.forecast").as("forecast")): _*)
+    df.withColumn("__ho", col(orderCol).cast("long"))
+      .join(states, keyCols :+ "__ho", "left")
+      .drop("__ho")
+  }
+
+  /** The windowed prefix-re-fold formulation [[holt]] replaced — kept
+    * as the differential reference (OperatorsSpec proves the aggregate
+    * path reproduces it bit-for-bit): collect_list over an unbounded-
+    * preceding frame re-folds row i's whole prefix, O(T²) per series.
+    */
+  private[graft] def holtViaWindow(df: DataFrame, keyCols: Seq[String],
+                                   orderCol: String, valueCol: String,
+                                   alpha: Double, beta: Double): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val frame = collect_list(col(valueCol).cast("double")).over(w)

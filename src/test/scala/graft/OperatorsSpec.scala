@@ -835,6 +835,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: linear aggregate path == windowed prefix-fold reference, bit-for-bit (seeded, nulls)") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 1L to 3L; t <- 1L to 60L) yield
+      (k, t, if (rnd.nextInt(10) == 0) null
+             else java.lang.Double.valueOf(rnd.nextInt(1000) / 10.0))
+    val df = rows.toDF("k", "t", "x")
+    def dump(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "t", "level", "trend", "forecast").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fast = dump(TimeSeries.holt(df, Seq("k"), "t", "x", 0.3, 0.2))
+    val ref = dump(TimeSeries.holtViaWindow(df, Seq("k"), "t", "x", 0.3, 0.2))
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (key, v) =>
+      assert(v == ref(key), s"state mismatch at $key: $v vs ${ref(key)}")
+    }
+  }
+
   test("neymanSample: budget flows to the high-variance stratum; all-constant strata sample nothing") {
     import graft.operators.Sampling
     // "a" has variance (sd=sqrt(50)), "b" and "c" are constant (sd=0):
