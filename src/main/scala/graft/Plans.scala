@@ -32,6 +32,8 @@ object Plans {
       "Shared window frames: running sum and lag use one partitioning + ordering — a single exchange and a single sort feed both.",
     "q_ann_brute" ->
       "Brute-force ANN: broadcast single-row query vector, per-row codegen'd dot products, TakeOrderedAndProject — no wide shuffle anywhere.",
+    "q_holt" ->
+      "Linear sequential recurrence: one HoltStatesAgg fold per series (ObjectHashAggregate) explodes every row's states and joins back — no unbounded-preceding window, no per-row prefix re-fold.",
     "q_gap_fill" ->
       "Gap fill: spine explode off a per-key min/max aggregate, left join back, forward-fill window — spine rows never exist on the driver.",
     "q_topk_custom" ->

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, IsNotNull, Literal, Lower, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{MinHashSig, NfcNormalize, PolyHash, SimHash64, TitleCase, WordNgrams, WordShingles}
+
+/** Null/emptiness guards over the library's expensive expressions are
+  * provably equivalent to guards over their INPUTS — and Catalyst
+  * manufactures exactly such guards: `InferFiltersFromGenerate` wraps
+  * `explode(word_shingles(text))` in
+  * `size(word_shingles(text)) > 0 AND isnotnull(word_shingles(text))`,
+  * and predicate pushdown then parks that Filter below the Project —
+  * so every row pays the FULL shingle build once in the filter and
+  * again in the projection (2-3x the scan-stage cost; caught by the
+  * PlansSpec expensive-expression Filter sweep).
+  *
+  * The algebra that makes stripping safe, not heuristic:
+  *   - every expression here is null-intolerant (UnaryExpression
+  *     default eval): `isnotnull(f(x))` ⟺ `isnotnull(x)`;
+  *   - [[WordShingles]] and [[MinHashSig]] NEVER return an empty array
+  *     for non-null input (short docs collapse to one whole-text
+  *     shingle; signatures are fixed-length k):
+  *     `size(f(x)) > 0` ⟺ `isnotnull(x)`.
+  *     ([[WordNgrams]] with emptyIfShort CAN be empty — its size guard
+  *     is semantics and is left alone.)
+  *
+  * Runs in the user-rules batch (after inference + pushdown), so it
+  * rewrites the guards wherever they ended up. Registered via
+  * [[graft.GraftExtensions]].
+  */
+object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
+
+  /** Peel null-intolerant wrappers down to the cheapest equivalent
+    * null-check target.
+    */
+  @annotation.tailrec
+  private def strip(e: Expression): Expression = e match {
+    case WordShingles(c, _) => strip(c)
+    case WordNgrams(c, _, _) => strip(c)
+    case MinHashSig(c, _) => strip(c)
+    case SimHash64(c) => strip(c)
+    case TitleCase(c) => strip(c)
+    case NfcNormalize(c) => strip(c)
+    case PolyHash(c) => strip(c)
+    case Lower(c) => strip(c)
+    case _ => e
+  }
+
+  private def neverEmptyArray(e: Expression): Boolean = e match {
+    case _: WordShingles | _: MinHashSig => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case GreaterThan(s: Size, Literal(0, IntegerType))
+          if neverEmptyArray(s.child) =>
+        IsNotNull(strip(s.child))
+      case inn @ IsNotNull(e) =>
+        val st = strip(e)
+        if (st.fastEquals(e)) inn else IsNotNull(st)
+    }
+}
