@@ -372,6 +372,25 @@ class PlansSpec extends AnyFunSuite {
         s"(edges=$nEdges, ids=$nIds, bound=$bound)")
   }
 
+  test("q_holt: shuffle records bounded by the hourly series, not the event corpus") {
+    val d01 = "/root/testdata/sf0.01"
+    val nBuckets = Tables.events(spark, d01)
+      .select(col("event_type"), expr("ts div 3600000000000").as("b"))
+      .distinct().count()
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_holt")(spark, d01)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // map-side combine collapses events to (type, hour) partials before
+    // the one corpus exchange; after that everything is series-sized:
+    // the HoltStatesAgg groupBy, the exploded states, and the join
+    // back. A regression to per-event shuffling (lost partial agg) or
+    // a per-row prefix blowup lands far past this.
+    val bound = 20L * nBuckets + 32L * 32L * 8L + 10000L
+    assert(shuffled > 0 && shuffled < bound,
+      s"q_holt shuffled $shuffled records for $nBuckets series buckets (bound=$bound)")
+  }
+
   test("q_dedup_minhash: shuffle records bounded by banded docs + capped candidate pairs") {
     val d01 = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d01)
