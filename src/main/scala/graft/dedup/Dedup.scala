@@ -388,7 +388,10 @@ object Dedup {
     val banded = simhashBanded(sigs, maxDist, maxBucket)
     // Pair emission by codegen'd self-join. This IS a diamond — the
     // simhash aggregate plans twice — but that aggregate is cheap (one
-    // 64-bit value per doc off a column-pruned scan) and the join beats
+    // 64-bit value per doc off a column-pruned scan); a localCheckpoint
+    // on `banded` was also measured (round 9: 2.00s -> 2.11s at sf0.1,
+    // reps=5) — the eager checkpoint job costs more than the duplicate
+    // scan-stage signature — and the join beats
     // the collect_list + nested-transform alternative 2x here: pair
     // emission through interpreted HOFs costs more than the second
     // aggregate (measured at sf0.1; the opposite tradeoff from
