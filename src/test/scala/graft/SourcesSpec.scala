@@ -471,6 +471,26 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("VersionedTable: time travel across a schema-evolving overwrite keeps each version's schema") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t, "overwrite")
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), t, "append")
+    // overwrite evolves the schema (string payload -> double + extra col)
+    VersionedTable.commit(Seq((3L, 3.5, true)).toDF("k", "d", "flag"), t, "overwrite")
+    VersionedTable.commit(Seq((4L, 4.5, false)).toDF("k", "d", "flag"), t, "append")
+    // head reads the NEW schema only (replay truncates at the overwrite,
+    // so the union never mixes schemas)
+    val head = VersionedTable.read(spark, t)
+    assert(head.schema.fieldNames.toSet == Set("k", "d", "flag"))
+    assert(head.count() == 2)
+    // time travel BELOW the evolution returns the OLD schema untouched
+    val v1 = VersionedTable.readVersion(spark, t, 1)
+    assert(v1.schema.fieldNames.toSet == Set("k", "s"))
+    assert(v1.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("VersionedTable: txn identities ride checkpoints and survive vacuum") {
     import spark.implicits._
     import graft.sources.VersionedTable
