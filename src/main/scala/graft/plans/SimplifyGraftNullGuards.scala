@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, IsNotNull, Literal, Lower, Size}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, IsNotNull, Length, Literal, Lower, Size, StringSplit, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -46,6 +46,32 @@ object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
     case NfcNormalize(c) => strip(c)
     case PolyHash(c) => strip(c)
     case Lower(c) => strip(c)
+    case Upper(c) => strip(c)
+    case Length(c) => strip(c)
+    // builtins that are null-intolerant in EVERY SQL mode (ANSI on or
+    // off): size(x) is null iff x is null (Spark 4 default
+    // legacySizeOfNull=false), and split's null-ness depends only on
+    // the string when regex/limit are non-null literals
+    case s: Size => strip(s.child)
+    case StringSplit(str, regex, limit)
+        if regex.foldable && regex.eval() != null &&
+           limit.foldable && limit.eval() != null => strip(str)
+    // numeric-to-numeric casts never null a non-null value in any mode
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+           c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      strip(c.child)
+    case f: org.apache.spark.sql.catalyst.expressions.Floor => strip(f.child)
+    case f: org.apache.spark.sql.catalyst.expressions.Ceil => strip(f.child)
+    // division by a non-zero literal: null iff the numerator is null
+    // (ANSI mode throws on /0 rather than nulling, but the non-zero
+    // guard keeps the rewrite valid in BOTH modes)
+    case d: org.apache.spark.sql.catalyst.expressions.Divide
+        if d.right.foldable && (d.right.eval() match {
+          case n: java.lang.Number => n.doubleValue() != 0.0
+          case dec: org.apache.spark.sql.types.Decimal => !dec.isZero
+          case _ => false
+        }) => strip(d.left)
     case _ => e
   }
 
