@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.CollapseTitleCase)
     e.injectOptimizerRule(_ => graft.plans.SimplifyGraftNullGuards)
+    e.injectOptimizerRule(_ => graft.plans.ReuseProjectedExpensiveInFilter)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -52,6 +53,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SimplifyGraftNullGuards)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SimplifyGraftNullGuards
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ReuseProjectedExpensiveInFilter)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ReuseProjectedExpensiveInFilter
     }
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -1508,13 +1508,19 @@ object SparkEntry {
     * .bm25TopK]]'s TakeOrderedAndProject head instead. */
   private def qRetrievalEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
     val qdefs = Seq(("q_join", "join", "merge"), ("q_scan", "scan", "filter"),
       ("q_batch", "batch", "window"))
+    // bind the token array ONCE per doc: every query leg's term
+    // frequencies (two per qrels leg) lambda-filter the same split, and
+    // an inline split would re-tokenize per tf AND once more in each
+    // pushed __tf >= 1 predicate
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        split(lower(col("text")), " ").as("__toks"))
     def tf(term: String) =
-      size(filter(split(lower(col("text")), " "), t => t === term)).cast("long")
+      size(filter(col("__toks"), t => t === term)).cast("long")
     val runs = qdefs.map { case (qid, t1, _) =>
-        docs.select(lit(qid).as("qid"), col("doc_id").as("id"), tf(t1).as("__tf1"))
+        toked.select(lit(qid).as("qid"), col("id"), tf(t1).as("__tf1"))
           .filter(col("__tf1") >= 1)
       }.reduce(_ unionAll _)
       .withColumn("rank", row_number()
@@ -1522,7 +1528,7 @@ object SparkEntry {
         .cast("long"))
       .filter(col("rank") <= 20)
     val qrels = qdefs.map { case (qid, t1, t2) =>
-        docs.select(lit(qid).as("qid"), col("doc_id").as("id"),
+        toked.select(lit(qid).as("qid"), col("id"),
             tf(t1).as("__tf1"), tf(t2).as("__tf2"))
           .filter(col("__tf1") >= 1 && col("__tf2") >= 1)
           .select(col("qid"), col("id"), least(col("__tf1"), lit(3L)).as("rel"))

@@ -33,6 +33,11 @@ case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpres
                                                  newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "cms_estimate"
 }
 

@@ -34,6 +34,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
                                                  newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "dot_product"
 }
 

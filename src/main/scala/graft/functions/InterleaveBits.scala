@@ -28,6 +28,11 @@ case class InterleaveBits(left: Expression, right: Expression) extends BinaryExp
                                                  newRight: Expression): InterleaveBits =
     copy(left = newLeft, right = newRight)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "interleave_bits"
 }
 

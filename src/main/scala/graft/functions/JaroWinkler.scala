@@ -37,6 +37,11 @@ case class JaroWinkler(left: Expression, right: Expression)
                                                  newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "jaro_winkler"
 }
 

@@ -41,6 +41,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "minhash_sig"
 }
 

@@ -28,6 +28,11 @@ case class NfcNormalize(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "nfc_normalize"
 }
 

@@ -40,6 +40,11 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "simhash64"
 }
 

@@ -29,6 +29,11 @@ case class TitleCase(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): TitleCase =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "titlecase"
 }
 

@@ -45,6 +45,11 @@ case class WordNgrams(child: Expression, n: Int, emptyIfShort: Boolean)
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "word_ngrams"
 }
 

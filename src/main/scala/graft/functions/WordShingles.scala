@@ -34,6 +34,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 
+  // null-safe eval => null iff an input is null; advertising the
+  // flag lets constraint inference and SimplifyGraftNullGuards
+  // reason about isnotnull chains through this expression
+  override def nullIntolerant: Boolean = true
+
   override def prettyName: String = "word_shingles"
 }
 
