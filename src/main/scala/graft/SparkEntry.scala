@@ -4305,9 +4305,48 @@ object SparkEntry {
         VersionedTable.readVersion(s, base, 2).withColumn("version", lit(2L)))
   }
 
+  /** SAS7BDAT round-trip under the oracle ([[graft.sources.Sas7bdat]] —
+    * SURVEY §2.1 S4, the reference's i94 input format, notebook cell 7):
+    * customer, cast to SAS's two types (numeric=double, char) with
+    * missing values injected on both (negative balances → missing
+    * numeric, one segment → missing char), is streamed into a real
+    * sas7bdat file and read back through the parallel page-range reader.
+    * The aggregate fingerprint — exact integer sums, null counts,
+    * string extremes — is recomputed by the oracle straight from the
+    * parquet table with the same SAS-semantics CASEs, so any encode or
+    * decode corruption (offsets, widths, NaN-missing mapping, blank
+    * trimming, page walking) breaks the hash. The same writer+reader
+    * pair round-trips the reference's full 3,096,313-row mirror and is
+    * cross-read by pandas' independent decoder (Sas7bdatSpec,
+    * tools/check_sas7bdat_pandas.py). */
+  private def qSas7bdatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("double").as("custkey"),
+      col("c_nationkey").cast("double").as("nationkey"),
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+        .cast("double").as("acctbal"),
+      col("c_name").as("name"),
+      when(col("c_mktsegment") === "BUILDING", lit(null))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-sas-rt-${Integer.toHexString(d.hashCode)}.sas7bdat").getPath
+    graft.sources.Sas7bdat.writeDataFrame(cust, path, datasetName = "CUSTOMER")
+    graft.sources.Sas7bdat.read(s, path).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("custkey").cast("long")).as("sum_key"),
+      sum(round(col("acctbal") * 100).cast("long")).as("sum_bal_cents"),
+      sum(when(col("acctbal").isNull, 1L).otherwise(0L)).as("n_null_bal"),
+      sum(when(col("segment").isNull, 1L).otherwise(0L)).as("n_null_seg"),
+      min(col("name")).as("min_name"),
+      max(col("name")).as("max_name"),
+      countDistinct(col("segment")).as("n_seg"),
+      sum(col("nationkey").cast("long")).as("sum_nation"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sas7bdat_roundtrip" -> (qSas7bdatRoundtrip _),
     "q_time_travel"    -> (qTimeTravel _),
     "q_ks_test"        -> (qKsTest _),
     "q_mann_whitney"   -> (qMannWhitney _),
@@ -5228,6 +5267,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     // v1 = overwrite(r<2) + append(r>=2) = all of nation; v2 = the
+    // the round-trip fingerprint recomputed straight from the parquet
+    // table, modeling SAS's two-type semantics in SQL (missing numeric,
+    // missing char) — any writer/reader corruption breaks the hash
+    "q_sas7bdat_roundtrip" -> """
+      WITH sas AS (
+        SELECT CAST(c_custkey AS DOUBLE) AS custkey,
+          CAST(c_nationkey AS DOUBLE) AS nationkey,
+          CASE WHEN c_acctbal < 0 THEN NULL ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
+          c_name AS name,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS segment
+        FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(custkey AS BIGINT)) AS BIGINT) AS sum_key,
+        CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+        CAST(sum(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+        CAST(sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_seg,
+        min(name) AS min_name,
+        max(name) AS max_name,
+        CAST(count(DISTINCT segment) AS BIGINT) AS n_seg,
+        CAST(sum(CAST(nationkey AS BIGINT)) AS BIGINT) AS sum_nation
+      FROM sas""",
     // r=0 overwrite snapshot — recomputed from the base table, so the
     // version-log replay is what the hash pins
     "q_time_travel" -> """
