@@ -41,10 +41,12 @@ import org.apache.spark.sql.types._
   * failure mode of driver-side `pd.read_sas` (BASELINE.md records the
   * reference's 25-minute single-process read).
   *
-  * Scope: uncompressed u64 little-endian files (what SAS on x64 writes by
-  * default and what the writer emits). Truncated numerics (width 3..7) are
-  * decoded. SASYZCRL/SASYZCR2-compressed files are detected and refused
-  * with a clear error rather than misread.
+  * Scope: u64 little-endian files (what SAS on x64 writes by default and
+  * what the writer emits), uncompressed or SASYZCRL (RLE) compressed —
+  * both still page-parallel, since a compressed page's row subheaders are
+  * self-contained. Truncated numerics (width 3..7) are decoded.
+  * SASYZCR2 (RDC) files are detected and refused with a clear error
+  * rather than misread.
   *
   * SAS data semantics mapped to Spark: SAS has exactly two column types —
   * floating numeric (IEEE double, missing "." = NaN payload) and
@@ -175,8 +177,11 @@ object Sas7bdat {
             val shOff  = bb.getLong(p).toInt
             val shLen  = bb.getLong(p + 8).toInt
             val shComp = page(p + 16).toInt & 0xFF
+            val shType = page(p + 17).toInt & 0xFF
             if (shLen > 0 && shComp != 1) {
-              val sig = bb.getInt(shOff)
+              // type 1 = a row payload (compressed layout): row bytes are
+              // arbitrary and must never be signature-dispatched
+              val sig = if (shType == 1) 0 else bb.getInt(shOff)
               sig match {
                 case SigRowSize =>
                   rowLength = bb.getLong(shOff + 40)
@@ -234,6 +239,127 @@ object Sas7bdat {
       rowLength, rowCount, mixRows, cols, compression)
   }
 
+  // ---- SASYZCRL (RLE) codec ------------------------------------------
+  // Opcode table from the published reverse-engineered spec (Shotwell
+  // sas7bdat.pdf §"Compressed binary data"; Hobbs' and pandas'
+  // decompressors implement the same table). High nibble = command, low
+  // nibble L = length modifier, [b] = following byte:
+  //   0x0 [b]    literal copy of L*256+b+64 bytes
+  //   0x4 [b][v] repeat v, L*16+b+18 times   (quirk: x16, not x256)
+  //   0x6 [b]    spaces  x (L*256+b+17)
+  //   0x7 [b]    zeros   x (L*256+b+17)
+  //   0x8..0xB   literal copy of L+1 / L+17 / L+33 / L+49 bytes
+  //   0xC [v]    repeat v, L+3 times
+  //   0xD / 0xE / 0xF   fill '@' / ' ' / 0x00, L+2 times
+  // The writer emits only the subset whose semantics all public readers
+  // agree on (0x0, 0x6, 0x7, 0x8-0xB, 0xC, 0xE, 0xF) — 0x4's multiplier
+  // differs between early decoders, so it is decoded here but never
+  // produced.
+
+  private[sources] def rleDecompress(src: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = 0; var o = 0
+    while (i < src.length && o < outLen) {
+      val ctrl = src(i) & 0xF0
+      val l    = src(i) & 0x0F
+      i += 1
+      def fill(n: Int, v: Byte): Unit = {
+        java.util.Arrays.fill(out, o, math.min(o + n, outLen), v); o += n
+      }
+      def copy(n: Int): Unit = {
+        System.arraycopy(src, i, out, o, math.min(n, outLen - o)); i += n; o += n
+      }
+      ctrl match {
+        case 0x00 => val n = l * 256 + (src(i) & 0xFF) + 64; i += 1; copy(n)
+        case 0x40 => val n = l * 16 + (src(i) & 0xFF) + 18; i += 1
+                     val v = src(i); i += 1; fill(n, v)
+        case 0x60 => val n = l * 256 + (src(i) & 0xFF) + 17; i += 1; fill(n, ' '.toByte)
+        case 0x70 => val n = l * 256 + (src(i) & 0xFF) + 17; i += 1; fill(n, 0.toByte)
+        case 0x80 => copy(l + 1)
+        case 0x90 => copy(l + 17)
+        case 0xA0 => copy(l + 33)
+        case 0xB0 => copy(l + 49)
+        case 0xC0 => val v = src(i); i += 1; fill(l + 3, v)
+        case 0xD0 => fill(l + 2, '@'.toByte)
+        case 0xE0 => fill(l + 2, ' '.toByte)
+        case 0xF0 => fill(l + 2, 0.toByte)
+        case _    => throw new IllegalStateException(f"bad RLE control 0x$ctrl%02X")
+      }
+    }
+    require(o == outLen, s"RLE decompressed to $o bytes, expected $outLen")
+    out
+  }
+
+  /** Greedy RLE encode (the agreed-on opcode subset only). Returns null
+    * when compression does not shrink the row — store raw in that case
+    * (readers key decompression on length < rowLength).
+    */
+  private[sources] def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(row.length)
+    var litStart = 0
+    def flushLiterals(until: Int): Unit = {
+      var p = litStart
+      while (p < until) {
+        val n = math.min(until - p, 4159)
+        if (n > 64) {
+          val m = n - 64
+          out.write(0x00 | (m >> 8)); out.write(m & 0xFF)
+        } else if (n > 48) out.write(0xB0 | (n - 49))
+        else if (n > 32)   out.write(0xA0 | (n - 33))
+        else if (n > 16)   out.write(0x90 | (n - 17))
+        else               out.write(0x80 | (n - 1))
+        out.write(row, p, n)
+        p += n
+      }
+      litStart = until
+    }
+    var i = 0
+    while (i < row.length) {
+      val v = row(i)
+      var run = 1
+      while (i + run < row.length && row(i + run) == v) run += 1
+      val isZero  = v == 0.toByte
+      val isSpace = v == ' '.toByte
+      // fills pay 1-2 control bytes; only take runs that win
+      val worthIt =
+        if (isZero || isSpace) run >= 2
+        else run >= 3
+      if (worthIt) {
+        flushLiterals(i)
+        var left = run
+        while (left > 0) {
+          if (isZero || isSpace) {
+            if (left >= 17) {
+              val n = math.min(left, 4112)
+              val m = n - 17
+              out.write((if (isZero) 0x70 else 0x60) | (m >> 8)); out.write(m & 0xFF)
+              left -= n
+            } else if (left >= 2) {
+              out.write((if (isZero) 0xF0 else 0xE0) | (left - 2)); left = 0
+            } else {
+              out.write(0x80); out.write(v); left = 0 // lone byte: literal
+            }
+          } else {
+            if (left >= 3) {
+              val n = math.min(left, 18)
+              out.write(0xC0 | (n - 3)); out.write(v)
+              left -= n
+            } else {
+              out.write(0x80 | (left - 1)); var k = 0
+              while (k < left) { out.write(v); k += 1 }
+              left = 0
+            }
+          }
+        }
+        i += run
+        litStart = i
+      } else i += run
+    }
+    flushLiterals(row.length)
+    val enc = out.toByteArray
+    if (enc.length < row.length) enc else null
+  }
+
   /** Decode a (possibly truncated) SAS numeric: the stored `width` bytes
     * are the MOST significant bytes of the 8-byte little-endian double
     * (SAS truncates mantissa tail); any NaN payload is missing → null.
@@ -289,6 +415,24 @@ object Sas7bdat {
         val base = raw + ((PageBitOffsetX64 + 8 + nSub * SubheaderPtrLenX64) % 8)
         val n    = math.min(meta.rowCount, meta.mixPageRowCount).toInt
         (0 until n).iterator.map(i => decodeRow(page, base + i * rowLen, meta.columns))
+      case PageMeta | PageMeta2 if meta.compression == "SASYZCRL" =>
+        // compressed layout: each row is its own subheader (pointer type
+        // 1); payloads shorter than the row length are RLE-encoded
+        val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
+        (0 until nSub).iterator.flatMap { i =>
+          val p      = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
+          val shOff  = bb.getLong(p).toInt
+          val shLen  = bb.getLong(p + 8).toInt
+          val shComp = page(p + 16).toInt & 0xFF
+          val shType = page(p + 17).toInt & 0xFF
+          if (shType == 1 && shLen > 0 && (shComp == 0 || shComp == 4)) {
+            val buf =
+              if (shLen < rowLen)
+                rleDecompress(java.util.Arrays.copyOfRange(page, shOff, shOff + shLen), rowLen)
+              else page
+            Some(decodeRow(buf, if (shLen < rowLen) 0 else shOff, meta.columns))
+          } else None
+        }
       case _ => Iterator.empty
     }
   }
@@ -301,8 +445,9 @@ object Sas7bdat {
   def read(spark: SparkSession, path: String,
            targetPartitionBytes: Long = 128L << 20): DataFrame = {
     val meta = inspect(path, spark.sparkContext.hadoopConfiguration)
-    require(meta.compression.isEmpty,
-      s"sas7bdat file is ${meta.compression}-compressed; only uncompressed files are supported")
+    require(meta.compression.isEmpty || meta.compression == "SASYZCRL",
+      s"sas7bdat file is ${meta.compression}-compressed; only uncompressed and " +
+        "SASYZCRL (RLE) files are supported")
     val nPages = meta.nPages
     val pagesPerSplit = math.max(1L, targetPartitionBytes / meta.pageSize)
     val ranges = (0L until nPages by pagesPerSplit)
@@ -355,7 +500,8 @@ object Sas7bdat {
     * caller knows the on-disk column order.
     */
   def writeDataFrame(df: DataFrame, path: String, pageSize: Int = 64 * 1024,
-                     datasetName: String = "GRAFT"): Seq[SasWriteCol] = {
+                     datasetName: String = "GRAFT",
+                     compress: Boolean = false): Seq[SasWriteCol] = {
     import org.apache.spark.sql.functions.{col, length, max}
     val charCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     val widths: Map[String, Int] =
@@ -374,7 +520,7 @@ object Sas7bdat {
       new Iterator[Seq[Any]] {
         def hasNext: Boolean = it.hasNext
         def next(): Seq[Any] = it.next().toSeq
-      }, pageSize, datasetName)
+      }, pageSize, datasetName, compress = compress)
     cols
   }
 
@@ -394,7 +540,7 @@ object Sas7bdat {
     */
   def write(path: String, cols: Seq[SasWriteCol], rows: Iterator[Seq[Any]],
             pageSize: Int = 64 * 1024, datasetName: String = "GRAFT",
-            timestampSec: Double = 1.7754e9): Long = {
+            timestampSec: Double = 1.7754e9, compress: Boolean = false): Long = {
     require(cols.forall(c => !c.numeric || c.width == 8), "numeric columns must be 8 bytes")
     // offsets are cumulative widths in declared order; rows are packed
     val offsets = cols.scanLeft(0L)((a, c) => a + c.width).init
@@ -409,7 +555,7 @@ object Sas7bdat {
     val ch = FileChannel.open(jPath, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      val mix = buildMixPage(cols, offsets, rowLength, pageSize)
+      val mix = buildMixPage(cols, offsets, rowLength, pageSize, compress)
       ch.write(ByteBuffer.wrap(buildHeader(headerLength, pageSize, datasetName, timestampSec)))
 
       val charsets = StandardCharsets.ISO_8859_1
@@ -439,10 +585,11 @@ object Sas7bdat {
         }
       }
 
-      // fill the mix page's row region first (rows 0..mixRows-1)
+      // fill the mix page's row region first (rows 0..mixRows-1);
+      // compressed files keep the mix page metadata-only
       val mixBuf = ByteBuffer.wrap(mix.page).order(ByteOrder.LITTLE_ENDIAN)
       var mixRows = 0L
-      while (rows.hasNext && mixRows < mix.rowCapacity) {
+      while (!compress && rows.hasNext && mixRows < mix.rowCapacity) {
         packRow(mixBuf, (mix.rowBase + mixRows * rowLength).toInt, rows.next())
         mixRows += 1
       }
@@ -460,14 +607,53 @@ object Sas7bdat {
         page.clear(); java.util.Arrays.fill(page.array(), 0.toByte)
         pageCount += 1
       }
-      var onPage = 0
       java.util.Arrays.fill(page.array(), 0.toByte)
-      while (rows.hasNext) {
-        packRow(page, bitOff + 8 + onPage * rowLength.toInt, rows.next())
-        onPage += 1; rowCount += 1
-        if (onPage == rowsPerDataPage) { flushPage(onPage); onPage = 0 }
+      if (compress) {
+        // SASYZCRL layout: every row is its own subheader on meta-type
+        // pages — pointers grow up from the page head, payloads pack
+        // down from the page end; rows that don't shrink store raw
+        // (readers key decompression on length < rowLength)
+        var nPtr = 0
+        // keep 8 tail bytes free: readers probe an 8-byte signature at
+        // every subheader offset, even for sub-8-byte row payloads
+        var payloadFloor = pageSize - 8
+        def flushRowPage(): Unit = {
+          page.putShort(bitOff, PageMeta.toShort)
+          page.putShort(bitOff + 2, nPtr.toShort)
+          page.putShort(bitOff + 4, nPtr.toShort)
+          page.position(0); page.limit(pageSize)
+          ch.write(page)
+          page.clear(); java.util.Arrays.fill(page.array(), 0.toByte)
+          pageCount += 1; nPtr = 0; payloadFloor = pageSize - 8
+        }
+        val scratch = new Array[Byte](rowLength.toInt)
+        val scratchBuf = ByteBuffer.wrap(scratch).order(ByteOrder.LITTLE_ENDIAN)
+        while (rows.hasNext) {
+          java.util.Arrays.fill(scratch, 0.toByte)
+          packRow(scratchBuf, 0, rows.next())
+          val enc = rleCompress(scratch)
+          val payload = if (enc != null) enc else scratch
+          if (bitOff + 8 + (nPtr + 1) * SubheaderPtrLenX64 > payloadFloor - payload.length)
+            flushRowPage()
+          payloadFloor -= payload.length
+          System.arraycopy(payload, 0, page.array(), payloadFloor, payload.length)
+          val p = bitOff + 8 + nPtr * SubheaderPtrLenX64
+          page.putLong(p, payloadFloor.toLong)
+          page.putLong(p + 8, payload.length.toLong)
+          page.put(p + 16, (if (enc != null) 4 else 0).toByte)
+          page.put(p + 17, 1.toByte)
+          nPtr += 1; rowCount += 1
+        }
+        if (nPtr > 0) flushRowPage()
+      } else {
+        var onPage = 0
+        while (rows.hasNext) {
+          packRow(page, bitOff + 8 + onPage * rowLength.toInt, rows.next())
+          onPage += 1; rowCount += 1
+          if (onPage == rowsPerDataPage) { flushPage(onPage); onPage = 0 }
+        }
+        if (onPage > 0) flushPage(onPage)
       }
-      if (onPage > 0) flushPage(onPage)
 
       // back-patch page count (header, offset 208 = 204+align1, int64 with
       // align2), row count, and rows-on-mix-page (row-size subheader)
@@ -514,12 +700,15 @@ object Sas7bdat {
     * for the first rows — which makes this a MIX page.
     */
   private def buildMixPage(cols: Seq[SasWriteCol], offsets: Seq[Long],
-                           rowLength: Long, pageSize: Int): MixPage = {
+                           rowLength: Long, pageSize: Int,
+                           compress: Boolean = false): MixPage = {
     val n = cols.length
     val bitOff = PageBitOffsetX64
     val page = ByteBuffer.allocate(pageSize).order(ByteOrder.LITTLE_ENDIAN)
     val nSub = 6 + n
-    page.putShort(bitOff, PageMix.toShort)
+    // compressed files get a pure META first page: readers' mix-page row
+    // loops are do-then-check, so a mix page with zero rows misreads
+    page.putShort(bitOff, (if (compress) PageMeta else PageMix).toShort)
     page.putShort(bitOff + 2, nSub.toShort)
     page.putShort(bitOff + 4, nSub.toShort)
 
@@ -556,15 +745,21 @@ object Sas7bdat {
     addSubheader(24)(off => { sig(off, SigColSize, 0); page.putLong(off + 8, n.toLong) })
     addSubheader(64)(off => sig(off, SigCounts, -1))
 
-    // column text: blob = [u16 size][14 zero bytes][names packed]
+    // column text: blob = [u16 size][14 zero bytes][compression literal
+    // if compressed — readers sniff it anywhere in the first blob][names]
     val nameBytes = cols.map(_.name.getBytes(StandardCharsets.ISO_8859_1))
-    val blobSize = 16 + nameBytes.map(_.length).sum
+    val litBytes =
+      if (compress) "SASYZCRL".getBytes(StandardCharsets.ISO_8859_1)
+      else Array.emptyByteArray
+    val nameBase = 16 + litBytes.length
+    val blobSize = nameBase + nameBytes.map(_.length).sum
     require(blobSize <= 0xFFFF, "column names exceed one text subheader")
-    val nameOffsets = nameBytes.scanLeft(16)((a, b) => a + b.length).init
+    val nameOffsets = nameBytes.scanLeft(nameBase)((a, b) => a + b.length).init
     addSubheader(8 + ((blobSize + 7) & ~7)) { off =>
       sig(off, SigText, -1)
       page.putShort(off + 8, blobSize.toShort)
-      var p = off + 8 + 16
+      page.position(off + 8 + 16); page.put(litBytes)
+      var p = off + 8 + nameBase
       nameBytes.foreach { b => page.position(p); page.put(b); p += b.length }
     }
     // column names

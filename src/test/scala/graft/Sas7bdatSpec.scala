@@ -97,6 +97,82 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(back.agg(sum("i")).head.getDouble(0) == (4999.0 * 5000 / 2))
   }
 
+  test("RLE codec: decompress(compress(x)) == x on adversarial byte rows") {
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[Array[Byte]] = Seq(
+      Array.fill[Byte](200)(0),                      // long zero run (0x70)
+      Array.fill[Byte](200)(' '),                    // long space run (0x60)
+      Array.fill[Byte](5000)('x'),                   // long repeat (chained 0xC0)
+      Array.tabulate[Byte](300)(i => i.toByte),      // incompressible literal (0x00 op)
+      Array.tabulate[Byte](64)(i => i.toByte),       // literal exactly 64 (0xBF)
+      Array[Byte](0),                                // lone zero
+      Array[Byte](0, 0),                             // minimal zero fill (0xF0)
+      Array[Byte]('a', 'a'),                         // sub-threshold repeat stays literal
+      Array.tabulate[Byte](4200)(i => (i % 251).toByte), // literal > 4159 chunking
+      Array.fill[Byte](17)(0) ++ Array.fill[Byte](16)(0), // 33 zeros spans 0x70/0xF0 split
+      Array.tabulate[Byte](1000)(i => if (i % 7 < 3) 0 else rnd.nextInt(256).toByte)
+    ) ++ (1 to 20).map(_ => Array.fill(rnd.nextInt(500) + 1)(rnd.nextInt(4) match {
+      case 0 => 0.toByte
+      case 1 => ' '.toByte
+      case 2 => 'z'.toByte
+      case _ => rnd.nextInt(256).toByte
+    }))
+    for ((row, i) <- rows.zipWithIndex) {
+      val enc = Sas7bdat.rleCompress(row)
+      if (enc != null) {
+        assert(enc.length < row.length, s"row $i: non-shrinking encode returned")
+        assert(Sas7bdat.rleDecompress(enc, row.length).toSeq == row.toSeq, s"row $i")
+      }
+    }
+    // full opcode table: hand-built stream covering ops the writer never
+    // emits (0x40 repeat, 0xD0 '@'-fill)
+    val stream = Array[Byte](
+      0x40.toByte, 0x00, 'k'.toByte,        // repeat 'k' x 18
+      (0xD0 | 0x03).toByte)                 // '@' x 5
+    val dec = Sas7bdat.rleDecompress(stream, 18 + 5)
+    assert(dec.take(18).forall(_ == 'k'.toByte) && dec.drop(18).forall(_ == '@'.toByte))
+  }
+
+  test("compressed (SASYZCRL) round-trip with parallel read; file shrinks") {
+    import spark.implicits._
+    // wide blank-padded strings + repeated values compress well (narrow
+    // rows can't: the format pays a 24-byte pointer per row — same
+    // trade-off as real SAS CHAR compression)
+    val df = (0 until 20000).map { i =>
+      (i.toDouble, if (i % 5 == 0) null else "v" * (i % 40 + 1),
+       if (i % 3 == 0) None else Some((i % 10).toDouble),
+       "x" * 100 + i.toString)
+    }.toDF("i", "pad", "v", "wide")
+    val plain = tmpFile("plain"); val comp = tmpFile("comp")
+    Sas7bdat.writeDataFrame(df, plain, pageSize = 8 * 1024)
+    Sas7bdat.writeDataFrame(df, comp, pageSize = 8 * 1024, compress = true)
+    val (szP, szC) = (java.nio.file.Files.size(java.nio.file.Paths.get(plain)),
+                      java.nio.file.Files.size(java.nio.file.Paths.get(comp)))
+    assert(szC < szP, s"compressed $szC !< plain $szP")
+    val meta = Sas7bdat.inspect(comp)
+    assert(meta.compression == "SASYZCRL" && meta.rowCount == 20000)
+    val back = Sas7bdat.read(spark, comp, targetPartitionBytes = 32 * 8192)
+      .select("i", "pad", "v", "wide")
+    assert(back.rdd.getNumPartitions > 1)
+    val expect = df.collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("compressed round-trip of a mirror shard (219k real rows)") {
+    val shard = spark.read.parquet(
+      "/root/reference/sas_data/part-00000-b9542815-7a8d-45fc-9c67-c9c5007ad0d4-c000.snappy.parquet")
+    val path = tmpFile("i94c")
+    Sas7bdat.writeDataFrame(shard, path, compress = true)
+    assert(Sas7bdat.inspect(path).compression == "SASYZCRL")
+    val back = Sas7bdat.read(spark, path).select(
+      shard.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val key = xxhash64(shard.schema.fieldNames.map(col).toIndexedSeq: _*)
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(key.cast(DecimalType(38, 0)))).head
+    assert(digest(shard) == digest(back))
+    Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
   test("full gate: the 3,096,313-row reference mirror survives the round-trip") {
     val mirror = spark.read.parquet("/root/reference/sas_data")
     val path = tmpFile("i94")
