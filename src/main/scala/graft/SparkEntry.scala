@@ -4343,9 +4343,40 @@ object SparkEntry {
       sum(col("nationkey").cast("long")).as("sum_nation"))
   }
 
+  /** The sas7bdat DataSourceV2 connector under the oracle
+    * ([[graft.sources.v2.Sas7bdatSource]]): orders (SAS-typed, with
+    * missing values injected) goes out through the writer and comes back
+    * through `spark.read.format("sas7bdat")` with a PRUNED projection —
+    * the scan decodes 3 of 5 on-disk columns (SupportsPushDownRequiredColumns
+    * reaches the byte decoder; Sas7bdatSpec pins the scan's readSchema).
+    * The oracle recomputes the fingerprint from parquet with the same
+    * SAS-semantics CASEs. */
+  private def qSas7bdatDsv2(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey").cast("double").as("okey"),
+      when(col("o_totalprice") > 200000, lit(null))
+        .otherwise(col("o_totalprice")).cast("double").as("price"),
+      col("o_orderpriority").as("prio"),
+      when(col("o_orderstatus") === "F", lit(null))
+        .otherwise(col("o_orderstatus")).as("status"))
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-sas-v2-${Integer.toHexString(d.hashCode)}.sas7bdat").getPath
+    graft.sources.Sas7bdat.writeDataFrame(ord, path, datasetName = "ORDERS")
+    s.read.format("sas7bdat").load(path)
+      .select("okey", "price", "status")   // pruned: prio never decoded
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("okey").cast("long")).as("sum_key"),
+        sum(round(col("price") * 100).cast("long")).as("sum_price_cents"),
+        sum(when(col("price").isNull, 1L).otherwise(0L)).as("n_null_price"),
+        countDistinct(col("status")).as("n_status"),
+        sum(when(col("status").isNull, 1L).otherwise(0L)).as("n_null_status"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sas7bdat_dsv2" -> (qSas7bdatDsv2 _),
     "q_sas7bdat_roundtrip" -> (qSas7bdatRoundtrip _),
     "q_time_travel"    -> (qTimeTravel _),
     "q_ks_test"        -> (qKsTest _),
@@ -5267,6 +5298,22 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     // v1 = overwrite(r<2) + append(r>=2) = all of nation; v2 = the
+    // DSv2 connector fingerprint recomputed from parquet with the same
+    // SAS-semantics CASEs (pruned projection: okey/price/status)
+    "q_sas7bdat_dsv2" -> """
+      WITH sas AS (
+        SELECT CAST(o_orderkey AS DOUBLE) AS okey,
+          CASE WHEN o_totalprice > 200000 THEN NULL
+               ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+          CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS status
+        FROM orders)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(okey AS BIGINT)) AS BIGINT) AS sum_key,
+        CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+        CAST(count(DISTINCT status) AS BIGINT) AS n_status,
+        CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status
+      FROM sas""",
     // the round-trip fingerprint recomputed straight from the parquet
     // table, modeling SAS's two-type semantics in SQL (missing numeric,
     // missing char) — any writer/reader corruption breaks the hash

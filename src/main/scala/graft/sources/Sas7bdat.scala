@@ -382,7 +382,8 @@ object Sas7bdat {
     else new String(page, off, end - off, StandardCharsets.ISO_8859_1)
   }
 
-  private def decodeRow(page: Array[Byte], rowOff: Int, cols: Seq[SasColumn]): Row = {
+  private def decodeVals(page: Array[Byte], rowOff: Int,
+                         cols: Seq[SasColumn]): Array[Any] = {
     val vals = new Array[Any](cols.length)
     var c = 0
     while (c < cols.length) {
@@ -392,15 +393,22 @@ object Sas7bdat {
                 else decodeChar(page, off, col.width)
       c += 1
     }
-    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    vals
   }
 
-  /** All rows on one page (data or mix; meta/amd pages carry none when
-    * uncompressed). Mirrors pandas sas.pyx `readline`: data-page rows
-    * start at bitOffset+8; mix-page rows start after the 8-aligned
-    * subheader pointer area and number min(rowCount, mixPageRowCount).
+  private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] =
+    pageValues(page, meta, meta.columns).map(vals =>
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+
+  /** All row value-arrays on one page, decoding ONLY `cols` (column
+    * pruning reaches the byte decode — untouched columns cost nothing).
+    * Mirrors pandas sas.pyx `readline`: data-page rows start at
+    * bitOffset+8; mix-page rows start after the 8-aligned subheader
+    * pointer area and number min(rowCount, mixPageRowCount); compressed
+    * meta-page rows are per-row subheaders.
     */
-  private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] = {
+  private[sources] def pageValues(page: Array[Byte], meta: SasMeta,
+                                  cols: Seq[SasColumn]): Iterator[Array[Any]] = {
     val bb = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
     val pageType = (bb.getShort(PageBitOffsetX64).toInt & 0xFFFF) & PageTypeMask
     val rowLen = meta.rowLength.toInt
@@ -408,13 +416,13 @@ object Sas7bdat {
       case PageData =>
         val n = bb.getShort(PageBitOffsetX64 + 2).toInt & 0xFFFF
         val base = PageBitOffsetX64 + 8
-        (0 until n).iterator.map(i => decodeRow(page, base + i * rowLen, meta.columns))
+        (0 until n).iterator.map(i => decodeVals(page, base + i * rowLen, cols))
       case PageMix =>
         val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
         val raw  = PageBitOffsetX64 + 8 + nSub * SubheaderPtrLenX64
         val base = raw + ((PageBitOffsetX64 + 8 + nSub * SubheaderPtrLenX64) % 8)
         val n    = math.min(meta.rowCount, meta.mixPageRowCount).toInt
-        (0 until n).iterator.map(i => decodeRow(page, base + i * rowLen, meta.columns))
+        (0 until n).iterator.map(i => decodeVals(page, base + i * rowLen, cols))
       case PageMeta | PageMeta2 if meta.compression == "SASYZCRL" =>
         // compressed layout: each row is its own subheader (pointer type
         // 1); payloads shorter than the row length are RLE-encoded
@@ -430,7 +438,7 @@ object Sas7bdat {
               if (shLen < rowLen)
                 rleDecompress(java.util.Arrays.copyOfRange(page, shOff, shOff + shLen), rowLen)
               else page
-            Some(decodeRow(buf, if (shLen < rowLen) 0 else shOff, meta.columns))
+            Some(decodeVals(buf, if (shLen < rowLen) 0 else shOff, cols))
           } else None
         }
       case _ => Iterator.empty
