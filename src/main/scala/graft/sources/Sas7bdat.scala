@@ -396,10 +396,6 @@ object Sas7bdat {
     vals
   }
 
-  private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] =
-    pageValues(page, meta, meta.columns).map(vals =>
-      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
-
   /** All row value-arrays on one page, decoding ONLY `cols` (column
     * pruning reaches the byte decode — untouched columns cost nothing).
     * Mirrors pandas sas.pyx `readline`: data-page rows start at
@@ -445,10 +441,15 @@ object Sas7bdat {
     }
   }
 
-  /** Distributed read: inspect on the driver, then scan page ranges in
-    * parallel. Each task opens the file independently (Hadoop FileSystem —
-    * works for file://, hdfs://, anything with a connector) and seeks
-    * straight to its first page.
+  /** Distributed read: delegates to the DataSourceV2 connector
+    * ([[graft.sources.v2.Sas7bdatSource]]) — page-range input partitions,
+    * column pruning into the byte decoder, direct InternalRow emission
+    * (measured 3.4× over the original RDD + Row→Catalyst path,
+    * SCALING.md). The metadata inspect runs once on the driver; each
+    * task opens the file independently (Hadoop FileSystem — file://,
+    * hdfs://, anything with a connector) and seeks straight to its
+    * first page. Kept as the stable Scala API; equivalent to
+    * `spark.read.format("sas7bdat").load(path)`.
     */
   def read(spark: SparkSession, path: String,
            targetPartitionBytes: Long = 128L << 20): DataFrame = {
@@ -456,31 +457,9 @@ object Sas7bdat {
     require(meta.compression.isEmpty || meta.compression == "SASYZCRL",
       s"sas7bdat file is ${meta.compression}-compressed; only uncompressed and " +
         "SASYZCRL (RLE) files are supported")
-    val nPages = meta.nPages
-    val pagesPerSplit = math.max(1L, targetPartitionBytes / meta.pageSize)
-    val ranges = (0L until nPages by pagesPerSplit)
-      .map(s => (s, math.min(s + pagesPerSplit, nPages)))
-    val schema = meta.schema
-    val rdd = spark.sparkContext
-      .parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { case (p0, p1) =>
-        val fs = FileSystem.get(
-          if (new URI(path).getScheme == null) new URI("file:///") else new URI(path),
-          new Configuration())
-        val in = fs.open(new HPath(path))
-        try {
-          in.seek(meta.headerLength + p0 * meta.pageSize)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var p = p0
-          while (p < p1) {
-            val page = readFully(in, meta.pageSize)
-            out ++= pageRows(page, meta)
-            p += 1
-          }
-          out
-        } finally in.close()
-      }
-    spark.createDataFrame(rdd, schema)
+    spark.read.format("sas7bdat")
+      .option("targetPartitionBytes", targetPartitionBytes)
+      .load(path)
   }
 
   // ------------------------------------------------------------------
