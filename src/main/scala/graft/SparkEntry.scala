@@ -1391,6 +1391,29 @@ object SparkEntry {
     graft.dedup.Dedup.keepBest(comp, scores)
   }
 
+  /** Incremental dedup against a persisted signature index
+    * ([[graft.dedup.IncrementalDedup]]): documents arrive in two
+    * batches (doc_id parity); each batch is deduped within itself
+    * (exact Jaccard ≥ 0.6 clusters, keep min id) AND against the
+    * [[graft.sources.VersionedTable]] index of every doc already seen —
+    * the 100 TB operating mode, where ingest N+1 never recomputes
+    * ingest N's signatures. The oracle replays both rules from the raw
+    * brute-force pair set (within-batch recursive components +
+    * cross-batch containment), so the fixed-hash-order prefix filter's
+    * completeness across the index boundary is hash-checked per doc. */
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-incdedup")
+      .toString + "/index"
+    val r0 = graft.dedup.IncrementalDedup.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, threshold = 0.6, batchId = 0L)
+    val r1 = graft.dedup.IncrementalDedup.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+      table, threshold = 0.6, batchId = 1L)
+    r0.unionByName(r1).withColumnRenamed("id", "doc_id")
+  }
+
   /** The curation pipeline end-to-end under ONE oracle: quality gate
     * (the corpus-discriminating subset of the Gopher rules — length,
     * top-bigram mass, dup lines; thresholds are corpus-tuned in practice
@@ -4528,6 +4551,7 @@ object SparkEntry {
     "q_regression"     -> (qRegression _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_mixture_temp"   -> (qMixtureTemp _),
     "q_token_budget"   -> (qTokenBudget _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -7798,6 +7822,43 @@ object SparkEntry {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
+    // incremental-dedup replay: brute-force Jaccard >= 0.6 pairs, then
+    // (1) dup_of_index = any pair crossing the batch boundary marks the
+    // LATER batch's doc, (2) within-batch components by recursion over
+    // same-batch edges, keep = min id; rule 1 takes precedence
+    "q_dedup_incremental" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb)
+      SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+        CAST(sh.batch AS BIGINT) AS batch,
+        CASE WHEN sh.doc_id IN (SELECT id FROM dupidx) THEN 'dup_of_index'
+             WHEN sh.doc_id = comp.cluster THEN 'kept'
+             ELSE 'dup_within_batch' END AS status
+      FROM sh JOIN comp ON comp.id = sh.doc_id""",
     "q_scd2" -> """
       WITH flagged AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey, o_orderstatus,

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{Dedup, IncrementalDedup}
+import graft.sources.VersionedTable
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-incdedup-spec")
+      .toString + "/index"
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight") // J = 10/12 ≈ 0.833
+  private val other = "completely different content about spark query engines and shuffles"
+  private val third = "yet another unrelated paragraph describing immigration analytics fixtures"
+
+  test("processBatch: within-batch clusters, index matches, precedence") {
+    val t = freshTable()
+    // batch 0: 0=base, 2=other, 4=base (within-batch exact dup of 0)
+    val b0 = Seq((0L, base), (2L, other), (4L, base)).toDF("doc_id", "text")
+    val r0 = IncrementalDedup.processBatch(spark, b0, "text", "doc_id",
+        t, threshold = 0.5, batchId = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(r0 == Map(
+      0L -> (0L, "kept"), 2L -> (0L, "kept"), 4L -> (0L, "dup_within_batch")))
+
+    // batch 1: 1=nearDup of indexed 0 (0.571 >= 0.5), 3=copy of indexed 2
+    //          AND min of within-cluster {3, 9} (precedence check),
+    //          5=fresh, 9=copy of 3
+    val b1 = Seq((1L, nearDup), (3L, other), (5L, third), (9L, other))
+      .toDF("doc_id", "text")
+    val r1 = IncrementalDedup.processBatch(spark, b1, "text", "doc_id",
+        t, threshold = 0.5, batchId = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(r1 == Map(
+      1L -> (1L, "dup_of_index"), 3L -> (1L, "dup_of_index"),
+      5L -> (1L, "kept"), 9L -> (1L, "dup_of_index")))
+
+    // the index recorded every doc seen, both batches
+    val idx = VersionedTable.read(spark, t)
+    assert(idx.count() == 7)
+    assert(idx.select("batch").distinct().as[Long].collect().toSet == Set(0L, 1L))
+  }
+
+  test("statuses are pinned to the pre-append index snapshot") {
+    val t = freshTable()
+    val b0 = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    val r0 = IncrementalDedup.processBatch(spark, b0, "text", "doc_id",
+      t, threshold = 0.5, batchId = 0L)
+    val r1 = IncrementalDedup.processBatch(spark, b1, "text", "doc_id",
+      t, threshold = 0.5, batchId = 1L)
+    // r0 is evaluated AFTER batch 1 committed; its docs must still be
+    // statused against the EMPTY index batch 0 actually saw
+    assert(r1.filter(col("status") === "dup_of_index").count() == 1)
+    assert(r0.filter(col("status") === "dup_of_index").count() == 0)
+    assert(r0.filter(col("status") === "kept").count() == 2)
+  }
+
+  test("(txnApp, txn) makes the index append idempotent under replay") {
+    val t = freshTable()
+    val b0 = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    def run() = IncrementalDedup.processBatch(spark, b0, "text", "doc_id",
+      t, threshold = 0.5, batchId = 0L,
+      txnApp = Some("ingest-app"), txn = Some(0L)).collect()
+    val first = run().map(r => (r.getLong(0), r.getString(2))).toSet
+    val replay = run().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(first == replay) // statuses are pure
+    assert(VersionedTable.read(spark, t).count() == 2) // no second copy
+  }
+
+  test("crossPairs under the fixed hash order is complete vs brute force") {
+    // adversarial corpus: heavy shingle overlap at varying sizes, so
+    // prefixes are cut at different lengths on the two sides
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => words((seed * 7 + i * 3) % words.size)).mkString(" ")
+    val oldDocs = (0L until 12L).map(i => (i, doc(i.toInt, 6 + (i % 5).toInt)))
+    val newDocs = (100L until 112L).map(i => (i, doc((i - 97).toInt, 5 + (i % 6).toInt)))
+    val t = 0.5
+    val oldRows = IncrementalDedup.indexRows(
+      oldDocs.toDF("doc_id", "text"), "text", "doc_id", t)
+    val newRows = IncrementalDedup.indexRows(
+      newDocs.toDF("doc_id", "text"), "text", "doc_id", t)
+    val got = IncrementalDedup.crossPairs(newRows, oldRows, t)
+      .select("id_new", "id_old")
+      .as[(Long, Long)].collect().toSet
+
+    def sh(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ")
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val brute = (for {
+      (ni, nt) <- newDocs; (oi, ot) <- oldDocs
+      a = sh(nt); b = sh(ot)
+      j = a.intersect(b).size.toDouble / a.union(b).size
+      if j >= t
+    } yield (ni, oi)).toSet
+    assert(brute.nonEmpty, "degenerate test: no cross pairs at all")
+    assert(got == brute)
+  }
+}
