@@ -17,8 +17,8 @@ import graft.sources.VersionedTable
   * time travel, idempotent re-ingest via `(txnApp, txn)`), one row per
   * indexed document:
   *
-  *   `id: long, sz: long, sh: array<string>, prefix: array<string>,
-  *    batch: long`
+  *   `id: long, sz: long, sh: array<string>, shh: array<bigint>,
+  *    prefix: array<string>, batch: long`
   *
   * `sh` is the distinct word n-gram set ([[Dedup.shingles]], the same
   * construction every dedup family here uses); `prefix` is the AllPairs
@@ -68,48 +68,125 @@ object IncrementalDedup {
     graft.operators.Ids.requireIntegral(df, idCol)
     val sh = Dedup.shingles(lower(col(textCol)), n)
     // total order (xxhash64(g), g): hash for spread, lexicographic
-    // tiebreak so equal-hash collisions stay deterministic
-    val sorted = array_sort(sh, (l, r) =>
-      when(xxhash64(l) < xxhash64(r), -1).when(xxhash64(l) > xxhash64(r), 1)
-        .when(l < r, -1).when(l > r, 1).otherwise(0))
-    df.select(col(idCol).cast("long").as("id"), sorted.as("sh"))
+    // tiebreak so equal-hash collisions stay deterministic. Sorting
+    // (hash, gram) STRUCTS under their natural order hashes each gram
+    // once; a comparator lambda would re-evaluate xxhash64 at every
+    // comparison (O(m log m) string hashes per doc). The hash half of
+    // the sort key is kept as `shh` — the verify stage's cheap filter
+    // (long-array intersect ~4× faster than string-array intersect;
+    // measured in SCALING.md).
+    val sorted = array_sort(transform(sh,
+      g => struct(xxhash64(g).as("h"), g.as("g"))))
+    df.select(col(idCol).cast("long").as("id"), sorted.as("__hs"))
+      .select(col("id"), transform(col("__hs"), s => s.getField("g")).as("sh"),
+        transform(col("__hs"), s => s.getField("h")).as("shh"))
       .withColumn("sz", size(col("sh")).cast("long"))
       .withColumn("prefix", slice(col("sh"), lit(1),
         greatest(lit(1),
           (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))))
-      // cast pins containsNull=true so computed rows and parquet-read
+      // casts pin containsNull=true so computed rows and parquet-read
       // index rows carry ONE schema (the append schema-on-write check
       // compares exact DataTypes)
       .select(col("id"), col("sz"), col("sh").cast("array<string>").as("sh"),
+        col("shh").cast("array<bigint>").as("shh"),
         col("prefix").cast("array<string>").as("prefix"))
   }
 
-  /** Exact cross-set similarity join: all (new, indexed) pairs with
-    * Jaccard ≥ t. Candidates from the shared-prefix equi-join (complete
-    * by the prefix-filter theorem — both sides' prefixes were cut under
-    * the same fixed order), pruned by the size-ratio bound
-    * (J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t), verified on the full sets
-    * candidate-pairs-only. Output: `id_new, id_old, jaccard`.
+  /** ONE candidate+verify pass for a batch: every exact-Jaccard ≥ t
+    * pair of (batch doc, batch doc) — tagged `within = true`, emitted
+    * once with `id_new < id_old` — and of (batch doc, indexed doc) —
+    * `within = false`. Fusing the self-join and the index join into a
+    * single shared-prefix equi-join halves the number of shuffle
+    * chains an ingest runs (measured: the split pipelines dominated
+    * the batch wall-time, SCALING.md).
+    *
+    * Candidates come from the shared-prefix equi-join (complete by the
+    * prefix-filter theorem — all prefixes were cut under the same fixed
+    * order), pruned by the size-ratio bound (J ≥ t ⇒ t·|a| ≤ |b| ≤
+    * |a|/t). Verification is filter-then-refine: the long-array hash
+    * intersect (~4× cheaper than string intersect) computes a
+    * hash-Jaccard that can only OVERestimate (collisions merge
+    * elements, and the union term uses the true string-set sizes), so
+    * `hashJ ≥ t` is a complete filter; the string intersect then
+    * confirms the few survivors — exactness never rides on hash
+    * collisionlessness. Output: `id_new, id_old, within, jaccard`.
     */
-  def crossPairs(newRows: DataFrame, indexRows: DataFrame,
+  def batchPairs(rows: DataFrame, index: Option[DataFrame],
                  threshold: Double): DataFrame = {
-    val bTok = newRows.select(col("id").as("id_new"), col("sz").as("sz_new"),
-      explode(col("prefix")).as("g"))
-    val iTok = indexRows.select(col("id").as("id_old"), col("sz").as("sz_old"),
-      explode(col("prefix")).as("g"))
-    val cand = bTok.join(iTok, Seq("g"))
-      .filter(col("sz_old").cast("double") >= lit(threshold) * col("sz_new")
+    val newTok = rows.select(col("id").as("id_new"), col("sz").as("sz_new"),
+      posexplode(col("prefix")).as(Seq("pn", "g")))
+    val rhsBase = index match {
+      case Some(idx) =>
+        rows.select(col("id"), col("sz"), col("prefix"), lit(true).as("within"))
+          .unionByName(idx.select(col("id"), col("sz"), col("prefix"),
+            lit(false).as("within")))
+      case None =>
+        rows.select(col("id"), col("sz"), col("prefix"), lit(true).as("within"))
+    }
+    val rhsTok = rhsBase.select(col("id").as("id_old"), col("sz").as("sz_old"),
+      posexplode(col("prefix")).as(Seq("po", "g")), col("within"))
+    // Candidate rows (one per shared prefix token) reduce by pair to the
+    // EARLIEST shared token's positions — prefixes are sorted in the
+    // global order, so min(pn)/min(po) both belong to the order-minimal
+    // shared token s0, and every token before it on either side is
+    // provably NOT shared. That gives the PPJoin-style positional bound
+    // |∩| ≤ min(sz_a − pn, sz_b − po): candidates whose first shared
+    // token sits late in both prefixes are pruned BEFORE any shingle
+    // array is fetched (the array-carrying verify join is the expensive
+    // stage — this aggregation also subsumes candidate dedup).
+    val cand = newTok.join(rhsTok, Seq("g"))
+      .filter((!col("within") || col("id_new") < col("id_old"))
+        && col("sz_old").cast("double") >= lit(threshold) * col("sz_new")
         && col("sz_new").cast("double") >= lit(threshold) * col("sz_old"))
-      .select(col("id_new"), col("id_old")).distinct()
+      .groupBy(col("id_new"), col("id_old"), col("within"),
+        col("sz_new"), col("sz_old"))
+      .agg(min(col("pn")).as("pn"), min(col("po")).as("po"))
+      // overlap ≥ t/(1+t)·(sz_a+sz_b) is J ≥ t rewritten; pruning only
+      // when even the positional upper bound cannot reach it — exact
+      .filter(least(col("sz_new") - col("pn"), col("sz_old") - col("po"))
+        .cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_new") + col("sz_old")).cast("double"))
+      .select(col("id_new"), col("id_old"), col("within"),
+        col("sz_new"), col("sz_old"))
+    val payload = index match {
+      case Some(idx) => rows.select(col("id"), col("sh"), col("shh"))
+        .unionByName(idx.select(col("id"), col("sh"), col("shh")))
+      case None => rows.select(col("id"), col("sh"), col("shh"))
+    }
     cand
-      .join(newRows.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
-      .join(indexRows.select(col("id").as("id_old"), col("sh").as("sh_b")), Seq("id_old"))
+      .join(rows.select(col("id").as("id_new"),
+        col("sh").as("sh_a"), col("shh").as("shh_a")), Seq("id_new"))
+      .join(payload.select(col("id").as("id_old"),
+        col("sh").as("sh_b"), col("shh").as("shh_b")), Seq("id_old"))
+      // hash filter: |hash-set ∩| ≥ |string-set ∩| while the union term
+      // sz_a + sz_b − ih can only shrink ⇒ hashJ ≥ trueJ ⇒ complete
+      .withColumn("__ih", size(array_intersect(col("shh_a"), col("shh_b"))).cast("long"))
+      .filter(col("__ih").cast("double") >=
+        lit(threshold) * (col("sz_new") + col("sz_old") - col("__ih")).cast("double"))
+      // string refine on the survivors only (conditionally reached rows)
       .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("__u", size(col("sh_a")) + size(col("sh_b")) - col("__i"))
+      .withColumn("__u", col("sz_new") + col("sz_old") - col("__i"))
       .filter(col("__i").cast("double") >= lit(threshold) * col("__u").cast("double"))
-      .select(col("id_new"), col("id_old"),
+      .select(col("id_new"), col("id_old"), col("within"),
         round(col("__i").cast("double") / col("__u"), 6).as("jaccard"))
   }
+
+  /** Exact within-batch similarity self-join over already-computed
+    * signature rows: all (id_a < id_b) pairs with Jaccard ≥ t —
+    * [[batchPairs]] with no index side. Output: `id_a, id_b`.
+    */
+  def selfPairs(rows: DataFrame, threshold: Double): DataFrame =
+    batchPairs(rows, None, threshold)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+
+  /** Exact cross-set similarity join: all (new, indexed) pairs with
+    * Jaccard ≥ t. Output: `id_new, id_old, jaccard`.
+    */
+  def crossPairs(newRows: DataFrame, indexRows: DataFrame,
+                 threshold: Double): DataFrame =
+    batchPairs(newRows, Some(indexRows), threshold)
+      .filter(!col("within"))
+      .select(col("id_new"), col("id_old"), col("jaccard"))
 
   /** Ingest one batch: status every doc against the index-so-far and
     * the batch itself, then append the batch's signature rows to the
@@ -128,13 +205,6 @@ object IncrementalDedup {
                    txnApp: Option[String] = None,
                    txn: Option[Long] = None): DataFrame = {
     val rows = indexRows(batch, textCol, idCol, threshold, n).localCheckpoint()
-
-    // within-batch duplicate clusters over exact pairs; the self-join
-    // uses the rarity-order prefix (smaller buckets) — order choice is
-    // per-run there, nothing is persisted from it
-    val within = Dedup.jaccardJoinExact(batch, textCol, idCol, threshold, n)
-    val comp = Dedup.clustersStar(rows.select(col("id")), within,
-      "id", "id_a", "id_b")
 
     // Replay detection (the streamingCommitSink rule): this app's
     // highest committed txn covers ours → the append already happened.
@@ -158,12 +228,54 @@ object IncrementalDedup {
     // is still skipped and statuses fall back to the latest snapshot.)
     val ver = replayedAt.map(_ - 1)
       .getOrElse(VersionedTable.latestVersion(indexTable))
-    val dupIdx =
-      if (ver < 0) rows.select(col("id").as("id_new")).limit(0)
-      else crossPairs(rows,
-        VersionedTable.readVersion(spark, indexTable, ver)
-          .select(col("id"), col("sz"), col("sh"), col("prefix")),
-        threshold).select(col("id_new")).distinct()
+    val index =
+      if (ver < 0) None
+      else Some(VersionedTable.readVersion(spark, indexTable, ver)
+        .select(col("id"), col("sz"), col("sh"), col("shh"), col("prefix")))
+
+    // within-batch AND vs-index pairs in ONE candidate+verify pass,
+    // from the SAME checkpointed signature rows the index append uses —
+    // the batch is shingled exactly once per ingest, and the pair pass
+    // is checkpointed so the cluster step and the status join don't
+    // re-run it
+    val pairs = batchPairs(rows, index, threshold).localCheckpoint()
+    val within = pairs.filter(col("within"))
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    // Within-batch components. A batch's VERIFIED duplicate-pair set is
+    // usually tiny; below the bound (collect ≤ 2^20 pairs = 16 MB — a
+    // stated-bound driver collect, like every other one in this repo) a
+    // driver union-find with min-root attachment replaces ~10 tiny
+    // distributed rounds; past the bound the O(log n)
+    // large-star/small-star path takes over unchanged. `pairs` is
+    // checkpointed, so the gate count is a cheap local scan.
+    val comp = {
+      val maxDriverEdges = 1L << 20
+      if (within.count() <= maxDriverEdges) {
+        val es = within.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          // larger root attaches under smaller ⇒ every root IS its
+          // component's min id
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val sp = spark; import sp.implicits._
+        val labels = members.map(m => (m, find(m))).toSeq.toDF("id", "cluster")
+        rows.select(col("id")).join(broadcast(labels), Seq("id"), "left")
+          .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      } else Dedup.clustersStar(rows.select(col("id")), within,
+        "id", "id_a", "id_b")
+    }
+    val dupIdx = pairs.filter(!col("within"))
+      .select(col("id_new")).distinct()
 
     if (!replayed)
       VersionedTable.commit(rows.withColumn("batch", lit(batchId)),
@@ -176,4 +288,34 @@ object IncrementalDedup {
           .when(comp("id") === col("cluster"), lit("kept"))
           .otherwise(lit("dup_within_batch")).as("status"))
   }
+
+  /** Structured Streaming ingest-dedup: each micro-batch runs
+    * [[processBatch]] against the persisted index with `(appId,
+    * batchId)` txn identity, so a checkpoint replay after a crash
+    * re-reports statuses (pinned below the original commit — pure) but
+    * the index gains no second copy. Statuses land hive-partitioned by
+    * `__batch` with dynamic partition overwrite (the
+    * [[graft.streaming.StreamingOps.partitionOverwriteSink]] recipe):
+    * a replayed batch rewrites exactly its own partition, so BOTH sides
+    * of the sink — index and results — are exactly-once.
+    *
+    * This is the streaming face of the ingest operating mode: the
+    * pipeline dedupes forever without ever recomputing a previous
+    * batch's signatures. Read the cumulative decisions from
+    * `resultsDir`; the kept corpus is `status = 'kept'` joined back to
+    * the upstream doc store (this sink persists decisions, not text).
+    */
+  def streamingSink(docs: DataFrame, textCol: String, idCol: String,
+                    indexTable: String, resultsDir: String, appId: String,
+                    threshold: Double, n: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        processBatch(s, batch, textCol, idCol, indexTable, threshold,
+            batchId, n, txnApp = Some(appId), txn = Some(batchId))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("__batch").parquet(resultsDir)
+    }
 }

@@ -106,4 +106,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "degenerate test: no cross pairs at all")
     assert(got == brute)
   }
+
+  test("streamingSink: exactly-once statuses + index across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val t = freshTable()
+    val resultsDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-stream").toString + "/results"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.streamingSink(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        t, resultsDir, appId = "stream-app", threshold = 0.5)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((0L, base), (2L, other), (4L, base))
+      q.processAllAvailable()
+      mem.addData((1L, nearDup), (5L, third))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val res = spark.read.parquet(resultsDir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(res == Map(
+      0L -> "kept", 2L -> "kept", 4L -> "dup_within_batch",
+      1L -> "dup_of_index", 5L -> "kept"))
+    // index holds every doc seen, once each, across both micro-batches
+    assert(VersionedTable.read(spark, t).count() == 5)
+    assert(VersionedTable.latestVersion(t) == 1L)
+
+    // simulated checkpoint replay of micro-batch 1: same (appId, batchId)
+    // txn → the partition is rewritten with identical statuses and the
+    // index gains nothing
+    val replayBatch = Seq((1L, nearDup), (5L, third)).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    IncrementalDedup.processBatch(spark, replayBatch, "text", "doc_id",
+        t, threshold = 0.5, batchId = 1L,
+        txnApp = Some("stream-app"), txn = Some(1L))
+      .withColumn("__batch", lit(1L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(resultsDir)
+    val replayed = spark.read.parquet(resultsDir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(replayed == res)
+    assert(VersionedTable.read(spark, t).count() == 5)
+    assert(VersionedTable.latestVersion(t) == 1L)
+  }
 }
