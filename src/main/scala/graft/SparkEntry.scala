@@ -933,6 +933,49 @@ object SparkEntry {
     }
   }
 
+  /** Incremental IVF ANN over a persisted index
+    * ([[graft.similarity.IncrementalIvf]]): centroids trained on the
+    * FIRST ingest only (even vec_ids) and pinned; both halves are then
+    * assigned scan-side and APPENDED to a VersionedTable index — the
+    * 100 TB operating mode, where ingest N+1 never re-assigns ingest N
+    * and search filters the STORED cell_id instead of re-running the
+    * argmin. Same certificate discipline as [[qAnnIvf]]: the probed
+    * cells provably contain the true top-10 on this data (asserted
+    * in-plan against brute force), so the oracle is the brute-force
+    * top-k SQL — an assignment, append, pinning, or probe regression
+    * changes the row set and fails the hash compare. */
+  private def qAnnIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = graft.similarity.Ivf.trainCentroids(b0, "embedding", "vec_id",
+      nCells = 8, iters = 2)
+    val table = java.nio.file.Files.createTempDirectory("graft-incivf")
+      .toString + "/index"
+    graft.similarity.IncrementalIvf.addBatch(s, b0, "embedding", "vec_id",
+      cents, table, 0L)
+    graft.similarity.IncrementalIvf.addBatch(s, b1, "embedding", "vec_id",
+      cents, table, 1L)
+    val q = emb.filter(col("vec_id") === 0)
+    val ivf = graft.similarity.IncrementalIvf.searchTopK(s, table, cents,
+        q, "embedding", k = 10, nProbe = 6)
+      .withColumnRenamed("id", "vec_id")
+    if (!Certificates.enforce) ivf
+    else {
+      val truth = graft.similarity.Similarity.bruteForceTopK(
+        emb, "embedding", "vec_id", q, "embedding", 10)
+      val missed = truth.select(col("vec_id"))
+        .join(ivf.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__miss"))
+      ivf.crossJoin(missed)
+        .filter(assert_true(col("__miss") === 0,
+          lit("q_ann_ivf_incremental precondition violated: nProbe=6 probed " +
+            "cells of the batch-0-trained centroids no longer contain the " +
+            "true top-10 — raise nProbe or retrain the index")).isNull)
+        .drop("__miss")
+    }
+  }
+
   /** PQ encoding of the corpus ([[graft.similarity.Pq]]): m=8 subspaces,
     * k=16 codes each, sampled deterministic codebook (iters=0 — the
     * k lowest-id vectors' slices, which the DuckDB oracle replays
@@ -4588,6 +4631,7 @@ object SparkEntry {
     "q_salted_join"    -> (qSaltedJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_ann_ivf"        -> (qAnnIvf _),
+    "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
     "q_ann_ivfpq"      -> (qAnnIvfpq _),
@@ -6290,6 +6334,7 @@ object SparkEntry {
     "q_dedup_simhash_adaptive" -> PairJaccardOracle,
     "q_dedup_minhash_adaptive" -> PairJaccardOracle,
     "q_ann_ivf" -> BruteTopKOracle,
+    "q_ann_ivf_incremental" -> BruteTopKOracle,
     "q_rendezvous" -> """
       WITH sh AS (SELECT * FROM (VALUES (0,'s0'),(1,'s1'),(2,'s2'),(3,'s3'),
         (4,'s4'),(5,'s5')) t(i, s)),

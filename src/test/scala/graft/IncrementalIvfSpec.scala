@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{IncrementalIvf, Ivf, Similarity}
+import graft.sources.VersionedTable
+
+class IncrementalIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-incivf-spec")
+      .toString + "/index"
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("appends never re-assign earlier batches; search over the index") {
+    val emb = Tables.embeddings(spark, d)
+    val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = Ivf.trainCentroids(b0, "embedding", "vec_id", nCells = 4, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, b0, "embedding", "vec_id", cents, t, 0L)
+    val v0 = VersionedTable.readVersion(spark, t, 0L)
+      .select(col("id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    IncrementalIvf.addBatch(spark, b1, "embedding", "vec_id", cents, t, 1L)
+
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.count() == emb.count())
+    // batch-0 rows are byte-for-byte the v0 rows — nothing was re-assigned
+    val after = latest.filter(col("batch") === 0L)
+      .select(col("id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after == v0)
+
+    // probing ALL cells makes IVF exact: must equal brute force
+    val q = emb.filter(col("vec_id") === 1)
+    val got = IncrementalIvf.searchTopK(spark, t, cents, q, "embedding",
+        k = 5, nProbe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        q, "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("(txnApp, txn) replay appends nothing; version pinning searches old snapshots") {
+    val emb = Tables.embeddings(spark, d)
+    val b0 = emb.filter(col("vec_id") < 20)
+    val b1 = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val cents = Ivf.trainCentroids(b0, "embedding", "vec_id", nCells = 2, iters = 1)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, b0, "embedding", "vec_id", cents, t, 0L,
+      txnApp = Some("ivf-app"), txn = Some(0L))
+    IncrementalIvf.addBatch(spark, b1, "embedding", "vec_id", cents, t, 1L,
+      txnApp = Some("ivf-app"), txn = Some(1L))
+    // replay of batch 0: skipped
+    IncrementalIvf.addBatch(spark, b0, "embedding", "vec_id", cents, t, 0L,
+      txnApp = Some("ivf-app"), txn = Some(0L))
+    assert(VersionedTable.latestVersion(t) == 1L)
+    assert(VersionedTable.read(spark, t).count() == 40)
+
+    // a search pinned at v0 sees only batch 0
+    val q = emb.filter(col("vec_id") === 0)
+    val atV0 = IncrementalIvf.searchTopK(spark, t, cents, q, "embedding",
+      k = 40, nProbe = cents.size, version = Some(0L))
+    assert(atV0.count() == 20)
+    assert(atV0.agg(max(col("id"))).head.getLong(0) < 20)
+  }
+
+  test("assignStats flags drift: shifted batch has larger mean distance") {
+    val base = (0L until 30L)
+      .map(i => (i, Array.fill(8)((i % 5).toFloat / 10f)))
+    val shifted = (100L until 130L)
+      .map(i => (i, Array.fill(8)(5f + (i % 5).toFloat / 10f)))
+    val cents = Ivf.trainCentroids(base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", nCells = 2, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents, t, 0L)
+    IncrementalIvf.addBatch(spark, shifted.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents, t, 1L)
+    val stats = IncrementalIvf.assignStats(spark, t, cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(stats(0L)._1 == 30 && stats(1L)._1 == 30)
+    assert(stats(1L)._2 > stats(0L)._2 * 5,
+      s"shifted batch should drift: $stats")
+  }
+}
