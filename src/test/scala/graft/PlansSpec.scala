@@ -523,4 +523,25 @@ class PlansSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"expensive-expression double evaluations: $offenders")
   }
+
+  test("q_dedup_incremental: exchanges stay linear in shingle volume, never pair-quadratic") {
+    import org.apache.spark.sql.functions.{size => asize, sum => asum, greatest => agreatest}
+    val docs = Tables.documents(spark, sf)
+    // ~ one shingle per word (n=3 sliding windows + short-doc floor)
+    val nShingles = docs
+      .select(asize(split(lower(col("text")), " ")).as("n"))
+      .agg(asum(agreatest(col("n") - 2, lit(1)))).head.getLong(0)
+    val shuffled = shuffleRecordsOf {
+      SparkEntry.queries("q_dedup_incremental")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // Two ingests move: prefix tokens of batch + rhs (< 2 passes over
+    // ~0.4x the shingle volume each), the per-pair positional reduce
+    // (<= candidate rows, bucket-bounded), the verified-pair residue,
+    // and the status joins (batch-sized). A lost positional filter or
+    // a candidate blowup shuffles array-carrying rows well past 10x
+    // the corpus shingle count.
+    assert(shuffled > 0 && shuffled < 10L * nShingles,
+      s"q_dedup_incremental shuffled $shuffled records for $nShingles shingles")
+  }
 }
