@@ -88,6 +88,21 @@ object IncrementalIvf {
       .limit(k)
   }
 
+  /** Structured Streaming ingest: each micro-batch is assigned against
+    * the pinned centroids and appended with `(appId, batchId)` txn
+    * identity, so checkpoint replays append nothing — the index is
+    * exactly-once. The vector stream becomes a continuously queryable
+    * ANN index (each committed version a consistent snapshot).
+    */
+  def streamingSink(vecs: DataFrame, embCol: String, idCol: String,
+                    cents: Seq[Ivf.Centroid], table: String, appId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        addBatch(batch.sparkSession, batch, embCol, idCol, cents, table,
+          batchId, txnApp = Some(appId), txn = Some(batchId))
+    }
+
   /** Per-batch assignment-distance stats over the index — the drift
     * guard. A rising `mean_dist` across batches means the pinned
     * centroids no longer describe the incoming distribution: retrain

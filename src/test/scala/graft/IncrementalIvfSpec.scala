@@ -71,6 +71,39 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(atV0.agg(max(col("id"))).head.getLong(0) < 20)
   }
 
+  test("streamingSink: micro-batches append exactly-once; index queryable mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val emb = Tables.embeddings(spark, d)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 2, iters = 1)
+    val t = freshTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-incivf-ckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IncrementalIvf.streamingSink(
+        mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+        cents, t, appId = "ivf-stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b0.toSeq: _*)
+      q.processAllAvailable()
+      assert(VersionedTable.read(spark, t).count() == b0.length)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.read(spark, t).count() == rows.length)
+    assert(VersionedTable.latestVersion(t) == 1L)
+    // simulated checkpoint replay of micro-batch 1: nothing appends
+    IncrementalIvf.addBatch(spark,
+      b1.toSeq.toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cents, t, 1L, txnApp = Some("ivf-stream"), txn = Some(1L))
+    assert(VersionedTable.read(spark, t).count() == rows.length)
+    assert(VersionedTable.latestVersion(t) == 1L)
+  }
+
   test("assignStats flags drift: shifted batch has larger mean distance") {
     val base = (0L until 30L)
       .map(i => (i, Array.fill(8)((i % 5).toFloat / 10f)))
