@@ -1457,6 +1457,39 @@ object SparkEntry {
     r0.unionByName(r1).withColumnRenamed("id", "doc_id")
   }
 
+  /** Incremental corpus term statistics
+    * ([[graft.text.IncrementalStats]]): documents ingested in two
+    * batches (doc_id parity) as per-batch algebraic (df, tf) partials
+    * into a VersionedTable, COMPACTED (read-modify-write overwrite —
+    * read cost back to O(vocab)), then reported as the top-50 terms by
+    * merged df with the batch-0 snapshot df beside it (termStats pinned
+    * at version 0 — which replays the pre-compaction partials via time
+    * travel). The oracle recomputes both the full corpus and the even
+    * half directly, so partial aggregation, the algebraic merge,
+    * compaction equivalence, AND version pinning are all hash-checked
+    * in one query. */
+  private def qIncrementalVocab(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-incstats")
+      .toString + "/index"
+    graft.text.IncrementalStats.addBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, 0L)
+    graft.text.IncrementalStats.addBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+      table, 1L)
+    graft.text.IncrementalStats.compact(s, table)
+    val v0 = graft.text.IncrementalStats.termStats(s, table, Some(0L))
+      .select(col("term"), col("df").as("df_b0"))
+    graft.text.IncrementalStats.termStats(s, table, None)
+      .filter(col("term").isNotNull)
+      .join(v0, Seq("term"), "left")
+      .select(col("term"), col("df"), col("tf"),
+        coalesce(col("df_b0"), lit(0L)).as("df_b0"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+  }
+
   /** The curation pipeline end-to-end under ONE oracle: quality gate
     * (the corpus-discriminating subset of the Gopher rules — length,
     * top-bigram mass, dup lines; thresholds are corpus-tuned in practice
@@ -4595,6 +4628,7 @@ object SparkEntry {
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_incremental_vocab" -> (qIncrementalVocab _),
     "q_mixture_temp"   -> (qMixtureTemp _),
     "q_token_budget"   -> (qTokenBudget _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -7904,6 +7938,21 @@ object SparkEntry {
              WHEN sh.doc_id = comp.cluster THEN 'kept'
              ELSE 'dup_within_batch' END AS status
       FROM sh JOIN comp ON comp.id = sh.doc_id""",
+    "q_incremental_vocab" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+      full_stats AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM tok2 GROUP BY term),
+      b0 AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_b0
+        FROM tok2 WHERE doc_id % 2 = 0 GROUP BY term)
+      SELECT f.term, f.df, f.tf, COALESCE(b.df_b0, 0) AS df_b0
+      FROM full_stats f LEFT JOIN b0 b USING (term)
+      ORDER BY f.df DESC, f.term LIMIT 50""",
     "q_scd2" -> """
       WITH flagged AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey, o_orderstatus,
