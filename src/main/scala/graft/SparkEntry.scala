@@ -1490,6 +1490,27 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** The ingest-time OOV quality gate
+    * ([[graft.text.IncrementalStats.oovRate]]): odd-doc_id documents
+    * scored per-doc against the VOCABULARY of the even half, pinned at
+    * the index version that ingested it — the "is this batch junk or
+    * drift" check that runs BEFORE a batch pollutes the corpus
+    * statistics. The join side is the vocab (broadcast-sized), never
+    * the corpus. The oracle recomputes the even-half vocabulary and the
+    * per-doc unseen-token counts directly. */
+  private def qOovGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-oov")
+      .toString + "/index"
+    graft.text.IncrementalStats.addBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, 0L)
+    graft.text.IncrementalStats.oovRate(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+        table, version = Some(0L))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** The curation pipeline end-to-end under ONE oracle: quality gate
     * (the corpus-discriminating subset of the Gopher rules — length,
     * top-bigram mass, dup lines; thresholds are corpus-tuned in practice
@@ -4629,6 +4650,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_incremental_vocab" -> (qIncrementalVocab _),
+    "q_oov_gate"       -> (qOovGate _),
     "q_mixture_temp"   -> (qMixtureTemp _),
     "q_token_budget"   -> (qTokenBudget _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -7953,6 +7975,22 @@ object SparkEntry {
       SELECT f.term, f.df, f.tf, COALESCE(b.df_b0, 0) AS df_b0
       FROM full_stats f LEFT JOIN b0 b USING (term)
       ORDER BY f.df DESC, f.term LIMIT 50""",
+    "q_oov_gate" -> """
+      WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE doc_id % 2 = 0),
+      vocab2 AS (SELECT * FROM vocab WHERE length(term) > 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE doc_id % 2 = 1),
+      tok2 AS (SELECT * FROM tok WHERE length(term) > 0)
+      SELECT t.doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+        round(CAST(count(*) FILTER (v.term IS NULL) AS DOUBLE)
+          / count(*), 6) AS oov_rate
+      FROM tok2 t LEFT JOIN vocab2 v USING (term)
+      GROUP BY t.doc_id""",
     "q_scd2" -> """
       WITH flagged AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey, o_orderstatus,
