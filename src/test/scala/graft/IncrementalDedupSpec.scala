@@ -107,6 +107,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("batchPairs == brute force on seeded random corpora x threshold grid") {
+    // adversarial generator: tiny vocab + geometric lengths forces
+    // heavy shingle sharing, boundary-length docs (< 3 words), and
+    // batch/index size asymmetry; seeded, so failures replay
+    val rng = new scala.util.Random(421)
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    def doc(): String = {
+      val len = 1 + rng.nextInt(12)
+      (0 until len).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    }
+    def sh(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ")
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.8); trial <- 0 until 3) {
+      val nNew = 8 + rng.nextInt(25)
+      val nOld = rng.nextInt(25)
+      val newDocs = (0L until nNew.toLong).map(i => (i, doc()))
+      val oldDocs = (1000L until (1000L + nOld)).map(i => (i, doc()))
+      val newRows = IncrementalDedup.indexRows(
+        newDocs.toDF("doc_id", "text"), "text", "doc_id", t)
+      val idx =
+        if (nOld == 0) None
+        else Some(IncrementalDedup.indexRows(
+          oldDocs.toDF("doc_id", "text"), "text", "doc_id", t))
+      val got = IncrementalDedup.batchPairs(newRows, idx, t)
+        .select(col("id_new"), col("id_old"), col("within"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      def j(a: Set[String], b: Set[String]): Double =
+        a.intersect(b).size.toDouble / a.union(b).size
+      val wantWithin = (for {
+        (ia, ta) <- newDocs; (ib, tb) <- newDocs
+        if ia < ib && j(sh(ta), sh(tb)) >= t
+      } yield (ia, ib, true)).toSet
+      val wantCross = (for {
+        (ia, ta) <- newDocs; (ib, tb) <- oldDocs
+        if j(sh(ta), sh(tb)) >= t
+      } yield (ia, ib, false)).toSet
+      assert(got == wantWithin ++ wantCross,
+        s"t=$t trial=$trial nNew=$nNew nOld=$nOld: " +
+          s"missing=${(wantWithin ++ wantCross) -- got} extra=${got -- (wantWithin ++ wantCross)}")
+    }
+  }
+
   test("streamingSink: exactly-once statuses + index across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
