@@ -21,7 +21,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.CollapseTitleCase)
     e.injectOptimizerRule(_ => graft.plans.SimplifyGraftNullGuards)
-    e.injectOptimizerRule(_ => graft.plans.ReuseProjectedExpensiveInFilter)
+    // ReuseProjectedExpensiveInFilter is deliberately NOT injected here:
+    // injectOptimizerRule lands rules inside the operator-optimization
+    // FIXPOINT batches, where the later re-run of PushDownPredicates
+    // pushes the floated conjunct straight back below the Project — the
+    // rewrite becomes a silent no-op that only burns fixpoint
+    // iterations. It needs a batch AFTER the final pushdown, which the
+    // extension API does not offer; `register(spark)` places it in
+    // SparkOptimizer's trailing "User Provided Optimizers" batch, the
+    // only registration path where it is effective (pinned by
+    // OptimizerRulesSpec).
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

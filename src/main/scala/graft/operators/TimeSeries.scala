@@ -416,12 +416,27 @@ object TimeSeries {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
-    val longest = df.groupBy(keyCols.map(col): _*).count()
-      .agg(max(col("count"))).head
-    if (!longest.isNullAt(0)) require(longest.getLong(0) <= maxLen,
-      s"holt: a key's series has ${longest.getLong(0)} buckets (> maxLen=" +
-        s"$maxLen) — the whole series folds in one aggregation buffer; " +
-        "widen the bucket or filter outlier timestamps.")
+    // One profiling job guards BOTH preconditions: series length (the
+    // per-group fold buffer) and (key, order) uniqueness. HoltStatesAgg
+    // emits one state row keyed only by `order`, so a duplicate order
+    // within a key would fan out the join-back (2 input rows sharing an
+    // order -> 4 output rows) AND make the fold merge-order-dependent —
+    // Holt over a series with tied timestamps is ill-defined, so refuse
+    // loudly rather than pick a winner (ADVICE r9).
+    val prof = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        (count(col(orderCol)) - countDistinct(col(orderCol))).as("__dup"))
+      .agg(max(col("__n")), max(col("__dup"))).head
+    if (!prof.isNullAt(0)) {
+      require(prof.getLong(0) <= maxLen,
+        s"holt: a key's series has ${prof.getLong(0)} buckets (> maxLen=" +
+          s"$maxLen) — the whole series folds in one aggregation buffer; " +
+          "widen the bucket or filter outlier timestamps.")
+      require(prof.getLong(1) == 0L,
+        s"holt: duplicate ($keyCols, $orderCol) rows — the smoothing " +
+          "recurrence needs one observation per key per order value; " +
+          "aggregate the duplicates first (e.g. avg per bucket).")
+    }
     val states = df.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.HoltStatesAgg.holtStates(
         col(orderCol).cast("long"), col(valueCol).cast("double"),

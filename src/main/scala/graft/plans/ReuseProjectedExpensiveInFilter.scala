@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, Expression, PredicateHelper, StringSplit}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, BinaryArithmetic, BinaryComparison, Cast, Coalesce, Concat, DivModLike, Expression, IsNotNull, IsNull, Length, Literal, Lower, Not, Or, PredicateHelper, RoundBase, Size, StringSplit, StringTrim, StringTrimLeft, StringTrimRight, Substring, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Cross-operator common-subexpression reuse between a Project and the
   * Filter predicate pushdown parked beneath it.
@@ -32,10 +33,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Only expensive trees qualify (the graft custom expressions and
   * `split`-bearing chains): floating a cheap comparison above a
-  * Project would trade nothing for lost pushdown. Runs in the
-  * user-rules batch (after the main pushdown fixpoint, so nothing
-  * re-pushes the floated conjunct). Registered via
-  * [[graft.GraftExtensions]].
+  * Project would trade nothing for lost pushdown.
+  *
+  * Two registration/soundness constraints (ADVICE r9):
+  *   - MUST run after the FINAL pushdown: registered ONLY via
+  *     `GraftExtensions.register` into SparkOptimizer's trailing
+  *     "User Provided Optimizers" batch. `injectOptimizerRule` would
+  *     place it inside the operator-optimization fixpoint, where the
+  *     next PushDownPredicates pass re-inlines the floated conjunct —
+  *     a silent no-op (the class-extension path deliberately omits it).
+  *   - Hoisting the Filter above the Project makes EVERY projection
+  *     expression run on pre-filter rows. Values of the extra rows are
+  *     discarded, so that is semantics-free — UNLESS a projection
+  *     expression can THROW (ANSI overflow/div-zero, malformed cast) on
+  *     a row the predicate used to filter out first. The rewrite
+  *     therefore only fires when every projection expression is
+  *     provably non-throwing ([[neverThrows]]); otherwise the plan is
+  *     left alone and the row pays the double evaluation — correctness
+  *     over speed.
   */
 object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -51,6 +66,50 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
     case _: graft.functions.JaroWinkler => true
     case _: graft.functions.DotProduct => true
     case _ => false
+  }
+
+  /** Conservative per-node proof that an expression tree cannot throw at
+    * RUNTIME in any eval mode (ANSI included): pure string/array ops,
+    * double/float arithmetic (overflows to ±Inf, never errors — unlike
+    * integral/decimal, which throw under ANSI), widening casts
+    * (`Cast.canUpCast` — no overflow, no parse), and the graft scalar
+    * expressions EXCEPT DotProduct (throws on mismatched array lengths,
+    * DotProduct.scala:57). Division is admitted only with a non-zero
+    * literal divisor at double/float type. Anything unrecognized —
+    * integral arithmetic, narrowing/parsing casts, log of a column,
+    * array indexing — fails the proof and blocks the float.
+    */
+  private def neverThrows(e: Expression): Boolean = {
+    def fractional(x: Expression): Boolean =
+      x.dataType == DoubleType || x.dataType == FloatType
+    def nodeOk(x: Expression): Boolean = x match {
+      case _: Attribute | _: Literal | _: Alias => true
+      case _: graft.functions.DotProduct => false
+      case _ if x.getClass.getName.startsWith("graft.functions.") => true
+      case _: StringSplit | _: Size | _: Length | _: Lower | _: Upper
+         | _: Concat | _: Substring | _: StringTrim | _: StringTrimLeft
+         | _: StringTrimRight => true
+      case _: BinaryComparison | _: And | _: Or | _: Not
+         | _: IsNull | _: IsNotNull | _: Coalesce => true
+      case _: org.apache.spark.sql.catalyst.expressions.CaseWhen
+         | _: org.apache.spark.sql.catalyst.expressions.If => true
+      case c: Cast => Cast.canUpCast(c.child.dataType, c.dataType)
+      case r: RoundBase => fractional(r.children.head)
+      case d: DivModLike =>
+        fractional(d) && (d.right match {
+          case Literal(n: java.lang.Number, _) => n.doubleValue() != 0.0
+          case _ => false
+        })
+      case b: BinaryArithmetic => fractional(b) // +,-,* on double/float
+      case _: org.apache.spark.sql.catalyst.expressions.Sqrt
+         | _: org.apache.spark.sql.catalyst.expressions.Exp => true
+      case u: org.apache.spark.sql.catalyst.expressions.UnaryMinus =>
+        fractional(u)
+      case a: org.apache.spark.sql.catalyst.expressions.Abs =>
+        fractional(a)
+      case _ => false
+    }
+    !e.exists(n => !nodeOk(n))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -93,10 +152,25 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
         }
         if (floated.isEmpty) p
         else {
-          val below =
-            if (kept.isEmpty) child
-            else Filter(kept.reduce(And(_, _)), child)
-          Filter(floated.reduce(And(_, _)), Project(list, below))
+          // New-throw gate: the hoisted Filter makes every projection
+          // expression run on pre-filter rows. Aliases whose attribute
+          // the floated conjuncts reference were ALREADY evaluated on
+          // those rows (their tree sat inlined in the pushed-down
+          // Filter — that is the premise of the rewrite); every OTHER
+          // projection item must be provably non-throwing, or we leave
+          // the plan alone (the double evaluation is the safe cost).
+          val floatedRefs = org.apache.spark.sql.catalyst.expressions
+            .AttributeSet(floated.flatMap(_.references))
+          val safe = list.forall { ne =>
+            floatedRefs.contains(ne.toAttribute) || neverThrows(ne)
+          }
+          if (!safe) p
+          else {
+            val below =
+              if (kept.isEmpty) child
+              else Filter(kept.reduce(And(_, _)), child)
+            Filter(floated.reduce(And(_, _)), Project(list, below))
+          }
         }
       }
   }

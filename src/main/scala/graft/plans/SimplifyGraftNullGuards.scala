@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThan, IsNotNull, Literal, RoundBase, Size, StringSplit}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Attribute, And, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Ceil, Concat, DivModLike, Expression, Floor, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Length, Literal, Lower, Multiply, RoundBase, Size, StringSplit, StringTrim, StringTrimLeft, StringTrimRight, Substring, Subtract, UnaryMinus, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, NumericType}
 
 import graft.functions.{MinHashSig, WordShingles}
 
@@ -22,13 +22,18 @@ import graft.functions.{MinHashSig, WordShingles}
   *
   * The algebra that makes the rewrite exact, not heuristic:
   *   - `isnotnull(E)` ⟺ `AND(isnotnull(a) for a in E.references)`
-  *     whenever EVERY node of E is null-intolerant (null out iff some
-  *     input null) and every literal in E is non-null. Catalyst's own
-  *     `nullIntolerant` flag drives the check — the same flag its
-  *     constraint inference trusts in the other direction — plus
-  *     `RoundBase`, which is behaviorally null-intolerant but ships
-  *     with the conservative default flag. The graft expressions all
-  *     advertise the flag themselves.
+  *     whenever EVERY node of E is TOTAL FOR NON-NULL INPUTS — i.e.
+  *     null out iff some input is null, AND never null for non-null
+  *     inputs in ANY eval mode. Catalyst's `nullIntolerant` flag alone
+  *     is NOT that premise: it only promises null-in → null-out.
+  *     Divide/Remainder/Pmod inherit nullIntolerant=true yet return
+  *     null on a zero divisor outside ANSI mode, and a numeric cast to
+  *     a narrow decimal nulls on overflow outside ANSI mode. So the
+  *     check is an explicit WHITELIST of expressions proven total
+  *     (graft scalar expressions, string/size/compare ops, non-div
+  *     arithmetic, up-casts), with DivModLike admitted only under a
+  *     non-null non-zero LITERAL divisor and Cast only when
+  *     `Cast.canUpCast` (widening, cannot overflow) holds.
   *   - `size(E) > 0` ⟺ `isnotnull(E)` when E can never be an EMPTY
   *     array for non-null input: [[WordShingles]] and [[MinHashSig]]
   *     (short docs collapse to one whole-text shingle; signatures are
@@ -43,25 +48,64 @@ import graft.functions.{MinHashSig, WordShingles}
   */
 object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
 
-  /** Every node null-intolerant, every literal non-null — the premise
-    * under which E is null iff one of its attribute inputs is null.
+  /** Structural whitelist: expression CLASSES that never produce null
+    * from non-null inputs in any eval mode (they may throw under ANSI —
+    * wrap-vs-throw does not affect null-equivalence). Children are
+    * checked recursively by [[totalForNonNull]].
     */
-  private def nullIntolerantTree(e: Expression): Boolean = e match {
+  private def whitelistedNode(e: Expression): Boolean = e match {
+    // graft scalar expressions: all total by construction (audited:
+    // none of the nullSafeEvals can return null)
+    case _ if e.getClass.getName.startsWith("graft.functions.") => true
+    // non-dividing arithmetic: wraps or throws, never nulls
+    case _: Add | _: Subtract | _: Multiply | _: UnaryMinus | _: Abs => true
+    case _: Floor | _: Ceil => true
+    case _: BitwiseAnd | _: BitwiseOr | _: BitwiseXor | _: BitwiseNot => true
+    // string ops: total for non-null inputs
+    case _: Length | _: Lower | _: Upper | _: Concat | _: Substring => true
+    case _: StringTrim | _: StringTrimLeft | _: StringTrimRight => true
+    case _: StringSplit => true
+    // comparisons over non-null operands are two-valued
+    case _: GreaterThan | _: GreaterThanOrEqual
+       | _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+
+  /** Every node proven total for non-null inputs, every literal
+    * non-null — the premise under which E is null iff one of its
+    * attribute inputs is null. NOT `x.nullIntolerant`: that flag admits
+    * DivModLike (null on zero divisor, non-ANSI) and would make the
+    * rewrite return wrong rows (ADVICE r9, reproduced on (10,0)).
+    */
+  private def totalForNonNull(e: Expression): Boolean = e match {
     case _: Attribute => true
     case l: Literal => l.value != null
-    // behaviorally null-intolerant; ships with the default flag unset
-    case r: RoundBase => r.children.forall(nullIntolerantTree)
-    // Cast's flag is conservatively false (a malformed string cast CAN
-    // null under non-ANSI); numeric-to-numeric casts never null a
-    // non-null value in any mode
-    case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-           c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
-      nullIntolerantTree(c.child)
+    // behaviorally null-intolerant and total; ships with the
+    // conservative default flag unset
+    case r: RoundBase => r.children.forall(totalForNonNull)
+    // Cast: only WIDENING casts that cannot overflow. Numeric-to-numeric
+    // is not enough — a non-ANSI overflow into DecimalType returns null
+    // (ADVICE r9, reproduced with CAST(99999.0 AS DECIMAL(3,2))).
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+      totalForNonNull(c.child)
     // size is null-intolerant exactly when legacySizeOfNull (-1 for
     // null input) is off — the expression records its own mode
-    case s: Size if !s.legacySizeOfNull => nullIntolerantTree(s.child)
-    case x => x.nullIntolerant && x.children.forall(nullIntolerantTree)
+    case s: Size if !s.legacySizeOfNull => totalForNonNull(s.child)
+    // division family: total only under a non-null non-zero LITERAL
+    // divisor (the computed-bucket `x / 10.0` idiom); a column divisor
+    // can be zero → null in non-ANSI/TRY modes
+    case d: DivModLike =>
+      d.children match {
+        case Seq(left, Literal(v, _: NumericType)) =>
+          (v match {
+            case n: java.lang.Number => n.doubleValue() != 0.0
+            case dec: org.apache.spark.sql.types.Decimal => !dec.isZero
+            case _ => false
+          }) && totalForNonNull(left)
+        case _ => false
+      }
+    case x if whitelistedNode(x) => x.children.forall(totalForNonNull)
+    case _ => false
   }
 
   /** `isnotnull(E)` as the conjunction of input-column null checks, or
@@ -70,7 +114,7 @@ object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
     */
   private def asInputNullChecks(e: Expression): Option[Expression] = {
     val refs = e.references.toSeq
-    if (refs.nonEmpty && nullIntolerantTree(e))
+    if (refs.nonEmpty && totalForNonNull(e))
       Some(refs.map(a => IsNotNull(a): Expression).reduce(And(_, _)))
     else None
   }

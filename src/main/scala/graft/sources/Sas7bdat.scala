@@ -429,13 +429,31 @@ object Sas7bdat {
           val shLen  = bb.getLong(p + 8).toInt
           val shComp = page(p + 16).toInt & 0xFF
           val shType = page(p + 17).toInt & 0xFF
-          if (shType == 1 && shLen > 0 && (shComp == 0 || shComp == 4)) {
-            val buf =
-              if (shLen < rowLen)
-                rleDecompress(java.util.Arrays.copyOfRange(page, shOff, shOff + shLen), rowLen)
-              else page
-            Some(decodeVals(buf, if (shLen < rowLen) 0 else shOff, cols))
-          } else None
+          if (shType != 1 || shLen <= 0) None
+          else shComp match {
+            case 0 | 4 =>
+              // payload shorter than the row is RLE (readers key on
+              // length, like pandas sas.pyx); full-length is raw
+              val buf =
+                if (shLen < rowLen)
+                  rleDecompress(java.util.Arrays.copyOfRange(page, shOff, shOff + shLen), rowLen)
+                else page
+              Some(decodeVals(buf, if (shLen < rowLen) 0 else shOff, cols))
+            case 1 =>
+              // TRUNCATED pointer: the spec (Shotwell §subheader
+              // pointers) and both pandas and readstat define flag 1 as
+              // "ignore" — a deleted/placeholder entry, not a data row
+              None
+            case other =>
+              // any OTHER flag is a layout this reader does not decode
+              // (e.g. a row spanning a page boundary in an externally
+              // produced file). Refuse loudly like SASYZCR2 — silently
+              // skipping would return a frame with missing rows
+              throw new IllegalStateException(
+                s"sas7bdat: row subheader has unsupported compression " +
+                  s"flag $other (page offset $shOff) — this layout is " +
+                  "not decoded; refusing rather than dropping rows")
+          }
         }
       case _ => Iterator.empty
     }

@@ -20,4 +20,13 @@ object bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The optimizer rules a SparkSessionExtensions instance would inject
+    * (buildOptimizerRules is private[sql]) — lets tests pin WHICH rules
+    * ride the class-extension path vs the extraOptimizations path.
+    */
+  def injectedOptimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -835,6 +835,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: duplicate (key, order) rows are refused, not fanned out (ADVICE r9)") {
+    import graft.operators.TimeSeries
+    // 2 rows sharing (k=1, t=2): the state join-back would produce 4
+    // output rows with merge-order-dependent values — refuse loudly
+    val dup = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 2L, 9.0))
+      .toDF("k", "t", "x")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.holt(dup, Seq("k"), "t", "x", 0.5, 0.5)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // duplicates on DIFFERENT keys are fine; null orders don't count as
+    // duplicates (they get null states, one output row each)
+    val ok = Seq[(Long, java.lang.Long, Double)]((1L, 2L, 2.0), (2L, 2L, 4.0),
+        (1L, null, 1.0), (1L, null, 5.0))
+      .toDF("k", "t", "x")
+    assert(TimeSeries.holt(ok, Seq("k"), "t", "x", 0.5, 0.5).count() == 4L)
+  }
+
   test("holt: linear aggregate path == windowed prefix-fold reference, bit-for-bit (seeded, nulls)") {
     import graft.operators.TimeSeries
     val rnd = new scala.util.Random(7)

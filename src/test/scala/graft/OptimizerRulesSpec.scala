@@ -88,6 +88,92 @@ class OptimizerRulesSpec extends AnyFunSuite {
     assert(scored.select("id").as[Long].collect().toSeq == Seq(1L))
   }}
 
+  private def withAnsi[A](on: Boolean)(body: => A): A = {
+    val key  = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("SimplifyGraftNullGuards: (a/b) IS NOT NULL with a COLUMN divisor is left alone — zero divides to null in non-ANSI (ADVICE r9)") { withPlansVisible { withAnsi(on = false) {
+    val df = Seq((10.0, 2.0), (10.0, 0.0)).toDF("a", "b")
+    val q  = df.filter((col("a") / col("b")).isNotNull)
+    // nullIntolerant would have claimed this rewrites to
+    // isnotnull(a) AND isnotnull(b) and returned BOTH rows; division by
+    // zero nulls outside ANSI, so exactly one row survives
+    assert(q.count() == 1L)
+    val divsInFilter = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case d: org.apache.spark.sql.catalyst.expressions.Divide => d
+        }.size
+    }.sum
+    assert(divsInFilter >= 1, q.queryExecution.optimizedPlan.treeString)
+  }}}
+
+  test("SimplifyGraftNullGuards: overflowing decimal cast guard is left alone — narrows can null in non-ANSI (ADVICE r9)") { withPlansVisible { withAnsi(on = false) {
+    val df = Seq(99999.0, 1.23).toDF("x")
+    val q  = df.filter(col("x")
+      .cast(org.apache.spark.sql.types.DecimalType(3, 2)).isNotNull)
+    // 99999.0 overflows DECIMAL(3,2) -> null -> dropped; a
+    // numeric-to-numeric blanket rule would have kept both rows
+    assert(q.count() == 1L)
+    val castsInFilter = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => c
+        }.size
+    }.sum
+    assert(castsInFilter >= 1, q.queryExecution.optimizedPlan.treeString)
+  }}}
+
+  test("SimplifyGraftNullGuards: literal non-zero divisor still rewrites (the bucket idiom keeps its fast path)") { withPlansVisible { withAnsi(on = false) {
+    // ansi off flips legacy sizeOfNull back on (size(null) = -1, which
+    // keeps the null row and ALSO disables the rewrite premise) — pin
+    // the modern semantics so this exercises the DivModLike literal case
+    val prevSz = spark.conf.get("spark.sql.legacy.sizeOfNull")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    try {
+    val df = Seq(("a b c", 1L), (null, 2L)).toDF("text", "id")
+    val q = df
+      .select(col("id"),
+        floor(size(split(col("text"), " ")).cast("double") / 10.0).as("b"))
+      .filter(col("b").isNotNull)
+    assert(splitsIn(q.queryExecution.optimizedPlan, filtersOnly = true) == 0,
+      q.queryExecution.optimizedPlan.treeString)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(1L))
+    } finally spark.conf.set("spark.sql.legacy.sizeOfNull", prevSz)
+  }}}
+
+  test("ReuseProjectedExpensiveInFilter: a throwing sibling projection blocks the float (ANSI cast on pre-filter rows)") { withPlansVisible { withAnsi(on = true) {
+    val df = Seq(("one two three", "7"), ("one", "oops")).toDF("text", "s")
+    val q = df.select(col("s").cast("int").as("si"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 2)
+    // were the Filter hoisted above the Project, CAST('oops' AS INT)
+    // would evaluate on the second row and throw under ANSI; the gate
+    // must keep the filter below and accept the double split
+    val rows = q.collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((7, 3L)))
+    assert(splitsIn(q.queryExecution.optimizedPlan, filtersOnly = true) == 1,
+      q.queryExecution.optimizedPlan.treeString)
+  }}}
+
+  test("ReuseProjectedExpensiveInFilter rides ONLY the extraOptimizations path — injectOptimizerRule would be re-pushed into a no-op") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val injected =
+      org.apache.spark.sql.graft.bridge.injectedOptimizerRules(ext, spark)
+    assert(injected.exists(_ eq graft.plans.SimplifyGraftNullGuards))
+    assert(injected.exists(_ eq graft.plans.CollapseTitleCase))
+    assert(!injected.exists(_ eq graft.plans.ReuseProjectedExpensiveInFilter),
+      "the class-extension path must not inject the reuse rule: inside " +
+        "the operator-optimization fixpoint PushDownPredicates re-inlines " +
+        "the floated conjunct")
+    assert(spark.experimental.extraOptimizations
+      .contains(graft.plans.ReuseProjectedExpensiveInFilter))
+  }
+
   test("ReuseProjectedExpensiveInFilter: cheap conjuncts stay below the Project for pushdown") { withPlansVisible {
     val df = Seq(("one two three", 1L, "en"), ("uno dos", 2L, null))
       .toDF("text", "id", "lang")

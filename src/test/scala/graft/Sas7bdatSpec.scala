@@ -158,6 +158,43 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == expect)
   }
 
+  test("unsupported row-subheader compression flag is refused loudly, not silently skipped (ADVICE r9)") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toDouble, "v" * (i % 30 + 1)))
+      .toDF("i", "pad")
+    val path = tmpFile("badflag")
+    Sas7bdat.writeDataFrame(df, path, pageSize = 4096, compress = true)
+    val meta  = Sas7bdat.inspect(path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // find the first rows page (meta-type with type-1 row pointers) and
+    // flip its first pointer's compression flag to an undecodable value
+    val nPages = ((bytes.length - meta.headerLength) / meta.pageSize).toInt
+    val hit = (0 until nPages).iterator.map { pg =>
+      val base = meta.headerLength + pg * meta.pageSize
+      val p    = base + 32 + 8 // PageBitOffsetX64 + 8: first pointer
+      (base, p)
+    }.find { case (base, p) =>
+      // type byte 1 at p+17 marks a row subheader
+      bytes(p + 17) == 1.toByte
+    }
+    assert(hit.nonEmpty, "no compressed row page found in fixture")
+    bytes(hit.get._2 + 16) = 2.toByte // neither 0/4 (rows) nor 1 (ignore)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val ex = intercept[Exception] {
+      Sas7bdat.read(spark, path).count()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("unsupported compression flag")),
+      chain(ex).mkString(" | "))
+    // TRUNCATED pointers (flag 1) are spec-"ignore": skipping them is
+    // correct and must NOT throw — rewrite the same pointer to flag 1
+    bytes(hit.get._2 + 16) = 1.toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    // exactly one row (the ignored pointer) disappears
+    assert(Sas7bdat.read(spark, path).count() == 499L)
+  }
+
   test("compressed round-trip of a mirror shard (219k real rows)") {
     val shard = spark.read.parquet(
       "/root/reference/sas_data/part-00000-b9542815-7a8d-45fc-9c67-c9c5007ad0d4-c000.snappy.parquet")
