@@ -110,9 +110,55 @@ object IncrementalDedup {
     * `hashJ ≥ t` is a complete filter; the string intersect then
     * confirms the few survivors — exactness never rides on hash
     * collisionlessness. Output: `id_new, id_old, within, jaccard`.
+    *
+    * Zipf-hot prefix tokens (side frequency > [[DefaultHotTokenCap]])
+    * are routed through an exact size-banded chunk grid instead of the
+    * plain equi-join bucket — bounded per-task pair work with zero
+    * recall loss (see the 5-arg overload's body).
     */
   def batchPairs(rows: DataFrame, index: Option[DataFrame],
-                 threshold: Double): DataFrame = {
+                 threshold: Double): DataFrame =
+    batchPairs(rows, index, threshold,
+      hotTokenCap = DefaultHotTokenCap, hotChunk = DefaultHotChunk)
+
+  /** A prefix token is HOT when either side of the candidate join holds
+    * more than this many rows for it — a Zipf-head shingle landing in
+    * millions of prefixes would otherwise make the equi-join's one
+    * bucket quadratic in that token's frequency (the batch path's
+    * [[Dedup.jaccardJoinExact]] dodges the same bucket with DF-rarity
+    * prefix ordering, which the incremental index gave up for
+    * write-once rows). Hot tokens route through the exact size-banded
+    * chunk grid instead; cold tokens pay nothing.
+    */
+  val DefaultHotTokenCap = 1024
+
+  /** Rank-chunk size for the hot-token grid: each side of a hot token's
+    * bucket is split into size-ordered chunks of at most this many
+    * rows, so every join group is ≤ chunk² pair evaluations with a
+    * chunk-bounded build side — no task ever owns a whole hot bucket.
+    */
+  val DefaultHotChunk = 1024
+
+  /** Hot tokens are materialized to the driver when there are at most
+    * this many (a bounded, stated collect: ≤ 64 B/shingle ⇒ ≤ 1 MB) —
+    * an empty set short-circuits to the plain single-join plan and a
+    * small set becomes codegen'd `isin` literals, so the common corpus
+    * pays only the two frequency counts. Beyond the bound (an
+    * adversarial corpus where MILLIONS of tokens exceed the cap) the
+    * split stays fully lazy via broadcast anti/semi joins.
+    */
+  val DefaultMaxHotCollect = 16384
+
+  def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
+                 hotTokenCap: Int, hotChunk: Int): DataFrame =
+    batchPairs(rows, index, threshold, hotTokenCap, hotChunk,
+      DefaultMaxHotCollect)
+
+  def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
+                 hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int): DataFrame = {
+    require(hotTokenCap >= 1, s"hotTokenCap must be >= 1, got $hotTokenCap")
+    require(hotChunk >= 1, s"hotChunk must be >= 1, got $hotChunk")
+    require(maxHotCollect >= 0, s"maxHotCollect must be >= 0, got $maxHotCollect")
     val newTok = rows.select(col("id").as("id_new"), col("sz").as("sz_new"),
       posexplode(col("prefix")).as(Seq("pn", "g")))
     val rhsBase = index match {
@@ -125,19 +171,136 @@ object IncrementalDedup {
     }
     val rhsTok = rhsBase.select(col("id").as("id_old"), col("sz").as("sz_old"),
       posexplode(col("prefix")).as(Seq("po", "g")), col("within"))
-    // Candidate rows (one per shared prefix token) reduce by pair to the
-    // EARLIEST shared token's positions — prefixes are sorted in the
-    // global order, so min(pn)/min(po) both belong to the order-minimal
-    // shared token s0, and every token before it on either side is
-    // provably NOT shared. That gives the PPJoin-style positional bound
-    // |∩| ≤ min(sz_a − pn, sz_b − po): candidates whose first shared
-    // token sits late in both prefixes are pruned BEFORE any shingle
-    // array is fetched (the array-carrying verify join is the expensive
-    // stage — this aggregation also subsumes candidate dedup).
-    val cand = newTok.join(rhsTok, Seq("g"))
+
+    // Per-candidate-row filters, applied on BOTH paths the moment a
+    // (new, old) row materializes — while it is slim (no arrays):
+    //   - size-ratio bound (J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t);
+    //   - the PPJoin positional bound at ROW level. Exact despite using
+    //     THIS token's positions: prefixes share the global sort order,
+    //     so the order-minimal shared token s0 has the componentwise-
+    //     minimal (pn, po) — its row's bound dominates every other
+    //     row's. A viable pair's s0 row always survives (its bound is
+    //     the true one the post-group filter re-checks), and min(pn)/
+    //     min(po) over survivors still come from s0, so the grouped
+    //     result is unchanged; rows of non-viable tokens just die early
+    //     instead of riding the exchange into the groupBy.
+    def prune(cand: DataFrame): DataFrame = cand
       .filter((!col("within") || col("id_new") < col("id_old"))
         && col("sz_old").cast("double") >= lit(threshold) * col("sz_new")
-        && col("sz_new").cast("double") >= lit(threshold) * col("sz_old"))
+        && col("sz_new").cast("double") >= lit(threshold) * col("sz_old")
+        && least(col("sz_new") - col("pn"), col("sz_old") - col("po"))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (col("sz_new") + col("sz_old")).cast("double"))
+
+    // ---- hot-token split --------------------------------------------
+    // BOTH sides' token frequencies in ONE map-side-combined count (a
+    // side tag + conditional counts — the union costs nothing and
+    // halves the per-ingest job overhead vs two counts; the rhs half is
+    // a column-pruned second pass over the index prefix stream the join
+    // scans anyway — at 100 TB maintain the token-count table
+    // incrementally next to the index, the IncrementalStats compaction
+    // pattern, instead of recounting). The hot SET is a pure
+    // performance split: any membership is exact, so the threshold
+    // needs no cross-side product join — f_n·f_o > cap² implies one
+    // side exceeds cap.
+    val hotTok = newTok.select(col("g"), lit(0).as("__s"))
+      .unionByName(rhsTok.select(col("g"), lit(1).as("__s")))
+      .groupBy(col("g"))
+      .agg(count(when(col("__s") === 0, 1)).as("__fn"),
+        count(when(col("__s") === 1, 1)).as("__fo"))
+      .filter(col("__fn") > hotTokenCap || col("__fo") > hotTokenCap)
+      .select(col("g"))
+
+    // bounded, stated collect (≤ maxHotCollect + 1 rows): lets the
+    // common no-hot-token ingest keep the ORIGINAL single-join plan
+    // and a Zipf-head hot set become inlined isin literals
+    val hotHead = hotTok.limit(maxHotCollect + 1).collect().map(_.getString(0))
+
+    if (hotHead.isEmpty) {
+      // no hot tokens → the split machinery would only add stages;
+      // emit the plain equi-join plan
+      return finishPairs(rows, index, threshold,
+        prune(newTok.join(rhsTok, Seq("g")))
+          .select(col("id_new"), col("id_old"), col("within"),
+            col("sz_new"), col("sz_old"), col("pn"), col("po")))
+    }
+    val (coldOf, hotOf): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      if (hotHead.length <= maxHotCollect) {
+        // small hot set: codegen'd InSet membership, zero extra joins
+        (df => df.filter(!col("g").isin(hotHead.toSeq: _*)),
+         df => df.filter(col("g").isin(hotHead.toSeq: _*)))
+      } else {
+        // adversarial: more hot tokens than the collect bound — keep
+        // the membership fully distributed
+        (df => df.join(broadcast(hotTok), Seq("g"), "left_anti"),
+         df => df.join(broadcast(hotTok), Seq("g"), "left_semi"))
+      }
+
+    // cold tokens: the plain equi-join
+    val candCold = prune(coldOf(newTok).join(coldOf(rhsTok), Seq("g")))
+      .select(col("id_new"), col("id_old"), col("within"),
+        col("sz_new"), col("sz_old"), col("pn"), col("po"))
+
+    // hot tokens: EXACT chunk grid (the SubBuckets rank-chunk idea,
+    // minus its stitching recall floor — pair joins between two sides
+    // admit a lossless grid). Each side of a hot token's bucket is
+    // ranked BY DOC SIZE and cut into ≤hotChunk-row chunks; a pair
+    // (a, b) lives in exactly one grid cell (chunk(a), chunk(b)), and a
+    // cell is joined only when its size ranges could satisfy the
+    // size-ratio bound (chunk min/max sz overlap t·[lo, hi] — implied
+    // by any surviving pair, so skipping non-viable cells drops no
+    // pair). Both sides replicate to the viable cells of their chunk,
+    // making (g, chunk_a, chunk_b) the join key: every join group is
+    // ≤ hotChunk rows a side, every task's pair work ≤ hotChunk², and
+    // exchange volume is Σ viable cells · hotChunk per side — the
+    // f_n·f_o/chunk grid, never the f_n·f_o bucket.
+    val lhsHot = hotOf(newTok)
+      .withColumn("__ca", floor(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("sz_new"), col("id_new"), col("pn")))
+          .cast("double") - 1.0) / hotChunk).cast("long"))
+    val rhsHot = hotOf(rhsTok)
+      .withColumn("__cb", floor(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("sz_old"), col("id_old"), col("po")))
+          .cast("double") - 1.0) / hotChunk).cast("long"))
+    val boundsA = lhsHot.groupBy(col("g"), col("__ca"))
+      .agg(min(col("sz_new")).as("__loA"), max(col("sz_new")).as("__hiA"))
+    val boundsB = rhsHot.groupBy(col("g"), col("__cb"))
+      .agg(min(col("sz_old")).as("__loB"), max(col("sz_old")).as("__hiB"))
+    val cells = boundsA.join(boundsB, Seq("g"))
+      // necessary for ANY pair in the cell to pass the size bound:
+      // t·min(sz_a) ≤ max(sz_b) and t·min(sz_b) ≤ max(sz_a)
+      .filter(col("__hiB").cast("double") >= lit(threshold) * col("__loA").cast("double")
+        && col("__hiA").cast("double") >= lit(threshold) * col("__loB").cast("double"))
+      .select(col("g"), col("__ca"), col("__cb"))
+    val candHot = prune(
+      lhsHot.join(cells, Seq("g", "__ca"))
+        .join(rhsHot.join(cells, Seq("g", "__cb")),
+          Seq("g", "__ca", "__cb")))
+      .select(col("id_new"), col("id_old"), col("within"),
+        col("sz_new"), col("sz_old"), col("pn"), col("po"))
+
+    // Candidate rows (one per shared prefix token, each token routed
+    // through exactly one path) reduce by pair to the EARLIEST shared
+    // token's positions — prefixes are sorted in the global order, so
+    // min(pn)/min(po) both belong to the order-minimal shared token s0,
+    // and every token before it on either side is provably NOT shared.
+    // That gives the PPJoin-style positional bound |∩| ≤ min(sz_a − pn,
+    // sz_b − po): candidates whose first shared token sits late in both
+    // prefixes are pruned BEFORE any shingle array is fetched (the
+    // array-carrying verify join is the expensive stage — this
+    // aggregation also subsumes candidate dedup).
+    finishPairs(rows, index, threshold, candCold.unionByName(candHot))
+  }
+
+  /** The path-independent tail of [[batchPairs]]: per-pair positional
+    * reduce over pruned candidate rows, then filter-then-refine verify
+    * against the shingle payloads.
+    */
+  private def finishPairs(rows: DataFrame, index: Option[DataFrame],
+                          threshold: Double, candRows: DataFrame): DataFrame = {
+    val cand = candRows
       .groupBy(col("id_new"), col("id_old"), col("within"),
         col("sz_new"), col("sz_old"))
       .agg(min(col("pn")).as("pn"), min(col("po")).as("po"))

@@ -152,6 +152,98 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("batchPairs hot-token grid == brute force on planted stop-shingle corpora (VERDICT r9 #1)") {
+    // every doc shares the 3-word window "zz yy xx" -> one shingle sits
+    // in >50% of prefixes (short docs put most shingles in the prefix),
+    // exactly the Zipf-hot bucket the grid path exists for. Tiny caps
+    // force EVERY shared token through the grid; chunk sizes 1/2/3
+    // exercise degenerate cells, and the index/no-index split covers
+    // both rhs compositions.
+    val rng = new scala.util.Random(777)
+    val words = Seq("a", "b", "c", "d")
+    def doc(): String = "zz yy xx " + (0 until (1 + rng.nextInt(10)))
+      .map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    def sh(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ")
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def j(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    for (t <- Seq(0.3, 0.6); (cap, chunk) <- Seq((1, 1), (2, 3), (3, 2));
+         nOld <- Seq(0, 20)) {
+      val newDocs = (0L until 25L).map(i => (i, doc()))
+      val oldDocs = (1000L until (1000L + nOld)).map(i => (i, doc()))
+      val newRows = IncrementalDedup.indexRows(
+        newDocs.toDF("doc_id", "text"), "text", "doc_id", t)
+      val idx =
+        if (nOld == 0) None
+        else Some(IncrementalDedup.indexRows(
+          oldDocs.toDF("doc_id", "text"), "text", "doc_id", t))
+      // maxHotCollect = 0 forces the distributed anti/semi-join
+      // membership (the adversarial too-many-hot-tokens fallback);
+      // the default exercises the inlined-isin path — both must agree
+      // with brute force
+      val mhc = if (chunk == 2) 0 else IncrementalDedup.DefaultMaxHotCollect
+      val got = IncrementalDedup.batchPairs(newRows, idx, t,
+          hotTokenCap = cap, hotChunk = chunk, maxHotCollect = mhc)
+        .select(col("id_new"), col("id_old"), col("within"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      val want = (for {
+        (ia, ta) <- newDocs; (ib, tb) <- newDocs
+        if ia < ib && j(sh(ta), sh(tb)) >= t
+      } yield (ia, ib, true)).toSet ++ (for {
+        (ia, ta) <- newDocs; (ib, tb) <- oldDocs
+        if j(sh(ta), sh(tb)) >= t
+      } yield (ia, ib, false)).toSet
+      assert(want.exists(_._3), s"degenerate: no within pairs t=$t")
+      assert(got == want,
+        s"t=$t cap=$cap chunk=$chunk nOld=$nOld: " +
+          s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("hot-token grid bounds shuffle volume on a planted stop-shingle corpus") {
+    // 1200 docs ALL sharing one hot shingle, doc sizes spread wide so
+    // the size-banded cells prune: the uncapped equi-join would drag
+    // ~1200²/2 = 720k candidate rows through one bucket; the grid +
+    // row-level positional/size pruning must stay well under that.
+    val docs = (0L until 1200L).map { i =>
+      val len = 3 + (i % 40L).toInt * 3 // sizes 3..120 words
+      (i, "zz yy xx " + (0 until len).map(k => s"w${i}_$k").mkString(" "))
+    }
+    val t = 0.7
+    val rows = IncrementalDedup.indexRows(
+      docs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val nPairs =
+      try {
+        val n = IncrementalDedup.batchPairs(rows, None, t,
+          hotTokenCap = 64, hotChunk = 64).count()
+        var prev = -1L; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val cur = acc.get
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        n
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(nPairs == 0L) // unique tails: nothing verifies
+    val shuffled = acc.get
+    val nTokens = rows.agg(sum(size(col("prefix")))).head.getLong(0)
+    // tokens ride the exchange a bounded number of times (explodes,
+    // freq counts, grid replication); the quadratic bucket would add
+    // ~720k pair rows on top of the ~nTokens-scale traffic
+    assert(shuffled < 12L * nTokens && shuffled < 300000L,
+      s"hot-token ingest shuffled $shuffled records for $nTokens prefix tokens")
+  }
+
   test("streamingSink: exactly-once statuses + index across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
