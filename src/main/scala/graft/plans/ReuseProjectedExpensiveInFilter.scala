@@ -112,6 +112,25 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
     !e.exists(n => !nodeOk(n))
   }
 
+  /** Whether `target` sits in a position of `root` that is evaluated on
+    * EVERY row `root` is evaluated on. Branching/short-circuiting nodes
+    * (And/Or/If/CaseWhen/Coalesce) unconditionally evaluate only their
+    * first child (left operand / predicate / first branch condition);
+    * every other node evaluates all children.
+    */
+  private def unconditionallyEvaluated(
+      root: Expression, target: Attribute): Boolean = {
+    def walk(e: Expression): Boolean = e match {
+      case a: Attribute => a.semanticEquals(target)
+      case _: And | _: Or | _: Coalesce
+         | _: org.apache.spark.sql.catalyst.expressions.If
+         | _: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+        e.children.headOption.exists(walk)
+      case _ => e.children.exists(walk)
+    }
+    walk(root)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(list, f @ Filter(cond, child))
         if cond.deterministic && list.forall(_.deterministic) =>
@@ -126,9 +145,13 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
         case a: Alias if isExpensive(a.child) =>
           Seq(a.child.canonicalized -> (a.toAttribute: Expression)) ++
             (a.child match {
-              case c: Cast
-                  if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-                     c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+              // cast-back entries only for WIDENING casts: the alias
+              // tree's own Cast was never in the filter (only its inner
+              // tree was), so when the exemption below credits the
+              // alias as "already evaluated", the Cast wrapper must be
+              // provably non-throwing on its own — canUpCast cannot
+              // overflow or fail to parse (ADVICE r10)
+              case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
                 Seq(c.child.canonicalized ->
                   (Cast(a.toAttribute, c.child.dataType): Expression))
               case _ => Nil
@@ -153,16 +176,26 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
         if (floated.isEmpty) p
         else {
           // New-throw gate: the hoisted Filter makes every projection
-          // expression run on pre-filter rows. Aliases whose attribute
-          // the floated conjuncts reference were ALREADY evaluated on
-          // those rows (their tree sat inlined in the pushed-down
-          // Filter — that is the premise of the rewrite); every OTHER
-          // projection item must be provably non-throwing, or we leave
-          // the plan alone (the double evaluation is the safe cost).
-          val floatedRefs = org.apache.spark.sql.catalyst.expressions
-            .AttributeSet(floated.flatMap(_.references))
+          // expression run on pre-filter rows. An alias may be exempt
+          // from the neverThrows proof only when its tree was ALREADY
+          // evaluated on every pre-filter row in the ORIGINAL plan —
+          // and And short-circuits, so of the floated conjuncts only
+          // the FIRST (in original conjunct order) is guaranteed to
+          // have run on every row reaching the Project (rows there
+          // passed all kept conjuncts, a subset of the rows on which
+          // the first floated conjunct — preceded only by kept
+          // conjuncts — was evaluated; a LATER floated conjunct was
+          // skipped whenever an earlier one failed, ADVICE r10).
+          // Within that first conjunct the attribute must sit in an
+          // unconditionally-evaluated position (not under the
+          // short-circuited arm of an Or/If/CaseWhen/Coalesce). Every
+          // other projection item must be provably non-throwing, or we
+          // leave the plan alone (double evaluation is the safe cost).
+          val exemptRefs = org.apache.spark.sql.catalyst.expressions
+            .AttributeSet(floated.head.references.filter(a =>
+              unconditionallyEvaluated(floated.head, a)))
           val safe = list.forall { ne =>
-            floatedRefs.contains(ne.toAttribute) || neverThrows(ne)
+            exemptRefs.contains(ne.toAttribute) || neverThrows(ne)
           }
           if (!safe) p
           else {

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Attribute, And, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Ceil, Concat, DivModLike, Expression, Floor, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Length, Literal, Lower, Multiply, RoundBase, Size, StringSplit, StringTrim, StringTrimLeft, StringTrimRight, Substring, Subtract, UnaryMinus, Upper}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Attribute, And, BinaryArithmetic, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Ceil, Concat, DivModLike, EvalMode, Expression, Floor, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Length, Literal, Lower, Multiply, RoundBase, Size, StringSplit, StringTrim, StringTrimLeft, StringTrimRight, Substring, Subtract, UnaryMinus, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, NumericType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, NumericType}
 
 import graft.functions.{MinHashSig, WordShingles}
 
@@ -30,10 +30,12 @@ import graft.functions.{MinHashSig, WordShingles}
   *     null on a zero divisor outside ANSI mode, and a numeric cast to
   *     a narrow decimal nulls on overflow outside ANSI mode. So the
   *     check is an explicit WHITELIST of expressions proven total
-  *     (graft scalar expressions, string/size/compare ops, non-div
-  *     arithmetic, up-casts), with DivModLike admitted only under a
-  *     non-null non-zero LITERAL divisor and Cast only when
-  *     `Cast.canUpCast` (widening, cannot overflow) holds.
+  *     (graft scalar expressions, string/size/compare ops, arithmetic
+  *     at non-decimal types under non-TRY eval — decimal +,-,*,/ null
+  *     on precision overflow in LEGACY mode and EvalMode.TRY nulls on
+  *     integral overflow — and up-casts), with DivModLike admitted
+  *     only under a non-null non-zero LITERAL divisor and Cast only
+  *     when `Cast.canUpCast` (widening, cannot overflow) holds.
   *   - `size(E) > 0` ⟺ `isnotnull(E)` when E can never be an EMPTY
   *     array for non-null input: [[WordShingles]] and [[MinHashSig]]
   *     (short docs collapse to one whole-text shingle; signatures are
@@ -57,8 +59,11 @@ object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
     // graft scalar expressions: all total by construction (audited:
     // none of the nullSafeEvals can return null)
     case _ if e.getClass.getName.startsWith("graft.functions.") => true
-    // non-dividing arithmetic: wraps or throws, never nulls
-    case _: Add | _: Subtract | _: Multiply | _: UnaryMinus | _: Abs => true
+    // unary arithmetic: neg/abs of a value within a type's range stays
+    // within its range (decimal included), so wraps or throws, never
+    // nulls; a TRY wrapper would surface as a TryEval node, which is
+    // not whitelisted
+    case _: UnaryMinus | _: Abs => true
     case _: Floor | _: Ceil => true
     case _: BitwiseAnd | _: BitwiseOr | _: BitwiseXor | _: BitwiseNot => true
     // string ops: total for non-null inputs
@@ -91,10 +96,24 @@ object SimplifyGraftNullGuards extends Rule[LogicalPlan] {
     // size is null-intolerant exactly when legacySizeOfNull (-1 for
     // null input) is off — the expression records its own mode
     case s: Size if !s.legacySizeOfNull => totalForNonNull(s.child)
-    // division family: total only under a non-null non-zero LITERAL
-    // divisor (the computed-bucket `x / 10.0` idiom); a column divisor
-    // can be zero → null in non-ANSI/TRY modes
-    case d: DivModLike =>
+    // binary arithmetic: total only at NON-DECIMAL result types under
+    // non-TRY eval — decimal +,-,*,/ return null on precision overflow
+    // in LEGACY mode, and EvalMode.TRY (try_add/try_multiply/...)
+    // returns null on integral overflow (ADVICE r10). Non-decimal
+    // LEGACY/ANSI wraps or throws, never nulls.
+    case b @ (_: Add | _: Subtract | _: Multiply) =>
+      val ba = b.asInstanceOf[BinaryArithmetic]
+      ba.evalMode != EvalMode.TRY &&
+        !ba.dataType.isInstanceOf[DecimalType] &&
+        ba.children.forall(totalForNonNull)
+    // division family: the same type/mode restriction, plus a non-null
+    // non-zero LITERAL divisor (the computed-bucket `x / 10.0` idiom);
+    // a column divisor can be zero → null in non-ANSI/TRY modes, and a
+    // decimal quotient can null on precision overflow even with a
+    // non-zero literal divisor
+    case d: DivModLike
+        if d.evalMode != EvalMode.TRY &&
+          !d.dataType.isInstanceOf[DecimalType] =>
       d.children match {
         case Seq(left, Literal(v, _: NumericType)) =>
           (v match {
