@@ -163,6 +163,42 @@ object IncrementalDedup {
     batchPairs(rows, index, threshold, hotTokenCap, hotChunk, maxHotCollect,
       indexTokenCounts = None)
 
+  def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
+                 hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int,
+                 indexTokenCounts: Option[DataFrame]): DataFrame =
+    batchPairs(rows, index, threshold, hotTokenCap, hotChunk, maxHotCollect,
+      indexTokenCounts, HotInputs())
+
+  /** Precomputed hot-detection inputs an ingest loop already has in
+    * hand — every field steers PERFORMANCE only (the hot set is a pure
+    * routing split; see [[batchPairs]]), so a wrong value can never
+    * drop or invent a pair:
+    *
+    *   - `batchFreq`: this batch's per-prefix-token counts (`g, cnt` —
+    *     [[batchTokenCounts]] of `rows`). Supplying a checkpointed
+    *     frame lets hot detection reuse it instead of re-exploding the
+    *     batch. MUST equal `batchTokenCounts(rows)` — it is the same
+    *     quantity, precomputed.
+    *   - `batchMaxFreq`: `max(cnt)` over `batchFreq` (0 for an empty
+    *     batch).
+    *   - `indexMaxCnt`: an upper bound on the index side's largest
+    *     per-token count ([[readMaxCntHint]]; exact after
+    *     [[compactTokenFreq]]). An UNDER-estimate only risks leaving a
+    *     genuinely hot token in the exact-but-quadratic equi-join
+    *     bucket — the pre-hot-split plan, never a wrong answer.
+    *
+    * When `batchMaxFreq + indexMaxCnt ≤ hotTokenCap` (both present; a
+    * batch-only self-join needs just `batchMaxFreq ≤ cap`), NO token
+    * can be hot — every join-side frequency is bounded by that sum —
+    * so [[batchPairs]] emits the plain single-join plan with ZERO
+    * eager jobs: no count aggregation, no index read, no collect. This
+    * is the common-corpus ingest fast path (hash-ordered prefixes have
+    * no natural stop-shingles; hot tokens are the adversarial tail).
+    */
+  final case class HotInputs(batchFreq: Option[DataFrame] = None,
+                             batchMaxFreq: Option[Long] = None,
+                             indexMaxCnt: Option[Long] = None)
+
   /** Full-control overload. `indexTokenCounts` (`g: string, cnt: long`,
     * one row per distinct prefix token of `index`) lets hot-token
     * detection skip the full pass over the index prefix stream: the
@@ -187,7 +223,8 @@ object IncrementalDedup {
     */
   def batchPairs(rows: DataFrame, index: Option[DataFrame], threshold: Double,
                  hotTokenCap: Int, hotChunk: Int, maxHotCollect: Int,
-                 indexTokenCounts: Option[DataFrame]): DataFrame = {
+                 indexTokenCounts: Option[DataFrame],
+                 hotInputs: HotInputs): DataFrame = {
     require(hotTokenCap >= 1, s"hotTokenCap must be >= 1, got $hotTokenCap")
     require(hotChunk >= 1, s"hotChunk must be >= 1, got $hotChunk")
     require(maxHotCollect >= 0, s"maxHotCollect must be >= 0, got $maxHotCollect")
@@ -225,6 +262,25 @@ object IncrementalDedup {
           lit(threshold / (1.0 + threshold)) * (col("sz_new") + col("sz_old")).cast("double"))
 
     // ---- hot-token split --------------------------------------------
+    // Frequency-bound fast path: every lhs frequency is ≤ batchMaxFreq
+    // and every rhs frequency ≤ batchMaxFreq + indexMaxCnt (the rhs
+    // unions the batch in; a token's batch contribution and index
+    // contribution are each bounded by their side's max). When that sum
+    // is ≤ cap no token can be hot, so the plain single-join plan goes
+    // out with ZERO eager work — the common-corpus ingest path. A lying
+    // bound only mis-ROUTES (exact either way); see [[HotInputs]].
+    val provablyCold = index match {
+      case None => hotInputs.batchMaxFreq.exists(_ <= hotTokenCap)
+      case Some(_) => hotInputs.batchMaxFreq.zip(hotInputs.indexMaxCnt)
+        .exists { case (bm, im) => bm + im <= hotTokenCap }
+    }
+    if (provablyCold) {
+      return finishPairs(rows, index, threshold,
+        prune(newTok.join(rhsTok, Seq("g")))
+          .select(col("id_new"), col("id_old"), col("within"),
+            col("sz_new"), col("sz_old"), col("pn"), col("po")))
+    }
+
     // The hot SET is a pure performance split: any membership is exact,
     // so the threshold needs no cross-side product join — f_n·f_o >
     // cap² implies one side exceeds cap. Detection is restricted to
@@ -238,8 +294,12 @@ object IncrementalDedup {
     // the ingest-mode contract; f_o = f_batch + cnt because the rhs
     // unions the batch rows in). Without one (legacy index, or a bare
     // similarity-join call) fall back to the one-shot recount: both
-    // sides in ONE map-side-combined count via a side tag.
-    val batchFreq = newTok.groupBy(col("g")).agg(count(lit(1)).as("__fn"))
+    // sides in ONE map-side-combined count via a side tag. An ingest
+    // loop that already aggregated the batch's token counts passes them
+    // in ([[HotInputs.batchFreq]]) so the batch is not re-exploded.
+    val batchFreq = hotInputs.batchFreq
+      .map(_.select(col("g"), col("cnt").cast("long").as("__fn")))
+      .getOrElse(newTok.groupBy(col("g")).agg(count(lit(1)).as("__fn")))
     val hotTok = (index, indexTokenCounts) match {
       case (Some(_), Some(cnt)) =>
         batchFreq
@@ -428,6 +488,48 @@ object IncrementalDedup {
     rows.select(explode(col("prefix")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
 
+  /** Sidecar file (inside the count table's directory, beside its
+    * `data/` and log — a table-root file neither owns) holding an UPPER
+    * BOUND on the table's largest merged per-token count. It is what
+    * lets the common ingest skip hot-token detection entirely
+    * ([[HotInputs.indexMaxCnt]]): reading one small file replaces the
+    * O(distinct tokens) scan+aggregate of the count table when the
+    * bound proves no token can be hot.
+    *
+    * Maintenance invariant (single-writer ingest, the streaming
+    * operating mode): the hint is bumped by the batch's own max count
+    * BEFORE the partials commit — Σ of per-batch maxes ≥ max of the
+    * per-token Σ, and a crash between hint write and commit leaves the
+    * hint OVER the truth, the performance-safe direction (over-routing
+    * through the exact grid). [[compactTokenFreq]] resets it to the
+    * exact max. A concurrent out-of-band compaction racing an ingest
+    * can leave the hint UNDER the truth until the next compaction —
+    * then a hot token merely sits in the exact-but-slower equi-join
+    * bucket; no path makes the answer wrong. Absent file (legacy
+    * table) means "unknown": callers fall back to the count-table
+    * join.
+    */
+  private[graft] def maxCntHintPath(tokenFreqTable: String): java.nio.file.Path =
+    java.nio.file.Paths.get(tokenFreqTable, "_graft_maxcnt_hint")
+
+  def readMaxCntHint(tokenFreqTable: String): Option[Long] = {
+    val p = maxCntHintPath(tokenFreqTable)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    ).toOption
+  }
+
+  def writeMaxCntHint(tokenFreqTable: String, bound: Long): Unit = {
+    val p = maxCntHintPath(tokenFreqTable)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"._maxcnt_hint.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, bound.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Merged per-token counts at `version` (default latest): `g, cnt`,
     * one row per distinct prefix token of the index — the shape
     * [[batchPairs]]' `indexTokenCounts` expects. Read cost is one
@@ -455,6 +557,7 @@ object IncrementalDedup {
     var done = false
     while (!done) {
       val base = VersionedTable.latestVersion(tf)
+      if (base < 0) return // no count table yet (legacy index): nothing to fold
       val merged = VersionedTable.readVersion(spark, tf, base)
         .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
         .withColumn("batch", lit(-1L))
@@ -467,6 +570,12 @@ object IncrementalDedup {
           left -= 1; if (left <= 0) throw e // a racing append won; re-read
       }
     }
+    // reset the hint to the EXACT max (one small agg over the rows just
+    // folded — O(distinct tokens), amortized over the compaction
+    // cadence); the per-ingest Σ-of-batch-maxes drift starts fresh
+    val trueMax = VersionedTable.read(spark, tf)
+      .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
+    writeMaxCntHint(tf, trueMax)
   }
 
   /** Backfill the count table for a LEGACY index built before the table
@@ -475,11 +584,16 @@ object IncrementalDedup {
     * committed as a single overwrite. Returns the committed version.
     */
   def rebuildTokenFreq(spark: SparkSession, indexTable: String): Long = {
+    val tf = tokenFreqTable(indexTable)
     val counts = batchTokenCounts(
         VersionedTable.read(spark, indexTable).select(col("prefix")))
       .withColumn("batch", lit(-1L))
-    VersionedTable.commit(counts, tokenFreqTable(indexTable), "overwrite",
+    val v = VersionedTable.commit(counts, tf, "overwrite",
       None, None, expectedVersion = None)
+    val trueMax = VersionedTable.readVersion(spark, tf, v)
+      .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
+    writeMaxCntHint(tf, trueMax)
+    v
   }
 
   /** Ingest one batch: status every doc against the index-so-far and
@@ -538,19 +652,74 @@ object IncrementalDedup {
 
     // the count table, pinned by the same replay rule so its snapshot
     // matches the pinned index (a crash between the two commits can
-    // only leave counts AHEAD — the performance-safe direction)
+    // only leave counts AHEAD — the performance-safe direction).
+    // tf-side replay detection differs by path: fresh ingests use the
+    // cheap per-app max-txn check (it can only cover our txn if THIS
+    // txn's counts landed and the index commit then crashed — counts
+    // commit first); REPLAYED ingests use exact membership on the tf
+    // history (already paid for on the index side) — a pre-upgrade
+    // batch, indexed before the count table existed, is absent from tf
+    // even though later txns are present, and the max check would skip
+    // its partials forever (ADVICE r11). Absent membership on replay
+    // BACKFILLS the partials under the same (app, txn), making the
+    // backfill itself idempotent on any further replay.
     val tf = tokenFreqTable(indexTable)
-    val tfReplayed = txnApp.zip(txn).exists { case (app, t) =>
-      VersionedTable.txnMaxes(tf).get(app).exists(_ >= t)
-    }
+    val tfHistory = if (replayed) Some(VersionedTable.history(tf)) else None
+    val tfReplayed =
+      if (replayed) txnApp.zip(txn).exists { case (app, t) =>
+        tfHistory.get.exists(c => c.txnApp.contains(app) && c.txn.contains(t))
+      } else txnApp.zip(txn).exists { case (app, t) =>
+        VersionedTable.txnMaxes(tf).get(app).exists(_ >= t)
+      }
+    val tfLatest = VersionedTable.latestVersion(tf)
     val tfVer = (if (!tfReplayed) None
       else txnApp.zip(txn).flatMap { case (app, t) =>
-        VersionedTable.history(tf)
+        tfHistory.get
           .find(c => c.txnApp.contains(app) && c.txn.contains(t))
           .map(_.version - 1)
-      }).getOrElse(VersionedTable.latestVersion(tf))
+      }).getOrElse(tfLatest)
+
+    // ONE pass over the batch's prefix tokens, shared by hot-token
+    // detection and the partials commit (r11 computed it twice). The
+    // partials COMMIT happens here, before the pair pass — same
+    // crash-safe order as before (counts land ahead of the index; a
+    // failed ingest retries with the txn guard, and an untagged retry
+    // merely over-counts, the performance-safe direction) — so the
+    // batch's max token count falls out of the commit's own write via
+    // observe(): zero extra jobs on the ingest path. The sidecar hint
+    // is bumped BEFORE the commit with the trivial bound (cnt ≤ batch
+    // rows: a token appears at most once per doc prefix) and tightened
+    // to the observed max right after — hint ≥ truth at every crash
+    // point.
+    val bc = batchTokenCounts(rows)
+    val hint = readMaxCntHint(tf)
+    val batchMax: Long =
+      if (!tfReplayed) {
+        val nRows = rows.count() // local scan of the checkpoint
+        (if (tfLatest < 0) Some(nRows) else hint.map(_ + nRows))
+          .foreach(writeMaxCntHint(tf, _))
+        val obs = org.apache.spark.sql.Observation()
+        VersionedTable.commit(
+          bc.observe(obs, coalesce(max(col("cnt")), lit(0L)).as("mx"))
+            .withColumn("batch", lit(batchId)),
+          tf, "append", txn, txnApp, expectedVersion = None)
+        val mx = obs.getAsJava.get("mx").asInstanceOf[Long]
+        (if (tfLatest < 0) Some(mx) else hint.map(_ + mx))
+          .foreach(writeMaxCntHint(tf, _))
+        mx
+      } else { // replay: no commit to observe — one tiny agg instead
+        bc.agg(coalesce(max(col("cnt")), lit(0L))).head().getLong(0)
+      }
+    val hotIn = HotInputs(batchFreq = Some(bc),
+      batchMaxFreq = Some(batchMax),
+      indexMaxCnt = if (index.isEmpty) Some(0L) else hint)
+    // same bound batchPairs re-checks; a divergence only costs the
+    // recount fallback, never a wrong answer
+    val provablyCold =
+      if (index.isEmpty) batchMax <= DefaultHotTokenCap
+      else hint.exists(_ + batchMax <= DefaultHotTokenCap)
     val idxCnt =
-      if (index.isEmpty || tfVer < 0) None
+      if (provablyCold || index.isEmpty || tfVer < 0) None
       else Some(tokenCounts(spark, indexTable, Some(tfVer)))
 
     // within-batch AND vs-index pairs in ONE candidate+verify pass,
@@ -559,7 +728,7 @@ object IncrementalDedup {
     // is checkpointed so the cluster step and the status join don't
     // re-run it
     val pairs = batchPairs(rows, index, threshold, DefaultHotTokenCap,
-      DefaultHotChunk, DefaultMaxHotCollect, idxCnt).localCheckpoint()
+      DefaultHotChunk, DefaultMaxHotCollect, idxCnt, hotIn).localCheckpoint()
     val within = pairs.filter(col("within"))
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
     // Within-batch components. A batch's VERIFIED duplicate-pair set is
@@ -570,9 +739,15 @@ object IncrementalDedup {
     // large-star/small-star path takes over unchanged. `pairs` is
     // checkpointed, so the gate count is a cheap local scan.
     val comp = {
-      val maxDriverEdges = 1L << 20
-      if (within.count() <= maxDriverEdges) {
-        val es = within.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // ONE bounded job decides the path AND fetches the edges: collect
+      // at most bound+1 rows — fits ⇒ those are all the edges; overflow
+      // ⇒ discard and take the distributed route (which rescans the
+      // checkpointed pairs anyway). The old count()-then-collect() pair
+      // cost two jobs to learn the same thing.
+      val maxDriverEdges = 1 << 20
+      val head = within.limit(maxDriverEdges + 1).collect()
+      if (head.length <= maxDriverEdges) {
+        val es = head.map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -598,14 +773,11 @@ object IncrementalDedup {
     val dupIdx = pairs.filter(!col("within"))
       .select(col("id_new")).distinct()
 
-    // counts FIRST, then the index (see scaladoc: a crash between the
-    // two leaves counts over the index — performance-safe; the reverse
-    // order could under-count and let a hot token sit in the quadratic
-    // equi-join bucket)
-    if (!tfReplayed)
-      VersionedTable.commit(
-        batchTokenCounts(rows).withColumn("batch", lit(batchId)),
-        tf, "append", txn, txnApp, expectedVersion = None)
+    // counts committed FIRST (above, fused with the batch-max
+    // observation), then the index: a crash between the two leaves
+    // counts over the index — performance-safe; the reverse order
+    // could under-count and let a hot token sit in the quadratic
+    // equi-join bucket
     if (!replayed)
       VersionedTable.commit(rows.withColumn("batch", lit(batchId)),
         indexTable, "append", txn, txnApp, expectedVersion = None)

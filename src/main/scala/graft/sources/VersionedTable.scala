@@ -297,13 +297,25 @@ object VersionedTable {
     // columns don't match the current snapshot would poison every later
     // read with a union error — fail at the write, name the drift.
     // Overwrites may change schema freely (they truncate the replay).
-    if (mode == "append" && latestVersion(table) >= 0) {
-      val want = read(df.sparkSession, table).schema
-        .fields.map(f => (f.name, f.dataType)).toSet
-      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSet
-      require(got == want,
-        s"append schema mismatch: appending ${df.schema.simpleString} " +
-          s"to a table whose snapshot schema differs — overwrite to evolve")
+    // The check reads ONE data dir — the newest commit's — not the
+    // whole snapshot: every prior append passed this same check against
+    // its then-snapshot, so by induction every dir since the last
+    // overwrite carries one schema and the newest stands for all of
+    // them. This keeps the per-append metadata cost O(1) in table size
+    // (an ingest loop appends forever; an O(#files) listing per append
+    // would make batch N+1 pay for batches 0..N).
+    if (mode == "append") {
+      val latest = latestVersion(table)
+      if (latest >= 0) {
+        val newestDir = snapshotCommits(table, latest).last.dataDir
+        val want = df.sparkSession.read
+          .parquet(Paths.get(table, newestDir).toString).schema
+          .fields.map(f => (f.name, f.dataType)).toSet
+        val got = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+        require(got == want,
+          s"append schema mismatch: appending ${df.schema.simpleString} " +
+            s"to a table whose snapshot schema differs — overwrite to evolve")
+      }
     }
     val uuid = java.util.UUID.randomUUID().toString
     val staged = Paths.get(table, DataDir, uuid)
