@@ -1457,6 +1457,40 @@ object SparkEntry {
     r0.unionByName(r1).withColumnRenamed("id", "doc_id")
   }
 
+  /** The composed ingest pipeline
+    * ([[graft.pipelines.IngestPipeline]]): two parity batches of
+    * documents through dedup + term-stats + IVF + OOV gate under ONE
+    * txn identity; the output is the per-doc decision record. Statuses
+    * replay q_dedup_incremental's oracle; OOV is recomputed by the
+    * oracle against the batch-0 KEPT vocabulary (the pipeline indexes
+    * kept docs only — batch 0 gates against an empty vocabulary, rate
+    * 1.0). The IVF/stats index side effects and crash-replay
+    * exactly-once are spec-checked (StreamingSpec). */
+  private def qIngestPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("embedding", array(
+        pmod(xxhash64(col("text")), lit(1000)).cast("double") / lit(1000.0),
+        lit(0.25), lit(0.5), lit(0.75)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingestpipe").toString
+    val cfg = graft.pipelines.IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "entry-pipe",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
+      threshold = 0.6, oovGate = 0.5)
+    val r0 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), cfg, 0L)
+    val r1 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), cfg, 1L)
+    r0.unionByName(r1)
+      .select(col("id").as("doc_id"), col("__batch").as("batch"),
+        col("status"), col("n_tokens"), col("n_oov"), col("oov_rate"),
+        col("oov_flagged").cast("bigint").as("oov_flagged"))
+  }
+
   /** Incremental corpus term statistics
     * ([[graft.text.IncrementalStats]]): documents ingested in two
     * batches (doc_id parity) as per-batch algebraic (df, tf) partials
@@ -4649,6 +4683,7 @@ object SparkEntry {
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_ingest_pipeline" -> (qIngestPipeline _),
     "q_incremental_vocab" -> (qIncrementalVocab _),
     "q_oov_gate"       -> (qOovGate _),
     "q_mixture_temp"   -> (qMixtureTemp _),
@@ -7960,6 +7995,76 @@ object SparkEntry {
              WHEN sh.doc_id = comp.cluster THEN 'kept'
              ELSE 'dup_within_batch' END AS status
       FROM sh JOIN comp ON comp.id = sh.doc_id""",
+    // composed ingest pipeline: q_dedup_incremental's status oracle
+    // plus the OOV gate — batch 0 against an EMPTY vocabulary (rate
+    // 1.0), batch 1 against the vocabulary of batch-0 KEPT docs only
+    // (the pipeline indexes kept docs, not everything seen)
+    "q_ingest_pipeline" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb),
+      status AS (
+        SELECT sh.doc_id, sh.batch,
+          CASE WHEN sh.doc_id IN (SELECT id FROM dupidx) THEN 'dup_of_index'
+               WHEN sh.doc_id = comp.cluster THEN 'kept'
+               ELSE 'dup_within_batch' END AS status
+        FROM sh JOIN comp ON comp.id = sh.doc_id),
+      kept0 AS (SELECT doc_id FROM status WHERE batch = 0 AND status = 'kept'),
+      vocab AS (
+        SELECT DISTINCT unnest(string_split(lower(d.text), ' ')) AS term
+        FROM documents d JOIN kept0 k USING (doc_id)),
+      vocab2 AS (SELECT term FROM vocab WHERE length(term) > 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tok2 GROUP BY 1),
+      oov1 AS (
+        SELECT t.doc_id,
+          CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov
+        FROM tok2 t LEFT JOIN vocab2 v ON t.term = v.term
+        WHERE t.doc_id % 2 = 1 GROUP BY 1),
+      base AS (
+        SELECT s.doc_id, s.batch, s.status,
+          COALESCE(c.n_tokens, 0) AS n_tokens,
+          CASE WHEN s.batch = 0 THEN COALESCE(c.n_tokens, 0)
+               ELSE COALESCE(o.n_oov, 0) END AS n_oov
+        FROM status s
+        LEFT JOIN cnt c ON c.doc_id = s.doc_id
+        LEFT JOIN oov1 o ON o.doc_id = s.doc_id),
+      rated AS (
+        SELECT *,
+          CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_rate
+        FROM base)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
+        CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
+      FROM rated""",
     "q_incremental_vocab" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

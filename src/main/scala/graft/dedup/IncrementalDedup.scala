@@ -230,16 +230,33 @@ object IncrementalDedup {
     require(maxHotCollect >= 0, s"maxHotCollect must be >= 0, got $maxHotCollect")
     val newTok = rows.select(col("id").as("id_new"), col("sz").as("sz_new"),
       posexplode(col("prefix")).as(Seq("pn", "g")))
-    val rhsBase = index match {
-      case Some(idx) =>
-        rows.select(col("id"), col("sz"), col("prefix"), lit(true).as("within"))
-          .unionByName(idx.select(col("id"), col("sz"), col("prefix"),
-            lit(false).as("within")))
-      case None =>
-        rows.select(col("id"), col("sz"), col("prefix"), lit(true).as("within"))
+    // Index-side tokens are PREFILTERED to the batch's token vocabulary
+    // before any shuffle: a candidate needs g equal on both sides, so
+    // dropping index tokens absent from the batch loses nothing —
+    // exact — while the long-run ingest regime (index vocabulary grows
+    // forever, batch stays fixed) turns the candidate join's index leg
+    // from shuffle-O(index tokens) into shuffle-O(tokens matching the
+    // batch). The semi-join's build side is the batch vocabulary —
+    // O(batch), the side an ingest pipeline bounds — so AQE plans it
+    // as a broadcast probe over the index scan: the index is READ
+    // (column-pruned: id, sz, prefix) but never exchanged.
+    val batchVocab = hotInputs.batchFreq.map(_.select(col("g")))
+      .getOrElse(newTok.select(col("g")).distinct())
+    val rhsTok = {
+      val batchSide = rows.select(col("id").as("id_old"),
+        col("sz").as("sz_old"),
+        posexplode(col("prefix")).as(Seq("po", "g")), lit(true).as("within"))
+      index match {
+        case Some(idx) =>
+          val idxSide = idx.select(col("id").as("id_old"),
+            col("sz").as("sz_old"),
+            posexplode(col("prefix")).as(Seq("po", "g")),
+            lit(false).as("within"))
+            .join(batchVocab, Seq("g"), "left_semi")
+          batchSide.unionByName(idxSide)
+        case None => batchSide
+      }
     }
-    val rhsTok = rhsBase.select(col("id").as("id_old"), col("sz").as("sz_old"),
-      posexplode(col("prefix")).as(Seq("po", "g")), col("within"))
 
     // Per-candidate-row filters, applied on BOTH paths the moment a
     // (new, old) row materializes — while it is slim (no arrays):
@@ -693,9 +710,9 @@ object IncrementalDedup {
     // point.
     val bc = batchTokenCounts(rows)
     val hint = readMaxCntHint(tf)
+    val nRows = rows.count() // local scan of the checkpoint
     val batchMax: Long =
       if (!tfReplayed) {
-        val nRows = rows.count() // local scan of the checkpoint
         (if (tfLatest < 0) Some(nRows) else hint.map(_ + nRows))
           .foreach(writeMaxCntHint(tf, _))
         val obs = org.apache.spark.sql.Observation()
@@ -778,8 +795,15 @@ object IncrementalDedup {
     // counts over the index — performance-safe; the reverse order
     // could under-count and let a hot token sit in the quadratic
     // equi-join bucket
+    // file count proportional to DATA, not to the session's parallelism:
+    // a modest batch written as 32 near-empty files makes every later
+    // ingest's snapshot read pay O(total files) in listings and footer
+    // opens — the classic small-files ramp. ~200k signature rows
+    // (~300 MB at ~1.5 KB/row of shingle arrays) per file.
     if (!replayed)
-      VersionedTable.commit(rows.withColumn("batch", lit(batchId)),
+      VersionedTable.commit(
+        rows.coalesce(math.max(1L, nRows / 200000L).toInt)
+          .withColumn("batch", lit(batchId)),
         indexTable, "append", txn, txnApp, expectedVersion = None)
 
     val dup = dupIdx.withColumn("__dup", lit(true))

@@ -1,0 +1,153 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.IncrementalDedup
+import graft.similarity.{IncrementalIvf, Ivf}
+import graft.sources.VersionedTable
+import graft.text.IncrementalStats
+
+/** The composed ingest path: one micro-batch drives FOUR persisted
+  * artifacts under ONE transaction identity `(appId, batchId)` —
+  *
+  *   1. the dedup signature index (+ its token-frequency sidecar),
+  *      [[graft.dedup.IncrementalDedup]];
+  *   2. the term-statistics index (df/tf partials) over the KEPT docs,
+  *      [[graft.text.IncrementalStats]];
+  *   3. the IVF vector index over the KEPT docs' embeddings,
+  *      [[graft.similarity.IncrementalIvf]];
+  *   4. the per-doc decision record (dedup status + OOV quality gate),
+  *      hive-partitioned by `__batch` with dynamic partition overwrite.
+  *
+  * Exactly-once without a cross-table transaction: every VersionedTable
+  * commit carries the same `(appId, batchId)` txn tag, and each table's
+  * ingest checks ITS OWN replay state — so a crash between any two
+  * commits replays the batch, the already-committed tables skip their
+  * append, the not-yet-committed ones redo it, and the results
+  * partition is rewritten byte-identically (dedup statuses are pinned
+  * below the original index commit, so a replay computes the same
+  * statuses the first attempt did — see
+  * [[IncrementalDedup.processBatch]]). SCALING.md sells exactly this
+  * composition; this object is the composition.
+  *
+  * Per-batch cost is the sum of the parts: O(batch) signature/term/
+  * assignment work against INDEXES, never against the corpus — batch
+  * N+1 does not recompute batch N anywhere.
+  *
+  * The OOV gate FLAGS, it does not drop: a doc whose token stream is
+  * mostly unseen vs the kept-corpus vocabulary (rate ≥ `oovGate`,
+  * evaluated against the stats snapshot pinned BEFORE this batch) is
+  * recorded `oov_flagged = true` for downstream triage — silently
+  * dropping data on a drifting-vocabulary heuristic is the kind of
+  * quality gate that deletes a new language from the corpus.
+  */
+object IngestPipeline {
+
+  final case class Config(
+    textCol: String,
+    idCol: String,
+    embCol: String,
+    dedupIndex: String,
+    statsIndex: String,
+    ivfIndex: String,
+    resultsDir: String,
+    appId: String,
+    centroids: Seq[Ivf.Centroid],
+    threshold: Double = 0.8,
+    shingleN: Int = 3,
+    oovGate: Double = 0.5)
+
+  /** The stats-table version this batch's OOV gate must read: the
+    * latest on a fresh ingest, the version just BELOW this txn's
+    * original commit on a replay — same pinning rule as the dedup
+    * index, so replayed gates are pure.
+    */
+  private def pinnedStatsVersion(table: String, appId: String,
+                                 batchId: Long): Long = {
+    val replayed = VersionedTable.txnMaxes(table)
+      .get(appId).exists(_ >= batchId)
+    (if (!replayed) None
+     else VersionedTable.history(table)
+       .find(c => c.txnApp.contains(appId) && c.txn.contains(batchId))
+       .map(_.version - 1))
+      .getOrElse(VersionedTable.latestVersion(table))
+  }
+
+  /** Ingest one micro-batch. Returns (and persists) the decision
+    * record: `id, status, n_tokens, n_oov, oov_rate, oov_flagged,
+    * __batch`.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
+                   batchId: Long): DataFrame = {
+    // one deterministic snapshot of the micro-batch: every consumer
+    // below (dedup shingling, OOV tokenizing, kept-join, IVF assign)
+    // reads THIS materialization, so no re-evaluation can diverge
+    val docs = batch.select(col(cfg.idCol).cast("long").as("__id"),
+      col(cfg.textCol).as("__text"), col(cfg.embCol).as("__emb"))
+      .localCheckpoint()
+
+    // OOV gate against the stats snapshot pinned BEFORE this batch's
+    // own stats commit (fresh: latest; replay: just below the original)
+    val statsVer = pinnedStatsVersion(cfg.statsIndex, cfg.appId, batchId)
+    val oov =
+      if (statsVer < 0)
+        // empty vocabulary: every token is unseen, by definition
+        docs.select(col("__id").as("id"),
+          explode(split(lower(col("__text")), " ")).as("__t"))
+          .filter(length(col("__t")) > 0)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_tokens"), count(lit(1)).as("n_oov"))
+          .withColumn("oov_rate", lit(1.0))
+      else IncrementalStats.oovRate(spark, docs, "__text", "__id",
+        cfg.statsIndex, Some(statsVer))
+
+    // dedup statuses (commits the signature index + tf sidecar under
+    // the txn identity; pure under replay)
+    val status = IncrementalDedup.processBatch(spark, docs, "__text",
+        "__id", cfg.dedupIndex, cfg.threshold, batchId, cfg.shingleN,
+        txnApp = Some(cfg.appId), txn = Some(batchId))
+      .select(col("id"), col("status")).localCheckpoint()
+
+    // the kept subset feeds the corpus-statistics and vector indexes:
+    // both describe the DEDUPED corpus, so dup docs contribute nothing
+    val kept = docs.join(
+      status.filter(col("status") === "kept").select(col("id")),
+      docs("__id") === col("id")).select(col("__id"), col("__text"), col("__emb"))
+    IncrementalStats.addBatch(spark, kept, "__text", "__id",
+      cfg.statsIndex, batchId, txnApp = Some(cfg.appId), txn = Some(batchId))
+    IncrementalIvf.addBatch(spark, kept, "__emb", "__id", cfg.centroids,
+      cfg.ivfIndex, batchId, txnApp = Some(cfg.appId), txn = Some(batchId))
+
+    status.join(oov, Seq("id"), "left")
+      .select(col("id"), col("status"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("oov_rate"), lit(0.0)).as("oov_rate"))
+      .withColumn("oov_flagged", col("oov_rate") >= cfg.oovGate)
+      .withColumn("__batch", lit(batchId))
+  }
+
+  /** Structured Streaming face: each micro-batch runs [[processBatch]]
+    * and lands the decision record in `resultsDir/__batch=<id>/` via
+    * dynamic partition overwrite — a checkpoint replay rewrites exactly
+    * its own partition with identical rows, so the results directory is
+    * exactly-once alongside all three indexes.
+    */
+  def streamingSink(docs: DataFrame, cfg: Config)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        processBatch(s, batch, cfg, batchId)
+          .write.mode("overwrite").partitionBy("__batch")
+          .parquet(cfg.resultsDir)
+        // keep both partial-table reads O(distinct keys), not
+        // O(batches × keys); RMW-safe and idempotent under replay
+        if (batchId % 64 == 63) {
+          IncrementalDedup.compactTokenFreq(s, cfg.dedupIndex)
+          IncrementalStats.compact(s, cfg.statsIndex)
+        }
+    }
+}

@@ -103,6 +103,80 @@ object IncrementalIvf {
           batchId, txnApp = Some(appId), txn = Some(batchId))
     }
 
+  /** Centroids persisted as a VersionedTable (`cell_id: int, values:
+    * array<double>`) so a restarted query/ingest process can reload the
+    * pinned centroids its index rows were assigned under — and time
+    * travel pairs an old index snapshot with the exact centroid set of
+    * its era after a [[retrain]] cutover.
+    */
+  def saveCentroids(spark: SparkSession, cents: Seq[Ivf.Centroid],
+                    table: String): Long = {
+    import spark.implicits._
+    VersionedTable.commit(
+      cents.map(c => (c.cellId, c.values)).toDF("cell_id", "values"),
+      table, "overwrite", None, None, expectedVersion = None)
+  }
+
+  def loadCentroids(spark: SparkSession, table: String,
+                    version: Option[Long] = None): Seq[Ivf.Centroid] = {
+    val df = version.map(v => VersionedTable.readVersion(spark, table, v))
+      .getOrElse(VersionedTable.read(spark, table))
+    df.select(col("cell_id"), col("values")).collect()
+      .map(r => Ivf.Centroid(r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_.cellId).toSeq
+  }
+
+  final case class RetrainResult(cents: Seq[Ivf.Centroid],
+                                 newVersion: Long,
+                                 centroidsVersion: Long,
+                                 sourceVersion: Long)
+
+  /** Retrain-and-cutover (the answer to [[assignStats]] saying the
+    * pinned centroids have drifted): train FRESH centroids on a sample
+    * of the current index snapshot, re-assign the whole snapshot in ONE
+    * distributed pass, and commit it to `newTable` (version 0 of a new
+    * index) with the new centroids in `<newTable>_centroids`. The old
+    * index is never touched — it stays queryable (and time-travelable)
+    * during and after the retrain; the caller cuts clients over to
+    * `(newTable, result.cents)` when ready, which is atomic per client.
+    *
+    * Cost shape at 100 TB: training is O(sample × iters) (the sample
+    * fraction bounds the Lloyd's scans), the re-assign is one map-side
+    * pass over the snapshot (O(corpus × nCells × dim), no shuffle — the
+    * same per-row work an original bulk build pays once), and the
+    * commit is the parquet write. Nothing is quadratic and nothing
+    * iterates over the full corpus more than the one re-assign pass.
+    *
+    * Concurrency: the snapshot is PINNED at `sourceVersion` before
+    * training. Batches appended to the OLD table after that version are
+    * not in the new index — either quiesce ingest across the cutover,
+    * or replay the tail (`VersionedTable.changesBetween` /
+    * re-[[addBatch]] with the same txn identities, which is idempotent
+    * on the new table too).
+    */
+  def retrain(spark: SparkSession, table: String, newTable: String,
+              nCells: Int, iters: Int, sampleFraction: Double,
+              seed: Long = 42L, quantize: Option[Int] = None): RetrainResult = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sourceVersion = VersionedTable.latestVersion(table)
+    require(sourceVersion >= 0, s"nothing to retrain: $table is empty")
+    val snap = VersionedTable.readVersion(spark, table, sourceVersion)
+      .select(col("id"), col("vec"))
+    val sample =
+      if (sampleFraction >= 1.0) snap
+      else snap.sample(withReplacement = false, sampleFraction, seed)
+    val cents = Ivf.trainCentroids(sample, "vec", "id", nCells, iters, quantize)
+    val reassigned = snap
+      .withColumn("cell_id", Ivf.assignCell(col("vec"), cents))
+      .select(col("id"), col("cell_id"),
+        col("vec").cast("array<double>").as("vec"), lit(0L).as("batch"))
+    val v = VersionedTable.commit(reassigned, newTable, "overwrite",
+      None, None, expectedVersion = None)
+    val cv = saveCentroids(spark, cents, newTable.stripSuffix("/") + "_centroids")
+    RetrainResult(cents, v, cv, sourceVersion)
+  }
+
   /** Per-batch assignment-distance stats over the index — the drift
     * guard. A rising `mean_dist` across batches means the pinned
     * centroids no longer describe the incoming distribution: retrain

@@ -397,14 +397,21 @@ object VersionedTable {
   // -- reads --------------------------------------------------------------
 
   /** Snapshot at `version` (default: latest): the last overwrite at or
-    * below it plus every append after that overwrite. The union is a
-    * plan-level concat of parquet scans — partition pruning and filter
-    * pushdown reach every member dir.
+    * below it plus every append after that overwrite, as ONE multi-path
+    * parquet relation — partition pruning and filter pushdown reach
+    * every member dir. One relation, not a union of per-dir relations:
+    * each relation pays its own file listing + schema inference, so the
+    * union form made every snapshot read O(commits) in plan-build cost
+    * — a visible per-ingest ramp in long append chains. Parquet files
+    * are self-describing and resolved by column NAME, and the append
+    * contract pins every dir in the closure to one (name, type) set, so
+    * the single relation reads exactly what the union did.
     */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
-    snapshotCommits(table, version).map(c =>
-        spark.read.parquet(Paths.get(table, c.dataDir).toString))
-      .reduce(_.unionByName(_))
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val dirs = snapshotCommits(table, version)
+      .map(c => Paths.get(table, c.dataDir).toString)
+    spark.read.parquet(dirs: _*)
+  }
 
   /** Latest committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =

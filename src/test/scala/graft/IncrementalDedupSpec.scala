@@ -244,6 +244,303 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"hot-token ingest shuffled $shuffled records for $nTokens prefix tokens")
   }
 
+  // ---- r12: hot-token count-table proof battery (VERDICT r11 #1) ----
+
+  /** Planted stop-shingle corpus: every doc shares "zz yy xx", so that
+    * shingle is hot at tiny caps; random tails vary sizes. Seeded.
+    */
+  private def plantedCorpus(seed: Int, n: Int, base: Long)
+      : Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val words = Seq("a", "b", "c", "d")
+    (0L until n.toLong).map(i => (base + i, "zz yy xx " +
+      (0 until (1 + rng.nextInt(10)))
+        .map(_ => words(rng.nextInt(words.size))).mkString(" ")))
+  }
+
+  private def bruteSh(text: String): Set[String] = {
+    val w = text.toLowerCase.split(" ")
+    if (w.length < 3) Set(w.mkString(" "))
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private def brutePairs(newDocs: Seq[(Long, String)],
+                         oldDocs: Seq[(Long, String)],
+                         t: Double): Set[(Long, Long, Boolean)] = {
+    def j(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    (for {
+      (ia, ta) <- newDocs; (ib, tb) <- newDocs
+      if ia < ib && j(bruteSh(ta), bruteSh(tb)) >= t
+    } yield (ia, ib, true)).toSet ++ (for {
+      (ia, ta) <- newDocs; (ib, tb) <- oldDocs
+      if j(bruteSh(ta), bruteSh(tb)) >= t
+    } yield (ia, ib, false)).toSet
+  }
+
+  test("hot detection via count table does ZERO passes over the index at plan build (r11 #1a)") {
+    val t = 0.3
+    val newDocs = plantedCorpus(11, 20, 0L)
+    val oldDocs = plantedCorpus(12, 20, 1000L)
+    val newRows = IncrementalDedup.indexRows(
+      newDocs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val idxRows = IncrementalDedup.indexRows(
+      oldDocs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val counts = IncrementalDedup.batchTokenCounts(idxRows).localCheckpoint()
+
+    // every evaluated index row trips the accumulator — an opaque UDF
+    // filter can't be pruned or constant-folded away
+    val acc = spark.sparkContext.longAccumulator("idx-evals")
+    val touch = udf { (_: Long) => acc.add(1); true }
+    val tracked = idxRows.filter(touch(col("id")))
+
+    // cap=1 forces hot detection to actually engage (the planted token
+    // IS hot) — the eager plan-build collect must read ONLY the batch
+    // counts and the count table, never the index
+    val viaCounts = IncrementalDedup.batchPairs(newRows, Some(tracked), t,
+      hotTokenCap = 1, hotChunk = 2,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = Some(counts), IncrementalDedup.HotInputs())
+    assert(acc.value == 0L,
+      s"plan build evaluated ${acc.value} index rows despite the count table")
+    val got = viaCounts.select(col("id_new"), col("id_old"), col("within"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(acc.value > 0L, "the returned plan never read the index at all")
+    assert(got == brutePairs(newDocs, oldDocs, t))
+
+    // the frequency-bound fast path is even stronger: zero eager jobs,
+    // zero index evaluations at plan build
+    acc.reset()
+    IncrementalDedup.batchPairs(newRows, Some(tracked), t,
+      hotTokenCap = 1024, hotChunk = 1024,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = None,
+      IncrementalDedup.HotInputs(batchMaxFreq = Some(16L),
+        indexMaxCnt = Some(16L)))
+    assert(acc.value == 0L, "bound fast path evaluated the index eagerly")
+
+    // negative control: NO count table and no bounds → the one-shot
+    // recount is the documented fallback and must scan the index
+    acc.reset()
+    IncrementalDedup.batchPairs(newRows, Some(tracked), t,
+      hotTokenCap = 1, hotChunk = 2,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = None, IncrementalDedup.HotInputs())
+    assert(acc.value > 0L,
+      "recount fallback unexpectedly skipped the index — control is broken")
+  }
+
+  test("count-table overload == recount overload == brute force, incl. stale/lying tables (r11 #1b)") {
+    val t = 0.3
+    val newDocs = plantedCorpus(21, 25, 0L)
+    val oldDocs = plantedCorpus(22, 20, 1000L)
+    val newRows = IncrementalDedup.indexRows(
+      newDocs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val idxRows = IncrementalDedup.indexRows(
+      oldDocs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val trueCnt = IncrementalDedup.batchTokenCounts(idxRows).localCheckpoint()
+    val want = brutePairs(newDocs, oldDocs, t)
+    assert(want.nonEmpty)
+
+    // the scaladoc's claim, proven: counts steer ROUTING only, so a
+    // true, inflated, zeroed, or half-missing table all yield the exact
+    // pair set (over-counts over-route into the exact grid; under-counts
+    // leave hot tokens in the exact equi-join)
+    val variants: Seq[(String, Option[org.apache.spark.sql.DataFrame])] = Seq(
+      "true" -> Some(trueCnt),
+      "inflated" -> Some(trueCnt.withColumn("cnt", col("cnt") * 1000 + 7)),
+      "zeroed" -> Some(trueCnt.withColumn("cnt", lit(0L))),
+      "half-missing" -> Some(trueCnt.filter(xxhash64(col("g")) % 2 === 0)),
+      "recount" -> None)
+    for ((name, cnt) <- variants; cap <- Seq(1, 3)) {
+      val got = IncrementalDedup.batchPairs(newRows, Some(idxRows), t,
+        hotTokenCap = cap, hotChunk = 2,
+        maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+        indexTokenCounts = cnt, IncrementalDedup.HotInputs())
+        .select(col("id_new"), col("id_old"), col("within"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == want, s"variant=$name cap=$cap: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+
+    // lying frequency BOUNDS force the skip path on a genuinely hot
+    // corpus — exactness must survive mis-routing in both directions
+    val lied = IncrementalDedup.batchPairs(newRows, Some(idxRows), t,
+      hotTokenCap = 1, hotChunk = 2,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = None,
+      IncrementalDedup.HotInputs(batchMaxFreq = Some(0L),
+        indexMaxCnt = Some(0L)))
+      .select(col("id_new"), col("id_old"), col("within"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(lied == want)
+
+    // and a supplied batchFreq frame is used verbatim on the hot path
+    val viaBatchFreq = IncrementalDedup.batchPairs(newRows, Some(idxRows), t,
+      hotTokenCap = 1, hotChunk = 2,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = Some(trueCnt),
+      IncrementalDedup.HotInputs(
+        batchFreq = Some(IncrementalDedup.batchTokenCounts(newRows))))
+      .select(col("id_new"), col("id_old"), col("within"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaBatchFreq == want)
+  }
+
+  test("processBatch maintains the count table == rebuildTokenFreq of the final index (r11 #1b)") {
+    val t = freshTable()
+    val tfT = IncrementalDedup.tokenFreqTable(t)
+    for (b <- 0 to 2) {
+      val docs = plantedCorpus(30 + b, 15, b * 1000L).toDF("doc_id", "text")
+      IncrementalDedup.processBatch(spark, docs, "text", "doc_id",
+        t, threshold = 0.5, batchId = b.toLong)
+    }
+    val maintained = IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap
+    val fromIndex = IncrementalDedup.batchTokenCounts(
+        VersionedTable.read(spark, t))
+      .as[(String, Long)].collect().toMap
+    assert(maintained == fromIndex)
+
+    // the sidecar hint is an upper bound on the merged max throughout,
+    // and compaction tightens it to exactly the max
+    val trueMax = fromIndex.values.max
+    assert(IncrementalDedup.readMaxCntHint(tfT).exists(_ >= trueMax))
+    IncrementalDedup.compactTokenFreq(spark, t)
+    assert(IncrementalDedup.readMaxCntHint(tfT).contains(trueMax))
+    // compaction folded the partials without changing the merged counts
+    val compacted = IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap
+    assert(compacted == fromIndex)
+    // ...and to one partial row per token
+    assert(VersionedTable.read(spark, tfT).count() == fromIndex.size)
+  }
+
+  test("compactTokenFreq: no-op on a missing table, lossless under racing appends") {
+    val t = freshTable()
+    // legacy index with no count table: compact must be a silent no-op
+    IncrementalDedup.compactTokenFreq(spark, t) // must not throw
+    assert(VersionedTable.latestVersion(IncrementalDedup.tokenFreqTable(t)) == -1L)
+
+    // racing appender: partials keep landing while compactions run; the
+    // conflict-checked RMW must never lose an appended partial
+    val tfT = IncrementalDedup.tokenFreqTable(t)
+    val nBatches = 12
+    val appender = new Thread(() => {
+      for (b <- 0 until nBatches) {
+        val part = Seq(("tok", 1L, b.toLong), (s"only$b", 2L, b.toLong))
+          .toDF("g", "cnt", "batch")
+        VersionedTable.commit(part, tfT, "append", None, None,
+          expectedVersion = None)
+        Thread.sleep(5)
+      }
+    })
+    appender.start()
+    // attempts high enough that a continuously-racing appender can't
+    // exhaust the RMW retry budget (the default 8 is tuned for the
+    // streaming sink's between-batches cadence, not a hammer loop)
+    try while (appender.isAlive)
+      IncrementalDedup.compactTokenFreq(spark, t, attempts = 1000)
+    finally appender.join()
+    IncrementalDedup.compactTokenFreq(spark, t)
+    val merged = IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap
+    val want = (0 until nBatches).map(b => s"only$b" -> 2L).toMap +
+      ("tok" -> nBatches.toLong)
+    assert(merged == want)
+    assert(IncrementalDedup.readMaxCntHint(tfT).contains(nBatches.toLong))
+  }
+
+  test("rebuildTokenFreq migrates a legacy index; batchPairs agrees either way") {
+    val t = 0.5
+    val table = freshTable()
+    // legacy: signature rows committed directly, no count table
+    val oldDocs = plantedCorpus(41, 20, 1000L)
+    val legacyRows = IncrementalDedup.indexRows(
+      oldDocs.toDF("doc_id", "text"), "text", "doc_id", t)
+    VersionedTable.commit(legacyRows.withColumn("batch", lit(0L)),
+      table, "append", None, None, expectedVersion = None)
+
+    val v = IncrementalDedup.rebuildTokenFreq(spark, table)
+    assert(v >= 0)
+    val rebuilt = IncrementalDedup.tokenCounts(spark, table)
+      .as[(String, Long)].collect().toMap
+    val truth = IncrementalDedup.batchTokenCounts(
+        VersionedTable.read(spark, table))
+      .as[(String, Long)].collect().toMap
+    assert(rebuilt == truth)
+    assert(IncrementalDedup.readMaxCntHint(
+      IncrementalDedup.tokenFreqTable(table)).contains(truth.values.max))
+
+    // the migrated table routes identically to a recount
+    val newDocs = plantedCorpus(42, 15, 0L)
+    val newRows = IncrementalDedup.indexRows(
+      newDocs.toDF("doc_id", "text"), "text", "doc_id", t).localCheckpoint()
+    val idx = VersionedTable.read(spark, table)
+      .select(col("id"), col("sz"), col("sh"), col("shh"), col("prefix"))
+    val got = IncrementalDedup.batchPairs(newRows, Some(idx), t,
+      hotTokenCap = 2, hotChunk = 2,
+      maxHotCollect = IncrementalDedup.DefaultMaxHotCollect,
+      indexTokenCounts = Some(IncrementalDedup.tokenCounts(spark, table)),
+      IncrementalDedup.HotInputs())
+      .select(col("id_new"), col("id_old"), col("within"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == brutePairs(newDocs, oldDocs, t))
+  }
+
+  test("count-table commits are replay-idempotent under (txnApp, txn); pre-upgrade batches backfill") {
+    val t = freshTable()
+    val tfT = IncrementalDedup.tokenFreqTable(t)
+    val b0 = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    def ingest0() = IncrementalDedup.processBatch(spark, b0, "text",
+      "doc_id", t, threshold = 0.5, batchId = 0L,
+      txnApp = Some("app"), txn = Some(0L)).collect()
+    ingest0()
+    val afterFirst = IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap
+    val hintAfterFirst = IncrementalDedup.readMaxCntHint(tfT)
+    val tfRowsAfterFirst = VersionedTable.read(spark, tfT).count()
+    ingest0() // replay: neither partials nor hint may move
+    assert(VersionedTable.read(spark, tfT).count() == tfRowsAfterFirst)
+    assert(IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap == afterFirst)
+    assert(IncrementalDedup.readMaxCntHint(tfT) == hintAfterFirst)
+
+    // pre-upgrade batch: index row landed under (app, 1) WITHOUT a
+    // count-table commit (simulates an index built before the table
+    // existed); a later batch then commits under (app, 2)
+    val preRows = IncrementalDedup.indexRows(
+      Seq((100L, third)).toDF("doc_id", "text"), "text", "doc_id", 0.5)
+    VersionedTable.commit(preRows.withColumn("batch", lit(1L)),
+      t, "append", Some(1L), Some("app"), expectedVersion = None)
+    IncrementalDedup.processBatch(spark,
+      Seq((200L, nearDup)).toDF("doc_id", "text"), "text", "doc_id",
+      t, threshold = 0.5, batchId = 2L,
+      txnApp = Some("app"), txn = Some(2L))
+
+    // replaying the pre-upgrade batch must BACKFILL its partials even
+    // though the per-app max txn (2) already covers txn 1 — the exact-
+    // membership path (ADVICE r11); and the backfill itself replays
+    // idempotently
+    def replayPre() = IncrementalDedup.processBatch(spark,
+      Seq((100L, third)).toDF("doc_id", "text"), "text", "doc_id",
+      t, threshold = 0.5, batchId = 1L,
+      txnApp = Some("app"), txn = Some(1L))
+    replayPre().collect()
+    val afterBackfill = IncrementalDedup.tokenCounts(spark, t)
+      .as[(String, Long)].collect().toMap
+    val truth = IncrementalDedup.batchTokenCounts(
+        VersionedTable.read(spark, t))
+      .as[(String, Long)].collect().toMap
+    assert(afterBackfill == truth,
+      "backfill did not reconcile the count table with the index")
+    assert(VersionedTable.read(spark, t).count() == 4) // no index dupes
+    val rowsBefore = VersionedTable.read(spark, tfT).count()
+    replayPre().collect()
+    assert(VersionedTable.read(spark, tfT).count() == rowsBefore,
+      "second replay of the backfilled batch double-appended partials")
+  }
+
   test("streamingSink: exactly-once statuses + index across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

@@ -104,6 +104,79 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(t) == 1L)
   }
 
+  test("retrain-and-cutover: drift flagged by assignStats, recall restored on a planted query (r11 #4)") {
+    // planted geometry in 8-dim: two base clusters along axes e1 and
+    // e2 (ids 0 and 1 lead them), and a DRIFTED cluster along the
+    // diagonal (10,10,0,..) — exactly equidistant from both trained
+    // centroids, with jitter alternating toward e1/e2 so its points
+    // split across the two old cells. id 2 leads the drifted cluster
+    // so the retrain's deterministic lowest-id init seeds all three
+    // clusters.
+    def vec(base: Array[Float], jitterDim: Int, jitter: Float) = {
+      val v = base.clone(); v(jitterDim) += jitter; v
+    }
+    val e1 = Array.tabulate(8)(i => if (i == 0) 10f else 0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 10f else 0f)
+    val diag = Array.tabulate(8)(i => if (i < 2) 10f else 0f)
+    val a1 = (0 until 20).map(i =>
+      ((if (i == 0) 0L else 10L + i), vec(e1, 2, 0.01f * (i % 5))))
+    val a2 = (0 until 20).map(i =>
+      ((if (i == 0) 1L else 40L + i), vec(e2, 3, 0.01f * (i % 5))))
+    val drift = (0 until 20).map(i =>
+      ((if (i == 0) 2L else 100L + i), vec(diag, i % 2, 0.1f)))
+    val base = (a1 ++ a2).toDF("vec_id", "embedding")
+    val drifted = drift.toDF("vec_id", "embedding")
+    val all = (a1 ++ a2 ++ drift).toDF("vec_id", "embedding")
+
+    val cents = Ivf.trainCentroids(base, "embedding", "vec_id",
+      nCells = 2, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, base, "embedding", "vec_id", cents, t, 0L)
+    IncrementalIvf.addBatch(spark, drifted, "embedding", "vec_id", cents, t, 1L)
+
+    // the guard fires: the drifted batch sits ~10 away from either
+    // pinned centroid while the base batches hug theirs
+    val stats = IncrementalIvf.assignStats(spark, t, cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(stats(1L) > stats(0L) * 50,
+      s"drift not flagged: $stats")
+
+    // planted query along the diagonal; ground truth = the full brute
+    // force over everything ingested
+    val q = Seq((999L, diag)).toDF("vec_id", "embedding")
+    val want = Similarity.bruteForceTopK(all, "embedding", "vec_id",
+        q, "embedding", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(want == drift.map(_._1).toSet) // sanity: diag cluster wins
+
+    // BEFORE retrain, nProbe=1 sees only the half of the drifted
+    // cluster that fell into the probed cell — recall ~0.5
+    val before = IncrementalIvf.searchTopK(spark, t, cents, q, "embedding",
+        k = 20, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val recallBefore = (before & want).size.toDouble / want.size
+    assert(recallBefore <= 0.6, s"drift did not hurt recall: $recallBefore")
+
+    // retrain on the full pinned snapshot, cut over, re-query
+    val t2 = freshTable()
+    val res = IncrementalIvf.retrain(spark, t, t2,
+      nCells = 3, iters = 3, sampleFraction = 1.0)
+    assert(res.sourceVersion == 1L)
+    val after = IncrementalIvf.searchTopK(spark, t2, res.cents, q, "embedding",
+        k = 20, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == want, s"retrain did not restore recall: " +
+      s"missing=${want -- after} extra=${after -- want}")
+
+    // the old index is untouched and still queryable; the new table's
+    // centroid sidecar round-trips
+    assert(VersionedTable.latestVersion(t) == 1L)
+    assert(VersionedTable.read(spark, t).count() == 60)
+    assert(IncrementalIvf.loadCentroids(spark,
+      t2.stripSuffix("/") + "_centroids") == res.cents)
+    assert(VersionedTable.read(spark, t2).count() == 60)
+  }
+
   test("assignStats flags drift: shifted batch has larger mean distance") {
     val base = (0L until 30L)
       .map(i => (i, Array.fill(8)((i % 5).toFloat / 10f)))

@@ -668,4 +668,118 @@ class StreamingSpec extends AnyFunSuite {
         .as[(String, Long, Long, Long, Long)].collect().toSet == manifestOf(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("IngestPipeline: dedup + term-stats + IVF + OOV results under ONE txn identity, exactly-once under replay (r11 #5)") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.sources.VersionedTable
+    implicit val sc = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely different content about spark query engines and shuffles"
+    val third = "yet another unrelated paragraph describing immigration analytics fixtures"
+    def emb(a: Float, b: Float) = Array(a, b, 0f, 0f)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipeline").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-app",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(0, 1.0, 0, 0))),
+      threshold = 0.5, oovGate = 0.5)
+
+    val b0 = Seq((0L, base, emb(1f, 0f)), (2L, other, emb(0f, 1f)),
+      (4L, base, emb(0.9f, 0.1f)))
+    val b1 = Seq((1L, nearDup, emb(0.8f, 0f)), (5L, third, emb(0f, 0.7f)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipeline-ckpt").toString
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = IngestPipeline.streamingSink(
+        mem.toDF().toDF("doc_id", "text", "embedding"), cfg)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // decision record: dedup statuses + the OOV gate. Batch 0 ingests
+    // into an empty vocabulary (everything unseen -> flagged); batch
+    // 1's near-dup shares the kept vocab (low OOV) while the unrelated
+    // doc is all-new (flagged)
+    def results() = spark.read.parquet(cfg.resultsDir)
+      .select(col("id"), col("status"), col("oov_rate"), col("oov_flagged"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val res = results()
+    assert(res.view.mapValues(_._1).toMap == Map(
+      0L -> "kept", 2L -> "kept", 4L -> "dup_within_batch",
+      1L -> "dup_of_index", 5L -> "kept"))
+    assert(res(0L)._3 && res(2L)._3 && res(4L)._3) // empty-vocab batch
+    assert(res(1L)._2 < 0.2 && !res(1L)._3, s"near-dup OOV: ${res(1L)}")
+    assert(res(5L)._2 == 1.0 && res(5L)._3)
+
+    // dedup index: every doc seen, once
+    assert(VersionedTable.read(spark, cfg.dedupIndex).count() == 5)
+    // stats + IVF indexes describe exactly the KEPT corpus {0, 2, 5}
+    val kept = Seq((0L, base), (2L, other), (5L, third))
+    val wantStats = graft.text.IncrementalStats
+      .batchPartials(kept.toDF("doc_id", "text"), "text", "doc_id")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def statsNow() = graft.text.IncrementalStats.termStats(spark, cfg.statsIndex)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(statsNow() == wantStats)
+    def ivfNow() = VersionedTable.read(spark, cfg.ivfIndex)
+      .select(col("id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivfNow() == Map(0L -> 0, 2L -> 1, 5L -> 1))
+
+    // checkpoint replay of micro-batch 1: every table skips its
+    // append, the results partition rewrites byte-identically
+    val vDedup = VersionedTable.latestVersion(cfg.dedupIndex)
+    val vStats = VersionedTable.latestVersion(cfg.statsIndex)
+    val vIvf = VersionedTable.latestVersion(cfg.ivfIndex)
+    val vTf = VersionedTable.latestVersion(
+      graft.dedup.IncrementalDedup.tokenFreqTable(cfg.dedupIndex))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    IngestPipeline.processBatch(spark,
+        b1.toDF("doc_id", "text", "embedding"), cfg, 1L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(results() == res)
+    assert(VersionedTable.latestVersion(cfg.dedupIndex) == vDedup)
+    assert(VersionedTable.latestVersion(cfg.statsIndex) == vStats)
+    assert(VersionedTable.latestVersion(cfg.ivfIndex) == vIvf)
+    assert(VersionedTable.latestVersion(
+      graft.dedup.IncrementalDedup.tokenFreqTable(cfg.dedupIndex)) == vTf)
+    assert(statsNow() == wantStats)
+    assert(ivfNow() == Map(0L -> 0, 2L -> 1, 5L -> 1))
+
+    // CRASH WINDOW: batch 2's dedup commit landed but the process died
+    // before stats/IVF/results — exactly the partial state a mid-batch
+    // crash leaves. The replay must skip the dedup append, commit the
+    // missing two, and land the same decisions.
+    val b2 = Seq((7L, base + " extended with some extra tokens", emb(1f, 0.2f)))
+    graft.dedup.IncrementalDedup.processBatch(spark,
+      b2.toDF("doc_id", "text", "embedding"), "text", "doc_id",
+      cfg.dedupIndex, cfg.threshold, 2L,
+      txnApp = Some(cfg.appId), txn = Some(2L)).collect()
+    val vDedup2 = VersionedTable.latestVersion(cfg.dedupIndex)
+    IngestPipeline.processBatch(spark,
+        b2.toDF("doc_id", "text", "embedding"), cfg, 2L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(VersionedTable.latestVersion(cfg.dedupIndex) == vDedup2,
+      "replay after partial crash re-appended the dedup index")
+    assert(VersionedTable.read(spark, cfg.dedupIndex).count() == 6)
+    // doc 7 is kept (J vs base below 0.5 threshold? no — planted to be
+    // a kept doc) and now present in BOTH downstream indexes exactly once
+    val res2 = results()
+    assert(res2.keySet == Set(0L, 1L, 2L, 4L, 5L, 7L))
+    assert(ivfNow().keySet == (if (res2(7L)._1 == "kept") Set(0L, 2L, 5L, 7L)
+                               else Set(0L, 2L, 5L)))
+  }
 }
