@@ -115,8 +115,14 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
   /** Whether `target` sits in a position of `root` that is evaluated on
     * EVERY row `root` is evaluated on. Branching/short-circuiting nodes
     * (And/Or/If/CaseWhen/Coalesce) unconditionally evaluate only their
-    * first child (left operand / predicate / first branch condition);
-    * every other node evaluates all children.
+    * first child (left operand / predicate / first branch condition).
+    * For other nodes the default is INVERTED (ADVICE r11): only node
+    * classes PROVEN to evaluate all children whenever they evaluate —
+    * plain scalar computation with no skipping semantics — recurse into
+    * every child; anything unrecognized (NaNvl's fallback arm, In's
+    * short-circuited list, a higher-order function whose lambda may run
+    * zero times on an empty array, ...) conservatively answers false,
+    * and the alias must then pass the neverThrows proof instead.
     */
   private def unconditionallyEvaluated(
       root: Expression, target: Attribute): Boolean = {
@@ -126,7 +132,20 @@ object ReuseProjectedExpensiveInFilter extends Rule[LogicalPlan]
          | _: org.apache.spark.sql.catalyst.expressions.If
          | _: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
         e.children.headOption.exists(walk)
-      case _ => e.children.exists(walk)
+      case _: BinaryComparison | _: BinaryArithmetic | _: Not
+         | _: IsNull | _: IsNotNull | _: Cast | _: Alias
+         | _: StringSplit | _: Size | _: Length | _: Lower | _: Upper
+         | _: Concat | _: Substring | _: StringTrim | _: StringTrimLeft
+         | _: StringTrimRight | _: RoundBase
+         | _: org.apache.spark.sql.catalyst.expressions.UnaryMinus
+         | _: org.apache.spark.sql.catalyst.expressions.Abs
+         | _: org.apache.spark.sql.catalyst.expressions.Sqrt
+         | _: org.apache.spark.sql.catalyst.expressions.Exp =>
+        e.children.exists(walk)
+      case _ if e.getClass.getName.startsWith("graft.functions.") =>
+        // graft scalar expressions are strict unary/binary evals
+        e.children.exists(walk)
+      case _ => false
     }
     walk(root)
   }

@@ -42,11 +42,10 @@ import org.apache.spark.sql.types._
   * reference's 25-minute single-process read).
   *
   * Scope: u64 little-endian files (what SAS on x64 writes by default and
-  * what the writer emits), uncompressed or SASYZCRL (RLE) compressed —
-  * both still page-parallel, since a compressed page's row subheaders are
-  * self-contained. Truncated numerics (width 3..7) are decoded.
-  * SASYZCR2 (RDC) files are detected and refused with a clear error
-  * rather than misread.
+  * what the writer emits), uncompressed, SASYZCRL (RLE) or SASYZCR2
+  * (RDC, Ross Data Compression) compressed — all still page-parallel,
+  * since a compressed page's row subheaders are self-contained.
+  * Truncated numerics (width 3..7) are decoded.
   *
   * SAS data semantics mapped to Spark: SAS has exactly two column types —
   * floating numeric (IEEE double, missing "." = NaN payload) and
@@ -290,6 +289,113 @@ object Sas7bdat {
     out
   }
 
+  // ---- SASYZCR2 (RDC) codec ------------------------------------------
+  // Ross Data Compression, per the published spec (Shotwell sas7bdat.pdf
+  // §"Compressed binary data"; readstat's readstat_sas_rdc and pandas'
+  // sas.pyx rdc_decompress implement the same command set). The stream
+  // is 16-bit BIG-ENDIAN control words, each governing up to 16 items,
+  // MSB first: a 0 bit means one literal byte, a 1 bit means a command
+  // byte whose high nibble selects
+  //   0          short RLE: count = low nibble + 3, value byte follows
+  //   1          long RLE: count = low + (next byte << 4) + 19, value
+  //              byte follows
+  //   2          long back-reference: offset = low + 3 + (next << 4),
+  //              count = (byte after that) + 16
+  //   3..15      short back-reference: count = the nibble value itself,
+  //              offset = low + 3 + (next << 4)
+  // Back-references copy byte-at-a-time from already-written output, so
+  // an offset smaller than the count repeats the window (LZ77 overlap
+  // semantics — same as every public decoder).
+  private[sources] def rdcDecompress(src: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ctrlBits = 0; var ctrlMask = 0
+    var i = 0; var o = 0
+    def fill(n: Int, v: Byte): Unit = {
+      java.util.Arrays.fill(out, o, math.min(o + n, outLen), v); o += n
+    }
+    def backCopy(n: Int, ofs: Int): Unit = {
+      require(ofs > 0 && ofs <= o,
+        s"RDC back-reference offset $ofs at output position $o")
+      var k = 0
+      while (k < n) { if (o < outLen) out(o) = out(o - ofs); o += 1; k += 1 }
+    }
+    while (i < src.length && o < outLen) {
+      ctrlMask >>= 1
+      if (ctrlMask == 0) {
+        ctrlBits = ((src(i) & 0xFF) << 8) | (src(i + 1) & 0xFF)
+        i += 2; ctrlMask = 0x8000
+      }
+      if (i < src.length) {
+        if ((ctrlBits & ctrlMask) == 0) { out(o) = src(i); o += 1; i += 1 }
+        else {
+          val cmd = (src(i) >> 4) & 0x0F
+          val low = src(i) & 0x0F
+          i += 1
+          cmd match {
+            case 0 =>
+              val v = src(i); i += 1; fill(low + 3, v)
+            case 1 =>
+              val n = low + ((src(i) & 0xFF) << 4) + 19; i += 1
+              val v = src(i); i += 1; fill(n, v)
+            case 2 =>
+              val ofs = low + 3 + ((src(i) & 0xFF) << 4); i += 1
+              val n = (src(i) & 0xFF) + 16; i += 1
+              backCopy(n, ofs)
+            case c =>
+              val ofs = low + 3 + ((src(i) & 0xFF) << 4); i += 1
+              backCopy(c, ofs)
+          }
+        }
+      }
+    }
+    require(o == outLen, s"RDC decompressed to $o bytes, expected $outLen")
+    out
+  }
+
+  /** Greedy RDC encode: literals + the two RLE commands only — a valid
+    * stream any RDC decoder accepts (back-references are decoded but
+    * never produced, mirroring [[rleCompress]]'s
+    * agreed-subset-only stance). Returns null when the encoding does
+    * not shrink the row — store raw in that case (readers key
+    * decompression on length < rowLength).
+    */
+  private[sources] def rdcCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(row.length)
+    val items = new scala.collection.mutable.ArrayBuffer[(Boolean, Array[Byte])]
+    def flush(): Unit = {
+      if (items.isEmpty) return
+      var bits = 0
+      items.zipWithIndex.foreach { case ((isCmd, _), k) =>
+        if (isCmd) bits |= (0x8000 >> k)
+      }
+      out.write((bits >> 8) & 0xFF); out.write(bits & 0xFF)
+      items.foreach { case (_, b) => out.write(b, 0, b.length) }
+      items.clear()
+    }
+    def emit(isCmd: Boolean, bytes: Array[Byte]): Unit = {
+      items += ((isCmd, bytes)); if (items.length == 16) flush()
+    }
+    val MaxRun = 15 + (0xFF << 4) + 19 // cmd 1's count ceiling
+    var i = 0
+    while (i < row.length) {
+      var run = 1
+      while (i + run < row.length && row(i + run) == row(i) && run < MaxRun)
+        run += 1
+      if (run >= 3) {
+        if (run <= 18) emit(true, Array((run - 3).toByte, row(i)))
+        else {
+          val rem = run - 19
+          emit(true, Array((0x10 | (rem & 0x0F)).toByte,
+            ((rem >> 4) & 0xFF).toByte, row(i)))
+        }
+        i += run
+      } else { emit(false, Array(row(i))); i += 1 }
+    }
+    flush()
+    val enc = out.toByteArray
+    if (enc.length < row.length) enc else null
+  }
+
   /** Greedy RLE encode (the agreed-on opcode subset only). Returns null
     * when compression does not shrink the row — store raw in that case
     * (readers key decompression on length < rowLength).
@@ -419,9 +525,11 @@ object Sas7bdat {
         val base = raw + ((PageBitOffsetX64 + 8 + nSub * SubheaderPtrLenX64) % 8)
         val n    = math.min(meta.rowCount, meta.mixPageRowCount).toInt
         (0 until n).iterator.map(i => decodeVals(page, base + i * rowLen, cols))
-      case PageMeta | PageMeta2 if meta.compression == "SASYZCRL" =>
+      case PageMeta | PageMeta2
+          if meta.compression == "SASYZCRL" || meta.compression == "SASYZCR2" =>
         // compressed layout: each row is its own subheader (pointer type
-        // 1); payloads shorter than the row length are RLE-encoded
+        // 1); payloads shorter than the row length are codec-encoded
+        // (RLE or RDC per the header's compression literal)
         val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
         (0 until nSub).iterator.flatMap { i =>
           val p      = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
@@ -432,12 +540,14 @@ object Sas7bdat {
           if (shType != 1 || shLen <= 0) None
           else shComp match {
             case 0 | 4 =>
-              // payload shorter than the row is RLE (readers key on
-              // length, like pandas sas.pyx); full-length is raw
+              // payload shorter than the row is compressed (readers key
+              // on length, like pandas sas.pyx); full-length is raw
               val buf =
-                if (shLen < rowLen)
-                  rleDecompress(java.util.Arrays.copyOfRange(page, shOff, shOff + shLen), rowLen)
-                else page
+                if (shLen < rowLen) {
+                  val enc = java.util.Arrays.copyOfRange(page, shOff, shOff + shLen)
+                  if (meta.compression == "SASYZCRL") rleDecompress(enc, rowLen)
+                  else rdcDecompress(enc, rowLen)
+                } else page
               Some(decodeVals(buf, if (shLen < rowLen) 0 else shOff, cols))
             case 1 =>
               // TRUNCATED pointer: the spec (Shotwell §subheader
@@ -447,8 +557,8 @@ object Sas7bdat {
             case other =>
               // any OTHER flag is a layout this reader does not decode
               // (e.g. a row spanning a page boundary in an externally
-              // produced file). Refuse loudly like SASYZCR2 — silently
-              // skipping would return a frame with missing rows
+              // produced file). Refuse loudly — silently skipping
+              // would return a frame with missing rows
               throw new IllegalStateException(
                 s"sas7bdat: row subheader has unsupported compression " +
                   s"flag $other (page offset $shOff) — this layout is " +
@@ -472,9 +582,9 @@ object Sas7bdat {
   def read(spark: SparkSession, path: String,
            targetPartitionBytes: Long = 128L << 20): DataFrame = {
     val meta = inspect(path, spark.sparkContext.hadoopConfiguration)
-    require(meta.compression.isEmpty || meta.compression == "SASYZCRL",
-      s"sas7bdat file is ${meta.compression}-compressed; only uncompressed and " +
-        "SASYZCRL (RLE) files are supported")
+    require(meta.compression.isEmpty || CompressionLiterals.contains(meta.compression),
+      s"sas7bdat file reports unknown compression '${meta.compression}'; " +
+        "uncompressed, SASYZCRL (RLE) and SASYZCR2 (RDC) files are supported")
     spark.read.format("sas7bdat")
       .option("targetPartitionBytes", targetPartitionBytes)
       .load(path)
@@ -506,7 +616,8 @@ object Sas7bdat {
     */
   def writeDataFrame(df: DataFrame, path: String, pageSize: Int = 64 * 1024,
                      datasetName: String = "GRAFT",
-                     compress: Boolean = false): Seq[SasWriteCol] = {
+                     compress: Boolean = false,
+                     codec: String = "SASYZCRL"): Seq[SasWriteCol] = {
     import org.apache.spark.sql.functions.{col, length, max}
     val charCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     val widths: Map[String, Int] =
@@ -525,7 +636,7 @@ object Sas7bdat {
       new Iterator[Seq[Any]] {
         def hasNext: Boolean = it.hasNext
         def next(): Seq[Any] = it.next().toSeq
-      }, pageSize, datasetName, compress = compress)
+      }, pageSize, datasetName, compress = compress, codec = codec)
     cols
   }
 
@@ -545,8 +656,10 @@ object Sas7bdat {
     */
   def write(path: String, cols: Seq[SasWriteCol], rows: Iterator[Seq[Any]],
             pageSize: Int = 64 * 1024, datasetName: String = "GRAFT",
-            timestampSec: Double = 1.7754e9, compress: Boolean = false): Long = {
+            timestampSec: Double = 1.7754e9, compress: Boolean = false,
+            codec: String = "SASYZCRL"): Long = {
     require(cols.forall(c => !c.numeric || c.width == 8), "numeric columns must be 8 bytes")
+    require(CompressionLiterals.contains(codec), s"unknown codec $codec")
     // offsets are cumulative widths in declared order; rows are packed
     val offsets = cols.scanLeft(0L)((a, c) => a + c.width).init
     val rowLength = cols.map(_.width.toLong).sum
@@ -560,7 +673,7 @@ object Sas7bdat {
     val ch = FileChannel.open(jPath, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      val mix = buildMixPage(cols, offsets, rowLength, pageSize, compress)
+      val mix = buildMixPage(cols, offsets, rowLength, pageSize, compress, codec)
       ch.write(ByteBuffer.wrap(buildHeader(headerLength, pageSize, datasetName, timestampSec)))
 
       val charsets = StandardCharsets.ISO_8859_1
@@ -614,7 +727,7 @@ object Sas7bdat {
       }
       java.util.Arrays.fill(page.array(), 0.toByte)
       if (compress) {
-        // SASYZCRL layout: every row is its own subheader on meta-type
+        // compressed layout: every row is its own subheader on meta-type
         // pages — pointers grow up from the page head, payloads pack
         // down from the page end; rows that don't shrink store raw
         // (readers key decompression on length < rowLength)
@@ -636,7 +749,9 @@ object Sas7bdat {
         while (rows.hasNext) {
           java.util.Arrays.fill(scratch, 0.toByte)
           packRow(scratchBuf, 0, rows.next())
-          val enc = rleCompress(scratch)
+          val enc =
+            if (codec == "SASYZCRL") rleCompress(scratch)
+            else rdcCompress(scratch)
           val payload = if (enc != null) enc else scratch
           if (bitOff + 8 + (nPtr + 1) * SubheaderPtrLenX64 > payloadFloor - payload.length)
             flushRowPage()
@@ -706,7 +821,8 @@ object Sas7bdat {
     */
   private def buildMixPage(cols: Seq[SasWriteCol], offsets: Seq[Long],
                            rowLength: Long, pageSize: Int,
-                           compress: Boolean = false): MixPage = {
+                           compress: Boolean = false,
+                           codec: String = "SASYZCRL"): MixPage = {
     val n = cols.length
     val bitOff = PageBitOffsetX64
     val page = ByteBuffer.allocate(pageSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -754,7 +870,7 @@ object Sas7bdat {
     // if compressed — readers sniff it anywhere in the first blob][names]
     val nameBytes = cols.map(_.name.getBytes(StandardCharsets.ISO_8859_1))
     val litBytes =
-      if (compress) "SASYZCRL".getBytes(StandardCharsets.ISO_8859_1)
+      if (compress) codec.getBytes(StandardCharsets.ISO_8859_1)
       else Array.emptyByteArray
     val nameBase = 16 + litBytes.length
     val blobSize = nameBase + nameBytes.map(_.length).sum

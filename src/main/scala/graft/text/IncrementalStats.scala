@@ -128,4 +128,40 @@ object IncrementalStats {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** [[oovRate]] for the regime where the vocabulary exceeds the
+    * broadcast threshold AND the batch's token stream carries Zipf-hot
+    * terms. The plain plan then sort-merge-joins on `term`, and AQE
+    * CANNOT skew-split that join: the vocab side enters it straight out
+    * of its distinct aggregate — no shuffle stage sits directly beneath
+    * the join for OptimizeSkewedJoin to re-split (measured,
+    * IncrementalStatsSpec r12) — so one reducer owns every occurrence
+    * of a hot term. The [[graft.operators.SkewJoin]] salt recipe fixes
+    * it structurally: tokens salt by doc id, the vocab side replicates
+    * `salts`×, the join key becomes (term, salt), and a hot term
+    * spreads over `salts` reducers. The vocab replication is the price
+    * of the spread — prefer [[oovRate]] whenever the vocab broadcasts.
+    * Results are identical to [[oovRate]].
+    */
+  def oovRateSalted(spark: SparkSession, batch: DataFrame, textCol: String,
+                    idCol: String, table: String,
+                    version: Option[Long] = None,
+                    salts: Int = 8): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val vocab = termStats(spark, table, version)
+      .filter(col("term").isNotNull).select(col("term"))
+    val toks = batch.select(col(idCol).cast("long").as("id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("__salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+    val replicated = vocab
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__in", lit(true))
+    toks.join(replicated, Seq("term", "__salt"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

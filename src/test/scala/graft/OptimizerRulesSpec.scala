@@ -159,6 +159,32 @@ class OptimizerRulesSpec extends AnyFunSuite {
       q.queryExecution.optimizedPlan.treeString)
   }}}
 
+  test("ReuseProjectedExpensiveInFilter: alias under a conditionally-evaluated position (HOF lambda) is never exempted (ADVICE r11)") { withPlansVisible { withAnsi(on = true) {
+    // dp throws on mismatched vector lengths (DotProduct). In the
+    // original plan the second row never evaluates it: the pushed-down
+    // filter's exists() lambda runs zero times on the empty probe array
+    // and the row is dropped before the Project. Were the float's
+    // exemption to treat a lambda position as unconditionally
+    // evaluated (the old inverted default), the hoisted Project would
+    // evaluate dp on that row and throw. The conservative whitelist
+    // must refuse the float instead.
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(9.0)),
+      (Seq(1.0), Seq(1.0, 2.0), Seq.empty[Double])
+    ).toDF("va", "vb", "probe")
+    val q = df.select(col("probe"),
+        graft.functions.DotProduct.dotProduct(col("va"), col("vb")).as("dp"))
+      .filter(exists(col("probe"), x => x > col("dp")))
+    assert(q.select("dp").as[Double].collect().toSeq == Seq(5.0))
+    // and the filter stayed below the Project (condition still carries
+    // the inlined dot_product tree)
+    val below = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(_.isInstanceOf[graft.functions.DotProduct]) => f
+    }
+    assert(below.nonEmpty, q.queryExecution.optimizedPlan.treeString)
+  }}}
+
   test("ReuseProjectedExpensiveInFilter rides ONLY the extraOptimizations path — injectOptimizerRule would be re-pushed into a no-op") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)

@@ -158,6 +158,85 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == expect)
   }
 
+  test("RDC codec: hand-built streams decode against independently-computed expectations (r11 #6)") {
+    import Sas7bdat.rdcDecompress
+    // literal-only: two control words, 20 bytes
+    val lit20 = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    val sLit = Array[Byte](0, 0) ++ lit20.take(16) ++ Array[Byte](0, 0) ++ lit20.drop(16)
+    assert(rdcDecompress(sLit, 20).toSeq == lit20.toSeq)
+
+    // cmd 0 (short RLE): count = low + 3 = 5, then two literals
+    val sShort = Array[Byte](0x80.toByte, 0x00, 0x02, 'X', 'A', 'B')
+    assert(rdcDecompress(sShort, 7).toSeq ==
+      (Seq.fill(5)('X'.toByte) ++ Seq('A'.toByte, 'B'.toByte)))
+
+    // cmd 1 (long RLE): count = low + (next << 4) + 19 = 1 + 32 + 19 = 52
+    val sLong = Array[Byte](0x80.toByte, 0x00, 0x11, 0x02, 'Z')
+    assert(rdcDecompress(sLong, 52).toSeq == Seq.fill(52)('Z'.toByte))
+
+    // cmd 6 (short back-reference, count 6, offset 3) over 3 literals:
+    // overlapping copy repeats the window -> "ABCABCABC"
+    val sBack = Array[Byte](0x10, 0x00, 'A', 'B', 'C', 0x60, 0x00)
+    assert(new String(rdcDecompress(sBack, 9), "ISO-8859-1") == "ABCABCABC")
+
+    // cmd 2 (long back-reference): offset = low+3 = 3, count = 2+16 = 18
+    // over "XYZ" -> "XYZ" * 7
+    val sBack2 = Array[Byte](0x10, 0x00, 'X', 'Y', 'Z', 0x20, 0x00, 0x02)
+    assert(new String(rdcDecompress(sBack2, 21), "ISO-8859-1") == "XYZ" * 7)
+
+    // a back-reference before any output is a corrupt stream, not a crash
+    val bad = Array[Byte](0x80.toByte, 0x00, 0x60, 0x00)
+    intercept[IllegalArgumentException](rdcDecompress(bad, 6))
+
+    // encoder round-trip on adversarial rows (runs spanning cmd0/cmd1
+    // boundaries, control words straddling 16-item groups)
+    val rnd = new scala.util.Random(4242)
+    val rows: Seq[Array[Byte]] = Seq(
+      Array.fill[Byte](18)('r'),                      // cmd0 ceiling
+      Array.fill[Byte](19)('r'),                      // cmd1 floor
+      Array.fill[Byte](4114)('r'),                    // cmd1 ceiling
+      Array.fill[Byte](4115)('r'),                    // ceiling + 1 spills
+      Array.tabulate[Byte](40)(i => i.toByte),        // all literals, 3 words
+      Array[Byte]('a', 'a'),                          // sub-threshold stays literal
+      Array.fill[Byte](200)(0) ++ Array.tabulate[Byte](33)(i => i.toByte)
+    ) ++ (1 to 20).map(_ => Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(4) match {
+      case 0 => 0.toByte
+      case 1 => ' '.toByte
+      case 2 => 'q'.toByte
+      case _ => rnd.nextInt(256).toByte
+    }))
+    for ((row, i) <- rows.zipWithIndex) {
+      val enc = Sas7bdat.rdcCompress(row)
+      if (enc != null) {
+        assert(enc.length < row.length, s"row $i: non-shrinking encode returned")
+        assert(rdcDecompress(enc, row.length).toSeq == row.toSeq, s"row $i")
+      }
+    }
+  }
+
+  test("compressed (SASYZCR2/RDC) round-trip with parallel read; file shrinks (r11 #6)") {
+    import spark.implicits._
+    val df = (0 until 20000).map { i =>
+      (i.toDouble, if (i % 5 == 0) null else "v" * (i % 40 + 1),
+       if (i % 3 == 0) None else Some((i % 10).toDouble),
+       "x" * 100 + i.toString)
+    }.toDF("i", "pad", "v", "wide")
+    val plain = tmpFile("plain-rdc"); val comp = tmpFile("comp-rdc")
+    Sas7bdat.writeDataFrame(df, plain, pageSize = 8 * 1024)
+    Sas7bdat.writeDataFrame(df, comp, pageSize = 8 * 1024,
+      compress = true, codec = "SASYZCR2")
+    val (szP, szC) = (java.nio.file.Files.size(java.nio.file.Paths.get(plain)),
+                      java.nio.file.Files.size(java.nio.file.Paths.get(comp)))
+    assert(szC < szP, s"compressed $szC !< plain $szP")
+    val meta = Sas7bdat.inspect(comp)
+    assert(meta.compression == "SASYZCR2" && meta.rowCount == 20000)
+    val back = Sas7bdat.read(spark, comp, targetPartitionBytes = 32 * 8192)
+      .select("i", "pad", "v", "wide")
+    assert(back.rdd.getNumPartitions > 1)
+    val expect = df.collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("unsupported row-subheader compression flag is refused loudly, not silently skipped (ADVICE r9)") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toDouble, "v" * (i % 30 + 1)))

@@ -374,6 +374,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, t, 0).count() == 1)
   }
 
+  test("VersionedTable: 100-commit depth — snapshot and above-checkpoint reads parse O(tail); below-checkpoint time travel full-replays, exactly (r11 #8)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-vt").toString + "/tbl"
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), t, "overwrite")
+    (1 to 99).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, i.toLong)).toDF("k", "v"), t, "append"))
+    // versions 0..99; checkpoints at 10, 20, ..., 90
+
+    // snapshot read: checkpoint 90 + probes 91..99 (+ miss window)
+    VersionedTable.parsedEntries.set(0)
+    assert(VersionedTable.read(spark, t).count() == 100)
+    val tailParsed = VersionedTable.parsedEntries.get
+    assert(tailParsed <= 2L * VersionedTable.CheckpointInterval,
+      s"snapshot read parsed $tailParsed entries at depth 100 — should be tail-sized")
+
+    // time travel ABOVE the newest checkpoint (95 >= 90): same tail path
+    VersionedTable.parsedEntries.set(0)
+    assert(VersionedTable.readVersion(spark, t, 95).count() == 96)
+    assert(VersionedTable.parsedEntries.get <= 2L * VersionedTable.CheckpointInterval,
+      "above-checkpoint time travel should ride the checkpointed path")
+
+    // time travel BELOW the newest checkpoint (42 < 90): the documented
+    // fallback is a FULL log replay — every entry file is parsed once
+    VersionedTable.parsedEntries.set(0)
+    val v42 = VersionedTable.readVersion(spark, t, 42)
+    assert(v42.count() == 43)
+    val deepParsed = VersionedTable.parsedEntries.get
+    assert(deepParsed >= 100,
+      s"below-checkpoint time travel parsed only $deepParsed entries — " +
+        "expected a full replay of the 100-entry log")
+    // and the replayed snapshot is exactly commits 0..42
+    assert(v42.select(col("k")).as[Long].collect().toSet == (0L to 42L).toSet)
+  }
+
   test("VersionedTable: expectedVersion commit detects conflicts; merges never lose updates") {
     import spark.implicits._
     import graft.sources.VersionedTable
