@@ -110,14 +110,34 @@ object IngestPipeline {
       .select(col("id"), col("status")).localCheckpoint()
 
     // the kept subset feeds the corpus-statistics and vector indexes:
-    // both describe the DEDUPED corpus, so dup docs contribute nothing
+    // both describe the DEDUPED corpus, so dup docs contribute nothing.
+    // Checkpointed once — the two consumers below run CONCURRENTLY and
+    // would otherwise each recompute the kept-join.
     val kept = docs.join(
       status.filter(col("status") === "kept").select(col("id")),
       docs("__id") === col("id")).select(col("__id"), col("__text"), col("__emb"))
-    IncrementalStats.addBatch(spark, kept, "__text", "__id",
-      cfg.statsIndex, batchId, txnApp = Some(cfg.appId), txn = Some(batchId))
-    IncrementalIvf.addBatch(spark, kept, "__emb", "__id", cfg.centroids,
-      cfg.ivfIndex, batchId, txnApp = Some(cfg.appId), txn = Some(batchId))
+      .localCheckpoint()
+    // The two index appends are independent jobs over the same pinned
+    // `kept` snapshot, committing to DIFFERENT tables — submit them from
+    // separate threads so the scheduler overlaps their stages (on a
+    // cluster: stats tokenization and IVF assignment are disjoint
+    // CPU/shuffle profiles; serializing them leaves half the executors
+    // idle per phase). Exactly-once is unchanged: each table skips its
+    // own replayed (appId, batchId) append, and if either thread fails
+    // the whole batch fails and replays — the committed table skips,
+    // the uncommitted one redoes, same as the sequential crash window
+    // already spec-covered in StreamingSpec.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val statsF = Future(IncrementalStats.addBatch(spark, kept, "__text",
+      "__id", cfg.statsIndex, batchId,
+      txnApp = Some(cfg.appId), txn = Some(batchId)))
+    val ivfF = Future(IncrementalIvf.addBatch(spark, kept, "__emb", "__id",
+      cfg.centroids, cfg.ivfIndex, batchId,
+      txnApp = Some(cfg.appId), txn = Some(batchId)))
+    Await.result(statsF, Duration.Inf)
+    Await.result(ivfF, Duration.Inf)
 
     status.join(oov, Seq("id"), "left")
       .select(col("id"), col("status"),

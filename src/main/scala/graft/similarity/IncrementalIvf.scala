@@ -51,6 +51,17 @@ object IncrementalIvf {
         .select(col("id"), col("cell_id"),
           col("vec").cast("array<double>").as("vec"),
           lit(batchId).as("batch"))
+        // CLUSTER the append by cell: one shuffle of the batch (O(batch),
+        // the cost an ingest already pays elsewhere) makes every data
+        // file's row groups carry tight cell_id min/max stats, so
+        // searchTopK's `cell_id IN (probes)` pushdown PRUNES unprobed
+        // cells at the parquet scan — the probe reads ~nProbe/nCells of
+        // the index instead of filtering a full scan. This is the
+        // file-layout half of the partition-pruning story SCALING.md
+        // describes; unclustered legacy commits still read correctly
+        // (stats just span all cells and prune nothing).
+        .repartition(col("cell_id"))
+        .sortWithinPartitions(col("cell_id"))
       VersionedTable.commit(rows, table, "append", txn, txnApp,
         expectedVersion = None)
     }
@@ -171,6 +182,10 @@ object IncrementalIvf {
       .withColumn("cell_id", Ivf.assignCell(col("vec"), cents))
       .select(col("id"), col("cell_id"),
         col("vec").cast("array<double>").as("vec"), lit(0L).as("batch"))
+      // same cell-clustered layout as addBatch: probe-time row-group
+      // pruning holds from version 0 of the new index
+      .repartition(col("cell_id"))
+      .sortWithinPartitions(col("cell_id"))
     val v = VersionedTable.commit(reassigned, newTable, "overwrite",
       None, None, expectedVersion = None)
     val cv = saveCentroids(spark, cents, newTable.stripSuffix("/") + "_centroids")

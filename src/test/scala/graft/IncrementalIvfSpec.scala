@@ -177,6 +177,26 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t2).count() == 60)
   }
 
+  test("searchTopK pushes the probe-cell filter into the parquet scan (cell-clustered layout)") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id", nCells = 4, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, emb, "embedding", "vec_id", cents, t, 0L)
+    val q = emb.filter(col("vec_id") === 3)
+    val res = IncrementalIvf.searchTopK(spark, t, cents, q, "embedding",
+      k = 5, nProbe = 1)
+    // the In(cell_id) predicate must reach the scan — with addBatch's
+    // cell-clustered file layout that is row-group pruning, not a
+    // post-scan filter over the whole index. (String form: under AQE the
+    // scan sits inside AdaptiveSparkPlanExec, which collect{} can't enter.)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("In(cell_id") || plan.contains("EqualTo(cell_id"),
+      s"probe filter not pushed to the scan:\n${plan.take(2000)}")
+    // and the probe answer over one cell is still the exact top within it
+    assert(res.collect().nonEmpty)
+  }
+
   test("assignStats flags drift: shifted batch has larger mean distance") {
     val base = (0L until 30L)
       .map(i => (i, Array.fill(8)((i % 5).toFloat / 10f)))
