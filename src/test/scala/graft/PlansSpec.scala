@@ -524,6 +524,66 @@ class PlansSpec extends AnyFunSuite {
       s"expensive-expression double evaluations: $offenders")
   }
 
+  test("every unpartitioned Window sits over a provably bounded input") {
+    // A Window with no PARTITION BY executes in ONE task — fine over a
+    // top-k head or an aggregate's distinct-key table, a cluster-killer
+    // over anything corpus-sized ("WindowExec: No Partition Defined"
+    // is this warning's runtime face). Sweep every query's optimized
+    // plan: from each unpartitioned Window, walk DOWN through nodes
+    // that cannot increase cardinality (Project/Filter/Sort/Window/
+    // limits/dedup) and require the chain to reach a bounding node —
+    // an Aggregate (output = distinct keys, the histogram/bucket
+    // tables these windows rank), a GlobalLimit (top-k heads), or a
+    // driver-local relation — before any Join/Generate/Union/scan.
+    // Every legitimate global window in this repo ranks one of those;
+    // a new one over raw rows is a bug this sweep turns into a test
+    // failure instead of a 100 TB incident.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val sfDir = sf
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalRelation |
+           _: OneRowRelation => true
+      // a generated sequence is sized by its author, not by the corpus
+      // (densified grids, digit tables) — every Range in this repo is
+      // require-guarded or literal-tiny
+      case _: Range => true
+      case _: Project | _: Filter | _: Sort | _: Window | _: LocalLimit |
+           _: Distinct | _: Deduplicate | _: SubqueryAlias |
+           _: WithCTE | _: CTERelationDef | _: RepartitionOperation =>
+        p.children.forall(bounded)
+      // a join/union OF bounded inputs is bounded (histogram x totals,
+      // full-outer of two distinct-key tables) — still O(keys), never
+      // O(corpus)
+      case _: Join | _: Union => p.children.forall(bounded)
+      case _ => false
+    }
+    // Plan-opaque but bounded by construction — each carries its proof
+    // at the implementation site; a NEW query landing here needs the
+    // same kind of argument, not a silent pass:
+    val exempt = Map(
+      // densified bucket grid, require(span <= maxBuckets) at
+      // TimeSeries.trendDecompose — the series is localCheckpoint'd
+      // (LogicalRDD), so the guard is invisible to the plan walk
+      "q_trend_decompose" -> "time-span-bounded grid (require maxBuckets)",
+      "q_durbin_watson" -> "time-span-bounded grid (require maxBuckets)",
+      "q_series_outliers" -> "time-span-bounded grid (require maxBuckets)",
+      // stage-2 skyline runs over the union of per-bucket skylines
+      // (<= buckets x frontier rows — Skyline.scala's containment
+      // theorem); stage-1 is hash-partitioned and not flagged
+      "q_skyline" -> "union of 64 local skylines (frontier-sized)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !exempt.contains(name) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            (name, w.windowExpressions.map(_.name).mkString(","))
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over unbounded input: $offenders")
+  }
+
   test("q_dedup_incremental: exchanges stay linear in shingle volume, never pair-quadratic") {
     import org.apache.spark.sql.functions.{size => asize, sum => asum, greatest => agreatest}
     val docs = Tables.documents(spark, sf)

@@ -32,13 +32,26 @@ object IncDedupProbe {
         s"docs=${half.count()}")
     }
 
-    // timed ingest, warm JVM: job-count + wall per phase
+    // timed ingest, warm JVM: job-count + wall per phase, and per-job
+    // wall + call site so the fixed-overhead jobs can be NAMED
     val nJobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           nJobs.incrementAndGet()
+          val site = j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+            .mkString(" | ").take(160)
+          jobStart.put(j.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+            jobLog.add((j.jobId, (System.nanoTime() - t0) / 1e9, site))
+          }
+        }
       })
     for (warm <- 0 to 2) {
       val table = java.nio.file.Files.createTempDirectory("graft-probe")
@@ -56,6 +69,13 @@ object IncDedupProbe {
       val t2 = System.nanoTime(); val j2 = nJobs.get()
       println(f"PROBE warm=$warm ingest0=${(t1 - t0) / 1e9}%.3f s " +
         f"jobs=${j1 - j0} ingest1=${(t2 - t1) / 1e9}%.3f s jobs=${j2 - j1}")
+      if (warm == 2) {
+        import scala.jdk.CollectionConverters._
+        jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, sec, site) =>
+          println(f"PROBE job=$id%4d ${sec}%7.3f s  $site")
+        }
+      }
+      jobLog.clear()
     }
     spark.stop()
   }

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-batch-cost-vs-accumulated-state stress for the COMPOSED
+  * [[graft.pipelines.IngestPipeline]] — the same question
+  * [[IncDedupIngestStress]] answers for the dedup index alone, asked of
+  * the whole four-artifact ingest: does batch N+1 cost what batch 2
+  * cost, as the dedup index, tf sidecar, term-stats partials, IVF index
+  * AND results directory all grow?
+  *
+  * Batch construction is the replica trick: every token suffixed by the
+  * batch id, ids offset by the batch id — identical batch sizes and
+  * dup densities, zero cross-batch shingles, so accumulated state is
+  * the ONLY thing changing across the series. Embeddings are the same
+  * synthetic 4-dim hash vectors q_ingest_pipeline uses.
+  *
+  * Two deliberate worst-case notes the analysis must carry:
+  *   - disjoint per-batch vocabularies make the corpus vocabulary grow
+  *     LINEARLY in batches (real corpora are Heaps-sublinear), so the
+  *     OOV gate's vocab build side is as adversarial as it gets;
+  *   - term-stats partials are compacted on the streamingSink's cadence
+  *     rule (here every 8 batches, documented in the artifact) so the
+  *     partials-merge read cost resets exactly as production would.
+  *
+  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold>
+  * Prints one JSON line tagged PIPELINE_STRESS.
+  */
+object IngestPipelineStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = if (args.length > 1) args(1).toInt else 20
+    val t = if (args.length > 2) args(2).toDouble else 0.6
+    val compactEvery = 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+
+    def replica(i: Int) = {
+      val base =
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * idSpan))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit(s"~$i"))), " "))
+      base.withColumn("embedding", array(
+        pmod(xxhash64(col("text")), lit(1000)).cast("double") / lit(1000.0),
+        lit(0.25), lit(0.5), lit(0.75)))
+    }
+
+    def freshCfg(root: String) = graft.pipelines.IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "pipe-stress",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
+      threshold = t, oovGate = 0.5)
+
+    // warm the JVM/codegen on a throwaway root so batch 0 isn't janino
+    val warm = freshCfg(java.nio.file.Files
+      .createTempDirectory("graft-pipe-warm").toString)
+    graft.pipelines.IngestPipeline.processBatch(spark, replica(0), warm, 0L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(warm.resultsDir)
+
+    val cfg = freshCfg(java.nio.file.Files
+      .createTempDirectory("graft-pipe-stress").toString)
+    val times = (0 until nBatches).map { i =>
+      val t0 = System.nanoTime()
+      graft.pipelines.IngestPipeline.processBatch(spark, replica(i), cfg,
+          i.toLong)
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(cfg.resultsDir)
+      if (i % compactEvery == compactEvery - 1) {
+        graft.dedup.IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
+        graft.text.IncrementalStats.compact(spark, cfg.statsIndex)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val dedupRows = graft.sources.VersionedTable.read(spark, cfg.dedupIndex).count()
+    val ivfRows = graft.sources.VersionedTable.read(spark, cfg.ivfIndex).count()
+    val vocab = graft.text.IncrementalStats.termStats(spark, cfg.statsIndex, None)
+      .count()
+    val results = spark.read.parquet(cfg.resultsDir).count()
+    val firstHalf = times.take(nBatches / 2).sum / (nBatches / 2)
+    val secondHalf = times.drop(nBatches / 2).sum / (nBatches - nBatches / 2)
+    val ts = times.map(x => f"$x%.3f").mkString("[", ",", "]")
+    println(
+      f"""PIPELINE_STRESS {"sf":"$sfDir","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+    spark.stop()
+  }
+}
