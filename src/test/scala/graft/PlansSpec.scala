@@ -524,6 +524,32 @@ class PlansSpec extends AnyFunSuite {
       s"expensive-expression double evaluations: $offenders")
   }
 
+  /** Conservative "this subtree's row count does not scale with the
+    * corpus" proof by plan-walk: reach an Aggregate (distinct keys), a
+    * GlobalLimit (top-k head), a generated Range, or a driver-local
+    * relation through nodes that cannot increase cardinality. Joins/
+    * unions OF bounded inputs stay bounded (histogram x totals). Used
+    * by the global-window and no-equi-key-join sweeps below.
+    */
+  private def boundedSubtree(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalRelation |
+           _: OneRowRelation => true
+      // a generated sequence is sized by its author, not by the corpus
+      // (densified grids, digit tables) — every Range in this repo is
+      // require-guarded or literal-tiny
+      case _: Range => true
+      case _: Project | _: Filter | _: Sort | _: Window | _: LocalLimit |
+           _: Distinct | _: Deduplicate | _: SubqueryAlias |
+           _: WithCTE | _: CTERelationDef | _: RepartitionOperation =>
+        p.children.forall(boundedSubtree)
+      case _: Join | _: Union => p.children.forall(boundedSubtree)
+      case _ => false
+    }
+  }
+
   test("every unpartitioned Window sits over a provably bounded input") {
     // A Window with no PARTITION BY executes in ONE task — fine over a
     // top-k head or an aggregate's distinct-key table, a cluster-killer
@@ -538,25 +564,8 @@ class PlansSpec extends AnyFunSuite {
     // Every legitimate global window in this repo ranks one of those;
     // a new one over raw rows is a bug this sweep turns into a test
     // failure instead of a 100 TB incident.
-    import org.apache.spark.sql.catalyst.plans.logical._
     val sfDir = sf
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalRelation |
-           _: OneRowRelation => true
-      // a generated sequence is sized by its author, not by the corpus
-      // (densified grids, digit tables) — every Range in this repo is
-      // require-guarded or literal-tiny
-      case _: Range => true
-      case _: Project | _: Filter | _: Sort | _: Window | _: LocalLimit |
-           _: Distinct | _: Deduplicate | _: SubqueryAlias |
-           _: WithCTE | _: CTERelationDef | _: RepartitionOperation =>
-        p.children.forall(bounded)
-      // a join/union OF bounded inputs is bounded (histogram x totals,
-      // full-outer of two distinct-key tables) — still O(keys), never
-      // O(corpus)
-      case _: Join | _: Union => p.children.forall(bounded)
-      case _ => false
-    }
+    import org.apache.spark.sql.catalyst.plans.logical._
     // Plan-opaque but bounded by construction — each carries its proof
     // at the implementation site; a NEW query landing here needs the
     // same kind of argument, not a silent pass:
@@ -574,14 +583,69 @@ class PlansSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !exempt.contains(name) =>
         val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-        plan.collect {
-          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        (plan +: plan.subqueriesAll).flatMap(_.collect {
+          case w: Window if w.partitionSpec.isEmpty &&
+              !boundedSubtree(w.child) =>
             (name, w.windowExpressions.map(_.name).mkString(","))
-        }
+        })
       case _ => Nil
     }
     assert(offenders.isEmpty,
       s"unpartitioned Window over unbounded input: $offenders")
+  }
+
+  test("every join without an equi-key keeps one side provably bounded") {
+    // The cartesian/nested-loop class: a join Catalyst cannot hash or
+    // sort-merge (no equi-key conjunct) executes as BroadcastNestedLoop
+    // or CartesianProduct — fine when one side is a 1-row total or a
+    // codebook (the crossJoin(broadcast(tots)) idiom, ~85 sites here),
+    // an O(n x m) cluster-killer when both sides scale with the corpus.
+    // Sweep every optimized plan: for each Join whose condition carries
+    // NO cross-side equality, one side must pass the bounded walk.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    val sfDir = sf
+    def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
+      c.collect {
+        case e: EqualTo => e
+        case e: EqualNullSafe => e
+      }.exists { e =>
+        val lrefs = e.left.references
+        val rrefs = e.right.references
+        (lrefs.subsetOf(j.left.outputSet) && rrefs.subsetOf(j.right.outputSet)) ||
+        (lrefs.subsetOf(j.right.outputSet) && rrefs.subsetOf(j.left.outputSet))
+      }
+    }
+    // an explicit broadcast() hint is the AUTHOR's bounded declaration
+    // (the ANN query-set side, the decile-edge row): accept it as the
+    // small side — the hint is load-bearing and a dropped one fails
+    // this sweep, which is the point
+    def hintedSmall(j: Join): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+      j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+    // Plan-opaque but bounded by construction at the implementation
+    // site (both are corpus-independent level/bucket PAIR joins whose
+    // input is localCheckpoint'd, so the guard is invisible here):
+    val exempt = Map(
+      // T(T-1)/2 pair join over the densified bucket grid,
+      // require(span <= maxBuckets) at TimeSeries.mannKendall
+      "q_mann_kendall" -> "require-guarded bucket grid pair join",
+      // level-pair join over the QUANTIZED score table,
+      // <= 10^digits levels by construction (Isotonic.scala header)
+      "q_isotonic" -> "quantized level table pair join")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !exempt.contains(name) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        (plan +: plan.subqueriesAll).flatMap(_.collect {
+          case j: Join if !hasEquiKey(j) && !hintedSmall(j) &&
+              !boundedSubtree(j.left) && !boundedSubtree(j.right) =>
+            (name, s"${j.joinType} join, condition=${j.condition.isDefined}")
+        })
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"no-equi-key join with both sides unbounded: $offenders")
   }
 
   test("q_dedup_incremental: exchanges stay linear in shingle volume, never pair-quadratic") {
