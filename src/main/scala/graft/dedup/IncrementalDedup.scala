@@ -632,6 +632,20 @@ object IncrementalDedup {
     * performance-safe (the hot set is a pure routing split — see
     * [[batchPairs]]). A legacy index with no count table falls back to
     * the one-shot recount; run [[rebuildTokenFreq]] once to migrate.
+    *
+    * CONCURRENT WRITERS (distinct `txnApp` streams racing on one
+    * index) are safe but eventually-consistent for CROSS-writer dups:
+    * the claimSlot retry means no commit is ever lost and the count
+    * table converges to the final index's truth, but a writer only
+    * sees a racing writer's docs if its pin landed after the other's
+    * commit — two simultaneous copies can both report `kept` (each
+    * is still indexed; the NEXT batch dedups against both). Replay
+    * purity is per app stream: a replayed batch re-reports what ITS
+    * pinned snapshot contains, which may include a racer that
+    * committed inside the original run's window. The last-writer-wins
+    * maxcnt hint can transiently under-count under races — routing-
+    * only, never correctness (the lying-bounds spec). Spec: the
+    * "concurrent multi-writer ingests" case in IncrementalDedupSpec.
     */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    textCol: String, idCol: String, indexTable: String,

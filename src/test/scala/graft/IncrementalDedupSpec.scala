@@ -586,4 +586,76 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 5)
     assert(VersionedTable.latestVersion(t) == 1L)
   }
+
+  test("concurrent multi-writer ingests: no lost commits, deterministic statuses, tf converges") {
+    // Two ingest streams (different appIds) race processBatch on ONE
+    // index — the multi-stream 100 TB operating mode. Writer content is
+    // fully disjoint (and each carries its own within-batch dup + a
+    // near-dup of the pre-seeded index), so every status is
+    // deterministic REGARDLESS of commit interleaving: cross-writer dup
+    // detection inside the race window is eventual by design (a writer
+    // sees the other only if its pin lands after the other's commit),
+    // and the claimSlot retry means neither commit can be lost.
+    val t = freshTable()
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L,
+      txnApp = Some("seed"), txn = Some(0L)).collect()
+
+    val bA = Seq((10L, third), (11L, nearDup), (12L, third))
+      .toDF("doc_id", "text") // 12 dup-within of 10; 11 near-dups seed 0
+    // one appended word: 8 of 9 shingles shared with seed 2 (J = 8/9)
+    val otherDup = other + " daily"
+    val fresh = "entirely fresh text about columnar layouts and row groups"
+    val bB = Seq((20L, fresh), (21L, otherDup), (22L, fresh))
+      .toDF("doc_id", "text")
+      // 22 dup-within of 20; 21 near-dups seed 2 (dup_of_index wins
+      // over within-batch per the precedence rule)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fA = Future(IncrementalDedup.processBatch(spark, bA, "text",
+      "doc_id", t, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerA"), txn = Some(1L)).collect())
+    val fB = Future(IncrementalDedup.processBatch(spark, bB, "text",
+      "doc_id", t, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerB"), txn = Some(1L)).collect())
+    val rA = Await.result(fA, Duration.Inf)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rB = Await.result(fB, Duration.Inf)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+
+    assert(rA == Map(10L -> "kept", 11L -> "dup_of_index",
+      12L -> "dup_within_batch"), rA)
+    assert(rB == Map(20L -> "kept", 21L -> "dup_of_index",
+      22L -> "dup_within_batch"), rB.toString)
+
+    // no lost commits on either table: every doc indexed exactly once,
+    // both writers' txns in the log, versions contiguous
+    assert(VersionedTable.read(spark, t).count() == 8)
+    val txns = VersionedTable.history(t).flatMap(_.txnApp)
+    assert(txns.count(_ == "writerA") == 1 && txns.count(_ == "writerB") == 1)
+    assert(VersionedTable.latestVersion(t) == 2L)
+
+    // the maintained count table converged to the truth of the final
+    // index despite racing partials commits (and the last-writer-wins
+    // maxcnt hint is correctness-irrelevant — the lying-bounds spec)
+    val maintained = IncrementalDedup.tokenCounts(spark, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    IncrementalDedup.rebuildTokenFreq(spark, t)
+    val rebuilt = IncrementalDedup.tokenCounts(spark, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained == rebuilt)
+
+    // replay either writer: no new commit, same statuses (single-writer
+    // replay purity holds per app stream)
+    val rA2 = IncrementalDedup.processBatch(spark, bA, "text", "doc_id",
+        t, threshold = 0.5, batchId = 1L,
+        txnApp = Some("writerA"), txn = Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rA2.keySet == rA.keySet)
+    assert(rA2(12L) == "dup_within_batch" && rA2(10L) == "kept")
+    assert(VersionedTable.latestVersion(t) == 2L)
+  }
 }
