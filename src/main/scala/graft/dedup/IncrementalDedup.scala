@@ -695,17 +695,22 @@ object IncrementalDedup {
     // BACKFILLS the partials under the same (app, txn), making the
     // backfill itself idempotent on any further replay.
     val tf = tokenFreqTable(indexTable)
-    val tfHistory = if (replayed) Some(VersionedTable.history(tf)) else None
+    // materialized lazily: the index-replay path already paid for the
+    // walk; the FRESH path needs it only in the counts-landed-index-
+    // crashed retry window (tfReplayed via txnMaxes while replayed is
+    // false) — calling .get on a None here wedged that designed
+    // recovery path with a NoSuchElementException on every retry
+    lazy val tfHistoryAll = VersionedTable.history(tf)
     val tfReplayed =
       if (replayed) txnApp.zip(txn).exists { case (app, t) =>
-        tfHistory.get.exists(c => c.txnApp.contains(app) && c.txn.contains(t))
+        tfHistoryAll.exists(c => c.txnApp.contains(app) && c.txn.contains(t))
       } else txnApp.zip(txn).exists { case (app, t) =>
         VersionedTable.txnMaxes(tf).get(app).exists(_ >= t)
       }
     val tfLatest = VersionedTable.latestVersion(tf)
     val tfVer = (if (!tfReplayed) None
       else txnApp.zip(txn).flatMap { case (app, t) =>
-        tfHistory.get
+        tfHistoryAll
           .find(c => c.txnApp.contains(app) && c.txn.contains(t))
           .map(_.version - 1)
       }).getOrElse(tfLatest)
@@ -722,7 +727,12 @@ object IncrementalDedup {
     // rows: a token appears at most once per doc prefix) and tightened
     // to the observed max right after — hint ≥ truth at every crash
     // point.
-    val bc = batchTokenCounts(rows)
+    // checkpointed: the SAME materialized counts serve the tf commit,
+    // the replay-path max agg, AND batchPairs' semi-join build side /
+    // hot-detection batchFreq — without this the explode+groupBy over
+    // the batch's prefix tokens re-ran inside each consumer (up to 3x
+    // O(batch-tokens) on the hot path)
+    val bc = batchTokenCounts(rows).localCheckpoint()
     val hint = readMaxCntHint(tf)
     val nRows = rows.count() // local scan of the checkpoint
     val batchMax: Long =

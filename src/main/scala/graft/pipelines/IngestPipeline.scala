@@ -136,8 +136,15 @@ object IngestPipeline {
     val ivfF = Future(IncrementalIvf.addBatch(spark, kept, "__emb", "__id",
       cfg.centroids, cfg.ivfIndex, batchId,
       txnApp = Some(cfg.appId), txn = Some(batchId)))
-    Await.result(statsF, Duration.Inf)
-    Await.result(ivfF, Duration.Inf)
+    // BOTH futures must settle before this batch can fail: a detached
+    // survivor racing a checkpoint replay could land its commit AFTER
+    // the replay's txnMaxes check and double-append the same
+    // (appId, batchId). Await.ready (not result) on each, THEN rethrow
+    // the first failure — no zombie outlives the batch attempt.
+    Await.ready(statsF, Duration.Inf)
+    Await.ready(ivfF, Duration.Inf)
+    statsF.value.get.get
+    ivfF.value.get.get
 
     status.join(oov, Seq("id"), "left")
       .select(col("id"), col("status"),

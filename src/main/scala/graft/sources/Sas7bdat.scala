@@ -319,9 +319,15 @@ object Sas7bdat {
       var k = 0
       while (k < n) { if (o < outLen) out(o) = out(o - ofs); o += 1; k += 1 }
     }
+    // truncated payloads fail with the codec's own diagnostic, not an
+    // ArrayIndexOutOfBounds surfacing contextless from a task
+    def need(n: Int, what: String): Unit = require(i + n <= src.length,
+      s"RDC stream truncated: need $n byte(s) for $what at input " +
+        s"offset $i of ${src.length} (output $o of $outLen)")
     while (i < src.length && o < outLen) {
       ctrlMask >>= 1
       if (ctrlMask == 0) {
+        need(2, "control word")
         ctrlBits = ((src(i) & 0xFF) << 8) | (src(i + 1) & 0xFF)
         i += 2; ctrlMask = 0x8000
       }
@@ -333,15 +339,19 @@ object Sas7bdat {
           i += 1
           cmd match {
             case 0 =>
-              val v = src(i); i += 1; fill(low + 3, v)
+              need(1, "short-RLE value"); val v = src(i); i += 1
+              fill(low + 3, v)
             case 1 =>
+              need(2, "long-RLE count+value")
               val n = low + ((src(i) & 0xFF) << 4) + 19; i += 1
               val v = src(i); i += 1; fill(n, v)
             case 2 =>
+              need(2, "long back-reference operands")
               val ofs = low + 3 + ((src(i) & 0xFF) << 4); i += 1
               val n = (src(i) & 0xFF) + 16; i += 1
               backCopy(n, ofs)
             case c =>
+              need(1, "short back-reference offset")
               val ofs = low + 3 + ((src(i) & 0xFF) << 4); i += 1
               backCopy(c, ofs)
           }
@@ -565,6 +575,28 @@ object Sas7bdat {
                   "not decoded; refusing rather than dropping rows")
           }
         }
+      case PageMeta | PageMeta2 =>
+        // compression is NOT a codec this reader knows (an unknown
+        // literal maps to "" at inspect — indistinguishable there from
+        // a genuinely uncompressed file). Row payloads on a meta page
+        // only exist in the compressed layout, so finding one here
+        // means rows WOULD be dropped: refuse loudly instead of
+        // returning a silently short frame. Pure meta pages (columns,
+        // text, no type-1 rows) still skip as before.
+        val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
+        val hasRows = (0 until nSub).exists { i =>
+          val p = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
+          val shLen  = bb.getLong(p + 8).toInt
+          val shComp = page(p + 16).toInt & 0xFF
+          val shType = page(p + 17).toInt & 0xFF
+          shType == 1 && shLen > 0 && shComp != 1
+        }
+        if (hasRows) throw new IllegalStateException(
+          "sas7bdat: meta page carries row payloads but the file's " +
+            s"compression literal ('${meta.compression}') is not one " +
+            "this reader decodes (uncompressed, SASYZCRL, SASYZCR2) — " +
+            "refusing rather than dropping rows")
+        Iterator.empty
       case _ => Iterator.empty
     }
   }

@@ -410,7 +410,16 @@ object VersionedTable {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val dirs = snapshotCommits(table, version)
       .map(c => Paths.get(table, c.dataDir).toString)
-    spark.read.parquet(dirs: _*)
+    // schema pinned to the NEWEST commit's dir, not left to whichever
+    // file the multi-path relation happens to sample: on any table
+    // honoring the append contract this is the schema of every dir; on
+    // a table that somehow violates it (hand-built dirs, external
+    // writers) the snapshot deterministically reads the newest shape —
+    // older dirs resolve by column name (absent -> null) and a same-
+    // name type conflict fails loudly in the reader instead of
+    // depending on inference sampling order.
+    val newest = spark.read.parquet(dirs.last).schema
+    spark.read.schema(newest).parquet(dirs: _*)
   }
 
   /** Latest committed snapshot. */

@@ -587,6 +587,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(t) == 1L)
   }
 
+  test("retry after counts-committed-index-crashed window succeeds and stays exactly-once") {
+    // The DESIGNED crash window: partials land (counts commit first),
+    // the index commit never happens. The retry arrives with the same
+    // (app, txn): index-side replay is false, tf-side replay is TRUE
+    // via the txnMaxes shortcut — this path must recover (skip the tf
+    // append, commit the index, correct statuses), not throw. A
+    // regression here wedges the stream permanently: the code once
+    // called .get on the index-path-only tf history in exactly this
+    // branch.
+    val t = freshTable()
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L,
+      txnApp = Some("crashy"), txn = Some(0L)).collect()
+
+    // simulate the window for txn 1: commit ONLY the partials
+    val b1 = Seq((1L, nearDup), (5L, third)).toDF("doc_id", "text")
+    val rows1 = IncrementalDedup.indexRows(b1, "text", "doc_id", 0.5)
+    val tf = IncrementalDedup.tokenFreqTable(t)
+    VersionedTable.commit(
+      IncrementalDedup.batchTokenCounts(rows1).withColumn("batch", lit(1L)),
+      tf, "append", Some(1L), Some("crashy"), expectedVersion = None)
+    val tfVerAfterCrash = VersionedTable.latestVersion(tf)
+    val idxVerAfterCrash = VersionedTable.latestVersion(t)
+
+    // the retry: same (app, txn) — must not throw, must commit the
+    // index exactly once, must NOT double-append the partials
+    val r1 = IncrementalDedup.processBatch(spark, b1, "text", "doc_id",
+        t, threshold = 0.5, batchId = 1L,
+        txnApp = Some("crashy"), txn = Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(r1 == Map(1L -> "dup_of_index", 5L -> "kept"), r1.toString)
+    assert(VersionedTable.latestVersion(t) == idxVerAfterCrash + 1)
+    assert(VersionedTable.latestVersion(tf) == tfVerAfterCrash)
+    assert(VersionedTable.read(spark, t).count() == 4)
+    // and the maintained counts still equal a full rebuild
+    val maintained = IncrementalDedup.tokenCounts(spark, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    IncrementalDedup.rebuildTokenFreq(spark, t)
+    val rebuilt = IncrementalDedup.tokenCounts(spark, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained == rebuilt)
+  }
+
   test("concurrent multi-writer ingests: no lost commits, deterministic statuses, tf converges") {
     // Two ingest streams (different appIds) race processBatch on ONE
     // index — the multi-stream 100 TB operating mode. Writer content is
