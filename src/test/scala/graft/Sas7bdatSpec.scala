@@ -188,6 +188,25 @@ class Sas7bdatSpec extends AnyFunSuite {
     val bad = Array[Byte](0x80.toByte, 0x00, 0x60, 0x00)
     intercept[IllegalArgumentException](rdcDecompress(bad, 6))
 
+    // TRUNCATED payloads fail with the codec's own diagnostic, not an
+    // ArrayIndexOutOfBounds from a task: mid-control-word (one byte
+    // left when a control word is due), and each command missing its
+    // operand byte(s)
+    val truncCases = Seq(
+      Array[Byte](0x00),                        // half a control word
+      sLit.take(18) :+ 0x00.toByte,             // 2nd ctrl word cut to 1B
+      Array[Byte](0x80.toByte, 0x00),           // cmd byte missing
+      Array[Byte](0x80.toByte, 0x00, 0x02),     // cmd0: value missing
+      Array[Byte](0x80.toByte, 0x00, 0x11),     // cmd1: count+value missing
+      Array[Byte](0x80.toByte, 0x00, 0x11, 0x02), // cmd1: value missing
+      Array[Byte](0x10, 0x00, 'X', 'Y', 'Z', 0x20, 0x00), // cmd2: count missing
+      Array[Byte](0x10, 0x00, 'A', 'B', 'C', 0x60)        // cmd6: offset missing
+    )
+    truncCases.foreach { s =>
+      val e = intercept[IllegalArgumentException](rdcDecompress(s, 64))
+      assert(e.getMessage.contains("RDC"), e.getMessage)
+    }
+
     // encoder round-trip on adversarial rows (runs spanning cmd0/cmd1
     // boundaries, control words straddling 16-item groups)
     val rnd = new scala.util.Random(4242)

@@ -572,4 +572,31 @@ class SourcesSpec extends AnyFunSuite {
     byWriter.values.foreach(cs =>
       assert(cs.flatMap(_.txn).sorted == (0L until n), s"lost commits: $cs"))
   }
+
+  test("VersionedTable: a contract-violating drifted snapshot reads the NEWEST dir's schema deterministically") {
+    // Tables written through commit() cannot drift (every append is
+    // schema-checked against the then-newest dir — transitive). This
+    // hand-builds the violation via claimSlot to lock the documented
+    // degraded-mode semantics: the snapshot schema is the newest
+    // commit's, resolved by name (absent column -> null), never
+    // whichever file the multi-path relation happened to sample.
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-drift").toString + "/tbl"
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      df.write.parquet(s"$t/data/$name"); s"data/$name"
+    }
+    val d0 = stage(Seq(("a", 1L)).toDF("g", "cnt"), "d0")
+    VersionedTable.claimSlot(t, "overwrite", d0, None, None, None)
+    val d1 = stage(Seq(("b", 2L, 7L)).toDF("g", "cnt", "batch"), "d1")
+    VersionedTable.claimSlot(t, "append", d1, None, None, None)
+
+    val snap = VersionedTable.read(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("g", "cnt", "batch"),
+      snap.schema.simpleString)
+    val rows = snap.orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq(("a", 1L, None), ("b", 2L, Some(7L))))
+  }
 }
