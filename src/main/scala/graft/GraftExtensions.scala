@@ -55,6 +55,14 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // The incremental-dedup candidate/payload reads prune parquet row
+    // groups with In filters of up to MaxPayloadIdCollect values; the
+    // default threshold (10) would collapse those to a useless min/max
+    // range at the parquet boundary. Reads stay correct either way —
+    // this only widens how many In values survive to row-group stats.
+    if (spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold") == "10")
+      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.dedup.IncrementalDedup.MaxPayloadIdCollect)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseTitleCase)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollapseTitleCase

@@ -207,6 +207,14 @@ object VersionedTable {
     }
   }
 
+  /** The replay closure of the newest version ≤ `version` — the commits
+    * whose data dirs a snapshot read at that version unions. Exposed for
+    * sidecar maintainers (the dedup postings table) that must map a
+    * snapshot to the exact per-commit dirs it covers.
+    */
+  private[graft] def snapshotClosure(table: String, version: Long): Seq[Commit] =
+    snapshotCommits(table, version)
+
   /** Latest committed version, or -1 for an empty/absent table.
     * Checkpoint + probes when available; full listing otherwise.
     */
@@ -409,12 +417,26 @@ object VersionedTable {
     * the single relation reads exactly what the union did.
     */
   // committed data dirs are immutable, so a dir's schema can be cached
-  // forever: the pinning read below costs one footer inference per
-  // (dir) lifetime instead of per snapshot read (ingest loops call
-  // readVersion many times per batch — an uncached extra relation here
-  // measured ~2s/query on the composed-pipeline bench)
+  // for the dir's lifetime: the pinning read below costs one footer
+  // inference per (session, dir) instead of per snapshot read (ingest
+  // loops call readVersion many times per batch — an uncached extra
+  // relation here measured ~2s/query on the composed-pipeline bench).
+  // Keyed by SESSION as well as dir (a StructType inferred under one
+  // session's parquet-read configs — nanosAsLong, caseSensitive — must
+  // not leak into a session with different ones), size-bounded (a
+  // long-running driver touching many tables can't grow it without
+  // limit), and evicted when vacuum() deletes the dir.
   private val dirSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private val DirSchemaCacheCap = 8192
+
+  private def schemaCacheKey(spark: SparkSession, dir: String): String =
+    s"${System.identityHashCode(spark.sessionState)}:$dir"
+
+  private def evictSchemaCache(dir: Path): Unit = {
+    val suffix = s":${dir.toString}"
+    dirSchemaCache.keySet.removeIf(_.endsWith(suffix))
+  }
 
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val dirs = snapshotCommits(table, version)
@@ -430,8 +452,10 @@ object VersionedTable {
     // older dirs resolve by column name (absent -> null) and a same-
     // name type conflict fails loudly in the reader instead of
     // depending on inference sampling order.
-    val newest = dirSchemaCache.computeIfAbsent(dirs.last,
-      d => spark.read.parquet(d).schema)
+    if (dirSchemaCache.size > DirSchemaCacheCap) dirSchemaCache.clear()
+    val newest = dirSchemaCache.computeIfAbsent(
+      schemaCacheKey(spark, dirs.last),
+      _ => spark.read.parquet(dirs.last).schema)
     spark.read.schema(newest).parquet(dirs: _*)
   }
 
@@ -551,6 +575,30 @@ object VersionedTable {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
     commitRmw(spark, table)(_.coalesce(targetFiles))
 
+  /** OPTIMIZE with a caller-supplied layout: rewrite the current
+    * snapshot as `f(snapshot)` in one conflict-checked overwrite — the
+    * hook index tables use to keep their clustering (IVF's
+    * cell-clustered files, the dedup index's id-sorted files, the
+    * postings table's bucket-range files) through compaction, which
+    * plain [[compact]]'s coalesce would destroy. Returns the committed
+    * version. `f` must be row-preserving (it rewrites LAYOUT, not
+    * contents) — a transform that drops or edits rows silently corrupts
+    * every later read.
+    */
+  def compactBy(spark: SparkSession, table: String)
+               (f: DataFrame => DataFrame): Long =
+    commitRmw(spark, table)(f)
+
+  /** Appends in the latest snapshot's replay closure — how far the
+    * table has drifted from its last overwrite. Ingest loops use it to
+    * bound how often drift-triggered compaction may run.
+    */
+  private[graft] def appendsSinceOverwrite(table: String): Int = {
+    val latest = latestVersion(table)
+    if (latest < 0) 0
+    else snapshotCommits(table, latest).count(_.mode == "append")
+  }
+
   /** OPTIMIZE ... ZORDER BY (dimA, dimB): rewrite the current snapshot
     * range-partitioned and sorted by the Morton interleave of the two
     * dimensions (the [[graft.operators.Compaction.zorderWrite]] layout)
@@ -604,7 +652,9 @@ object VersionedTable {
     }.toSet
     val dead = all.filterNot(c => live.contains(c.dataDir))
     dead.foreach { c =>
-      deleteRecursively(Paths.get(table, c.dataDir))
+      val dir = Paths.get(table, c.dataDir)
+      evictSchemaCache(dir) // a deleted dir's cached schema must not outlive it
+      deleteRecursively(dir)
       Files.deleteIfExists(logPath(table).resolve(entryName(c.version)))
     }
     // reclaim orphans: data/<uuid> dirs no log entry (kept OR dead —

@@ -92,6 +92,7 @@ object IncrementalStats {
     var done = false
     while (!done) {
       val base = VersionedTable.latestVersion(table)
+      if (base < 0) return // no partials yet (empty/missing table): nothing to fold
       val merged = VersionedTable.readVersion(spark, table, base)
         .groupBy(col("term"))
         .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))

@@ -702,4 +702,216 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(rA2(12L) == "dup_within_batch" && rA2(10L) == "kept")
     assert(VersionedTable.latestVersion(t) == 2L)
   }
+
+  // ---- r13: posting-list layout (VERDICT r12 directive #1) -------------
+
+  /** Unique-text corpus: doc i is 15 words only doc i uses, so every
+    * shingle is globally unique — no dups, maximal vocab growth. */
+  private def uniqueDocs(from: Long, n: Int) =
+    (from until from + n).map(i =>
+      (i, (0 until 15).map(k => s"u${i}w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  /** Small parquet row groups for the duration of `body`, so bucket-
+    * range files carry many row groups and the In(b)/In(id) pushdown's
+    * row-group pruning is observable at spec scale (production files
+    * get the same effect from their natural 128 MB row-group count).
+    */
+  private def withSmallRowGroups[A](body: => A): A = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldB = hc.get("parquet.block.size")
+    val oldP = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 8192)
+    hc.setInt("parquet.page.size", 2048)
+    try body
+    finally {
+      if (oldB == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldB)
+      if (oldP == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldP)
+    }
+  }
+
+  test("processBatch wires bucket-pruned postings + candidate-pruned payload (r12 #1)") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    (0 until 3).foreach { b =>
+      IncrementalDedup.processBatch(spark, uniqueDocs(b * 300L, 300),
+        "text", "doc_id", t, threshold = 0.6, batchId = b.toLong)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // one tiny batch: 1 exact dup of an indexed doc + 2 novel docs
+    def tiny(from: Long) = uniqueDocs(from, 2).unionByName(
+      Seq((from + 2L, (0 until 15).map(k => s"u0w$k").mkString(" ")))
+        .toDF("doc_id", "text"))
+
+    val r = IncrementalDedup.processBatch(spark, tiny(9000L), "text",
+        "doc_id", t, threshold = 0.6, batchId = 100L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(9002L) == "dup_of_index" && r(9000L) == "kept", r)
+
+    // the candidate join's index leg IS the postings scan, with the
+    // bucket set AND the snapshot-version bound pushed into parquet —
+    // never a posexplode over the doc table
+    val tokPlan = IncrementalDedup.lastIndexTok.get
+      .queryExecution.executedPlan.toString
+    assert(tokPlan.contains("_postings"), tokPlan.take(3000))
+    assert(tokPlan.contains("PushedFilters"), tokPlan.take(3000))
+    assert(tokPlan.contains("In(b"), tokPlan.take(3000))
+    assert(tokPlan.contains("LessThanOrEqual(v"), tokPlan.take(3000))
+    assert(!tokPlan.contains("Generate")) // no explode anywhere in the leg
+
+    // the verify payload read is pruned to the ONE candidate id — the
+    // In(id) pushdown rides the id-sorted index files' row-group stats
+    val payPlan = IncrementalDedup.lastPayloadIdx.get
+      .queryExecution.executedPlan.toString
+    assert(payPlan.contains("In(id") || payPlan.contains("EqualTo(id"),
+      payPlan.take(3000))
+
+    // a CLEAN batch (no cross candidates) reads ZERO payload: the
+    // pruned frame folds to an empty local relation — no file scan
+    IncrementalDedup.processBatch(spark, uniqueDocs(9100L, 3), "text",
+      "doc_id", t, threshold = 0.6, batchId = 101L).collect()
+    val cleanPlan = IncrementalDedup.lastPayloadIdx.get
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("FileScan"), cleanPlan.take(3000))
+
+    // and the postings table really carries one row per (doc, prefix
+    // token) of every batch, bucketed over the pinned bucket count
+    val nb = IncrementalDedup.readPostingsBuckets(pt).get
+    val p = VersionedTable.read(spark, pt)
+    val prefixTokens = VersionedTable.read(spark, t)
+      .agg(sum(size(col("prefix")))).head.getLong(0)
+    assert(p.count() == prefixTokens)
+    assert(p.agg(max(col("b"))).head.getInt(0) < nb)
+    assert(p.agg(min(col("b"))).head.getInt(0) >= 0)
+  }
+
+  test("postings candidate read pushes bucket + version filters into the parquet scan") {
+    withSmallRowGroups {
+      val t = freshTable()
+      val pt = IncrementalDedup.postingsTable(t)
+      (0 until 2).foreach { b =>
+        IncrementalDedup.processBatch(spark, uniqueDocs(b * 300L, 300),
+          "text", "doc_id", t, threshold = 0.6, batchId = b.toLong)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val nb = IncrementalDedup.readPostingsBuckets(pt).get
+      val buckets = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+      // the exact frame processBatch builds for the candidate index leg
+      val pruned = VersionedTable.read(spark, pt)
+        .filter(col("v") <= lit(1L) && col("b").isin(buckets.map(Integer.valueOf): _*))
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), plan.take(2000))
+      assert(plan.contains("In(b"), plan.take(2000))
+      assert(plan.contains("LessThanOrEqual(v"), plan.take(2000))
+      // row groups outside the probed buckets are skipped: the scan
+      // materializes close to the matching rows, far under the table
+      val scans = pruned.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      val scanned = scans.map(_.metrics("numOutputRows").value).sum
+      val total = VersionedTable.read(spark, pt).count()
+      val matching = VersionedTable.read(spark, pt)
+        .filter(col("b").isin(buckets: _*)).count()
+      assert(scanned < total / 2,
+        s"scan read $scanned of $total postings for ${buckets.size}/$nb buckets")
+      assert(scanned < 6 * matching + 500,
+        s"scan read $scanned rows vs $matching matching")
+    }
+  }
+
+  test("postings crash-window heal: uncovered doc commits still dedup exactly") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    val b0 = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(spark, b0, "text", "doc_id", t,
+      threshold = 0.5, batchId = 0L).collect()
+    // simulate the crash window: doc rows committed, postings commit
+    // lost — a raw append of signature rows with NO postings
+    val rows1 = IncrementalDedup.indexRows(
+      Seq((4L, third)).toDF("doc_id", "text"), "text", "doc_id", 0.5)
+    val v1 = VersionedTable.commit(rows1.withColumn("batch", lit(1L)),
+      t, "append", None, None, expectedVersion = None)
+    assert(VersionedTable.txnMaxes(pt)
+      .get(IncrementalDedup.PostingsApp).exists(_ < v1))
+
+    // an ingest with a dup of the UNCOVERED doc must still catch it
+    val r2 = IncrementalDedup.processBatch(spark,
+        Seq((6L, third), (8L, base)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 2L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == Map(6L -> "dup_of_index", 8L -> "dup_of_index"), r2)
+    // ...and its postings commit HEALED the gap: coverage reaches the
+    // new head, so the next ingest reads postings only
+    val covered = VersionedTable.txnMaxes(pt)(IncrementalDedup.PostingsApp)
+    assert(covered == VersionedTable.latestVersion(t),
+      s"coverage $covered vs ${VersionedTable.latestVersion(t)}")
+    // healed postings carry the crashed commit's version tag
+    assert(VersionedTable.read(spark, pt)
+      .filter(col("v") === v1).count() > 0)
+  }
+
+  test("legacy index auto-migrates postings on first ingest; rebuildPostings agrees") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    // a pre-postings index: raw signature appends, no sidecars at all
+    Seq(Seq((0L, base), (2L, other)), Seq((4L, third))).zipWithIndex
+      .foreach { case (docs, b) =>
+        VersionedTable.commit(
+          IncrementalDedup.indexRows(docs.toDF("doc_id", "text"),
+            "text", "doc_id", 0.5).withColumn("batch", lit(b.toLong)),
+          t, "append", None, None, expectedVersion = None)
+      }
+    assert(VersionedTable.latestVersion(pt) < 0)
+
+    val r = IncrementalDedup.processBatch(spark,
+        Seq((6L, nearDup), (8L, other)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 5L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(6L -> "dup_of_index", 8L -> "dup_of_index"), r)
+    // the ingest's postings commit covered the whole legacy history
+    assert(VersionedTable.txnMaxes(pt)(IncrementalDedup.PostingsApp)
+      == VersionedTable.latestVersion(t))
+    // postings rows exist for every legacy doc commit version
+    val vs = VersionedTable.read(spark, pt)
+      .select(col("v")).distinct().as[Long].collect().toSet
+    assert(Set(0L, 1L).subsetOf(vs), vs)
+
+    // explicit rebuild on a second legacy copy == the lazy migration
+    val t2 = freshTable()
+    Seq(Seq((0L, base), (2L, other)), Seq((4L, third))).zipWithIndex
+      .foreach { case (docs, b) =>
+        VersionedTable.commit(
+          IncrementalDedup.indexRows(docs.toDF("doc_id", "text"),
+            "text", "doc_id", 0.5).withColumn("batch", lit(b.toLong)),
+          t2, "append", None, None, expectedVersion = None)
+      }
+    IncrementalDedup.rebuildPostings(spark, t2)
+    val r2 = IncrementalDedup.processBatch(spark,
+        Seq((6L, nearDup), (8L, other)).toDF("doc_id", "text"),
+        "text", "doc_id", t2, threshold = 0.5, batchId = 5L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == r)
+  }
+
+  test("maxcnt hint is monotonic under concurrent writers (r12 finding #3)") {
+    val tf = IncrementalDedup.tokenFreqTable(freshTable())
+    IncrementalDedup.writeMaxCntHint(tf, 10L)
+    // two racing writers bump concurrently from the same base — with
+    // per-writer files neither can clobber the other: the global max
+    // ends >= BOTH writers' bounds (the single-file scheme kept only
+    // the last writer's)
+    val t1 = new Thread(() => IncrementalDedup.bumpOwnHint(tf, 150L))
+    val t2 = new Thread(() => IncrementalDedup.bumpOwnHint(tf, 90L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val h = IncrementalDedup.readMaxCntHint(tf)
+    assert(h.exists(_ >= 150L), h)
+    // a writer tightening its OWN bound keeps others' intact
+    IncrementalDedup.bumpOwnHint(tf, 40L) // this thread's file only
+    assert(IncrementalDedup.readMaxCntHint(tf).exists(_ >= 150L))
+    // the exact reset clears every per-writer file
+    IncrementalDedup.writeMaxCntHint(tf, 7L)
+    assert(IncrementalDedup.readMaxCntHint(tf).contains(7L))
+  }
 }
