@@ -976,6 +976,37 @@ object SparkEntry {
     }
   }
 
+  /** Incremental IVF-PQ over a persisted index
+    * ([[graft.similarity.IncrementalIvf.searchTopKAdc]]): coarse
+    * centroids AND the PQ codebook are trained on the FIRST ingest
+    * only (even vec_ids, iters=0 — the sampled deterministic forms the
+    * oracle replays exactly), pinned, and both halves appended with
+    * their codes stored beside the cell assignment. The probe then
+    * answers from `(id, cell_id, codes)` — the float vectors are never
+    * read (spec-asserted in IncrementalIvfSpec), which is the whole
+    * point at 100 TB where the raw embeddings ARE the scan cost. The
+    * oracle replays the full ADC pipeline relationally: batch-0-seeded
+    * codebook, per-subspace argmin codes over the whole corpus,
+    * batch-0-seeded coarse cells, probe set, lookup-table fold.
+    */
+  private def qAnnIvfpqIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = graft.similarity.Ivf.trainCentroids(b0, "embedding", "vec_id",
+      nCells = 8, iters = 0)
+    val cb = graft.similarity.Pq.train(b0, "embedding", "vec_id", m = 8, k = 16)
+    val table = java.nio.file.Files.createTempDirectory("graft-incivfpq")
+      .toString + "/index"
+    graft.similarity.IncrementalIvf.addBatch(s, b0, "embedding", "vec_id",
+      cents, table, 0L, codebook = Some(cb))
+    graft.similarity.IncrementalIvf.addBatch(s, b1, "embedding", "vec_id",
+      cents, table, 1L, codebook = Some(cb))
+    graft.similarity.IncrementalIvf.searchTopKAdc(s, table, cents, cb,
+        emb.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 4)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** PQ encoding of the corpus ([[graft.similarity.Pq]]): m=8 subspaces,
     * k=16 codes each, sampled deterministic codebook (iters=0 — the
     * k lowest-id vectors' slices, which the DuckDB oracle replays
@@ -4726,6 +4757,7 @@ object SparkEntry {
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
     "q_ann_ivfpq"      -> (qAnnIvfpq _),
+    "q_ann_ivfpq_incremental" -> (qAnnIvfpqIncremental _),
     "q_text_stats"     -> (qTextStats _),
     "q_lang_id"        -> (qLangId _),
     "q_dedup_exact"    -> (qDedupExact _),
@@ -4895,11 +4927,17 @@ object SparkEntry {
     s"SELECT v.vec_id, $s AS s, sd.code, $terms AS d FROM ve v CROSS JOIN seed sd"
   }.mkString("\n        UNION ALL ")
 
-  private val PqCte: String = s"""
+  /** PQ replay CTEs, parameterized by the TRAINING predicate: `seed` is
+    * the 16 lowest-vec_id vectors SATISFYING it (Pq.train iters=0 over
+    * that subset), while `dists`/`chosen` encode the WHOLE corpus
+    * against those seeds. The incremental variant trains on batch 0
+    * (even ids) only.
+    */
+  private def pqCte(trainPred: String): String = s"""
       WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                   FROM embeddings),
       seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e AS c
-               FROM ve ORDER BY vec_id LIMIT 16),
+               FROM (SELECT * FROM ve WHERE $trainPred ORDER BY vec_id LIMIT 16) sv),
       dists AS (
         $PqDistBlocks),
       chosen AS (
@@ -4907,6 +4945,8 @@ object SparkEntry {
           SELECT vec_id, s, code, d,
             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
           FROM dists) WHERE rn = 1)"""
+
+  private val PqCte: String = pqCte("TRUE")
 
   /** The Gopher metric CTEs shared by q_gopher_flags and
     * q_pipeline_curation (the per-rule SQL mirrors of
@@ -6551,6 +6591,30 @@ object SparkEntry {
     "q_ann_ivfpq" -> s"""$PqCte,
       coarse AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
                  FROM ve ORDER BY vec_id LIMIT 8),
+      cdists AS (SELECT v.vec_id, co.cell, $IvfPqCoarseTerms AS d
+                 FROM ve v CROSS JOIN coarse co),
+      assign AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM cdists) WHERE rn = 1),
+      probes AS (SELECT cell FROM (
+          SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
+          FROM cdists WHERE vec_id = 0) WHERE rn <= 4),
+      qd AS (SELECT s, code, d FROM dists WHERE vec_id = 0)
+      SELECT c.vec_id AS vec_id, round(sum(q.d) + 1e-12, 6) AS adc_dist
+      FROM chosen c
+      JOIN qd q ON c.s = q.s AND c.code = q.code
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN probes p ON a.cell = p.cell
+      GROUP BY 1 ORDER BY adc_dist, c.vec_id LIMIT 10""",
+    // incremental IVF-PQ: identical ADC replay, but the codebook seeds
+    // AND the coarse cells come from batch 0 (even vec_ids) only — the
+    // pinned-at-first-ingest training the incremental index contractually
+    // never re-runs
+    "q_ann_ivfpq_incremental" -> s"""${pqCte("vec_id % 2 = 0")},
+      coarse AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+                 FROM (SELECT * FROM ve WHERE vec_id % 2 = 0
+                       ORDER BY vec_id LIMIT 8) cv),
       cdists AS (SELECT v.vec_id, co.cell, $IvfPqCoarseTerms AS d
                  FROM ve v CROSS JOIN coarse co),
       assign AS (SELECT vec_id, cell FROM (

@@ -883,6 +883,102 @@ object IncrementalDedup {
       expectedVersion = None)
   }
 
+  /** Cross-writer duplicate reconciliation (VERDICT r12 missing #3).
+    * Concurrent writers racing on one index are safe but eventually-
+    * consistent for SIMULTANEOUS cross-writer copies: two docs with
+    * Jaccard ≥ t committed inside each other's pin-to-commit windows
+    * can both report `kept` (each writer's pinned snapshot predates the
+    * other's commit). This compaction-cadence sweep settles the window
+    * after the fact: it runs the exact pair pass over ONLY the index
+    * rows committed in `(fromVersion, toVersion]` (the race window —
+    * bounded, never the whole index), clusters them, and emits every
+    * member of each multi-member cluster: `id, batch, cluster`
+    * (cluster = the component's min id). [[applyReconciliation]] then
+    * demotes all but one STILL-KEPT member per cluster. The split
+    * matters: which copy a racing pair kept depends on commit
+    * interleaving (if writer A's pin landed after B's commit, A's copy
+    * is already `dup_of_index` and B's is the keeper), so the sweep
+    * reports the clusters and the apply step picks the survivor from
+    * the decisions it is correcting — min id among the kept members,
+    * never blindly the cluster min. Idempotent: same window + same
+    * decisions ⇒ same corrections ⇒ re-applying changes nothing.
+    */
+  def reconcile(spark: SparkSession, indexTable: String, fromVersion: Long,
+                toVersion: Long, threshold: Double): DataFrame = {
+    val window = VersionedTable.snapshotClosure(indexTable, toVersion)
+      .filter(_.version > fromVersion)
+      .map(c => spark.read.parquet(
+        java.nio.file.Paths.get(indexTable, c.dataDir).toString))
+      .reduceOption(_.unionByName(_))
+      .map(_.select(col("id"), col("sz"), col("sh"), col("shh"),
+        col("prefix"), col("batch")).localCheckpoint())
+    window match {
+      case None =>
+        val sp = spark; import sp.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("id", "batch", "cluster")
+      case Some(w) =>
+        val pairs = selfPairs(w, threshold)
+        val clusters = Dedup.clustersStar(
+          w.select(col("id")).distinct(), pairs, "id", "id_a", "id_b")
+        // only multi-member clusters carry a potential race; singletons
+        // (the overwhelming majority) are dropped before the join back
+        val multi = clusters.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .select(col("cluster"))
+        w.select(col("id"), col("batch"))
+          .join(clusters.join(multi, Seq("cluster")), Seq("id"))
+          .select(col("id"), col("batch"), col("cluster"))
+    }
+  }
+
+  /** Apply a [[reconcile]] correction set to a decision record
+    * (`id, status, ...`): within each reconciled cluster, the min-id
+    * member whose status is still `kept` survives; every OTHER kept
+    * member demotes to `dup_of_index`. Rows already settled at ingest
+    * (dup_within_batch, dup_of_index) are untouched, and a cluster with
+    * no kept member (every copy already resolved against an older
+    * canonical outside the window) changes nothing.
+    */
+  def applyReconciliation(decisions: DataFrame,
+                          corrections: DataFrame): DataFrame = {
+    val cl = corrections.select(col("id"), col("cluster").as("__rc"))
+    val keeper = decisions.join(cl, Seq("id"))
+      .filter(col("status") === "kept")
+      .groupBy(col("__rc")).agg(min(col("id")).as("__keep"))
+    decisions.join(cl, Seq("id"), "left")
+      .join(keeper, Seq("__rc"), "left")
+      .withColumn("status",
+        when(col("status") === "kept" && col("__keep").isNotNull
+            && col("id") =!= col("__keep"),
+          lit("dup_of_index")).otherwise(col("status")))
+      .drop("__rc", "__keep")
+  }
+
+  /** OPTIMIZE the index trio coherently (the compaction face of the
+    * posting-list layout): rewrite the doc table as id-range-clustered
+    * files (tight id row-group stats keep the candidate-pruned payload
+    * fetch sharp), REBUILD the postings sidecar against the compacted
+    * snapshot (bucket-range files, racing-heal duplicates folded away,
+    * coverage pinned to the new head), and fold the tf partials +
+    * exact-reset the hint. One amortized O(index) pass per cadence —
+    * the price that keeps every PER-INGEST cost O(batch). History
+    * note: postings rebuilt here carry the compacted version's `v`,
+    * so a reader time-traveling BELOW the compaction falls back to the
+    * heal explode of its pinned closure — correct, just unpruned.
+    */
+  def compactIndex(spark: SparkSession, indexTable: String,
+                   targetFiles: Int = 0): Unit = {
+    if (VersionedTable.latestVersion(indexTable) < 0) return
+    val files =
+      if (targetFiles > 0) targetFiles
+      else math.max(1L,
+        VersionedTable.read(spark, indexTable).count() / 200000L).toInt
+    VersionedTable.compactBy(spark, indexTable)(df =>
+      df.repartitionByRange(files, col("id")).sortWithinPartitions(col("id")))
+    rebuildPostings(spark, indexTable)
+    compactTokenFreq(spark, indexTable)
+  }
+
   /** Ingest one batch: status every doc against the index-so-far and
     * the batch itself, then append the batch's signature rows to the
     * index atomically. Returns `id, batch, status` with status in

@@ -56,7 +56,27 @@ object IngestPipeline {
     centroids: Seq[Ivf.Centroid],
     threshold: Double = 0.8,
     shingleN: Int = 3,
-    oovGate: Double = 0.5)
+    oovGate: Double = 0.5,
+    // OOV gate routing (VERDICT r12 finding #2): vocabularies up to
+    // this many terms take the broadcast-join path; above it the gate
+    // switches to the salted sort-merge plan — the regime where the
+    // vocab no longer broadcasts and AQE provably cannot skew-split
+    // the membership join (the vocab side feeds it straight out of its
+    // distinct aggregate). ~500k terms ≈ the 10 MB broadcast default.
+    // Results are identical on both paths (IncrementalStatsSpec parity).
+    oovSaltVocabThreshold: Long = 500000L,
+    oovSalts: Int = 8,
+    // maintenance cadence: every `compactEvery` batches the tf/stats
+    // PARTIALS fold (cheap, O(vocab)); every `optimizeEvery` batches —
+    // opt-in — the DATA dirs compact (dedup doc+postings re-clustered,
+    // IVF re-clustered by cell: one amortized O(index) rewrite that
+    // bounds directory/file growth) and, with `retainVersions = Some(k)`,
+    // every table vacuums versions below head−k. Vacuum makes time
+    // travel below the retention window fail loudly — that is the
+    // contract, not a bug (the Delta retention rule).
+    compactEvery: Int = 64,
+    optimizeEvery: Option[Int] = None,
+    retainVersions: Option[Int] = None)
 
   /** The stats-table version this batch's OOV gate must read: the
     * latest on a fresh ingest, the version just BELOW this txn's
@@ -88,7 +108,13 @@ object IngestPipeline {
       .localCheckpoint()
 
     // OOV gate against the stats snapshot pinned BEFORE this batch's
-    // own stats commit (fresh: latest; replay: just below the original)
+    // own stats commit (fresh: latest; replay: just below the original).
+    // Route on the pinned vocabulary's size (one O(vocab) count — the
+    // gate itself reads the same vocab, so this doubles no asymptotics):
+    // broadcast join while the vocab broadcasts, salted sort-merge once
+    // it doesn't (r12 finding #2 — the pipeline previously hardwired
+    // the broadcast path and a production-sized vocab hit the
+    // unsplittable join oovRateSalted exists to fix).
     val statsVer = pinnedStatsVersion(cfg.statsIndex, cfg.appId, batchId)
     val oov =
       if (statsVer < 0)
@@ -99,8 +125,16 @@ object IngestPipeline {
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_tokens"), count(lit(1)).as("n_oov"))
           .withColumn("oov_rate", lit(1.0))
-      else IncrementalStats.oovRate(spark, docs, "__text", "__id",
-        cfg.statsIndex, Some(statsVer))
+      else {
+        val vocabTerms = IncrementalStats
+          .termStats(spark, cfg.statsIndex, Some(statsVer))
+          .filter(col("term").isNotNull).count()
+        if (vocabTerms > cfg.oovSaltVocabThreshold)
+          IncrementalStats.oovRateSalted(spark, docs, "__text", "__id",
+            cfg.statsIndex, Some(statsVer), cfg.oovSalts)
+        else IncrementalStats.oovRate(spark, docs, "__text", "__id",
+          cfg.statsIndex, Some(statsVer))
+      }
 
     // dedup statuses (commits the signature index + tf sidecar under
     // the txn identity; pure under replay)
@@ -155,11 +189,52 @@ object IngestPipeline {
       .withColumn("__batch", lit(batchId))
   }
 
+  /** Post-batch maintenance on the configured cadences — called by
+    * [[streamingSink]] after each batch and directly by batch-mode
+    * ingest loops. Every step is RMW-safe and idempotent under replay:
+    *   - every `compactEvery` batches: fold the tf + term-stats
+    *     PARTIALS (cheap — O(vocab), keeps per-ingest reads
+    *     O(distinct keys) instead of O(batches × keys));
+    *   - every `optimizeEvery` batches (opt-in): compact the DATA —
+    *     dedup doc table re-clustered by id + postings rebuilt + IVF
+    *     re-clustered by cell — one amortized O(index) rewrite that
+    *     bounds data-dir/file counts (10k batches must not mean 10k
+    *     dirs per table), then vacuum versions below head −
+    *     `retainVersions`. Vacuumed history fails loudly on read —
+    *     the retention contract.
+    */
+  def maintenance(spark: SparkSession, cfg: Config, batchId: Long): Unit = {
+    if (batchId % cfg.compactEvery == cfg.compactEvery - 1) {
+      IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
+      IncrementalStats.compact(spark, cfg.statsIndex)
+    }
+    cfg.optimizeEvery.foreach { every =>
+      if (batchId % every == every - 1) {
+        IncrementalDedup.compactIndex(spark, cfg.dedupIndex)
+        if (graft.sources.VersionedTable.latestVersion(cfg.ivfIndex) >= 0)
+          VersionedTable.compactBy(spark, cfg.ivfIndex)(df =>
+            df.repartition(col("cell_id"))
+              .sortWithinPartitions(col("cell_id")))
+        cfg.retainVersions.foreach { keep =>
+          Seq(cfg.dedupIndex,
+              IncrementalDedup.postingsTable(cfg.dedupIndex),
+              IncrementalDedup.tokenFreqTable(cfg.dedupIndex),
+              cfg.statsIndex, cfg.ivfIndex)
+            .foreach { tbl =>
+              val head = VersionedTable.latestVersion(tbl)
+              if (head >= 0) VersionedTable.vacuum(tbl, head - keep)
+            }
+        }
+      }
+    }
+  }
+
   /** Structured Streaming face: each micro-batch runs [[processBatch]]
     * and lands the decision record in `resultsDir/__batch=<id>/` via
     * dynamic partition overwrite — a checkpoint replay rewrites exactly
     * its own partition with identical rows, so the results directory is
-    * exactly-once alongside all three indexes.
+    * exactly-once alongside all three indexes — then [[maintenance]]
+    * on the configured cadences.
     */
   def streamingSink(docs: DataFrame, cfg: Config)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -170,11 +245,6 @@ object IngestPipeline {
         processBatch(s, batch, cfg, batchId)
           .write.mode("overwrite").partitionBy("__batch")
           .parquet(cfg.resultsDir)
-        // keep both partial-table reads O(distinct keys), not
-        // O(batches × keys); RMW-safe and idempotent under replay
-        if (batchId % 64 == 63) {
-          IncrementalDedup.compactTokenFreq(s, cfg.dedupIndex)
-          IncrementalStats.compact(s, cfg.statsIndex)
-        }
+        maintenance(s, cfg, batchId)
     }
 }

@@ -141,8 +141,8 @@ object Pq {
     * summation as [[subDists]], so literals match the in-plan arithmetic
     * bit-for-bit).
     */
-  private def adcDistCol(codes: Column, cb: Codebook,
-                         query: Seq[Double]): Column = {
+  private[similarity] def adcDistCol(codes: Column, cb: Codebook,
+                                     query: Seq[Double]): Column = {
     require(query.length == cb.m * cb.dsub,
       s"query dim ${query.length} != ${cb.m * cb.dsub}")
     val table: IndexedSeq[IndexedSeq[Double]] = (0 until cb.m).map { s =>

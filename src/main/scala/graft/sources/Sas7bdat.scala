@@ -584,12 +584,27 @@ object Sas7bdat {
         // returning a silently short frame. Pure meta pages (columns,
         // text, no type-1 rows) still skip as before.
         val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
+        val knownSigs = Set(SigRowSize, SigColSize, SigCounts, SigText,
+          SigName, SigAttrs, SigFmtLabel, SigColList)
         val hasRows = (0 until nSub).exists { i =>
           val p = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
+          val shOff  = bb.getLong(p).toInt
           val shLen  = bb.getLong(p + 8).toInt
           val shComp = page(p + 16).toInt & 0xFF
           val shType = page(p + 17).toInt & 0xFF
-          shType == 1 && shLen > 0 && shComp != 1
+          // The type byte's meaning varies across producers (ADVICE
+          // r12): a foreign uncompressed file may mark METADATA
+          // subheaders type 1, and the old type-only test false-refused
+          // it. A subheader counts as a row payload only when it LOOKS
+          // like one: exactly row-length (an uncompressed row), OR
+          // lacking every known metadata signature (a compressed row of
+          // the unknown codec — those MUST still refuse, silently
+          // dropping them is the failure mode this guard exists for).
+          // A signature-bearing, non-row-length subheader is metadata
+          // this page iterator already skips.
+          shType == 1 && shLen > 0 && shComp != 1 &&
+            (shLen.toLong == meta.rowLength ||
+              shLen < 4 || !knownSigs.contains(bb.getInt(shOff)))
         }
         if (hasRows) throw new IllegalStateException(
           "sas7bdat: meta page carries row payloads but the file's " +

@@ -895,6 +895,56 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("reconcile settles cross-writer racing copies: exactly one kept (r12 missing #3)") {
+    // two writers ingest the SAME doc simultaneously. Depending on the
+    // commit interleaving the race either materializes (both kept) or
+    // resolves at ingest (one saw the other: dup_of_index) — the sweep
+    // + apply must leave EXACTLY ONE kept copy in every interleaving,
+    // which is precisely why applyReconciliation picks the survivor
+    // from the decisions (min id among still-kept members), not
+    // blindly the cluster min.
+    val t = freshTable()
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base)).toDF("doc_id", "text"), "text", "doc_id", t,
+      threshold = 0.5, batchId = 0L,
+      txnApp = Some("seed"), txn = Some(0L)).collect()
+    val raceFrom = VersionedTable.latestVersion(t)
+
+    val raceText = "two writers commit this very same document at the very same moment"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fA = Future(IncrementalDedup.processBatch(spark,
+      Seq((30L, raceText), (31L, third)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerA"), txn = Some(1L)).collect())
+    val fB = Future(IncrementalDedup.processBatch(spark,
+      Seq((40L, raceText), (41L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerB"), txn = Some(1L)).collect())
+    val decisions = (Await.result(fA, Duration.Inf)
+        ++ Await.result(fB, Duration.Inf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.toDF("id", "batch", "status")
+
+    val corrections = IncrementalDedup.reconcile(spark, t, raceFrom,
+      VersionedTable.latestVersion(t), threshold = 0.5)
+    // the racing pair forms one cluster; the disjoint docs none
+    val correctedIds = corrections.select(col("id")).as[Long].collect().toSet
+    assert(correctedIds == Set(30L, 40L), correctedIds)
+
+    val fixed = IncrementalDedup.applyReconciliation(decisions, corrections)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(Seq(30L, 40L).count(fixed(_) == "kept") == 1, fixed)
+    assert(fixed(31L) == "kept" && fixed(41L) == "kept", fixed)
+    // idempotent: re-applying the same corrections changes nothing
+    val again = IncrementalDedup.applyReconciliation(
+        IncrementalDedup.applyReconciliation(decisions, corrections),
+        corrections)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(again == fixed)
+  }
+
   test("maxcnt hint is monotonic under concurrent writers (r12 finding #3)") {
     val tf = IncrementalDedup.tokenFreqTable(freshTable())
     IncrementalDedup.writeMaxCntHint(tf, 10L)

@@ -216,4 +216,102 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(stats(1L)._2 > stats(0L)._2 * 5,
       s"shifted batch should drift: $stats")
   }
+
+  // ---- r13: incremental PQ codes beside the IVF cells (r12 #2) ---------
+
+  test("incremental ADC == batch ivfPqTopK; the probe never reads the vectors") {
+    val emb = Tables.embeddings(spark, d)
+    val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = Ivf.trainCentroids(b0, "embedding", "vec_id",
+      nCells = 8, iters = 0)
+    val cb = graft.similarity.Pq.train(b0, "embedding", "vec_id", m = 8, k = 16)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, b0, "embedding", "vec_id", cents, t, 0L,
+      codebook = Some(cb))
+    IncrementalIvf.addBatch(spark, b1, "embedding", "vec_id", cents, t, 1L,
+      codebook = Some(cb))
+
+    val q = emb.filter(col("vec_id") === 0)
+    val res = IncrementalIvf.searchTopKAdc(spark, t, cents, cb, q,
+      "embedding", k = 10, nProbe = 4)
+    // the two-batch incremental index answers exactly what the one-shot
+    // batch composition answers (same pinned centroids + codebook)
+    val qVec = q.select(Similarity.toDouble(col("embedding")))
+      .head.getSeq[Double](0)
+    val want = graft.similarity.Pq.ivfPqTopK(emb, "embedding", "vec_id",
+        cents, cb, qVec, topK = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+
+    // the scan reads (id, cell_id, codes) ONLY — `vec` is absent from
+    // the read schema, so at 100 TB the probe never touches the floats
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("In(cell_id") || plan.contains("EqualTo(cell_id"),
+      plan.take(2000))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("codes"), plan.take(2000))
+    assert(!readSchema.contains("vec"), s"probe reads the floats: $readSchema")
+  }
+
+  test("codebook is pinned at first codes append; drift refuses loudly") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 0)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, emb.limit(40), "embedding", "vec_id",
+      cents, t, 0L, codebook = Some(cb))
+    // the pinned copy round-trips exactly
+    assert(IncrementalIvf.loadCodebook(spark,
+      IncrementalIvf.codebookTable(t)) == cb)
+    // a different codebook (different subspace count) must refuse
+    val cb2 = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 4, k = 16)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvf.addBatch(spark, emb.limit(40), "embedding", "vec_id",
+        cents, t, 1L, codebook = Some(cb2))
+    }
+    assert(e.getMessage.contains("codebook drift"))
+    // the refused batch appended nothing
+    assert(VersionedTable.latestVersion(t) == 0L)
+  }
+
+  test("retrain cuts codebook over with the centroids; new index answers ADC") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 0)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, emb, "embedding", "vec_id", cents, t, 0L)
+    val t2 = freshTable()
+    val res = IncrementalIvf.retrain(spark, t, t2, nCells = 8, iters = 1,
+      sampleFraction = 1.0, pq = Some(IncrementalIvf.PqSpec(m = 8, k = 16)))
+    assert(res.codebook.isDefined)
+    // pinned beside the new table, loadable, and consistent with the
+    // returned copy
+    assert(IncrementalIvf.loadCodebook(spark,
+      IncrementalIvf.codebookTable(t2)) == res.codebook.get)
+    // the new index carries codes and answers an ADC probe over all
+    // cells == plain ADC over the re-encoded corpus (exact: every cell
+    // probed, same codebook)
+    val q = emb.filter(col("vec_id") === 2)
+    val qVec = q.select(Similarity.toDouble(col("embedding")))
+      .head.getSeq[Double](0)
+    val got = IncrementalIvf.searchTopKAdc(spark, t2, res.cents,
+        res.codebook.get, q, "embedding", k = 5, nProbe = res.cents.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.similarity.Pq.adcTopK(
+        graft.similarity.Pq.encode(emb, "embedding", "vec_id",
+          res.codebook.get),
+        "vec_id", res.codebook.get, qVec, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // post-cutover appends against the new pinned pair are accepted
+    IncrementalIvf.addBatch(spark,
+      emb.limit(10).withColumn("vec_id", col("vec_id") + 100000L),
+      "embedding", "vec_id", res.cents, t2, 1L,
+      codebook = res.codebook)
+    assert(VersionedTable.latestVersion(t2) == res.newVersion + 1)
+  }
 }

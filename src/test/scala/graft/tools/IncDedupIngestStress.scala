@@ -32,6 +32,7 @@ object IncDedupIngestStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark) // incl. In-pushdown threshold
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()

@@ -39,6 +39,7 @@ object IngestPipelineStress {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark) // incl. In-pushdown threshold
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
