@@ -471,6 +471,16 @@ object IncrementalDedup {
     */
   val MaxPayloadIdCollect = 1024
 
+  /** Bound on the SLIM candidate rows materialized to the driver on
+    * the ingest path (5 fixed-width columns ⇒ ≤ ~5 MB): within it the
+    * candidate set becomes a broadcast local relation serving both the
+    * payload-id pushdown and the verify join — one bounded job instead
+    * of a checkpoint plus a second collect. A batch generating more
+    * verified-candidate PAIRS than this is already index-rescan-sized;
+    * it falls back to the checkpointed distributed plan.
+    */
+  val MaxCandRowCollect = 1 << 17
+
   /** Test-only instrumentation (the [[graft.sources.VersionedTable.parsedEntries]]
     * pattern): the ingest path's two pruned index reads, captured so
     * specs can assert the WIRING — that [[processBatch]] really feeds
@@ -503,19 +513,40 @@ object IncrementalDedup {
         lit(threshold / (1.0 + threshold)) * (col("sz_new") + col("sz_old")).cast("double"))
       .select(col("id_new"), col("id_old"), col("within"),
         col("sz_new"), col("sz_old"))
-    // checkpoint only when the candidate set must be evaluated twice
-    // (id collect + verify join); the generic API stays one lazy plan
+    // The pruning path needs the candidate set twice (payload-id
+    // pushdown + verify join). ONE bounded collect serves both: the
+    // slim rows (5 long/bool columns, ~40 B each ⇒ ≤ 5 MB at the
+    // bound) come back as a broadcast-sized local relation, so the
+    // verify stage probes the payload scans with NO candidate
+    // exchange and no checkpoint job. Past the row bound (an ingest
+    // near-dupping >128k pairs) fall back to a checkpoint + full
+    // payload — the pre-r13 plan, never a wrong answer.
     val prune = index.exists(_.prunePayload)
-    val cand = if (prune) candSlim.localCheckpoint() else candSlim
+    val candHead: Option[Array[org.apache.spark.sql.Row]] =
+      if (!prune) None
+      else {
+        val head = candSlim.limit(MaxCandRowCollect + 1).collect()
+        if (head.length <= MaxCandRowCollect) Some(head) else None
+      }
+    val cand = candHead match {
+      case Some(head) =>
+        val sp = rows.sparkSession
+        broadcast(sp.createDataFrame(
+          java.util.Arrays.asList(head: _*), candSlim.schema))
+      case None => if (prune) candSlim.localCheckpoint() else candSlim
+    }
     val idxPayload = index.map { is =>
       if (!is.prunePayload) is.payload
       else {
-        val ids = cand.filter(!col("within")).select(col("id_old")).distinct()
-          .limit(MaxPayloadIdCollect + 1).collect().map(_.getLong(0))
-        val p =
-          if (ids.length > MaxPayloadIdCollect) is.payload
-          else if (ids.isEmpty) is.payload.filter(lit(false)) // no cross candidates: zero payload read
-          else is.payload.filter(col("id").isin(ids.toSeq: _*))
+        val ids = candHead.map(_.iterator
+          .filter(!_.getBoolean(2)).map(_.getLong(1)).toArray.distinct)
+        val p = ids match {
+          case None => is.payload // over the collect bound: full fetch
+          case Some(io) if io.length > MaxPayloadIdCollect => is.payload
+          case Some(io) if io.isEmpty =>
+            is.payload.filter(lit(false)) // no cross candidates: zero payload read
+          case Some(io) => is.payload.filter(col("id").isin(io.toSeq: _*))
+        }
         lastPayloadIdx = Some(p)
         p
       }
@@ -835,7 +866,14 @@ object IncrementalDedup {
     */
   private def clusterPostings(p: DataFrame, estRows: Long): DataFrame = {
     val files = math.max(1L, estRows / PostingsRowsPerFile).toInt
-    p.repartitionByRange(files, col("b"), col("g"))
+    // single-file writes (the common batch) skip repartitionByRange:
+    // its range-boundary SAMPLING pass re-executes the posting explode
+    // once before the write does — a measurable per-ingest tax for a
+    // partitioning that a 1-file layout doesn't need. coalesce keeps
+    // the plan shuffle-free; the within-file sort alone gives the
+    // row-group b/g stats the probe pushdown prunes on.
+    (if (files <= 1) p.coalesce(1)
+     else p.repartitionByRange(files, col("b"), col("g")))
       .sortWithinPartitions(col("b"), col("g"))
   }
 
@@ -868,10 +906,27 @@ object IncrementalDedup {
     * ingest on a legacy index heals the full gap and commits it — so
     * this explicit form exists for operators who want the migration
     * paid at a chosen time. Returns the committed postings version.
+    *
+    * `newBuckets` RE-BUCKETS while rebuilding — the knob that keeps
+    * per-bucket fill constant as the corpus grows (read cost per
+    * ingest is batch-buckets × fill). Changing the bucket count is a
+    * CUTOVER, not a hot swap: an ingest that read the old sidecar
+    * count while the rebuild commits could compute its probe set under
+    * the wrong modulus and miss candidates, so the [[retrain]]
+    * discipline applies verbatim — quiesce ingest across the
+    * re-bucket, or re-run the affected batch. (Same-count rebuilds —
+    * compaction's path — are free of the race: row `b` values are
+    * identical under either snapshot.) Capped at
+    * [[MaxPayloadIdCollect]] so the bucket probe's In list always
+    * stays within the parquet pushdown conversion bound.
     */
-  def rebuildPostings(spark: SparkSession, indexTable: String): Long = {
+  def rebuildPostings(spark: SparkSession, indexTable: String,
+                      newBuckets: Option[Int] = None): Long = {
     val pt = postingsTable(indexTable)
-    val nb = readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets)
+    val nb = newBuckets
+      .getOrElse(readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets))
+    require(nb >= 1 && nb <= MaxPayloadIdCollect,
+      s"postings bucket count must be in [1, $MaxPayloadIdCollect], got $nb")
     val docVer = VersionedTable.latestVersion(indexTable)
     require(docVer >= 0, s"nothing to rebuild: $indexTable is empty")
     val all = healPostings(spark, indexTable, nb, aboveCovered = -1L,
@@ -1169,10 +1224,21 @@ object IncrementalDedup {
     val pt = postingsTable(indexTable)
     val nb = readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets)
     val indexSide = snap.map { s =>
-      // bounded, stated collect: ≤ nb distinct bucket ids (ints)
-      val batchBuckets = bc
-        .select(pmod(xxhash64(col("g")), lit(nb)).cast("int").as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      // Bucket pruning only bites when the batch's vocabulary covers a
+      // FRACTION of the bucket space — coupon-collector: a batch with
+      // ≥ nb/4 docs (each contributing ≥1 hash-uniform prefix token)
+      // already hits nearly every bucket, so collecting its bucket set
+      // would cost one job to prune nothing. Bulk ingests therefore
+      // skip the collect and read the slim postings whole (exact — the
+      // filter is performance-only, derived from the batch vocab);
+      // trickle ingests — the regime the pruning exists for — pay one
+      // bounded collect (≤ nb ints) and push the bucket set to the
+      // scan.
+      val batchBuckets: Option[Seq[Int]] =
+        if (nRows > nb / 4) None
+        else Some(bc
+          .select(pmod(xxhash64(col("g")), lit(nb)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq)
       val covered = VersionedTable.txnMaxes(pt)
         .get(PostingsApp).getOrElse(-1L)
       val fromPostings =
@@ -1182,9 +1248,12 @@ object IncrementalDedup {
           // v <= ver: snapshot purity (excludes racing writers' newer
           // postings and a replayed batch's own rows); b IN buckets:
           // the pushed row-group prune. Empty batch reads nothing.
-          (if (batchBuckets.isEmpty) p.filter(lit(false))
-           else p.filter(col("v") <= lit(ver)
-             && col("b").isin(batchBuckets: _*)))
+          (batchBuckets match {
+            case Some(bs) if bs.isEmpty => p.filter(lit(false))
+            case Some(bs) => p.filter(col("v") <= lit(ver)
+              && col("b").isin(bs: _*))
+            case None => p.filter(col("v") <= lit(ver))
+          })
             .select(col("id").as("id_old"), col("sz").as("sz_old"),
               col("po"), col("g"))
         }
@@ -1200,9 +1269,20 @@ object IncrementalDedup {
         .getOrElse(s.select(col("id").as("id_old"), col("sz").as("sz_old"),
           posexplode(col("prefix")).as(Seq("po", "g"))))
       lastIndexTok = Some(tok)
+      // Payload pruning is a TRICKLE-regime device, gated on batch
+      // size like the bucket probe: its candidate materialization (one
+      // bounded collect) is cheap exactly when the batch — and hence
+      // the candidate DAG — is small, and that is also the regime
+      // where its prize (zero payload bytes for a clean small ingest
+      // against a huge index) matters. A bulk batch would pay the
+      // materialization only to blow past the 1024-id pushdown bound
+      // and fall back to the full payload fetch anyway (measured:
+      // +~1.2 s/ingest at sf0.1 bulk for zero pruning) — it keeps the
+      // r12-shaped fused lazy plan, whose one payload scan amortizes
+      // over the bulk batch's own O(batch) work.
       IndexSide(tok = tok,
         payload = s.select(col("id"), col("sh"), col("shh")),
-        prunePayload = true)
+        prunePayload = nRows <= MaxPayloadIdCollect)
     }
     if (snap.isEmpty) { lastIndexTok = None; lastPayloadIdx = None }
 

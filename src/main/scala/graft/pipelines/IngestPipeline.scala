@@ -94,6 +94,24 @@ object IngestPipeline {
       .getOrElse(VersionedTable.latestVersion(table))
   }
 
+  /** On-disk bytes under a table's data root — the metadata-only vocab
+    * floor for the OOV-route gate (dead versions inflate it: the safe
+    * direction, the exact count then adjudicates).
+    */
+  private def statsDataBytes(table: String): Long = {
+    val root = java.nio.file.Paths.get(table, "data")
+    if (!java.nio.file.Files.isDirectory(root)) 0L
+    else {
+      val it = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally it.close()
+    }
+  }
+
   /** Ingest one micro-batch. Returns (and persists) the decision
     * record: `id, status, n_tokens, n_oov, oov_rate, oov_flagged,
     * __batch`.
@@ -126,10 +144,18 @@ object IngestPipeline {
           .agg(count(lit(1)).as("n_tokens"), count(lit(1)).as("n_oov"))
           .withColumn("oov_rate", lit(1.0))
       else {
-        val vocabTerms = IncrementalStats
+        // two-stage gate: the exact vocab count is an O(vocab) job, so
+        // a metadata-only bytes floor (≥4 B/term compressed — partials
+        // and dead versions only inflate it, which errs toward RUNNING
+        // the count, never toward skipping it on a large vocab) lets
+        // the common small-vocab batch skip straight to the broadcast
+        // plan with zero extra jobs
+        val mayExceed = statsDataBytes(cfg.statsIndex) >
+          cfg.oovSaltVocabThreshold * 4
+        val useSalted = mayExceed && IncrementalStats
           .termStats(spark, cfg.statsIndex, Some(statsVer))
-          .filter(col("term").isNotNull).count()
-        if (vocabTerms > cfg.oovSaltVocabThreshold)
+          .filter(col("term").isNotNull).count() > cfg.oovSaltVocabThreshold
+        if (useSalted)
           IncrementalStats.oovRateSalted(spark, docs, "__text", "__id",
             cfg.statsIndex, Some(statsVer), cfg.oovSalts)
         else IncrementalStats.oovRate(spark, docs, "__text", "__id",

@@ -895,6 +895,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("rebuildPostings re-buckets under a quiesced cutover; dedup stays exact") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L).collect()
+    assert(IncrementalDedup.readPostingsBuckets(pt)
+      .contains(IncrementalDedup.DefaultPostingsBuckets))
+
+    // quiesced re-bucket (no ingest in flight): rows AND sidecar move
+    // to the new modulus together
+    IncrementalDedup.rebuildPostings(spark, t, newBuckets = Some(64))
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(64))
+    assert(VersionedTable.read(spark, pt)
+      .agg(max(col("b"))).head.getInt(0) < 64)
+
+    // the next ingest probes under the new modulus and still catches
+    // its dup
+    val r = IncrementalDedup.processBatch(spark,
+        Seq((1L, nearDup), (3L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 1L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "dup_of_index", 3L -> "kept"), r)
+    // the bound that keeps the bucket probe pushdown-convertible
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.rebuildPostings(spark, t,
+        newBuckets = Some(IncrementalDedup.MaxPayloadIdCollect + 1))
+    }
+  }
+
   test("reconcile settles cross-writer racing copies: exactly one kept (r12 missing #3)") {
     // two writers ingest the SAME doc simultaneously. Depending on the
     // commit interleaving the race either materializes (both kept) or
