@@ -16,11 +16,16 @@ import graft.sources.VersionedTable
   * map-side.
   *
   * Index row schema: `id: long, cell_id: int, vec: array<double>,
-  * batch: long`. Storing the assignment (not just the vector) is the
+  * batch: long` — plus `codes: array<int>` when a PQ codebook is
+  * pinned (r13). Storing the assignment (not just the vector) is the
   * incremental win at query time too: search filters `cell_id` on the
   * SCAN — written out partitioned/bucketed by `cell_id` the probe
   * becomes partition pruning — instead of re-running the argmin over
-  * the whole corpus per query.
+  * the whole corpus per query. With codes stored, [[searchTopKAdc]]
+  * never reads the float vectors at all: at 100 TB the raw embeddings
+  * ARE the scan cost, and the m-byte codes column under a pinned
+  * codebook is what makes the probe read nProbe/nCells of almost
+  * nothing.
   *
   * Pinned centroids drift as the distribution shifts; [[assignStats]]
   * is the refusal-style guard (the adaptive-dedup pattern): per-batch
