@@ -915,8 +915,11 @@ object IncrementalDedup {
     * the wrong modulus and miss candidates, so the [[retrain]]
     * discipline applies verbatim — quiesce ingest across the
     * re-bucket, or re-run the affected batch. (Same-count rebuilds —
-    * compaction's path — are free of the race: row `b` values are
-    * identical under either snapshot.) Capped at
+    * compaction's path — are free of the MODULUS race: row `b` values
+    * are identical under either snapshot. The separate race against a
+    * concurrent writer's postings APPEND — an unconditional overwrite
+    * would erase its rows while its coverage tag survives — is closed
+    * for both paths by the conflict-checked commit below.) Capped at
     * [[MaxPayloadIdCollect]] so the bucket probe's In list always
     * stays within the parquet pushdown conversion bound.
     */
@@ -927,15 +930,33 @@ object IncrementalDedup {
       .getOrElse(readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets))
     require(nb >= 1 && nb <= MaxPayloadIdCollect,
       s"postings bucket count must be in [1, $MaxPayloadIdCollect], got $nb")
-    val docVer = VersionedTable.latestVersion(indexTable)
-    require(docVer >= 0, s"nothing to rebuild: $indexTable is empty")
-    val all = healPostings(spark, indexTable, nb, aboveCovered = -1L,
-      uptoVer = docVer).get
-    writePostingsBuckets(pt, nb)
-    VersionedTable.commit(clusterPostings(all,
-        VersionedTable.read(spark, indexTable).count() * 8),
-      pt, "overwrite", Some(docVer), Some(PostingsApp),
-      expectedVersion = None)
+    require(VersionedTable.latestVersion(indexTable) >= 0,
+      s"nothing to rebuild: $indexTable is empty")
+    // Conflict-checked read-modify-write (r13 review finding): a blind
+    // overwrite racing a concurrent writer's postings APPEND would
+    // erase that append's rows while its coverage tag survives in
+    // txnMaxes — a permanent silent hole (covered says V+1, rows for
+    // V+1 gone, heal never fires). Pinning the overwrite to the
+    // postings version this rebuild read turns the race into a loud
+    // ConcurrentModificationException + retry over the fresher doc log.
+    var left = 8
+    while (true) {
+      val basePt = VersionedTable.latestVersion(pt)
+      val docVer = VersionedTable.latestVersion(indexTable)
+      val all = healPostings(spark, indexTable, nb, aboveCovered = -1L,
+        uptoVer = docVer).get
+      writePostingsBuckets(pt, nb)
+      try {
+        return VersionedTable.commit(clusterPostings(all,
+            VersionedTable.read(spark, indexTable).count() * 8),
+          pt, "overwrite", Some(docVer), Some(PostingsApp),
+          expectedVersion = Some(basePt))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1; if (left <= 0) throw e // racing append won; re-read
+      }
+    }
+    -1L // unreachable
   }
 
   /** Cross-writer duplicate reconciliation (VERDICT r12 missing #3).
@@ -1241,8 +1262,25 @@ object IncrementalDedup {
           .distinct().collect().map(_.getInt(0)).toSeq)
       val covered = VersionedTable.txnMaxes(pt)
         .get(PostingsApp).getOrElse(-1L)
+      // REBUILD FLOOR (r13 review finding): a rebuild/compaction
+      // overwrites the postings with rows all tagged v = the rebuild's
+      // doc version, so a read PINNED BELOW that version sees nothing —
+      // the original per-commit rows left the replay closure with the
+      // overwrite. The floor is the base overwrite's coverage tag;
+      // pins under it must ignore the postings and heal the whole
+      // pinned closure (the documented time-travel-after-compaction
+      // cost: correct, just unpruned). Without this gate a replayed
+      // batch below a compaction got an EMPTY index leg and silently
+      // re-statused its dups as kept.
+      val ptLatest = VersionedTable.latestVersion(pt)
+      val rebuildFloor =
+        if (ptLatest < 0) -1L
+        else VersionedTable.snapshotClosure(pt, ptLatest)
+          .headOption.filter(_.mode == "overwrite")
+          .flatMap(_.txn).getOrElse(-1L)
+      val postingsUsable = ptLatest >= 0 && ver >= rebuildFloor
       val fromPostings =
-        if (VersionedTable.latestVersion(pt) < 0) None
+        if (!postingsUsable) None
         else Some {
           val p = VersionedTable.read(spark, pt)
           // v <= ver: snapshot purity (excludes racing writers' newer
@@ -1258,8 +1296,9 @@ object IncrementalDedup {
               col("po"), col("g"))
         }
       val heal =
-        if (covered >= ver) None
-        else healPostings(spark, indexTable, nb, covered, ver)
+        if (postingsUsable && covered >= ver) None
+        else healPostings(spark, indexTable, nb,
+            aboveCovered = if (postingsUsable) covered else -1L, ver)
           .map(_.select(col("id").as("id_old"), col("sz").as("sz_old"),
             col("po"), col("g")))
       val tok = (fromPostings.toSeq ++ heal.toSeq)

@@ -94,6 +94,22 @@ object IngestPipeline {
       .getOrElse(VersionedTable.latestVersion(table))
   }
 
+  /** OOV-route memo per stats table: routing verdicts are PLAN
+    * choices (both paths return identical rows — spec-pinned), so a
+    * JVM-local memo is sound. `OovSalted` is permanent — the
+    * vocabulary only grows, and a vocab past the broadcast threshold
+    * never shrinks back; an under-threshold verdict is revalidated
+    * once the stats version advances by [[OovRouteRevalidateEvery]]
+    * (a mid-sized vocab would otherwise pay the O(vocab) count on
+    * EVERY batch forever). A fresh JVM just re-derives the verdict.
+    */
+  private sealed trait OovRoute
+  private case object OovSalted extends OovRoute
+  private final case class OovBroadcastUntil(revalidateAt: Long) extends OovRoute
+  private val oovRouteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, OovRoute]()
+  private val OovRouteRevalidateEvery = 16L
+
   /** On-disk bytes under a table's data root — the metadata-only vocab
     * floor for the OOV-route gate (dead versions inflate it: the safe
     * direction, the exact count then adjudicates).
@@ -144,17 +160,33 @@ object IngestPipeline {
           .agg(count(lit(1)).as("n_tokens"), count(lit(1)).as("n_oov"))
           .withColumn("oov_rate", lit(1.0))
       else {
-        // two-stage gate: the exact vocab count is an O(vocab) job, so
-        // a metadata-only bytes floor (≥4 B/term compressed — partials
-        // and dead versions only inflate it, which errs toward RUNNING
-        // the count, never toward skipping it on a large vocab) lets
-        // the common small-vocab batch skip straight to the broadcast
-        // plan with zero extra jobs
-        val mayExceed = statsDataBytes(cfg.statsIndex) >
-          cfg.oovSaltVocabThreshold * 4
-        val useSalted = mayExceed && IncrementalStats
-          .termStats(spark, cfg.statsIndex, Some(statsVer))
-          .filter(col("term").isNotNull).count() > cfg.oovSaltVocabThreshold
+        // three-stage gate, cheapest first (the route is a pure plan
+        // choice — results are identical either way, so every shortcut
+        // only has to err toward the RIGHT PLAN, never the right
+        // answer): (1) a metadata-only bytes floor (≥4 B/term
+        // compressed; partials and dead versions only inflate it,
+        // erring toward running the count) lets a small-vocab batch
+        // skip to the broadcast plan with zero extra jobs; (2) a
+        // memoized verdict — the vocabulary only grows, so a
+        // crossed-threshold verdict is permanent and an under-threshold
+        // count stays valid for a revalidation window instead of
+        // re-running O(vocab) per batch (r13 review finding); (3) the
+        // exact count adjudicates.
+        val useSalted = oovRouteMemo.get(cfg.statsIndex) match {
+          case OovSalted => true
+          case OovBroadcastUntil(v) if statsVer < v => false
+          case _ =>
+            val mayExceed = statsDataBytes(cfg.statsIndex) >
+              cfg.oovSaltVocabThreshold * 4
+            val salted = mayExceed && IncrementalStats
+              .termStats(spark, cfg.statsIndex, Some(statsVer))
+              .filter(col("term").isNotNull)
+              .count() > cfg.oovSaltVocabThreshold
+            oovRouteMemo.put(cfg.statsIndex,
+              if (salted) OovSalted
+              else OovBroadcastUntil(statsVer + OovRouteRevalidateEvery))
+            salted
+        }
         if (useSalted)
           IncrementalStats.oovRateSalted(spark, docs, "__text", "__id",
             cfg.statsIndex, Some(statsVer), cfg.oovSalts)

@@ -232,7 +232,12 @@ object IncrementalIvf {
       .sortBy { case (id, dd) => (dd, id) }
       .take(nProbe).map(_._1)
     df.select(col("id"), col("cell_id"), col("codes"))
-      .filter(col("cell_id").isin(probes: _*))
+      // codes can only be null for a row whose embedding was null at
+      // ingest (the append-schema contract forbids mixing codeless and
+      // coded commits in one table); a null ADC distance would sort
+      // NULLS FIRST and poison the top-k, so such rows are excluded —
+      // and the IsNotNull pushes to the scan for free
+      .filter(col("cell_id").isin(probes: _*) && col("codes").isNotNull)
       .select(col("id"), Pq.adcDistCol(col("codes"), cb, qVec).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
@@ -304,10 +309,18 @@ object IncrementalIvf {
       // pruning holds from version 0 of the new index
       .repartition(col("cell_id"))
       .sortWithinPartitions(col("cell_id"))
+    // codebook pinned BEFORE any codes-carrying rows exist (the same
+    // order addBatch uses): a crash between the data commit and a
+    // later codebook save would leave coded rows with an UNPINNED
+    // codebook table, letting a future addBatch pin a different
+    // codebook as if it were first — the exact mixing the drift guard
+    // refuses. Crash after this save and before the data commit is the
+    // safe direction: an empty table with a pinned codebook, and a
+    // retried retrain's saveCodebook is an overwrite.
+    cb.foreach(saveCodebook(spark, _, codebookTable(newTable)))
     val v = VersionedTable.commit(reassigned, newTable, "overwrite",
       None, None, expectedVersion = None)
     val cv = saveCentroids(spark, cents, newTable.stripSuffix("/") + "_centroids")
-    cb.foreach(saveCodebook(spark, _, codebookTable(newTable)))
     RetrainResult(cents, v, cv, sourceVersion, cb)
   }
 

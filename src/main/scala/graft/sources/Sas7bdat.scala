@@ -588,7 +588,12 @@ object Sas7bdat {
           SigName, SigAttrs, SigFmtLabel, SigColList)
         val hasRows = (0 until nSub).exists { i =>
           val p = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
-          val shOff  = bb.getLong(p).toInt
+          val shOffL = bb.getLong(p) // probe bounds on the LONG — a
+          // malformed foreign pointer must not truncate through toInt
+          // or index past the page; an unprobeable offset reads as "no
+          // known signature" (→ the loud curated refusal, never a raw
+          // IndexOutOfBounds out of the iterator)
+          val sigProbeable = shOffL >= 0 && shOffL + 4 <= page.length
           val shLen  = bb.getLong(p + 8).toInt
           val shComp = page(p + 16).toInt & 0xFF
           val shType = page(p + 17).toInt & 0xFF
@@ -603,8 +608,8 @@ object Sas7bdat {
           // A signature-bearing, non-row-length subheader is metadata
           // this page iterator already skips.
           shType == 1 && shLen > 0 && shComp != 1 &&
-            (shLen.toLong == meta.rowLength ||
-              shLen < 4 || !knownSigs.contains(bb.getInt(shOff)))
+            (shLen.toLong == meta.rowLength || shLen < 4 ||
+              !sigProbeable || !knownSigs.contains(bb.getInt(shOffL.toInt)))
         }
         if (hasRows) throw new IllegalStateException(
           "sas7bdat: meta page carries row payloads but the file's " +

@@ -895,6 +895,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("replay pinned BELOW a compactIndex stays pure and exact (r13 review #1)") {
+    // the found-and-fixed wedge: compactIndex rebuilds the postings as
+    // one overwrite whose rows all carry v = the compacted head, so a
+    // checkpoint replay pinned below it saw an EMPTY index leg (v <= pin
+    // matched nothing, the coverage tag suppressed the heal) and
+    // silently re-statused its dups as kept. The rebuild floor now
+    // routes such pins to the full-closure heal.
+    val t = freshTable()
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L,
+      txnApp = Some("app"), txn = Some(0L)).collect()
+    val r1 = IncrementalDedup.processBatch(spark,
+        Seq((1L, nearDup), (3L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 1L,
+        txnApp = Some("app"), txn = Some(1L))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r1 == Map(1L -> "dup_of_index", 3L -> "kept"), r1)
+
+    IncrementalDedup.compactIndex(spark, t)
+
+    // replay batch 1: pinned below its original commit, which is below
+    // the compaction — statuses must be byte-identical to the original
+    val r1b = IncrementalDedup.processBatch(spark,
+        Seq((1L, nearDup), (3L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 1L,
+        txnApp = Some("app"), txn = Some(1L))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r1b == r1, s"replay after compaction diverged: $r1b vs $r1")
+    // and a FRESH ingest (pinned at the compacted head) still works off
+    // the rebuilt postings
+    val r2 = IncrementalDedup.processBatch(spark,
+        Seq((5L, base)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 2L,
+        txnApp = Some("app"), txn = Some(2L))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == Map(5L -> "dup_of_index"), r2)
+  }
+
   test("rebuildPostings re-buckets under a quiesced cutover; dedup stays exact") {
     val t = freshTable()
     val pt = IncrementalDedup.postingsTable(t)

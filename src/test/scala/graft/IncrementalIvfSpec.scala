@@ -256,6 +256,27 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(!readSchema.contains("vec"), s"probe reads the floats: $readSchema")
   }
 
+  test("a codeless index refuses codes-carrying appends (no silent null-codes mixing)") {
+    // the natural upgrade mistake: start passing a codebook to an index
+    // built without one. Mixed commits would give legacy rows
+    // codes = null, whose null ADC distances sort NULLS FIRST into the
+    // top-k — the append-schema contract refuses the commit instead.
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 0)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, emb.limit(40), "embedding", "vec_id",
+      cents, t, 0L) // codeless
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvf.addBatch(spark, emb.limit(40), "embedding", "vec_id",
+        cents, t, 1L, codebook = Some(cb))
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    assert(VersionedTable.latestVersion(t) == 0L)
+    // the sanctioned upgrade is retrain(pq = ...) to a NEW table
+  }
+
   test("codebook is pinned at first codes append; drift refuses loudly") {
     val emb = Tables.embeddings(spark, d)
     val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
