@@ -1488,6 +1488,32 @@ object SparkEntry {
     r0.unionByName(r1).withColumnRenamed("id", "doc_id")
   }
 
+  /** Read-only near-dup lookup against the persisted dedup index
+    * ([[graft.dedup.IncrementalDedup.lookupPairs]]): the even half is
+    * ingested once; the odd half then PROBES the index with no commit —
+    * "is this doc already in the corpus?" at query time, served by the
+    * posting-list layout's pruned reads (a small probe is the trickle
+    * regime: bucket-pruned candidate scan, candidate-id payload
+    * fetch). The oracle recomputes every cross-parity exact-Jaccard
+    * pair ≥ t from the raw text, so prefix-filter completeness across
+    * the index boundary is hash-checked pair by pair — and the
+    * read-only contract (no index/tf/postings commit) is spec-pinned.
+    */
+  private def qIndexLookup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-idxlookup")
+      .toString + "/index"
+    graft.dedup.IncrementalDedup.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, threshold = 0.6, batchId = 0L)
+      .write.mode("overwrite").format("noop").save()
+    graft.dedup.IncrementalDedup.lookupPairs(s, table,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+        threshold = 0.6)
+      .select(col("id_new").as("probe_id"), col("id_old").as("index_id"),
+        col("jaccard"))
+  }
+
   /** The composed ingest pipeline
     * ([[graft.pipelines.IngestPipeline]]): two parity batches of
     * documents through dedup + term-stats + IVF + OOV gate under ONE
@@ -4714,6 +4740,7 @@ object SparkEntry {
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_index_lookup"   -> (qIndexLookup _),
     "q_ingest_pipeline" -> (qIngestPipeline _),
     "q_incremental_vocab" -> (qIncrementalVocab _),
     "q_oov_gate"       -> (qOovGate _),
@@ -8020,6 +8047,22 @@ object SparkEntry {
         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
+    // read-only index lookup: every (odd probe, even indexed) pair with
+    // exact Jaccard >= 0.6 — brute force over the raw text, so the
+    // pruned candidate path's completeness is hash-checked per pair
+    "q_index_lookup" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t)
+      SELECT a.doc_id AS probe_id, b.doc_id AS index_id,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
     // incremental-dedup replay: brute-force Jaccard >= 0.6 pairs, then

@@ -1244,86 +1244,10 @@ object IncrementalDedup {
     // slim-column scan floor is gone.
     val pt = postingsTable(indexTable)
     val nb = readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets)
-    val indexSide = snap.map { s =>
-      // Bucket pruning only bites when the batch's vocabulary covers a
-      // FRACTION of the bucket space — coupon-collector: a batch with
-      // ≥ nb/4 docs (each contributing ≥1 hash-uniform prefix token)
-      // already hits nearly every bucket, so collecting its bucket set
-      // would cost one job to prune nothing. Bulk ingests therefore
-      // skip the collect and read the slim postings whole (exact — the
-      // filter is performance-only, derived from the batch vocab);
-      // trickle ingests — the regime the pruning exists for — pay one
-      // bounded collect (≤ nb ints) and push the bucket set to the
-      // scan.
-      val batchBuckets: Option[Seq[Int]] =
-        if (nRows > nb / 4) None
-        else Some(bc
-          .select(pmod(xxhash64(col("g")), lit(nb)).cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq)
-      val covered = VersionedTable.txnMaxes(pt)
-        .get(PostingsApp).getOrElse(-1L)
-      // REBUILD FLOOR (r13 review finding): a rebuild/compaction
-      // overwrites the postings with rows all tagged v = the rebuild's
-      // doc version, so a read PINNED BELOW that version sees nothing —
-      // the original per-commit rows left the replay closure with the
-      // overwrite. The floor is the base overwrite's coverage tag;
-      // pins under it must ignore the postings and heal the whole
-      // pinned closure (the documented time-travel-after-compaction
-      // cost: correct, just unpruned). Without this gate a replayed
-      // batch below a compaction got an EMPTY index leg and silently
-      // re-statused its dups as kept.
-      val ptLatest = VersionedTable.latestVersion(pt)
-      val rebuildFloor =
-        if (ptLatest < 0) -1L
-        else VersionedTable.snapshotClosure(pt, ptLatest)
-          .headOption.filter(_.mode == "overwrite")
-          .flatMap(_.txn).getOrElse(-1L)
-      val postingsUsable = ptLatest >= 0 && ver >= rebuildFloor
-      val fromPostings =
-        if (!postingsUsable) None
-        else Some {
-          val p = VersionedTable.read(spark, pt)
-          // v <= ver: snapshot purity (excludes racing writers' newer
-          // postings and a replayed batch's own rows); b IN buckets:
-          // the pushed row-group prune. Empty batch reads nothing.
-          (batchBuckets match {
-            case Some(bs) if bs.isEmpty => p.filter(lit(false))
-            case Some(bs) => p.filter(col("v") <= lit(ver)
-              && col("b").isin(bs: _*))
-            case None => p.filter(col("v") <= lit(ver))
-          })
-            .select(col("id").as("id_old"), col("sz").as("sz_old"),
-              col("po"), col("g"))
-        }
-      val heal =
-        if (postingsUsable && covered >= ver) None
-        else healPostings(spark, indexTable, nb,
-            aboveCovered = if (postingsUsable) covered else -1L, ver)
-          .map(_.select(col("id").as("id_old"), col("sz").as("sz_old"),
-            col("po"), col("g")))
-      val tok = (fromPostings.toSeq ++ heal.toSeq)
-        .reduceOption(_.unionByName(_))
-        // unreachable in practice (covered >= ver implies a postings
-        // table exists); the posexplode fallback keeps it exact anyway
-        .getOrElse(s.select(col("id").as("id_old"), col("sz").as("sz_old"),
-          posexplode(col("prefix")).as(Seq("po", "g"))))
-      lastIndexTok = Some(tok)
-      // Payload pruning is a TRICKLE-regime device, gated on batch
-      // size like the bucket probe: its candidate materialization (one
-      // bounded collect) is cheap exactly when the batch — and hence
-      // the candidate DAG — is small, and that is also the regime
-      // where its prize (zero payload bytes for a clean small ingest
-      // against a huge index) matters. A bulk batch would pay the
-      // materialization only to blow past the 1024-id pushdown bound
-      // and fall back to the full payload fetch anyway (measured:
-      // +~1.2 s/ingest at sf0.1 bulk for zero pruning) — it keeps the
-      // r12-shaped fused lazy plan, whose one payload scan amortizes
-      // over the bulk batch's own O(batch) work.
-      IndexSide(tok = tok,
-        payload = s.select(col("id"), col("sh"), col("shh")),
-        prunePayload = nRows <= MaxPayloadIdCollect)
-    }
+    val indexSide = snap.map(s =>
+      indexSideFor(spark, indexTable, ver, s, bc, nRows, pt, nb))
     if (snap.isEmpty) { lastIndexTok = None; lastPayloadIdx = None }
+
 
     // within-batch AND vs-index pairs in ONE candidate+verify pass,
     // from the SAME checkpointed signature rows the index append uses —
@@ -1420,6 +1344,142 @@ object IncrementalDedup {
         when(col("__dup"), lit("dup_of_index"))
           .when(comp("id") === col("cluster"), lit("kept"))
           .otherwise(lit("dup_within_batch")).as("status"))
+  }
+
+  /** The index side of one batch's candidate+verify pass against a
+    * persisted index pinned at `ver` — shared by [[processBatch]]
+    * (ingest) and [[lookupPairs]] (read-only query). `s` is the pinned
+    * doc snapshot, `bc` the batch's checkpointed token counts, `nRows`
+    * the batch's row count (the regime gates key on it).
+    */
+  private def indexSideFor(spark: SparkSession, indexTable: String,
+                         ver: Long, s: DataFrame, bc: DataFrame,
+                         nRows: Long, pt: String, nb: Int): IndexSide = {
+    // Bucket pruning only bites when the batch's vocabulary covers a
+    // FRACTION of the bucket space — coupon-collector: a batch with
+    // ≥ nb/4 docs (each contributing ≥1 hash-uniform prefix token)
+    // already hits nearly every bucket, so collecting its bucket set
+    // would cost one job to prune nothing. Bulk ingests therefore
+    // skip the collect and read the slim postings whole (exact — the
+    // filter is performance-only, derived from the batch vocab);
+    // trickle ingests — the regime the pruning exists for — pay one
+    // bounded collect (≤ nb ints) and push the bucket set to the
+    // scan.
+    val batchBuckets: Option[Seq[Int]] =
+      if (nRows > nb / 4) None
+      else Some(bc
+        .select(pmod(xxhash64(col("g")), lit(nb)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
+    val covered = VersionedTable.txnMaxes(pt)
+      .get(PostingsApp).getOrElse(-1L)
+    // REBUILD FLOOR (r13 review finding): a rebuild/compaction
+    // overwrites the postings with rows all tagged v = the rebuild's
+    // doc version, so a read PINNED BELOW that version sees nothing —
+    // the original per-commit rows left the replay closure with the
+    // overwrite. The floor is the base overwrite's coverage tag;
+    // pins under it must ignore the postings and heal the whole
+    // pinned closure (the documented time-travel-after-compaction
+    // cost: correct, just unpruned). Without this gate a replayed
+    // batch below a compaction got an EMPTY index leg and silently
+    // re-statused its dups as kept.
+    val ptLatest = VersionedTable.latestVersion(pt)
+    val rebuildFloor =
+      if (ptLatest < 0) -1L
+      else VersionedTable.snapshotClosure(pt, ptLatest)
+        .headOption.filter(_.mode == "overwrite")
+        .flatMap(_.txn).getOrElse(-1L)
+    val postingsUsable = ptLatest >= 0 && ver >= rebuildFloor
+    val fromPostings =
+      if (!postingsUsable) None
+      else Some {
+        val p = VersionedTable.read(spark, pt)
+        // v <= ver: snapshot purity (excludes racing writers' newer
+        // postings and a replayed batch's own rows); b IN buckets:
+        // the pushed row-group prune. Empty batch reads nothing.
+        (batchBuckets match {
+          case Some(bs) if bs.isEmpty => p.filter(lit(false))
+          case Some(bs) => p.filter(col("v") <= lit(ver)
+            && col("b").isin(bs: _*))
+          case None => p.filter(col("v") <= lit(ver))
+        })
+          .select(col("id").as("id_old"), col("sz").as("sz_old"),
+            col("po"), col("g"))
+      }
+    val heal =
+      if (postingsUsable && covered >= ver) None
+      else healPostings(spark, indexTable, nb,
+          aboveCovered = if (postingsUsable) covered else -1L, ver)
+        .map(_.select(col("id").as("id_old"), col("sz").as("sz_old"),
+          col("po"), col("g")))
+    val tok = (fromPostings.toSeq ++ heal.toSeq)
+      .reduceOption(_.unionByName(_))
+      // unreachable in practice (covered >= ver implies a postings
+      // table exists); the posexplode fallback keeps it exact anyway
+      .getOrElse(s.select(col("id").as("id_old"), col("sz").as("sz_old"),
+        posexplode(col("prefix")).as(Seq("po", "g"))))
+    lastIndexTok = Some(tok)
+    // Payload pruning is a TRICKLE-regime device, gated on batch
+    // size like the bucket probe: its candidate materialization (one
+    // bounded collect) is cheap exactly when the batch — and hence
+    // the candidate DAG — is small, and that is also the regime
+    // where its prize (zero payload bytes for a clean small ingest
+    // against a huge index) matters. A bulk batch would pay the
+    // materialization only to blow past the 1024-id pushdown bound
+    // and fall back to the full payload fetch anyway (measured:
+    // +~1.2 s/ingest at sf0.1 bulk for zero pruning) — it keeps the
+    // r12-shaped fused lazy plan, whose one payload scan amortizes
+    // over the bulk batch's own O(batch) work.
+    IndexSide(tok = tok,
+      payload = s.select(col("id"), col("sh"), col("shh")),
+      prunePayload = nRows <= MaxPayloadIdCollect)
+    }
+
+  /** Read-only near-duplicate LOOKUP against a persisted index — the
+    * query-time face of the posting-list layout: "is this document (or
+    * small probe batch) already in the corpus?" without committing
+    * anything. Runs [[processBatch]]'s exact candidate+verify pass
+    * (postings bucket-pruned, payload candidate-pruned — a small probe
+    * is the trickle regime by construction, so the index READ is
+    * O(matching buckets + candidates)) over the index pinned at
+    * `version` (default: latest, resolved eagerly — the result is
+    * stable under later ingests). Output: `id_new` (probe doc),
+    * `id_old` (indexed doc), `jaccard` for every pair with exact
+    * Jaccard ≥ t. Probe-internal pairs are not reported — this is a
+    * lookup, not a dedup. No table is written: the index, tf sidecar
+    * and postings are untouched (spec-pinned).
+    */
+  def lookupPairs(spark: SparkSession, indexTable: String, probe: DataFrame,
+                  textCol: String, idCol: String, threshold: Double,
+                  n: Int = 3, version: Option[Long] = None): DataFrame = {
+    val ver = version.getOrElse(VersionedTable.latestVersion(indexTable))
+    if (ver < 0) {
+      val sp = spark; import sp.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id_new", "id_old", "jaccard")
+    }
+    val rows = indexRows(probe, textCol, idCol, threshold, n).localCheckpoint()
+    val bc = batchTokenCounts(rows).localCheckpoint()
+    val nRows = rows.count()
+    val snap = VersionedTable.readVersion(spark, indexTable, ver)
+      .select(col("id"), col("sz"), col("sh"), col("shh"), col("prefix"))
+    val pt = postingsTable(indexTable)
+    val nb = readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets)
+    val is = indexSideFor(spark, indexTable, ver, snap, bc, nRows, pt, nb)
+    // read-only hot inputs: no commit to observe, so the batch max is
+    // one tiny agg over the checkpointed counts; the maintained count
+    // table serves index-side frequencies exactly as in ingest
+    val tf = tokenFreqTable(indexTable)
+    val hint = readMaxCntHint(tf)
+    val batchMax = bc.agg(coalesce(max(col("cnt")), lit(0L))).head().getLong(0)
+    val hotIn = HotInputs(batchFreq = Some(bc),
+      batchMaxFreq = Some(batchMax), indexMaxCnt = hint)
+    val provablyCold = hint.exists(_ + batchMax <= DefaultHotTokenCap)
+    val idxCnt =
+      if (provablyCold || VersionedTable.latestVersion(tf) < 0) None
+      else Some(tokenCounts(spark, indexTable))
+    pairsImpl(rows, Some(is), threshold, DefaultHotTokenCap,
+        DefaultHotChunk, DefaultMaxHotCollect, idxCnt, hotIn)
+      .filter(!col("within"))
+      .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
   /** Structured Streaming ingest-dedup: each micro-batch runs

@@ -895,6 +895,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("lookupPairs: read-only probe finds its dups, commits nothing, pins versions") {
+    val t = freshTable()
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L).collect()
+    val vIdx = VersionedTable.latestVersion(t)
+    val vPt = VersionedTable.latestVersion(IncrementalDedup.postingsTable(t))
+    val vTf = VersionedTable.latestVersion(IncrementalDedup.tokenFreqTable(t))
+
+    val got = IncrementalDedup.lookupPairs(spark, t,
+        Seq((11L, nearDup), (13L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 0L)), got) // nearDup matches indexed 0; third matches nothing
+
+    // READ-ONLY: no table moved
+    assert(VersionedTable.latestVersion(t) == vIdx)
+    assert(VersionedTable.latestVersion(IncrementalDedup.postingsTable(t)) == vPt)
+    assert(VersionedTable.latestVersion(IncrementalDedup.tokenFreqTable(t)) == vTf)
+
+    // version pinning: a probe at version 0 after MORE ingests still
+    // answers against the old snapshot
+    IncrementalDedup.processBatch(spark,
+      Seq((4L, third)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 1L).collect()
+    val pinned = IncrementalDedup.lookupPairs(spark, t,
+        Seq((15L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5, version = Some(vIdx))
+      .collect()
+    assert(pinned.isEmpty, pinned.mkString(",")) // third wasn't indexed at v0
+    val latest = IncrementalDedup.lookupPairs(spark, t,
+        Seq((15L, third)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(latest == Set((15L, 4L)), latest)
+
+    // empty index: empty result, correct schema
+    val none = IncrementalDedup.lookupPairs(spark, freshTable(),
+      Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id", 0.5)
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("id_new", "id_old", "jaccard"))
+  }
+
   test("replay pinned BELOW a compactIndex stays pure and exact (r13 review #1)") {
     // the found-and-fixed wedge: compactIndex rebuilds the postings as
     // one overwrite whose rows all carry v = the compacted head, so a
