@@ -161,7 +161,11 @@ object Plans {
     "q_unigram_segment" ->
       "Viterbi segmentation: the cost table is a plan-literal map and the DP is a per-row fold — the only exchange is the distinct-word aggregate the corpus collapses to first; segmentation work is vocabulary-sized, never corpus-sized.",
     "q_holt" ->
-      "Holt smoothing: the corpus collapses to the hourly count aggregate; the coupled level/trend recurrence is a struct-accumulator fold over each row's prefix frame of ONE event_type window — a single exchange + per-partition sort, no stateful UDF, no driver loop.")
+      "Holt smoothing: the corpus collapses to the hourly count aggregate; the coupled level/trend recurrence is a struct-accumulator fold over each row's prefix frame of ONE event_type window — a single exchange + per-partition sort, no stateful UDF, no driver loop.",
+    "q_index_lookup" ->
+      "Read-only probe of the persisted dedup index via the r13 posting-list layout: the index leg is a parquet scan of the postings sidecar (slim pre-exploded tokens; on a trickle probe the batch's bucket set and the snapshot-version bound land in PushedFilters) — no Generate/posexplode over the doc table anywhere — and the verify payload read is restricted to candidate ids. The probe side is the only thing exchanged.",
+    "q_ann_ivfpq_incremental" ->
+      "Incremental IVF-PQ probe: the scan reads (id, cell_id, codes) ONLY — ReadSchema has no vec column, so at scale the probe never touches the float vectors — with the probed cells' In(cell_id) pushed to the cell-clustered files' row-group stats; the ADC distance is a codegen'd lookup-table fold over the codes, and the top-k is the TakeOrdered tail.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
