@@ -1488,6 +1488,35 @@ object SparkEntry {
     r0.unionByName(r1).withColumnRenamed("id", "doc_id")
   }
 
+  /** Incremental MinHash-LSH dedup index
+    * ([[graft.dedup.IncrementalMinHash]]): q_dedup_incremental's
+    * two-batch ingest shape, but the persisted index stores ONE
+    * constant-size band row per (doc, band) instead of the shingle
+    * payload — the 100 TB shape for long documents, where the exact
+    * index's storage and verify reads are payload-bound. Candidates
+    * come from (band, bucket) equality between the batch's band rows
+    * and the index's (bucket-pruned read); verification is EXACT
+    * 3-gram Jaccard over text fetched from the doc store
+    * (candidate-pruned), so est-jaccard noise never flips a status.
+    * Threshold 0.3 = the q_dedup_minhash family setting, where LSH
+    * recall on this corpus is measured complete (every truth pair
+    * down to J 0.3 shares ≥5 band buckets — the q_dedup_minhash
+    * certificate's margin data), so the oracle is the same exact
+    * brute-force replay as q_dedup_incremental at 0.3: any recall
+    * regression across the index boundary hash-mismatches. */
+  private def qDedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-incmh")
+      .toString + "/index"
+    val r0 = graft.dedup.IncrementalMinHash.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, docs, threshold = 0.3, batchId = 0L)
+    val r1 = graft.dedup.IncrementalMinHash.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+      table, docs, threshold = 0.3, batchId = 1L)
+    r0.unionByName(r1).withColumnRenamed("id", "doc_id")
+  }
+
   /** Read-only near-dup lookup against the persisted dedup index
     * ([[graft.dedup.IncrementalDedup.lookupPairs]]): the even half is
     * ingested once; the odd half then PROBES the index with no commit —
@@ -1546,6 +1575,41 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("__batch").as("batch"),
         col("status"), col("n_tokens"), col("n_oov"), col("oov_rate"),
         col("oov_flagged").cast("bigint").as("oov_flagged"))
+  }
+
+  /** Cross-writer duplicate reconciliation
+    * ([[graft.dedup.IncrementalDedup.reconcile]] +
+    * [[graft.dedup.IncrementalDedup.applyReconciliation]]): two parity
+    * batches are ingested, then the WORST-CASE race outcome is
+    * reconstructed deterministically — every cross-batch dup's status
+    * flipped back to `kept`, exactly the decision state two writers
+    * leave when each commits before seeing the other's snapshot (the
+    * race interleaving itself is nondeterministic, so the LIVE race is
+    * spec-covered by the concurrent multi-writer test; this query pins
+    * the sweep's settle semantics against the oracle). The sweep
+    * re-pairs the whole commit window, clusters it, and the apply step
+    * demotes all but the min-id STILL-KEPT member per multi-member
+    * cluster. The oracle replays ingest statuses, the flip, the
+    * full-window clustering, and the keeper rule relationally. */
+  private def qReconcile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-reconcile")
+      .toString + "/index"
+    val r0 = graft.dedup.IncrementalDedup.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, threshold = 0.6, batchId = 0L)
+    val r1 = graft.dedup.IncrementalDedup.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+      table, threshold = 0.6, batchId = 1L)
+    val raced = r0.unionByName(r1).withColumn("status",
+      when(col("status") === "dup_of_index", lit("kept"))
+        .otherwise(col("status")))
+    val corrections = graft.dedup.IncrementalDedup.reconcile(s, table,
+      fromVersion = -1L,
+      toVersion = graft.sources.VersionedTable.latestVersion(table),
+      threshold = 0.6)
+    graft.dedup.IncrementalDedup.applyReconciliation(raced, corrections)
+      .select(col("id").as("doc_id"), col("batch"), col("status"))
   }
 
   /** Incremental corpus term statistics
@@ -4742,6 +4806,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_index_lookup"   -> (qIndexLookup _),
     "q_ingest_pipeline" -> (qIngestPipeline _),
+    "q_reconcile"      -> (qReconcile _),
+    "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
     "q_incremental_vocab" -> (qIncrementalVocab _),
     "q_oov_gate"       -> (qOovGate _),
     "q_mixture_temp"   -> (qMixtureTemp _),
@@ -8172,6 +8238,105 @@ object SparkEntry {
         CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
         CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
       FROM rated""",
+    // incremental minhash dedup: identical replay to q_dedup_incremental
+    // at the minhash family threshold 0.3 — exact-verified candidates
+    // make the output the exact truth whenever LSH recall is complete,
+    // which is measured on this corpus (q_dedup_minhash margins)
+    "q_dedup_minhash_incremental" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb)
+      SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+        CAST(sh.batch AS BIGINT) AS batch,
+        CASE WHEN sh.doc_id IN (SELECT id FROM dupidx) THEN 'dup_of_index'
+             WHEN sh.doc_id = comp.cluster THEN 'kept'
+             ELSE 'dup_within_batch' END AS status
+      FROM sh JOIN comp ON comp.id = sh.doc_id""",
+    // cross-writer reconciliation: replay ingest statuses, flip every
+    // cross-batch dup back to kept (the worst-case race state), cluster
+    // the FULL window (within- and cross-batch J >= 0.6 edges), then in
+    // each multi-member cluster keep the min-id still-kept member and
+    // demote the other kept members to dup_of_index
+    "q_reconcile" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb),
+      sim AS (
+        SELECT sh.doc_id, sh.batch,
+          CASE WHEN sh.doc_id = comp.cluster
+                 OR sh.doc_id IN (SELECT id FROM dupidx) THEN 'kept'
+               ELSE 'dup_within_batch' END AS status
+        FROM sh JOIN comp ON comp.id = sh.doc_id),
+      alledges AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs),
+      reach2(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach2.r FROM reach2 JOIN alledges e ON e.src = reach2.id),
+      comp2 AS (SELECT id, min(r) AS cluster FROM reach2 GROUP BY 1),
+      multi AS (SELECT cluster FROM comp2 GROUP BY cluster HAVING count(*) > 1),
+      keeper AS (
+        SELECT c.cluster, min(s.doc_id) AS keep
+        FROM comp2 c JOIN multi m USING (cluster)
+        JOIN sim s ON s.doc_id = c.id
+        WHERE s.status = 'kept'
+        GROUP BY c.cluster)
+      SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+        CAST(s.batch AS BIGINT) AS batch,
+        CASE WHEN s.status = 'kept' AND k.keep IS NOT NULL
+               AND s.doc_id <> k.keep THEN 'dup_of_index'
+             ELSE s.status END AS status
+      FROM sim s
+      JOIN comp2 c ON c.id = s.doc_id
+      LEFT JOIN keeper k ON k.cluster = c.cluster""",
     "q_incremental_vocab" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

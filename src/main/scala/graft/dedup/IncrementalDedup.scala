@@ -841,8 +841,61 @@ object IncrementalDedup {
   private[graft] def postingsBucketsPath(postingsTable: String): java.nio.file.Path =
     java.nio.file.Paths.get(postingsTable, "_graft_postings_nb")
 
-  def readPostingsBuckets(postingsTable: String): Option[Int] =
-    readLongFile(postingsBucketsPath(postingsTable)).map(_.toInt)
+  /** Re-bucket INTENT sidecar: `nb newBasePt` written before a
+    * modulus-changing [[rebuildPostings]] commits, finalized into
+    * [[postingsBucketsPath]] (and deleted) after. The nb file and the
+    * postings overwrite cannot land atomically, so either single-file
+    * ordering leaves a crash window where the sidecar's modulus
+    * disagrees with the rows' — and every later ingest then computes
+    * its bucket probe under the WRONG modulus and silently misses
+    * candidates. The intent makes the cutover crash-recoverable:
+    * [[readPostingsBuckets]] resolves a surviving intent by checking
+    * whether its commit landed (the overwrite at exactly
+    * `basePt + 1` — [[rebuildPostings]] pins `expectedVersion`, so no
+    * other commit can occupy that slot with mode `overwrite`): landed
+    * ⇒ heal the nb file to the intent's value; not landed ⇒ ignore it
+    * (rows still carry the old modulus). A not-landed intent is never
+    * deleted by readers — only the next rebuild clears it — so the
+    * resolution can never race a rebuild that is mid-commit.
+    */
+  private[graft] def postingsNbIntentPath(postingsTable: String): java.nio.file.Path =
+    java.nio.file.Paths.get(postingsTable, "_graft_postings_nb_intent")
+
+  private[graft] def writeNbIntent(postingsTable: String, nb: Int,
+                                   basePt: Long): Unit = {
+    val p = postingsNbIntentPath(postingsTable)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".${p.getFileName}.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, s"$nb $basePt".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def readNbIntent(postingsTable: String): Option[(Int, Long)] = {
+    val p = postingsNbIntentPath(postingsTable)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else scala.util.Try {
+      val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.split("\\s+")
+      (parts(0).toInt, parts(1).toLong)
+    }.toOption
+  }
+
+  def readPostingsBuckets(postingsTable: String): Option[Int] = {
+    val raw = readLongFile(postingsBucketsPath(postingsTable)).map(_.toInt)
+    readNbIntent(postingsTable) match {
+      case Some((nb, basePt)) if VersionedTable.history(postingsTable)
+          .exists(c => c.version == basePt + 1 && c.mode == "overwrite") =>
+        // the re-bucket committed but crashed before finalizing the nb
+        // file: heal it (idempotent) and drop the intent. Cost (one log
+        // listing) is paid only while an intent file exists.
+        writePostingsBuckets(postingsTable, nb)
+        java.nio.file.Files.deleteIfExists(postingsNbIntentPath(postingsTable))
+        Some(nb)
+      case _ => raw
+    }
+  }
 
   def writePostingsBuckets(postingsTable: String, nb: Int): Unit =
     writeLongFile(postingsBucketsPath(postingsTable), nb.toLong)
@@ -939,21 +992,43 @@ object IncrementalDedup {
     // V+1 gone, heal never fires). Pinning the overwrite to the
     // postings version this rebuild read turns the race into a loud
     // ConcurrentModificationException + retry over the fresher doc log.
+    //
+    // The nb file finalizes AFTER the commit, guarded by the intent
+    // protocol ([[postingsNbIntentPath]]): writing it before (the
+    // pre-r13-review order) meant a crash — or this loop exhausting
+    // its retries — left the sidecar claiming the NEW modulus over
+    // rows still bucketed under the OLD one, and every later ingest's
+    // bucket probe silently missed candidates. Any stale intent from a
+    // previously crashed rebuild is cleared first (readers ignore a
+    // not-landed intent, but it must not survive past a LATER commit
+    // that could alias its basePt + 1 slot).
+    java.nio.file.Files.deleteIfExists(postingsNbIntentPath(pt))
+    val oldNb = readLongFile(postingsBucketsPath(pt)).map(_.toInt)
+      .getOrElse(DefaultPostingsBuckets)
     var left = 8
     while (true) {
       val basePt = VersionedTable.latestVersion(pt)
       val docVer = VersionedTable.latestVersion(indexTable)
       val all = healPostings(spark, indexTable, nb, aboveCovered = -1L,
         uptoVer = docVer).get
-      writePostingsBuckets(pt, nb)
+      if (nb != oldNb) writeNbIntent(pt, nb, basePt)
       try {
-        return VersionedTable.commit(clusterPostings(all,
+        val v = VersionedTable.commit(clusterPostings(all,
             VersionedTable.read(spark, indexTable).count() * 8),
           pt, "overwrite", Some(docVer), Some(PostingsApp),
           expectedVersion = Some(basePt))
+        writePostingsBuckets(pt, nb)
+        java.nio.file.Files.deleteIfExists(postingsNbIntentPath(pt))
+        return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          left -= 1; if (left <= 0) throw e // racing append won; re-read
+          left -= 1
+          if (left <= 0) {
+            // the commit definitively did NOT land: drop the intent so
+            // the sidecar cleanly keeps describing the (old) rows
+            java.nio.file.Files.deleteIfExists(postingsNbIntentPath(pt))
+            throw e
+          } // racing append won; re-read
       }
     }
     -1L // unreachable
@@ -1030,6 +1105,15 @@ object IncrementalDedup {
       .drop("__rc", "__keep")
   }
 
+  /** Target posting rows per token-hash bucket for [[compactIndex]]'s
+    * auto-rebucket policy: a trickle ingest reads (its vocabulary's
+    * bucket count) × this many rows, so holding it constant as the
+    * corpus grows is what keeps the per-ingest candidate read O(batch
+    * vocab) instead of O(index / fixed-nb). 2^20 slim rows ≈ tens of
+    * MB per bucket — small against any real batch's own work.
+    */
+  val DefaultPostingsPerBucket: Long = 1L << 20
+
   /** OPTIMIZE the index trio coherently (the compaction face of the
     * posting-list layout): rewrite the doc table as id-range-clustered
     * files (tight id row-group stats keep the candidate-pruned payload
@@ -1041,9 +1125,26 @@ object IncrementalDedup {
     * note: postings rebuilt here carry the compacted version's `v`,
     * so a reader time-traveling BELOW the compaction falls back to the
     * heal explode of its pinned closure — correct, just unpruned.
+    *
+    * `autoRebucket` closes the layout's one manual knob: per-bucket
+    * fill grows with the corpus under a fixed modulus, so without
+    * re-bucketing the trickle read degrades toward O(index / nb) —
+    * an operator had to notice and run [[rebuildPostings]] with a
+    * bigger `newBuckets` by hand. With the flag on, this compaction
+    * GROWS the bucket count (monotone — shrinking churns the layout
+    * for no read benefit) to hold fill at ~`postingsPerBucket` rows,
+    * capped at [[MaxPayloadIdCollect]] (the pushdown-convertibility
+    * bound; past the cap the honest answer is that per-bucket fill
+    * grows again — stated, not hidden). A modulus change is the
+    * CUTOVER [[rebuildPostings]] documents: it must not race an
+    * in-flight ingest's probe, so the flag belongs on SINGLE-WRITER
+    * cadences (a streaming pipeline's own maintenance slot — batches
+    * are serial by construction); multi-writer deployments keep it
+    * off and re-bucket at an orchestrated quiesce.
     */
   def compactIndex(spark: SparkSession, indexTable: String,
-                   targetFiles: Int = 0): Unit = {
+                   targetFiles: Int = 0, autoRebucket: Boolean = false,
+                   postingsPerBucket: Long = DefaultPostingsPerBucket): Unit = {
     if (VersionedTable.latestVersion(indexTable) < 0) return
     val files =
       if (targetFiles > 0) targetFiles
@@ -1051,7 +1152,25 @@ object IncrementalDedup {
         VersionedTable.read(spark, indexTable).count() / 200000L).toInt
     VersionedTable.compactBy(spark, indexTable)(df =>
       df.repartitionByRange(files, col("id")).sortWithinPartitions(col("id")))
-    rebuildPostings(spark, indexTable)
+    val pt = postingsTable(indexTable)
+    val newNb =
+      if (!autoRebucket) None
+      else {
+        require(postingsPerBucket >= 1,
+          s"postingsPerBucket must be >= 1, got $postingsPerBucket")
+        val cur = readPostingsBuckets(pt).getOrElse(DefaultPostingsBuckets)
+        // fill target over the COMPACTED postings row count (one slim
+        // count — this is already the amortized O(index) cadence)
+        val rows =
+          if (VersionedTable.latestVersion(pt) < 0) 0L
+          else VersionedTable.read(spark, pt).count()
+        // overflow-safe ceil-divide (rows + ppb - 1 can wrap for huge ppb)
+        val need = if (rows == 0) 0L else (rows - 1) / postingsPerBucket + 1
+        val want = math.min(MaxPayloadIdCollect.toLong,
+          math.max(cur.toLong, need)).toInt
+        if (want != cur) Some(want) else None
+      }
+    rebuildPostings(spark, indexTable, newBuckets = newNb)
     compactTokenFreq(spark, indexTable)
   }
 
@@ -1258,45 +1377,10 @@ object IncrementalDedup {
       DefaultHotChunk, DefaultMaxHotCollect, idxCnt, hotIn).localCheckpoint()
     val within = pairs.filter(col("within"))
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-    // Within-batch components. A batch's VERIFIED duplicate-pair set is
-    // usually tiny; below the bound (collect ≤ 2^20 pairs = 16 MB — a
-    // stated-bound driver collect, like every other one in this repo) a
-    // driver union-find with min-root attachment replaces ~10 tiny
-    // distributed rounds; past the bound the O(log n)
-    // large-star/small-star path takes over unchanged. `pairs` is
-    // checkpointed, so the gate count is a cheap local scan.
-    val comp = {
-      // ONE bounded job decides the path AND fetches the edges: collect
-      // at most bound+1 rows — fits ⇒ those are all the edges; overflow
-      // ⇒ discard and take the distributed route (which rescans the
-      // checkpointed pairs anyway). The old count()-then-collect() pair
-      // cost two jobs to learn the same thing.
-      val maxDriverEdges = 1 << 20
-      val head = within.limit(maxDriverEdges + 1).collect()
-      if (head.length <= maxDriverEdges) {
-        val es = head.map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          // larger root attaches under smaller ⇒ every root IS its
-          // component's min id
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
-        val sp = spark; import sp.implicits._
-        val labels = members.map(m => (m, find(m))).toSeq.toDF("id", "cluster")
-        rows.select(col("id")).join(broadcast(labels), Seq("id"), "left")
-          .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-      } else Dedup.clustersStar(rows.select(col("id")), within,
-        "id", "id_a", "id_b")
-    }
+    // Within-batch components ([[componentsOf]]: bounded driver
+    // union-find, distributed star fallback). `pairs` is checkpointed,
+    // so the gate probe is a cheap local scan.
+    val comp = componentsOf(spark, rows.select(col("id")), within)
     val dupIdx = pairs.filter(!col("within"))
       .select(col("id_new")).distinct()
 
@@ -1344,6 +1428,47 @@ object IncrementalDedup {
         when(col("__dup"), lit("dup_of_index"))
           .when(comp("id") === col("cluster"), lit("kept"))
           .otherwise(lit("dup_within_batch")).as("status"))
+  }
+
+  /** Min-id component labels for `ids` under `edges` (`id_a, id_b`) —
+    * the within-batch clustering shared by [[processBatch]] and
+    * [[IncrementalMinHash.processBatch]]. A batch's VERIFIED
+    * duplicate-pair set is usually tiny; below the bound (collect ≤
+    * 2^20 pairs = 16 MB — a stated-bound driver collect, like every
+    * other one in this repo) a driver union-find with min-root
+    * attachment replaces ~10 tiny distributed rounds; past the bound
+    * the O(log n) large-star/small-star path takes over unchanged.
+    * ONE bounded job decides the path AND fetches the edges: collect
+    * at most bound+1 rows — fits ⇒ those are all the edges; overflow
+    * ⇒ discard and take the distributed route (callers checkpoint the
+    * pairs, so the gate probe is a cheap local scan).
+    */
+  private[graft] def componentsOf(spark: SparkSession, ids: DataFrame,
+                                  edges: DataFrame): DataFrame = {
+    val maxDriverEdges = 1 << 20
+    val head = edges.limit(maxDriverEdges + 1).collect()
+    if (head.length <= maxDriverEdges) {
+      val es = head.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // larger root attaches under smaller ⇒ every root IS its
+        // component's min id
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val sp = spark; import sp.implicits._
+      val labels = members.map(m => (m, find(m))).toSeq.toDF("id", "cluster")
+      ids.join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    } else Dedup.clustersStar(ids, edges, "id", "id_a", "id_b")
   }
 
   /** The index side of one batch's candidate+verify pass against a

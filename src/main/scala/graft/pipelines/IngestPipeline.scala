@@ -76,7 +76,15 @@ object IngestPipeline {
     // contract, not a bug (the Delta retention rule).
     compactEvery: Int = 64,
     optimizeEvery: Option[Int] = None,
-    retainVersions: Option[Int] = None)
+    retainVersions: Option[Int] = None,
+    // grow the dedup postings' token-hash bucket count at the optimize
+    // cadence to hold per-bucket fill constant as the corpus grows
+    // (IncrementalDedup.compactIndex's autoRebucket). Safe HERE because
+    // a streaming pipeline's batches are serial by construction — the
+    // modulus cutover cannot race an in-flight probe. Leave false when
+    // several writers share cfg.dedupIndex; re-bucket at an
+    // orchestrated quiesce instead.
+    autoRebucket: Boolean = false)
 
   /** The stats-table version this batch's OOV gate must read: the
     * latest on a fresh ingest, the version just BELOW this txn's
@@ -268,7 +276,8 @@ object IngestPipeline {
     }
     cfg.optimizeEvery.foreach { every =>
       if (batchId % every == every - 1) {
-        IncrementalDedup.compactIndex(spark, cfg.dedupIndex)
+        IncrementalDedup.compactIndex(spark, cfg.dedupIndex,
+          autoRebucket = cfg.autoRebucket)
         if (graft.sources.VersionedTable.latestVersion(cfg.ivfIndex) >= 0)
           VersionedTable.compactBy(spark, cfg.ivfIndex)(df =>
             df.repartition(col("cell_id"))

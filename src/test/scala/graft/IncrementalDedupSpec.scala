@@ -1007,6 +1007,98 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("re-bucket crash windows never leave the sidecar modulus disagreeing with the rows") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    IncrementalDedup.processBatch(spark,
+      Seq((0L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L).collect()
+    val nbOld = IncrementalDedup.DefaultPostingsBuckets
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(nbOld))
+
+    // window 1 — crash BEFORE the re-bucket commit: only the intent
+    // file survives. Readers must IGNORE it (rows still carry the old
+    // modulus) and the probe must still catch its dup.
+    IncrementalDedup.writeNbIntent(pt, 64, VersionedTable.latestVersion(pt))
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(nbOld),
+      "a not-landed intent must not change the effective modulus")
+    val r1 = IncrementalDedup.processBatch(spark,
+        Seq((1L, nearDup)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 1L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r1 == Map(1L -> "dup_of_index"), r1)
+    // readers never delete a not-landed intent (it may belong to a
+    // rebuild mid-commit); only the next rebuild clears it
+    assert(java.nio.file.Files.isRegularFile(
+      IncrementalDedup.postingsNbIntentPath(pt)))
+
+    // window 2 — crash AFTER the commit, BEFORE the nb finalize:
+    // reconstruct the exact on-disk state by running the full cutover
+    // (which also clears window 1's stale intent), then rolling the nb
+    // file back and re-creating the landed intent. Readers must HEAL:
+    // resolve to the new modulus, finalize the nb file, drop the intent.
+    IncrementalDedup.rebuildPostings(spark, t, newBuckets = Some(64))
+    assert(!java.nio.file.Files.isRegularFile(
+      IncrementalDedup.postingsNbIntentPath(pt)),
+      "a completed rebuild must clear its intent")
+    val landedAt = VersionedTable.latestVersion(pt)
+    IncrementalDedup.writePostingsBuckets(pt, nbOld) // roll back the finalize
+    IncrementalDedup.writeNbIntent(pt, 64, landedAt - 1)
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(64),
+      "a landed intent must heal the sidecar to the committed modulus")
+    assert(!java.nio.file.Files.isRegularFile(
+      IncrementalDedup.postingsNbIntentPath(pt)),
+      "healing must consume the intent")
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(64),
+      "the heal must be durable, not per-read")
+    val r2 = IncrementalDedup.processBatch(spark,
+        Seq((5L, base)).toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 2L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == Map(5L -> "dup_of_index"), r2)
+  }
+
+  test("compactIndex autoRebucket grows the modulus to hold per-bucket fill; dedup stays exact") {
+    val t = freshTable()
+    val pt = IncrementalDedup.postingsTable(t)
+    // distinct docs so postings volume comfortably exceeds 1 row/bucket
+    // at the default modulus
+    val corpus = Seq.tabulate(40)(i => (i.toLong * 2,
+      s"wholly distinct document number $i discussing topic ${i * 7} " +
+        s"with words like alpha$i beta$i gamma$i delta$i epsilon$i"))
+    IncrementalDedup.processBatch(spark, corpus.toDF("doc_id", "text"),
+      "text", "doc_id", t, threshold = 0.5, batchId = 0L).collect()
+    val before = IncrementalDedup.readPostingsBuckets(pt).get
+    assert(before == IncrementalDedup.DefaultPostingsBuckets)
+    val postRows = VersionedTable.read(spark, pt).count()
+    assert(postRows > before, s"fixture too small: $postRows postings")
+
+    // fill target of 1 row/bucket forces growth (capped at the pushdown
+    // bound); rows and sidecar move together
+    IncrementalDedup.compactIndex(spark, t, autoRebucket = true,
+      postingsPerBucket = 1L)
+    val after = IncrementalDedup.readPostingsBuckets(pt).get
+    assert(after > before && after <= IncrementalDedup.MaxPayloadIdCollect,
+      s"expected growth past $before, got $after")
+    assert(VersionedTable.read(spark, pt)
+      .agg(max(col("b"))).head.getInt(0) < after)
+
+    // monotone: a later compaction with a huge fill target (ceil-divide
+    // overflow regression) never shrinks the modulus back
+    IncrementalDedup.compactIndex(spark, t, autoRebucket = true,
+      postingsPerBucket = Long.MaxValue)
+    assert(IncrementalDedup.readPostingsBuckets(pt).contains(after))
+
+    // the next trickle ingest probes under the grown modulus and still
+    // catches its dup against the re-bucketed index
+    val r = IncrementalDedup.processBatch(spark,
+        Seq((999L, corpus(3)._2 + " tail"), (1001L, base))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", t, threshold = 0.5, batchId = 1L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(999L -> "dup_of_index", 1001L -> "kept"), r)
+  }
+
   test("reconcile settles cross-writer racing copies: exactly one kept (r12 missing #3)") {
     // two writers ingest the SAME doc simultaneously. Depending on the
     // commit interleaving the race either materializes (both kept) or

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{Dedup, IncrementalDedup, IncrementalMinHash}
+import graft.sources.VersionedTable
+
+class IncrementalMinHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-incmh-spec")
+      .toString + "/index"
+
+  // planted corpus: near-dup structure known by construction under
+  // 3-gram exact Jaccard >= 0.3 (each primed pair shares all but one
+  // trailing shingle)
+  private val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val tB = "completely different text about spark catalyst optimizer rules and physical plans"
+  private val tC = "a third unrelated document discussing minhash banding and locality sensitive hashing"
+
+  private def b0 = Seq((0L, tA), (2L, tB), (4L, tA + " indeed"))
+    .toDF("doc_id", "text")
+  private def b1 = Seq((1L, tC), (3L, tA + " yes"), (5L, tC + " for sure"))
+    .toDF("doc_id", "text")
+  private def store = b0.unionByName(b1)
+
+  private def statuses(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+
+  test("two-batch statuses match the planted truth; index rows are slim band rows") {
+    val t = freshTable()
+    val r0 = statuses(IncrementalMinHash.processBatch(spark, b0, "text",
+      "doc_id", t, store, threshold = 0.3, batchId = 0L))
+    assert(r0 == Map(0L -> "kept", 2L -> "kept", 4L -> "dup_within_batch"), r0)
+    val r1 = statuses(IncrementalMinHash.processBatch(spark, b1, "text",
+      "doc_id", t, store, threshold = 0.3, batchId = 1L))
+    assert(r1 == Map(1L -> "kept", 3L -> "dup_of_index",
+      5L -> "dup_within_batch"), r1)
+
+    // the index stores ONE row per (doc, band) — bands x docs rows of
+    // four fixed-width columns, no shingle payload anywhere
+    val idx = VersionedTable.read(spark, t)
+    assert(idx.columns.sorted.toSeq == Seq("band", "batch", "bucket", "id"))
+    assert(idx.count() == 6L * 16L)
+    assert(idx.select(col("id")).distinct().count() == 6L)
+  }
+
+  test("statuses agree with the exact-index implementation on a corpus with complete LSH recall") {
+    // differential: same parity split, same threshold — the minhash
+    // face must reproduce IncrementalDedup's statuses whenever every
+    // true pair shares a band bucket (here: near-identical docs agree
+    // on almost every minhash, so recall is complete by construction)
+    // family = i % 5 (odd stride, so every family straddles BOTH
+    // parity batches — cross-index and within-batch dups both occur)
+    val docs = (0 until 20).map { i =>
+      val base = s"document family ${i % 5} " +
+        (0 until 12).map(w => s"tok${i % 5}w$w").mkString(" ")
+      (i.toLong, if (i < 5) base else base + s" v${i / 5}")
+    }.toDF("doc_id", "text")
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    val tMh = freshTable()
+    val mh = statuses(IncrementalMinHash.processBatch(spark, even, "text",
+      "doc_id", tMh, docs, threshold = 0.5, batchId = 0L)) ++
+      statuses(IncrementalMinHash.processBatch(spark, odd, "text",
+        "doc_id", tMh, docs, threshold = 0.5, batchId = 1L))
+
+    val tEx = freshTable()
+    val ex = statuses(IncrementalDedup.processBatch(spark, even, "text",
+      "doc_id", tEx, threshold = 0.5, batchId = 0L)) ++
+      statuses(IncrementalDedup.processBatch(spark, odd, "text",
+        "doc_id", tEx, threshold = 0.5, batchId = 1L))
+    assert(mh == ex, s"minhash=$mh\nexact=$ex")
+  }
+
+  test("(txnApp, txn) replay re-reports pure statuses and appends nothing") {
+    val t = freshTable()
+    IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 0L, txnApp = Some("app"), txn = Some(0L))
+      .collect()
+    val r1 = statuses(IncrementalMinHash.processBatch(spark, b1, "text",
+      "doc_id", t, store, threshold = 0.3, batchId = 1L,
+      txnApp = Some("app"), txn = Some(1L)))
+    val rows = VersionedTable.read(spark, t).count()
+    val ver = VersionedTable.latestVersion(t)
+
+    // replay batch 1: identical statuses (pinned below the original
+    // commit — its own rows are invisible), no new commit
+    val r1b = statuses(IncrementalMinHash.processBatch(spark, b1, "text",
+      "doc_id", t, store, threshold = 0.3, batchId = 1L,
+      txnApp = Some("app"), txn = Some(1L)))
+    assert(r1b == r1, s"replay diverged: $r1b vs $r1")
+    assert(VersionedTable.read(spark, t).count() == rows)
+    assert(VersionedTable.latestVersion(t) == ver)
+  }
+
+  test("signature geometry is pinned: a different (k, bands) refuses loudly") {
+    val t = freshTable()
+    IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 0L).collect()
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMinHash.processBatch(spark, b1, "text", "doc_id", t, store,
+        threshold = 0.3, batchId = 1L, k = 128, bands = 32)
+    }
+    assert(e.getMessage.contains("geometry drift"), e.getMessage)
+  }
+
+  test("trickle ingest pushes its bucket set into the index scan") {
+    val t = freshTable()
+    // enough distinct docs that an unpruned read would be visibly larger
+    val corpus = Seq.tabulate(60)(i => (i.toLong * 2,
+      s"wholly distinct doc $i " + (0 until 12).map(w => s"t${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalMinHash.processBatch(spark, corpus, "text", "doc_id", t,
+      corpus, threshold = 0.3, batchId = 0L).collect()
+
+    val probe = Seq((999L, "wholly distinct doc 7 " +
+      (0 until 12).map(w => s"t7w$w").mkString(" ") + " tail"))
+      .toDF("doc_id", "text")
+    val r = statuses(IncrementalMinHash.processBatch(spark, probe, "text",
+      "doc_id", t, corpus, threshold = 0.3, batchId = 1L))
+    assert(r == Map(999L -> "dup_of_index"), r)
+    val plan = IncrementalMinHash.lastIndexBands.get
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("In(bucket"), plan.take(2000))
+  }
+
+  test("lookupPairs is read-only and finds the planted near-dup") {
+    val t = freshTable()
+    IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 0L).collect()
+    val rows = VersionedTable.read(spark, t).count()
+    val ver = VersionedTable.latestVersion(t)
+
+    val got = IncrementalMinHash.lookupPairs(spark, t,
+        Seq((100L, tA + " probe")).toDF("doc_id", "text"),
+        "text", "doc_id", store, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 0L), (100L, 4L)), got)
+    assert(VersionedTable.read(spark, t).count() == rows)
+    assert(VersionedTable.latestVersion(t) == ver)
+
+    // empty index: empty typed frame, no error
+    val empty = IncrementalMinHash.lookupPairs(spark, freshTable(),
+      Seq((1L, tA)).toDF("doc_id", "text"), "text", "doc_id", store, 0.3)
+    assert(empty.count() == 0)
+  }
+
+  test("compactIndex folds commits losslessly; ingest keeps working after") {
+    val t = freshTable()
+    IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 0L).collect()
+    IncrementalMinHash.processBatch(spark, b1, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 1L).collect()
+    val before = VersionedTable.read(spark, t)
+      .collect().map(_.toString).sorted
+    IncrementalMinHash.compactIndex(spark, t)
+    val after = VersionedTable.read(spark, t)
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+
+    val r = statuses(IncrementalMinHash.processBatch(spark,
+      Seq((10L, tB + " again please")).toDF("doc_id", "text"),
+      "text", "doc_id", t, store, threshold = 0.3, batchId = 2L))
+    assert(r == Map(10L -> "dup_of_index"), r)
+  }
+}
