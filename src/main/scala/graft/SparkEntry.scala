@@ -1543,6 +1543,30 @@ object SparkEntry {
         col("jaccard"))
   }
 
+  /** Read-only lookup against the persisted MinHash index
+    * ([[graft.dedup.IncrementalMinHash.lookupPairs]]): q_index_lookup's
+    * shape — even half indexed once, odd half probes with no commit —
+    * served by the band-bucket layout: bucket-pruned band-row read,
+    * candidate-pruned doc-store fetch, exact-Jaccard verification.
+    * Same brute-force oracle as q_index_lookup at the minhash family
+    * threshold 0.3 (complete-recall corpus per the q_dedup_minhash
+    * margin data), so cross-boundary band recall is hash-checked pair
+    * by pair. */
+  private def qMinhashLookup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val table = java.nio.file.Files.createTempDirectory("graft-mhlookup")
+      .toString + "/index"
+    graft.dedup.IncrementalMinHash.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+      table, docs, threshold = 0.3, batchId = 0L)
+      .write.mode("overwrite").format("noop").save()
+    graft.dedup.IncrementalMinHash.lookupPairs(s, table,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+        docs, threshold = 0.3)
+      .select(col("id_new").as("probe_id"), col("id_old").as("index_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** The composed ingest pipeline
     * ([[graft.pipelines.IngestPipeline]]): two parity batches of
     * documents through dedup + term-stats + IVF + OOV gate under ONE
@@ -4808,6 +4832,7 @@ object SparkEntry {
     "q_ingest_pipeline" -> (qIngestPipeline _),
     "q_reconcile"      -> (qReconcile _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
+    "q_minhash_lookup" -> (qMinhashLookup _),
     "q_incremental_vocab" -> (qIncrementalVocab _),
     "q_oov_gate"       -> (qOovGate _),
     "q_mixture_temp"   -> (qMixtureTemp _),
@@ -8238,6 +8263,22 @@ object SparkEntry {
         CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
         CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
       FROM rated""",
+    // minhash lookup: every (odd probe, even indexed) pair with exact
+    // Jaccard >= 0.3, brute force — q_index_lookup's oracle at the
+    // minhash family threshold
+    "q_minhash_lookup" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t)
+      SELECT a.doc_id AS probe_id, b.doc_id AS index_id,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        >= 0.3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
     // incremental minhash dedup: identical replay to q_dedup_incremental
     // at the minhash family threshold 0.3 — exact-verified candidates
     // make the output the exact truth whenever LSH recall is complete,
