@@ -1068,9 +1068,17 @@ object IncrementalDedup {
         val sp = spark; import sp.implicits._
         Seq.empty[(Long, Long, Long)].toDF("id", "batch", "cluster")
       case Some(w) =>
-        val pairs = selfPairs(w, threshold)
-        val clusters = Dedup.clustersStar(
-          w.select(col("id")).distinct(), pairs, "id", "id_a", "id_b")
+        // checkpointed: componentsOf's bounded probe collects the pair
+        // set, and the overflow fallback (clustersStar) rescans it —
+        // without this the whole candidate+verify pair pass re-runs on
+        // the distributed path
+        val pairs = selfPairs(w, threshold).localCheckpoint()
+        // race-window pair sets are batch-sized, so the shared bounded
+        // driver union-find ([[componentsOf]]) replaces ~log n
+        // distributed star rounds of ~1 s fixed overhead each; past
+        // the 2^20-edge bound the distributed path takes over unchanged
+        val clusters = componentsOf(spark, w.select(col("id")).distinct(),
+          pairs)
         // only multi-member clusters carry a potential race; singletons
         // (the overwhelming majority) are dropped before the join back
         val multi = clusters.groupBy(col("cluster"))
