@@ -165,7 +165,9 @@ object Plans {
     "q_index_lookup" ->
       "Read-only probe of the persisted dedup index via the r13 posting-list layout: the index leg is a parquet scan of the postings sidecar (slim pre-exploded tokens; on a trickle probe the batch's bucket set and the snapshot-version bound land in PushedFilters) — no Generate/posexplode over the doc table anywhere — and the verify payload read is restricted to candidate ids. The probe side is the only thing exchanged.",
     "q_ann_ivfpq_incremental" ->
-      "Incremental IVF-PQ probe: the scan reads (id, cell_id, codes) ONLY — ReadSchema has no vec column, so at scale the probe never touches the float vectors — with the probed cells' In(cell_id) pushed to the cell-clustered files' row-group stats; the ADC distance is a codegen'd lookup-table fold over the codes, and the top-k is the TakeOrdered tail.")
+      "Incremental IVF-PQ probe: the scan reads (id, cell_id, codes) ONLY — ReadSchema has no vec column, so at scale the probe never touches the float vectors — with the probed cells' In(cell_id) pushed to the cell-clustered files' row-group stats; the ADC distance is a codegen'd lookup-table fold over the codes, and the top-k is the TakeOrdered tail.",
+    "q_minhash_lookup" ->
+      "Read-only probe of the incremental MinHash index: the index leg scans O(bands) constant-size band rows per doc (never a shingle payload) with the probe's bucket set pushed — In(bucket) in PushedFilters over the bucket-range-clustered files — and exact verification reads only candidate ids' text from the doc store (In pushed on the id). The probe's own signatures materialize in the scan stage (minhash_sig, zero exchange).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -76,6 +76,69 @@ object IncrementalMinHash {
     }
   }
 
+  private[graft] def readGeometry(indexTable: String): Option[(Int, Int)] = {
+    val p = geometryPath(indexTable)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else scala.util.Try {
+      val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.split("\\s+")
+      (parts(0).toInt, parts(1).toInt)
+    }.toOption
+  }
+
+  /** Cross-writer duplicate reconciliation for the MinHash face — the
+    * [[IncrementalDedup.reconcile]] contract over a band-row index:
+    * re-pair ONLY the docs whose band rows committed in `(fromVersion,
+    * toVersion]` (the race window — bounded, never the whole index),
+    * cluster them, and emit every member of each multi-member cluster
+    * as `id, batch, cluster`. Feed the result to
+    * [[IncrementalDedup.applyReconciliation]] (the schema and the
+    * min-id-still-kept keeper rule are shared). The band rows carry no
+    * payload, so the sweep re-reads the window docs' TEXT from the doc
+    * store (one id-semi-join — O(window), the same fetch discipline as
+    * ingest verify), re-signs them under the index's PINNED geometry,
+    * and runs the banded-candidate + exact-verify pass within the
+    * window. Idempotent for the same window and decisions.
+    */
+  def reconcile(spark: SparkSession, indexTable: String, docStore: DataFrame,
+                textCol: String, idCol: String, fromVersion: Long,
+                toVersion: Long, threshold: Double, n: Int = 3,
+                maxBucket: Int = 1000): DataFrame = {
+    val window = VersionedTable.snapshotClosure(indexTable, toVersion)
+      .filter(_.version > fromVersion)
+      .map(c => spark.read.parquet(
+        java.nio.file.Paths.get(indexTable, c.dataDir).toString))
+      .reduceOption(_.unionByName(_))
+      .map(_.select(col("id"), col("batch")).distinct().localCheckpoint())
+    window match {
+      case None =>
+        val sp = spark; import sp.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("id", "batch", "cluster")
+      case Some(ids) =>
+        val (k, bands) = readGeometry(indexTable).getOrElse(
+          throw new IllegalStateException(
+            s"no pinned geometry at ${geometryPath(indexTable)} — " +
+              "reconcile sweeps an ingested index, which always pins one"))
+        val docs = docStore
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+          .join(ids.select(col("id").as("doc_id")), Seq("doc_id"), "leftsemi")
+        val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k)
+          .localCheckpoint()
+        val pairs = Dedup.jaccardOnPairs(docs, "text", "doc_id",
+            Dedup.minhashCandidatesFromSigs(sigs, k, bands, maxBucket),
+            "id_a", "id_b", n)
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val clusters = IncrementalDedup.componentsOf(spark,
+          ids.select(col("id")), pairs)
+        val multi = clusters.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .select(col("cluster"))
+        ids.join(clusters.join(multi, Seq("cluster")), Seq("id"))
+          .select(col("id"), col("batch"), col("cluster"))
+    }
+  }
+
   /** Band rows of a signature table: (id, band, bucket) with
     * `bucket = xxhash64(band, signature slice)` — bit-identical to the
     * banding inside [[Dedup.minhashCandidatesFromSigs]], so the

@@ -77,6 +77,39 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     assert(mh == ex, s"minhash=$mh\nexact=$ex")
   }
 
+  test("property: minhash face == exact face on seeded random dup-heavy corpora") {
+    // seeded generator: families of near-identical docs (pairwise J >=
+    // ~0.85, where banded recall at (k=64, bands=16) misses a pair with
+    // p < 3e-4 — and the hash family is FIXED, so a passing seed passes
+    // forever) plus unique-vocab singletons. The two faces must agree
+    // on every status, both within-batch and across the index boundary.
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 6).flatMap { f =>
+        val words = (0 until 20).map(w => s"s${seed}f${f}w${w}t${rnd.nextInt(1000)}")
+        val copies = 1 + rnd.nextInt(3) // 1..3 members per family
+        (0 until copies).map(c =>
+          (f * 10L + c, (words :+ s"tail$c").mkString(" ")))
+      } ++ (0 until 4).map(u =>
+        (100L + u, (0 until 18).map(w => s"s${seed}uniq${u}w$w").mkString(" ")))
+      val df = docs.toDF("doc_id", "text").localCheckpoint()
+      val even = df.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = df.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+      val tMh = freshTable()
+      val mh = statuses(IncrementalMinHash.processBatch(spark, even, "text",
+        "doc_id", tMh, df, threshold = 0.6, batchId = 0L)) ++
+        statuses(IncrementalMinHash.processBatch(spark, odd, "text",
+          "doc_id", tMh, df, threshold = 0.6, batchId = 1L))
+      val tEx = freshTable()
+      val ex = statuses(IncrementalDedup.processBatch(spark, even, "text",
+        "doc_id", tEx, threshold = 0.6, batchId = 0L)) ++
+        statuses(IncrementalDedup.processBatch(spark, odd, "text",
+          "doc_id", tEx, threshold = 0.6, batchId = 1L))
+      assert(mh == ex, s"seed=$seed\nminhash=$mh\nexact=$ex")
+    }
+  }
+
   test("(txnApp, txn) replay re-reports pure statuses and appends nothing") {
     val t = freshTable()
     IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
@@ -149,6 +182,56 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     val empty = IncrementalMinHash.lookupPairs(spark, freshTable(),
       Seq((1L, tA)).toDF("doc_id", "text"), "text", "doc_id", store, 0.3)
     assert(empty.count() == 0)
+  }
+
+  test("reconcile settles cross-writer racing copies on the minhash face") {
+    // the exact-face race spec's shape: two writers ingest the SAME doc
+    // simultaneously; depending on interleaving the race materializes
+    // (both kept) or resolves at ingest — the sweep + apply must leave
+    // EXACTLY ONE kept copy either way. The minhash sweep re-signs the
+    // window docs from the doc store under the pinned geometry.
+    val t = freshTable()
+    val raceText = "two writers commit this very same document at the very same moment"
+    val all = Seq((0L, tA), (30L, raceText), (31L, tB), (40L, raceText),
+      (41L, tC)).toDF("doc_id", "text").localCheckpoint()
+    IncrementalMinHash.processBatch(spark,
+      Seq((0L, tA)).toDF("doc_id", "text"), "text", "doc_id", t, all,
+      threshold = 0.5, batchId = 0L,
+      txnApp = Some("seed"), txn = Some(0L)).collect()
+    val raceFrom = VersionedTable.latestVersion(t)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fA = Future(IncrementalMinHash.processBatch(spark,
+      Seq((30L, raceText), (31L, tB)).toDF("doc_id", "text"),
+      "text", "doc_id", t, all, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerA"), txn = Some(1L)).collect())
+    val fB = Future(IncrementalMinHash.processBatch(spark,
+      Seq((40L, raceText), (41L, tC)).toDF("doc_id", "text"),
+      "text", "doc_id", t, all, threshold = 0.5, batchId = 1L,
+      txnApp = Some("writerB"), txn = Some(1L)).collect())
+    val decisions = (Await.result(fA, Duration.Inf)
+        ++ Await.result(fB, Duration.Inf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.toDF("id", "batch", "status")
+
+    val corrections = IncrementalMinHash.reconcile(spark, t, all,
+      "text", "doc_id", raceFrom, VersionedTable.latestVersion(t),
+      threshold = 0.5)
+    val correctedIds = corrections.select(col("id")).as[Long].collect().toSet
+    assert(correctedIds == Set(30L, 40L), correctedIds)
+
+    val fixed = IncrementalDedup.applyReconciliation(decisions, corrections)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(Seq(30L, 40L).count(fixed(_) == "kept") == 1, fixed)
+    // disjoint docs untouched; re-apply is a no-op
+    assert(fixed(31L) == "kept" && fixed(41L) == "kept", fixed)
+    val again = IncrementalDedup.applyReconciliation(
+        IncrementalDedup.applyReconciliation(decisions, corrections),
+        corrections)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(again == fixed, s"re-apply changed statuses: $again vs $fixed")
   }
 
   test("compactIndex folds commits losslessly; ingest keeps working after") {

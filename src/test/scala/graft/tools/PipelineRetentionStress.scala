@@ -59,7 +59,12 @@ object PipelineRetentionStress {
       threshold = 0.6, oovGate = 0.5,
       compactEvery = optimizeEvery,
       optimizeEvery = Some(optimizeEvery),
-      retainVersions = Some(retain))
+      retainVersions = Some(retain),
+      // single-writer stream by construction — the safe regime for the
+      // modulus cutover; this also keeps the auto-rebucket path under
+      // stress every round (no-op while fill stays under target, which
+      // the artifact reports via the final bucket count)
+      autoRebucket = true)
 
     val t0 = System.nanoTime()
     (0 until nBatches).foreach { i =>
@@ -100,10 +105,12 @@ object PipelineRetentionStress {
 
     // sanity: the live index is intact — row count equals docs ingested
     val idxRows = graft.sources.VersionedTable.read(spark, cfg.dedupIndex).count()
+    val finalNb = graft.dedup.IncrementalDedup.readPostingsBuckets(
+      graft.dedup.IncrementalDedup.postingsTable(cfg.dedupIndex)).getOrElse(-1)
 
     val dc = dirCounts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(
-      f"""RETENTION_STRESS {"sf":"$sfDir","n_batches":$nBatches,"optimize_every":$optimizeEvery,"retain_versions":$retain,"total_sec":$totalSec%.1f,"data_dirs":{$dc},"dir_bound":$bound,"dirs_bounded":$bounded,"vacuumed_read_fails_loudly":$failsLoudly,"final_index_rows":$idxRows}""")
+      f"""RETENTION_STRESS {"sf":"$sfDir","n_batches":$nBatches,"optimize_every":$optimizeEvery,"retain_versions":$retain,"total_sec":$totalSec%.1f,"data_dirs":{$dc},"dir_bound":$bound,"dirs_bounded":$bounded,"vacuumed_read_fails_loudly":$failsLoudly,"final_index_rows":$idxRows,"final_postings_buckets":$finalNb}""")
     spark.stop()
   }
 }
