@@ -163,6 +163,32 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     assert(plan.contains("In(bucket"), plan.take(2000))
   }
 
+  test("bulk ingest skips the bucket collect and reads the band rows unpruned") {
+    // the regime gate's other half: past MaxPayloadIdCollect bucket
+    // hashes (nRows x bands), collecting the probe set would cost a job
+    // to push a list the parquet In-conversion bound rejects anyway —
+    // the read must stay the plain (pruned-column) scan, exact either way
+    val t = freshTable()
+    val corpus = Seq.tabulate(70)(i => (i.toLong * 2,
+      s"bulk corpus doc $i " + (0 until 12).map(w => s"b${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalMinHash.processBatch(spark, corpus, "text", "doc_id", t,
+      corpus, threshold = 0.5, batchId = 0L).collect()
+    // 70 docs x 16 bands = 1120 > 1024: the bulk regime
+    val dupText = corpus.filter(col("doc_id") === 6L).head().getString(1)
+    val bulk = Seq.tabulate(70)(i => (10000L + i,
+      if (i == 0) dupText + " tail"
+      else s"fresh bulk doc $i " + (0 until 12).map(w => s"f${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = statuses(IncrementalMinHash.processBatch(spark, bulk, "text",
+      "doc_id", t, corpus.unionByName(bulk), threshold = 0.5, batchId = 1L))
+    assert(r(10000L) == "dup_of_index", r(10000L))
+    assert(r.values.count(_ == "kept") == 69, r.values.groupBy(identity).view.mapValues(_.size).toMap)
+    val plan = IncrementalMinHash.lastIndexBands.get
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("In(bucket"), plan.take(2000))
+  }
+
   test("lookupPairs is read-only and finds the planted near-dup") {
     val t = freshTable()
     IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
