@@ -1601,6 +1601,85 @@ object SparkEntry {
         col("oov_flagged").cast("bigint").as("oov_flagged"))
   }
 
+  /** The composed pipeline on the MINHASH dedup backend
+    * ([[graft.pipelines.IngestPipeline.DedupBackend.MinHash]]):
+    * q_ingest_pipeline's shape with stage 1 served by the banded
+    * MinHash index — O(bands) constant-size rows per doc — plus the
+    * pipeline-maintained doc store (fifth artifact, same txn identity)
+    * that candidate verification fetches text from. Threshold 0.3, the
+    * minhash family setting where LSH recall is complete on this
+    * corpus (q_dedup_minhash margin data), so the oracle replays the
+    * exact truth: statuses AND the OOV gate against the batch-0 KEPT
+    * vocabulary, end to end in DuckDB. */
+  private def qIngestPipelineMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("embedding", array(
+        pmod(xxhash64(col("text")), lit(1000)).cast("double") / lit(1000.0),
+        lit(0.25), lit(0.5), lit(0.75)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingestpipemh").toString
+    val cfg = graft.pipelines.IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "entry-pipe-mh",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
+      threshold = 0.3, oovGate = 0.5,
+      dedupBackend = graft.pipelines.IngestPipeline.DedupBackend.MinHash(),
+      docStore = Some(s"$root/docstore"))
+    val r0 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), cfg, 0L)
+    val r1 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), cfg, 1L)
+    r0.unionByName(r1)
+      .select(col("id").as("doc_id"), col("__batch").as("batch"),
+        col("status"), col("n_tokens"), col("n_oov"), col("oov_rate"),
+        col("oov_flagged").cast("bigint").as("oov_flagged"))
+  }
+
+  /** The composed pipeline with the SEMANTIC near-dup gate on
+    * ([[graft.pipelines.IngestPipeline.Config.semanticThreshold]] →
+    * [[graft.similarity.IncrementalIvf.nearDupPairs]]): real 64-dim
+    * embeddings joined onto the documents, batch-1 docs probed against
+    * the IVF index of batch-0's KEPT embeddings (pinned pre-batch),
+    * each doc's best indexed neighbour by exact cosine within its
+    * probed cell recorded as `sem_dup_of`/`sem_sim` beside the usual
+    * decision columns. The oracle replays EVERYTHING relationally in
+    * DuckDB: dedup statuses (recursive components), the kept-0 index
+    * membership, the argmin cell assignment over the same two centroid
+    * vectors (read from the embeddings table — no literals), the
+    * rounded-cosine threshold, and the (cos desc, id asc) top-1 rule.
+    * The OOV columns ride along as in q_ingest_pipeline. */
+  private def qIngestPipelineSemantic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 2)
+      .orderBy(col("vec_id")).collect()
+      .map(r => graft.similarity.Ivf.Centroid(r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingestpipesem").toString
+    val cfg = graft.pipelines.IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "entry-pipe-sem", centroids = cents,
+      threshold = 0.6, oovGate = 0.5,
+      semanticThreshold = Some(0.4), semanticNProbe = 1)
+    val r0 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), cfg, 0L)
+    val r1 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), cfg, 1L)
+    r0.unionByName(r1)
+      .select(col("id").as("doc_id"), col("__batch").as("batch"),
+        col("status"), col("sem_dup_of"), col("sem_sim"),
+        col("n_tokens"), col("n_oov"), col("oov_rate"),
+        col("oov_flagged").cast("bigint").as("oov_flagged"))
+  }
+
   /** Cross-writer duplicate reconciliation
     * ([[graft.dedup.IncrementalDedup.reconcile]] +
     * [[graft.dedup.IncrementalDedup.applyReconciliation]]): two parity
@@ -4830,6 +4909,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_index_lookup"   -> (qIndexLookup _),
     "q_ingest_pipeline" -> (qIngestPipeline _),
+    "q_ingest_pipeline_minhash" -> (qIngestPipelineMinhash _),
+    "q_ingest_pipeline_semantic" -> (qIngestPipelineSemantic _),
     "q_reconcile"      -> (qReconcile _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
     "q_minhash_lookup" -> (qMinhashLookup _),
@@ -8261,6 +8342,188 @@ object SparkEntry {
         FROM base)
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
         CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
+        CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
+      FROM rated""",
+    // the composed pipeline on the minhash backend: q_ingest_pipeline's
+    // oracle at the minhash family threshold 0.3 — exact-verified
+    // candidates + complete LSH recall on this corpus make the banded
+    // index's statuses the exact truth, so the same end-to-end replay
+    // (statuses -> batch-0 kept vocabulary -> per-doc OOV) applies
+    "q_ingest_pipeline_minhash" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb),
+      status AS (
+        SELECT sh.doc_id, sh.batch,
+          CASE WHEN sh.doc_id IN (SELECT id FROM dupidx) THEN 'dup_of_index'
+               WHEN sh.doc_id = comp.cluster THEN 'kept'
+               ELSE 'dup_within_batch' END AS status
+        FROM sh JOIN comp ON comp.id = sh.doc_id),
+      kept0 AS (SELECT doc_id FROM status WHERE batch = 0 AND status = 'kept'),
+      vocab AS (
+        SELECT DISTINCT unnest(string_split(lower(d.text), ' ')) AS term
+        FROM documents d JOIN kept0 k USING (doc_id)),
+      vocab2 AS (SELECT term FROM vocab WHERE length(term) > 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tok2 GROUP BY 1),
+      oov1 AS (
+        SELECT t.doc_id,
+          CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov
+        FROM tok2 t LEFT JOIN vocab2 v ON t.term = v.term
+        WHERE t.doc_id % 2 = 1 GROUP BY 1),
+      base AS (
+        SELECT s.doc_id, s.batch, s.status,
+          COALESCE(c.n_tokens, 0) AS n_tokens,
+          CASE WHEN s.batch = 0 THEN COALESCE(c.n_tokens, 0)
+               ELSE COALESCE(o.n_oov, 0) END AS n_oov
+        FROM status s
+        LEFT JOIN cnt c ON c.doc_id = s.doc_id
+        LEFT JOIN oov1 o ON o.doc_id = s.doc_id),
+      rated AS (
+        SELECT *,
+          CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_rate
+        FROM base)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
+        CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
+      FROM rated""",
+    // the composed pipeline with the semantic gate: q_ingest_pipeline's
+    // replay plus a full relational re-derivation of the embedding leg —
+    // centroids read from the embeddings table, argmin cell assignment
+    // (list_sum over ascending squared diffs = the scan-side fold,
+    // bit-identical), kept-batch-0 index membership, rounded-cosine
+    // threshold, (cos desc, id asc) top-1
+    "q_ingest_pipeline_semantic" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % 2 AS batch,
+          string_split(lower(text), ' ') AS w
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      sh AS (SELECT doc_id, batch,
+               list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          >= 0.6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs WHERE ba = bb
+        UNION ALL
+        SELECT ib, ia FROM pairs WHERE ba = bb),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      dupidx AS (
+        SELECT DISTINCT CASE WHEN ba < bb THEN ib ELSE ia END AS id
+        FROM pairs WHERE ba <> bb),
+      status AS (
+        SELECT sh.doc_id, sh.batch,
+          CASE WHEN sh.doc_id IN (SELECT id FROM dupidx) THEN 'dup_of_index'
+               WHEN sh.doc_id = comp.cluster THEN 'kept'
+               ELSE 'dup_within_batch' END AS status
+        FROM sh JOIN comp ON comp.id = sh.doc_id),
+      kept0 AS (SELECT doc_id FROM status WHERE batch = 0 AND status = 'kept'),
+      emb AS (SELECT vec_id AS doc_id,
+                CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cell,
+                  CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 2),
+      diffs AS (SELECT e.doc_id, c.cell,
+                  list_transform(generate_series(1, len(e.v)),
+                    i -> e.v[i] - c.c[i]) AS dv
+                FROM emb e CROSS JOIN cents c),
+      -- list_dot_product(dv, dv): the ascending sequential fold, bit-
+      -- identical to the scan-side aggregate(zip_with(...)) distance
+      dist AS (SELECT doc_id, cell, list_dot_product(dv, dv) AS dd
+               FROM diffs),
+      assign AS (SELECT doc_id, cell FROM (
+          SELECT doc_id, cell,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY dd ASC, cell ASC) AS rn
+          FROM dist) WHERE rn = 1),
+      cand AS (
+        SELECT p.doc_id, ie.doc_id AS near_id,
+          round(list_dot_product(pe.v, ie.v)
+            / (sqrt(list_dot_product(pe.v, pe.v))
+             * sqrt(list_dot_product(ie.v, ie.v))), 6) AS cos_sim
+        FROM status p
+        JOIN emb pe ON pe.doc_id = p.doc_id
+        JOIN assign pa ON pa.doc_id = p.doc_id
+        JOIN kept0 k ON TRUE
+        JOIN assign ia ON ia.doc_id = k.doc_id AND ia.cell = pa.cell
+        JOIN emb ie ON ie.doc_id = k.doc_id
+        WHERE p.batch = 1),
+      sem AS (SELECT doc_id, near_id, cos_sim FROM (
+          SELECT doc_id, near_id, cos_sim,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY cos_sim DESC, near_id ASC) AS rn
+          FROM cand WHERE cos_sim >= 0.4) WHERE rn = 1),
+      tok AS (
+        SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS term
+        FROM documents d JOIN emb USING (doc_id)),
+      vocab AS (
+        SELECT DISTINCT unnest(string_split(lower(d.text), ' ')) AS term
+        FROM documents d JOIN kept0 k USING (doc_id)),
+      vocab2 AS (SELECT term FROM vocab WHERE length(term) > 0),
+      tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tok2 GROUP BY 1),
+      oov1 AS (
+        SELECT t.doc_id,
+          CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov
+        FROM tok2 t LEFT JOIN vocab2 v ON t.term = v.term
+        WHERE t.doc_id % 2 = 1 GROUP BY 1),
+      base AS (
+        SELECT s.doc_id, s.batch, s.status,
+          m.near_id AS sem_dup_of, m.cos_sim AS sem_sim,
+          COALESCE(c.n_tokens, 0) AS n_tokens,
+          CASE WHEN s.batch = 0 THEN COALESCE(c.n_tokens, 0)
+               ELSE COALESCE(o.n_oov, 0) END AS n_oov
+        FROM status s
+        LEFT JOIN sem m ON m.doc_id = s.doc_id
+        LEFT JOIN cnt c ON c.doc_id = s.doc_id
+        LEFT JOIN oov1 o ON o.doc_id = s.doc_id),
+      rated AS (
+        SELECT *,
+          CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_rate
+        FROM base)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(batch AS BIGINT) AS batch, status,
+        CAST(sem_dup_of AS BIGINT) AS sem_dup_of, sem_sim,
+        n_tokens, n_oov, oov_rate,
         CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
       FROM rated""",
     // minhash lookup: every (odd probe, even indexed) pair with exact

@@ -1525,7 +1525,15 @@ object IncrementalDedup {
     val fromPostings =
       if (!postingsUsable) None
       else Some {
-        val p = VersionedTable.read(spark, pt)
+        // pinned at ptLatest, NOT latest-at-read: rebuildFloor was
+        // computed from ptLatest's closure, and an unpinned read lets a
+        // rebuild/compaction overwrite land between the two — its rows
+        // all retagged v = the rebuild's doc version, so a reader
+        // pinned below would filter out EVERY posting while its (stale)
+        // floor still said the postings were usable: an empty index leg
+        // and silently re-kept dups. Pinning makes floor and rows
+        // describe the same snapshot under any interleaving.
+        val p = VersionedTable.readVersion(spark, pt, ptLatest)
         // v <= ver: snapshot purity (excludes racing writers' newer
         // postings and a replayed batch's own rows); b IN buckets:
         // the pushed row-group prune. Empty batch reads nothing.

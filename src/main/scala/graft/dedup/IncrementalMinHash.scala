@@ -57,22 +57,39 @@ object IncrementalMinHash {
   private[graft] def geometryPath(indexTable: String): java.nio.file.Path =
     java.nio.file.Paths.get(indexTable, "_graft_minhash_kb")
 
-  private def pinGeometry(indexTable: String, k: Int, bands: Int): Unit = {
+  private def requireGeometry(indexTable: String, k: Int, bands: Int,
+                              got: (Int, Int)): Unit =
+    require(got == ((k, bands)),
+      s"minhash geometry drift: index $indexTable was built with " +
+        s"(k=${got._1}, bands=${got._2}), got (k=$k, bands=$bands) — " +
+        "rebuild to a NEW table to change the signature geometry")
+
+  /** First-writer-wins: the move does NOT replace an existing pin, so
+    * two first-commit writers racing with DIFFERENT geometries cannot
+    * clobber each other — whoever lands first owns the table and the
+    * loser's require fires before it commits any rows banded under the
+    * losing geometry (the last-writer-wins variant would leave earlier
+    * rows bucketed under a geometry the pin no longer describes —
+    * silent missed candidates, the nb-sidecar bug class).
+    */
+  private[graft] def pinGeometry(indexTable: String, k: Int, bands: Int): Unit = {
     val p = geometryPath(indexTable)
-    if (java.nio.file.Files.isRegularFile(p)) {
-      val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .trim.split("\\s+")
-      require(parts(0).toInt == k && parts(1).toInt == bands,
-        s"minhash geometry drift: index $indexTable was built with " +
-          s"(k=${parts(0)}, bands=${parts(1)}), got (k=$k, bands=$bands) — " +
-          "rebuild to a NEW table to change the signature geometry")
-    } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = p.resolveSibling(s".${p.getFileName}.${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, s"$k $bands".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    readGeometry(indexTable) match {
+      case Some(got) => requireGeometry(indexTable, k, bands, got)
+      case None =>
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.resolveSibling(s".${p.getFileName}.${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, s"$k $bands".getBytes("UTF-8"))
+        // createLink, not ATOMIC_MOVE: a POSIX atomic move is rename(),
+        // which silently REPLACES an existing target — hard-link
+        // creation is the atomic fail-if-exists primitive
+        try java.nio.file.Files.createLink(p, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            requireGeometry(indexTable, k, bands, readGeometry(indexTable)
+              .getOrElse(throw new IllegalStateException(
+                s"unreadable geometry pin at $p")))
+        } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }
 
@@ -310,7 +327,14 @@ object IncrementalMinHash {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("id_new", "id_old", "jaccard", "n_shared_bands")
     }
-    pinGeometry(indexTable, k, bands)
+    // validate-only: a read path must never CREATE the pin (it could
+    // stamp the caller's geometry onto a table whose rows were banded
+    // under another one). ver >= 0 here, and every ingest pins before
+    // its first commit, so a missing pin means a damaged table.
+    requireGeometry(indexTable, k, bands, readGeometry(indexTable)
+      .getOrElse(throw new IllegalStateException(
+        s"no pinned geometry at ${geometryPath(indexTable)} — " +
+          "lookup probes an ingested index, which always pins one")))
     val sigs = Dedup.minhashSignatures(probe, textCol, idCol, k)
       .localCheckpoint()
     val docs = probe.select(col(idCol).cast("long").as("__id"),

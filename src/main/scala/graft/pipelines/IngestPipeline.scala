@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.IncrementalDedup
+import graft.dedup.{IncrementalDedup, IncrementalMinHash}
 import graft.similarity.{IncrementalIvf, Ivf}
 import graft.sources.VersionedTable
 import graft.text.IncrementalStats
@@ -18,7 +18,9 @@ import graft.text.IncrementalStats
   *   3. the IVF vector index over the KEPT docs' embeddings,
   *      [[graft.similarity.IncrementalIvf]];
   *   4. the per-doc decision record (dedup status + OOV quality gate),
-  *      hive-partitioned by `__batch` with dynamic partition overwrite.
+  *      hive-partitioned by `__batch` with dynamic partition overwrite;
+  *   5. (MinHash backend only) the doc store — `id, text` of every
+  *      ingested doc, the relation candidate verification fetches from.
   *
   * Exactly-once without a cross-table transaction: every VersionedTable
   * commit carries the same `(appId, batchId)` txn tag, and each table's
@@ -43,6 +45,29 @@ import graft.text.IncrementalStats
   * quality gate that deletes a new language from the corpus.
   */
 object IngestPipeline {
+
+  /** Which incremental dedup index backs the pipeline's stage 1.
+    *
+    * [[DedupBackend.Exact]] — the AllPairs prefix index
+    * ([[IncrementalDedup]]): self-contained (the index stores the
+    * shingle payload), exact recall. Per-doc index footprint is
+    * O(doc length).
+    *
+    * [[DedupBackend.MinHash]] — the banded MinHash index
+    * ([[IncrementalMinHash]]): O(bands) CONSTANT-size longs per doc —
+    * the 100 TB choice when documents are long — at the price of LSH
+    * recall (candidates are still EXACT-verified, so no false dups).
+    * Verification fetches candidate text from a doc store the pipeline
+    * itself maintains (`Config.docStore`, a VersionedTable of every
+    * ingested doc's `id, text`) under the same `(appId, batchId)` txn
+    * identity as everything else — the pipeline stays exactly-once
+    * with FIVE artifacts instead of four.
+    */
+  sealed trait DedupBackend
+  object DedupBackend {
+    case object Exact extends DedupBackend
+    final case class MinHash(k: Int = 64, bands: Int = 16) extends DedupBackend
+  }
 
   final case class Config(
     textCol: String,
@@ -83,8 +108,27 @@ object IngestPipeline {
     // a streaming pipeline's batches are serial by construction — the
     // modulus cutover cannot race an in-flight probe. Leave false when
     // several writers share cfg.dedupIndex; re-bucket at an
-    // orchestrated quiesce instead.
-    autoRebucket: Boolean = false)
+    // orchestrated quiesce instead. Exact backend only (the MinHash
+    // layout has no modulus to re-scale).
+    autoRebucket: Boolean = false,
+    // SEMANTIC near-dup gate (opt-in): when set, each doc is probed
+    // against the IVF index pinned BEFORE this batch (the kept corpus's
+    // embeddings) via IncrementalIvf.nearDupPairs, and the decision
+    // record gains `sem_dup_of` (the best indexed neighbour's id, null
+    // when none clears the bar) and `sem_sim` (its exact cosine,
+    // 6-decimal grid). Like the OOV gate it FLAGS, never drops: an
+    // embedding-similarity heuristic must not silently delete
+    // paraphrases the curation step wanted to triage. Recall is IVF's
+    // nProbe contract.
+    semanticThreshold: Option[Double] = None,
+    semanticNProbe: Int = 1,
+    // stage-1 index choice; MinHash additionally requires `docStore`
+    dedupBackend: DedupBackend = DedupBackend.Exact,
+    // VersionedTable path for the pipeline-maintained doc store
+    // (`id, text` of EVERY ingested doc — kept and dup alike: the
+    // MinHash index has band rows for all of them, and a candidate's
+    // text must be fetchable). Required iff dedupBackend is MinHash.
+    docStore: Option[String] = None)
 
   /** The stats-table version this batch's OOV gate must read: the
     * latest on a fresh ingest, the version just BELOW this txn's
@@ -137,8 +181,9 @@ object IngestPipeline {
   }
 
   /** Ingest one micro-batch. Returns (and persists) the decision
-    * record: `id, status, n_tokens, n_oov, oov_rate, oov_flagged,
-    * __batch`.
+    * record: `id, status, n_tokens, n_oov, oov_rate, oov_flagged[,
+    * sem_dup_of, sem_sim], __batch` (the sem columns appear when
+    * `Config.semanticThreshold` is set).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
                    batchId: Long): DataFrame = {
@@ -202,12 +247,57 @@ object IngestPipeline {
           cfg.statsIndex, Some(statsVer))
       }
 
-    // dedup statuses (commits the signature index + tf sidecar under
-    // the txn identity; pure under replay)
-    val status = IncrementalDedup.processBatch(spark, docs, "__text",
-        "__id", cfg.dedupIndex, cfg.threshold, batchId, cfg.shingleN,
-        txnApp = Some(cfg.appId), txn = Some(batchId))
-      .select(col("id"), col("status")).localCheckpoint()
+    // semantic near-dup gate against the IVF index pinned BEFORE this
+    // batch's own append — same pin rule as the stats gate, so replays
+    // are pure. Lazy (evaluated when the caller writes the record,
+    // possibly after the ivf future commits) but version-pinned, so the
+    // late evaluation reads exactly the pre-batch snapshot.
+    val sem = cfg.semanticThreshold.map { t =>
+      val ivfVer = pinnedStatsVersion(cfg.ivfIndex, cfg.appId, batchId)
+      IncrementalIvf.nearDupPairs(spark, docs, "__emb", "__id",
+        cfg.centroids, cfg.ivfIndex, t, cfg.semanticNProbe,
+        version = Some(ivfVer))
+    }
+
+    // dedup statuses (commits the signature/band index — and, exact
+    // backend, the tf sidecar — under the txn identity; pure under
+    // replay)
+    val status = (cfg.dedupBackend match {
+      case DedupBackend.Exact =>
+        IncrementalDedup.processBatch(spark, docs, "__text",
+          "__id", cfg.dedupIndex, cfg.threshold, batchId, cfg.shingleN,
+          txnApp = Some(cfg.appId), txn = Some(batchId))
+      case DedupBackend.MinHash(k, bands) =>
+        val storeTbl = cfg.docStore.getOrElse(throw new IllegalArgumentException(
+          "the MinHash dedup backend requires cfg.docStore — candidate " +
+            "verification fetches index docs' text from it"))
+        // doc store commits FIRST: band rows whose text is missing from
+        // the store would let a LATER batch's candidate verify silently
+        // drop the pair (missed duplicate); text without band rows is
+        // inert — it is never a candidate. A crash between the two
+        // replays the batch: the store skips its append, the band
+        // commit redoes. Files are id-sorted and data-sized so the
+        // verify stage's In(id) pushdown prunes at row-group level.
+        val storeReplayed = VersionedTable.txnMaxes(storeTbl)
+          .get(cfg.appId).exists(_ >= batchId)
+        if (!storeReplayed) {
+          val nDocs = docs.count() // local scan of the checkpoint
+          VersionedTable.commit(
+            docs.select(col("__id").as("id"), col("__text").as("text"))
+              .coalesce(math.max(1L, nDocs / 200000L).toInt)
+              .sortWithinPartitions(col("id")),
+            storeTbl, "append", Some(batchId), Some(cfg.appId),
+            expectedVersion = None)
+        }
+        // unpinned read is sound: the store is append-only immutable-
+        // by-id, and candidate ids come from the INDEX snapshot pinned
+        // inside processBatch — extra newer texts are never fetched
+        val store = VersionedTable.read(spark, storeTbl)
+          .select(col("id").as("__id"), col("text").as("__text"))
+        IncrementalMinHash.processBatch(spark, docs, "__text", "__id",
+          cfg.dedupIndex, store, cfg.threshold, batchId, k, bands,
+          cfg.shingleN, txnApp = Some(cfg.appId), txn = Some(batchId))
+    }).select(col("id"), col("status")).localCheckpoint()
 
     // the kept subset feeds the corpus-statistics and vector indexes:
     // both describe the DEDUPED corpus, so dup docs contribute nothing.
@@ -246,12 +336,16 @@ object IngestPipeline {
     statsF.value.get.get
     ivfF.value.get.get
 
-    status.join(oov, Seq("id"), "left")
+    val rec = status.join(oov, Seq("id"), "left")
       .select(col("id"), col("status"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("oov_rate"), lit(0.0)).as("oov_rate"))
       .withColumn("oov_flagged", col("oov_rate") >= cfg.oovGate)
+    sem.fold(rec)(s => rec.join(
+        s.select(col("id"), col("near_id").as("sem_dup_of"),
+          col("cos_sim").as("sem_sim")),
+        Seq("id"), "left"))
       .withColumn("__batch", lit(batchId))
   }
 
@@ -270,23 +364,39 @@ object IngestPipeline {
     *     the retention contract.
     */
   def maintenance(spark: SparkSession, cfg: Config, batchId: Long): Unit = {
+    val exact = cfg.dedupBackend == DedupBackend.Exact
     if (batchId % cfg.compactEvery == cfg.compactEvery - 1) {
-      IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
+      if (exact) IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
       IncrementalStats.compact(spark, cfg.statsIndex)
     }
     cfg.optimizeEvery.foreach { every =>
       if (batchId % every == every - 1) {
-        IncrementalDedup.compactIndex(spark, cfg.dedupIndex,
-          autoRebucket = cfg.autoRebucket)
+        if (exact)
+          IncrementalDedup.compactIndex(spark, cfg.dedupIndex,
+            autoRebucket = cfg.autoRebucket)
+        else {
+          IncrementalMinHash.compactIndex(spark, cfg.dedupIndex)
+          // re-cluster the doc store by id so the verify fetch's In(id)
+          // pushdown keeps pruning after many small appends
+          cfg.docStore.filter(VersionedTable.latestVersion(_) >= 0)
+            .foreach { tbl =>
+              val files = math.max(1L,
+                VersionedTable.read(spark, tbl).count() / 200000L).toInt
+              VersionedTable.compactBy(spark, tbl)(df =>
+                df.repartitionByRange(files, col("id"))
+                  .sortWithinPartitions(col("id")))
+            }
+        }
         if (graft.sources.VersionedTable.latestVersion(cfg.ivfIndex) >= 0)
           VersionedTable.compactBy(spark, cfg.ivfIndex)(df =>
             df.repartition(col("cell_id"))
               .sortWithinPartitions(col("cell_id")))
         cfg.retainVersions.foreach { keep =>
-          Seq(cfg.dedupIndex,
-              IncrementalDedup.postingsTable(cfg.dedupIndex),
-              IncrementalDedup.tokenFreqTable(cfg.dedupIndex),
-              cfg.statsIndex, cfg.ivfIndex)
+          (Seq(cfg.dedupIndex, cfg.statsIndex, cfg.ivfIndex)
+             ++ (if (exact)
+                   Seq(IncrementalDedup.postingsTable(cfg.dedupIndex),
+                     IncrementalDedup.tokenFreqTable(cfg.dedupIndex))
+                 else cfg.docStore.toSeq))
             .foreach { tbl =>
               val head = VersionedTable.latestVersion(tbl)
               if (head >= 0) VersionedTable.vacuum(tbl, head - keep)

@@ -138,6 +138,63 @@ object IncrementalIvf {
           batchId, txnApp = Some(appId), txn = Some(batchId))
     }
 
+  /** Embedding-cosine near-duplicate probe of a whole BATCH against the
+    * persisted index — the semantic-dedup ingest gate: for each batch
+    * doc, the single best indexed neighbour (highest exact cosine, ties
+    * to the lower id) among the rows of its `nProbe` nearest cells,
+    * kept only when that cosine (rounded to 6, the oracle grid) clears
+    * `threshold`. Output: `id, near_id, cos_sim` — at most one row per
+    * batch doc; docs with no neighbour over the bar are absent (the
+    * caller left-joins).
+    *
+    * Distributed end to end, unlike [[searchTopK]]'s one-vector
+    * driver-side probe: cell assignment is the scan-side
+    * [[Ivf.probeCells]] expression, candidates come from ONE `cell_id`
+    * equi-join, and the probed-cell set (≤ nCells ints — the centroid
+    * seq is already driver-sized) is collected and PUSHED into the
+    * index scan so the cell-clustered layout prunes unprobed row
+    * groups, exactly as searchTopK's plan does. The read pins
+    * `version` (default latest), so an ingest gate evaluating lazily
+    * after its own batch commits stays pure — same rule as every other
+    * pinned index read. Recall is IVF's contract: a true neighbour
+    * assigned to an unprobed cell is missed; raise `nProbe` to trade
+    * read volume for recall.
+    */
+  def nearDupPairs(spark: SparkSession, batch: DataFrame, embCol: String,
+                   idCol: String, cents: Seq[Ivf.Centroid], table: String,
+                   threshold: Double, nProbe: Int = 1,
+                   version: Option[Long] = None): DataFrame = {
+    val ver = version.getOrElse(VersionedTable.latestVersion(table))
+    if (ver < 0) {
+      val sp = spark; import sp.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id", "near_id", "cos_sim")
+    }
+    val q = batch
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(embCol)).cast("array<double>").as("__q"))
+      .withColumn("cell_id",
+        explode(Ivf.probeCells(col("__q"), cents, nProbe)))
+      .withColumn("__qn", Similarity.norm(col("__q")))
+      .localCheckpoint() // one scan feeds the cell collect AND the join
+    val cells = q.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nCells
+    val idx = VersionedTable.readVersion(spark, table, ver)
+      .select(col("id").as("near_id"), col("cell_id"), col("vec"))
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    val cand = q.join(pruned, Seq("cell_id"))
+      .filter(col("near_id") =!= col("id")) // a doc is not its own near-dup
+      .select(col("id"), col("near_id"),
+        round(graft.functions.DotProduct.dotProduct(col("vec"), col("__q"))
+          / (Similarity.norm(col("vec")) * col("__qn")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    import org.apache.spark.sql.expressions.Window
+    cand.withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("cos_sim").desc, col("near_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Centroids persisted as a VersionedTable (`cell_id: int, values:
     * array<double>`) so a restarted query/ingest process can reload the
     * pinned centroids its index rows were assigned under — and time
@@ -201,13 +258,30 @@ object IncrementalIvf {
     * corrupt every ADC distance. Refuses loudly on drift; [[retrain]]
     * is the sanctioned cutover (new table, new codebook, atomic per
     * client).
+    *
+    * First-writer-wins under concurrency: the first save is pinned to
+    * land at version 0 (`expectedVersion = Some(-1)`), so two racing
+    * first appends with DIFFERENT codebooks cannot clobber each other
+    * — the loser's conflict exception re-reads the landed codebook and
+    * either proceeds (same content) or refuses loudly, BEFORE its
+    * index rows commit codes encoded under the losing codebook.
     */
   private def pinCodebook(spark: SparkSession, cb: Pq.Codebook,
-                          table: String): Unit =
-    if (VersionedTable.latestVersion(table) < 0) { saveCodebook(spark, cb, table); () }
-    else require(loadCodebook(spark, table) == cb,
+                          table: String): Unit = {
+    def requireSame(): Unit = require(loadCodebook(spark, table) == cb,
       s"codebook drift: the codebook passed to addBatch differs from the " +
         s"one pinned in $table — retrain to a NEW table to change codebooks")
+    if (VersionedTable.latestVersion(table) < 0) {
+      import spark.implicits._
+      try VersionedTable.commit(
+        (for { s <- 0 until cb.m; c <- 0 until cb.k }
+          yield (s, c, cb.cents(s)(c))).toDF("s", "code", "values"),
+        table, "overwrite", None, None, expectedVersion = Some(-1L))
+      catch {
+        case _: java.util.ConcurrentModificationException => requireSame()
+      }
+    } else requireSame()
+  }
 
   /** Top-k by asymmetric-distance computation over the persisted index
     * at `version`: probe the nProbe nearest cells, rank by the ADC

@@ -31,22 +31,24 @@ object Ivf {
     * (Spark 4's Column API drops aliases on structs built inside arrays,
     * so the struct fields are extracted by their auto-names col1/col2.)
     */
-  def assignCell(emb: Column, cents: Seq[Centroid]): Column = {
+  // One Catalyst Literal holding the whole centroid matrix: it lands in
+  // the codegen `references` array instead of being inlined as source
+  // (array(lit(...), ...) inlines every double and janino recompiles
+  // the giant initializer for every new centroid set), and it dodges
+  // typedLit's runtime reflection (which degrades to an untyped
+  // Object-array literal under REPL-style classloaders).
+  private def centroidMatrix(cents: Seq[Centroid]): Column = {
     require(cents.zipWithIndex.forall { case (c, i) => c.cellId == i },
       "centroid cellIds must be 0..n-1 in order")
-    // One Catalyst Literal holding the whole centroid matrix: it lands in
-    // the codegen `references` array instead of being inlined as source
-    // (array(lit(...), ...) inlines every double and janino recompiles
-    // the giant initializer for every new centroid set), and it dodges
-    // typedLit's runtime reflection (which degrades to an untyped
-    // Object-array literal under REPL-style classloaders).
-    val arr = {
-      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
-      import org.apache.spark.sql.types.{ArrayType, DoubleType}
-      org.apache.spark.sql.graft.bridge.toColumn(
-        CatLit.create(cents.map(_.values.toArray).toArray,
-          ArrayType(ArrayType(DoubleType, false), false)))
-    }
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    org.apache.spark.sql.graft.bridge.toColumn(
+      CatLit.create(cents.map(_.values.toArray).toArray,
+        ArrayType(ArrayType(DoubleType, false), false)))
+  }
+
+  def assignCell(emb: Column, cents: Seq[Centroid]): Column = {
+    val arr = centroidMatrix(cents)
     val dists = transform(arr, c =>
       aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     // argmin = 1-based position of the min distance; first occurrence wins
@@ -57,6 +59,32 @@ object Ivf {
     // evaluate the whole distance transform twice per row.
     element_at(transform(array(dists), ds =>
       (array_position(ds, array_min(ds)) - 1).cast("int")), 1)
+  }
+
+  /** The `nProbe` nearest cell ids for each row's embedding, as one
+    * scan-side expression — [[assignCell]]'s multi-probe sibling, for
+    * DISTRIBUTED probes (a whole batch of query vectors at once, where
+    * `searchTopK`'s driver-side probe set is one vector). Deterministic:
+    * distance ties break on the lower cell id ((dist, cell) structs
+    * sort field-by-field). The single-element transform binds the
+    * distance array once, as in [[assignCell]].
+    */
+  def probeCells(emb: Column, cents: Seq[Centroid], nProbe: Int): Column = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val arr = centroidMatrix(cents)
+    val dists = transform(arr, c =>
+      aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // comparator sort of the cell INDICES by their distance (structs
+    // built inside lambdas get unstable auto field names in Spark 4, so
+    // no (dist, cell) struct): strictly-less/greater on the distances,
+    // index difference as the deterministic tie-break
+    element_at(transform(array(dists), ds =>
+      transform(
+        slice(array_sort(sequence(lit(0), lit(cents.size - 1)),
+          (l, r) => when(element_at(ds, l + 1) < element_at(ds, r + 1), lit(-1))
+            .when(element_at(ds, l + 1) > element_at(ds, r + 1), lit(1))
+            .otherwise(l - r)), 1, nProbe),
+        c => c.cast("int"))), 1)
   }
 
   /** Lloyd's iterations; deterministic init = the nCells lowest-id

@@ -335,4 +335,73 @@ class IncrementalIvfSpec extends AnyFunSuite {
       codebook = res.codebook)
     assert(VersionedTable.latestVersion(t2) == res.newVersion + 1)
   }
+
+  test("nearDupPairs: planted semantic near-dup flagged with exact cosine; nProbe bounds recall; version-pinned") {
+    // two well-separated cells; planted vectors make every expected
+    // cosine exact and deterministic
+    val cents = Seq(Ivf.Centroid(0, Seq(1.0, 0.0, 0.0, 0.0)),
+      Ivf.Centroid(1, Seq(0.0, 1.0, 0.0, 0.0)))
+    val t = freshTable()
+    val b0 = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // cell 0
+      (2L, Array(0f, 1f, 0f, 0f)),     // cell 1
+      (4L, Array(0.9f, 0.45f, 0f, 0f)) // cell 0 (closer to c0)
+    ).toDF("vec_id", "embedding")
+    IncrementalIvf.addBatch(spark, b0, "embedding", "vec_id", cents, t, 0L)
+
+    // probe batch: 11 ~= doc 0's direction (cell 0, cos ~1); 13 is
+    // equidistant-ish but lands cell 1, whose best neighbour is doc 2;
+    // 15 is orthogonal to everything indexed in its cell (no flag)
+    val probe = Seq(
+      (11L, Array(0.99f, 0.01f, 0f, 0f)),
+      (13L, Array(0f, 0.98f, 0.1f, 0f)),
+      (15L, Array(0f, 0f, 1f, 0f))) // cell 0 or 1 by tie, cos 0 to all
+      .toDF("vec_id", "embedding")
+    val got = IncrementalIvf.nearDupPairs(spark, probe, "embedding",
+        "vec_id", cents, t, threshold = 0.5, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(11L, 13L), got)
+    assert(got(11L)._1 == 0L && got(11L)._2 > 0.99, got(11L))
+    assert(got(13L)._1 == 2L && got(13L)._2 > 0.9, got(13L))
+
+    // recall is the nProbe contract: probe (0.6, 0.8) is ASSIGNED cell 1
+    // (closer to c1), where its best neighbour is doc 2 (cos 0.8) — but
+    // its true best is doc 4 (cos ~0.894) sitting in cell 0. nProbe=1
+    // settles for doc 2; nProbe=2 finds doc 4.
+    val cross = Seq((21L, Array(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val p1 = IncrementalIvf.nearDupPairs(spark, cross, "embedding",
+        "vec_id", cents, t, threshold = 0.5, nProbe = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val p2 = IncrementalIvf.nearDupPairs(spark, cross, "embedding",
+        "vec_id", cents, t, threshold = 0.5, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(p1.map(_._1).toSeq == Seq(2L), s"nProbe=1 should see only cell 1: $p1")
+    assert(p2.map(_._1).toSeq == Seq(4L), s"nProbe=2 should find the cross-cell best: $p2")
+    assert(p2.head._2 > p1.head._2,
+      s"wider probe must strictly improve here: $p1 vs $p2")
+
+    // version pinning: a probe pinned at version 0 ignores a later
+    // append that contains an exact copy of the probe vector
+    IncrementalIvf.addBatch(spark,
+      Seq((30L, Array(0.99f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents, t, 1L)
+    val pinned = IncrementalIvf.nearDupPairs(spark,
+        probe.filter(col("vec_id") === 11L), "embedding", "vec_id",
+        cents, t, threshold = 0.5, nProbe = 1, version = Some(0L))
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(pinned == Seq(0L), s"pinned probe saw a post-pin append: $pinned")
+    val unpinned = IncrementalIvf.nearDupPairs(spark,
+        probe.filter(col("vec_id") === 11L), "embedding", "vec_id",
+        cents, t, threshold = 0.5, nProbe = 1)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(unpinned == Seq(30L), s"latest probe missed the exact copy: $unpinned")
+
+    // empty index: empty result, correct schema
+    val none = IncrementalIvf.nearDupPairs(spark, probe, "embedding",
+      "vec_id", cents, freshTable(), threshold = 0.5)
+    assert(none.columns.toSeq == Seq("id", "near_id", "cos_sim"))
+    assert(none.count() == 0L)
+  }
 }

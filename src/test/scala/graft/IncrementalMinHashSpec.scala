@@ -278,4 +278,70 @@ class IncrementalMinHashSpec extends AnyFunSuite {
       "text", "doc_id", t, store, threshold = 0.3, batchId = 2L))
     assert(r == Map(10L -> "dup_of_index"), r)
   }
+
+  test("geometry pin is first-writer-wins: racing different geometries cannot clobber the landed pin") {
+    // Two first-commit writers racing with DIFFERENT geometries: the
+    // REPLACE_EXISTING variant let the last mover overwrite the first
+    // pin, leaving the first writer's rows banded under a geometry the
+    // pin no longer describes — silent missed candidates for every
+    // later probe. The createLink pin makes whoever lands first own
+    // the table; every thread that RETURNS must agree with the final
+    // file, and at least one side must refuse loudly.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    (1 to 5).foreach { _ =>
+      val t = freshTable()
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(8)
+      val results = (0 until 8).map { i =>
+        val geo = if (i % 2 == 0) (64, 16) else (128, 32)
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, (Int, Int)]] {
+          def call() = {
+            gate.await()
+            try { IncrementalMinHash.pinGeometry(t, geo._1, geo._2); Right(geo) }
+            catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+      val outcomes = results.map(_.get())
+      val pinned = IncrementalMinHash.readGeometry(t)
+      assert(pinned.nonEmpty, "no geometry pinned after the race")
+      val winners = outcomes.collect { case Right(g) => g }
+      assert(winners.nonEmpty)
+      assert(winners.forall(_ == pinned.get),
+        s"a writer succeeded under ${winners.distinct} but the pin says ${pinned.get}")
+      val losers = outcomes.collect { case Left(e) => e }
+      assert(losers.nonEmpty && losers.forall(
+        _.getMessage.contains("geometry drift")), losers.map(_.getMessage))
+    }
+  }
+
+  test("lookupPairs is validate-only: never creates a pin, refuses drift and a damaged table loudly") {
+    // empty index: early return, and the READ path must not stamp the
+    // caller's geometry onto the table
+    val tEmpty = freshTable()
+    assert(IncrementalMinHash.lookupPairs(spark, tEmpty, b0, "text",
+      "doc_id", store, threshold = 0.3).count() == 0L)
+    assert(IncrementalMinHash.readGeometry(tEmpty).isEmpty,
+      "read-only lookup created a geometry pin")
+
+    val t = freshTable()
+    IncrementalMinHash.processBatch(spark, b0, "text", "doc_id", t, store,
+      threshold = 0.3, batchId = 0L).collect()
+    // wrong caller geometry refuses with the drift error
+    val drift = intercept[IllegalArgumentException] {
+      IncrementalMinHash.lookupPairs(spark, t, b1, "text", "doc_id", store,
+        threshold = 0.3, k = 128, bands = 32).collect()
+    }
+    assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
+    // rows without a pin = damaged table: loud, not a silent re-pin
+    java.nio.file.Files.delete(IncrementalMinHash.geometryPath(t))
+    val damaged = intercept[IllegalStateException] {
+      IncrementalMinHash.lookupPairs(spark, t, b1, "text", "doc_id", store,
+        threshold = 0.3).collect()
+    }
+    assert(damaged.getMessage.contains("no pinned geometry"), damaged.getMessage)
+  }
 }

@@ -830,4 +830,196 @@ class StreamingSpec extends AnyFunSuite {
     // unseen: 40 hot + 2 novel tokens, all absent from batch 0's vocab)
     assert(salted(100L)._3 == 1.0, salted(100L))
   }
+
+  test("IngestPipeline semantic gate: near-dup flagged against the pinned kept-corpus index; replay pure; opt-in schema") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.sources.VersionedTable
+
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "completely different content about spark query engines and shuffles"
+    val tC = "yet another unrelated paragraph describing immigration analytics fixtures"
+    def emb(a: Float, b: Float) = Array(a, b, 0f, 0f)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipe-sem").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-sem",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(0, 1.0, 0, 0))),
+      threshold = 0.5, oovGate = 0.5,
+      semanticThreshold = Some(0.9), semanticNProbe = 1)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // batch 0: two distinct docs, orthogonal embeddings — no gate (index
+    // empty), sem columns null
+    val b0 = Seq((0L, tA, emb(1f, 0f)), (2L, tB, emb(0f, 1f)))
+    val r0 = IngestPipeline.processBatch(spark,
+      b0.toDF("doc_id", "text", "embedding"), cfg, 0L)
+    r0.write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(r0.columns.contains("sem_dup_of") && r0.columns.contains("sem_sim"))
+    assert(spark.read.parquet(cfg.resultsDir).filter(col("sem_dup_of").isNotNull)
+      .count() == 0L)
+
+    // batch 1: doc 5 is a TEXT near-dup of nothing but an EMBEDDING
+    // near-dup of kept doc 0; doc 7 (a text dup of 5 — the gates are
+    // independent) is semantically far from everything (cos ~0.707 to
+    // doc 0, under the 0.9 bar)
+    val b1 = Seq((5L, tC, emb(0.99f, 0.01f)),
+      (7L, tC + " more words here", emb(0.1f, 0.1f)))
+    IngestPipeline.processBatch(spark,
+        b1.toDF("doc_id", "text", "embedding"), cfg, 1L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    def sems() = spark.read.parquet(cfg.resultsDir)
+      .select(col("id"), col("status"), col("sem_dup_of"), col("sem_sim"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val s1 = sems()
+    assert(s1(5L)._1 == "kept", s1(5L)) // the gate FLAGS, never drops
+    assert(s1(5L)._2 == Some(0L) && s1(5L)._3.exists(_ > 0.99), s1(5L))
+    assert(s1(7L)._2.isEmpty, s1(7L))
+    assert(s1(0L)._2.isEmpty && s1(2L)._2.isEmpty)
+
+    // replay purity: ingest batch 2 whose kept doc 9 is EXACTLY doc 7's
+    // embedding direction (cos 1.0), then replay batch 1 — an unpinned
+    // probe would now flag doc 7 against doc 9; the pin (below batch
+    // 1's original commit) must keep the record byte-identical
+    IngestPipeline.processBatch(spark,
+        Seq((9L, "entirely new material on columnar storage formats",
+          emb(0.5f, 0.5f))).toDF("doc_id", "text", "embedding"), cfg, 2L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    IngestPipeline.processBatch(spark,
+        b1.toDF("doc_id", "text", "embedding"), cfg, 1L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    val s2 = sems()
+    assert(s2(5L) == s1(5L) && s2(7L) == s1(7L),
+      s"replayed semantic gate diverged: ${s2(5L)} ${s2(7L)} vs ${s1(5L)} ${s1(7L)}")
+
+    // opt-in schema: the gate off means the columns are absent
+    val off = IngestPipeline.processBatch(spark,
+      Seq((9L, tB + " coda", emb(0f, 0.9f)))
+        .toDF("doc_id", "text", "embedding"),
+      cfg.copy(semanticThreshold = None,
+        dedupIndex = s"$root/dedup2", statsIndex = s"$root/stats2",
+        ivfIndex = s"$root/ivf2", resultsDir = s"$root/results2",
+        appId = "ingest-sem-off"), 0L)
+    assert(!off.columns.contains("sem_dup_of") && !off.columns.contains("sem_sim"))
+  }
+
+  test("IngestPipeline on the MinHash backend: five artifacts under one txn identity, exactly-once, maintenance-safe") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.sources.VersionedTable
+    implicit val sc = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base + " tonight" // trigram J = 12/13 — well over 0.3
+    val other = "completely different content about spark query engines and shuffles"
+    val third = "yet another unrelated paragraph describing immigration analytics fixtures"
+    def emb(a: Float, b: Float) = Array(a, b, 0f, 0f)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipe-mh").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-mh",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0)),
+        graft.similarity.Ivf.Centroid(1, Seq(0, 1.0, 0, 0))),
+      threshold = 0.3, oovGate = 0.5,
+      dedupBackend = IngestPipeline.DedupBackend.MinHash(),
+      docStore = Some(s"$root/docstore"))
+
+    // misconfiguration refuses loudly before touching any table
+    val noStore = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark,
+        Seq((0L, base, emb(1f, 0f))).toDF("doc_id", "text", "embedding"),
+        cfg.copy(docStore = None), 0L)
+    }
+    assert(noStore.getMessage.contains("docStore"), noStore.getMessage)
+
+    val b0 = Seq((0L, base, emb(1f, 0f)), (2L, other, emb(0f, 1f)),
+      (4L, base, emb(0.9f, 0.1f)))
+    val b1 = Seq((1L, nearDup, emb(0.8f, 0f)), (5L, third, emb(0f, 0.7f)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipe-mh-ckpt").toString
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = IngestPipeline.streamingSink(
+        mem.toDF().toDF("doc_id", "text", "embedding"), cfg)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def results() = spark.read.parquet(cfg.resultsDir)
+      .select(col("id"), col("status"), col("oov_rate"), col("oov_flagged"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val res = results()
+    assert(res.view.mapValues(_._1).toMap == Map(
+      0L -> "kept", 2L -> "kept", 4L -> "dup_within_batch",
+      1L -> "dup_of_index", 5L -> "kept"), res)
+    assert(res(1L)._2 < 0.2 && !res(1L)._3, s"near-dup OOV: ${res(1L)}")
+    assert(res(5L)._2 == 1.0 && res(5L)._3)
+
+    // the fifth artifact: EVERY ingested doc (kept and dup) in the doc
+    // store exactly once — band rows without fetchable text would be
+    // silent missed duplicates later
+    def storeIds() = VersionedTable.read(spark, cfg.docStore.get)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(storeIds() == Seq(0L, 1L, 2L, 4L, 5L))
+    // the MinHash index is slim band rows for all 5 docs; NO tf sidecar
+    assert(VersionedTable.read(spark, cfg.dedupIndex)
+      .select(col("id")).distinct().count() == 5)
+    assert(VersionedTable.latestVersion(
+      graft.dedup.IncrementalDedup.tokenFreqTable(cfg.dedupIndex)) == -1L,
+      "MinHash backend must not create the exact face's tf sidecar")
+
+    // replay of micro-batch 1: all FIVE tables skip their append, the
+    // results partition rewrites identically
+    val vers0 = Seq(cfg.dedupIndex, cfg.statsIndex, cfg.ivfIndex,
+      cfg.docStore.get).map(VersionedTable.latestVersion)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    IngestPipeline.processBatch(spark,
+        b1.toDF("doc_id", "text", "embedding"), cfg, 1L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(results() == res)
+    assert(Seq(cfg.dedupIndex, cfg.statsIndex, cfg.ivfIndex,
+      cfg.docStore.get).map(VersionedTable.latestVersion) == vers0)
+
+    // CRASH WINDOW in the backend's own commit order: the doc store
+    // landed, the band commit did not. The replay must skip the store
+    // append (no second copy) and redo the band rows.
+    val b2 = Seq((7L, nearDup + " encore", emb(1f, 0.2f)))
+    VersionedTable.commit(
+      b2.toDF("id", "text", "embedding").select(col("id"), col("text")),
+      cfg.docStore.get, "append", Some(2L), Some(cfg.appId),
+      expectedVersion = None)
+    val vStore2 = VersionedTable.latestVersion(cfg.docStore.get)
+    IngestPipeline.processBatch(spark,
+        b2.toDF("doc_id", "text", "embedding"), cfg, 2L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(VersionedTable.latestVersion(cfg.docStore.get) == vStore2,
+      "replay after the store-committed/bands-crashed window re-appended the doc store")
+    assert(storeIds() == Seq(0L, 1L, 2L, 4L, 5L, 7L))
+    assert(results()(7L)._1 == "dup_of_index", results()(7L))
+
+    // maintenance on the minhash branch: index + doc store compaction
+    // and vacuum run, everything stays correct and ingest keeps working
+    IngestPipeline.maintenance(spark, cfg.copy(compactEvery = 1,
+      optimizeEvery = Some(1), retainVersions = Some(1)), batchId = 0L)
+    assert(storeIds() == Seq(0L, 1L, 2L, 4L, 5L, 7L))
+    IngestPipeline.processBatch(spark,
+        Seq((9L, other + " encore", emb(0f, 1f)))
+          .toDF("doc_id", "text", "embedding"), cfg, 3L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    assert(results()(9L)._1 == "dup_of_index", results()(9L))
+  }
 }
