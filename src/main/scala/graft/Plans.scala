@@ -167,7 +167,9 @@ object Plans {
     "q_ann_ivfpq_incremental" ->
       "Incremental IVF-PQ probe: the scan reads (id, cell_id, codes) ONLY — ReadSchema has no vec column, so at scale the probe never touches the float vectors — with the probed cells' In(cell_id) pushed to the cell-clustered files' row-group stats; the ADC distance is a codegen'd lookup-table fold over the codes, and the top-k is the TakeOrdered tail.",
     "q_minhash_lookup" ->
-      "Read-only probe of the incremental MinHash index: the index leg scans O(bands) constant-size band rows per doc (never a shingle payload) with the probe's bucket set pushed — In(bucket) in PushedFilters over the bucket-range-clustered files — and exact verification reads only candidate ids' text from the doc store (In pushed on the id). The probe's own signatures materialize in the scan stage (minhash_sig, zero exchange).")
+      "Read-only probe of the incremental MinHash index: the index leg scans O(bands) constant-size band rows per doc (never a shingle payload) with the probe's bucket set pushed — In(bucket) in PushedFilters over the bucket-range-clustered files — and exact verification reads only candidate ids' text from the doc store (In pushed on the id). The probe's own signatures materialize in the scan stage (minhash_sig, zero exchange).",
+    "q_semantic_lookup" ->
+      "Embedding near-dup probe of the incremental IVF index: probe cells are assigned scan-side (the probeCells comparator-sort expression — no exchange for assignment), the probed-cell set lands as In(cell_id) in PushedFilters over the cell-clustered files' row-group stats, candidates come from ONE cell_id equi-join, and the top-1-per-probe window is PARTITIONED by probe id — the index read is O(probed cells' fill), never O(index).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1638,6 +1638,35 @@ object SparkEntry {
         col("oov_flagged").cast("bigint").as("oov_flagged"))
   }
 
+  /** Read-only semantic near-dup lookup against a persisted IVF index
+    * ([[graft.similarity.IncrementalIvf.nearDupPairs]]) — the
+    * embedding-side member of the q_index_lookup / q_minhash_lookup
+    * family: the even half's embeddings are indexed once (cell-
+    * clustered), the odd half then probes — cell assignment scan-side
+    * ([[graft.similarity.Ivf.probeCells]]), the probed-cell set pushed
+    * into the index scan, ONE cell_id equi-join, exact rounded cosine,
+    * (cos desc, id asc) top-1 per probe at threshold 0.3. The oracle
+    * re-derives the argmin cells and every candidate cosine
+    * relationally. */
+  private def qSemanticLookup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 2).orderBy(col("vec_id"))
+      .collect()
+      .map(r => graft.similarity.Ivf.Centroid(r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val t = java.nio.file.Files.createTempDirectory("graft-semlookup")
+      .toString + "/index"
+    graft.similarity.IncrementalIvf.addBatch(s,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+      cents, t, 0L)
+    graft.similarity.IncrementalIvf.nearDupPairs(s,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", cents, t, threshold = 0.3, nProbe = 1)
+      .select(col("id").as("probe_id"), col("near_id").as("index_id"),
+        col("cos_sim"))
+  }
+
   /** The composed pipeline with the SEMANTIC near-dup gate on
     * ([[graft.pipelines.IngestPipeline.Config.semanticThreshold]] →
     * [[graft.similarity.IncrementalIvf.nearDupPairs]]): real 64-dim
@@ -4911,6 +4940,7 @@ object SparkEntry {
     "q_ingest_pipeline" -> (qIngestPipeline _),
     "q_ingest_pipeline_minhash" -> (qIngestPipelineMinhash _),
     "q_ingest_pipeline_semantic" -> (qIngestPipelineSemantic _),
+    "q_semantic_lookup" -> (qSemanticLookup _),
     "q_reconcile"      -> (qReconcile _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
     "q_minhash_lookup" -> (qMinhashLookup _),
@@ -8415,6 +8445,42 @@ object SparkEntry {
         CAST(batch AS BIGINT) AS batch, status, n_tokens, n_oov, oov_rate,
         CAST(CASE WHEN oov_rate >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS oov_flagged
       FROM rated""",
+    // read-only semantic lookup: odd probes vs even index, argmin cell
+    // assignment re-derived relationally (centroids = the first two
+    // embedding vectors), candidates share the probe's cell, rounded
+    // cosine >= 0.3, (cos desc, id asc) top-1 per probe
+    "q_semantic_lookup" -> """
+      WITH emb AS (SELECT vec_id AS doc_id,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 2),
+      diffs AS (SELECT e.doc_id, c.cell,
+                  list_transform(generate_series(1, len(e.v)),
+                    i -> e.v[i] - c.c[i]) AS dv
+                FROM emb e CROSS JOIN cents c),
+      dist AS (SELECT doc_id, cell, list_dot_product(dv, dv) AS dd
+               FROM diffs),
+      assign AS (SELECT doc_id, cell FROM (
+          SELECT doc_id, cell,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY dd ASC, cell ASC) AS rn
+          FROM dist) WHERE rn = 1),
+      cand AS (
+        SELECT p.doc_id AS probe_id, i.doc_id AS index_id,
+          round(list_dot_product(p.v, i.v)
+            / (sqrt(list_dot_product(p.v, p.v))
+             * sqrt(list_dot_product(i.v, i.v))), 6) AS cos_sim
+        FROM emb p
+        JOIN assign pa ON pa.doc_id = p.doc_id
+        JOIN assign ia ON ia.cell = pa.cell
+        JOIN emb i ON i.doc_id = ia.doc_id
+        WHERE p.doc_id % 2 = 1 AND i.doc_id % 2 = 0)
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(index_id AS BIGINT) AS index_id, cos_sim
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY cos_sim DESC, index_id ASC) AS rn
+        FROM cand WHERE cos_sim >= 0.3) WHERE rn = 1""",
     // the composed pipeline with the semantic gate: q_ingest_pipeline's
     // replay plus a full relational re-derivation of the embedding leg —
     // centroids read from the embeddings table, argmin cell assignment

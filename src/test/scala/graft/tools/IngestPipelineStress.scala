@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
   *     rule (here every 8 batches, documented in the artifact) so the
   *     partials-merge read cost resets exactly as production would.
   *
-  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold>
-  * Prints one JSON line tagged PIPELINE_STRESS.
+  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash]
+  * Prints one JSON line tagged PIPELINE_STRESS. `minhash` swaps the
+  * dedup stage to the banded index + pipeline-maintained doc store
+  * (five artifacts) — same replica corpus, so the two backends' curves
+  * are directly comparable.
   */
 object IngestPipelineStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 20
     val t = if (args.length > 2) args(2).toDouble else 0.6
+    val backend = if (args.length > 3) args(3) else "exact"
+    require(backend == "exact" || backend == "minhash", backend)
     val compactEvery = 8
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -65,7 +70,13 @@ object IngestPipelineStress {
       appId = "pipe-stress",
       centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
         graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
-      threshold = t, oovGate = 0.5)
+      threshold = t, oovGate = 0.5,
+      dedupBackend =
+        if (backend == "minhash")
+          graft.pipelines.IngestPipeline.DedupBackend.MinHash()
+        else graft.pipelines.IngestPipeline.DedupBackend.Exact,
+      docStore =
+        if (backend == "minhash") Some(s"$root/docstore") else None)
 
     // warm the JVM/codegen on a throwaway root so batch 0 isn't janino
     val warm = freshCfg(java.nio.file.Files
@@ -97,7 +108,7 @@ object IngestPipelineStress {
     val secondHalf = times.drop(nBatches / 2).sum / (nBatches - nBatches / 2)
     val ts = times.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
-      f"""PIPELINE_STRESS {"sf":"$sfDir","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
     spark.stop()
   }
 }
