@@ -111,6 +111,16 @@ object IngestPipeline {
     // orchestrated quiesce instead. Exact backend only (the MinHash
     // layout has no modulus to re-scale).
     autoRebucket: Boolean = false,
+    // AUTO-RETRAIN of the IVF index (opt-in, single-writer cadences
+    // only — the retrainInPlace contract): at the optimize cadence,
+    // when mean rows-per-cell exceeds this target, retrain in place
+    // with a grown cell count (monotone, capped) so probe reads stay
+    // O(target fill) as the corpus grows — the vector-index twin of
+    // the postings auto-rebucket. When set, `centroids` is only the
+    // SEED (era 0): every batch assigns and probes under the newest
+    // validated centroid era, and pinned reads resolve the era their
+    // rows were assigned under (IncrementalIvf.centroidsFor).
+    autoRetrainCellFill: Option[Long] = None,
     // SEMANTIC near-dup gate (opt-in): when set, each doc is probed
     // against the IVF index pinned BEFORE this batch (the kept corpus's
     // embeddings) via IncrementalIvf.nearDupPairs, and the decision
@@ -247,6 +257,16 @@ object IngestPipeline {
           cfg.statsIndex, Some(statsVer))
       }
 
+    // centroid resolution: static config by default; under auto-retrain
+    // the sidecar's newest VALIDATED era drives appends, and pinned
+    // reads resolve the era their snapshot's rows were assigned under
+    val appendCents =
+      if (cfg.autoRetrainCellFill.isEmpty) cfg.centroids
+      else {
+        IncrementalIvf.seedCentroidsEra(spark, cfg.centroids, cfg.ivfIndex)
+        IncrementalIvf.activeCentroids(spark, cfg.ivfIndex)
+      }
+
     // semantic near-dup gate against the IVF index pinned BEFORE this
     // batch's own append — same pin rule as the stats gate, so replays
     // are pure. Lazy (evaluated when the caller writes the record,
@@ -254,8 +274,11 @@ object IngestPipeline {
     // late evaluation reads exactly the pre-batch snapshot.
     val sem = cfg.semanticThreshold.map { t =>
       val ivfVer = pinnedStatsVersion(cfg.ivfIndex, cfg.appId, batchId)
+      val probeCents =
+        if (cfg.autoRetrainCellFill.isEmpty || ivfVer < 0) appendCents
+        else IncrementalIvf.centroidsFor(spark, cfg.ivfIndex, ivfVer)
       IncrementalIvf.nearDupPairs(spark, docs, "__emb", "__id",
-        cfg.centroids, cfg.ivfIndex, t, cfg.semanticNProbe,
+        probeCents, cfg.ivfIndex, t, cfg.semanticNProbe,
         version = Some(ivfVer))
     }
 
@@ -324,7 +347,7 @@ object IngestPipeline {
       "__id", cfg.statsIndex, batchId,
       txnApp = Some(cfg.appId), txn = Some(batchId)))
     val ivfF = Future(IncrementalIvf.addBatch(spark, kept, "__emb", "__id",
-      cfg.centroids, cfg.ivfIndex, batchId,
+      appendCents, cfg.ivfIndex, batchId,
       txnApp = Some(cfg.appId), txn = Some(batchId)))
     // BOTH futures must settle before this batch can fail: a detached
     // survivor racing a checkpoint replay could land its commit AFTER
@@ -387,7 +410,34 @@ object IngestPipeline {
                   .sortWithinPartitions(col("id")))
             }
         }
-        if (graft.sources.VersionedTable.latestVersion(cfg.ivfIndex) >= 0)
+        // IVF: retrain-in-place when per-cell fill exceeds the target
+        // (the overwrite re-clusters by cell as it reassigns, so the
+        // compactBy below is redundant that round); otherwise the plain
+        // cell-clustered compaction
+        val retrained =
+          cfg.autoRetrainCellFill.exists { fill =>
+            require(fill >= 1, s"autoRetrainCellFill must be >= 1, got $fill")
+            if (VersionedTable.latestVersion(cfg.ivfIndex) < 0) false
+            else {
+              IncrementalIvf.seedCentroidsEra(spark, cfg.centroids, cfg.ivfIndex)
+              val rows = VersionedTable.read(spark, cfg.ivfIndex).count()
+              val cur = IncrementalIvf.activeCentroids(spark, cfg.ivfIndex).size
+              // monotone growth, overflow-safe ceil-divide, capped so the
+              // assignCell plan literal stays small (4096 cells x 64 dims
+              // = 2 MB of doubles)
+              val need = if (rows == 0) 0L else (rows - 1) / fill + 1
+              val want = math.min(4096L, math.max(cur.toLong, need)).toInt
+              if (want > cur) {
+                IncrementalIvf.retrainInPlace(spark, cfg.ivfIndex,
+                  nCells = want, iters = 3,
+                  sampleFraction = math.min(1.0,
+                    math.max(0.05, 200.0 * want / math.max(1L, rows))))
+                true
+              } else false
+            }
+          }
+        if (!retrained
+            && graft.sources.VersionedTable.latestVersion(cfg.ivfIndex) >= 0)
           VersionedTable.compactBy(spark, cfg.ivfIndex)(df =>
             df.repartition(col("cell_id"))
               .sortWithinPartitions(col("cell_id")))

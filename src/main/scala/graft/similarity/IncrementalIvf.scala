@@ -398,6 +398,151 @@ object IncrementalIvf {
     RetrainResult(cents, v, cv, sourceVersion, cb)
   }
 
+  /** Txn-app identity of in-place retrain commits: the index overwrite
+    * a retrain lands is tagged `(RetrainApp, newVersion)`, and the
+    * centroid-era resolution below validates an era ONLY against a
+    * commit carrying this app at exactly the era's version — a
+    * maintenance compactBy overwrite (or any user commit) occupying
+    * the same slot can never falsely validate a dangling era.
+    */
+  val RetrainApp = "__graft_ivf_retrain"
+
+  /** The centroid sidecar of an era-managed index. Same path the
+    * retrain-to-new-table flow writes, so `loadCentroids` keeps
+    * working unmodified (latest era = latest version).
+    */
+  def centroidsTable(table: String): String =
+    table.stripSuffix("/") + "_centroids"
+
+  /** Seed the centroid-era sidecar (era 0 = the centroids the index's
+    * first rows were assigned under). Idempotent and first-writer-wins:
+    * the commit is pinned to land at version 0, a racing seeder's
+    * conflict is swallowed (era 0 already exists — whoever landed it,
+    * the resolution below serves it). No-op when the sidecar already
+    * has any commit.
+    */
+  def seedCentroidsEra(spark: SparkSession, cents: Seq[Ivf.Centroid],
+                       indexTable: String): Unit = {
+    val ct = centroidsTable(indexTable)
+    if (VersionedTable.latestVersion(ct) >= 0) return
+    import spark.implicits._
+    try VersionedTable.commit(
+      cents.map(c => (c.cellId, c.values)).toDF("cell_id", "values"),
+      ct, "overwrite", Some(0L), Some(RetrainApp),
+      expectedVersion = Some(-1L))
+    catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  /** The centroid era a read of index `version` must probe under —
+    * the crash-safe pairing rule of [[retrainInPlace]]'s cutover: every
+    * era commit in the sidecar is tagged with the index version its
+    * reassignment LANDS at (`txn = E`; the seed era is `E = 0`), and an
+    * era counts only when validated — `E = 0`, or the index log holds a
+    * commit at exactly version E carrying [[RetrainApp]]. A retrain
+    * that crashed after writing its era but before its index overwrite
+    * leaves a DANGLING era that nothing ever validates (no later commit
+    * can reuse its slot: versions grow monotonically), so readers keep
+    * probing under the era the rows actually carry — the silent
+    * wrong-modulus window the postings nb-intent closes, closed the
+    * same way. Among validated eras the newest with `E <= version`
+    * wins; rows are wholly one era per snapshot because a retrain
+    * reassigns EVERYTHING in one overwrite.
+    */
+  def centroidsFor(spark: SparkSession, indexTable: String,
+                   version: Long): Seq[Ivf.Centroid] = {
+    val ct = centroidsTable(indexTable)
+    val eras = VersionedTable.history(ct)
+      .filter(c => c.txnApp.contains(RetrainApp) && c.txn.nonEmpty)
+    require(eras.nonEmpty,
+      s"no centroid eras in $ct — seed one (seedCentroidsEra) before " +
+        "era-resolved reads")
+    lazy val iHistory = VersionedTable.history(indexTable)
+    val validated = eras.filter { e =>
+      val t = e.txn.get
+      t == 0L || iHistory.exists(c =>
+        c.version == t && c.txnApp.contains(RetrainApp))
+    }
+    val pick = validated.filter(_.txn.get <= version) match {
+      case Seq() => validated.minBy(e => (e.txn.get, e.version)) // pre-first-batch reads
+      case vs => vs.maxBy(e => (e.txn.get, e.version))
+    }
+    loadCentroids(spark, ct, Some(pick.version))
+  }
+
+  /** Newest validated era — what an APPEND (or a latest-snapshot probe)
+    * assigns/probes under. */
+  def activeCentroids(spark: SparkSession, indexTable: String): Seq[Ivf.Centroid] =
+    centroidsFor(spark, indexTable, Long.MaxValue)
+
+  /** In-place retrain-and-cutover: train fresh centroids on a sample of
+    * the CURRENT snapshot, reassign every row, and OVERWRITE the same
+    * index — the cutover that holds per-cell fill constant as the
+    * corpus grows without asking clients to switch table paths
+    * ([[retrain]] remains the sanctioned cross-table flow, and the only
+    * one for PQ-coded indexes: codes pair with a codebook era the same
+    * way rows pair with centroids, and this method refuses coded
+    * indexes rather than manage two sidecars' windows at once).
+    *
+    * Crash-safety is [[centroidsFor]]'s era protocol: the new era
+    * commits to the sidecar FIRST (tagged with the index version the
+    * reassignment will land at), then the reassigned rows commit
+    * conflict-checked at exactly that slot (`expectedVersion` — a
+    * concurrent addBatch landing first turns the race into a loud
+    * retry over the fresher snapshot, never a silent erasure of its
+    * rows). A crash between the two leaves a dangling era that no
+    * reader ever validates. Single-writer cadences only, like the
+    * postings auto-rebucket (the retry makes a racing APPEND safe, but
+    * two concurrent retrains hold no lock against each other's
+    * sidecar overwrites).
+    */
+  def retrainInPlace(spark: SparkSession, table: String, nCells: Int,
+                     iters: Int, sampleFraction: Double, seed: Long = 42L,
+                     quantize: Option[Int] = None,
+                     attempts: Int = 8): Seq[Ivf.Centroid] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val ct = centroidsTable(table)
+    var left = attempts
+    while (true) {
+      val base = VersionedTable.latestVersion(table)
+      require(base >= 0, s"nothing to retrain: $table is empty")
+      val snap = VersionedTable.readVersion(spark, table, base)
+      require(!snap.columns.contains("codes"),
+        s"$table carries PQ codes — in-place retrain would need a paired " +
+          "codebook cutover; use retrain(newTable) for coded indexes")
+      val rows = snap.select(col("id"), col("vec"), col("batch"))
+        .localCheckpoint() // pin the sample AND the reassignment input
+      val sample =
+        if (sampleFraction >= 1.0) rows
+        else rows.sample(withReplacement = false, sampleFraction, seed)
+      val cents = Ivf.trainCentroids(sample, "vec", "id", nCells, iters,
+        quantize)
+      import spark.implicits._
+      VersionedTable.commit(
+        cents.map(c => (c.cellId, c.values)).toDF("cell_id", "values"),
+        ct, "overwrite", Some(base + 1), Some(RetrainApp),
+        expectedVersion = None)
+      val reassigned = rows
+        .withColumn("cell_id", Ivf.assignCell(col("vec"), cents))
+        .select(col("id"), col("cell_id"),
+          col("vec").cast("array<double>").as("vec"), col("batch"))
+        .repartition(col("cell_id"))
+        .sortWithinPartitions(col("cell_id"))
+      try {
+        VersionedTable.commit(reassigned, table, "overwrite",
+          Some(base + 1), Some(RetrainApp), expectedVersion = Some(base))
+        return cents
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          // the just-written era dangles; centroidsFor never validates
+          // it, and a later attempt's overwrite supersedes it as latest
+          if (left <= 0) throw e
+      }
+    }
+    Seq.empty // unreachable
+  }
+
   /** Per-batch assignment-distance stats over the index — the drift
     * guard. A rising `mean_dist` across batches means the pinned
     * centroids no longer describe the incoming distribution: retrain

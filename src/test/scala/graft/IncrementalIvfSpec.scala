@@ -336,6 +336,93 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(t2) == res.newVersion + 1)
   }
 
+  test("retrainInPlace: rows reassigned under a grown cell count; pinned reads resolve their own centroid era; dangling eras never validate") {
+    val emb = Tables.embeddings(spark, d)
+    val seed2 = Ivf.trainCentroids(emb.filter(col("vec_id") < 40),
+      "embedding", "vec_id", nCells = 2, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.seedCentroidsEra(spark, seed2, t)
+    IncrementalIvf.addBatch(spark, emb.filter(col("vec_id") < 40),
+      "embedding", "vec_id", seed2, t, 0L)
+    IncrementalIvf.addBatch(spark,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 80),
+      "embedding", "vec_id", seed2, t, 1L)
+    val preVer = VersionedTable.latestVersion(t)
+    assert(IncrementalIvf.activeCentroids(spark, t).size == 2)
+
+    // grow 2 -> 6 cells in place
+    val cents6 = IncrementalIvf.retrainInPlace(spark, t, nCells = 6,
+      iters = 2, sampleFraction = 1.0)
+    assert(cents6.size == 6)
+    val post = VersionedTable.read(spark, t)
+    assert(post.count() == 80L)
+    // batch provenance preserved through the overwrite
+    assert(post.select(col("batch")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    // rows really were reassigned: every stored cell matches a fresh
+    // assignment under the new centroids, and >2 cells are populated
+    val mismatch = post.withColumn("__want",
+        Ivf.assignCell(col("vec"), cents6))
+      .filter(col("cell_id") =!= col("__want")).count()
+    assert(mismatch == 0L)
+    assert(post.select(col("cell_id")).distinct().count() > 2L)
+
+    // era resolution: latest = the 6-cell era; the PRE-retrain pinned
+    // version resolves the seed era, so an exact-copy probe of the old
+    // snapshot still lands in the cell its rows were assigned under
+    assert(IncrementalIvf.activeCentroids(spark, t).size == 6)
+    val oldEra = IncrementalIvf.centroidsFor(spark, t, preVer)
+    assert(oldEra == seed2, "pinned read resolved the wrong centroid era")
+    // probe id offset from the indexed copy's: nearDupPairs excludes
+    // same-id self matches by design
+    val probe = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 1000L).as("pid"), col("embedding"))
+    val hitOld = IncrementalIvf.nearDupPairs(spark, probe, "embedding",
+        "pid", oldEra, t, threshold = 0.999, nProbe = 1,
+        version = Some(preVer))
+      .collect().map(_.getLong(1)).toSeq
+    assert(hitOld == Seq(7L), s"old-era probe missed its exact copy: $hitOld")
+    // and the post-retrain snapshot under the new era finds it too
+    val hitNew = IncrementalIvf.nearDupPairs(spark, probe, "embedding",
+        "pid", cents6, t, threshold = 0.999, nProbe = 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(hitNew == Seq(7L), s"new-era probe missed its exact copy: $hitNew")
+
+    // DANGLING era (retrain crashed between sidecar and index commit):
+    // an era tagged at the next index version, with no RetrainApp index
+    // commit to validate it, must never win — even after an unrelated
+    // append and a compactBy OVERWRITE occupy nearby slots
+    val ct = IncrementalIvf.centroidsTable(t)
+    val danglingTxn = VersionedTable.latestVersion(t) + 1
+    VersionedTable.commit(
+      Seq((0, Seq(9.0, 9, 9, 9))).toDF("cell_id", "values"),
+      ct, "overwrite", Some(danglingTxn),
+      Some(IncrementalIvf.RetrainApp), expectedVersion = None)
+    assert(IncrementalIvf.activeCentroids(spark, t) == cents6,
+      "a dangling era validated without its index commit")
+    IncrementalIvf.addBatch(spark,
+      emb.filter(col("vec_id") === 90), "embedding", "vec_id", cents6, t, 2L)
+    assert(VersionedTable.latestVersion(t) == danglingTxn,
+      "test setup: the append was supposed to occupy the dangling slot")
+    assert(IncrementalIvf.activeCentroids(spark, t) == cents6,
+      "an ordinary append at the dangling era's slot falsely validated it")
+    VersionedTable.compactBy(spark, t)(df => df.coalesce(1))
+    assert(IncrementalIvf.activeCentroids(spark, t) == cents6,
+      "a compaction overwrite falsely validated a dangling era")
+
+    // coded indexes refuse the in-place path loudly
+    val tCoded = freshTable()
+    val cb = graft.similarity.Pq.train(emb.filter(col("vec_id") < 40),
+      "embedding", "vec_id", m = 4, k = 4, iters = 2)
+    IncrementalIvf.addBatch(spark, emb.filter(col("vec_id") < 40),
+      "embedding", "vec_id", seed2, tCoded, 0L, codebook = Some(cb))
+    val refuse = intercept[IllegalArgumentException] {
+      IncrementalIvf.retrainInPlace(spark, tCoded, nCells = 4, iters = 1,
+        sampleFraction = 1.0)
+    }
+    assert(refuse.getMessage.contains("codes"), refuse.getMessage)
+  }
+
   test("nearDupPairs: planted semantic near-dup flagged with exact cosine; nProbe bounds recall; version-pinned") {
     // two well-separated cells; planted vectors make every expected
     // cosine exact and deterministic

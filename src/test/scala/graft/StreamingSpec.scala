@@ -910,6 +910,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!off.columns.contains("sem_dup_of") && !off.columns.contains("sem_sim"))
   }
 
+  test("IngestPipeline auto-retrain: cell count grows at the optimize cadence to hold fill; later batches assign under the new era") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.similarity.IncrementalIvf
+    import graft.sources.VersionedTable
+
+    // 16 distinct docs per batch, embeddings spread over 4 directions —
+    // a 1-cell seed geometry that a fill target of 8 must outgrow
+    def batch(b: Int) = (0 until 16).map { i =>
+      val base = Array(0f, 0f, 0f, 0f); base(i % 4) = 1f; base((i + 1) % 4) = 0.3f
+      (b * 100L + i, s"batch $b doc $i " + (0 until 8)
+        .map(w => s"b${b}d${i}w$w").mkString(" "), base)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipe-retrain").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-retrain",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0))),
+      threshold = 0.5, oovGate = 0.5,
+      optimizeEvery = Some(1), autoRetrainCellFill = Some(8L))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (0 until 3).foreach { b =>
+      IngestPipeline.processBatch(spark,
+          batch(b).toDF("doc_id", "text", "embedding"), cfg, b.toLong)
+        .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+      IngestPipeline.maintenance(spark, cfg, b.toLong)
+    }
+    // 48 rows at fill target 8: the cadence must have grown past the
+    // 1-cell seed (ceil(16/8)=2 after batch 0, ceil(32/8)=4 after 1, 6
+    // after 2) and every stored assignment matches the era that is now
+    // active (each retrain reassigns everything; no appends follow the
+    // last maintenance)
+    val active = IncrementalIvf.activeCentroids(spark, cfg.ivfIndex)
+    assert(active.size == 6, s"expected 6 cells, got ${active.size}")
+    val rows = VersionedTable.read(spark, cfg.ivfIndex)
+    assert(rows.count() == 48L)
+    val mismatch = rows.withColumn("__want",
+        graft.similarity.Ivf.assignCell(col("vec"), active))
+      .filter(col("cell_id") =!= col("__want")).count()
+    assert(mismatch == 0L, "stored assignments diverge from the active era")
+    // the decision record stayed complete and all-kept (distinct docs)
+    val rec = spark.read.parquet(cfg.resultsDir)
+    assert(rec.count() == 48L)
+    assert(rec.filter(col("status") =!= "kept").count() == 0L)
+  }
+
   test("IngestPipeline on the MinHash backend: five artifacts under one txn identity, exactly-once, maintenance-safe") {
     import spark.implicits._
     import graft.pipelines.IngestPipeline
