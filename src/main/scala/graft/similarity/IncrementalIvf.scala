@@ -456,10 +456,19 @@ object IncrementalIvf {
     require(eras.nonEmpty,
       s"no centroid eras in $ct — seed one (seedCentroidsEra) before " +
         "era-resolved reads")
+    // validation fast path: txnMaxes is O(checkpoint-tail) and a
+    // retrain's txn EQUALS its landing version by construction
+    // (expectedVersion pins the slot), so the era matching the app's
+    // max txn is landed without walking the index log. Only an era
+    // BELOW the max (a pinned read under an old era, with a dangling
+    // failed attempt in between — rare) needs the full-history check;
+    // merely txn <= max must NOT validate (the dangling attempt's txn
+    // can sit below a later landed one).
+    val maxLanded = VersionedTable.txnMaxes(indexTable).get(RetrainApp)
     lazy val iHistory = VersionedTable.history(indexTable)
     val validated = eras.filter { e =>
       val t = e.txn.get
-      t == 0L || iHistory.exists(c =>
+      t == 0L || maxLanded.contains(t) || iHistory.exists(c =>
         c.version == t && c.txnApp.contains(RetrainApp))
     }
     val pick = validated.filter(_.txn.get <= version) match {
@@ -490,10 +499,14 @@ object IncrementalIvf {
     * concurrent addBatch landing first turns the race into a loud
     * retry over the fresher snapshot, never a silent erasure of its
     * rows). A crash between the two leaves a dangling era that no
-    * reader ever validates. Single-writer cadences only, like the
-    * postings auto-rebucket (the retry makes a racing APPEND safe, but
-    * two concurrent retrains hold no lock against each other's
-    * sidecar overwrites).
+    * reader ever validates. SINGLE-WRITER cadences only, like the
+    * postings auto-rebucket — and that includes APPENDS: the conflict
+    * check protects an append that lands BEFORE this overwrite, but an
+    * append that read the old era and lands AFTER it commits rows
+    * bucketed under the wrong geometry (its era read and its commit
+    * are not atomic) — quiesce ingest across the retrain, or run it
+    * from the ingest loop's own maintenance slot as
+    * [[graft.pipelines.IngestPipeline.maintenance]] does.
     */
   def retrainInPlace(spark: SparkSession, table: String, nCells: Int,
                      iters: Int, sampleFraction: Double, seed: Long = 42L,
