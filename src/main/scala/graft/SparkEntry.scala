@@ -3102,6 +3102,29 @@ object SparkEntry {
         coalesce(col("worst_bench_id"), lit(-1L)).as("worst_bench_id"))
   }
 
+  /** The INGEST face of benchmark decontamination
+    * ([[graft.dedup.Decontaminate.buildBenchIndex]] /
+    * [[graft.dedup.Decontaminate.probeBenchIndex]]): the eval set's
+    * capped shingle fingerprints are persisted ONCE as a
+    * VersionedTable (shingle width stored in the rows — geometry and
+    * data commit atomically), then the corpus probes it — the per-batch
+    * contamination gate an LLM ingest pipeline runs so eval answers
+    * never leak into training data. Same verdicts as q_decontaminate
+    * (the one-shot batch face), so the same relational oracle applies
+    * verbatim; what this query additionally pins is the persisted
+    * build-once/probe-many path. */
+  private def qDecontamProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val t = java.nio.file.Files.createTempDirectory("graft-decontam")
+      .toString + "/bench_index"
+    graft.dedup.Decontaminate.buildBenchIndex(s, bench, "text", "doc_id", t)
+    graft.dedup.Decontaminate.probeBenchIndex(s, docs, "text", "doc_id", t)
+      .select(col("doc_id"), col("contaminated"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+        coalesce(col("worst_bench_id"), lit(-1L)).as("worst_bench_id"))
+  }
+
   /** Deterministic 3-per-nation customer sample: bottom-k by md5(custkey)
     * on the TopKPerGroup operator — same rows under any partitioning,
     * exchange bounded at k rows per (group, partition). */
@@ -4831,6 +4854,7 @@ object SparkEntry {
     "q_corpus_filter"  -> (qCorpusFilter _),
     "q_sample_hash"    -> (qSampleHash _),
     "q_decontaminate"  -> (qDecontaminate _),
+    "q_decontam_probe" -> (qDecontamProbe _),
     "q_lateral"        -> (qLateral _),
     "q_scalar_subq"    -> (qScalarSubq _),
     "q_in_subq"        -> (qInSubq _),
@@ -7802,6 +7826,28 @@ object SparkEntry {
         FROM customer)
       WHERE rn <= 3""",
     "q_decontaminate" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      pairs AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+        FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id % 50 = 0
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      worst AS (
+        SELECT doc_id, n_overlap AS max_overlap, bench_id AS worst_bench_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY n_overlap DESC, bench_id) AS rn FROM pairs)
+        WHERE rn = 1)
+      SELECT d.doc_id, w.doc_id IS NOT NULL AS contaminated,
+        coalesce(w.max_overlap, 0) AS max_overlap,
+        coalesce(w.worst_bench_id, -1) AS worst_bench_id
+      FROM documents d LEFT JOIN worst w ON d.doc_id = w.doc_id""",
+    // the persisted-index probe face must report q_decontaminate's exact
+    // verdicts — identical oracle
+    "q_decontam_probe" -> """
       WITH sh AS (
         SELECT doc_id, unnest(list_distinct(
           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

@@ -78,4 +78,78 @@ object Decontaminate {
       .join(worst, Seq("doc_id"), "left")
       .na.fill(Map("contaminated" -> false))
   }
+
+  /** Build the PERSISTED benchmark fingerprint index — the ingest face
+    * of decontamination: the capped `(s, bench_id)` shingle table is
+    * computed ONCE (eval sets change rarely) and committed as a
+    * [[graft.sources.VersionedTable]]; every ingest batch then probes
+    * it ([[probeBenchIndex]]) without re-shingling the benchmark. The
+    * shingle width `n` is stored IN the rows (a constant column, free
+    * under RLE) rather than in a sidecar file, so the probe can never
+    * read rows shingled under one width with metadata claiming another
+    * — the data and its geometry commit atomically, no intent protocol
+    * needed. Rebuilds are overwrites (quiesce probes across an
+    * n-changing rebuild, or pin probe versions); returns the committed
+    * version.
+    */
+  def buildBenchIndex(spark: org.apache.spark.sql.SparkSession,
+                      bench: DataFrame, textCol: String, idCol: String,
+                      table: String, n: Int = 3,
+                      maxBenchDf: Int = 1000): Long = {
+    val bsh = bench.select(col(idCol).cast("long").as("bench_id"),
+      explode(Dedup.shingles(lower(col(textCol)), n)).as("s"))
+    val capped = bsh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("__df") <= maxBenchDf)
+      .select(col("s"), col("bench_id"), lit(n).as("n"))
+      .localCheckpoint()
+    val files = math.max(1L, capped.count() / 400000L).toInt
+    graft.sources.VersionedTable.commit(
+      (if (files <= 1) capped.coalesce(1)
+       else capped.repartitionByRange(files, col("s")))
+        .sortWithinPartitions(col("s")),
+      table, "overwrite", None, None, expectedVersion = None)
+  }
+
+  /** Per-batch contamination gate against a persisted benchmark index —
+    * [[flag]]'s semantics served by [[buildBenchIndex]]'s table: the
+    * batch is shingled at the INDEX's pinned width, the (small by
+    * contract — an eval set, not a corpus) index side broadcasts, and
+    * each doc gets its worst-overlapping benchmark doc. `version` pins
+    * the index snapshot (default latest); the index is a STATIC input
+    * like pinned centroids — a rebuild mid-stream changes what a
+    * replayed batch reports, so rebuild at a quiesce or pass an
+    * explicit version from the ingest loop. Output matches [[flag]]:
+    * `doc_id, max_overlap, worst_bench_id, contaminated` (clean docs
+    * present with nulls when `keepClean`).
+    */
+  def probeBenchIndex(spark: org.apache.spark.sql.SparkSession,
+                      corpus: DataFrame, textCol: String, idCol: String,
+                      table: String, minOverlap: Int = 2,
+                      version: Option[Long] = None,
+                      keepClean: Boolean = true): DataFrame = {
+    val ver = version.getOrElse(
+      graft.sources.VersionedTable.latestVersion(table))
+    require(ver >= 0, s"no benchmark index at $table — buildBenchIndex first")
+    val idx = graft.sources.VersionedTable.readVersion(spark, table, ver)
+    val ns = idx.select(col("n")).distinct().collect().map(_.getInt(0))
+    require(ns.length == 1,
+      s"mixed shingle widths in $table: ${ns.toSeq.sorted} — rebuild")
+    val csh = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(Dedup.shingles(lower(col(textCol)), ns.head)).as("s"))
+    val pairs = csh
+      .join(broadcast(idx.select(col("s"), col("bench_id"))), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).cast("long").as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+    val worst = pairs.groupBy(col("doc_id"))
+      .agg(max(col("n_overlap")).as("max_overlap"),
+        min_by(col("bench_id"),
+          struct((-col("n_overlap")).as("neg"), col("bench_id"))).as("worst_bench_id"))
+      .withColumn("contaminated", lit(true))
+    if (!keepClean) worst
+    else corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(worst, Seq("doc_id"), "left")
+      .na.fill(Map("contaminated" -> false))
+  }
 }

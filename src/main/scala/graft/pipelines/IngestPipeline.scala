@@ -111,6 +111,17 @@ object IngestPipeline {
     // orchestrated quiesce instead. Exact backend only (the MinHash
     // layout has no modulus to re-scale).
     autoRebucket: Boolean = false,
+    // DECONTAMINATION gate (opt-in): a persisted benchmark fingerprint
+    // index (Decontaminate.buildBenchIndex — built once, eval sets
+    // change rarely) probed per batch; the decision record gains
+    // `contam_flagged` (shares >= contamMinOverlap distinct n-grams
+    // with some benchmark doc), `contam_overlap`, and `contam_bench_id`
+    // (the worst-overlapping benchmark doc, null when clean). Flags,
+    // never drops. The index is a STATIC input like `centroids`:
+    // rebuild it at a quiesce, or replayed batches report against the
+    // rebuilt index.
+    benchIndex: Option[String] = None,
+    contamMinOverlap: Int = 2,
     // AUTO-RETRAIN of the IVF index (opt-in, single-writer cadences
     // only — the retrainInPlace contract): at the optimize cadence,
     // when mean rows-per-cell exceeds this target, retrain in place
@@ -192,8 +203,10 @@ object IngestPipeline {
 
   /** Ingest one micro-batch. Returns (and persists) the decision
     * record: `id, status, n_tokens, n_oov, oov_rate, oov_flagged[,
-    * sem_dup_of, sem_sim], __batch` (the sem columns appear when
-    * `Config.semanticThreshold` is set).
+    * sem_dup_of, sem_sim][, contam_flagged, contam_overlap,
+    * contam_bench_id], __batch` (the sem columns appear when
+    * `Config.semanticThreshold` is set; the contam columns when
+    * `Config.benchIndex` is).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
                    batchId: Long): DataFrame = {
@@ -359,16 +372,30 @@ object IngestPipeline {
     statsF.value.get.get
     ivfF.value.get.get
 
+    // contamination gate: probe-only, no commit, independent of every
+    // other stage — computed over the SAME checkpointed docs snapshot
+    val contam = cfg.benchIndex.map(t =>
+      graft.dedup.Decontaminate.probeBenchIndex(spark, docs, "__text",
+        "__id", t, cfg.contamMinOverlap, keepClean = false))
+
     val rec = status.join(oov, Seq("id"), "left")
       .select(col("id"), col("status"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("oov_rate"), lit(0.0)).as("oov_rate"))
       .withColumn("oov_flagged", col("oov_rate") >= cfg.oovGate)
-    sem.fold(rec)(s => rec.join(
-        s.select(col("id"), col("near_id").as("sem_dup_of"),
-          col("cos_sim").as("sem_sim")),
-        Seq("id"), "left"))
+    val rec2 = sem.fold(rec)(s => rec.join(
+      s.select(col("id"), col("near_id").as("sem_dup_of"),
+        col("cos_sim").as("sem_sim")),
+      Seq("id"), "left"))
+    contam.fold(rec2)(c => rec2.join(
+        c.select(col("doc_id").as("id"),
+          col("contaminated").as("contam_flagged"),
+          col("max_overlap").as("contam_overlap"),
+          col("worst_bench_id").as("contam_bench_id")),
+        Seq("id"), "left")
+      .withColumn("contam_flagged", coalesce(col("contam_flagged"), lit(false)))
+      .withColumn("contam_overlap", coalesce(col("contam_overlap"), lit(0L))))
       .withColumn("__batch", lit(batchId))
   }
 

@@ -910,6 +910,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(!off.columns.contains("sem_dup_of") && !off.columns.contains("sem_sim"))
   }
 
+  test("IngestPipeline decontamination gate: persisted bench index probed per batch; flags never drop; opt-in schema") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.dedup.Decontaminate
+
+    val evalA = "what is the capital of france the answer is paris of course"
+    val evalB = "name the largest planet in the solar system it is jupiter"
+    val clean = "completely unrelated prose about spark shuffle partitions and codegen"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pipe-contam").toString
+    Decontaminate.buildBenchIndex(spark,
+      Seq((900L, evalA), (901L, evalB)).toDF("doc_id", "text"),
+      "text", "doc_id", s"$root/bench")
+
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-contam",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0))),
+      threshold = 0.5, oovGate = 0.5,
+      benchIndex = Some(s"$root/bench"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // doc 1 leaks evalA's tail verbatim (>= 2 shared trigrams); doc 3 is
+    // clean; doc 5 leaks evalB but is ALSO a text dup of nothing — both
+    // gates are independent of dedup status
+    val b0 = Seq(
+      (1L, "some preamble then the answer is paris of course", Array(1f, 0f, 0f, 0f)),
+      (3L, clean, Array(1f, 0f, 0f, 0f)),
+      (5L, "trivia says the largest planet in the solar system it is jupiter", Array(1f, 0f, 0f, 0f)))
+    val r0 = IngestPipeline.processBatch(spark,
+      b0.toDF("doc_id", "text", "embedding"), cfg, 0L)
+    r0.write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    val got = spark.read.parquet(cfg.resultsDir)
+      .select(col("id"), col("status"), col("contam_flagged"),
+        col("contam_overlap"), col("contam_bench_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L)._2 && got(1L)._4 == Some(900L), got(1L))
+    assert(got(1L)._3 >= 2L, got(1L))
+    assert(!got(3L)._2 && got(3L)._3 == 0L && got(3L)._4.isEmpty, got(3L))
+    assert(got(5L)._2 && got(5L)._4 == Some(901L), got(5L))
+    // flags, never drops: every doc keeps its dedup status
+    assert(got.values.forall(_._1 == "kept"), got)
+    // replay: identical record (static index, same probe)
+    IngestPipeline.processBatch(spark,
+        b0.toDF("doc_id", "text", "embedding"), cfg, 0L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    val again = spark.read.parquet(cfg.resultsDir)
+      .select(col("id"), col("status"), col("contam_flagged"),
+        col("contam_overlap"), col("contam_bench_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(again == got)
+    // gate off: columns absent
+    val off = IngestPipeline.processBatch(spark,
+      Seq((9L, clean + " coda", Array(1f, 0f, 0f, 0f)))
+        .toDF("doc_id", "text", "embedding"),
+      cfg.copy(benchIndex = None, dedupIndex = s"$root/dedup2",
+        statsIndex = s"$root/stats2", ivfIndex = s"$root/ivf2",
+        resultsDir = s"$root/results2", appId = "ingest-contam-off"), 0L)
+    assert(!off.columns.contains("contam_flagged"))
+  }
+
   test("IngestPipeline auto-retrain: cell count grows at the optimize cadence to hold fill; later batches assign under the new era") {
     import spark.implicits._
     import graft.pipelines.IngestPipeline
