@@ -910,6 +910,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(!off.columns.contains("sem_dup_of") && !off.columns.contains("sem_sim"))
   }
 
+  test("IngestPipeline backend differential: exact and minhash pipelines report identical decisions on a complete-recall corpus") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+
+    // dup-heavy corpus in the regime where banded-LSH recall is
+    // complete (long shared token runs), so the two backends must agree
+    // EXACTLY on every status and OOV figure
+    // stride 5 so every family spans BOTH parities - the cross-index
+    // dup_of_index leg is exercised, not just within-batch clustering
+    val docs = (0 until 40).map { i =>
+      val fam = i % 5
+      val base = (0 until 14).map(w => s"fam${fam}tok$w").mkString(" ")
+      (i.toLong, if (i < 5) base else base + s" variant${i / 5}",
+        Array(1f, 0f, 0f, 0f))
+    }
+    def run(mh: Boolean): Map[Long, (String, Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-pipe-diff-$mh").toString
+      val cfg = IngestPipeline.Config(
+        textCol = "text", idCol = "doc_id", embCol = "embedding",
+        dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+        ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+        appId = s"pipe-diff-$mh",
+        centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(1.0, 0, 0, 0))),
+        threshold = 0.5, oovGate = 0.5,
+        dedupBackend =
+          if (mh) IngestPipeline.DedupBackend.MinHash()
+          else IngestPipeline.DedupBackend.Exact,
+        docStore = if (mh) Some(s"$root/docstore") else None)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq(0, 1).foreach { b =>
+        IngestPipeline.processBatch(spark,
+            docs.filter(_._1 % 2 == b).toDF("doc_id", "text", "embedding"),
+            cfg, b.toLong)
+          .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+      }
+      spark.read.parquet(cfg.resultsDir)
+        .select(col("id"), col("status"), col("n_tokens"), col("n_oov"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val exact = run(mh = false)
+    val minhash = run(mh = true)
+    assert(exact == minhash,
+      s"backends diverged:\nexact=$exact\nminhash=$minhash")
+    assert(exact.values.count(_._1 == "kept") == 5, exact)
+    assert(exact.values.count(_._1 == "dup_of_index") > 0, exact)
+  }
+
   test("IngestPipeline decontamination gate: persisted bench index probed per batch; flags never drop; opt-in schema") {
     import spark.implicits._
     import graft.pipelines.IngestPipeline
