@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   *     rule (here every 8 batches, documented in the artifact) so the
   *     partials-merge read cost resets exactly as production would.
   *
-  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash]
+  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash] [gates]
   * Prints one JSON line tagged PIPELINE_STRESS. `minhash` swaps the
   * dedup stage to the banded index + pipeline-maintained doc store
   * (five artifacts) — same replica corpus, so the two backends' curves
-  * are directly comparable.
+  * are directly comparable. `gates` additionally enables the SEMANTIC
+  * near-dup gate (probe vs the pinned kept-corpus IVF index) and the
+  * DECONTAMINATION gate (a 100-doc bench fingerprint index built once
+  * from the base corpus) — the everything-on configuration.
   */
 object IngestPipelineStress {
   def main(args: Array[String]): Unit = {
@@ -37,6 +40,10 @@ object IngestPipelineStress {
     val t = if (args.length > 2) args(2).toDouble else 0.6
     val backend = if (args.length > 3) args(3) else "exact"
     require(backend == "exact" || backend == "minhash", backend)
+    val gateArg = if (args.length > 4) args(4) else "off"
+    val semOn = gateArg == "gates" || gateArg == "sem"
+    val contamOn = gateArg == "gates" || gateArg == "contam"
+    val gates = semOn || contamOn
     val compactEvery = 8
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -50,6 +57,20 @@ object IngestPipelineStress {
       .select(col("doc_id"), col("text")).localCheckpoint()
     val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
 
+    // gates mode swaps the synthetic 4-dim hash embedding for the REAL
+    // 64-dim embeddings table (joined by base doc id): the hash
+    // embedding's first component is a dense 1-D grid, so ANY usable
+    // cosine threshold admits ~10% of the corpus per probe - a
+    // degenerate semantic-gate regime that measures window-shuffle
+    // volume, not the gate (found by this stress; the oracle queries
+    // always used the real table). Replicas share their base doc's
+    // vector, so cross-batch semantic matches are exact copies - the
+    // sparse-match regime the gate is for.
+    lazy val realEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("__base"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("embedding"))
+      .localCheckpoint()
     def replica(i: Int) = {
       val base =
         if (i == 0) docs
@@ -58,9 +79,23 @@ object IngestPipelineStress {
           .withColumn("text", array_join(
             transform(split(col("text"), " "),
               w => concat(w, lit(s"~$i"))), " "))
-      base.withColumn("embedding", array(
+      if (gates)
+        base.withColumn("__base", pmod(col("doc_id"), lit(idSpan)))
+          .join(realEmb, Seq("__base")).drop("__base")
+      else base.withColumn("embedding", array(
         pmod(xxhash64(col("text")), lit(1000)).cast("double") / lit(1000.0),
         lit(0.25), lit(0.5), lit(0.75)))
+    }
+
+    // gates mode: one bench fingerprint index, built once from the base
+    // corpus's first 100 docs (the eval set changes rarely — exactly the
+    // build-once/probe-many contract)
+    lazy val benchIndexDir = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pipe-bench").toString + "/bench"
+      graft.dedup.Decontaminate.buildBenchIndex(spark,
+        docs.filter(col("doc_id") < 100), "text", "doc_id", dir)
+      dir
     }
 
     def freshCfg(root: String) = graft.pipelines.IngestPipeline.Config(
@@ -68,15 +103,21 @@ object IngestPipelineStress {
       dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
       ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
       appId = "pipe-stress",
-      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
-        graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
+      centroids =
+        if (gates) graft.similarity.Ivf.trainCentroids(
+          realEmb.withColumnRenamed("__base", "vec_id"), "embedding",
+          "vec_id", nCells = 2, iters = 2)
+        else Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
+          graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
       threshold = t, oovGate = 0.5,
       dedupBackend =
         if (backend == "minhash")
           graft.pipelines.IngestPipeline.DedupBackend.MinHash()
         else graft.pipelines.IngestPipeline.DedupBackend.Exact,
       docStore =
-        if (backend == "minhash") Some(s"$root/docstore") else None)
+        if (backend == "minhash") Some(s"$root/docstore") else None,
+      semanticThreshold = if (semOn) Some(0.999) else None,
+      benchIndex = if (contamOn) Some(benchIndexDir) else None)
 
     // warm the JVM/codegen on a throwaway root so batch 0 isn't janino
     val warm = freshCfg(java.nio.file.Files
@@ -108,7 +149,7 @@ object IngestPipelineStress {
     val secondHalf = times.drop(nBatches / 2).sum / (nBatches - nBatches / 2)
     val ts = times.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
-      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","gates":"$gateArg","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
     spark.stop()
   }
 }
