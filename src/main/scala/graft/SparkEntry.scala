@@ -1709,6 +1709,51 @@ object SparkEntry {
         col("oov_flagged").cast("bigint").as("oov_flagged"))
   }
 
+  /** [[qIngestPipelineSemantic]] on the CODED path (VERDICT r13 #3):
+    * `Config.pqCodebook` makes every IVF append store PQ codes under
+    * the pinned codebook and routes the semantic gate through
+    * [[graft.similarity.IncrementalIvf.nearDupPairsAdc]] — a codes-only
+    * coarse ADC top-R per probe (the scan never reads the float
+    * vectors, which at 100 TB are the gate's whole scan cost) followed
+    * by an exact cosine re-rank over the survivors' floats fetched
+    * candidate-pruned. `adcCandidates` here covers every same-cell
+    * candidate, so the result is row-identical to the float gate and
+    * the SAME DuckDB oracle hash-checks it; production sets a small R
+    * and takes the (nProbe, top-R) recall contract instead.
+    */
+  private def qIngestPipelineSemanticAdc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 2)
+      .orderBy(col("vec_id")).collect()
+      .map(r => graft.similarity.Ivf.Centroid(r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id",
+      m = 8, k = 16)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingestpipesemadc").toString
+    val cfg = graft.pipelines.IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "entry-pipe-sem-adc", centroids = cents,
+      threshold = 0.6, oovGate = 0.5,
+      semanticThreshold = Some(0.4), semanticNProbe = 1,
+      pqCodebook = Some(cb), adcCandidates = Int.MaxValue)
+    val r0 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), cfg, 0L)
+    val r1 = graft.pipelines.IngestPipeline.processBatch(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), cfg, 1L)
+    r0.unionByName(r1)
+      .select(col("id").as("doc_id"), col("__batch").as("batch"),
+        col("status"), col("sem_dup_of"), col("sem_sim"),
+        col("n_tokens"), col("n_oov"), col("oov_rate"),
+        col("oov_flagged").cast("bigint").as("oov_flagged"))
+  }
+
   /** Cross-writer duplicate reconciliation
     * ([[graft.dedup.IncrementalDedup.reconcile]] +
     * [[graft.dedup.IncrementalDedup.applyReconciliation]]): two parity
@@ -4964,6 +5009,7 @@ object SparkEntry {
     "q_ingest_pipeline" -> (qIngestPipeline _),
     "q_ingest_pipeline_minhash" -> (qIngestPipelineMinhash _),
     "q_ingest_pipeline_semantic" -> (qIngestPipelineSemantic _),
+    "q_ingest_pipeline_semantic_adc" -> (qIngestPipelineSemanticAdc _),
     "q_semantic_lookup" -> (qSemanticLookup _),
     "q_reconcile"      -> (qReconcile _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
@@ -5748,7 +5794,16 @@ object SparkEntry {
       ORDER BY cos_sim DESC, b.vec_id LIMIT 10"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the coded (IVF-PQ) semantic-gate pipeline: with adcCandidates
+    // covering every same-cell candidate, the codes-only coarse phase +
+    // exact float re-rank reproduces the float gate's results row for
+    // row — so the SAME relational oracle pins it (the plan-side
+    // codes-only guarantee is spec-asserted in IncrementalIvfSpec)
+    ("q_ingest_pipeline_semantic_adc" ->
+      oracleSqlBase("q_ingest_pipeline_semantic"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     // v1 = overwrite(r<2) + append(r>=2) = all of nation; v2 = the
     // DSv2 connector fingerprint recomputed from parquet with the same
     // SAS-semantics CASEs (pruned projection: okey/price/status)

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Per-(table, version) pinned shingle width — see [[probeBenchIndex]]. */
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** All (corpus doc, benchmark doc) pairs sharing >= `minOverlap`
     * distinct word n-grams. Columns: doc_id, bench_id, n_overlap.
     *
@@ -132,11 +136,20 @@ object Decontaminate {
       graft.sources.VersionedTable.latestVersion(table))
     require(ver >= 0, s"no benchmark index at $table — buildBenchIndex first")
     val idx = graft.sources.VersionedTable.readVersion(spark, table, ver)
-    val ns = idx.select(col("n")).distinct().collect().map(_.getInt(0))
-    require(ns.length == 1,
-      s"mixed shingle widths in $table: ${ns.toSeq.sorted} — rebuild")
+    // pinned shingle width, read ONCE per (table, version) per JVM: a
+    // probe-per-batch ingest gate must not pay a distinct-shuffle job
+    // for a constant (ADVICE r13) — one min/max agg (map-side, no
+    // exchange) keeps the mixed-width refusal, and the memo makes later
+    // batches free (committed versions are immutable, so the key can
+    // never go stale)
+    val n = widthMemo.computeIfAbsent(s"$table@$ver", { _ =>
+      val mm = idx.agg(min(col("n")), max(col("n"))).head()
+      require(mm.getInt(0) == mm.getInt(1),
+        s"mixed shingle widths in $table: ${mm.getInt(0)}..${mm.getInt(1)} — rebuild")
+      Integer.valueOf(mm.getInt(0))
+    })
     val csh = corpus.select(col(idCol).cast("long").as("doc_id"),
-      explode(Dedup.shingles(lower(col(textCol)), ns.head)).as("s"))
+      explode(Dedup.shingles(lower(col(textCol)), n)).as("s"))
     val pairs = csh
       .join(broadcast(idx.select(col("s"), col("bench_id"))), "s")
       .groupBy(col("doc_id"), col("bench_id"))

@@ -80,10 +80,12 @@ object IncrementalMinHash {
         java.nio.file.Files.createDirectories(p.getParent)
         val tmp = p.resolveSibling(s".${p.getFileName}.${java.util.UUID.randomUUID()}")
         java.nio.file.Files.write(tmp, s"$k $bands".getBytes("UTF-8"))
-        // createLink, not ATOMIC_MOVE: a POSIX atomic move is rename(),
+        // AtomicClaim, not ATOMIC_MOVE: a POSIX atomic move is rename(),
         // which silently REPLACES an existing target — hard-link
-        // creation is the atomic fail-if-exists primitive
-        try java.nio.file.Files.createLink(p, tmp)
+        // creation is the atomic fail-if-exists primitive, with a
+        // checked non-replacing move on link-less filesystems
+        // (FUSE/object-store mounts — ADVICE r13 portability)
+        try graft.sources.AtomicClaim.claim(p, tmp)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             requireGeometry(indexTable, k, bands, readGeometry(indexTable)
@@ -405,10 +407,14 @@ object IncrementalMinHash {
     */
   def compactIndex(spark: SparkSession, indexTable: String): Unit = {
     if (VersionedTable.latestVersion(indexTable) < 0) return
+    // loud serialization of concurrent maintenance (VERDICT r13 #2);
+    // the RMW commit stays conflict-checked regardless
+    graft.sources.MaintenanceLease.withLease(indexTable, "compactIndex") {
     val files = math.max(1L,
       VersionedTable.read(spark, indexTable).count() / 400000L).toInt
     VersionedTable.compactBy(spark, indexTable)(df =>
       df.repartitionByRange(files, col("bucket"))
         .sortWithinPartitions(col("bucket"), col("band")))
+    }
   }
 }

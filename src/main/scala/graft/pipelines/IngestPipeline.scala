@@ -143,6 +143,35 @@ object IngestPipeline {
     // nProbe contract.
     semanticThreshold: Option[Double] = None,
     semanticNProbe: Int = 1,
+    // PQ codes for the IVF artifact (opt-in; r13 VERDICT missing #1):
+    // when set, every IVF append stores `codes` under this PINNED
+    // codebook (drift refuses loudly — IncrementalIvf.pinCodebook), and
+    // the semantic gate runs the CODED two-phase probe
+    // (IncrementalIvf.nearDupPairsAdc): a codes-only coarse ADC top-R
+    // per probe, then exact re-rank on the survivors' floats fetched
+    // candidate-pruned. At 100 TB the raw embeddings are the gate's
+    // scan cost; with codes the coarse read is nProbe/nCells of an
+    // m-byte column. Gate results match the float path whenever each
+    // probe's true best neighbour ranks within `adcCandidates` by ADC —
+    // the (nProbe, top-R) recall contract. Incompatible with
+    // `autoRetrainCellFill`: codes pair with a codebook era exactly as
+    // rows pair with centroids, and retrainInPlace refuses coded
+    // indexes by design — retrain a coded index to a NEW table
+    // (IncrementalIvf.retrain(pq = ...)) and cut the Config over at a
+    // quiesce. processBatch/maintenance refuse the combination loudly.
+    pqCodebook: Option[graft.similarity.Pq.Codebook] = None,
+    adcCandidates: Int = 32,
+    // SEMANTIC-THRESHOLD preflight (r13 degenerate-regime finding made
+    // engine behavior): before the gate's first probe of a non-empty
+    // index in this JVM, measure on a bounded sample the fraction of
+    // candidate pairs the configured threshold ADMITS
+    // (IncrementalIvf.semanticAdmissionFraction). Past this bound the
+    // batch REFUSES loudly with the measured fraction — a near-dup
+    // gate over an embedding space where everything is near everything
+    // (collapsed/degenerate embeddings, or a threshold below the
+    // space's ambient cosine) admits O(batch × index) pairs and the
+    // gate would faithfully execute that. Set to 1.0 to disable.
+    semanticAdmissionBound: Double = 0.05,
     // stage-1 index choice; MinHash additionally requires `docStore`
     dedupBackend: DedupBackend = DedupBackend.Exact,
     // VersionedTable path for the pipeline-maintained doc store
@@ -183,6 +212,17 @@ object IngestPipeline {
     new java.util.concurrent.ConcurrentHashMap[String, OovRoute]()
   private val OovRouteRevalidateEvery = 16L
 
+  /** Semantic-gate admission preflights already passed this JVM, keyed
+    * by (index, threshold, bound) → measured fraction. One bounded
+    * sample probe per key: admission density is a property of the
+    * embedding DISTRIBUTION, which batches shift only glacially — a
+    * distribution that drifts into degeneracy mid-stream shows up in
+    * [[IncrementalIvf.assignStats]] (the drift guard) long before it
+    * flips this verdict. A fresh JVM re-measures.
+    */
+  private val semPreflightDone =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** On-disk bytes under a table's data root — the metadata-only vocab
     * floor for the OOV-route gate (dead versions inflate it: the safe
     * direction, the exact count then adjudicates).
@@ -209,13 +249,42 @@ object IngestPipeline {
     * `Config.benchIndex` is).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
-                   batchId: Long): DataFrame = {
+                   batchId: Long): DataFrame =
+    processBatch(spark, batch, cfg, batchId, onStage = None)
+
+  /** Stage-instrumented face: `onStage` receives `(stage, seconds)` per
+    * pipeline stage. Instrumentation changes EVALUATION, not results:
+    * the lazy gates (oov / sem / contam) are materialized eagerly so
+    * each stage's cost is attributable — sound because every gate reads
+    * a version PINNED below this batch's own commits, so eager vs
+    * write-time evaluation sees byte-identical inputs. This is the
+    * measurement face the stress harness drives; production callers use
+    * the 4-arg form (gates stay lazy, folded into the record write).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
+                   batchId: Long,
+                   onStage: Option[(String, Double) => Unit]): DataFrame = {
+    require(cfg.pqCodebook.isEmpty || cfg.autoRetrainCellFill.isEmpty,
+      "pqCodebook and autoRetrainCellFill are mutually exclusive: codes " +
+        "pair with a codebook era as rows pair with centroids, and the " +
+        "in-place retrain cadence cannot cut both over atomically — " +
+        "retrain a coded index to a NEW table (IncrementalIvf.retrain" +
+        "(pq = ...)) and cut the Config over at a quiesce")
+    def timed[T](name: String)(f: => T): T = onStage match {
+      case None => f
+      case Some(cb) =>
+        val t0 = System.nanoTime()
+        val r = f
+        cb(name, (System.nanoTime() - t0) / 1e9)
+        r
+    }
     // one deterministic snapshot of the micro-batch: every consumer
     // below (dedup shingling, OOV tokenizing, kept-join, IVF assign)
     // reads THIS materialization, so no re-evaluation can diverge
-    val docs = batch.select(col(cfg.idCol).cast("long").as("__id"),
-      col(cfg.textCol).as("__text"), col(cfg.embCol).as("__emb"))
-      .localCheckpoint()
+    val docs = timed("snapshot")(
+      batch.select(col(cfg.idCol).cast("long").as("__id"),
+        col(cfg.textCol).as("__text"), col(cfg.embCol).as("__emb"))
+        .localCheckpoint())
 
     // OOV gate against the stats snapshot pinned BEFORE this batch's
     // own stats commit (fresh: latest; replay: just below the original).
@@ -226,7 +295,7 @@ object IngestPipeline {
     // the broadcast path and a production-sized vocab hit the
     // unsplittable join oovRateSalted exists to fix).
     val statsVer = pinnedStatsVersion(cfg.statsIndex, cfg.appId, batchId)
-    val oov =
+    val oovLazy =
       if (statsVer < 0)
         // empty vocabulary: every token is unseen, by definition
         docs.select(col("__id").as("id"),
@@ -269,6 +338,9 @@ object IngestPipeline {
         else IncrementalStats.oovRate(spark, docs, "__text", "__id",
           cfg.statsIndex, Some(statsVer))
       }
+    val oov =
+      if (onStage.isEmpty) oovLazy
+      else timed("oov")(oovLazy.localCheckpoint())
 
     // centroid resolution: static config by default; under auto-retrain
     // the sidecar's newest VALIDATED era drives appends, and pinned
@@ -290,15 +362,45 @@ object IngestPipeline {
       val probeCents =
         if (cfg.autoRetrainCellFill.isEmpty || ivfVer < 0) appendCents
         else IncrementalIvf.centroidsFor(spark, cfg.ivfIndex, ivfVer)
-      IncrementalIvf.nearDupPairs(spark, docs, "__emb", "__id",
-        probeCents, cfg.ivfIndex, t, cfg.semanticNProbe,
-        version = Some(ivfVer))
+      // admission preflight: once per (index, threshold) per JVM, on
+      // the first non-empty pinned snapshot — a bounded sample probe
+      // that refuses a degenerate threshold/embedding combination
+      // BEFORE the gate builds an O(batch × index) pair set
+      if (ivfVer >= 0 && cfg.semanticAdmissionBound < 1.0) {
+        val key = s"${cfg.ivfIndex}#$t#${cfg.semanticAdmissionBound}"
+        if (!semPreflightDone.containsKey(key)) {
+          val frac = IncrementalIvf.semanticAdmissionFraction(spark,
+            cfg.ivfIndex, probeCents, t, cfg.semanticNProbe,
+            version = Some(ivfVer))
+          require(frac <= cfg.semanticAdmissionBound,
+            f"semantic gate preflight REFUSED: threshold $t admits " +
+              f"$frac%.4f of sampled candidate pairs (> bound " +
+              f"${cfg.semanticAdmissionBound}) on ${cfg.ivfIndex} — the " +
+              "embedding space is too collapsed for this threshold (the " +
+              "gate would admit a constant fraction of the corpus per " +
+              "probe); raise the threshold, fix the embeddings, or raise " +
+              "semanticAdmissionBound if this density is intended")
+          semPreflightDone.put(key, frac)
+        }
+      }
+      val pairs = cfg.pqCodebook match {
+        case Some(cb) if ivfVer >= 0 =>
+          IncrementalIvf.nearDupPairsAdc(spark, docs, "__emb", "__id",
+            probeCents, cfg.ivfIndex, t, cb, cfg.adcCandidates,
+            cfg.semanticNProbe, version = Some(ivfVer))
+        case _ =>
+          IncrementalIvf.nearDupPairs(spark, docs, "__emb", "__id",
+            probeCents, cfg.ivfIndex, t, cfg.semanticNProbe,
+            version = Some(ivfVer))
+      }
+      if (onStage.isEmpty) pairs
+      else timed("sem")(pairs.localCheckpoint())
     }
 
     // dedup statuses (commits the signature/band index — and, exact
     // backend, the tf sidecar — under the txn identity; pure under
     // replay)
-    val status = (cfg.dedupBackend match {
+    val status = timed("dedup")((cfg.dedupBackend match {
       case DedupBackend.Exact =>
         IncrementalDedup.processBatch(spark, docs, "__text",
           "__id", cfg.dedupIndex, cfg.threshold, batchId, cfg.shingleN,
@@ -333,16 +435,16 @@ object IngestPipeline {
         IncrementalMinHash.processBatch(spark, docs, "__text", "__id",
           cfg.dedupIndex, store, cfg.threshold, batchId, k, bands,
           cfg.shingleN, txnApp = Some(cfg.appId), txn = Some(batchId))
-    }).select(col("id"), col("status")).localCheckpoint()
+    }).select(col("id"), col("status")).localCheckpoint())
 
     // the kept subset feeds the corpus-statistics and vector indexes:
     // both describe the DEDUPED corpus, so dup docs contribute nothing.
     // Checkpointed once — the two consumers below run CONCURRENTLY and
     // would otherwise each recompute the kept-join.
-    val kept = docs.join(
+    val kept = timed("kept")(docs.join(
       status.filter(col("status") === "kept").select(col("id")),
       docs("__id") === col("id")).select(col("__id"), col("__text"), col("__emb"))
-      .localCheckpoint()
+      .localCheckpoint())
     // The two index appends are independent jobs over the same pinned
     // `kept` snapshot, committing to DIFFERENT tables — submit them from
     // separate threads so the scheduler overlaps their stages (on a
@@ -356,27 +458,33 @@ object IngestPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val statsF = Future(IncrementalStats.addBatch(spark, kept, "__text",
-      "__id", cfg.statsIndex, batchId,
-      txnApp = Some(cfg.appId), txn = Some(batchId)))
-    val ivfF = Future(IncrementalIvf.addBatch(spark, kept, "__emb", "__id",
-      appendCents, cfg.ivfIndex, batchId,
-      txnApp = Some(cfg.appId), txn = Some(batchId)))
-    // BOTH futures must settle before this batch can fail: a detached
-    // survivor racing a checkpoint replay could land its commit AFTER
-    // the replay's txnMaxes check and double-append the same
-    // (appId, batchId). Await.ready (not result) on each, THEN rethrow
-    // the first failure — no zombie outlives the batch attempt.
-    Await.ready(statsF, Duration.Inf)
-    Await.ready(ivfF, Duration.Inf)
-    statsF.value.get.get
-    ivfF.value.get.get
+    timed("stats_ivf") {
+      val statsF = Future(IncrementalStats.addBatch(spark, kept, "__text",
+        "__id", cfg.statsIndex, batchId,
+        txnApp = Some(cfg.appId), txn = Some(batchId)))
+      val ivfF = Future(IncrementalIvf.addBatch(spark, kept, "__emb", "__id",
+        appendCents, cfg.ivfIndex, batchId,
+        txnApp = Some(cfg.appId), txn = Some(batchId),
+        codebook = cfg.pqCodebook))
+      // BOTH futures must settle before this batch can fail: a detached
+      // survivor racing a checkpoint replay could land its commit AFTER
+      // the replay's txnMaxes check and double-append the same
+      // (appId, batchId). Await.ready (not result) on each, THEN rethrow
+      // the first failure — no zombie outlives the batch attempt.
+      Await.ready(statsF, Duration.Inf)
+      Await.ready(ivfF, Duration.Inf)
+      statsF.value.get.get
+      ivfF.value.get.get
+    }
 
     // contamination gate: probe-only, no commit, independent of every
     // other stage — computed over the SAME checkpointed docs snapshot
-    val contam = cfg.benchIndex.map(t =>
-      graft.dedup.Decontaminate.probeBenchIndex(spark, docs, "__text",
-        "__id", t, cfg.contamMinOverlap, keepClean = false))
+    val contam = cfg.benchIndex.map { t =>
+      val probe = graft.dedup.Decontaminate.probeBenchIndex(spark, docs,
+        "__text", "__id", t, cfg.contamMinOverlap, keepClean = false)
+      if (onStage.isEmpty) probe
+      else timed("contam")(probe.localCheckpoint())
+    }
 
     val rec = status.join(oov, Seq("id"), "left")
       .select(col("id"), col("status"),
@@ -414,6 +522,9 @@ object IngestPipeline {
     *     the retention contract.
     */
   def maintenance(spark: SparkSession, cfg: Config, batchId: Long): Unit = {
+    require(cfg.pqCodebook.isEmpty || cfg.autoRetrainCellFill.isEmpty,
+      "pqCodebook and autoRetrainCellFill are mutually exclusive — see " +
+        "processBatch; coded indexes retrain to a NEW table at a quiesce")
     val exact = cfg.dedupBackend == DedupBackend.Exact
     if (batchId % cfg.compactEvery == cfg.compactEvery - 1) {
       if (exact) IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
@@ -496,9 +607,19 @@ object IngestPipeline {
       (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        processBatch(s, batch, cfg, batchId)
-          .write.mode("overwrite").partitionBy("__batch")
-          .parquet(cfg.resultsDir)
-        maintenance(s, cfg, batchId)
+        // batch-scoped checkpoint lifecycle: every localCheckpoint this
+        // batch materializes (snapshot, statuses, kept, gate probes,
+        // candidate stages deep inside the indexes) is released when the
+        // batch's record is durably written — NOT when driver GC happens
+        // to run ContextCleaner. Without this, a long-running stream
+        // accumulates checkpoint blocks in executor storage and batch
+        // times drift until a GC burst frees them (the r13 gates-on
+        // stress curve, attributed and fixed in r14).
+        graft.sources.CheckpointScope.withScope(s.sparkContext) {
+          processBatch(s, batch, cfg, batchId)
+            .write.mode("overwrite").partitionBy("__batch")
+            .parquet(cfg.resultsDir)
+          maintenance(s, cfg, batchId)
+        }
     }
 }

@@ -169,31 +169,212 @@ object IncrementalIvf {
       val sp = spark; import sp.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("id", "near_id", "cos_sim")
     }
-    val q = batch
-      .select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(embCol)).cast("array<double>").as("__q"))
-      .withColumn("cell_id",
-        explode(Ivf.probeCells(col("__q"), cents, nProbe)))
-      .withColumn("__qn", Similarity.norm(col("__q")))
-      .localCheckpoint() // one scan feeds the cell collect AND the join
-    val cells = q.select(col("cell_id")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by nCells
-    val idx = VersionedTable.readVersion(spark, table, ver)
-      .select(col("id").as("near_id"), col("cell_id"), col("vec"))
-    val pruned =
-      if (cells.isEmpty) idx.filter(lit(false))
-      else idx.filter(col("cell_id").isin(cells: _*))
-    val cand = q.join(pruned, Seq("cell_id"))
-      .filter(col("near_id") =!= col("id")) // a doc is not its own near-dup
-      .select(col("id"), col("near_id"),
-        round(graft.functions.DotProduct.dotProduct(col("vec"), col("__q"))
-          / (Similarity.norm(col("vec")) * col("__qn")), 6).as("cos_sim"))
+    val cand = nearDupPairsCandidates(spark, batch, embCol, idCol, cents,
+        table, nProbe, Some(ver))
       .filter(col("cos_sim") >= threshold)
     import org.apache.spark.sql.expressions.Window
     cand.withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
         .orderBy(col("cos_sim").desc, col("near_id"))))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Spec hooks: the coarse codes-only scan and the candidate-pruned
+    * float fetch of the last [[nearDupPairsAdc]] on this JVM — plan
+    * asserts pin that the coarse leg NEVER reads `vec` and the re-rank
+    * leg reads only the surviving candidates. Test-introspection only.
+    */
+  private[graft] var lastAdcCoarseScan: Option[DataFrame] = None
+  private[graft] var lastAdcRerankScan: Option[DataFrame] = None
+
+  /** The CODED face of [[nearDupPairs]] — the 100 TB semantic gate: a
+    * two-phase probe over a codes-carrying index (rows appended with
+    * `addBatch(codebook = ...)`) that never reads the index's float
+    * vectors except for the handful of candidates that survive the
+    * coarse phase.
+    *
+    *   1. COARSE: each probe doc computes its m×k ADC lookup table
+    *      scan-side ([[Pq.adcLutCol]]), joins the probed cells' rows
+    *      reading `(id, cell_id, codes)` ONLY, and keeps its
+    *      `adcCandidates` nearest candidates by ADC distance (ties →
+    *      lower id). At scale this phase's read is nProbe/nCells of an
+    *      m-byte code column — the raw embeddings, which ARE the scan
+    *      cost at 100 TB, stay unread.
+    *   2. RE-RANK: the survivors' float vectors are fetched
+    *      candidate-pruned (bounded In-pushdown on `id`, the doc-store
+    *      fetch discipline; an id semi-join past the bound), the exact
+    *      rounded cosine is computed for those pairs only, and the
+    *      float path's threshold + (cos desc, id asc) top-1 rule
+    *      finishes identically.
+    *
+    * Output and semantics match [[nearDupPairs]] whenever each probe's
+    * true best ≥-threshold neighbour ranks within `adcCandidates` by
+    * ADC in a probed cell — the recall contract is (nProbe, ADC top-R):
+    * raise `adcCandidates` to trade re-rank fetch volume for coarse
+    * recall, exactly as nProbe trades scan volume for cell recall.
+    */
+  def nearDupPairsAdc(spark: SparkSession, batch: DataFrame, embCol: String,
+                      idCol: String, cents: Seq[Ivf.Centroid], table: String,
+                      threshold: Double, cb: Pq.Codebook,
+                      adcCandidates: Int = 32, nProbe: Int = 1,
+                      version: Option[Long] = None): DataFrame = {
+    require(adcCandidates >= 1, s"adcCandidates must be >= 1, got $adcCandidates")
+    val ver = version.getOrElse(VersionedTable.latestVersion(table))
+    if (ver < 0) {
+      val sp = spark; import sp.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id", "near_id", "cos_sim")
+    }
+    val snap = VersionedTable.readVersion(spark, table, ver)
+    require(snap.columns.contains("codes"),
+      s"$table carries no PQ codes at version $ver — the coded gate reads " +
+        "codes only; append with addBatch(codebook = ...) or use the " +
+        "float-path nearDupPairs")
+    // one probe-side materialization feeds everything: the probed-cell
+    // collect, the coarse join (cells + LUT), and the re-rank (vector +
+    // norm) — the batch is scanned once however many consumers follow
+    val q0 = batch
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(embCol)).cast("array<double>").as("__q"))
+      .withColumn("__cells", Ivf.probeCells(col("__q"), cents, nProbe))
+      .withColumn("__qn", Similarity.norm(col("__q")))
+      .withColumn("__lut", Pq.adcLutCol(col("__q"), cb))
+      .localCheckpoint()
+    val cells = q0.select(explode(col("__cells")).as("c")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nCells
+    val idxCodes = snap
+      .select(col("id").as("near_id"), col("cell_id"), col("codes"))
+    val prunedCodes =
+      if (cells.isEmpty) idxCodes.filter(lit(false))
+      else idxCodes.filter(col("cell_id").isin(cells: _*))
+    lastAdcCoarseScan = Some(prunedCodes)
+    // coarse ADC top-R per probe: the join projection computes the
+    // m-lookup fold and immediately drops the LUT, so the window
+    // exchange shuffles slim (id, near_id, __adc) rows — never the
+    // probe vectors or tables
+    val coarse = probeSide(q0
+        .select(col("id"), explode(col("__cells")).as("cell_id"), col("__lut")))
+      .join(prunedCodes, Seq("cell_id"))
+      .filter(col("near_id") =!= col("id"))
+      .select(col("id"), col("near_id"),
+        Pq.adcDistFromLut(col("codes"), col("__lut")).as("__adc"))
+    import org.apache.spark.sql.expressions.Window
+    val surv = coarse
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("__adc"), col("near_id"))))
+      .filter(col("__rn") <= adcCandidates)
+      .select(col("id"), col("near_id"))
+      .localCheckpoint() // feeds the candidate-id collect AND the join
+    // candidate-pruned float fetch: bounded In-pushdown (row-group
+    // pruning on the id-clustered layout); id semi-join past the bound
+    // — never a wrong answer, just unpruned
+    val candIds = surv.select(col("near_id")).distinct()
+      .limit(graft.dedup.IncrementalDedup.MaxPayloadIdCollect + 1).collect()
+      .map(_.getLong(0))
+    val vecs = snap.select(col("id").as("near_id"), col("vec"))
+    val fetched =
+      if (candIds.isEmpty) vecs.filter(lit(false))
+      else if (candIds.length <= graft.dedup.IncrementalDedup.MaxPayloadIdCollect)
+        vecs.filter(col("near_id").isin(candIds.toSeq: _*))
+      else vecs.join(surv.select(col("near_id")).distinct(), Seq("near_id"),
+        "leftsemi")
+    lastAdcRerankScan = Some(fetched)
+    val cand = surv
+      .join(q0.select(col("id"), col("__q"), col("__qn")), Seq("id"))
+      .join(fetched, Seq("near_id"))
+      .select(col("id"), col("near_id"),
+        round(graft.functions.DotProduct.dotProduct(col("vec"), col("__q"))
+          / (Similarity.norm(col("vec")) * col("__qn")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    cand.withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("cos_sim").desc, col("near_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Preflight for the semantic near-dup gate: the measured fraction of
+    * CANDIDATE pairs a probe admits at `threshold` over a bounded,
+    * deterministic sample of the index probing itself — the guard that
+    * turns the r13 degenerate-regime finding (a collapsed embedding
+    * space where ANY usable threshold admits a constant fraction of the
+    * corpus, so the gate's top-1 window ingests O(batch × index) pairs)
+    * into engine behavior instead of operator folklore. Cost is
+    * bounded: `sampleProbes` probe vectors (the lowest-id rows — a
+    * column-pruned TakeOrdered, no shuffle) against their probed cells
+    * only. Returns 0.0 when the sample yields no candidate pairs.
+    */
+  def semanticAdmissionFraction(spark: SparkSession, table: String,
+                                cents: Seq[Ivf.Centroid], threshold: Double,
+                                nProbe: Int = 1, sampleProbes: Int = 64,
+                                version: Option[Long] = None): Double = {
+    val ver = version.getOrElse(VersionedTable.latestVersion(table))
+    if (ver < 0) return 0.0
+    val probes = VersionedTable.readVersion(spark, table, ver)
+      .select(col("id"), col("vec"))
+      .orderBy(col("id")).limit(sampleProbes)
+    val pairs = nearDupPairsCandidates(spark, probes, "vec", "id", cents,
+      table, nProbe, Some(ver))
+    val agg = pairs
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("adm"))
+      .head()
+    val n = agg.getLong(0)
+    if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
+  }
+
+  /** All (probe, candidate, exact rounded cosine) rows of a batch's
+    * probed cells — [[nearDupPairs]] WITHOUT the threshold filter and
+    * top-1 window (its candidate stage, exposed for admission
+    * measurement).
+    */
+  private def nearDupPairsCandidates(spark: SparkSession, batch: DataFrame,
+                                     embCol: String, idCol: String,
+                                     cents: Seq[Ivf.Centroid], table: String,
+                                     nProbe: Int,
+                                     version: Option[Long]): DataFrame = {
+    val ver = version.getOrElse(VersionedTable.latestVersion(table))
+    val q = batch
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(embCol)).cast("array<double>").as("__q"))
+      .withColumn("cell_id",
+        explode(Ivf.probeCells(col("__q"), cents, nProbe)))
+      .withColumn("__qn", Similarity.norm(col("__q")))
+      .localCheckpoint()
+    val cells = q.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = VersionedTable.readVersion(spark, table, ver)
+      .select(col("id").as("near_id"), col("cell_id"), col("vec"))
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    probeSide(q).join(pruned, Seq("cell_id"))
+      .filter(col("near_id") =!= col("id"))
+      .select(col("id"), col("near_id"),
+        round(graft.functions.DotProduct.dotProduct(col("vec"), col("__q"))
+          / (Similarity.norm(col("vec")) * col("__qn")), 6).as("cos_sim"))
+  }
+
+  /** Probe batches at or under this row count are BROADCAST into the
+    * candidate join; see [[probeSide]]. ~256k rows of 64-dim doubles +
+    * probe metadata ≈ 150 MB — comfortably a driver/executor broadcast,
+    * far past any micro-batch.
+    */
+  val MaxProbeBroadcastRows: Long = 1L << 18
+
+  /** Pin the PROBE side as the candidate join's build side — the r13
+    * gates-on drift, attributed r14: left to estimates, Catalyst sized
+    * the probe leg from its UPSTREAM plan (a pipeline's docs snapshot
+    * descends from a corpus-scale scan + join, so its checkpoint
+    * inherits a huge sizeInBytes even though it holds one micro-batch)
+    * and flipped the build side to the INDEX leg — re-broadcasting the
+    * ENTIRE pruned index every batch, a per-probe cost that grows
+    * O(index) forever (+1 s/batch measured; the differential plan pair
+    * is in BENCH_PIPELINE_GATES_r14.json). The probe side is the
+    * bounded side BY CONTRACT (a micro-batch vs an unbounded index), so
+    * under [[MaxProbeBroadcastRows]] it is hinted broadcast — the count
+    * is a local scan of the probe checkpoint, ~free. A probe PAST the
+    * bound (bulk backfill) falls back to planner choice: at that scale
+    * the asymmetry that justifies the pin no longer holds.
+    */
+  private def probeSide(q: DataFrame): DataFrame =
+    if (q.count() <= MaxProbeBroadcastRows) broadcast(q) else q
 
   /** Centroids persisted as a VersionedTable (`cell_id: int, values:
     * array<double>`) so a restarted query/ingest process can reload the
@@ -515,6 +696,12 @@ object IncrementalIvf {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val ct = centroidsTable(table)
+    // loud serialization of concurrent maintenance (VERDICT r13 #2):
+    // two racing retrains would each train + reassign O(index) before
+    // the second loses its conflict-checked commit — refuse at the
+    // door instead. The era protocol below is unchanged and still the
+    // correctness line.
+    graft.sources.MaintenanceLease.withLease(table, "retrainInPlace") {
     var left = attempts
     while (true) {
       val base = VersionedTable.latestVersion(table)
@@ -554,6 +741,7 @@ object IncrementalIvf {
       }
     }
     Seq.empty // unreachable
+    }
   }
 
   /** Per-batch assignment-distance stats over the index — the drift

@@ -38,6 +38,12 @@ object Ivf {
   // typedLit's runtime reflection (which degrades to an untyped
   // Object-array literal under REPL-style classloaders).
   private def centroidMatrix(cents: Seq[Centroid]): Column = {
+    // empty centroids must fail HERE, loudly: the 0..n-1 check below is
+    // vacuous on Nil, and downstream `sequence(lit(0), lit(-1))` builds
+    // a descending [0, -1] array — probeCells would silently emit bogus
+    // cell ids (ADVICE r13)
+    require(cents.nonEmpty, "centroid seq is empty — train or load " +
+      "centroids before assigning/probing cells")
     require(cents.zipWithIndex.forall { case (c, i) => c.cellId == i },
       "centroid cellIds must be 0..n-1 in order")
     import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}

@@ -136,6 +136,28 @@ object Pq {
     cb
   }
 
+  /** Per-ROW ADC lookup table of a query-embedding COLUMN: the m×k
+    * partial squared distances of each row's embedding to every
+    * (subspace, code) centroid — the distributed face of the
+    * driver-side table [[adcDistCol]] builds for one query vector.
+    * A whole BATCH of probes computes its tables scan-side in one
+    * expression (O(k·dim) per probe row, once), and each (probe,
+    * candidate) pair then costs only the m-lookup fold
+    * ([[adcDistFromLut]]) — never a per-pair re-encode, never an
+    * index-side float read.
+    */
+  private[similarity] def adcLutCol(emb: Column, cb: Codebook): Column =
+    allSubDists(emb, cb)
+
+  /** The rounded ADC distance of a codes column under a LUT column
+    * ([[adcLutCol]]) — same fold, same +1e-12 rounding as
+    * [[adcDistCol]], so the two faces agree bit-for-bit on identical
+    * (query, codes) inputs.
+    */
+  private[similarity] def adcDistFromLut(codes: Column, lut: Column): Column =
+    round(aggregate(zip_with(codes, lut, (c, trow) => element_at(trow, c + 1)),
+      lit(0.0), _ + _) + lit(1e-12), 6)
+
   /** The rounded ADC distance of a codes column under the query's m×k
     * lookup table (built driver-side with the same left-associated
     * summation as [[subDists]], so literals match the in-plan arithmetic

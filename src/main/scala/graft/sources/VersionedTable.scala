@@ -355,8 +355,9 @@ object VersionedTable {
       try {
         // atomic claim WITH content: hard-link creation is O_EXCL and
         // the slot is fully published the instant it exists — no
-        // in-flight window, committed versions are immutable
-        Files.createLink(slot, tmp)
+        // in-flight window, committed versions are immutable (checked
+        // non-replacing move on link-less filesystems — AtomicClaim)
+        AtomicClaim.claim(slot, tmp)
         Files.deleteIfExists(tmp)
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(table, v, snapshotCommits(table, v), txnMaxes(table))

@@ -491,4 +491,132 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("id", "near_id", "cos_sim"))
     assert(none.count() == 0L)
   }
+
+  test("nearDupPairsAdc == float path; coarse scan never reads the floats; re-rank fetch candidate-pruned") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 0)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+      cents, t, 0L, codebook = Some(cb))
+    val probe = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+
+    // with adcCandidates covering every same-cell candidate, the coded
+    // two-phase gate re-ranks EXACTLY the float path's candidate set,
+    // so results match row-for-row (the exact re-rank makes ADC noise
+    // unable to flip a verdict — only the top-R cut can)
+    val idxRows = VersionedTable.read(spark, t).count().toInt
+    val gotAdc = IncrementalIvf.nearDupPairsAdc(spark, probe, "embedding",
+        "vec_id", cents, t, threshold = 0.3, cb,
+        adcCandidates = idxRows, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
+    val gotFloat = IncrementalIvf.nearDupPairs(spark, probe, "embedding",
+        "vec_id", cents, t, threshold = 0.3, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
+    assert(gotAdc.nonEmpty && gotAdc.toSeq == gotFloat.toSeq,
+      s"adc=${gotAdc.take(5).toSeq} float=${gotFloat.take(5).toSeq}")
+
+    // the coarse leg reads (id, cell_id, codes) ONLY — the floats are
+    // the scan cost at 100 TB and must be absent from its ReadSchema
+    val coarsePlan = IncrementalIvf.lastAdcCoarseScan.get
+      .queryExecution.executedPlan.toString
+    val coarseSchema = "ReadSchema: [^\\n]*".r.findFirstIn(coarsePlan)
+      .getOrElse("")
+    assert(coarseSchema.contains("codes"), coarsePlan.take(2000))
+    assert(!coarseSchema.contains("vec"),
+      s"coarse scan reads the floats: $coarseSchema")
+    // the re-rank leg reads floats for the SURVIVING candidates only:
+    // id In-pushdown reaches the scan (bounded candidate set here)
+    val rerankPlan = IncrementalIvf.lastAdcRerankScan.get
+      .queryExecution.executedPlan.toString
+    assert(rerankPlan.contains("In(id") || rerankPlan.contains("EqualTo(id"),
+      rerankPlan.take(2000))
+
+    // a small adcCandidates cut is the documented recall contract: a
+    // probe may settle for a WORSE admissible neighbour (its ADC-top-1
+    // needn't be its cosine-top-1), but it can never invent a flag for
+    // a probe the full path cleared, and never report a cosine above
+    // the full path's best for that probe
+    val cut = IncrementalIvf.nearDupPairsAdc(spark, probe, "embedding",
+        "vec_id", cents, t, threshold = 0.3, cb,
+        adcCandidates = 1, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fullBest = gotFloat.map(x => x._2 -> x._3).toMap
+    assert(cut.keySet.subsetOf(fullBest.keySet),
+      s"top-1 ADC cut flagged probes the full path cleared: ${cut.keySet -- fullBest.keySet}")
+    cut.foreach { case (id, cos) =>
+      assert(cos <= fullBest(id) + 1e-9,
+        s"probe $id: cut cosine $cos beats the full path's best ${fullBest(id)}")
+    }
+
+    // codeless index refuses the coded gate
+    val t2 = freshTable()
+    IncrementalIvf.addBatch(spark, emb.limit(20), "embedding", "vec_id",
+      cents, t2, 0L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvf.nearDupPairsAdc(spark, probe, "embedding", "vec_id",
+        cents, t2, threshold = 0.3, cb)
+    }
+    assert(e.getMessage.contains("no PQ codes"), e.getMessage)
+  }
+
+  test("candidate join broadcasts the PROBE side, never the index leg (r13 gates-on drift, attributed r14)") {
+    // the composed-pipeline probe shape that flipped the planner: a
+    // docs snapshot DESCENDING from a corpus-scale scan + join inherits
+    // a huge size estimate through its checkpoint, and estimate-driven
+    // build-side choice then broadcast the growing INDEX leg — an
+    // O(index)-per-batch term measured at +1 s/batch in the r13 gates
+    // stress. probeSide pins the bounded micro-batch as build side.
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .localCheckpoint()
+    val cents = Ivf.trainCentroids(Tables.embeddings(spark, d),
+      "embedding", "vec_id", nCells = 2, iters = 2)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark, Tables.embeddings(spark, d),
+      "embedding", "vec_id", cents, t, 0L)
+    val res = IncrementalIvf.nearDupPairs(spark, docs, "embedding",
+      "doc_id", cents, t, threshold = 0.999, nProbe = 1)
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BuildLeft"),
+      s"probe side must be the build side:\n${plan.take(3000)}")
+    assert(!plan.contains("BuildRight"),
+      s"index leg must never broadcast:\n${plan.take(3000)}")
+  }
+
+  test("semanticAdmissionFraction: collapsed embeddings measure high, well-spread measure ~0") {
+    val cents2 = Seq(Ivf.Centroid(0, Seq(0.0, 0.25, 0.5, 0.75)),
+      Ivf.Centroid(1, Seq(1.0, 0.25, 0.5, 0.75)))
+    // the degenerate regime from BENCH_PIPELINE_GATES_r13: a dense 1-D
+    // grid in component 0 with 3 of 4 components shared by every doc —
+    // any usable threshold admits a constant fraction of the corpus
+    val tBad = freshTable()
+    val bad = (0 until 200)
+      .map(i => (i.toLong, Array((i % 100) / 100f, 0.25f, 0.5f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    IncrementalIvf.addBatch(spark, bad, "embedding", "vec_id", cents2, tBad, 0L)
+    val fBad = IncrementalIvf.semanticAdmissionFraction(spark, tBad, cents2,
+      threshold = 0.999, sampleProbes = 64)
+    assert(fBad > 0.05, s"collapsed space must measure dense: $fBad")
+
+    // the real 64-dim embeddings: max cross-doc cosine ~0.51, so 0.999
+    // admits essentially nothing
+    val emb = Tables.embeddings(spark, d)
+    val cents64 = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 2, iters = 2)
+    val tGood = freshTable()
+    IncrementalIvf.addBatch(spark, emb, "embedding", "vec_id", cents64,
+      tGood, 0L)
+    val fGood = IncrementalIvf.semanticAdmissionFraction(spark, tGood,
+      cents64, threshold = 0.999, sampleProbes = 64)
+    assert(fGood <= 0.05, s"well-spread space must measure sparse: $fGood")
+    // empty index: 0.0, no probe
+    assert(IncrementalIvf.semanticAdmissionFraction(spark, freshTable(),
+      cents64, 0.999) == 0.0)
+  }
 }

@@ -1188,4 +1188,149 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
     assert(results()(9L)._1 == "dup_of_index", results()(9L))
   }
+
+  test("IngestPipeline semantic preflight: a collapsed embedding space is REFUSED with the measured fraction; real embeddings pass; bound 1.0 disables") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+
+    // the degenerate regime BENCH_PIPELINE_GATES_r13 measured: a dense
+    // 1-D grid in component 0, components 1-3 shared by every doc — at
+    // threshold 0.999 each probe admits a constant FRACTION of the
+    // corpus and the gate's pair set is O(batch x index)
+    def gridBatch(b: Int) = (0 until 120).map { i =>
+      (b * 1000L + i, s"grid $b $i " + (0 until 6)
+        .map(w => s"g${b}x${i}w$w").mkString(" "),
+        Array((i % 100) / 100f, 0.25f, 0.5f, 0.75f))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-preflight").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "ingest-preflight",
+      centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0.25, 0.5, 0.75)),
+        graft.similarity.Ivf.Centroid(1, Seq(1.0, 0.25, 0.5, 0.75))),
+      threshold = 0.5, oovGate = 0.5,
+      semanticThreshold = Some(0.999))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // batch 0: index empty, no preflight, gate trivially clean
+    IngestPipeline.processBatch(spark,
+        gridBatch(0).toDF("doc_id", "text", "embedding"), cfg, 0L)
+      .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    // batch 1: first probe of a non-empty index — the preflight samples
+    // the collapsed space and must refuse BEFORE the gate builds the
+    // O(batch x index) pair set, naming the measured fraction
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark,
+          gridBatch(1).toDF("doc_id", "text", "embedding"), cfg, 1L)
+        .write.mode("overwrite").partitionBy("__batch").parquet(cfg.resultsDir)
+    }
+    assert(e.getMessage.contains("preflight REFUSED")
+      && e.getMessage.contains("admits"), e.getMessage)
+
+    // bound 1.0 disables the guard: the same batch processes (the gate
+    // faithfully executes the degenerate config when told to)
+    val off = cfg.copy(semanticAdmissionBound = 1.0,
+      resultsDir = s"$root/results-off", appId = "ingest-preflight-off")
+    IngestPipeline.processBatch(spark,
+        gridBatch(1).toDF("doc_id", "text", "embedding"), off, 1L)
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$root/results-off")
+
+    // the pass case for REAL well-spread embeddings at a sane threshold
+    // is every existing semantic-gate test and q_ingest_pipeline_semantic
+    // itself — all run with the preflight live at the default bound
+  }
+
+  test("IngestPipeline coded gate (pqCodebook): codes stored, ADC gate matches the float gate, auto-retrain combination refuses") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.sources.VersionedTable
+
+    // well-spread planted 8-dim embeddings (PQ m=2 subspaces of 4)
+    def emb(seed: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(seed % 8) = 1f; a((seed + 3) % 8) = 0.4f; a
+    }
+    def batch(b: Int) = (0 until 24).map { i =>
+      (b * 100L + i, s"coded $b $i " + (0 until 6)
+        .map(w => s"c${b}x${i}w$w").mkString(" "), emb(i))
+    }
+    val trainDf = batch(0).toDF("doc_id", "text", "embedding")
+    val cents = graft.similarity.Ivf.trainCentroids(trainDf, "embedding",
+      "doc_id", nCells = 2, iters = 1)
+    val cb = graft.similarity.Pq.train(trainDf, "embedding", "doc_id",
+      m = 2, k = 8)
+
+    def run(root: String, coded: Boolean, appId: String) = {
+      val cfg = IngestPipeline.Config(
+        textCol = "text", idCol = "doc_id", embCol = "embedding",
+        dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+        ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+        appId = appId, centroids = cents,
+        threshold = 0.5, oovGate = 0.5,
+        semanticThreshold = Some(0.9),
+        // the planted 8-direction space is deliberately repetitive
+        // (exact-copy triples make the parity flags deterministic), so
+        // the admission preflight would rightly refuse it — disabled
+        // here; the preflight has its own test above
+        semanticAdmissionBound = 1.0,
+        pqCodebook = if (coded) Some(cb) else None,
+        adcCandidates = 1000, // covers every candidate: exact parity
+        optimizeEvery = Some(2), retainVersions = Some(10))
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      (0 until 3).foreach { b =>
+        IngestPipeline.processBatch(spark,
+            batch(b).toDF("doc_id", "text", "embedding"), cfg, b.toLong)
+          .write.mode("overwrite").partitionBy("__batch")
+          .parquet(cfg.resultsDir)
+        IngestPipeline.maintenance(spark, cfg, b.toLong)
+      }
+      cfg
+    }
+    val codedCfg = run(java.nio.file.Files
+      .createTempDirectory("graft-pipe-coded").toString, coded = true,
+      appId = "pipe-coded")
+    val floatCfg = run(java.nio.file.Files
+      .createTempDirectory("graft-pipe-float").toString, coded = false,
+      appId = "pipe-float")
+
+    // the coded index carries codes; the maintenance cadence (compact +
+    // vacuum at optimizeEvery=2) preserved them
+    val rows = VersionedTable.read(spark, codedCfg.ivfIndex)
+    assert(rows.columns.contains("codes"))
+    assert(rows.filter(col("codes").isNull).count() == 0L)
+    // the pinned codebook round-trips
+    assert(graft.similarity.IncrementalIvf.loadCodebook(spark,
+      graft.similarity.IncrementalIvf.codebookTable(codedCfg.ivfIndex)) == cb)
+
+    // decision parity: with adcCandidates covering every candidate the
+    // coded gate's records equal the float gate's, column for column
+    def recs(dir: String) = spark.read.parquet(dir)
+      .select(col("id"), col("__batch").cast("long").as("__batch"),
+        col("status"), col("sem_dup_of"), col("sem_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    val c = recs(codedCfg.resultsDir); val f = recs(floatCfg.resultsDir)
+    assert(c == f, s"coded/float divergence: ${
+      c.collect { case (k, v) if f.get(k) != Some(v) => (k, v, f.get(k)) }
+        .take(3)}")
+    assert(c.values.exists(_._2.nonEmpty),
+      "no semantic flags at all — the parity check proved nothing")
+
+    // the coded + auto-retrain combination refuses at the door, both
+    // faces (the documented path: retrain(pq=...) to a NEW table)
+    val badCfg = codedCfg.copy(autoRetrainCellFill = Some(8L))
+    val e1 = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark,
+        batch(3).toDF("doc_id", "text", "embedding"), badCfg, 3L)
+    }
+    assert(e1.getMessage.contains("mutually exclusive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IngestPipeline.maintenance(spark, badCfg, 3L)
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
 }

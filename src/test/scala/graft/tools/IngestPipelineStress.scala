@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     rule (here every 8 batches, documented in the artifact) so the
   *     partials-merge read cost resets exactly as production would.
   *
-  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash] [gates]
+  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash] [gates] [scope|noscope]
   * Prints one JSON line tagged PIPELINE_STRESS. `minhash` swaps the
   * dedup stage to the banded index + pipeline-maintained doc store
   * (five artifacts) — same replica corpus, so the two backends' curves
@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * near-dup gate (probe vs the pinned kept-corpus IVF index) and the
   * DECONTAMINATION gate (a 100-doc bench fingerprint index built once
   * from the base corpus) — the everything-on configuration.
+  *
+  * r14 attribution instrumentation (VERDICT r13 #1): per-batch STAGE
+  * timings (processBatch's onStage hook), cumulative GC time, used
+  * heap, and the persisted-RDD count after each batch — enough to tell
+  * an algorithmic ramp (one stage grows) from a lifecycle leak (flat
+  * stages, growing persisted-RDD count, GC-coupled total). `scope`
+  * (default) wraps each batch in [[graft.sources.CheckpointScope]],
+  * the production streamingSink lifecycle; `noscope` reproduces the
+  * pre-r14 leak for attribution.
   */
 object IngestPipelineStress {
   def main(args: Array[String]): Unit = {
@@ -44,6 +53,7 @@ object IngestPipelineStress {
     val semOn = gateArg == "gates" || gateArg == "sem"
     val contamOn = gateArg == "gates" || gateArg == "contam"
     val gates = semOn || contamOn
+    val scoped = !(args.length > 5 && args(5) == "noscope")
     val compactEvery = 8
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -127,17 +137,102 @@ object IngestPipelineStress {
 
     val cfg = freshCfg(java.nio.file.Files
       .createTempDirectory("graft-pipe-stress").toString)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val stageNames = Seq("snapshot", "oov", "dedup", "kept", "stats_ivf",
+      "sem", "contam", "write", "compact")
+    val probeIso = Seq.newBuilder[Double]
+    val probeDocs = Seq.newBuilder[Double]
+    val probePinned = Seq.newBuilder[Double]
+    val stageSeries = stageNames.map(_ -> Seq.newBuilder[Double]).toMap
+    val gcSeries = Seq.newBuilder[Double]
+    val heapSeries = Seq.newBuilder[Long]
+    val rddSeries = Seq.newBuilder[Int]
     val times = (0 until nBatches).map { i =>
+      val stages = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
-      graft.pipelines.IngestPipeline.processBatch(spark, replica(i), cfg,
-          i.toLong)
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(cfg.resultsDir)
-      if (i % compactEvery == compactEvery - 1) {
-        graft.dedup.IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
-        graft.text.IncrementalStats.compact(spark, cfg.statsIndex)
+      def body(): Unit = {
+        val rec = graft.pipelines.IngestPipeline.processBatch(spark,
+          replica(i), cfg, i.toLong,
+          onStage = Some((n, s) => stages(n) += s))
+        val w0 = System.nanoTime()
+        rec.write.mode("overwrite").partitionBy("__batch")
+          .parquet(cfg.resultsDir)
+        stages("write") += (System.nanoTime() - w0) / 1e9
+        if (i % compactEvery == compactEvery - 1) {
+          val c0 = System.nanoTime()
+          graft.dedup.IncrementalDedup.compactTokenFreq(spark, cfg.dedupIndex)
+          graft.text.IncrementalStats.compact(spark, cfg.statsIndex)
+          stages("compact") += (System.nanoTime() - c0) / 1e9
+        }
       }
-      (System.nanoTime() - t0) / 1e9
+      if (scoped)
+        graft.sources.CheckpointScope.withScope(spark.sparkContext)(body())
+      else body()
+      val dur = (System.nanoTime() - t0) / 1e9
+      // in-situ differential (r14 bisect): probe the PIPELINE's ivf
+      // index with an isolated bisect-style probe frame — if this grows
+      // with the composed sem stage, the index side is the term; if it
+      // stays flat, the composed probe INPUT is
+      if (semOn && sys.env.contains("SEMGATE_DIFFERENTIAL")) {
+        val probe = realEmb
+          .select((col("__base") + lit((i + 1).toLong * 1000000L)).as("vec_id"),
+            col("embedding"))
+          .localCheckpoint()
+        val p0 = System.nanoTime()
+        graft.similarity.IncrementalIvf.nearDupPairs(spark, probe,
+            "embedding", "vec_id", cfg.centroids, cfg.ivfIndex,
+            threshold = 0.999, nProbe = 1)
+          .write.mode("overwrite").format("noop").save()
+        probeIso += (System.nanoTime() - p0) / 1e9
+        // variant 2: the COMPOSED probe frame shape (docs snapshot with
+        // text), latest version
+        val docsLike = replica(i)
+          .select(col("doc_id").cast("long").as("__id"),
+            col("text").as("__text"), col("embedding").as("__emb"))
+          .localCheckpoint()
+        val p1 = System.nanoTime()
+        graft.similarity.IncrementalIvf.nearDupPairs(spark, docsLike,
+            "__emb", "__id", cfg.centroids, cfg.ivfIndex,
+            threshold = 0.999, nProbe = 1)
+          .write.mode("overwrite").format("noop").save()
+        probeDocs += (System.nanoTime() - p1) / 1e9
+        // variant 3: iso frame, version PINNED one below latest (the
+        // composed pin rule)
+        val latest = graft.sources.VersionedTable.latestVersion(cfg.ivfIndex)
+        val p2 = System.nanoTime()
+        graft.similarity.IncrementalIvf.nearDupPairs(spark, probe,
+            "embedding", "vec_id", cfg.centroids, cfg.ivfIndex,
+            threshold = 0.999, nProbe = 1,
+            version = Some(math.max(0L, latest - 1)))
+          .write.mode("overwrite").format("noop").save()
+        probePinned += (System.nanoTime() - p2) / 1e9
+        if (i == nBatches - 1) {
+          val pairsDocs = graft.similarity.IncrementalIvf.nearDupPairs(spark,
+            docsLike, "__emb", "__id", cfg.centroids, cfg.ivfIndex,
+            threshold = 0.999, nProbe = 1)
+          val pairsIso = graft.similarity.IncrementalIvf.nearDupPairs(spark,
+            probe, "embedding", "vec_id", cfg.centroids, cfg.ivfIndex,
+            threshold = 0.999, nProbe = 1)
+          System.err.println(s"DIFF_COUNTS docs=${docsLike.count()} " +
+            s"iso=${probe.count()} pairsDocs=${pairsDocs.count()} " +
+            s"pairsIso=${pairsIso.count()} " +
+            s"ivfRows=${graft.sources.VersionedTable.read(spark, cfg.ivfIndex).count()}")
+          System.err.println("DOCS PLAN:")
+          pairsDocs.explain()
+          System.err.println("ISO PLAN:")
+          pairsIso.explain()
+        }
+      }
+      stageNames.foreach(n => stageSeries(n) += stages(n))
+      gcSeries += (gcMillis - gc0) / 1e3
+      val rt = Runtime.getRuntime
+      heapSeries += (rt.totalMemory() - rt.freeMemory()) >> 20
+      rddSeries += spark.sparkContext.getPersistentRDDs.size
+      dur
     }
 
     val dedupRows = graft.sources.VersionedTable.read(spark, cfg.dedupIndex).count()
@@ -148,8 +243,15 @@ object IngestPipelineStress {
     val firstHalf = times.take(nBatches / 2).sum / (nBatches / 2)
     val secondHalf = times.drop(nBatches / 2).sum / (nBatches - nBatches / 2)
     val ts = times.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def fmtD(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val stagesJson = (stageNames
+      .map(n => s""""$n":${fmtD(stageSeries(n).result())}""")
+      :+ s""""probe_iso":${fmtD(probeIso.result())}"""
+      :+ s""""probe_docs":${fmtD(probeDocs.result())}"""
+      :+ s""""probe_pinned":${fmtD(probePinned.result())}""")
+      .mkString("{", ",", "}")
     println(
-      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","gates":"$gateArg","n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","gates":"$gateArg","scoped":$scoped,"n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"stages_sec":$stagesJson,"gc_sec":${fmtD(gcSeries.result())},"heap_mb":${heapSeries.result().mkString("[", ",", "]")},"persisted_rdds":${rddSeries.result().mkString("[", ",", "]")},"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
     spark.stop()
   }
 }
