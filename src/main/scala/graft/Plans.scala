@@ -169,7 +169,9 @@ object Plans {
     "q_minhash_lookup" ->
       "Read-only probe of the incremental MinHash index: the index leg scans O(bands) constant-size band rows per doc (never a shingle payload) with the probe's bucket set pushed — In(bucket) in PushedFilters over the bucket-range-clustered files — and exact verification reads only candidate ids' text from the doc store (In pushed on the id). The probe's own signatures materialize in the scan stage (minhash_sig, zero exchange).",
     "q_semantic_lookup" ->
-      "Embedding near-dup probe of the incremental IVF index: probe cells are assigned scan-side (the probeCells comparator-sort expression — no exchange for assignment), the probed-cell set lands as In(cell_id) in PushedFilters over the cell-clustered files' row-group stats, candidates come from ONE cell_id equi-join, and the top-1-per-probe window is PARTITIONED by probe id — the index read is O(probed cells' fill), never O(index).")
+      "Embedding near-dup probe of the incremental IVF index: probe cells are assigned scan-side (the probeCells comparator-sort expression — no exchange for assignment), the probed-cell set lands as In(cell_id) in PushedFilters over the cell-clustered files' row-group stats, candidates come from ONE cell_id equi-join whose BUILD SIDE IS PINNED to the bounded probe batch (r14: estimate-driven choice broadcast the growing INDEX leg under pipeline-lineage probes — BuildLeft asserted, BuildRight refused), and the top-1-per-probe window is PARTITIONED by probe id — the index read is O(probed cells' fill), never O(index).",
+    "q_semantic_lookup_adc" ->
+      "The CODED near-dup probe (r14): the coarse leg reads (id, cell_id, codes) ONLY — ReadSchema has no vec column, the floats that ARE the scan cost at 100 TB stay unread — with In(cell_id) pushed and the probe side broadcast; each probe's m-by-k ADC lookup table is one scan-side expression, the per-pair distance an m-lookup fold; the exact re-rank reads floats for the ADC-surviving candidate ids only (In(id) pushed), then the float path's threshold + top-1 window finish identically.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

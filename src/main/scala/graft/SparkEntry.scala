@@ -1667,6 +1667,37 @@ object SparkEntry {
         col("cos_sim"))
   }
 
+  /** [[qSemanticLookup]] on the CODED path: the index half is appended
+    * WITH PQ codes under a pinned codebook and the probe runs
+    * [[graft.similarity.IncrementalIvf.nearDupPairsAdc]] — coarse ADC
+    * over `(id, cell_id, codes)` only (the floats stay unread until
+    * re-rank; spec-asserted in IncrementalIvfSpec), exact cosine
+    * re-rank over candidate-pruned float fetches. `adcCandidates`
+    * covers every same-cell candidate so the result is row-identical
+    * to the float probe and the SAME oracle pins it.
+    */
+  private def qSemanticLookupAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 2).orderBy(col("vec_id"))
+      .collect()
+      .map(r => graft.similarity.Ivf.Centroid(r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id",
+      m = 8, k = 16)
+    val t = java.nio.file.Files.createTempDirectory("graft-semlookupadc")
+      .toString + "/index"
+    graft.similarity.IncrementalIvf.addBatch(s,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+      cents, t, 0L, codebook = Some(cb))
+    graft.similarity.IncrementalIvf.nearDupPairsAdc(s,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", cents, t, threshold = 0.3, cb,
+        adcCandidates = Int.MaxValue, nProbe = 1)
+      .select(col("id").as("probe_id"), col("near_id").as("index_id"),
+        col("cos_sim"))
+  }
+
   /** The composed pipeline with the SEMANTIC near-dup gate on
     * ([[graft.pipelines.IngestPipeline.Config.semanticThreshold]] →
     * [[graft.similarity.IncrementalIvf.nearDupPairs]]): real 64-dim
@@ -5011,6 +5042,7 @@ object SparkEntry {
     "q_ingest_pipeline_semantic" -> (qIngestPipelineSemantic _),
     "q_ingest_pipeline_semantic_adc" -> (qIngestPipelineSemanticAdc _),
     "q_semantic_lookup" -> (qSemanticLookup _),
+    "q_semantic_lookup_adc" -> (qSemanticLookupAdc _),
     "q_reconcile"      -> (qReconcile _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
     "q_minhash_lookup" -> (qMinhashLookup _),
@@ -5801,7 +5833,8 @@ object SparkEntry {
     // row — so the SAME relational oracle pins it (the plan-side
     // codes-only guarantee is spec-asserted in IncrementalIvfSpec)
     ("q_ingest_pipeline_semantic_adc" ->
-      oracleSqlBase("q_ingest_pipeline_semantic"))
+      oracleSqlBase("q_ingest_pipeline_semantic")) +
+    ("q_semantic_lookup_adc" -> oracleSqlBase("q_semantic_lookup"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     // v1 = overwrite(r<2) + append(r>=2) = all of nation; v2 = the

@@ -23,8 +23,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // query-scoped checkpoint release: 319 queries in one JVM would
+      // otherwise accumulate every query's localCheckpoint blocks until
+      // driver GC happens to run ContextCleaner
+      try graft.sources.CheckpointScope.withScope(spark.sparkContext) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

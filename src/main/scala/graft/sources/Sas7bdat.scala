@@ -101,6 +101,16 @@ object Sas7bdat {
   private val SigAttrs      = 0xFFFFFFFC
   private val SigFmtLabel   = 0xFFFFFBFE
   private val SigColList    = 0xFFFFFFFE
+  /** Every metadata signature this reader dispatches — the
+    * corroboration set for the foreign-type-1 rule ([[inspect]]'s walk
+    * and the meta-page row guard share it): a pointer marked type 1 is
+    * a row payload in the compressed layout, but some producers mark
+    * METADATA subheaders type 1 in uncompressed files (ADVICE r12) —
+    * a type-1 subheader bearing a known signature at a non-row length
+    * is metadata however its type byte reads.
+    */
+  private val KnownSigs = Set(SigRowSize, SigColSize, SigCounts, SigText,
+    SigName, SigAttrs, SigFmtLabel, SigColList)
 
   private val CompressionLiterals = Seq("SASYZCRL", "SASYZCR2")
 
@@ -178,9 +188,23 @@ object Sas7bdat {
             val shComp = page(p + 16).toInt & 0xFF
             val shType = page(p + 17).toInt & 0xFF
             if (shLen > 0 && shComp != 1) {
-              // type 1 = a row payload (compressed layout): row bytes are
-              // arbitrary and must never be signature-dispatched
-              val sig = if (shType == 1) 0 else bb.getInt(shOff)
+              // type 1 = a row payload in the COMPRESSED layout, whose
+              // arbitrary bytes must never be signature-dispatched — but
+              // foreign producers mark metadata type 1 in uncompressed
+              // files (ADVICE r12; the old type-only rule truncated
+              // their metadata walk and silently misread the frame).
+              // Corroborate like the row-extraction guard: a type-1
+              // subheader with a KNOWN signature at a non-row length is
+              // metadata (rowLength is 0 until RowSize parses — RowSize
+              // itself always precedes row payloads in the file); a
+              // row-length or signature-less one stays a row payload.
+              val sigProbeable = shOff >= 0 && shOff + 4 <= page.length
+              val rawSig = if (sigProbeable) bb.getInt(shOff) else 0
+              val sig =
+                if (shType != 1) rawSig
+                else if (KnownSigs.contains(rawSig)
+                  && (rowLength <= 0 || shLen.toLong != rowLength)) rawSig
+                else 0
               sig match {
                 case SigRowSize =>
                   rowLength = bb.getLong(shOff + 40)
@@ -584,8 +608,6 @@ object Sas7bdat {
         // returning a silently short frame. Pure meta pages (columns,
         // text, no type-1 rows) still skip as before.
         val nSub = bb.getShort(PageBitOffsetX64 + 4).toInt & 0xFFFF
-        val knownSigs = Set(SigRowSize, SigColSize, SigCounts, SigText,
-          SigName, SigAttrs, SigFmtLabel, SigColList)
         val hasRows = (0 until nSub).exists { i =>
           val p = PageBitOffsetX64 + 8 + i * SubheaderPtrLenX64
           val shOffL = bb.getLong(p) // probe bounds on the LONG — a
@@ -609,7 +631,7 @@ object Sas7bdat {
           // this page iterator already skips.
           shType == 1 && shLen > 0 && shComp != 1 &&
             (shLen.toLong == meta.rowLength || shLen < 4 ||
-              !sigProbeable || !knownSigs.contains(bb.getInt(shOffL.toInt)))
+              !sigProbeable || !KnownSigs.contains(bb.getInt(shOffL.toInt)))
         }
         if (hasRows) throw new IllegalStateException(
           "sas7bdat: meta page carries row payloads but the file's " +

@@ -427,11 +427,11 @@ object VersionedTable {
   // not leak into a session with different ones), size-bounded (a
   // long-running driver touching many tables can't grow it without
   // limit), and evicted when vacuum() deletes the dir.
-  private val dirSchemaCache =
+  private[graft] val dirSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private val DirSchemaCacheCap = 8192
 
-  private def schemaCacheKey(spark: SparkSession, dir: String): String =
+  private[graft] def schemaCacheKey(spark: SparkSession, dir: String): String =
     s"${System.identityHashCode(spark.sessionState)}:$dir"
 
   private def evictSchemaCache(dir: Path): Unit = {

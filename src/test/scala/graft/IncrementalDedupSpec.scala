@@ -1168,4 +1168,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.writeMaxCntHint(tf, 7L)
     assert(IncrementalDedup.readMaxCntHint(tf).contains(7L))
   }
+
+  test("maxcnt hint self-heal: a drifted hint past the hot cap compacts once enough appends amortize it (ADVICE r12)") {
+    import spark.implicits._
+    // a DIRECT processBatch caller with no compaction cadence: the
+    // Σ-of-batch-maxes hint only grows, and past DefaultHotTokenCap it
+    // silently parks every ingest in the exact-grid path even when the
+    // true max is stone cold — the self-heal folds the partials and
+    // exact-resets the hint once >= 16 appends amortize the fold
+    val t = java.nio.file.Files.createTempDirectory("graft-hint-heal")
+      .toString + "/index"
+    def batch(b: Int) = Seq(
+      (b * 10L, s"alpha$b beta$b gamma$b delta$b epsilon$b zeta$b"),
+      (b * 10L + 1, s"eta$b theta$b iota$b kappa$b lambda$b mu$b"))
+      .toDF("doc_id", "text")
+    (0 until 17).foreach { b =>
+      IncrementalDedup.processBatch(spark, batch(b), "text", "doc_id", t,
+        threshold = 0.6, batchId = b.toLong)
+    }
+    val tf = IncrementalDedup.tokenFreqTable(t)
+    assert(VersionedTable.appendsSinceOverwrite(tf) >= 16,
+      s"${VersionedTable.appendsSinceOverwrite(tf)}")
+    // simulate the drifted state a months-long direct caller reaches
+    // (the hint files ARE the durable state, so constructing it is the
+    // reconcile-style deterministic reconstruction, not a mock)
+    IncrementalDedup.writeMaxCntHint(tf,
+      IncrementalDedup.DefaultHotTokenCap + 5000L)
+    // next ingest: heal fires BEFORE the batch — partials folded
+    // (overwrite at head), hint exact-reset to the true cold max
+    IncrementalDedup.processBatch(spark, batch(17), "text", "doc_id", t,
+      threshold = 0.6, batchId = 17L)
+    val healed = IncrementalDedup.readMaxCntHint(tf)
+    assert(healed.exists(_ <= IncrementalDedup.DefaultHotTokenCap),
+      s"hint not healed: $healed")
+    assert(VersionedTable.appendsSinceOverwrite(tf) <= 1,
+      "tf partials were not folded by the self-heal")
+    // and a genuinely cold corpus is back on the zero-job fast path:
+    // the healed hint + a tiny batch max proves cold
+    assert(healed.exists(_ + 2 <= IncrementalDedup.DefaultHotTokenCap))
+  }
 }

@@ -293,6 +293,42 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(Sas7bdat.read(spark, path).count() == 499L)
   }
 
+  test("foreign uncompressed file marking METADATA subheaders type 1 is NOT false-refused (ADVICE r12)") {
+    import spark.implicits._
+    // some producers set the pointer TYPE byte to 1 on metadata
+    // subheaders of uncompressed files; the meta-page row-payload guard
+    // must corroborate (row-length match OR no known signature) before
+    // refusing — a signature-bearing, non-row-length subheader is
+    // metadata however its type byte reads
+    val df = (0 until 300).map(i => (i.toDouble, s"s$i")).toDF("x", "s")
+    val path = tmpFile("foreigntype1")
+    Sas7bdat.writeDataFrame(df, path, pageSize = 4096, compress = false)
+    val meta = Sas7bdat.inspect(path)
+    assert(meta.compression.isEmpty)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // page 0 carries the metadata subheaders: mark EVERY pointer type 1
+    // (the fully-foreign shape — such producers do it uniformly). The
+    // pointer layout is the one the ADVICE r9 test walks: nSub at
+    // base+32+4 (LE short), pointers of 24 bytes from base+32+8, type
+    // byte at +17.
+    val base = meta.headerLength
+    val nSub = ((bytes(base + 32 + 4) & 0xFF)
+      | ((bytes(base + 32 + 5) & 0xFF) << 8))
+    assert(nSub > 0, "page 0 carries no subheaders")
+    var flipped = 0
+    (0 until nSub).foreach { i =>
+      val p = base + 32 + 8 + i * 24
+      if (bytes(p + 17) != 1.toByte) { bytes(p + 17) = 1.toByte; flipped += 1 }
+    }
+    assert(flipped > 0, "fixture already marks metadata type 1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    // the corroborating walk + guard read every row instead of refusing
+    // or (worse) silently truncating the metadata walk
+    val back = Sas7bdat.read(spark, path)
+    assert(back.count() == 300L)
+    assert(back.columns.toSeq.sorted == Seq("s", "x"))
+  }
+
   test("compressed round-trip of a mirror shard (219k real rows)") {
     val shard = spark.read.parquet(
       "/root/reference/sas_data/part-00000-b9542815-7a8d-45fc-9c67-c9c5007ad0d4-c000.snappy.parquet")

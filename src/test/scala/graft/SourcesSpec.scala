@@ -599,4 +599,40 @@ class SourcesSpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
     assert(rows.toSeq == Seq(("a", 1L, None), ("b", 2L, Some(7L))))
   }
+
+  test("VersionedTable: dir-schema cache is session-keyed and evicted when vacuum deletes the dir (ADVICE r12)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = Files.createTempDirectory("graft-schemacache").toString + "/t"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), t, "overwrite")
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), t, "append")
+    // a multi-dir snapshot read pins (and caches) the newest dir's schema
+    assert(VersionedTable.read(spark, t).count() == 2L)
+    def keysFor(session: org.apache.spark.sql.SparkSession) = {
+      import scala.jdk.CollectionConverters._
+      val sid = VersionedTable.schemaCacheKey(session, "").dropRight(0)
+        .takeWhile(_ != ':')
+      VersionedTable.dirSchemaCache.keySet().asScala
+        .filter(k => k.contains(t) && k.startsWith(s"$sid:")).toSet
+    }
+    assert(keysFor(spark).nonEmpty, "snapshot pinning populated no cache entry")
+    // SESSION-keyed: a second session (potentially different parquet-read
+    // configs) gets its own entry for the same immutable dir — schemas
+    // inferred under one session's configs never leak into another's
+    val s2 = spark.newSession()
+    assert(VersionedTable.read(s2, t).count() == 2L)
+    assert(keysFor(s2).nonEmpty && keysFor(s2) != keysFor(spark))
+    // EVICTED on vacuum: an overwrite makes the old dirs dead; vacuum
+    // deletes them and their cached schemas must not outlive the bytes
+    VersionedTable.commit(Seq((9L, "z")).toDF("k", "v"), t, "overwrite")
+    VersionedTable.vacuum(t, keepAfter = 2L, orphanGraceMs = 0L)
+    import scala.jdk.CollectionConverters._
+    val stale = VersionedTable.dirSchemaCache.keySet().asScala
+      .filter(_.contains(t))
+      .filterNot { k =>
+        val dir = k.substring(k.indexOf(':') + 1)
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+      }
+    assert(stale.isEmpty, s"cached schemas for vacuumed dirs: $stale")
+  }
 }
