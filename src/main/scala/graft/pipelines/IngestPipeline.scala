@@ -383,7 +383,10 @@ object IngestPipeline {
           semPreflightDone.put(key, frac)
         }
       }
-      val pairs = cfg.pqCodebook match {
+      // construction is itself partly EAGER (probe checkpoint, cell
+      // collect, the coded path's whole coarse phase) — time it inside
+      // the stage, not around the final materialization only
+      def pairs() = cfg.pqCodebook match {
         case Some(cb) if ivfVer >= 0 =>
           IncrementalIvf.nearDupPairsAdc(spark, docs, "__emb", "__id",
             probeCents, cfg.ivfIndex, t, cb, cfg.adcCandidates,
@@ -393,8 +396,8 @@ object IngestPipeline {
             probeCents, cfg.ivfIndex, t, cfg.semanticNProbe,
             version = Some(ivfVer))
       }
-      if (onStage.isEmpty) pairs
-      else timed("sem")(pairs.localCheckpoint())
+      if (onStage.isEmpty) pairs()
+      else timed("sem")(pairs().localCheckpoint())
     }
 
     // dedup statuses (commits the signature/band index — and, exact

@@ -150,13 +150,15 @@ object Pq {
     allSubDists(emb, cb)
 
   /** The rounded ADC distance of a codes column under a LUT column
-    * ([[adcLutCol]]) — same fold, same +1e-12 rounding as
+    * ([[adcLutCol]]) — same ascending fold, same +1e-12 rounding as
     * [[adcDistCol]], so the two faces agree bit-for-bit on identical
-    * (query, codes) inputs.
+    * (query, codes) inputs. The fold itself is the codegen'd
+    * [[graft.functions.AdcFold]] — it runs once per (probe, candidate)
+    * PAIR, and the interpreted HOF form cost ~9 s/batch of boxing plus
+    * a GC-feedback blowup in the coded gate's coarse phase.
     */
   private[similarity] def adcDistFromLut(codes: Column, lut: Column): Column =
-    round(aggregate(zip_with(codes, lut, (c, trow) => element_at(trow, c + 1)),
-      lit(0.0), _ + _) + lit(1e-12), 6)
+    round(graft.functions.AdcFold.adcFold(codes, lut) + lit(1e-12), 6)
 
   /** The rounded ADC distance of a codes column under the query's m×k
     * lookup table (built driver-side with the same left-associated
@@ -181,14 +183,13 @@ object Pq {
         table.map(_.toArray).toArray,
         ArrayType(ArrayType(DoubleType, false), false)))
     }
-    // `codes` enters as zip_with's INPUT array (evaluated once), never
-    // inside a fold lambda: a lambda-body reference would re-evaluate
-    // whatever expression tree `codes` collapses to on EVERY fold step —
-    // m× the full encode arithmetic when composed with encodeCol.
-    // Summation stays the same left-associated s-ascending fold from
-    // +0.0, so the value is bit-identical to the driver-side table build.
-    round(aggregate(zip_with(codes, T, (c, trow) => element_at(trow, c + 1)),
-      lit(0.0), _ + _) + lit(1e-12), 6)
+    // codegen'd fold (graft.functions.AdcFold): one primitive m-lookup
+    // loop per row — the interpreted HOF form boxed every element and
+    // allocated the zipped array per evaluation (and `codes` composed
+    // with encodeCol would re-run the encode per fold step). Summation
+    // stays the same s-ascending fold from +0.0 — bit-identical to the
+    // driver-side table build and to the old HOF form.
+    round(graft.functions.AdcFold.adcFold(codes, T) + lit(1e-12), 6)
   }
 
   /** ADC top-k: the query builds one m×k table of partial squared

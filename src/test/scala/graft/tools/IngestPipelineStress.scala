@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     rule (here every 8 batches, documented in the artifact) so the
   *     partials-merge read cost resets exactly as production would.
   *
-  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash] [gates] [scope|noscope]
+  * Usage: Test/runMain graft.tools.IngestPipelineStress <sfDir> <nBatches> <threshold> [exact|minhash] [gates|codedgates|sem|contam] [scope|noscope]
   * Prints one JSON line tagged PIPELINE_STRESS. `minhash` swaps the
   * dedup stage to the banded index + pipeline-maintained doc store
   * (five artifacts) — same replica corpus, so the two backends' curves
@@ -50,8 +50,14 @@ object IngestPipelineStress {
     val backend = if (args.length > 3) args(3) else "exact"
     require(backend == "exact" || backend == "minhash", backend)
     val gateArg = if (args.length > 4) args(4) else "off"
-    val semOn = gateArg == "gates" || gateArg == "sem"
-    val contamOn = gateArg == "gates" || gateArg == "contam"
+    val semOn = gateArg == "gates" || gateArg == "sem" ||
+      gateArg == "codedgates"
+    val contamOn = gateArg == "gates" || gateArg == "contam" ||
+      gateArg == "codedgates"
+    // codedgates: the everything-on configuration with the SEMANTIC
+    // gate on the CODED path — IVF appends store PQ codes, the gate
+    // runs the codes-only coarse ADC + exact re-rank (r14)
+    val codedOn = gateArg == "codedgates"
     val gates = semOn || contamOn
     val scoped = !(args.length > 5 && args(5) == "noscope")
     val compactEvery = 8
@@ -127,7 +133,13 @@ object IngestPipelineStress {
       docStore =
         if (backend == "minhash") Some(s"$root/docstore") else None,
       semanticThreshold = if (semOn) Some(0.999) else None,
-      benchIndex = if (contamOn) Some(benchIndexDir) else None)
+      benchIndex = if (contamOn) Some(benchIndexDir) else None,
+      pqCodebook =
+        if (codedOn) Some(graft.similarity.Pq.train(
+          realEmb.withColumnRenamed("__base", "vec_id"), "embedding",
+          "vec_id", m = 8, k = 16))
+        else None,
+      adcCandidates = 32)
 
     // warm the JVM/codegen on a throwaway root so batch 0 isn't janino
     val warm = freshCfg(java.nio.file.Files
