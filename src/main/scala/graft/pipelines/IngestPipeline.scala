@@ -510,6 +510,47 @@ object IngestPipeline {
       .withColumn("__batch", lit(batchId))
   }
 
+  /** The sanctioned CODED-index retrain-and-cutover (the path the
+    * pqCodebook + autoRetrainCellFill refusal documents): retrain the
+    * pipeline's IVF artifact to a NEW table with fresh centroids AND a
+    * fresh codebook trained on one pinned sample
+    * ([[IncrementalIvf.retrain]] with `pq`), bridge exactly-once across
+    * the cutover, and return the successor Config — the caller swaps
+    * it in and continues.
+    *
+    * Call at a QUIESCE: the stream stopped at a checkpoint boundary (no
+    * batch below the cutover can replay afterward), which a serial
+    * pipeline's own maintenance slot satisfies by construction. The
+    * exactly-once bridge ([[graft.sources.VersionedTable.seedTxns]])
+    * copies the source index's per-app txn watermarks into the new
+    * table's checkpoint, so even an unexpected replay of a pre-cutover
+    * batch appends NOTHING to the new index — without it the new
+    * table's empty txn log would silently double that batch's vectors.
+    * (Its decision record would still recompute sem flags against the
+    * retrained index — the reason the quiesce contract demands a
+    * checkpoint boundary, not just a pause.)
+    *
+    * Crash windows: after the retrain commit but before the seed (or
+    * before the caller adopts the returned Config), the new table is an
+    * unreferenced orphan — rerun the helper; the old index was never
+    * touched and stays the live artifact until the Config swap, which
+    * is atomic per caller.
+    */
+  def retrainCodedIvf(spark: SparkSession, cfg: Config, newIvfIndex: String,
+                      nCells: Int, iters: Int, sampleFraction: Double,
+                      pq: IncrementalIvf.PqSpec,
+                      seed: Long = 42L): Config = {
+    require(cfg.pqCodebook.isDefined,
+      "retrainCodedIvf is the coded-index cutover — a float pipeline " +
+        "retrains in place (autoRetrainCellFill) or via IncrementalIvf.retrain")
+    val res = IncrementalIvf.retrain(spark, cfg.ivfIndex, newIvfIndex,
+      nCells, iters, sampleFraction, seed, pq = Some(pq))
+    VersionedTable.seedTxns(newIvfIndex,
+      VersionedTable.txnMaxes(cfg.ivfIndex))
+    cfg.copy(ivfIndex = newIvfIndex, centroids = res.cents,
+      pqCodebook = res.codebook)
+  }
+
   /** Post-batch maintenance on the configured cadences — called by
     * [[streamingSink]] after each batch and directly by batch-mode
     * ingest loops. Every step is RMW-safe and idempotent under replay:

@@ -267,6 +267,29 @@ object VersionedTable {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Seed per-app txn watermarks into `table`'s checkpoint — the
+    * exactly-once bridge for RETRAIN-TO-NEW-TABLE cutovers: the new
+    * index holds a REASSIGNMENT of rows whose ingest txns live in the
+    * SOURCE table's log, so without the seed a checkpoint-replayed
+    * pre-cutover batch would re-append its rows to the new table
+    * (whose own txnMaxes are empty) — silent duplicates. Seeding
+    * merges `txns` (max per app) into the head checkpoint, so replay
+    * detection on the new table answers exactly as the source would.
+    * Single-writer/quiesce context (the retrain contract): a
+    * concurrent interval checkpoint racing this write could land a map
+    * without the seeded entries.
+    */
+  private[graft] def seedTxns(table: String, txns: Map[String, Long]): Unit = {
+    if (txns.isEmpty) return
+    val head = latestVersion(table)
+    require(head >= 0, s"cannot seed txns into empty table $table")
+    val base = txnMaxes(table)
+    val merged = base ++ txns.map { case (app, t) =>
+      app -> math.max(t, base.getOrElse(app, Long.MinValue))
+    }
+    writeCheckpoint(table, head, snapshotCommits(table, head), merged)
+  }
+
   // -- commit -------------------------------------------------------------
 
   /** Stage `df` and commit it as the next version. `mode` is

@@ -600,6 +600,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("a", 1L, None), ("b", 2L, Some(7L))))
   }
 
+  test("VersionedTable: seedTxns bridges txn watermarks into a fresh table; existing higher marks survive the merge") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val src = Files.createTempDirectory("graft-seedtxn-src").toString + "/t"
+    val dst = Files.createTempDirectory("graft-seedtxn-dst").toString + "/t"
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), src, "append",
+      Some(5L), Some("writer"), expectedVersion = None)
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dst, "overwrite")
+    assert(VersionedTable.txnMaxes(dst).isEmpty)
+    // the retrain-cutover bridge: the fresh table inherits the source's
+    // per-app watermark, so replay detection answers as the source would
+    VersionedTable.seedTxns(dst, VersionedTable.txnMaxes(src))
+    assert(VersionedTable.txnMaxes(dst) == Map("writer" -> 5L))
+    // later commits raise the mark through the seeded checkpoint
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), dst, "append",
+      Some(6L), Some("writer"), expectedVersion = None)
+    assert(VersionedTable.txnMaxes(dst)("writer") == 6L)
+    // re-seeding with a LOWER mark never regresses the max
+    VersionedTable.seedTxns(dst, Map("writer" -> 4L))
+    assert(VersionedTable.txnMaxes(dst)("writer") == 6L)
+    // the seeded mark survives vacuum (watermarks ride checkpoints)
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), dst, "overwrite")
+    VersionedTable.vacuum(dst, keepAfter = 2L, orphanGraceMs = 0L)
+    assert(VersionedTable.txnMaxes(dst)("writer") == 6L)
+  }
+
   test("VersionedTable: dir-schema cache is session-keyed and evicted when vacuum deletes the dir (ADVICE r12)") {
     import spark.implicits._
     import graft.sources.VersionedTable

@@ -1332,5 +1332,48 @@ class StreamingSpec extends AnyFunSuite {
       IngestPipeline.maintenance(spark, badCfg, 3L)
     }
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+
+    // ---- the sanctioned coded cutover (retrainCodedIvf) -------------
+    // retrain the coded pipeline's IVF to a NEW table (fresh centroids
+    // + fresh codebook on one pinned sample) and continue under the
+    // returned Config
+    val rowsBefore = VersionedTable.read(spark, codedCfg.ivfIndex).count()
+    val newIvf = codedCfg.ivfIndex.stripSuffix("/ivf") + "/ivf2"
+    val cfg1 = IngestPipeline.retrainCodedIvf(spark, codedCfg, newIvf,
+      nCells = 4, iters = 1, sampleFraction = 1.0,
+      pq = graft.similarity.IncrementalIvf.PqSpec(m = 2, k = 8))
+    assert(cfg1.ivfIndex == newIvf && cfg1.pqCodebook.isDefined)
+    val newRows = VersionedTable.read(spark, cfg1.ivfIndex)
+    assert(newRows.count() == rowsBefore, "cutover lost or invented rows")
+    assert(newRows.filter(col("codes").isNull).count() == 0L)
+    assert(graft.similarity.IncrementalIvf.loadCodebook(spark,
+        graft.similarity.IncrementalIvf.codebookTable(cfg1.ivfIndex))
+      == cfg1.pqCodebook.get)
+    // exactly-once ACROSS the cutover: the new table inherits the
+    // source's txn watermarks, so a replayed pre-cutover batch appends
+    // NOTHING to it (without the seed the fresh table's empty txn log
+    // would silently double that batch's vectors)
+    IngestPipeline.processBatch(spark,
+        batch(1).toDF("doc_id", "text", "embedding"), cfg1, 1L)
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(cfg1.resultsDir)
+    assert(VersionedTable.read(spark, cfg1.ivfIndex).count() == rowsBefore,
+      "pre-cutover replay re-appended to the retrained index")
+    // and the pipeline CONTINUES: a fresh batch appends under the new
+    // era and the gate flags its exact-copy neighbours in the
+    // retrained index
+    val r3 = IngestPipeline.processBatch(spark,
+      batch(3).toDF("doc_id", "text", "embedding"), cfg1, 3L)
+    r3.write.mode("overwrite").partitionBy("__batch").parquet(cfg1.resultsDir)
+    assert(VersionedTable.read(spark, cfg1.ivfIndex).count() > rowsBefore)
+    assert(r3.filter(col("sem_dup_of").isNotNull).count() > 0L,
+      "post-cutover gate found no exact-copy neighbours")
+    // a float pipeline refuses this helper (it has in-place retrain)
+    val e3 = intercept[IllegalArgumentException] {
+      IngestPipeline.retrainCodedIvf(spark, floatCfg,
+        floatCfg.ivfIndex + "2", 4, 1, 1.0,
+        graft.similarity.IncrementalIvf.PqSpec(m = 2, k = 8))
+    }
+    assert(e3.getMessage.contains("coded-index cutover"), e3.getMessage)
   }
 }
