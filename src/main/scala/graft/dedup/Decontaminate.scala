@@ -27,9 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Per-(table, version) pinned shingle width — see [[probeBenchIndex]]. */
+  /** Pinned shingle width per (table, version, commit identity) — see
+    * [[probeBenchIndex]]. The key carries the commit's data-dir UUID
+    * (ADVICE r14): "committed versions are immutable" does not survive
+    * a table DELETED and rebuilt at the same path to the same version
+    * with a different width — a (table, version)-only key would then
+    * silently serve the stale width and every contamination probe would
+    * shingle at the wrong n. The UUID is minted per commit, so a
+    * rebuild always misses the memo. Size-capped like
+    * VersionedTable.dirSchemaCache (a long-running driver touching many
+    * bench indexes must not grow it without bound).
+    */
   private val widthMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val WidthMemoCap = 4096
 
   /** All (corpus doc, benchmark doc) pairs sharing >= `minOverlap`
     * distinct word n-grams. Columns: doc_id, bench_id, n_overlap.
@@ -136,13 +147,17 @@ object Decontaminate {
       graft.sources.VersionedTable.latestVersion(table))
     require(ver >= 0, s"no benchmark index at $table — buildBenchIndex first")
     val idx = graft.sources.VersionedTable.readVersion(spark, table, ver)
-    // pinned shingle width, read ONCE per (table, version) per JVM: a
+    // pinned shingle width, read ONCE per commit identity per JVM: a
     // probe-per-batch ingest gate must not pay a distinct-shuffle job
     // for a constant (ADVICE r13) — one min/max agg (map-side, no
     // exchange) keeps the mixed-width refusal, and the memo makes later
-    // batches free (committed versions are immutable, so the key can
-    // never go stale)
-    val n = widthMemo.computeIfAbsent(s"$table@$ver", { _ =>
+    // batches free. Keyed by the snapshot's newest data-dir UUID, not
+    // just (table, version): a delete-and-rebuild reaching the same
+    // version mints a fresh UUID, so a stale width is never served
+    val fp = graft.sources.VersionedTable.snapshotClosure(table, ver)
+      .last.dataDir
+    if (widthMemo.size > WidthMemoCap) widthMemo.clear()
+    val n = widthMemo.computeIfAbsent(s"$table@$ver@$fp", { _ =>
       val mm = idx.agg(min(col("n")), max(col("n"))).head()
       require(mm.getInt(0) == mm.getInt(1),
         s"mixed shingle widths in $table: ${mm.getInt(0)}..${mm.getInt(1)} — rebuild")

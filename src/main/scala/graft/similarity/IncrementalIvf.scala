@@ -163,14 +163,15 @@ object IncrementalIvf {
   def nearDupPairs(spark: SparkSession, batch: DataFrame, embCol: String,
                    idCol: String, cents: Seq[Ivf.Centroid], table: String,
                    threshold: Double, nProbe: Int = 1,
-                   version: Option[Long] = None): DataFrame = {
+                   version: Option[Long] = None,
+                   batchRows: Option[Long] = None): DataFrame = {
     val ver = version.getOrElse(VersionedTable.latestVersion(table))
     if (ver < 0) {
       val sp = spark; import sp.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("id", "near_id", "cos_sim")
     }
     val cand = nearDupPairsCandidates(spark, batch, embCol, idCol, cents,
-        table, nProbe, Some(ver))
+        table, nProbe, Some(ver), batchRows)
       .filter(col("cos_sim") >= threshold)
     import org.apache.spark.sql.expressions.Window
     cand.withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
@@ -216,7 +217,8 @@ object IncrementalIvf {
                       idCol: String, cents: Seq[Ivf.Centroid], table: String,
                       threshold: Double, cb: Pq.Codebook,
                       adcCandidates: Int = 32, nProbe: Int = 1,
-                      version: Option[Long] = None): DataFrame = {
+                      version: Option[Long] = None,
+                      batchRows: Option[Long] = None): DataFrame = {
     require(adcCandidates >= 1, s"adcCandidates must be >= 1, got $adcCandidates")
     val ver = version.getOrElse(VersionedTable.latestVersion(table))
     if (ver < 0) {
@@ -250,8 +252,11 @@ object IncrementalIvf {
     // m-lookup fold and immediately drops the LUT, so the window
     // exchange shuffles slim (id, near_id, __adc) rows — never the
     // probe vectors or tables
+    // the exploded coarse frame has batch × nProbe rows, each carrying
+    // the m×k LUT — the byte-heavy face of the broadcast bound
     val coarse = probeSide(q0
-        .select(col("id"), explode(col("__cells")).as("cell_id"), col("__lut")))
+        .select(col("id"), explode(col("__cells")).as("cell_id"), col("__lut")),
+        adcProbeRowBytes(cb), batchRows.map(_ * nProbe))
       .join(prunedCodes, Seq("cell_id"))
       .filter(col("near_id") =!= col("id"))
       .select(col("id"), col("near_id"),
@@ -310,7 +315,7 @@ object IncrementalIvf {
       .select(col("id"), col("vec"))
       .orderBy(col("id")).limit(sampleProbes)
     val pairs = nearDupPairsCandidates(spark, probes, "vec", "id", cents,
-      table, nProbe, Some(ver))
+      table, nProbe, Some(ver), batchRows = Some(sampleProbes.toLong))
     val agg = pairs
       .agg(count(lit(1)).as("n"),
         sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("adm"))
@@ -327,8 +332,8 @@ object IncrementalIvf {
   private def nearDupPairsCandidates(spark: SparkSession, batch: DataFrame,
                                      embCol: String, idCol: String,
                                      cents: Seq[Ivf.Centroid], table: String,
-                                     nProbe: Int,
-                                     version: Option[Long]): DataFrame = {
+                                     nProbe: Int, version: Option[Long],
+                                     batchRows: Option[Long] = None): DataFrame = {
     val ver = version.getOrElse(VersionedTable.latestVersion(table))
     val q = batch
       .select(col(idCol).cast("long").as("id"),
@@ -344,7 +349,8 @@ object IncrementalIvf {
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))
-    probeSide(q).join(pruned, Seq("cell_id"))
+    probeSide(q, floatProbeRowBytes(cents), batchRows.map(_ * nProbe))
+      .join(pruned, Seq("cell_id"))
       .filter(col("near_id") =!= col("id"))
       .select(col("id"), col("near_id"),
         round(graft.functions.DotProduct.dotProduct(col("vec"), col("__q"))
@@ -358,6 +364,17 @@ object IncrementalIvf {
     */
   val MaxProbeBroadcastRows: Long = 1L << 18
 
+  /** Byte budget for the probe-side broadcast — the second axis of the
+    * bound (ADVICE r14): [[MaxProbeBroadcastRows]] alone only accounts
+    * for the float path's slim rows, but the CODED path's probe frame
+    * carries a per-row m×k ADC lookup table, so bytes scale with the
+    * codebook, not just rows — at m=64, k=256 each row adds ~128 KB and
+    * a near-row-bound batch would broadcast hundreds of GB. The
+    * effective row bound is min(rows bound, bytes bound / bytes-per-row)
+    * so BOTH faces stay inside one executor-broadcast budget.
+    */
+  val MaxProbeBroadcastBytes: Long = 150L << 20
+
   /** Pin the PROBE side as the candidate join's build side — the r13
     * gates-on drift, attributed r14: left to estimates, Catalyst sized
     * the probe leg from its UPSTREAM plan (a pipeline's docs snapshot
@@ -368,13 +385,39 @@ object IncrementalIvf {
     * O(index) forever (+1 s/batch measured; the differential plan pair
     * is in BENCH_PIPELINE_GATES_r14.json). The probe side is the
     * bounded side BY CONTRACT (a micro-batch vs an unbounded index), so
-    * under [[MaxProbeBroadcastRows]] it is hinted broadcast — the count
-    * is a local scan of the probe checkpoint, ~free. A probe PAST the
-    * bound (bulk backfill) falls back to planner choice: at that scale
-    * the asymmetry that justifies the pin no longer holds.
+    * under [[MaxProbeBroadcastRows]] AND [[MaxProbeBroadcastBytes]]
+    * (rows × `bytesPerRow` — the caller states the frame's real row
+    * width, LUT included) it is hinted broadcast. `knownRows` spares
+    * the sizing count when the caller already knows the batch size (an
+    * ingest pipeline counts its snapshot once anyway — the gate then
+    * adds zero extra jobs); absent, one local scan of the probe
+    * checkpoint decides. A probe PAST either bound (bulk backfill, or a
+    * wide-codebook ADC frame) falls back to planner choice: at that
+    * scale the asymmetry that justifies the pin no longer holds.
     */
-  private def probeSide(q: DataFrame): DataFrame =
-    if (q.count() <= MaxProbeBroadcastRows) broadcast(q) else q
+  private def probeSide(q: DataFrame, bytesPerRow: Long,
+                        knownRows: Option[Long] = None): DataFrame = {
+    val rows = knownRows.getOrElse(q.count())
+    if (rows <= probeBroadcastRowBound(bytesPerRow)) broadcast(q) else q
+  }
+
+  /** The effective probe-broadcast row bound for a frame of
+    * `bytesPerRow`-wide rows: min(row bound, byte budget / row width).
+    * Exposed for the spec that pins the ADVICE-r14 arithmetic.
+    */
+  private[graft] def probeBroadcastRowBound(bytesPerRow: Long): Long =
+    math.min(MaxProbeBroadcastRows,
+      MaxProbeBroadcastBytes / math.max(1L, bytesPerRow))
+
+  /** Conservative on-wire bytes of one float-path probe row: the query
+    * vector (`dim` doubles) + id/cell/norm + array headers. */
+  private[graft] def floatProbeRowBytes(cents: Seq[Ivf.Centroid]): Long =
+    8L * cents.headOption.map(_.values.length).getOrElse(64) + 64L
+
+  /** Conservative on-wire bytes of one coded-path coarse probe row: the
+    * m×k ADC LUT doubles dominate; id/cell/headers ride along. */
+  private[graft] def adcProbeRowBytes(cb: Pq.Codebook): Long =
+    8L * cb.m * cb.k + 64L
 
   /** Centroids persisted as a VersionedTable (`cell_id: int, values:
     * array<double>`) so a restarted query/ingest process can reload the

@@ -76,6 +76,20 @@ object MaintenanceLease {
   /** Run `f` holding `table`'s maintenance lease. Throws
     * `IllegalStateException` naming the current holder when the lease
     * is taken (and not stale). Re-entrant within a thread.
+    *
+    * Ownership is token-scoped (ADVICE r14): every claim writes a
+    * unique token into the lease, release deletes the file only while
+    * it still carries THIS claim's token, and the stale-break RENAMES
+    * the stale lease to a breaker-unique tombstone instead of deleting
+    * it in place. Together those close the two-breaker erasure chain —
+    * a holder that outran staleMs can no longer delete the breaker's
+    * FRESH lease on release (token mismatch → leave it), and of two
+    * racing breakers only one's rename succeeds, so the loser never
+    * deletes the winner's re-claim. The residual window (a lease that
+    * turns stale between the breaker's mtime check and its rename
+    * yanks a just-refreshed file — restored best-effort on content
+    * mismatch) is documented degradation: correctness still rests on
+    * the conflict-checked commits beneath, the lease is the loud front.
     */
   def withLease[T](table: String, op: String,
                    staleMs: Long = DefaultStaleMs)(f: => T): T = {
@@ -83,25 +97,53 @@ object MaintenanceLease {
     val key = p.toAbsolutePath.toString
     if (heldByThread.get().contains(key)) return f // re-entrant
     Files.createDirectories(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
     def tryClaim(): Boolean = {
       val tmp = Files.createTempFile(p.getParent, ".lease-", ".tmp")
       Files.write(tmp, (s"$op pid=${ProcessHandle.current().pid()} " +
-        s"thread=${Thread.currentThread().getName}").getBytes("UTF-8"))
+        s"thread=${Thread.currentThread().getName} " +
+        s"token=$token").getBytes("UTF-8"))
       try { AtomicClaim.claim(p, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally Files.deleteIfExists(tmp)
     }
     var claimed = tryClaim()
     if (!claimed) {
-      // stale-break: one delete + one re-claim, never a loop (a live
-      // holder immediately re-loses the race to whoever re-claims)
-      val stale = try {
-        System.currentTimeMillis() -
+      // stale-break: rename-then-reclaim, never a loop (a live holder
+      // immediately re-loses the race to whoever re-claims). The rename
+      // target is unique PER BREAKER, so exactly one of N racing
+      // breakers moves the stale lease aside; the rest see
+      // NoSuchFileException and fall through to the claim race.
+      val observed = try {
+        val stale = System.currentTimeMillis() -
           Files.getLastModifiedTime(p).toMillis >= staleMs
-      } catch { case _: java.io.IOException => true } // vanished = released
-      if (stale) {
-        try Files.deleteIfExists(p)
-        catch { case _: java.io.IOException => () }
+        if (stale) Some(try new String(Files.readAllBytes(p), "UTF-8")
+                        catch { case _: java.io.IOException => "" })
+        else None
+      } catch { case _: java.io.IOException => Some("") } // vanished = released
+      observed.foreach { staleContent =>
+        val tomb = p.resolveSibling(s".lease-tomb-$token")
+        val broke = try { Files.move(p, tomb); true }
+        catch { case _: java.io.IOException => false } // lost the break race
+        if (broke) {
+          // verify the tombstone IS the claim we observed stale: a
+          // holder refreshing (or a breaker re-claiming) between our
+          // check and our move means we yanked a FRESH lease — restore
+          // it; if a rival claimed p meanwhile, the restore loses and
+          // the yanked holder's claim is gone (the documented residual
+          // window, backstopped by conflict-checked commits).
+          val got = try new String(Files.readAllBytes(tomb), "UTF-8")
+          catch { case _: java.io.IOException => staleContent }
+          if (got == staleContent)
+            try Files.deleteIfExists(tomb)
+            catch { case _: java.io.IOException => () }
+          else
+            try Files.move(tomb, p)
+            catch { case _: java.io.IOException =>
+              try Files.deleteIfExists(tomb)
+              catch { case _: java.io.IOException => () }
+            }
+        }
         claimed = tryClaim()
       }
     }
@@ -117,8 +159,15 @@ object MaintenanceLease {
     try f
     finally {
       heldByThread.set(heldByThread.get() - key)
-      try Files.deleteIfExists(p)
-      catch { case _: java.io.IOException => () }
+      // token-checked release: delete ONLY a lease this claim still
+      // owns. A holder that outran staleMs and was broken must not
+      // delete the breaker's fresh lease (read-compare-delete is
+      // best-effort — the compare and delete are two steps — but the
+      // unconditional delete it replaces was wrong on every overrun).
+      try {
+        val cur = new String(Files.readAllBytes(p), "UTF-8")
+        if (cur.contains(s"token=$token")) Files.deleteIfExists(p)
+      } catch { case _: java.io.IOException => () } // vanished = released
     }
   }
 }

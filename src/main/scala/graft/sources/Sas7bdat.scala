@@ -198,11 +198,21 @@ object Sas7bdat {
               // metadata (rowLength is 0 until RowSize parses — RowSize
               // itself always precedes row payloads in the file); a
               // row-length or signature-less one stays a row payload.
+              // The override applies ONLY while the file is not known
+              // compressed AND the subheader itself is uncompressed
+              // (shComp == 0) — ADVICE r14: a compressed row
+              // (shComp == 4) whose arbitrary first 4 bytes collide
+              // with a known signature must never be dispatched as
+              // metadata (a fake SigRowSize would overwrite rowLength
+              // mid-file and corrupt the rest of the parse); the
+              // foreign-producer case this override exists for is
+              // uncompressed files only, where the gate always passes.
               val sigProbeable = shOff >= 0 && shOff + 4 <= page.length
               val rawSig = if (sigProbeable) bb.getInt(shOff) else 0
               val sig =
                 if (shType != 1) rawSig
-                else if (KnownSigs.contains(rawSig)
+                else if (shComp == 0 && compression.isEmpty
+                  && KnownSigs.contains(rawSig)
                   && (rowLength <= 0 || shLen.toLong != rowLength)) rawSig
                 else 0
               sig match {
@@ -623,14 +633,16 @@ object Sas7bdat {
           // r12): a foreign uncompressed file may mark METADATA
           // subheaders type 1, and the old type-only test false-refused
           // it. A subheader counts as a row payload only when it LOOKS
-          // like one: exactly row-length (an uncompressed row), OR
-          // lacking every known metadata signature (a compressed row of
-          // the unknown codec — those MUST still refuse, silently
+          // like one: exactly row-length (an uncompressed row), itself
+          // compression-flagged (shComp != 0 — its leading bytes are
+          // codec payload, never a trustworthy signature; ADVICE r14),
+          // OR lacking every known metadata signature (a compressed row
+          // of the unknown codec — those MUST still refuse, silently
           // dropping them is the failure mode this guard exists for).
-          // A signature-bearing, non-row-length subheader is metadata
-          // this page iterator already skips.
+          // A signature-bearing, uncompressed, non-row-length subheader
+          // is metadata this page iterator already skips.
           shType == 1 && shLen > 0 && shComp != 1 &&
-            (shLen.toLong == meta.rowLength || shLen < 4 ||
+            (shLen.toLong == meta.rowLength || shComp != 0 || shLen < 4 ||
               !sigProbeable || !KnownSigs.contains(bb.getInt(shOffL.toInt)))
         }
         if (hasRows) throw new IllegalStateException(

@@ -749,6 +749,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.count() == 0)    // capped: boilerplate suppressed, no fan-out
   }
 
+  test("bench index rebuilt at the same path to the same version never serves the stale width (ADVICE r14)") {
+    import graft.dedup.Decontaminate
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bench-rebuild").toString + "/bench"
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bench_id", "btext")
+    // corpus doc shares the BIGRAM "alpha beta" but no trigram
+    val corpus = Seq((1L, "alpha beta unrelated tail words here"))
+      .toDF("doc_id", "text")
+    Decontaminate.buildBenchIndex(spark, bench, "btext", "bench_id", dir, n = 3)
+    def probe() = Decontaminate.probeBenchIndex(spark, corpus, "text",
+        "doc_id", dir, minOverlap = 1)
+      .collect().map(r => r.getLong(0) ->
+        r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(!probe()(1L), "no shared trigram: clean at n=3") // memoizes width 3
+    // delete the whole table and rebuild AT THE SAME PATH to the same
+    // version with a DIFFERENT width — the memo must miss (the commit's
+    // data-dir UUID is fresh), not silently shingle the probe at n=3
+    def rmTree(root: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmTree(java.nio.file.Paths.get(dir))
+    val v2 = Decontaminate.buildBenchIndex(spark, bench, "btext", "bench_id",
+      dir, n = 2)
+    assert(v2 == 0L, s"rebuild must land at the same version 0, got $v2")
+    assert(probe()(1L), "rebuilt n=2 index must flag the shared bigram — " +
+      "a stale memoized width was served")
+  }
+
   test("crossSetNearDups flags a planted duplicate of a bench vector, exact cosines") {
     import graft.similarity.Similarity
     val bench = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))

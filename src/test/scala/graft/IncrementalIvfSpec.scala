@@ -589,6 +589,52 @@ class IncrementalIvfSpec extends AnyFunSuite {
       s"index leg must never broadcast:\n${plan.take(3000)}")
   }
 
+  test("probe-broadcast bound is byte-aware: a wide ADC LUT shrinks it; past it the gate stays correct (ADVICE r14)") {
+    // the row bound alone only prices the FLOAT path's slim rows; the
+    // coded coarse frame carries a per-row m×k LUT, so the effective
+    // bound must shrink with the codebook or a near-row-bound batch
+    // would broadcast hundreds of GB (m=64, k=256 → ~128 KB/row)
+    val dim64 = Seq(Ivf.Centroid(0, Seq.fill(64)(0.0)))
+    assert(IncrementalIvf.probeBroadcastRowBound(
+      IncrementalIvf.floatProbeRowBytes(dim64))
+      == IncrementalIvf.MaxProbeBroadcastRows,
+      "a 64-dim float probe must keep the full row bound")
+    val fatLut = 8L * 64 * 256 + 64 // adcProbeRowBytes at m=64, k=256
+    val fatBound = IncrementalIvf.probeBroadcastRowBound(fatLut)
+    assert(fatBound < 2048 && fatBound > 0,
+      s"m=64,k=256 LUT rows must cap near 150MB/128KB: $fatBound")
+    assert(fatBound * fatLut <= IncrementalIvf.MaxProbeBroadcastBytes)
+    // monotone: wider rows never raise the bound
+    assert(IncrementalIvf.probeBroadcastRowBound(fatLut * 2) <= fatBound)
+
+    // past the bound the gate falls back to planner choice and must
+    // return identical ROWS — batchRows is the caller-known count, so
+    // an absurd value forces the fallback path deterministically
+    val emb = Tables.embeddings(spark, d)
+    val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
+      nCells = 4, iters = 0)
+    val cb = graft.similarity.Pq.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val t = freshTable()
+    IncrementalIvf.addBatch(spark,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+      cents, t, 0L, codebook = Some(cb))
+    val probe = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    def rows(br: Option[Long]) = IncrementalIvf.nearDupPairsAdc(spark, probe,
+        "embedding", "vec_id", cents, t, threshold = 0.3, cb,
+        adcCandidates = 8, nProbe = 2, batchRows = br)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val pinned = rows(None)
+    assert(pinned.nonEmpty)
+    assert(rows(Some(Long.MaxValue / 4)) == pinned,
+      "past-bound fallback changed the gate's rows")
+    // float path: same fallback-correctness contract
+    def fRows(br: Option[Long]) = IncrementalIvf.nearDupPairs(spark, probe,
+        "embedding", "vec_id", cents, t, threshold = 0.3, nProbe = 2,
+        batchRows = br)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(fRows(Some(Long.MaxValue / 4)) == fRows(None))
+  }
+
   test("semanticAdmissionFraction: collapsed embeddings measure high, well-spread measure ~0") {
     val cents2 = Seq(Ivf.Centroid(0, Seq(0.0, 0.25, 0.5, 0.75)),
       Ivf.Centroid(1, Seq(1.0, 0.25, 0.5, 0.75)))

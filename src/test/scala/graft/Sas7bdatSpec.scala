@@ -329,6 +329,51 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(back.columns.toSeq.sorted == Seq("s", "x"))
   }
 
+  test("compressed row payload colliding with a metadata signature is never signature-dispatched (ADVICE r14)") {
+    import spark.implicits._
+    // the r12 foreign-producer relaxation let type-1 subheaders with a
+    // KNOWN leading signature be treated as metadata — but a COMPRESSED
+    // row's payload bytes are arbitrary, so a collision (here: a forged
+    // 0xF7F7F7F7 = SigRowSize) would overwrite rowLength mid-walk and
+    // corrupt the rest of the parse. The r15 gate applies the override
+    // only in uncompressed layouts (compression literal empty AND
+    // shComp == 0); in compressed files type-1 stays a row payload.
+    val df = (0 until 2000).map(i => (i.toDouble, "pad" * (i % 20 + 1)))
+      .toDF("i", "pad")
+    val path = tmpFile("sigcollide")
+    Sas7bdat.writeDataFrame(df, path, pageSize = 4096, compress = true)
+    val meta = Sas7bdat.inspect(path)
+    assert(meta.compression == "SASYZCRL")
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    def short(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def long64(off: Int) = java.nio.ByteBuffer.wrap(bytes, off, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val nPages = ((bytes.length - meta.headerLength) / meta.pageSize).toInt
+    // first COMPRESSED row pointer (type 1, comp flag 4, shorter than
+    // the row) — it sits on a page the metadata walk still processes
+    val hit = (0 until nPages).iterator.flatMap { pg =>
+      val base = meta.headerLength + pg * meta.pageSize
+      val nSub = short(base + 32 + 4)
+      (0 until nSub).iterator.map(i => (base, base + 32 + 8 + i * 24))
+    }.find { case (_, p) =>
+      bytes(p + 17) == 1.toByte && (bytes(p + 16) & 0xFF) == 4 && {
+        val shLen = long64(p + 8)
+        shLen >= 4 && shLen != meta.rowLength
+      }
+    }
+    assert(hit.nonEmpty, "no compressed row pointer found in fixture")
+    val (base, p) = hit.get
+    val shOff = long64(p).toInt
+    (0 until 4).foreach(k => bytes(base + shOff + k) = 0xF7.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val after = Sas7bdat.inspect(path)
+    assert(after.rowLength == meta.rowLength && after.rowCount == meta.rowCount
+      && after.compression == meta.compression,
+      s"signature-colliding row payload corrupted the metadata walk: " +
+        s"rowLength ${after.rowLength} vs ${meta.rowLength}, " +
+        s"rowCount ${after.rowCount} vs ${meta.rowCount}")
+  }
+
   test("compressed round-trip of a mirror shard (219k real rows)") {
     val shard = spark.read.parquet(
       "/root/reference/sas_data/part-00000-b9542815-7a8d-45fc-9c67-c9c5007ad0d4-c000.snappy.parquet")

@@ -99,6 +99,85 @@ class ScopeLeaseSpec extends AnyFunSuite {
     assert(MaintenanceLease.withLease(t, "x") { 9 } == 9)
   }
 
+  test("two breakers racing one stale lease: exactly one holds at a time (VERDICT r14 #6)") {
+    val t = fresh("graft-lease-2break")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val p = MaintenanceLease.leasePath(t)
+    java.nio.file.Files.write(p, "crashed pid=0 token=dead".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - MaintenanceLease.DefaultStaleMs - 1000))
+    // both threads observe the stale lease and race break-then-claim.
+    // Pre-tombstone, the loser's in-place DELETE erased the winner's
+    // FRESH lease, letting a later claimant in concurrently; with the
+    // breaker-unique rename exactly one move succeeds, so two holders
+    // can never overlap (serial wins are fine — the invariant is max
+    // concurrency 1).
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    def breaker(): Runnable = () =>
+      try MaintenanceLease.withLease(t, "breaker") {
+        val now = inside.incrementAndGet()
+        maxInside.updateAndGet(m => math.max(m, now))
+        ran.incrementAndGet()
+        Thread.sleep(200)
+        inside.decrementAndGet()
+      } catch { case _: IllegalStateException => refused.incrementAndGet() }
+    val threads = (0 until 2).map(_ => new Thread(breaker()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ran.get() >= 1 && ran.get() + refused.get() == 2,
+      s"ran=${ran.get()} refused=${refused.get()}")
+    assert(maxInside.get() == 1, s"two breakers held concurrently: ${maxInside.get()}")
+    // no tombstone debris left behind
+    import scala.jdk.CollectionConverters._
+    val leftover = java.nio.file.Files.list(p.getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".lease-tomb")).toSeq
+    assert(leftover.isEmpty, s"tombstones leaked: $leftover")
+    assert(MaintenanceLease.withLease(t, "after") { 3 } == 3)
+  }
+
+  test("a holder that outran staleMs must not delete the breaker's FRESH lease on release (ADVICE r14)") {
+    val t = fresh("graft-lease-token")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val p = MaintenanceLease.leasePath(t)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val bHolds = new java.util.concurrent.CountDownLatch(1)
+    val bRelease = new java.util.concurrent.CountDownLatch(1)
+    // A claims, then outruns its horizon (simulated by backdating its
+    // lease mtime); B breaks and claims; A's release then runs WHILE B
+    // holds — the token check must leave B's lease alone (the old
+    // unconditional delete erased it, and a third claimant got in).
+    val a = new Thread(() => MaintenanceLease.withLease(t, "slow-holder") {
+      aEntered.countDown()
+      bHolds.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    })
+    a.start(); aEntered.await()
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - MaintenanceLease.DefaultStaleMs - 1000))
+    val b = new Thread(() => MaintenanceLease.withLease(t, "breaker") {
+      bHolds.countDown()
+      bRelease.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    })
+    b.start()
+    bHolds.await() // B broke the stale lease and holds a fresh one
+    a.join()       // A's release ran: token mismatch -> no delete
+    assert(java.nio.file.Files.exists(p),
+      "the outrun holder's release deleted the breaker's fresh lease")
+    // a third claimant must refuse while B still holds
+    intercept[IllegalStateException] {
+      MaintenanceLease.withLease(t, "third") { () }
+    }
+    bRelease.countDown(); b.join()
+    // and B's own release DOES clear its lease
+    assert(!java.nio.file.Files.exists(p))
+    assert(MaintenanceLease.withLease(t, "after") { 5 } == 5)
+  }
+
   test("racing compactIndex runs: one wins, one refuses, the index stays valid") {
     val t = fresh("graft-lease-compact")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

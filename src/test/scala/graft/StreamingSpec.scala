@@ -1189,7 +1189,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(results()(9L)._1 == "dup_of_index", results()(9L))
   }
 
-  test("IngestPipeline semantic preflight: a collapsed embedding space is REFUSED with the measured fraction; real embeddings pass; bound 1.0 disables") {
+  test("IngestPipeline semantic preflight (opt-in): a collapsed embedding space is REFUSED with the measured fraction; the 1.0 default disables") {
     import spark.implicits._
     import graft.pipelines.IngestPipeline
 
@@ -1212,7 +1212,12 @@ class StreamingSpec extends AnyFunSuite {
       centroids = Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0.25, 0.5, 0.75)),
         graft.similarity.Ivf.Centroid(1, Seq(1.0, 0.25, 0.5, 0.75))),
       threshold = 0.5, oovGate = 0.5,
-      semanticThreshold = Some(0.999))
+      semanticThreshold = Some(0.999),
+      // opt IN to the refusal (ADVICE r14 flipped the default to 1.0 —
+      // disabled — because same-cell candidate pairs are cosine-biased
+      // by construction and a tight refusing default would surprise
+      // upgrading pipelines with first-batch refusals)
+      semanticAdmissionBound = 0.05)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // batch 0: index empty, no preflight, gate trivially clean
@@ -1230,10 +1235,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("preflight REFUSED")
       && e.getMessage.contains("admits"), e.getMessage)
 
-    // bound 1.0 disables the guard: the same batch processes (the gate
-    // faithfully executes the degenerate config when told to)
+    // the 1.0 default disables the guard: the same batch processes (the
+    // gate faithfully executes the degenerate config when not told to
+    // refuse)
     val off = cfg.copy(semanticAdmissionBound = 1.0,
       resultsDir = s"$root/results-off", appId = "ingest-preflight-off")
+    assert(IngestPipeline.Config(textCol = "t", idCol = "i", embCol = "e",
+      dedupIndex = "d", statsIndex = "s", ivfIndex = "v", resultsDir = "r",
+      appId = "a", centroids = Seq.empty).semanticAdmissionBound == 1.0,
+      "the preflight must default DISABLED (migration contract)")
     IngestPipeline.processBatch(spark,
         gridBatch(1).toDF("doc_id", "text", "embedding"), off, 1L)
       .write.mode("overwrite").partitionBy("__batch")
@@ -1242,6 +1252,133 @@ class StreamingSpec extends AnyFunSuite {
     // the pass case for REAL well-spread embeddings at a sane threshold
     // is every existing semantic-gate test and q_ingest_pipeline_semantic
     // itself — all run with the preflight live at the default bound
+  }
+
+  test("coded pipeline maintenance: cell-fill advisory fires past the bound, names the cutover, and the cutover clears it (VERDICT r14 #1)") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+
+    def emb(seed: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(seed % 8) = 1f; a((seed + 3) % 8) = 0.4f; a
+    }
+    def batch(b: Int) = (0 until 24).map { i =>
+      (b * 100L + i, s"fill $b $i " + (0 until 6)
+        .map(w => s"f${b}x${i}w$w").mkString(" "), emb(i))
+    }
+    val trainDf = batch(0).toDF("doc_id", "text", "embedding")
+    val cents = graft.similarity.Ivf.trainCentroids(trainDf, "embedding",
+      "doc_id", nCells = 2, iters = 1)
+    val cb = graft.similarity.Pq.train(trainDf, "embedding", "doc_id",
+      m = 2, k = 8)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-coded-fill").toString
+    val fills = scala.collection.mutable.ArrayBuffer
+      .empty[IngestPipeline.CodedFillStats]
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "coded-fill", centroids = cents,
+      threshold = 0.5, oovGate = 0.5,
+      compactEvery = 2,
+      pqCodebook = Some(cb),
+      codedCellFillBound = Some(5L),
+      onCodedFill = Some(fills += _))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (0 until 2).foreach { b =>
+      IngestPipeline.processBatch(spark,
+          batch(b).toDF("doc_id", "text", "embedding"), cfg, b.toLong)
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(cfg.resultsDir)
+      IngestPipeline.maintenance(spark, cfg, b.toLong)
+    }
+    // the cadence (compactEvery = 2) fired at batch 1: 48 kept rows
+    // over 2 cells = mean fill 24 > bound 5 — the advisory surfaces
+    // the measured fill and the exact remediation
+    assert(fills.size == 1, s"advisory count: ${fills.size}")
+    val s = fills.head
+    assert(s.ivfIndex == cfg.ivfIndex && s.cells == 2 && s.rows == 48L
+      && s.meanFill == 24.0 && s.bound == 5L && s.batchId == 1L, s.toString)
+    assert(s.retrainCall.contains("retrainCodedIvf")
+      && s.retrainCall.contains("QUIESCE"), s.retrainCall)
+
+    // the sanctioned cutover absorbs the growth: under the successor
+    // Config (16 cells, same 48 rows -> mean fill 3) the same cadence
+    // stays silent — the miniature of the stress harness's ramp reset
+    val cfg2 = IngestPipeline.retrainCodedIvf(spark, cfg,
+        s"$root/ivf2", nCells = 16, iters = 1, sampleFraction = 1.0,
+        pq = graft.similarity.IncrementalIvf.PqSpec(m = 2, k = 8))
+      .copy(onCodedFill = Some(fills += _))
+    assert(cfg2.centroids.size == 16)
+    IngestPipeline.maintenance(spark, cfg2, 3L) // 3 % 2 == 1: cadence fires
+    assert(fills.size == 1,
+      s"advisory fired under the retrained geometry: ${fills.last}")
+
+    // default hook (None): the advisory goes to stderr and must not
+    // throw — the loud-but-harmless production default
+    IngestPipeline.maintenance(spark, cfg.copy(onCodedFill = None), 1L)
+  }
+
+  test("semantic admission drift after admission WARNS at the maintenance cadence, never refuses mid-stream (VERDICT r14 #3)") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+
+    // batch 0: orthogonal one-hot embeddings at HIGH ids — the startup
+    // preflight measures fraction 0 and admits. batch 1: a collapsed
+    // wave (100 copies of one vector) at LOW ids, so the cadence
+    // re-measure's lowest-id sample sees the drifted distribution.
+    def spread(i: Int): Array[Float] = {
+      val a = new Array[Float](8); a(i % 8) = 1f; a
+    }
+    val flat = Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    val b0 = (0 until 8).map(i => (1000L + i,
+      s"spread $i " + (0 until 6).map(w => s"s${i}w$w").mkString(" "),
+      spread(i)))
+    val b1 = (0 until 100).map(i => (i.toLong,
+      s"collapsed $i " + (0 until 6).map(w => s"k${i}w$w").mkString(" "),
+      flat))
+    val b2 = (0 until 4).map(i => (5000L + i,
+      s"tail $i " + (0 until 6).map(w => s"t${i}w$w").mkString(" "),
+      spread(i)))
+    val cents = graft.similarity.Ivf.trainCentroids(
+      b0.toDF("doc_id", "text", "embedding"), "embedding", "doc_id",
+      nCells = 2, iters = 1)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sem-drift").toString
+    val drifts = scala.collection.mutable.ArrayBuffer
+      .empty[IngestPipeline.SemanticDriftStats]
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "sem-drift", centroids = cents,
+      threshold = 0.5, oovGate = 0.5,
+      compactEvery = 2,
+      semanticThreshold = Some(0.9),
+      semanticAdmissionBound = 0.2,
+      onSemanticDrift = Some(drifts += _))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def run(rows: Seq[(Long, String, Array[Float])], b: Long): Unit = {
+      IngestPipeline.processBatch(spark,
+          rows.toDF("doc_id", "text", "embedding"), cfg, b)
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(cfg.resultsDir)
+      IngestPipeline.maintenance(spark, cfg, b)
+    }
+    run(b0, 0L) // index empty at gate time: no preflight yet
+    run(b1, 1L) // startup preflight vs the SPREAD index: fraction 0, admits;
+                // then the cadence (1 % 2 == 1) re-measures the now-
+                // collapsed index and must WARN
+    assert(drifts.size == 1, s"drift warnings: ${drifts.size}")
+    val dft = drifts.head
+    assert(dft.fraction > 0.2 && dft.bound == 0.2 && dft.batchId == 1L
+      && dft.threshold == 0.9, dft.toString)
+    // mid-stream the pipeline keeps running — the drift warned, the
+    // startup refusal does not re-fire on the memoized key
+    run(b2, 2L)
+    assert(spark.read.parquet(cfg.resultsDir)
+      .filter(col("__batch") === 2).count() == 4L)
   }
 
   test("IngestPipeline coded gate (pqCodebook): codes stored, ADC gate matches the float gate, auto-retrain combination refuses") {

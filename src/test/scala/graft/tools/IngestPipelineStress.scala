@@ -147,7 +147,17 @@ object IngestPipelineStress {
     graft.pipelines.IngestPipeline.processBatch(spark, replica(0), warm, 0L)
       .write.mode("overwrite").partitionBy("__batch").parquet(warm.resultsDir)
 
-    val cfg = freshCfg(java.nio.file.Files
+    // CODED_CUTOVER_AT=<k> (codedgates only): after batch k, run the
+    // sanctioned coded cutover (retrainCodedIvf to a fresh table with
+    // cells scaled to the accumulated corpus) and continue the series
+    // under the successor Config — the r15 directive's ramp-reset
+    // measurement: the sem stage's per-batch cost grows with per-cell
+    // candidates at fixed cells, and the cutover's grown cell count
+    // must pull it back to the early-series level.
+    val cutoverAt = sys.env.get("CODED_CUTOVER_AT").map(_.toInt)
+    var cutoverSec = -1.0
+    var cellsBefore = -1; var cellsAfter = -1
+    var cfg = freshCfg(java.nio.file.Files
       .createTempDirectory("graft-pipe-stress").toString)
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
@@ -244,6 +254,24 @@ object IngestPipelineStress {
       val rt = Runtime.getRuntime
       heapSeries += (rt.totalMemory() - rt.freeMemory()) >> 20
       rddSeries += spark.sparkContext.getPersistentRDDs.size
+      if (codedOn && cutoverAt.contains(i)) {
+        // between-batch = a quiesce for this serial harness (no
+        // streaming checkpoint can replay a pre-cutover batch)
+        val c0 = System.nanoTime()
+        val rows = graft.sources.VersionedTable.read(spark, cfg.ivfIndex)
+          .count()
+        cellsBefore = cfg.centroids.size
+        // scale cells with the accumulated corpus so per-cell fill
+        // returns to the single-batch level the early series ran at
+        cellsAfter = math.max(cellsBefore * (i + 2), 2)
+        cfg = graft.pipelines.IngestPipeline.retrainCodedIvf(spark, cfg,
+          cfg.ivfIndex.stripSuffix("/") + s"-cut$i", nCells = cellsAfter,
+          iters = 2, sampleFraction = math.min(1.0, 50000.0 / rows),
+          pq = graft.similarity.IncrementalIvf.PqSpec(m = 8, k = 16))
+        cutoverSec = (System.nanoTime() - c0) / 1e9
+        System.err.println(f"CUTOVER after batch $i: $rows rows, " +
+          f"$cellsBefore -> $cellsAfter cells, $cutoverSec%.2f s")
+      }
       dur
     }
 
@@ -262,8 +290,10 @@ object IngestPipelineStress {
       :+ s""""probe_docs":${fmtD(probeDocs.result())}"""
       :+ s""""probe_pinned":${fmtD(probePinned.result())}""")
       .mkString("{", ",", "}")
+    val cutJson = cutoverAt.fold("")(k =>
+      f""""cutover_at":$k,"cutover_sec":$cutoverSec%.2f,"cells_before":$cellsBefore,"cells_after":$cellsAfter,""")
     println(
-      f"""PIPELINE_STRESS {"sf":"$sfDir","backend":"$backend","gates":"$gateArg","scoped":$scoped,"n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"stages_sec":$stagesJson,"gc_sec":${fmtD(gcSeries.result())},"heap_mb":${heapSeries.result().mkString("[", ",", "]")},"persisted_rdds":${rddSeries.result().mkString("[", ",", "]")},"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+      f"""PIPELINE_STRESS {$cutJson"sf":"$sfDir","backend":"$backend","gates":"$gateArg","scoped":$scoped,"n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"stages_sec":$stagesJson,"gc_sec":${fmtD(gcSeries.result())},"heap_mb":${heapSeries.result().mkString("[", ",", "]")},"persisted_rdds":${rddSeries.result().mkString("[", ",", "]")},"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
     spark.stop()
   }
 }
