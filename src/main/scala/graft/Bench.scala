@@ -11,6 +11,85 @@ import org.apache.spark.sql.SparkSession
   * it, so the measurement covers the real plan.
   */
 object Bench {
+
+  /** Re-run `names` in a FRESH JVM (reps=3, per-query median reported —
+    * the retry logic in that run is inert at reps>1) and return its
+    * per-query numbers. The classpath is reconstructed from this JVM's
+    * classloader chain (under sbt, `java.class.path` holds only the
+    * launcher); if that fails, or the child dies, returns empty and the
+    * gate falls back to the in-run numbers — adjudication is
+    * best-effort, never a correctness path. Flagged sets are capped:
+    * a run where >16 queries blow 2x is a loaded MACHINE, not sixteen
+    * simultaneous plan regressions, and rerunning them all would just
+    * measure the same load again.
+    */
+  private[graft] def coldRerun(names: Seq[String], sfDir: String,
+                               cpus: String): Map[String, Double] = {
+    if (names.size > 16) {
+      System.err.println(s"[bench] ${names.size} flagged queries — " +
+        "machine-level load, skipping cold adjudication")
+      return Map.empty
+    }
+    // sbt's layered run classloaders are not URLClassLoaders, so the
+    // child classpath is assembled from code-source anchors instead:
+    // this library's classes dir + the Spark jars dir (which bundles
+    // scala-library — the only other runtime dependency; scalatest is
+    // Test-scope and graft.Bench never touches it).
+    def codeSource(c: Class[_]): Option[java.nio.file.Path] =
+      Option(c.getProtectionDomain.getCodeSource)
+        .map(s => java.nio.file.Paths.get(s.getLocation.toURI))
+    val cp = (for {
+      graftClasses <- codeSource(getClass)
+      sparkJar <- codeSource(classOf[org.apache.spark.SparkContext])
+    } yield {
+      import scala.jdk.CollectionConverters._
+      val jars = java.nio.file.Files.list(sparkJar.getParent)
+        .iterator().asScala
+        .filter(_.toString.endsWith(".jar")).map(_.toString).toSeq.sorted
+      (graftClasses.toString +: jars)
+        .mkString(java.io.File.pathSeparator)
+    }).getOrElse("")
+    if (cp.isEmpty) {
+      System.err.println("[bench] could not reconstruct a classpath for " +
+        "the cold pass — gating on in-run numbers")
+      return Map.empty
+    }
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.Bench")
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_REPS", "3")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.redirectErrorStream(false)
+    try {
+      val p = pb.start()
+      val outF = scala.concurrent.Future {
+        scala.io.Source.fromInputStream(p.getInputStream).getLines()
+          .filter(_.startsWith("BENCH_FULL ")).toList
+      }(scala.concurrent.ExecutionContext.global)
+      // drain stderr so the child never blocks on a full pipe
+      new Thread(() => scala.io.Source.fromInputStream(p.getErrorStream)
+        .getLines().foreach(_ => ())).start()
+      if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly()
+        System.err.println("[bench] cold pass timed out — gating on in-run numbers")
+        return Map.empty
+      }
+      val lines = scala.concurrent.Await.result(outF,
+        scala.concurrent.duration.Duration(30, "s"))
+      lines.lastOption.map { l =>
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
+            l.substring(l.indexOf("\"queries\":{")))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => names.contains(k) }.toMap
+      }.getOrElse(Map.empty)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cold pass failed: ${e.getMessage}")
+      Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -169,20 +248,41 @@ object Bench {
     // Per-query regression gate: diff this run against the committed
     // median-of-3 record and name every query >2x its recorded median —
     // one glance now answers the "302 s scare" class of question (noise
-    // or plan regression?). Single-shot runs carry per-query noise, so
-    // a hit here is a LEAD, confirmed by re-running with
-    // SPARK_GRAFT_BENCH_REPS=3; a clean gate on a single shot is strong
-    // evidence of no regression. The 0.5 s absolute floor keeps
-    // sub-second jitter (page cache, JIT) out of the report.
+    // or plan regression?). The 0.5 s absolute floor keeps sub-second
+    // jitter (page cache, JIT) out of the report.
+    //
+    // SELF-ADJUDICATION (VERDICT r14 #4): the in-run cooldown retry
+    // still reran inside the same loaded window (r14: 4 false outliers;
+    // r13: 14). Queries still flagged after it are now re-run in a
+    // FRESH JVM — reps=3, min-of, after this JVM's Spark has stopped
+    // competing for cores — and the gate diffs the adjudicated value.
+    // A real plan regression stays >2x in the cold JVM too; machine
+    // noise almost never survives a min-of-3 in a fresh process minutes
+    // later. BENCH_FULL keeps the RAW one-shot numbers (the driver's
+    // measurement); only the gate adjudicates.
     try if (recMedians.nonEmpty) {
       val rec = recMedians
-      val regressed = results
-        .filter { case (k, v) => rec.get(k).exists(r => v > 2 * r && v - r > 0.5) }
+      def over(k: String, v: Double) =
+        rec.get(k).exists(r => v > 2 * r && v - r > 0.5)
+      val flagged = results.filter { case (k, v) => over(k, v) }
+      val adjudicated: Map[String, Double] =
+        if (flagged.isEmpty || reps > 1 || only.nonEmpty) Map.empty
+        else coldRerun(flagged.map(_._1), sfDir, cpus)
+      if (adjudicated.nonEmpty) {
+        val adj = adjudicated.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        println(s"""BENCH_COLD {"flagged":${flagged.size},"reran":$adj}""")
+      }
+      val gated = results.map { case (k, v) =>
+        k -> math.min(v, adjudicated.getOrElse(k, v)) }
+      val regressed = gated
+        .filter { case (k, v) => over(k, v) }
         .sortBy { case (k, v) => -(v - rec(k)) }
         .map { case (k, v) => f""""$k":"${rec(k)}%.2f->$v%.2f"""" }
       val newQ = results.count { case (k, _) => !rec.contains(k) }
       println(s"""BENCH_GATE {"vs":"BENCH_MEDIANS.json","over_2x":${regressed.size},""" +
-        s""""new_queries":$newQ,"detail":{${regressed.take(10).mkString(",")}}}""")
+        s""""new_queries":$newQ,"cold_adjudicated":${adjudicated.size},""" +
+        s""""detail":{${regressed.take(10).mkString(",")}}}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] regression gate failed: ${e.getMessage}")
     }
