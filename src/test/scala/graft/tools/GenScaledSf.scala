@@ -29,7 +29,9 @@ object GenScaledSf {
     val docs = spark.read.parquet(s"$src/documents.parquet").localCheckpoint()
     val docSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val emb = spark.read.parquet(s"$src/embeddings.parquet").localCheckpoint()
-    val embSpan = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // vec_ids are a subset of the doc_id space (the semantic pipeline
+    // queries join doc_id = vec_id), so BOTH tables offset by docSpan —
+    // independent spans would pair copy-i embeddings with copy-j text
 
     def tiled(i: Int) =
       if (i == 0) docs
@@ -41,7 +43,7 @@ object GenScaledSf {
     (1 until k).foldLeft(tiled(0))((a, i) => a.unionByName(tiled(i)))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
     (1 until k).foldLeft(emb)((a, i) => a.unionByName(
-        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * embSpan))))
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * docSpan))))
       .coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()

@@ -61,6 +61,13 @@ object IngestPipelineStress {
     val gates = semOn || contamOn
     val scoped = !(args.length > 5 && args(5) == "noscope")
     val compactEvery = 8
+    // STRESS_NCELLS (gates modes): IVF cell count for the pinned index.
+    // Default 2 = the historical fixed-cell stress (the UNMANAGED term
+    // the cell-fill cadence exists to bound). The decade scaling run
+    // (VERDICT r14 #5) sets it proportional to the corpus at each scale
+    // so both scales run at equal per-cell fill — the configuration the
+    // advisory loop maintains in production.
+    val stressCells = sys.env.get("STRESS_NCELLS").map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -122,7 +129,7 @@ object IngestPipelineStress {
       centroids =
         if (gates) graft.similarity.Ivf.trainCentroids(
           realEmb.withColumnRenamed("__base", "vec_id"), "embedding",
-          "vec_id", nCells = 2, iters = 2)
+          "vec_id", nCells = stressCells, iters = 2)
         else Seq(graft.similarity.Ivf.Centroid(0, Seq(0.0, 0, 0, 0)),
           graft.similarity.Ivf.Centroid(1, Seq(1.0, 1, 1, 1))),
       threshold = t, oovGate = 0.5,
@@ -293,7 +300,7 @@ object IngestPipelineStress {
     val cutJson = cutoverAt.fold("")(k =>
       f""""cutover_at":$k,"cutover_sec":$cutoverSec%.2f,"cells_before":$cellsBefore,"cells_after":$cellsAfter,""")
     println(
-      f"""PIPELINE_STRESS {$cutJson"sf":"$sfDir","backend":"$backend","gates":"$gateArg","scoped":$scoped,"n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"stages_sec":$stagesJson,"gc_sec":${fmtD(gcSeries.result())},"heap_mb":${heapSeries.result().mkString("[", ",", "]")},"persisted_rdds":${rddSeries.result().mkString("[", ",", "]")},"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
+      f"""PIPELINE_STRESS {$cutJson"sf":"$sfDir","backend":"$backend","gates":"$gateArg","cells":$stressCells,"scoped":$scoped,"n_batches":$nBatches,"threshold":$t,"compact_every":$compactEvery,"final_dedup_rows":$dedupRows,"final_ivf_rows":$ivfRows,"final_vocab_terms":$vocab,"final_result_rows":$results,"per_batch_sec":$ts,"stages_sec":$stagesJson,"gc_sec":${fmtD(gcSeries.result())},"heap_mb":${heapSeries.result().mkString("[", ",", "]")},"persisted_rdds":${rddSeries.result().mkString("[", ",", "]")},"mean_first_half":$firstHalf%.3f,"mean_second_half":$secondHalf%.3f,"ramp_ratio":${secondHalf / firstHalf}%.3f}""")
     spark.stop()
   }
 }
