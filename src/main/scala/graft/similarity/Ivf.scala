@@ -55,14 +55,16 @@ object Ivf {
 
   def assignCell(emb: Column, cents: Seq[Centroid]): Column = {
     val arr = centroidMatrix(cents)
-    val dists = transform(arr, c =>
-      aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // distance loop = codegen'd CentroidDists (bit-identical left-fold
+    // sums; the interpreted transform(aggregate(zip_with)) body it
+    // replaces measured ~40 ms/cell/batch — the cells-linear term of
+    // BENCH_CODED_CUTOVER_SF1_r15)
+    val dists = graft.functions.CentroidDists.centroidDists(emb, arr)
     // argmin = 1-based position of the min distance; first occurrence wins
     // ties, so assignment is deterministic. The single-element transform
     // binds `dists` as a lambda variable so the nCells·dim arithmetic
-    // runs ONCE — higher-order functions are interpreted (no codegen
-    // CSE), and a bare `array_position(dists, array_min(dists))` would
-    // evaluate the whole distance transform twice per row.
+    // runs ONCE — a bare `array_position(dists, array_min(dists))` would
+    // evaluate the whole distance expression twice per row.
     element_at(transform(array(dists), ds =>
       (array_position(ds, array_min(ds)) - 1).cast("int")), 1)
   }
@@ -78,8 +80,8 @@ object Ivf {
   def probeCells(emb: Column, cents: Seq[Centroid], nProbe: Int): Column = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val arr = centroidMatrix(cents)
-    val dists = transform(arr, c =>
-      aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // distance loop = codegen'd CentroidDists (see assignCell)
+    val dists = graft.functions.CentroidDists.centroidDists(emb, arr)
     // comparator sort of the cell INDICES by their distance (structs
     // built inside lambdas get unstable auto field names in Spark 4, so
     // no (dist, cell) struct): strictly-less/greater on the distances,
