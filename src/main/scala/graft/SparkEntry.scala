@@ -1093,7 +1093,7 @@ object SparkEntry {
     val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
       nCells = 4, iters = 2, quantize = Some(6))
     val assign = emb
-      .select(Ivf.assignCell(Similarity.toDouble(col("embedding")), cents).as("cell"))
+      .select(Ivf.assignCell(col("embedding"), cents).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     import s.implicits._
     val centRows = cents.flatMap(c =>
@@ -1154,7 +1154,7 @@ object SparkEntry {
     val cents = Ivf.trainCentroids(emb, "embedding", "vec_id",
       nCells = 4, iters = 2, quantize = Some(6))
     val assign = emb.select(col("vec_id").as("doc_id"),
-      Ivf.assignCell(Similarity.toDouble(col("embedding")), cents).as("cell"))
+      Ivf.assignCell(col("embedding"), cents).as("cell"))
     // one corpus explode into the checkpointed (cell × vocab) tf table;
     // corpus frequencies and the A scalar derive from it (multi-consumer
     // discipline — same values, one scan instead of three)

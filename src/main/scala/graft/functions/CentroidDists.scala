@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** The centroid distance loop — `[sum over j of (emb[j] - cents[c][j])^2
   * for every centroid c]` for an embedding column (`array<double>`)
@@ -36,6 +36,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * distance for the affected centroids (the matrix literal's element
   * types are non-null by construction, so only the embedding side can
   * introduce one).
+  *
+  * Accepts `array<float>` OR `array<double>` embeddings natively
+  * (VERDICT r15 #3): a float element widens to double inside the
+  * primitive loop — exact, so results are bit-identical to casting
+  * first — which deletes the interpreted `transform(emb, cast)`
+  * wrapper (an O(dim)-per-row boxed higher-order loop plus an array
+  * allocation) from every IVF append/probe plan that feeds the raw
+  * parquet embedding column.
   */
 case class CentroidDists(left: Expression, right: Expression)
     extends BinaryExpression
@@ -43,14 +51,26 @@ case class CentroidDists(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def inputTypes =
-    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+    Seq(org.apache.spark.sql.graft.bridge.arrayDoubleOrFloat,
+      ArrayType(ArrayType(DoubleType)))
+
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(emb: Any, cents: Any): Any =
-    CentroidDists.dists(emb.asInstanceOf[ArrayData],
-      cents.asInstanceOf[ArrayData])
+    if (leftIsFloat)
+      CentroidDists.distsFloat(emb.asInstanceOf[ArrayData],
+        cents.asInstanceOf[ArrayData])
+    else
+      CentroidDists.dists(emb.asInstanceOf[ArrayData],
+        cents.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (e, m) => s"graft.functions.CentroidDists.dists($e, $m)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (leftIsFloat) "distsFloat" else "dists"
+    defineCodeGen(ctx, ev, (e, m) => s"graft.functions.CentroidDists.$fn($e, $m)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CentroidDists =
@@ -87,6 +107,39 @@ object CentroidDists {
         var j = 0
         while (j < d) {
           val x = emb.getDouble(j) - row.getDouble(j)
+          acc += x * x
+          j += 1
+        }
+        out(c) = acc
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[dists]] for a raw `array<float>` embedding: identical fold, the
+    * element widening to double in-loop (exact — same IEEE values as
+    * casting the array first).
+    */
+  def distsFloat(emb: ArrayData, cents: ArrayData): ArrayData = {
+    val d = emb.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < d && !hasNull) {
+      if (emb.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    val n = cents.numElements()
+    val out = new Array[Any](n)
+    var c = 0
+    while (c < n) {
+      val row = cents.getArray(c)
+      if (hasNull || row.numElements() != d) out(c) = null
+      else {
+        var acc = 0.0
+        var j = 0
+        while (j < d) {
+          val x = emb.getFloat(j).toDouble - row.getDouble(j)
           acc += x * x
           j += 1
         }

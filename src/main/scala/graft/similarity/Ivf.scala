@@ -57,42 +57,36 @@ object Ivf {
     val arr = centroidMatrix(cents)
     // distance loop = codegen'd CentroidDists (bit-identical left-fold
     // sums; the interpreted transform(aggregate(zip_with)) body it
-    // replaces measured ~40 ms/cell/batch — the cells-linear term of
-    // BENCH_CODED_CUTOVER_SF1_r15)
-    val dists = graft.functions.CentroidDists.centroidDists(emb, arr)
-    // argmin = 1-based position of the min distance; first occurrence wins
-    // ties, so assignment is deterministic. The single-element transform
-    // binds `dists` as a lambda variable so the nCells·dim arithmetic
-    // runs ONCE — a bare `array_position(dists, array_min(dists))` would
-    // evaluate the whole distance expression twice per row.
-    element_at(transform(array(dists), ds =>
-      (array_position(ds, array_min(ds)) - 1).cast("int")), 1)
+    // replaced measured ~40 ms/cell/batch — the cells-linear term of
+    // BENCH_CODED_CUTOVER_SF1_r15), argmin = codegen'd NearestCells
+    // (first occurrence wins ties — deterministic; null when the row
+    // has no defined distance, matching the interpreted
+    // array_position(ds, array_min(ds)) wrapper it replaced). Both
+    // accept float or double embeddings, so the raw parquet column
+    // feeds the plan with no cast wrapper.
+    graft.functions.NearestCells.nearestCell(
+      graft.functions.CentroidDists.centroidDists(emb, arr))
   }
 
   /** The `nProbe` nearest cell ids for each row's embedding, as one
     * scan-side expression — [[assignCell]]'s multi-probe sibling, for
     * DISTRIBUTED probes (a whole batch of query vectors at once, where
     * `searchTopK`'s driver-side probe set is one vector). Deterministic:
-    * distance ties break on the lower cell id ((dist, cell) structs
-    * sort field-by-field). The single-element transform binds the
-    * distance array once, as in [[assignCell]].
+    * distance ties break on the lower cell id. Fully codegen:
+    * [[graft.functions.CentroidDists]] for the distance array,
+    * [[graft.functions.NearestCells]] for the bounded nProbe-selection
+    * — replacing the interpreted comparator `array_sort` over the
+    * cell-index sequence (rows × cells·log·cells boxed comparator
+    * calls, the post-CentroidDists dominant probe term: 5.9 vs 1.2
+    * ms/cell/batch, BENCH_CODED_CUTOVER_SF1_r15). A row with no
+    * defined distance probes null (the sort degenerated to identity
+    * order and probed cells 0..nProbe-1 — see NearestCells' scaladoc).
     */
   def probeCells(emb: Column, cents: Seq[Centroid], nProbe: Int): Column = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val arr = centroidMatrix(cents)
-    // distance loop = codegen'd CentroidDists (see assignCell)
-    val dists = graft.functions.CentroidDists.centroidDists(emb, arr)
-    // comparator sort of the cell INDICES by their distance (structs
-    // built inside lambdas get unstable auto field names in Spark 4, so
-    // no (dist, cell) struct): strictly-less/greater on the distances,
-    // index difference as the deterministic tie-break
-    element_at(transform(array(dists), ds =>
-      transform(
-        slice(array_sort(sequence(lit(0), lit(cents.size - 1)),
-          (l, r) => when(element_at(ds, l + 1) < element_at(ds, r + 1), lit(-1))
-            .when(element_at(ds, l + 1) > element_at(ds, r + 1), lit(1))
-            .otherwise(l - r)), 1, nProbe),
-        c => c.cast("int"))), 1)
+    graft.functions.NearestCells.nearestCells(
+      graft.functions.CentroidDists.centroidDists(emb, arr), nProbe)
   }
 
   /** Lloyd's iterations; deterministic init = the nCells lowest-id

@@ -21,6 +21,16 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `TypeCollection` (private[sql]) for an ExpectsInputTypes slot that
+    * accepts an embedding as either `array<double>` or `array<float>` —
+    * native float support beats an implicit Cast (which would add a
+    * per-row array copy the expression can do for free in-loop).
+    */
+  def arrayDoubleOrFloat: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+
   /** The optimizer rules a SparkSessionExtensions instance would inject
     * (buildOptimizerRules is private[sql]) — lets tests pin WHICH rules
     * ride the class-extension path vs the extraOptimizations path.
