@@ -72,16 +72,65 @@ object IngestPipeline {
   /** What a coded pipeline's cell-fill measurement saw — handed to
     * `Config.onCodedFill` when `meanFill > bound`. `retrainCall` is the
     * copy-pasteable remediation (the sanctioned coded cutover).
+    *
+    * The recommended cell count is the TWO-TERM OPTIMUM, not the linear
+    * `rows / bound`: the coded gate's per-batch cost is
+    * `c + a·cells + b·(rows/cells)` — a cells-linear probe/assign term
+    * plus a fill term the cells divide — so the minimizing count is
+    * `cells* = sqrt(b·rows/a)`, which grows as √corpus. The sf1 decade
+    * stress measured the linear policy overshooting cells* (280 chosen
+    * where the fitted optimum was ~70–180 pre/post the codegen
+    * assignment fix), turning the cutover into a wash against the
+    * no-cutover control (BENCH_CODED_CUTOVER_SF1_r15). The slope
+    * defaults are the r16 AssignCostProbe measurement on a ~20k-row
+    * 64-dim batch (BENCH_ASSIGN_PROBE_r16.json); a deployment with a
+    * different batch geometry measures its own via
+    * `tools.AssignCostProbe` and overrides the fields.
     */
   final case class CodedFillStats(ivfIndex: String, rows: Long, cells: Int,
                                   meanFill: Double, bound: Long,
-                                  batchId: Long) {
+                                  batchId: Long,
+                                  probeCostPerCellSec: Double =
+                                    CodedFillStats.MeasuredProbeCostPerCellSec,
+                                  fillCostPerRowSec: Double =
+                                    CodedFillStats.MeasuredFillCostPerRowSec) {
+    /** `ceil(sqrt(b·rows/a))`, floored at 2. When this comes out at or
+      * below the CURRENT cell count, the probe term — not fill — binds:
+      * a cutover cannot help, and the right operator move is raising
+      * `codedCellFillBound` toward `rows / optimalCells` (≈ the
+      * √corpus-growth rule on the bound — see its scaladoc).
+      */
+    def optimalCells: Int = math.max(2, math.ceil(
+      math.sqrt(fillCostPerRowSec * rows / probeCostPerCellSec)).toInt)
+
     def retrainCall: String =
       s"IngestPipeline.retrainCodedIvf(spark, cfg, newIvfIndex = " +
-        s""""$ivfIndex.v2", nCells = ${math.max(cells * 2, (rows / math.max(1L, bound)).toInt + 1)}, """ +
+        s""""$ivfIndex.v2", nCells = $optimalCells, """ +
         "iters = 3, sampleFraction = 0.1, pq = <current PqSpec>) " +
         "— call at a QUIESCE (stream stopped at a checkpoint boundary), " +
-        "then adopt the returned Config"
+        "then adopt the returned Config" +
+        (if (optimalCells <= cells)
+           s"; NOTE cells* = $optimalCells <= current $cells: the " +
+             "cells-linear probe term now binds, a cutover cannot " +
+             "reduce this pipeline's gate cost — raise " +
+             s"codedCellFillBound toward ~${rows / math.max(1, optimalCells)} " +
+             "(rows/cells*) instead"
+         else "")
+  }
+
+  object CodedFillStats {
+    /** `a`: probe-side cost per cell per batch, seconds — the slope of
+      * [[graft.similarity.Ivf.probeCells]] over a ~20k-row 64-dim
+      * batch, measured by `tools.AssignCostProbe` against the codegen
+      * [[graft.functions.NearestCells]] selection
+      * (BENCH_ASSIGN_PROBE_r16.json).
+      */
+    val MeasuredProbeCostPerCellSec: Double = 0.0021
+    /** `b`: fill cost per unit of mean rows-per-cell per batch, seconds
+      * — the pre-cutover sem-stage slope of the sf1 decade stress
+      * (BENCH_CODED_CUTOVER_SF1_r15 `model`).
+      */
+    val MeasuredFillCostPerRowSec: Double = 0.0014
   }
 
   /** What the maintenance-cadence admission re-measure saw — handed to
@@ -198,6 +247,16 @@ object IngestPipeline {
     // codebook) must be adopted by the ingest loop's owner, and a
     // mid-stream swap would let a replayed pre-cutover batch gate
     // against the retrained index (the quiesce contract).
+    //
+    // SIZING (the sf1 decade lesson, BENCH_CODED_CUTOVER_SF1_r15): a
+    // FIXED bound implies cells ~ rows/bound — LINEAR cells growth —
+    // while the gate's cost model `a·cells + b·(rows/cells)` is
+    // minimized at cells* = sqrt(b·rows/a), i.e. √corpus growth. So
+    // RAISE this bound as the corpus accumulates: the bound that keeps
+    // recommendations at the optimum is rows/cells* = sqrt(a·rows/b),
+    // itself ~√corpus. The advisory's `CodedFillStats.retrainCall`
+    // recommends cells* directly (and says so when the probe term
+    // binds); this bound only controls WHEN the advisory fires.
     codedCellFillBound: Option[Long] = None,
     onCodedFill: Option[CodedFillStats => Unit] = None,
     // Semantic-drift warning hook (VERDICT r14 #3): when the admission

@@ -1320,6 +1320,36 @@ class StreamingSpec extends AnyFunSuite {
     IngestPipeline.maintenance(spark, cfg.copy(onCodedFill = None), 1L)
   }
 
+  test("retrainCall recommends the two-term optimum sqrt(b*rows/a), not linear rows/bound (VERDICT r15 #1)") {
+    import graft.pipelines.IngestPipeline.CodedFillStats
+    // the formula itself, at explicit slopes: cells* = ceil(sqrt(b*rows/a))
+    val s = CodedFillStats("t", rows = 117420L, cells = 40, meanFill = 2935.5,
+      bound = 40L, batchId = 5L,
+      probeCostPerCellSec = 0.0059, fillCostPerRowSec = 0.0014)
+    val expect = math.ceil(math.sqrt(0.0014 * 117420L / 0.0059)).toInt
+    assert(s.optimalCells == expect && expect == 167, s.optimalCells.toString)
+    assert(s.retrainCall.contains(s"nCells = $expect"), s.retrainCall)
+    // √corpus growth: 100x the corpus recommends ~10x the cells — the
+    // linear rows/bound policy would have recommended 100x (the sf1
+    // overshoot this formula replaces)
+    val s100 = s.copy(rows = s.rows * 100L)
+    assert(math.abs(s100.optimalCells - 10.0 * s.optimalCells)
+      <= 0.02 * s100.optimalCells, s"${s.optimalCells} -> ${s100.optimalCells}")
+    // probe-term-bound regime: cells* at or below the current count
+    // must SAY a cutover cannot help and point at the bound instead
+    val bound = s.copy(cells = 500)
+    assert(bound.retrainCall.contains("cannot reduce")
+      && bound.retrainCall.contains((bound.rows / bound.optimalCells).toString),
+      bound.retrainCall)
+    // defaults carry the measured r16 slopes (re-measured against the
+    // codegen NearestCells selection; BENCH_ASSIGN_PROBE_r16.json)
+    val d = CodedFillStats("t", rows = 117420L, cells = 40,
+      meanFill = 2935.5, bound = 40L, batchId = 5L)
+    assert(d.optimalCells == math.ceil(math.sqrt(
+      CodedFillStats.MeasuredFillCostPerRowSec * 117420L /
+        CodedFillStats.MeasuredProbeCostPerCellSec)).toInt)
+  }
+
   test("semantic admission drift after admission WARNS at the maintenance cadence, never refuses mid-stream (VERDICT r14 #3)") {
     import spark.implicits._
     import graft.pipelines.IngestPipeline
@@ -1379,6 +1409,92 @@ class StreamingSpec extends AnyFunSuite {
     run(b2, 2L)
     assert(spark.read.parquet(cfg.resultsDir)
       .filter(col("__batch") === 2).count() == 4L)
+  }
+
+  test("auto-retrain memo clear under a RACING maintenance claimant: fresh lease refuses AND keeps the memo; stale lease tombstone-breaks, retrains, clears, re-measures (VERDICT r15 #5)") {
+    import spark.implicits._
+    import graft.pipelines.IngestPipeline
+    import graft.sources.MaintenanceLease
+    import java.nio.file.Files
+
+    // spread index first (preflight admits), then a collapsed wave at
+    // LOW ids so a post-clear re-measure sees degeneracy and refuses —
+    // the observable for "memo cleared": same drift-test geometry
+    def spread(i: Int): Array[Float] = {
+      val a = new Array[Float](8); a(i % 8) = 1f; a
+    }
+    val flat = Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    def docs(ids: Seq[Long], tag: String, emb: Long => Array[Float]) =
+      ids.map(i => (i, s"$tag $i " + (0 until 6)
+        .map(w => s"$tag${i}w$w").mkString(" "), emb(i)))
+    val b0 = docs(1000L until 1008L, "sp", i => spread(i.toInt))
+    val b1 = docs(2000L until 2004L, "tl", i => spread(i.toInt))
+    val collapsed = docs(0L until 100L, "kk", _ => flat)
+    val b4 = docs(3000L until 3004L, "hf", i => spread(i.toInt))
+    val b6 = docs(4000L until 4004L, "zf", i => spread(i.toInt))
+
+    val cents = graft.similarity.Ivf.trainCentroids(
+      b0.toDF("doc_id", "text", "embedding"), "embedding", "doc_id",
+      nCells = 2, iters = 1)
+    val root = Files.createTempDirectory("graft-retrain-race").toString
+    val cfg = IngestPipeline.Config(
+      textCol = "text", idCol = "doc_id", embCol = "embedding",
+      dedupIndex = s"$root/dedup", statsIndex = s"$root/stats",
+      ivfIndex = s"$root/ivf", resultsDir = s"$root/results",
+      appId = "retrain-race", centroids = cents,
+      threshold = 0.5, oovGate = 0.5,
+      compactEvery = 64, // keep the cadence re-measure out of the way
+      optimizeEvery = Some(2),
+      autoRetrainCellFill = Some(50L),
+      semanticThreshold = Some(0.9),
+      semanticAdmissionBound = 0.2)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def run(rows: Seq[(Long, String, Array[Float])], b: Long,
+            maint: Boolean = true): Unit = {
+      IngestPipeline.processBatch(spark,
+          rows.toDF("doc_id", "text", "embedding"), cfg, b)
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(cfg.resultsDir)
+      if (maint) IngestPipeline.maintenance(spark, cfg, b)
+    }
+    run(b0, 0L) // seeds the index; gate sees an empty pinned snapshot
+    run(b1, 1L) // startup preflight vs the spread index: admits, memo SET
+                // (maintenance(1): fill 6 <= 50, no retrain, no clear)
+    run(collapsed, 2L) // index now mostly collapsed; memo intact -> no
+                       // re-measure, the batch sails through
+
+    // RACING claimant holds a FRESH lease on the ivf index: the
+    // cadence's retrainInPlace must refuse AT THE DOOR — and because
+    // the index did NOT change, the preflight memo must survive
+    val lease = MaintenanceLease.leasePath(cfg.ivfIndex)
+    Files.write(lease, "retrainInPlace pid=99999 thread=rival token=rival-tok"
+      .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.maintenance(spark, cfg, 3L) // 112 rows / 2 cells > 50
+    }
+    assert(e.getMessage.contains("lease") && e.getMessage.contains("held"),
+      e.getMessage)
+    assert(graft.similarity.IncrementalIvf
+      .activeCentroids(spark, cfg.ivfIndex).size == 2,
+      "refused retrain must not have advanced the centroid era")
+    run(b4, 4L, maint = false) // memo intact: no re-measure, no refusal
+
+    // the claimant goes STALE: the breaker renames it to a tombstone,
+    // re-claims, retrains in place, and the memo clear at the retrain
+    // site must make the NEXT gate re-measure the retrained index
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7L * 3600 * 1000))
+    IngestPipeline.maintenance(spark, cfg, 5L)
+    assert(graft.similarity.IncrementalIvf
+      .activeCentroids(spark, cfg.ivfIndex).size == 3,
+      "stale-broken retrain must have grown the cell count (112/50 -> 3)")
+    assert(!Files.exists(lease),
+      "the breaker's own lease must be released after the retrain")
+    val refused = intercept[IllegalArgumentException] { run(b6, 6L) }
+    assert(refused.getMessage.contains("preflight REFUSED"),
+      s"memo must be cleared by the retrain -> re-measure refuses the " +
+        s"collapsed index; got: ${refused.getMessage}")
   }
 
   test("IngestPipeline coded gate (pqCodebook): codes stored, ADC gate matches the float gate, auto-retrain combination refuses") {

@@ -19,13 +19,17 @@ import graft.similarity.Ivf
   * assignment expressions, and the fill-term trade the cutover bought
   * is being repaid in interpreted centroid arithmetic.
   *
-  * Usage: Test/runMain graft.tools.AssignCostProbe <scaledSfDir> [reps]
-  * Prints one JSON line tagged ASSIGN_COST.
+  * Usage: Test/runMain graft.tools.AssignCostProbe <scaledSfDir> [reps] [cells,…]
+  * Prints one JSON line tagged ASSIGN_COST. The cell sweep defaults to
+  * the stress's pre/post cutover counts (40, 280); the r16 policy refit
+  * extends it to O(1000) counts — the regime a 100 TB IVF runs in.
   */
 object AssignCostProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sfscale/sf1")
     val reps = if (args.length > 1) args(1).toInt else 3
+    val cellSweep = if (args.length > 2) args(2).split(",").toSeq.map(_.toInt)
+                    else Seq(40, 280)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -55,8 +59,7 @@ object AssignCostProbe {
     }
     def minOf(body: => Unit): Double = (0 until reps).map(_ => time(body)).min
 
-    val cellCounts = Seq(40, 280)
-    val out = cellCounts.map { k =>
+    val out = cellSweep.map { k =>
       val cs = cents(k)
       // warm codegen/plan for this k before timing
       emb.withColumn("c", Ivf.assignCell(col("embedding"), cs))

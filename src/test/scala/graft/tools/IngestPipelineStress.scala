@@ -268,9 +268,17 @@ object IngestPipelineStress {
         val rows = graft.sources.VersionedTable.read(spark, cfg.ivfIndex)
           .count()
         cellsBefore = cfg.centroids.size
-        // scale cells with the accumulated corpus so per-cell fill
-        // returns to the single-batch level the early series ran at
-        cellsAfter = math.max(cellsBefore * (i + 2), 2)
+        // the SHIPPED advisory policy: the two-term optimum
+        // cells* = sqrt(b·rows/a) (CodedFillStats.optimalCells, r16) —
+        // the linear cells-track-corpus rule this replaces chose 4×
+        // past the fitted optimum at sf1 and turned the cutover into a
+        // wash (BENCH_CODED_CUTOVER_SF1_r15). CUTOVER_NCELLS overrides
+        // for explicit control runs.
+        cellsAfter = sys.env.get("CUTOVER_NCELLS").map(_.toInt).getOrElse(
+          graft.pipelines.IngestPipeline.CodedFillStats(
+            cfg.ivfIndex, rows, cellsBefore,
+            rows.toDouble / math.max(1, cellsBefore),
+            bound = 1L, batchId = i.toLong).optimalCells)
         cfg = graft.pipelines.IngestPipeline.retrainCodedIvf(spark, cfg,
           cfg.ivfIndex.stripSuffix("/") + s"-cut$i", nCells = cellsAfter,
           iters = 2, sampleFraction = math.min(1.0, 50000.0 / rows),

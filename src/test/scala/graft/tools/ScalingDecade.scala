@@ -44,15 +44,23 @@ object ScalingDecade {
     graft.GraftExtensions.register(spark)
     graft.Certificates.enforce = false
 
+    // a failed rep returns +Inf so min() can never adopt the (likely
+    // fast) elapsed time of a broken attempt, and the failure is
+    // COUNTED into the artifact — a committed ratio built on failed
+    // reps must say so in the JSON, not only on a scrolled-away stderr
+    // (ADVICE r15)
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try graft.sources.CheckpointScope.withScope(spark.sparkContext) {
-        graft.SparkEntry.queries(name)(spark, dir)
-          .write.mode("overwrite").format("noop").save()
+      try {
+        graft.sources.CheckpointScope.withScope(spark.sparkContext) {
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[decade] $name@$dir failed: ${e.getMessage}")
+        Double.PositiveInfinity
       }
-      (System.nanoTime() - t0) / 1e9
     }
     names.foreach(once(_, "/root/testdata/sf0.001")) // janino warm-up
 
@@ -63,12 +71,17 @@ object ScalingDecade {
         big(r) = once(name, sfBig)
         System.err.println(f"[decade] $name rep$r: ${small(r)}%.2f -> ${big(r)}%.2f")
       }
-      (name, small.min, big.min)
+      (name, small.min, big.min,
+        small.count(_.isInfinite) + big.count(_.isInfinite))
     }
-    val body = rows.map { case (n, s, b) =>
-      f""""$n":{"small_sec":$s%.3f,"big_sec":$b%.3f,"ratio":${b / s}%.2f}"""
+    val body = rows.map { case (n, s, b, failed) =>
+      // all-reps-failed leaves min = Inf: emit null, not a bogus number
+      def num(x: Double) = if (x.isInfinite) "null" else f"$x%.3f"
+      val ratio = if (s.isInfinite || b.isInfinite) "null" else f"${b / s}%.2f"
+      s""""$n":{"small_sec":${num(s)},"big_sec":${num(b)},""" +
+        s""""ratio":$ratio,"failed_reps":$failed}"""
     }.mkString(",")
-    println(s"""SCALING_DECADE {"small":"$sfSmall","big":"$sfBig","reps":$reps,"estimator":"per-scale min of interleaved reps","queries":{$body}}""")
+    println(s"""SCALING_DECADE {"small":"$sfSmall","big":"$sfBig","reps":$reps,"estimator":"per-scale min of interleaved reps; failed reps excluded and counted","queries":{$body}}""")
     spark.stop()
   }
 }
