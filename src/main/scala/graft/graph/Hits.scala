@@ -59,8 +59,16 @@ object Hits {
     * inputs.
     */
   private def normalized(v: DataFrame): DataFrame = {
-    val nrm = v.agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
-    v.crossJoin(broadcast(nrm))
+    // the raw-score frame feeds BOTH the L2 aggregate (a broadcast leg)
+    // and the per-row divide (the probe leg), and ReuseExchange does not
+    // dedupe across that split — without a pin the join+aggregate
+    // subtree behind `v` re-runs once per leg, and the half-steps
+    // compound (hubs are built FROM the normalized authorities), so the
+    // end-of-iteration checkpoint re-ran the authority join ~6x. One
+    // node-sized checkpoint per half-step makes it run exactly once.
+    val vc = v.localCheckpoint()
+    val nrm = vc.agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
+    vc.crossJoin(broadcast(nrm))
       .select(col("node"),
         round(col("__v") / when(col("__n") === 0.0, 1.0).otherwise(col("__n"))
           + lit(1e-12), 9).as("__q"))

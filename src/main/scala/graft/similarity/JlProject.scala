@@ -40,14 +40,22 @@ object JlProject {
                 k: Int, dim: Int): DataFrame = {
     require(k >= 1 && dim >= 1, s"k and dim must be >= 1, got k=$k dim=$dim")
     val litMat = typedLit(signs(k, dim).map(_.toSeq).toSeq)
-    val xl = transform(col(embCol),
-      x => round(x.cast("double") * 1000000.0).cast("long"))
+    // the quantized feature array is bound ONCE as a projected column:
+    // lambda bodies sit outside codegen subexpression elimination (the
+    // round-8 trap), so referencing the transform() expression inside
+    // the per-coordinate lambda re-quantized the full vector once per
+    // projected coordinate (k+1 times per row). As an attribute it is
+    // computed once; same arithmetic, bit-identical output.
+    val xl = col("__xl")
     val base = df.select(col(idCol),
-      transform(litMat, r =>
-        aggregate(zip_with(xl, r, (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v)).as("ys"),
-      aggregate(transform(xl, v => v * v),
-        lit(0L), (acc, v) => acc + v).as("n2"))
+        transform(col(embCol),
+          x => round(x.cast("double") * 1000000.0).cast("long")).as("__xl"))
+      .select(col(idCol),
+        transform(litMat, r =>
+          aggregate(zip_with(xl, r, (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v)).as("ys"),
+        aggregate(transform(xl, v => v * v),
+          lit(0L), (acc, v) => acc + v).as("n2"))
     val sy = aggregate(transform(col("ys"), y => y * y),
       lit(0L), (acc, v) => acc + v)
     base.select(col(idCol),
