@@ -49,11 +49,19 @@ object Pq {
   /** Per-subspace squared-L2 distances of `emb`'s s-th slice to the k
     * centroids. foldLeft accumulation starting at +0.0 keeps the term
     * order fixed, so the sum is bit-reproducible across engines.
+    *
+    * The subvector slice is bound ONCE via the single-element-transform
+    * wrapper (the TextFns.allNgrams idiom): referenced directly inside
+    * the per-codeword lambda it would re-slice the vector once per
+    * codeword — k·dsub element copies per subspace per row instead of
+    * dsub (lambda bodies sit outside codegen subexpression elimination).
+    * Same elements, same null propagation, bit-identical distances.
     */
   private def subDists(emb: Column, L: Column, dsub: Int)(s: Column): Column =
-    transform(element_at(L, s + 1), c =>
-      aggregate(zip_with(slice(emb, s * dsub + 1, lit(dsub)), c,
-        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    element_at(transform(array(slice(emb, s * dsub + 1, lit(dsub))), sub =>
+      transform(element_at(L, s + 1), c =>
+        aggregate(zip_with(sub, c,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))), 1)
 
   /** All m per-subspace distance arrays, computed ONCE: higher-order
     * functions are interpreted (no codegen, no common-subexpression
