@@ -70,8 +70,10 @@ object LogReg {
     var t = 0
     while (t < iters) {
       val wLit = typedLit(w.toSeq)
-      val zfp = aggregate(zip_with(col("xl"), wLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      // codegen fixed-point dot (graft.functions.LongDot) — the
+      // interpreted aggregate(zip_with) fold this replaces boxed every
+      // element per row per iteration; values/NULLs identical
+      val zfp = graft.functions.LongDot.longDot(col("xl"), wLit)
       val z = zfp.cast("double") / lit(1.0e12)
       val pl = round(lit(1000000.0) / (lit(1.0) + exp(-z))).cast("long")
       val g = base.select((pl - col("yl")).as("rl"), col("xl"))
@@ -99,8 +101,7 @@ object LogReg {
               w: Array[Long]): DataFrame = {
     val wLit = typedLit(w.toSeq)
     df.select(col(idCol),
-        aggregate(zip_with(xlCol(embCol), wLit, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("score_fp"))
+        graft.functions.LongDot.longDot(xlCol(embCol), wLit).as("score_fp"))
       .withColumn("pred", (col("score_fp") >= 0L).cast("long"))
   }
 }

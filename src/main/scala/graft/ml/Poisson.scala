@@ -47,8 +47,9 @@ object Poisson {
     var t = 0
     while (t < iters) {
       val wLit = typedLit(w.toSeq)
-      val zfp = aggregate(zip_with(col("xl"), wLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      // codegen fixed-point dot ([[graft.functions.LongDot]]) — values
+      // and NULL semantics identical to the aggregate(zip_with) fold
+      val zfp = graft.functions.LongDot.longDot(col("xl"), wLit)
       val z = zfp.cast("double") / lit(1.0e12)
       val ll = round(lit(1000000.0) * exp(least(z, lit(zClip)))).cast("long")
       val g = base.select((ll - col("yl")).as("rl"), col("xl"))
@@ -74,8 +75,7 @@ object Poisson {
   def scoreFp(df: DataFrame, xlCol: String, w: Array[Long],
               zClip: Double = 5.0): DataFrame = {
     val wLit = typedLit(w.toSeq)
-    val zfp = aggregate(zip_with(col(xlCol), wLit, (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val zfp = graft.functions.LongDot.longDot(col(xlCol), wLit)
     df.withColumn("score_fp", zfp)
       .withColumn("lambda_fp",
         round(lit(1000000.0) * exp(least(col("score_fp").cast("double")

@@ -170,12 +170,10 @@ object EmbedStats {
     val v = powerIterationFp(df, embCol, dim, iters)
     val vLit = typedLit(v.toSeq)
     df.select(col(idCol), col("label").cast("long").as("label"),
-      aggregate(
-        zip_with(
-          transform(col(embCol),
-            x => round(x.cast("double") * 1000).cast("long")),
-          vLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).as("score_fp"))
+      graft.functions.LongDot.longDot(
+        transform(col(embCol),
+          x => round(x.cast("double") * 1000).cast("long")),
+        vLit).as("score_fp"))
   }
 
   def gramMatrix(df: DataFrame, embCol: String, dim: Int): DataFrame = {

@@ -47,17 +47,20 @@ object JlProject {
     // projected coordinate (k+1 times per row). As an attribute it is
     // computed once; same arithmetic, bit-identical output.
     val xl = col("__xl")
+    // per-coordinate dot products and the norms run through the codegen
+    // fixed-point dot ([[graft.functions.LongDot]]; n2 = dot(xl, xl),
+    // Σy² = dot(ys, ys)) — inside the litMat lambda LongDot evaluates
+    // interpreted, but its body is still one primitive loop per
+    // coordinate instead of a boxed per-element fold. Values and NULL
+    // semantics identical.
     val base = df.select(col(idCol),
         transform(col(embCol),
           x => round(x.cast("double") * 1000000.0).cast("long")).as("__xl"))
       .select(col(idCol),
         transform(litMat, r =>
-          aggregate(zip_with(xl, r, (a, b) => a * b),
-            lit(0L), (acc, v) => acc + v)).as("ys"),
-        aggregate(transform(xl, v => v * v),
-          lit(0L), (acc, v) => acc + v).as("n2"))
-    val sy = aggregate(transform(col("ys"), y => y * y),
-      lit(0L), (acc, v) => acc + v)
+          graft.functions.LongDot.longDot(xl, r)).as("ys"),
+        graft.functions.LongDot.longDot(xl, xl).as("n2"))
+    val sy = graft.functions.LongDot.longDot(col("ys"), col("ys"))
     base.select(col(idCol),
         round((sy.cast("double") / lit(k.toDouble)) / col("n2").cast("double"), 6)
           .as("jl_ratio"),

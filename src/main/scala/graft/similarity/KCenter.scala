@@ -39,9 +39,13 @@ object KCenter {
           CatLit.create(seeds.map(_.vec.toArray).toArray,
             ArrayType(ArrayType(DoubleType, false), false)))
       }
-      val d = array_min(transform(litMat, c =>
-        aggregate(zip_with(col("__e"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)))
+      // the codegen centroid-distance loop ([[graft.functions
+      // .CentroidDists]] — bit-identical ascending fold) replaces the
+      // interpreted per-seed aggregate(zip_with) body; d is referenced
+      // twice in the max_by below, and the interpreted form re-ran the
+      // whole seeds x dim fold for each reference
+      val d = array_min(
+        graft.functions.CentroidDists.centroidDists(col("__e"), litMat))
       val chosen = seeds.map(_.id)
       val row = data.filter(!col("__id").isin(chosen: _*))
         .agg(max_by(struct(col("__id"), col("__e"), d.as("__d")),
