@@ -33,11 +33,12 @@ import org.apache.spark.sql.functions._
   * the result is independent of partitioning, AQE, and row order.
   *
   * Scale shape: one quantization scan feeding a localCheckpoint, then
-  * per iteration ONE aggregation over the checkpointed rows (posexplode
-  * to (j, contribution), map-side partial sums collapse to dim+1 groups
-  * before the exchange). The driver holds only the (dim+1)-vector; at
-  * 1000 executors the per-iteration cost is a scan + a (dim+1)-row
-  * shuffle, and iterations don't re-read parquet.
+  * per iteration ONE aggregation over the checkpointed rows
+  * ([[graft.functions.GradAgg]]: dims multiply-adds per row into an
+  * exact 128-bit-per-slot blob, map-side partials merge element-wise).
+  * The driver holds only the (dim+1)-vector; at 1000 executors the
+  * per-iteration cost is a scan + one ~2 KB blob per partition over
+  * the exchange, and iterations don't re-read parquet.
   */
 object LogReg {
 
@@ -76,17 +77,23 @@ object LogReg {
       val zfp = graft.functions.LongDot.longDot(col("xl"), wLit)
       val z = zfp.cast("double") / lit(1.0e12)
       val pl = round(lit(1000000.0) / (lit(1.0) + exp(-z))).cast("long")
+      // single-pass gradient ([[graft.functions.GradAgg]]): the explode
+      // form it replaces materialized (dim+1) aggregation rows per input
+      // row and shuffled (dim+1) groups per partition; this folds rl·x
+      // into one exact 128-bit accumulator blob per partition. Values
+      // identical: exact integer sums are order-free, and eval converts
+      // to the same DECIMAL(38,0).
       val g = base.select((pl - col("yl")).as("rl"), col("xl"))
-        .select(col("rl"), posexplode(col("xl")).as(Seq("j", "x")))
-        .groupBy(col("j"))
-        .agg(sum((col("rl") * col("x")).cast("decimal(38,0)")).as("g"))
-        .collect()
+        .agg(graft.functions.GradAgg.gradAgg(col("rl"), col("xl"), dim + 1))
+        .head().getSeq[org.apache.spark.sql.Row](0)
       g.foreach { r =>
         val j = r.getInt(0)
-        val gd = r.getDecimal(1).doubleValue
-        val wNew = (w(j).toDouble / 1000000.0 - lr * (gd / 1.0e12 / n)) * 1000000.0
-        w(j) = new java.math.BigDecimal(wNew)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        if (!r.isNullAt(1)) {
+          val gd = r.getDecimal(1).doubleValue
+          val wNew = (w(j).toDouble / 1000000.0 - lr * (gd / 1.0e12 / n)) * 1000000.0
+          w(j) = new java.math.BigDecimal(wNew)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
       }
       t += 1
     }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *     inputs and re-snaps HALF_UP.
   *
   * Per iteration: ONE aggregation over the checkpointed rows
-  * (posexplode → dims map-side-combined groups); the driver holds the
-  * weight vector only. lr must be binary-exact (2^-k).
+  * ([[graft.functions.GradAgg]] — dims multiply-adds per row into an
+  * exact 128-bit-per-slot blob, merged element-wise); the driver holds
+  * the weight vector only. lr must be binary-exact (2^-k).
   */
 object Poisson {
 
@@ -52,17 +53,20 @@ object Poisson {
       val zfp = graft.functions.LongDot.longDot(col("xl"), wLit)
       val z = zfp.cast("double") / lit(1.0e12)
       val ll = round(lit(1000000.0) * exp(least(z, lit(zClip)))).cast("long")
+      // single-pass gradient ([[graft.functions.GradAgg]]) — see
+      // [[LogReg.trainFp]]: one exact 128-bit blob per partition instead
+      // of (dims)× exploded aggregation rows; values identical.
       val g = base.select((ll - col("yl")).as("rl"), col("xl"))
-        .select(col("rl"), posexplode(col("xl")).as(Seq("j", "x")))
-        .groupBy(col("j"))
-        .agg(sum((col("rl") * col("x")).cast("decimal(38,0)")).as("g"))
-        .collect()
+        .agg(graft.functions.GradAgg.gradAgg(col("rl"), col("xl"), dims))
+        .head().getSeq[org.apache.spark.sql.Row](0)
       g.foreach { r =>
         val j = r.getInt(0)
-        val gd = r.getDecimal(1).doubleValue
-        val wNew = (w(j).toDouble / 1000000.0 - lr * (gd / 1.0e12 / n)) * 1000000.0
-        w(j) = new java.math.BigDecimal(wNew)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        if (!r.isNullAt(1)) {
+          val gd = r.getDecimal(1).doubleValue
+          val wNew = (w(j).toDouble / 1000000.0 - lr * (gd / 1.0e12 / n)) * 1000000.0
+          w(j) = new java.math.BigDecimal(wNew)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
       }
       t += 1
     }

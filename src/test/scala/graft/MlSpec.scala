@@ -275,4 +275,82 @@ class MlSpec extends AnyFunSuite {
     val rs = graft.ml.Ols.ols2(col2.toDF("x1", "x2", "y"), "x1", "x2", "y").head
     assert(rs.isNullAt(rs.fieldIndex("b1")) && rs.isNullAt(rs.fieldIndex("r2")))
   }
+
+  // ---- GradAgg: the single-pass training gradient ----
+
+  /** The explode form GradAgg replaces, verbatim from the old trainFp. */
+  private def explodeGrad(df: org.apache.spark.sql.DataFrame): Map[Int, java.math.BigDecimal] =
+    df.select(col("rl"), posexplode(col("xl")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum((col("rl") * col("x")).cast("decimal(38,0)")).as("g"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getDecimal(1))).toMap
+
+  private def gradAggMap(df: org.apache.spark.sql.DataFrame, dims: Int)
+      : Map[Int, java.math.BigDecimal] =
+    df.agg(graft.functions.GradAgg.gradAgg(col("rl"), col("xl"), dims))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getDecimal(1))).toMap
+
+  test("gradAgg matches the explode-form gradient on clean data, any partitioning") {
+    val rows = (0 until 517).map { i =>
+      (((i % 13) - 6).toLong * 100000L,
+        Seq(1000000L, (i % 97).toLong * 1234567L - 50000000L, i.toLong))
+    }
+    val df = rows.toDF("rl", "xl")
+    val a = explodeGrad(df)
+    assert(gradAggMap(df, 3) == a)
+    assert(gradAggMap(df.repartition(17), 3) == a)
+  }
+
+  test("gradAgg mirrors explode-form NULL semantics: null xl row, null element, null rl") {
+    val df = Seq(
+      (java.lang.Long.valueOf(3L), Seq[java.lang.Long](10L, 20L)),
+      (java.lang.Long.valueOf(5L), Seq[java.lang.Long](1L, null)), // null element: slot 1 skips it
+      (null.asInstanceOf[java.lang.Long], Seq[java.lang.Long](7L, 7L)), // null rl: groups exist, no sums
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[Seq[java.lang.Long]]) // null row: nothing
+    ).toDF("rl", "xl")
+    val a = explodeGrad(df)
+    val b = gradAggMap(df, 2)
+    assert(b == a, s"$b vs $a")
+    // all-null slot evals to a NULL sum, like sum over the exploded rows
+    val allNull = Seq((null.asInstanceOf[java.lang.Long], Seq[java.lang.Long](1L)))
+      .toDF("rl", "xl")
+    assert(gradAggMap(allNull, 1) == Map(0 -> null))
+    assert(explodeGrad(allNull) == Map(0 -> null))
+  }
+
+  test("gradAgg 128-bit slots stay exact past long range (the decimal(38,0) parity)") {
+    // 200 rows of 3e9 * 1e8 = 3e17 each: sum 6e19 overflows a long
+    val df = (0 until 200).map(_ => (3000000000L, Seq(100000000L)))
+      .toDF("rl", "xl")
+    val g = gradAggMap(df, 1)(0)
+    assert(g == new java.math.BigDecimal("60000000000000000000"))
+    assert(explodeGrad(df)(0) == g)
+    // and the negative side
+    val dfn = (0 until 200).map(_ => (-3000000000L, Seq(100000000L)))
+      .toDF("rl", "xl")
+    assert(gradAggMap(dfn, 1)(0) == new java.math.BigDecimal("-60000000000000000000"))
+  }
+
+  test("gradAgg product overflow fails fast (ANSI parity with the replaced multiply)") {
+    val df = Seq((Long.MaxValue, Seq(2L))).toDF("rl", "xl")
+    val e = intercept[Exception](gradAggMap(df, 1))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+  }
+
+  test("gradAgg exchange carries one blob per partition, not exploded rows") {
+    val df = separable(200)
+    // trainFp's gradient plan, reconstructed standalone
+    val xl = concat(array(lit(1000000L)),
+      transform(col("emb"), x => round(x.cast("double") * 1000000.0).cast("long")))
+    val q = df.select(lit(1L).as("rl"), xl.as("xl"))
+      .agg(graft.functions.GradAgg.gradAgg(col("rl"), col("xl"), 3))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_grad_agg"), plan)
+    assert(!plan.contains("Generate"), plan) // no posexplode anywhere
+  }
 }
