@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   * bit-for-bit in SQL (the oracle unrolls positions as CTEs).
   *
   * Scale shape: the cost table is vocabulary-sized (chars + nMerges —
-  * bounded by construction) and ships as a plan literal MAP; the DP is
-  * a zero-shuffle scan-stage fold over the DISTINCT-word table, O(n²)
-  * per word in its own ≤ maxLen length, never corpus-scaled. Words
-  * whose final position is unreachable would emit +inf; corpus words
-  * can't be (their own merged decomposition is in the vocabulary).
+  * bounded by construction) and ships once per expression instance
+  * ([[graft.functions.ViterbiCost]], a codegen primitive-double DP);
+  * the DP is a zero-shuffle scan-stage loop over the DISTINCT-word
+  * table, O(n²) per word in its own ≤ maxLen length, never
+  * corpus-scaled. Words whose final position is unreachable would emit
+  * +inf; corpus words can't be (their own merged decomposition is in
+  * the vocabulary).
   */
 object UnigramLm {
 
@@ -53,22 +55,24 @@ object UnigramLm {
   def viterbiSegment(words: DataFrame, costs: Seq[(String, Double)],
                      maxLen: Int = 12): DataFrame = {
     require(costs.nonEmpty, "viterbiSegment: empty cost table")
+    // the old map_from_arrays literal failed fast on duplicate symbols
+    // (mapKeyDedupPolicy EXCEPTION); keep that contract
+    require(costs.map(_._1).distinct.size == costs.size,
+      "viterbiSegment: duplicate symbols in the cost table")
     val longest = words.agg(max(length(col("word")))).head
     if (!longest.isNullAt(0)) require(longest.getInt(0) + 1 <= maxLen,
       s"viterbiSegment: a word spans ${longest.getInt(0) + 1} DP positions " +
         s"(> maxLen=$maxLen) — raise maxLen and the oracle unroll together")
-    val costMap = map_from_arrays(
-      typedLit(costs.map(_._1)), typedLit(costs.map(_._2)))
+    // codegen DP ([[graft.functions.ViterbiCost]]): one primitive-double
+    // loop per word replacing the interpreted fold-of-folds (which boxed
+    // every candidate and reallocated the best-array per position); the
+    // cost table ships once per expression instead of as a per-row map
+    // literal lookup. Candidates, fold order, absent-symbol 1e18, and
+    // null propagation are identical — bit-for-bit the same costs.
     val wx = concat(col("word"), lit(Eow))
-    val n = length(col("word")) + lit(1)
-    val best = aggregate(sequence(lit(1), n), array(lit(0.0)),
-      (bst: Column, i: Column) => concat(bst, array(array_min(
-        transform(sequence(lit(0), i - 1), j =>
-          element_at(bst, j + 1) + coalesce(
-            element_at(costMap, wx.substr(j + lit(1), i - j)),
-            lit(1e18)))))))
+    val best = graft.functions.ViterbiCost.viterbiCost(wx, costs.toMap)
     words.select(col("word"), col("cnt"),
         length(col("word")).cast("long").as("n_chars"),
-        round(element_at(best, n + 1) + lit(1e-12), 6).as("viterbi_cost"))
+        round(best + lit(1e-12), 6).as("viterbi_cost"))
   }
 }

@@ -165,4 +165,68 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       UnigramLm.viterbiSegment(Seq(("ab", 1L)).toDF("word", "cnt"), Seq.empty))
   }
+
+  /** The interpreted fold-of-folds [[graft.functions.ViterbiCost]]
+    * replaced, verbatim from the old viterbiSegment (rounded consumer
+    * included), as the differential reference. */
+  private def oldViterbiCost(costs: Seq[(String, Double)]): org.apache.spark.sql.Column = {
+    import graft.text.UnigramLm.Eow
+    val costMap = map_from_arrays(
+      typedLit(costs.map(_._1)), typedLit(costs.map(_._2)))
+    val wx = concat(col("word"), lit(Eow))
+    val n = length(col("word")) + lit(1)
+    val best = aggregate(sequence(lit(1), n), array(lit(0.0)),
+      (bst: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+        concat(bst, array(array_min(
+          transform(sequence(lit(0), i - 1), j =>
+            element_at(bst, j + 1) + coalesce(
+              element_at(costMap, wx.substr(j + lit(1), i - j)),
+              lit(1e18)))))))
+    round(element_at(best, n + 1) + lit(1e-12), 6)
+  }
+
+  test("viterbiCost expression is bit-identical to the interpreted fold it replaced") {
+    import graft.text.UnigramLm
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val merges = Bpe.train(docs, "text", nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val costs = UnigramLm.costTable(
+      Bpe.vocabulary(docs, "text", merges), "sym", "n_occurrences")
+    val words = Bpe.wordTable(docs, "text").select(col("word"), col("cnt"))
+    val diff = UnigramLm.viterbiSegment(words, costs)
+      .join(words.select(col("word"), oldViterbiCost(costs).as("old_cost")), "word")
+      .filter(col("viterbi_cost") =!= col("old_cost") ||
+        col("viterbi_cost").isNull =!= col("old_cost").isNull)
+    assert(diff.count() == 0, diff.take(5).mkString("; "))
+  }
+
+  test("viterbiCost edges: absent symbols, multibyte code points, null word") {
+    import graft.text.UnigramLm
+    // vocab with a 2-code-point symbol and a supplementary-plane char;
+    // 'zq' has NO covering symbols except per-char fallbacks, and 'x'
+    // is entirely absent (final cost rides the 1e18 absent lane)
+    val costs = Seq(("a", 1.5), ("b", 2.25), ("ab", 3.0), ("😀", 0.5),
+      (UnigramLm.Eow, 0.25), ("z", 7.0), ("q", 7.0))
+    val words = Seq("ab", "ba", "zq", "x", "😀a", null)
+      .map(w => (w, 1L)).toDF("word", "cnt")
+    // both forms in ONE select — no join, so the null word row compares too
+    val newCost = round(graft.functions.ViterbiCost.viterbiCost(
+      concat(col("word"), lit(UnigramLm.Eow)), costs.toMap) + lit(1e-12), 6)
+    val got = words.select(col("word"), newCost.as("new_cost"),
+      oldViterbiCost(costs).as("old_cost")).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[AnyRef]
+      val b = if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[AnyRef]
+      assert(a == b, s"word=${r.get(0)}: new=$a old=$b")
+      if (r.get(0) == null) assert(a == null)
+    }
+    // supplementary char counts ONE DP position (code points, not UTF-16
+    // units): emoji(0.5) + a(1.5) + eow(0.25) = 2.25
+    val emoji = UnigramLm.viterbiSegment(
+      Seq(("😀a", 1L)).toDF("word", "cnt"), costs)
+      .head().getAs[Double]("viterbi_cost")
+    assert(emoji == 2.25, s"$emoji")
+  }
 }
