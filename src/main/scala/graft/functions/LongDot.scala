@@ -16,13 +16,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * element and allocates the zipped array on every row (and inside
   * per-iteration training loops, on every row per iteration).
   *
-  * Value semantics MIRROR the fold it replaces, not [[DotProduct]]'s
-  * fail-fast: long multiply/add wrap identically in two's complement
-  * regardless of association, and the accumulation is ascending-index
-  * anyway; a length mismatch (zip_with pads with null → null product →
-  * null sum) or a null element (null poisons the fold's accumulator)
-  * yields NULL — so degenerate inputs produce the same NULLs the
-  * interpreted form produced, bit for bit.
+  * Value semantics MIRROR the fold it replaces under the sessions'
+  * actual configuration: a length mismatch (zip_with pads with null →
+  * null product → null sum) or a null element (null poisons the fold's
+  * accumulator) yields NULL, and — because Spark 4 defaults
+  * `spark.sql.ansi.enabled=true` and no session here turns it off —
+  * the fold's Multiply/Add FAIL FAST on long overflow, so this does
+  * too (`Math.multiplyExact`/`addExact`; the exception class matches
+  * ANSI's ArithmeticException, the message differs). In-range inputs
+  * are bit-identical regardless: exact integer sums are
+  * association-free, and the accumulation is ascending-index anyway.
+  * Fixed-point callers stay orders of magnitude inside the bound
+  * (quantized features ≤ 1e8, weights ≤ ~1e6-grid magnitudes → |Σ|
+  * ≲ 1e16 at dim 65).
   */
 case class LongDot(left: Expression, right: Expression) extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
@@ -56,7 +62,10 @@ object LongDot {
 
   /** Static so generated code calls it directly. Boxed return carries
     * the null verdict (length mismatch or null element — the zip_with
-    * fold's semantics); the loop itself runs on primitive longs.
+    * fold's semantics); the loop itself runs on primitive longs, with
+    * exact multiply/add preserving the replaced fold's ANSI fail-fast
+    * on overflow (both are JIT intrinsics — no cost at fixed-point
+    * magnitudes).
     */
   def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
@@ -65,7 +74,7 @@ object LongDot {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getLong(i) * b.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     java.lang.Long.valueOf(acc)

@@ -319,4 +319,42 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0)).toSeq
     assert(s2 == Seq(Seq(), Seq("a ", " b"), Seq(), Seq("x y", "y z")))
   }
+
+  test("longDot edge semantics match the aggregate(zip_with) fold, codegen and interpreted") {
+    import graft.functions.LongDot.longDot
+    // the fold LongDot replaced, verbatim from the old fixed-point models
+    def foldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](2L, 3L), Seq[java.lang.Long](4L, 5L)),   // clean: 23
+      (2L, Seq[java.lang.Long](2L, null), Seq[java.lang.Long](4L, 5L)), // null element -> null
+      (3L, Seq[java.lang.Long](2L), Seq[java.lang.Long](4L, 5L)),       // length mismatch -> null
+      (4L, Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),       // empty -> 0
+      (5L, null.asInstanceOf[Seq[java.lang.Long]], Seq[java.lang.Long](1L)) // null array -> null
+    ).toDF("id", "a", "b")
+    // codegen context: top-level Project
+    val top = rows.select(col("id"), longDot(col("a"), col("b")).as("n"),
+        foldDot(col("a"), col("b")).as("o"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    top.foreach { case (id, (n, o)) => assert(n == o, s"row $id: $n vs $o") }
+    assert(top(1L)._1 == 23L && top(4L)._1 == 0L && top(2L)._1 == null
+      && top(3L)._1 == null && top(5L)._1 == null)
+    // interpreted context: the same expression INSIDE a lambda body
+    // (transform is CodegenFallback, so longDot runs through nullSafeEval)
+    val inLambda = rows.select(col("id"),
+        transform(array(col("a")), aa => longDot(aa, col("b"))).getItem(0).as("n"),
+        transform(array(col("a")), aa => foldDot(aa, col("b"))).getItem(0).as("o"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    inLambda.foreach { case (id, (n, o)) => assert(n == o, s"row $id: $n vs $o") }
+    assert(inLambda(1L)._1 == 23L)
+  }
+
+  test("longDot preserves the ANSI fail-fast on long overflow, like the fold it replaced") {
+    val df = Seq((Seq(Long.MaxValue, 1L), Seq(2L, 1L))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(graft.functions.LongDot.longDot(col("a"), col("b"))).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+  }
 }
