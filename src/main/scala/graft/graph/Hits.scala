@@ -29,13 +29,26 @@ object Hits {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            nodes: DataFrame, nodeCol: String, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sc = edges.sparkSession.sparkContext
     val e = edges.select(col(srcCol).cast("long").as("__s"),
         col(dstCol).cast("long").as("__d"))
       .localCheckpoint()
     val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    val preInit = sc.getPersistentRDDs.keySet.toSet
     var scores = n.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
       .localCheckpoint()
+    // Per-iteration block release: every half-step pins a node-sized
+    // localCheckpoint (two per iteration, plus the generation frame) and
+    // nothing frees them until ContextCleaner GCs the dropped RDD refs —
+    // across high iteration counts on large node sets that accumulates
+    // in executor storage. localCheckpoint is EAGER, so once the new
+    // generation materializes, this iteration's half-step frames and the
+    // PREVIOUS generation are provably unreferenced — release them then
+    // (ids snapshotted around each phase; non-blocking, the PageRank-
+    // style loop discipline).
+    var prevGenIds = sc.getPersistentRDDs.keySet.toSet -- preInit
     for (_ <- 1 to iterations) {
+      val iterStart = sc.getPersistentRDDs.keySet.toSet
       val aRaw = scores.join(e, col("node") === col("__s"))
         .groupBy(col("__d").as("node")).agg(sum(col("h")).as("__a"))
       val aNormed = normalized(n.join(aRaw, Seq("node"), "left")
@@ -44,9 +57,15 @@ object Hits {
         .groupBy(col("__s").as("node")).agg(sum(col("__q")).as("__h"))
       val hNormed = normalized(n.join(hRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("__h"), lit(0.0)).as("__v")))
+      val preGen = sc.getPersistentRDDs.keySet.toSet
       scores = aNormed.select(col("node"), col("__q").as("a"))
         .join(hNormed.select(col("node"), col("__q").as("h")), "node")
         .localCheckpoint()
+      val genIds = sc.getPersistentRDDs.keySet.toSet -- preGen
+      val halfStepIds = preGen -- iterStart
+      (halfStepIds ++ prevGenIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevGenIds = genIds
     }
     scores.select(col("node"),
       round(col("h") + lit(1e-12), 6).as("hub"),

@@ -402,6 +402,22 @@ class GraphSpec extends AnyFunSuite {
     (1L to 4L).foreach(i => assert(got(i) == ((0.5, 0.0))))
   }
 
+  test("hits releases half-step and previous-generation checkpoints each iteration") {
+    val sc = spark.sparkContext
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val nodes = (1L to 3L).toDF("id")
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = Hits.hits(e, "s", "d", nodes, "id", iterations = 6)
+    out.collect()
+    // 6 iterations pin 2 half-steps + 1 generation each; only the edges
+    // checkpoint and the LAST generation may survive the loop (unpersist
+    // removes ids from the registry synchronously)
+    val survived = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(survived.size <= 3, s"leaked ${survived.size} persisted RDDs")
+    survived.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   test("gramMatrix shuffles k^2-bounded partials, not row-scaled data") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = EmbedStats.gramMatrix(df, "embedding", dim = 64)
