@@ -49,10 +49,22 @@ object FuzzyJoin {
 
   /** Probe side: every substring a surviving segment could be, for each
     * partner length / segment idx / displacement — one explode over a
-    * constant-size generated array. */
-  private def probeSide(strs: DataFrame, k: Int): DataFrame = {
+    * generated array. `indexLens` (the distinct lengths actually PRESENT
+    * on the index side — bounded by the longest string, never by the
+    * corpus, collected once as a plan literal) prunes the partner-length
+    * axis INSIDE the array construction, before the inner per-segment /
+    * per-shift transforms even run: a variant keyed by a length no index
+    * string has can never find a join partner, so dropping it is
+    * completeness-neutral — the guide-§3.2 pre-filter shape applied at
+    * the generator, shrinking the explode output, the dedup `distinct`'s
+    * shuffle, and the join's probe input by the dead-length fraction (a
+    * single-length corpus at k=2 generates 5 partner lengths of which 4
+    * are dead: 5× fewer probe rows end to end). */
+  private def probeSide(strs: DataFrame, k: Int, indexLens: Seq[Long]): DataFrame = {
+    val lensLit = typedLit(indexLens)
     val variants = flatten(transform(
-      sequence(greatest(col("len") - k, lit(0L)), col("len") + k), lt =>
+      filter(sequence(greatest(col("len") - k, lit(0L)), col("len") + k),
+        lt => array_contains(lensLit, lt)), lt =>
         flatten(transform(sequence(lit(0L), lit(k.toLong)), i =>
           transform(sequence(lit(-k.toLong), lit(k.toLong)), sh =>
             struct(lt.as("lt"), i.as("i"),
@@ -66,6 +78,28 @@ object FuzzyJoin {
         col("s_p").substr((col("v.st") + 1).cast("int"), col("v.ln").cast("int")).as("seg"))
       .distinct() // shifts often alias: one candidate probe per distinct key
   }
+
+  /** The distinct lengths present on the index side — the probe prune's
+    * literal key set. One tiny driver job, output bounded by the longest
+    * string (sorted so the literal is deterministic). */
+  private def presentLens(strs: DataFrame): Seq[Long] =
+    strs.select(col("len")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Pin the VERIFY stage's parallelism: distribute the deduped probe
+    * rows on the segment join key across the session's shuffle
+    * partitions, with the count EXPLICIT so AQE cannot byte-coalesce
+    * the read. The per-candidate levenshtein behind the join is
+    * CPU-dense but byte-light — AQE's size-based coalescing collapsed
+    * the post-prune probe side to ONE partition and ran every verify
+    * single-threaded (measured at sf0.1: 5 → 1 verify tasks, +83% query
+    * wall, while total executor time FELL). This exchange is not extra
+    * work at scale: it is exactly the segment-key distribution a
+    * non-broadcast PassJoin candidate join requires anyway, so a
+    * shuffle-strategy join absorbs it, and under a broadcast join it
+    * moves only the deduped probe rows once. */
+  private def pinVerifyParallelism(probe: DataFrame): DataFrame =
+    probe.repartition(probe.sparkSession.sessionState.conf.numShufflePartitions,
+      col("lt"), col("i"), col("seg"))
 
   private def normalized(df: DataFrame, strCol: String, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
@@ -82,7 +116,8 @@ object FuzzyJoin {
     requireDist(maxDist)
     Ids.requireIntegral(df, idCol)
     val strs = normalized(df, strCol, idCol)
-    probeSide(strs, maxDist).join(indexSide(strs, maxDist), Seq("lt", "i", "seg"))
+    pinVerifyParallelism(probeSide(strs, maxDist, presentLens(strs)))
+      .join(indexSide(strs, maxDist), Seq("lt", "i", "seg"))
       .filter(col("id_p") =!= col("id_x"))
       .filter(levenshtein(col("s_p"), col("s_x")) <= maxDist)
       .select(least(col("id_p"), col("id_x")).as("id_a"),
@@ -103,8 +138,10 @@ object FuzzyJoin {
     requireDist(maxDist)
     Ids.requireIntegral(left, leftId)
     Ids.requireIntegral(right, rightId)
-    probeSide(normalized(left, leftStr, leftId), maxDist)
-      .join(indexSide(normalized(right, rightStr, rightId), maxDist), Seq("lt", "i", "seg"))
+    val rightStrs = normalized(right, rightStr, rightId)
+    pinVerifyParallelism(
+        probeSide(normalized(left, leftStr, leftId), maxDist, presentLens(rightStrs)))
+      .join(indexSide(rightStrs, maxDist), Seq("lt", "i", "seg"))
       .filter(levenshtein(col("s_p"), col("s_x")) <= maxDist)
       .select(col("id_p").as("left_id"), col("id_x").as("right_id"),
         levenshtein(col("s_p"), col("s_x")).cast("long").as("dist"))
