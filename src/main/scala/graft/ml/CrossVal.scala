@@ -36,10 +36,14 @@ object CrossVal {
     val fold = conv(substring(md5(concat_ws("_",
         idCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
       .cast("long") % folds
-    val base = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull
-        && col(yCol).isNotNull)
-      .select(fold.as("fold"), d2(x1Col).as("__x1"), d2(x2Col).as("__x2"),
-        d2(yCol).as("__y"))
+    // widened: the ~3-split parquet scan otherwise caps BOTH decimal
+    // aggregate passes at 3-way parallelism through the checkpoint
+    // (graft.operators.Parallelism; sums are order-free exact decimals)
+    val base = graft.operators.Parallelism.widened(
+        df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull
+          && col(yCol).isNotNull)
+        .select(fold.as("fold"), d2(x1Col).as("__x1"), d2(x2Col).as("__x2"),
+          d2(yCol).as("__y")))
       .localCheckpoint() // the sums aggregate and the scoring join share it
     val sums = Seq(
       count(lit(1)).as("n"),

@@ -110,8 +110,12 @@ object Percentiles {
       .localCheckpoint()
 
     // Level 1: cumulative count within (group, shard), ordered by value.
+    // Explicit partition count on the window's exchange — AQE byte-based
+    // coalescing otherwise merges a byte-small histogram's shards into
+    // one partition and serializes the cumsum (see RankedStats).
     val wLoc = Window.partitionBy(gcols :+ col("__pid"): _*).orderBy(col(valCol))
-    val local = ranged.withColumn("__lcum", sum(cnt).over(wLoc))
+    val local = ranged.repartition(nShards, gcols :+ col("__pid"): _*)
+      .withColumn("__lcum", sum(cnt).over(wLoc))
 
     // Level 2: shard totals -> exclusive offsets + group totals. Tiny
     // (groups x shards rows); shares `ranged`'s exchange with level 1.

@@ -56,8 +56,17 @@ object RankedStats {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
 
+    // The local-cumsum window needs hashpartitioning(group, __pid); left
+    // implicit, AQE's BYTE-based coalescing merges that exchange's read
+    // to one partition whenever the histogram is byte-small (a ~5 MB
+    // histogram of 594k rows measured as ONE task sorting+cumsumming
+    // everything — the whole "parallelism = groups × shards" design
+    // silently serialized). An explicit partition count pins the
+    // distribution against the coalesce; it is the same single exchange
+    // the window already required.
+    val sharded = ranged.repartition(nShards, gcols :+ col("__pid"): _*)
     val wLoc = Window.partitionBy(gcols :+ col("__pid"): _*).orderBy(col(valueCol))
-    val local = cntCols.foldLeft(ranged) { (d, c) =>
+    val local = cntCols.foldLeft(sharded) { (d, c) =>
       d.withColumn(s"__l_$c", sum(col(c)).over(wLoc))
     }
 

@@ -310,11 +310,16 @@ class PlansSpec extends AnyFunSuite {
       SparkEntry.queries("q_cv_ols")(spark, sf)
         .write.mode("overwrite").format("noop").save()
     }
-    // the whole point of the fold-complement trick: training is ONE
-    // map-side-combined aggregate (partials per fold per partition) and
-    // scoring joins the 5-row model table broadcast — so shuffle volume
-    // is partition- and fold-sized, never corpus-sized
-    assert(shuffled > 0 && shuffled < n / 4,
+    // the fold-complement trick: training is ONE map-side-combined
+    // aggregate (partials per fold per partition) and scoring joins the
+    // 5-row model table broadcast — statistics move, not rows. ONE
+    // bounded exception: in the small-input regime (scan planned fewer
+    // splits than the session's parallelism — always true at test SFs,
+    // never at corpus scale) Parallelism.widened moves each row ONCE so
+    // the decimal aggregate passes aren't serialized onto ~3 scan
+    // splits. So the bound is one widen pass + fold-sized partials; a
+    // second corpus-sized shuffle still fails.
+    assert(shuffled > 0 && shuffled < n + n / 4,
       s"q_cv_ols shuffled $shuffled records for $n input rows")
   }
 
